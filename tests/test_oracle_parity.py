@@ -1,0 +1,74 @@
+"""Replicates the driver's correctness gate locally: run every
+registered query on Spark AND its oracle SQL on DuckDB over the same
+parquet tables, then compare row count, column names, and values
+(order-insensitive, exact).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+import os
+
+import duckdb
+import pytest
+
+from kafka_avro_order_processing_spark.plans.registry import QUERIES
+
+SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(v):
+    if isinstance(v, _dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return repr(v)
+
+
+def _canon(columns, rows):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    cols = [columns[i] for i in order]
+    data = sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+    return cols, data
+
+
+@pytest.mark.parametrize("name", [n for n, q in QUERIES.items() if q.oracle])
+def test_query_matches_oracle(spark, name):
+    q = QUERIES[name]
+    sdf = q.fn(spark, SF_DIR)
+    srows = sdf.collect()
+    scols = sdf.columns
+
+    con = _duck(SF_DIR)
+    orows = con.execute(q.oracle).fetchall()
+    ocols = [d[0] for d in con.description]
+
+    s_cols, s_data = _canon(scols, [tuple(r) for r in srows])
+    o_cols, o_data = _canon(ocols, orows)
+
+    assert s_cols == o_cols, f"{name}: column names differ: {s_cols} vs {o_cols}"
+    assert len(s_data) == len(o_data), (
+        f"{name}: row counts differ: spark={len(s_data)} oracle={len(o_data)}"
+    )
+    mismatches = [
+        (a, b) for a, b in zip(s_data, o_data) if a != b
+    ]
+    assert not mismatches, f"{name}: {len(mismatches)} mismatching rows; first: {mismatches[:3]}"
