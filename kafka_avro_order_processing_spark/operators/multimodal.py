@@ -1,0 +1,97 @@
+"""Multimodal (binary) column plumbing.
+
+Images/audio/video are opaque ``binary`` payloads with typed metadata
+riding alongside; the Spark-side contract — schema, partition-friendly
+metadata extraction, Arrow-batched decode UDFs over mapInPandas — is
+real and tested.  The actual media decode is STUBBED (this container
+has no image/audio libraries): ``decode_stub=True`` yields
+deterministic fake features, ``decode_stub=False`` raises
+NotImplementedError where a real decoder (PIL/torchaudio/ffmpeg)
+would be imported.
+
+Scale notes: binary payloads dominate bytes; metadata extraction
+(length/hash/magic sniff) is pure Column expressions so pruning a
+corpus by size/type never deserializes payloads in Python.  Decode
+runs per-partition via mapInPandas with Arrow batches — payload bytes
+cross the JVM->Python boundary once, batched, only for rows that
+survived the metadata filter.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Well-known magic prefixes for cheap type sniffing (hex).
+MAGIC_PREFIXES = {
+    "image/png": "89504e47",
+    "image/jpeg": "ffd8ff",
+    "audio/wav": "52494646",
+}
+
+DECODED_SCHEMA = (
+    "doc_id long, byte_len long, content_hash string, width int, height int, n_channels int"
+)
+
+
+def binarize_text(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Test harness: treat utf-8 text bytes as an opaque payload column
+    (stands in for image/audio bytes in this container)."""
+    return df.select(F.col(id_col), F.encode(F.col(text_col), "UTF-8").alias("payload"))
+
+
+def payload_metadata(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Typed metadata from the binary column without any Python: byte
+    length, content hash, sniffed mime (magic-prefix match)."""
+    hexhead = F.lower(F.hex(F.substring(F.col(payload_col), 1, 4)))
+    mime = F.lit("application/octet-stream")
+    for m, magic in MAGIC_PREFIXES.items():
+        mime = F.when(hexhead.startswith(magic.lower()), F.lit(m)).otherwise(mime)
+    return df.select(
+        F.col(id_col),
+        F.length(payload_col).cast("long").alias("byte_len"),
+        F.md5(F.col(payload_col)).alias("content_hash"),
+        mime.alias("mime"),
+    )
+
+
+def decode_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Arrow-batched decode/feature-extract over mapInPandas.
+
+    Stub features are deterministic functions of the payload bytes
+    (so tests are exact); the non-stub branch is where a real decoder
+    plugs in.
+    """
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        if not decode_stub:
+            raise NotImplementedError(
+                "real media decode requires PIL/torchaudio/ffmpeg, "
+                "not available in this environment"
+            )
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            digests = payloads.map(lambda b: hashlib.md5(bytes(b)).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "byte_len": payloads.map(len).astype("int64"),
+                    "content_hash": digests,
+                    # deterministic fake "image" dims from the digest
+                    "width": digests.map(lambda d: int(d[:2], 16) + 1).astype("int32"),
+                    "height": digests.map(lambda d: int(d[2:4], 16) + 1).astype("int32"),
+                    "n_channels": digests.map(lambda d: (int(d[4], 16) % 3) + 1).astype("int32"),
+                }
+            )
+
+    return df.mapInPandas(_decode, schema=DECODED_SCHEMA)

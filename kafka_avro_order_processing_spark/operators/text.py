@@ -1,0 +1,129 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §7 M5).
+
+Tokenization, per-document statistics, corpus token frequencies,
+heuristic language-ID, quality scoring, and content fingerprinting —
+all as pure Column expressions (zero Python in the hot path; at 100 TB
+these run inside whole-stage codegen over the parquet scan).
+
+Portability rule: anything compared against an ANSI oracle uses md5 and
+integer arithmetic (identical across engines); ratios are double
+divisions of identical integer operands, hence bit-deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language word profiles for the heuristic scorer.  Real
+#: pipelines plug in character-n-gram profiles per language; the
+#: mechanism (score = profile hits, argmax with fixed tie order) is
+#: what the engine provides.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "fast", "small"),
+    "es": ("order", "data", "valor", "tabla"),
+    "de": ("der", "und", "stream", "batch"),
+}
+
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and")
+
+
+def tokens(text: Column | str, sep: str = " ") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, sep)
+
+
+def doc_token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document token statistics: counts, distinct counts, lengths."""
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    ).cast("long")
+    return df.select(
+        F.col(id_col),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.length(text_col).cast("long").alias("n_chars"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        (sum_len.cast("double") / n_tokens.cast("double")).alias("avg_token_len"),
+    )
+
+
+def token_counts(
+    df: DataFrame, text_col: str = "text", k: int | None = None
+) -> DataFrame:
+    """Corpus word frequencies (explode -> partial+final count agg); the
+    classic first shuffle of any corpus pipeline.  Optional global top-k
+    (TakeOrderedAndProject — no full sort)."""
+    out = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    if k is not None:
+        out = out.orderBy(F.desc("n"), F.asc("token")).limit(k)
+    return out
+
+
+def language_id(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    profiles: dict[str, tuple[str, ...]] = LANG_PROFILES,
+) -> DataFrame:
+    """Heuristic language ID: per-language profile-hit score over the
+    token set, argmax with deterministic tie order (profile dict order)."""
+    toks = F.array_distinct(tokens(text_col))
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in profiles.items()
+    }
+    langs = list(profiles)
+    # argmax with first-wins tie-break in declared order
+    pred = F.lit(langs[-1])
+    for lang in reversed(langs[:-1]):
+        later = [scores[l] for l in langs[langs.index(lang) + 1:]]
+        cond = scores[lang] >= later[0]
+        for c in later[1:]:
+            cond = cond & (scores[lang] >= c)
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    out_cols = [F.col(id_col)]
+    if "lang" in df.columns:
+        out_cols.append(F.col("lang"))
+    return df.select(*out_cols, pred.alias("predicted_lang"))
+
+
+def quality_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = STOPWORDS,
+) -> DataFrame:
+    """Document quality heuristics: length, lexical diversity, stopword
+    ratio, and a combined [0,1] score.  All ratios are double divisions
+    of exact integer counts."""
+    toks = tokens(text_col)
+    n = F.size(toks).cast("double")
+    n_distinct = F.size(F.array_distinct(toks)).cast("double")
+    stop_arr = F.array(*[F.lit(w) for w in stopwords])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast("double")
+    diversity = n_distinct / n
+    stop_ratio = n_stop / n
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        diversity.alias("lexical_diversity"),
+        stop_ratio.alias("stopword_ratio"),
+        (F.lit(0.5) * diversity + F.lit(0.5) * (F.lit(1.0) - stop_ratio)).alias("quality"),
+    )
+
+
+def doc_fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Content fingerprint: md5 of the lowercased text plus a 16-hex
+    prefix for bucketing.  The exact-dedup key (dedup.py builds on it)."""
+    fp = F.md5(F.lower(F.col(text_col)))
+    return df.select(
+        F.col(id_col),
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 16).alias("fingerprint_prefix"),
+    )

@@ -466,3 +466,266 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events"),
         ts="ts", key="user_id", gap_minutes=30, order_tiebreak="event_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# M5 — training-data-pipeline operators (text / dedup / similarity /
+# multimodal), each with a deterministic ANSI oracle.
+# ---------------------------------------------------------------------------
+
+from ..operators.text import (  # noqa: E402
+    LANG_PROFILES,
+    STOPWORDS,
+    doc_fingerprint,
+    doc_token_stats,
+    language_id,
+    quality_score,
+    token_counts,
+)
+from ..operators import dedup as _dedup  # noqa: E402
+from ..operators.similarity import cosine_topk  # noqa: E402
+from ..operators.multimodal import binarize_text, payload_metadata  # noqa: E402
+
+
+@_register(
+    "doc_token_stats",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+           CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS DOUBLE)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len
+    FROM documents
+    """,
+    tags=("m5", "text"),
+    doc="Per-document token statistics (pure column exprs, no Python).",
+)
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_token_stats(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "token_counts_top20",
+    """
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token ORDER BY n DESC, token LIMIT 20
+    """,
+    tags=("m5", "text", "topk"),
+    doc="Corpus word frequencies, global top-20.",
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_counts(load_table(spark, sf_dir, "documents"), k=20)
+
+
+def _lang_score_sql(words) -> str:
+    arr = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_intersect(list_distinct(string_split(text, ' ')), [{arr}]))"
+
+
+_S_EN = _lang_score_sql(LANG_PROFILES["en"])
+_S_ES = _lang_score_sql(LANG_PROFILES["es"])
+_S_DE = _lang_score_sql(LANG_PROFILES["de"])
+
+
+@_register(
+    "language_id",
+    f"""
+    SELECT doc_id, lang,
+           CASE WHEN {_S_EN} >= {_S_ES} AND {_S_EN} >= {_S_DE} THEN 'en'
+                WHEN {_S_ES} >= {_S_DE} THEN 'es'
+                ELSE 'de' END AS predicted_lang
+    FROM documents
+    """,
+    tags=("m5", "text"),
+    doc="Heuristic language ID: per-language profile-hit argmax with a "
+        "deterministic tie order.",
+)
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(load_table(spark, sf_dir, "documents"))
+
+
+_STOP_ARR = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@_register(
+    "quality_scores",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS lexical_diversity,
+           CAST(len(list_filter(toks, x -> list_contains([{_STOP_ARR}], x))) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+           0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+             + 0.5 * (1.0 - CAST(len(list_filter(toks, x -> list_contains([{_STOP_ARR}], x))) AS DOUBLE)
+                            / CAST(len(toks) AS DOUBLE)) AS quality
+    FROM t
+    """,
+    tags=("m5", "text"),
+    doc="Quality heuristics: lexical diversity + stopword ratio -> [0,1] score.",
+)
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "doc_fingerprints",
+    """
+    SELECT doc_id, md5(lower(text)) AS fingerprint,
+           substr(md5(lower(text)), 1, 16) AS fingerprint_prefix
+    FROM documents
+    """,
+    tags=("m5", "text"),
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    tags=("m5", "dedup"),
+    doc="Exact dedup: hash-groupBy on the content fingerprint.",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def _minhash_oracle() -> str:
+    k, br = _dedup.N_MINHASH, _dedup.BAND_ROWS
+    n_bands = k // br
+    mh = ",\n             ".join(
+        f"min(md5('{j}:' || shingle)) AS mh{j}" for j in range(k)
+    )
+    bands = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, {expr} AS bv FROM sigs".format(
+            b=b, expr=" || ".join(f"mh{b * br + r}" for r in range(br))
+        )
+        for b in range(n_bands)
+    )
+    agree = " + ".join(f"CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END" for j in range(k))
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 3
+               THEN list_transform(range(1, len(t) - 1),
+                                   i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+               ELSE [] END) AS s
+      FROM toks),
+    ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    sigs AS (SELECT doc_id,
+             {mh}
+             FROM ex GROUP BY doc_id),
+    bands AS ({bands}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.bv = b.bv AND a.doc_id < b.doc_id),
+    est AS (
+      SELECT p.doc_a, p.doc_b,
+             CAST({agree} AS DOUBLE) / {float(k)} AS est_jaccard
+      FROM pairs p
+        JOIN sigs sa ON sa.doc_id = p.doc_a
+        JOIN sigs sb ON sb.doc_id = p.doc_b)
+    SELECT e.doc_a, e.doc_b, e.est_jaccard,
+           CAST(len(list_intersect(ha.s, hb.s)) AS DOUBLE)
+             / (CAST(len(ha.s) + len(hb.s) AS DOUBLE)
+                - CAST(len(list_intersect(ha.s, hb.s)) AS DOUBLE)) AS jaccard
+    FROM est e
+      JOIN sh ha ON ha.doc_id = e.doc_a
+      JOIN sh hb ON hb.doc_id = e.doc_b
+    """
+
+
+@_register(
+    "near_dup_pairs",
+    _minhash_oracle(),
+    tags=("m5", "dedup"),
+    doc="MinHash-LSH near-dup detection: shingle -> 8 minhashes -> 4 "
+        "banded buckets -> candidate self-join -> exact-Jaccard verify.",
+)
+def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.near_dup_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _simhash_oracle() -> str:
+    bits = _dedup.SIMHASH_BITS
+    sums = ",\n           ".join(
+        f"SUM((ascii(substr(hh, {j + 1}, 1)) % 2) * 2 - 1) AS s{j}" for j in range(bits)
+    )
+    fp = " + ".join(f"CASE WHEN s{j} > 0 THEN {2 ** j} ELSE 0 END" for j in range(bits))
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    h AS (SELECT doc_id, md5(token) AS hh FROM tok),
+    v AS (SELECT doc_id,
+           {sums}
+          FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM v
+    """
+
+
+@_register(
+    "simhash_fingerprints",
+    _simhash_oracle(),
+    tags=("m5", "dedup"),
+    doc="SimHash: 32-bit sign-of-votes fingerprint per document; near-dup "
+        "lookup is hamming distance over the fingerprint.",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.simhash(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "embedding_topk",
+    """
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+      FROM embeddings),
+    q AS (SELECT vec_id AS qid, embedding AS qe, norm AS qn FROM n WHERE vec_id < 5),
+    scored AS (
+      SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, len(q.qe) + 1),
+                    i -> CAST(q.qe[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+               / (q.qn * c.norm) AS cosine
+      FROM q, n c WHERE c.vec_id != q.qid),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+    tags=("m5", "similarity"),
+    doc="Brute-force cosine top-5 for query vectors vec_id<5; broadcast "
+        "queries, candidates stream, per-query window rank.",
+)
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+@_register(
+    "multimodal_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           md5(text) AS content_hash,
+           'application/octet-stream' AS mime
+    FROM documents
+    """,
+    tags=("m5", "multimodal"),
+    doc="Binary-column metadata extraction (length/hash/magic-sniff) as "
+        "pure column exprs — payloads never reach Python.",
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return payload_metadata(binarize_text(docs))
