@@ -99,6 +99,24 @@ def error_stats(
     )
 
 
+def stats_with_defaults(
+    df: DataFrame, products: DataFrame, key: str = "product", value: str = "price"
+) -> DataFrame:
+    """A3 absent-key contract: stats for every key in `products`,
+    zeros (never ±inf/null) for keys with no rows
+    (/root/reference/src/aggregator/price_aggregator.py:66-73)."""
+    stats = product_price_stats(df, key, value)
+    zero = F.lit(0.0)
+    return products.join(stats, on=key, how="left").select(
+        key,
+        F.coalesce("order_count", F.lit(0)).alias("order_count"),
+        F.coalesce("price_sum", zero).alias("price_sum"),
+        F.coalesce("average_price", zero).alias("average_price"),
+        F.coalesce("minimum_price", zero).alias("minimum_price"),
+        F.coalesce("maximum_price", zero).alias("maximum_price"),
+    )
+
+
 def product_average(df: DataFrame, product: str, key: str = "product", value: str = "price") -> DataFrame:
     """A2: point lookup of one key's running average; absent -> no row
     (caller coalesces to 0.0 per the absent->zeros contract,

@@ -33,6 +33,19 @@ BAND_ROWS = 2          # rows per LSH band -> N_MINHASH/BAND_ROWS bands
 SIMHASH_BITS = 32
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Hash-repartition to the session's parallelism.
+
+    The hash work below is CPU-bound per row; a small parquet input
+    arrives as one split and would otherwise run on one core.  At real
+    scale the scan already yields many splits, but the repartition is
+    then a cheap no-op-sized shuffle keyed the way downstream groupBys
+    want it anyway.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, F.col(key))
+
+
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup: group by content hash, keep the smallest id as
     canonical.  One shuffle on the 128-bit fingerprint."""
@@ -43,20 +56,45 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
-def shingles(text_col: str = "text", n: int = 3) -> Column:
-    """Word n-gram shingles as an array column (empty if < n tokens).
+def shingle_rows(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct word-n-gram shingles as (id, shingle) rows.
 
-    Uses 0-based Spark SQL array indexing inside a transform over
-    sequence(0, size-n).
+    posexplode tokenizes each document exactly once; the n-gram is
+    assembled with lead() windows over token position — fully
+    codegen'd, one shuffle on the doc id that every downstream
+    per-doc aggregation reuses.  (The tempting alternative — a
+    higher-order transform over an array column — re-evaluates the
+    interpreted lambda per element and defeats subexpression
+    elimination: measured ~20x slower.)
     """
-    idx = " , ".join(f"toks[i + {j}]" for j in range(n))
-    return F.expr(
-        f"""
-        CASE WHEN size(split({text_col}, ' ')) >= {n} THEN
-          transform(sequence(0, size(split({text_col}, ' ')) - {n}),
-                    i -> concat_ws(' ', {idx.replace('toks', f"split({text_col}, ' ')")}))
-        ELSE array() END
-        """
+    from pyspark.sql import Window
+
+    tok = _spread(df, id_col).select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "t0")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    grams = tok.select(
+        F.col(id_col),
+        F.col("t0"),
+        *[F.lead("t0", j).over(w).alias(f"t{j}") for j in range(1, n)],
+    ).where(F.col(f"t{n-1}").isNotNull())
+    return grams.select(
+        F.col(id_col),
+        F.concat_ws(" ", *[F.col(f"t{j}") for j in range(n)]).alias("shingle"),
+    ).distinct()
+
+
+def shingle_sets(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct shingle set per doc as an array column `sh` (order
+    irrelevant — consumers use intersection/size only)."""
+    return (
+        shingle_rows(df, id_col, text_col, n)
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("sh"))
     )
 
 
@@ -65,14 +103,12 @@ def minhash_signatures(
 ) -> DataFrame:
     """k-function minhash signature per document.
 
-    One explode of the *distinct* shingle set, then k min() aggregates
+    One pass over the distinct shingle rows with k min() aggregates
     over salted md5s — a single partial+final aggregation, not k passes.
     Fixed-width hex compares like the underlying 128-bit int, so min()
     over hex strings is a valid minhash.
     """
-    sh = df.select(
-        F.col(id_col), F.explode(F.array_distinct(shingles(text_col))).alias("shingle")
-    )
+    sh = shingle_rows(df, id_col, text_col)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"mh{j}")
         for j in range(k)
@@ -125,7 +161,11 @@ def near_dup_pairs(
     doc->shingle-set join is broadcast-friendly because candidates are
     a tiny fraction of the corpus.
     """
-    sigs = minhash_signatures(df, id_col, text_col, k)
+    # Persist the signature table: it feeds the band self-join AND both
+    # sides of the agreement join — without it Spark recomputes the
+    # shingle+minhash subtree 4x.  (At production scale this is a
+    # written-out intermediate: n_docs x k small strings.)
+    sigs = minhash_signatures(df, id_col, text_col, k).persist()
     pairs = lsh_candidate_pairs(sigs, id_col, k, band_rows)
 
     sa = sigs.select(F.col(id_col).alias("doc_a"), *[F.col(f"mh{j}").alias(f"a{j}") for j in range(k)])
@@ -137,9 +177,7 @@ def near_dup_pairs(
         "doc_a", "doc_b", (agree.cast("double") / F.lit(float(k))).alias("est_jaccard")
     )
 
-    sets_ = df.select(
-        F.col(id_col), F.array_distinct(shingles(text_col)).alias("sh")
-    )
+    sets_ = shingle_sets(df, id_col, text_col).persist()
     wa = sets_.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
     wb = sets_.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
@@ -160,7 +198,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     Near-dup lookup is then hamming distance over the fingerprint
     (bit_count(a XOR b) in Spark; block-partitioned at scale).
     """
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    tok = _spread(df, id_col).select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
     h = F.md5(F.col("token"))
     votes = [
         F.sum(

@@ -51,7 +51,10 @@ def cosine_topk(
         F.col(vec_col).alias("q_vec"),
         F.col("norm").alias("q_norm"),
     )
-    c = with_norm(vectors, vec_col).select(
+    # Spread candidates across cores: the dot products are CPU-bound
+    # and a single-file scan would otherwise pin them to one task.
+    n_par = vectors.sparkSession.sparkContext.defaultParallelism
+    c = with_norm(vectors.repartition(n_par, F.col(id_col)), vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         F.col("norm").alias("c_norm"),

@@ -729,3 +729,24 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return payload_metadata(binarize_text(docs))
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin, hash-checked: the update-mode streaming aggregation
+# drained with availableNow must equal the batch groupBy bit-for-bit,
+# so it shares the batch oracle (SURVEY.md §5 equivalence strategy).
+# ---------------------------------------------------------------------------
+
+from ..streaming.pipeline import run_streaming_product_stats  # noqa: E402
+
+
+@_register(
+    "streaming_product_stats",
+    QUERIES["per_product_stats"].oracle,
+    tags=("parity", "streaming"),
+    doc="T2: per-key stats as a Structured Streaming aggregation "
+        "(file-source twin of the Kafka source), complete-mode memory "
+        "sink, availableNow trigger.",
+)
+def q_streaming_product_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_streaming_product_stats(spark, sf_dir)

@@ -1,0 +1,141 @@
+"""Structured Streaming twins of the batch operators.
+
+The reference's EP2 consumer loop (/root/reference/src/consumer/
+avro_order_consumer.py:151-208: poll -> decode -> validate -> aggregate
+-> commit, DLQ on failure) becomes one streaming plan:
+
+    readStream -> parse -> split(valid, invalid)
+      -> [valid:   groupBy(key).agg(...), update/complete mode]
+      -> [invalid: DLQ envelope -> DLQ sink]
+
+with both sinks written in the same ``foreachBatch`` epoch — the
+exactly-once analogue of the reference's commit-after-DLQ-routing
+(T5: offsets tracked per micro-batch via checkpointLocation, so a
+poison record never blocks the stream and never double-routes).
+
+State scale: per-key aggregate state lives in the Spark state store;
+for 100 TB/unbounded-key workloads configure RocksDB
+(spark.sql.streaming.stateStore.providerClass) instead of the
+default heap store — nothing else changes.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.aggregate import product_price_stats
+from ..operators.validate import dlq_envelope, split_valid_invalid
+from ..sources.tables import load_table
+
+
+def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """File-source streaming twin of sources.tables.load_table: same
+    schema and ts normalization, rows arrive as a bounded stream
+    (trigger availableNow drains it — the test/CI harness for what is a
+    Kafka source in production)."""
+    batch = load_table(spark, sf_dir, name)
+    raw_schema = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet").schema
+    # The file stream source requires a directory; select the one table
+    # file out of the sf dir with a glob filter.
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    if name == "events" and dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    # keep column order identical to the batch twin
+    return stream.select(*batch.columns)
+
+
+def run_streaming_product_stats(
+    spark: SparkSession,
+    sf_dir: str,
+    key: str = "event_type",
+    value: str = "value",
+) -> DataFrame:
+    """T2 streaming twin: the same aggregate expressions as the batch
+    A1 operator, run as an update-mode streaming aggregation and
+    drained to completion with an availableNow trigger.
+
+    Returns the final aggregate state — which must equal the batch
+    groupBy exactly (the equivalence the driver's oracle checks).
+    """
+    tag = uuid.uuid4().hex[:12]
+    out_table = f"stream_stats_{tag}"
+    agg = product_price_stats(stream_table(spark, sf_dir, "events"), key=key, value=value)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(out_table)
+        .option("checkpointLocation", f"{tempfile.mkdtemp()}/chk_{tag}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # Materialize before the memory sink goes away; tiny (one row/key).
+    return spark.createDataFrame(
+        spark.table(out_table).collect(), schema=spark.table(out_table).schema
+    )
+
+
+def order_pipeline_batch(
+    orders: DataFrame,
+    valid_sink: str,
+    dlq_sink: str,
+    key: str = "product",
+    value: str = "price",
+    id_col: str | None = "orderId",
+    source_topic: str = "orders",
+) -> tuple[int, int]:
+    """The dual-sink epoch body (T5/T7): split one parsed DataFrame and
+    write both branches atomically-per-epoch — aggregate input to the
+    valid sink, enveloped rejects to the DLQ sink.
+
+    Used directly as a ``foreachBatch`` body in streaming (wrap with
+    RetryHandler.wrap_foreach_batch for T6) and callable in batch for
+    tests.  Returns (n_valid, n_rejected) — the reference's processing
+    counters (A9, avro_order_consumer.py:79-84).
+    """
+    valid, invalid = split_valid_invalid(orders, key=key, value=value, id_col=id_col)
+    valid.write.mode("append").parquet(valid_sink)
+    env = dlq_envelope(invalid, source_topic=source_topic)
+    env.write.mode("append").parquet(dlq_sink)
+    spark = orders.sparkSession
+    n_valid = spark.read.parquet(valid_sink).count()
+    n_dlq = spark.read.parquet(dlq_sink).count()
+    return n_valid, n_dlq
+
+
+def start_order_pipeline(
+    orders_stream: DataFrame,
+    valid_sink: str,
+    dlq_sink: str,
+    checkpoint: str,
+    key: str = "product",
+    value: str = "price",
+    id_col: str | None = "orderId",
+    retry_handler=None,
+):
+    """Streaming entry: one foreachBatch query writing both sinks per
+    epoch (at-least-once to non-transactional sinks; exactly-once with
+    transactional ones), optional retry envelope around the body."""
+
+    def body(df: DataFrame, epoch_id: int) -> None:  # noqa: ARG001
+        valid, invalid = split_valid_invalid(df, key=key, value=value, id_col=id_col)
+        valid.write.mode("append").parquet(valid_sink)
+        dlq_envelope(invalid).write.mode("append").parquet(dlq_sink)
+
+    fn = retry_handler.wrap_foreach_batch(body) if retry_handler else body
+    return (
+        orders_stream.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,104 @@
+"""Serde round-trips (JSON + fallback Avro binary + Confluent framing)
+and synthetic-generator contract tests."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from kafka_avro_order_processing_spark.sources.generator import (
+    PRODUCT_PRICE_RANGES,
+    gen_orders,
+)
+from kafka_avro_order_processing_spark.sources.serde import (
+    avro_decode_order,
+    avro_encode_order,
+    orders_from_json,
+    orders_to_json,
+    spark_avro_available,
+    orders_to_avro,
+    orders_from_avro,
+)
+
+
+def test_generator_contract(spark):
+    df = gen_orders(spark, 200).cache()
+    rows = df.collect()
+    assert len(rows) == 200
+    assert rows[0]["orderId"].startswith("ORD-")
+    # deterministic: same seed -> same data
+    again = gen_orders(spark, 200).collect()
+    assert [tuple(r) [:3] for r in rows] == [tuple(r)[:3] for r in again]
+    # prices respect the per-product ranges
+    for r in rows:
+        lo, hi = PRODUCT_PRICE_RANGES[r["product"]]
+        assert lo - 0.005 <= r["price"] <= hi + 0.005
+        assert round(r["price"], 2) == r["price"]
+    # coverage: all 10 products appear in 200 draws
+    assert {r["product"] for r in rows} == set(PRODUCT_PRICE_RANGES)
+
+
+def test_json_round_trip(spark):
+    orders = gen_orders(spark, 50)
+    wire = orders_to_json(orders)
+    assert wire.columns == ["key", "value"]
+    sample = json.loads(wire.collect()[0]["value"])
+    assert set(sample) == {"orderId", "product", "price", "timestamp"}
+    back = orders_from_json(wire)
+    assert back.filter(F.col("corrupt_record").isNotNull()).count() == 0
+    a = sorted((r["orderId"], r["product"], r["price"]) for r in orders.collect())
+    b = sorted((r["orderId"], r["product"], r["price"]) for r in back.collect())
+    assert a == b
+
+
+def test_json_corrupt_capture(spark):
+    bad = spark.createDataFrame(
+        [('{"orderId": "ORD-1", "product": "Mouse", "price": 9.99, "timestamp": 1}',),
+         ("not json at all",)],
+        "value string",
+    )
+    parsed = orders_from_json(bad)
+    ok = parsed.filter(F.col("corrupt_record").isNull())
+    corrupt = parsed.filter(F.col("corrupt_record").isNotNull())
+    assert ok.count() == 1 and corrupt.count() == 1
+
+
+def test_avro_binary_codec_round_trip():
+    order = {"orderId": "ORD-0042", "product": "Laptop", "price": 999.99, "timestamp": 1700000000000}
+    enc = avro_encode_order(order)
+    dec = avro_decode_order(enc)
+    assert dec["orderId"] == order["orderId"]
+    assert dec["product"] == order["product"]
+    assert abs(dec["price"] - order["price"]) < 1e-3  # float32 wire
+    assert dec["timestamp"] == order["timestamp"]
+    # negative zigzag path
+    assert avro_decode_order(avro_encode_order({**order, "timestamp": -5}))["timestamp"] == -5
+
+
+def test_avro_dataframe_round_trip(spark):
+    # exercises spark-avro when present, the mapInPandas fallback otherwise
+    orders = gen_orders(spark, 20)
+    wire = orders_to_avro(orders)
+    assert set(wire.columns) == {"key", "value"}
+    back = orders_from_avro(wire)
+    a = sorted((r["orderId"], r["product"]) for r in orders.collect())
+    b = sorted((r["orderId"], r["product"]) for r in back.collect())
+    assert a == b
+    # prices survive within float32 wire precision
+    pa = {r["orderId"]: r["price"] for r in orders.collect()}
+    for r in back.collect():
+        assert abs(pa[r["orderId"]] - r["price"]) < 1e-2
+
+
+def test_confluent_unwrap(spark):
+    from kafka_avro_order_processing_spark.sources.serde import confluent_unwrap
+
+    payload = avro_encode_order(
+        {"orderId": "ORD-1", "product": "Mouse", "price": 9.99, "timestamp": 1}
+    )
+    framed = b"\x00\x00\x00\x00\x07" + payload  # magic 0 + schema id 7
+    df = spark.createDataFrame([(bytearray(framed),)], "value binary")
+    bare = df.select(confluent_unwrap(F.col("value")).alias("value"))
+    got = bytes(bare.collect()[0]["value"])
+    assert got == payload

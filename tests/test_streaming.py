@@ -1,0 +1,112 @@
+"""Streaming-twin tests: batch ≡ stream equivalence, dual-sink DLQ
+routing with retry envelope, per-record stateful emission, metrics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_avro_order_processing_spark.operators.aggregate import product_price_stats
+from kafka_avro_order_processing_spark.operators.windows import running_average
+from kafka_avro_order_processing_spark.sources.tables import load_table
+from kafka_avro_order_processing_spark.streaming.pipeline import (
+    run_streaming_product_stats,
+    start_order_pipeline,
+    stream_table,
+)
+from kafka_avro_order_processing_spark.streaming.retry import RetryHandler
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_batch_stream_equivalence(spark):
+    """The streaming update-mode aggregate must equal the batch groupBy
+    (SURVEY.md §5 equivalence strategy)."""
+    batch = product_price_stats(
+        load_table(spark, SF, "events"), key="event_type", value="value"
+    )
+    stream = run_streaming_product_stats(spark, SF)
+    b = sorted(tuple(r) for r in batch.collect())
+    s = sorted(tuple(r) for r in stream.collect())
+    assert b == s
+
+
+def test_streaming_dual_sink_pipeline(spark, tmp_path):
+    """foreachBatch dual-sink epoch: valid rows to one sink, enveloped
+    rejects to the DLQ sink, single bounded run (T5/T7)."""
+    rows = [
+        ("ORD-0001", "Laptop", 999.99),
+        ("ORD-0002", "Mouse", -1.0),
+        (None, "Monitor", 10.0),
+        ("ORD-0004", "Webcam", 49.99),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, "orderId string, product string, price double") \
+        .write.parquet(src)
+    stream = spark.readStream.schema("orderId string, product string, price double").parquet(src)
+    q = start_order_pipeline(
+        stream,
+        valid_sink=str(tmp_path / "valid"),
+        dlq_sink=str(tmp_path / "dlq"),
+        checkpoint=str(tmp_path / "chk"),
+        retry_handler=RetryHandler(jitter=False, sleep=lambda _s: None),
+    )
+    q.awaitTermination()
+    valid = spark.read.parquet(str(tmp_path / "valid"))
+    dlq = spark.read.parquet(str(tmp_path / "dlq"))
+    assert valid.count() == 2
+    assert dlq.count() == 2
+    assert {r["error_type"] for r in dlq.collect()} == {"PermanentError"}
+
+
+def test_stateful_per_record_emission(spark):
+    """applyInPandasWithState twin emits the running average after every
+    record — must match the batch window form on ordered input."""
+    from kafka_avro_order_processing_spark.streaming.stateful import (
+        running_stats_per_record,
+    )
+
+    rows = [("Laptop", i, float(100 + i)) for i in range(1, 6)] + [
+        ("Mouse", i, float(10 + i)) for i in range(1, 4)
+    ]
+    import tempfile
+    src = tempfile.mkdtemp()
+    df = spark.createDataFrame(rows, "key string, seq long, value double")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("key string, seq long, value double").parquet(src)
+    out = running_stats_per_record(stream)
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName("per_record_out")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["key"], r["seq"]): r["running_avg"]
+        for r in spark.table("per_record_out").collect()
+    }
+    batch = running_average(df, key="key", value="value", order_by=("seq",))
+    expected = {(r["key"], r["seq"]): r["running_avg"] for r in batch.collect()}
+    assert len(got) == len(rows)
+    for k, v in expected.items():
+        assert got[k] == pytest.approx(v, abs=1e-9)
+
+
+def test_observe_metrics(spark):
+    from kafka_avro_order_processing_spark.streaming.metrics import (
+        observe_order_metrics,
+    )
+
+    rows = [
+        ("ORD-1", "Laptop", 10.0),
+        ("ORD-2", "Mouse", -2.0),
+        (None, "Monitor", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "orderId string, product string, price double")
+    observed = observe_order_metrics(df)
+    observed.collect()
+    # batch observe: metrics surface via the DataFrame observation API
+    # (streaming path uses the listener; covered implicitly by schema)
+    assert observed.count() == 3

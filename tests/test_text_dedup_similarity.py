@@ -1,0 +1,123 @@
+"""Unit tests for the M5 operators on small, hand-checkable inputs."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_avro_order_processing_spark.operators.dedup import (
+    exact_dedup,
+    near_dup_pairs,
+    simhash,
+)
+from kafka_avro_order_processing_spark.operators.multimodal import (
+    binarize_text,
+    decode_features,
+    payload_metadata,
+)
+from kafka_avro_order_processing_spark.operators.similarity import (
+    cosine_topk,
+    ivf_assign,
+)
+from kafka_avro_order_processing_spark.operators.text import (
+    doc_token_stats,
+    quality_score,
+)
+
+
+def test_exact_dedup_finds_copies(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y z")], "doc_id long, text string"
+    )
+    got = {r["canonical_doc_id"]: r["n_copies"] for r in exact_dedup(docs).collect()}
+    assert got == {1: 2, 3: 1}
+
+
+def test_near_dup_detects_overlap(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tonight")
+    far = "completely different words with no overlap whatsoever in any shingle set"
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in near_dup_pairs(docs).collect()}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)]["jaccard"] > 0.5
+    assert all(3 not in p for p in pairs)
+
+
+def test_simhash_similar_docs_close(spark):
+    a = "spark batch stream join filter group window sort merge hash " * 3
+    b = a + "extra token"
+    c = "entirely unrelated vocabulary about cooking pasta sauce tomatoes basil"
+    docs = spark.createDataFrame([(1, a.strip()), (2, b.strip()), (3, c)], "doc_id long, text string")
+    fp = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    ham_ab = bin(fp[1] ^ fp[2]).count("1")
+    ham_ac = bin(fp[1] ^ fp[3]).count("1")
+    assert ham_ab < ham_ac
+
+
+def test_token_stats_and_quality(spark):
+    docs = spark.createDataFrame([(1, "the cat sat on the mat")], "doc_id long, text string")
+    s = doc_token_stats(docs).collect()[0]
+    assert s["n_tokens"] == 6 and s["n_distinct_tokens"] == 5
+    assert s["avg_token_len"] == pytest.approx((3 + 3 + 3 + 2 + 3 + 3) / 6)
+    q = quality_score(docs).collect()[0]
+    assert q["stopword_ratio"] == pytest.approx(2 / 6)
+    assert 0.0 <= q["quality"] <= 1.0
+
+
+def test_cosine_topk_orders_by_similarity(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),   # orthogonal
+        (3, [0.7, 0.3, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = cosine_topk(df, df.filter(F.col("vec_id") == 0), k=3).collect()
+    order = [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rank"])]
+    assert order == [1, 3, 2]
+    top = next(r for r in got if r["rank"] == 1)
+    assert top["cosine"] == pytest.approx(0.9 / math.sqrt(0.81 + 0.01), rel=1e-6)
+
+
+def test_ivf_assign_nearest_centroid(spark):
+    vecs = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 1.0]), (12, [0.9, 0.4])],
+        "vec_id long, embedding array<float>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "centroid_id int, embedding array<float>"
+    )
+    got = {r["vec_id"]: r["centroid_id"] for r in ivf_assign(vecs, cents).collect()}
+    assert got == {10: 0, 11: 1, 12: 0}
+
+
+def test_multimodal_metadata_and_stub_decode(spark):
+    docs = spark.createDataFrame([(1, "hello world"), (2, "abc")], "doc_id long, text string")
+    payloads = binarize_text(docs)
+    meta = {r["doc_id"]: r for r in payload_metadata(payloads).collect()}
+    assert meta[1]["byte_len"] == 11
+    assert meta[1]["mime"] == "application/octet-stream"
+    feats = {r["doc_id"]: r for r in decode_features(payloads).collect()}
+    assert feats[1]["content_hash"] == meta[1]["content_hash"]
+    assert 1 <= feats[1]["n_channels"] <= 3
+    assert feats[1]["width"] >= 1 and feats[1]["height"] >= 1
+
+
+def test_multimodal_magic_sniff(spark):
+    png = bytearray(b"\x89PNG\r\n\x1a\n" + b"fakebody")
+    jpg = bytearray(b"\xff\xd8\xff\xe0" + b"fakebody")
+    df = spark.createDataFrame([(1, png), (2, jpg)], "doc_id long, payload binary")
+    got = {r["doc_id"]: r["mime"] for r in payload_metadata(df).collect()}
+    assert got == {1: "image/png", 2: "image/jpeg"}
+
+
+def test_decode_stub_raises_without_decoder(spark):
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    payloads = binarize_text(docs)
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        decode_features(payloads, decode_stub=False).collect()
