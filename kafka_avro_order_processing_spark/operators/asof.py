@@ -1,0 +1,75 @@
+"""As-of (nearest-prior-event) join — an operator Spark lacks natively.
+
+Implemented as the union + ordered-window composition (the scalable
+merge-asof): tag both sides, union them, and carry the right side's
+latest row forward with last(ignoreNulls) over an ordered per-key
+window.  One shuffle on the join key, no range explosion, no per-group
+pandas — survives arbitrarily large sides (guide: "As-of / range join"
+pattern; same shape as pd.merge_asof but distributed).
+
+Semantics:
+- a right row at the exact same timestamp counts as "prior"
+  (matches ASOF JOIN ... ON left.ts >= right.ts in engines with the
+  native operator);
+- ties among right rows resolve to the greatest (ts, tiebreak) —
+  deterministic given a unique tiebreak column;
+- the matched right row is carried as ONE struct, so its columns can
+  never mix across rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str = "ts",
+    right_value_cols: tuple[str, ...] = (),
+    right_tiebreak: str | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For every left row, attach the most recent right row (same `on`
+    key, right.ts <= left.ts); NULLs when no prior right row exists.
+
+    Output: all left columns + right's ts as `{ts}{suffix}` + each
+    right value column as `{col}{suffix}`.
+    """
+    rv = F.struct(
+        F.col(ts).alias(f"{ts}{suffix}"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_value_cols],
+    )
+    r_tagged = right.select(
+        F.col(on).alias("__key"),
+        F.col(ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        (F.col(right_tiebreak) if right_tiebreak else F.lit(0)).cast("long").alias("__tb"),
+        rv.alias("__rv"),
+    )
+    rv_type = r_tagged.schema["__rv"].dataType
+    l_tagged = left.select(
+        F.col(on).alias("__key"),
+        F.col(ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(0).cast("long").alias("__tb"),
+        F.lit(None).cast(rv_type).alias("__rv"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__left"),
+    )
+    r_full = r_tagged.withColumn("__left", F.lit(None).cast(l_tagged.schema["__left"].dataType))
+
+    # Right rows sort before left rows on ts ties (__side 0 < 1); among
+    # right ties the greatest tiebreak lands last and wins.
+    w = (
+        Window.partitionBy("__key")
+        .orderBy(F.col("__ts"), F.col("__side"), F.col("__tb"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l_tagged.unionByName(r_full).withColumn(
+        "__match", F.last(F.col("__rv"), ignorenulls=True).over(w)
+    )
+    return filled.filter(F.col("__side") == 1).select(
+        F.col("__left.*"), F.col("__match.*")
+    )

@@ -750,3 +750,276 @@ from ..streaming.pipeline import run_streaming_product_stats  # noqa: E402
 )
 def q_streaming_product_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_product_stats(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Advanced relational surface: as-of join, grouping sets (rollup/cube),
+# pivot, sliding windows, set ops — plus similarity-search variants.
+# ---------------------------------------------------------------------------
+
+from ..operators.asof import asof_join  # noqa: E402
+from ..operators.similarity import ivf_assign, with_norm  # noqa: E402
+from ..operators.windows import sliding_window_stats  # noqa: E402
+from ..sources.generator import gen_orders  # noqa: E402
+
+
+@_register(
+    "asof_purchase_click",
+    """
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           c.ts AS ts_asof, c.value AS value_asof
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN LATERAL (
+      SELECT ts, value FROM events c
+      WHERE c.event_type = 'click' AND c.user_id = p.user_id AND c.ts <= p.ts
+      ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) c ON TRUE
+    """,
+    tags=("olap", "join", "asof"),
+    doc="As-of join (nearest prior click per purchase, per user) via the "
+        "union + ordered-window merge-asof — no native Spark operator "
+        "needed, one shuffle on the key.",
+)
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    out = asof_join(
+        purchases, clicks, on="user_id", ts="ts",
+        right_value_cols=("value",), right_tiebreak="event_id",
+    )
+    return out.select("event_id", "user_id", "ts", "value", "ts_asof", "value_asof")
+
+
+@_register(
+    "region_nation_rollup",
+    """
+    SELECT r.r_name, n.n_name,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    tags=("olap", "aggregate", "grouping-sets"),
+    doc="ROLLUP grouping sets over the region/nation hierarchy.",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count("*").alias("n_orders"), dec_sum("o_totalprice").alias("revenue")
+    )
+
+
+@_register(
+    "priority_status_cube",
+    """
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+    tags=("olap", "aggregate", "grouping-sets"),
+    doc="CUBE over order priority x status.",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("n_orders"), dec_sum("o_totalprice").alias("revenue"))
+    )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@_register(
+    "daily_event_type_pivot",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+    """
+    + ",\n".join(
+        f"       SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS {t}"
+        for t in _EVENT_TYPES
+    )
+    + """
+    FROM events GROUP BY 1
+    """,
+    tags=("olap", "pivot"),
+    doc="Pivot: events per day by type, one column per event type.",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("day"))
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves NULL for empty cells; the relational form yields 0
+    return piv.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
+    )
+
+
+@_register(
+    "events_sliding_30m",
+    f"""
+    WITH b AS (
+      SELECT make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) * 1000000)
+               AS window_start, event_type, value
+      FROM events
+      UNION ALL
+      SELECT make_timestamp((CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) - 1800) * 1000000),
+             event_type, value
+      FROM events)
+    SELECT window_start, event_type, COUNT(*) AS n_events,
+           {_dsum('value')} AS sum_value
+    FROM b GROUP BY 1, 2
+    """,
+    tags=("window", "streaming-twin"),
+    doc="T3: sliding event-time window (1h width / 30m slide) — every "
+        "event lands in two epoch-aligned windows.",
+)
+def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_window_stats(
+        load_table(spark, sf_dir, "events"),
+        ts="ts", key="event_type", value="value", width="1 hour", slide="30 minutes",
+    )
+
+
+@_register(
+    "churned_users",
+    """
+    SELECT user_id FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+    EXCEPT
+    SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+    """,
+    tags=("olap", "setops"),
+    doc="Set ops (§2.7): users active before the cutoff and silent after "
+        "(EXCEPT = left_anti over distinct).",
+)
+def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+    before = ev.filter(F.col("ts") < cutoff).select("user_id")
+    after = ev.filter(F.col("ts") >= cutoff).select("user_id")
+    # subtract == EXCEPT (distinct) — exceptAll would be bag semantics
+    return before.subtract(after)
+
+
+@_register(
+    "embedding_near_dup",
+    """
+    WITH n AS (
+      SELECT vec_id, label, embedding,
+             sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+      FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+           list_sum(list_transform(range(1, len(a.embedding) + 1),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (a.norm * b.norm) AS cosine
+    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (a.norm * b.norm) >= 0.35
+    """,
+    tags=("m5", "dedup", "similarity"),
+    doc="Embedding-cosine near-dup: label-blocked pair generation (the "
+        "blocking key stands in for an IVF cell at scale) + cosine "
+        "threshold.",
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = with_norm(load_table(spark, sf_dir, "embeddings"))
+    n_par = spark.sparkContext.defaultParallelism
+    a = emb.repartition(n_par, F.col("label")).select(
+        F.col("vec_id").alias("vec_a"), F.col("label"),
+        F.col("embedding").alias("ea"), F.col("norm").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("label"),
+        F.col("embedding").alias("eb"), F.col("norm").alias("nb"),
+    )
+    from ..operators.similarity import DOT
+    cos = F.expr(DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, ["label"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "label", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.35)
+    )
+
+
+@_register(
+    "ivf_cell_sizes",
+    """
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+      FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, embedding AS ce, norm AS cn FROM n WHERE vec_id < 8),
+    scored AS (
+      SELECT v.vec_id, c.centroid_id,
+             list_sum(list_transform(range(1, len(v.embedding) + 1),
+                    i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)))
+               / (v.norm * c.cn) AS sim
+      FROM n v, c),
+    best AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+        FROM scored) WHERE rn = 1)
+    SELECT centroid_id, COUNT(*) AS n_vectors FROM best GROUP BY centroid_id
+    """,
+    tags=("m5", "similarity"),
+    doc="IVF coarse quantization: assign every vector to its nearest of "
+        "8 centroid vectors (write-time partitioning for ANN search); "
+        "report cell sizes.",
+)
+def q_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = ivf_assign(emb, cents)
+    return assigned.groupBy("centroid_id").agg(F.count("*").alias("n_vectors"))
+
+
+@_register(
+    "purchase_avg_lookup",
+    f"""
+    SELECT event_type, {_dsum('value')} / COUNT(*) AS average_price
+    FROM events WHERE event_type = 'purchase' GROUP BY event_type
+    """,
+    tags=("parity", "aggregate"),
+    doc="A2: point lookup of one key's running average "
+        "(price_aggregator.py:53-58).",
+)
+def q_avg_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregate import product_average
+
+    return product_average(
+        load_table(spark, sf_dir, "events"), "purchase", key="event_type", value="value"
+    )
+
+
+@_register(
+    "generated_orders",
+    None,  # md5-derived uniform draws aren't portably expressible in SQL
+    tags=("parity", "source"),
+    doc="S1: deterministic synthetic order generator (distributed "
+        "spark.range + hash-derived draws); rows-only driver check, "
+        "fully asserted in tests/test_serde_generator.py.",
+)
+def q_generated_orders(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: ARG001
+    return gen_orders(spark, 1000).select("orderId", "product", "price")
