@@ -1023,3 +1023,228 @@ def q_avg_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_generated_orders(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: ARG001
     return gen_orders(spark, 1000).select("orderId", "product", "price")
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates, analytic windows (lag/rank), fact-fact and
+# semi/anti joins, SQL-API twin, exact per-record streaming emission.
+# ---------------------------------------------------------------------------
+
+from ..sources.tables import register_views  # noqa: E402
+from ..streaming.pipeline import run_streaming_running_avg  # noqa: E402
+
+
+@_register(
+    "sql_api_events_hourly",
+    QUERIES["events_hourly"].oracle,
+    tags=("window", "sql-api"),
+    doc="The SQL entry path: same tumbling-window aggregate expressed as "
+        "spark.sql() text over registered views — Catalyst produces the "
+        "same plan as the DataFrame form.",
+)
+def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(f"""
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP_NTZ) AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               {_dsum('value')} AS sum_value,
+               MIN(value) AS min_value,
+               MAX(value) AS max_value
+        FROM events
+        GROUP BY 1, 2
+    """)
+
+
+@_register(
+    "value_percentiles",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+    tags=("olap", "aggregate", "stats"),
+    doc="Exact interpolated percentiles per key (streaming twin would "
+        "use approx percentile_approx).",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+@_register(
+    "value_dispersion",
+    """
+    WITH s AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_d,
+             CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sumsq_d
+      FROM events GROUP BY event_type)
+    SELECT event_type, n,
+           sum_d / n AS mean_value,
+           sumsq_d / n - (sum_d / n) * (sum_d / n) AS var_value,
+           sqrt(sumsq_d / n - (sum_d / n) * (sum_d / n)) AS std_value
+    FROM s
+    """,
+    tags=("olap", "aggregate", "stats"),
+    doc="Population variance/stddev via exact decimal sum and sum-of-"
+        "squares (order-independent, unlike streaming Welford).",
+)
+def q_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(dec).cast("double").alias("sum_d"),
+        F.sum(dec * dec).cast("double").alias("sumsq_d"),
+    )
+    mean = F.col("sum_d") / F.col("n")
+    var = F.col("sumsq_d") / F.col("n") - mean * mean
+    return agg.select(
+        "event_type", "n", mean.alias("mean_value"),
+        var.alias("var_value"), F.sqrt(var).alias("std_value"),
+    )
+
+
+@_register(
+    "daily_revenue_lag",
+    f"""
+    WITH d AS (
+      SELECT event_type,
+             make_timestamp(CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) * 1000000) AS day,
+             {_dsum('value')} AS revenue
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, day, revenue,
+           lag(revenue) OVER w AS prev_revenue,
+           revenue - lag(revenue) OVER w AS revenue_delta,
+           CAST(RANK() OVER (PARTITION BY event_type ORDER BY revenue DESC, day) AS INTEGER)
+             AS revenue_rank
+    FROM d
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """,
+    tags=("olap", "window"),
+    doc="Analytic windows the reference lacks: lag (day-over-day delta) "
+        "and rank per key over a daily rollup.",
+)
+def q_daily_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("day"),
+    ).agg(dec_sum("value").alias("revenue"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    wr = Window.partitionBy("event_type").orderBy(F.desc("revenue"), F.asc("day"))
+    return daily.select(
+        "event_type", "day", "revenue",
+        F.lag("revenue").over(w).alias("prev_revenue"),
+        (F.col("revenue") - F.lag("revenue").over(w)).alias("revenue_delta"),
+        F.rank().over(wr).cast("int").alias("revenue_rank"),
+    )
+
+
+@_register(
+    "priority_line_revenue",
+    """
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l.l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("olap", "join"),
+    doc="Fact-fact join (lineitem x orders, both large): shuffle join on "
+        "the order key — the sort-merge/shuffled-hash path AQE manages, "
+        "vs the broadcast dims elsewhere.",
+)
+def q_priority_line_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    disc = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (1 - F.col("l_discount")).cast("decimal(18,2)")
+    ).cast("decimal(18,4)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_items"), F.sum(disc).cast("double").alias("revenue"))
+    )
+
+
+@_register(
+    "customers_no_pending_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    """,
+    tags=("olap", "join", "anti"),
+    doc="Anti join (NOT EXISTS) — left_anti with the filter pushed into "
+        "the build side.",
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    pending = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .select("o_custkey")
+    )
+    return (
+        c.join(pending, c.c_custkey == pending.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@_register(
+    "customers_with_pending_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    """,
+    tags=("olap", "join", "semi"),
+    doc="Semi join (EXISTS) — left_semi, no row multiplication.",
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    pending = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .select("o_custkey")
+    )
+    return (
+        c.join(pending, c.c_custkey == pending.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@_register(
+    "streaming_running_avg_per_record",
+    """
+    SELECT event_type AS key, event_id AS seq, value,
+           COUNT(*) OVER w AS running_count,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_sum,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             / (COUNT(*) OVER w) AS running_avg
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    tags=("parity", "streaming", "stateful"),
+    doc="T2 exact per-record emission: applyInPandasWithState carries "
+        "(count, integer-cents sum) per key and emits one row per input "
+        "record — the reference's per-record running average "
+        "(price_aggregator.py:35-51), hash-checked against the batch "
+        "window-function oracle.",
+)
+def q_streaming_per_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_streaming_running_avg(spark, sf_dir)

@@ -85,6 +85,42 @@ def run_streaming_product_stats(
     )
 
 
+def run_streaming_running_avg(
+    spark: SparkSession,
+    sf_dir: str,
+    key: str = "event_type",
+    seq: str = "event_id",
+    value: str = "value",
+) -> DataFrame:
+    """T2 exact per-record emission: the applyInPandasWithState twin of
+    the reference's per-record running average, drained with
+    availableNow and returned as a batch DataFrame.
+
+    Must equal the batch window form (AVG OVER ... ROWS UNBOUNDED
+    PRECEDING ordered by seq) — the driver's oracle checks exactly that.
+    """
+    from .stateful import running_stats_per_record
+
+    tag = uuid.uuid4().hex[:12]
+    out_table = f"per_record_{tag}"
+    keyed = stream_table(spark, sf_dir, "events").select(
+        F.col(key).alias("key"), F.col(seq).alias("seq"), F.col(value).alias("value")
+    )
+    q = (
+        running_stats_per_record(keyed)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(out_table)
+        .option("checkpointLocation", f"{tempfile.mkdtemp()}/chk_{tag}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(
+        spark.table(out_table).collect(), schema=spark.table(out_table).schema
+    )
+
+
 def order_pipeline_batch(
     orders: DataFrame,
     valid_sink: str,

@@ -22,7 +22,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "key string, seq long, value double, running_count long, running_sum double, running_avg double"
-STATE_SCHEMA = "count long, sum double"
+# Running sum carried as integer cents: exact for 2-dp money values, so
+# the emitted running_sum/avg equal the decimal-sum oracle bit-for-bit
+# (total_cents/100.0 is the nearest double of the exact rational, same
+# as CAST(DECIMAL AS DOUBLE)).
+STATE_SCHEMA = "count long, sum_cents long"
 
 
 def _update(
@@ -30,19 +34,20 @@ def _update(
     pdfs: Iterable[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    (count, total) = state.get if state.exists else (0, 0.0)
+    (count, total_cents) = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         pdf = pdf.sort_values("seq")
         out_rows = []
         for seq, value in zip(pdf["seq"], pdf["value"]):
             count += 1
-            total += float(value)
+            total_cents += round(float(value) * 100)
+            total = total_cents / 100.0
             out_rows.append((key[0], int(seq), float(value), count, total, total / count))
         yield pd.DataFrame(
             out_rows,
             columns=["key", "seq", "value", "running_count", "running_sum", "running_avg"],
         )
-    state.update((count, total))
+    state.update((count, total_cents))
 
 
 def running_stats_per_record(keyed_stream: DataFrame) -> DataFrame:
