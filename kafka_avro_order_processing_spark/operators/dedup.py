@@ -103,14 +103,20 @@ def minhash_signatures(
 ) -> DataFrame:
     """k-function minhash signature per document.
 
-    One pass over the distinct shingle rows with k min() aggregates
-    over salted md5s — a single partial+final aggregation, not k passes.
-    Fixed-width hex compares like the underlying 128-bit int, so min()
-    over hex strings is a valid minhash.
+    One pass over the distinct shingle rows with k min() aggregates —
+    a single partial+final aggregation, not k passes.  The k hash
+    functions are 8-hex-digit substrings of ceil(k/4) salted md5s
+    (4 independent 32-bit hashes per digest — 4x less hashing than one
+    md5 per function); fixed-width hex compares like the underlying
+    integer, so min() over the substrings is a valid minhash.
     """
     sh = shingle_rows(df, id_col, text_col)
+    digests = {
+        d: F.md5(F.concat(F.lit(f"{d}:"), F.col("shingle")))
+        for d in range((k + 3) // 4)
+    }
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"mh{j}")
+        F.min(F.substring(digests[j // 4], (j % 4) * 8 + 1, 8)).alias(f"mh{j}")
         for j in range(k)
     ]
     return sh.groupBy(id_col).agg(*aggs)
@@ -194,19 +200,33 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     vote summed over all tokens (with multiplicity); token bit j =
     parity of hex digit j of md5(token).
 
-    One explode + `bits` conditional sums in a single aggregation.
-    Near-dup lookup is then hamming distance over the fingerprint
-    (bit_count(a XOR b) in Spark; block-partitioned at scale).
+    Hash factoring: collapse to (doc, token, multiplicity), compute the
+    ±1 sign vector once per *distinct corpus token* (a tiny dimension —
+    vocabularies are orders of magnitude smaller than token instances)
+    and broadcast-join it back; the per-doc work is then `bits` weighted
+    sums of array lookups.  Near-dup lookup is hamming distance over the
+    fingerprint (bit_count(a XOR b) in Spark; block-partitioned at
+    scale).
     """
-    tok = _spread(df, id_col).select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    tok = (
+        _spread(df, id_col)
+        .select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("cnt"))
+    )
     h = F.md5(F.col("token"))
+    sign_dim = tok.select("token").distinct().select(
+        "token",
+        F.array(*[
+            (F.ascii(F.substring(h, j + 1, 1)) % 2) * 2 - 1 for j in range(bits)
+        ]).alias("signs"),
+    )
+    voted = tok.join(F.broadcast(sign_dim), "token")
     votes = [
-        F.sum(
-            (F.ascii(F.substring(h, j + 1, 1)) % 2) * 2 - 1
-        ).alias(f"s{j}")
+        F.sum(F.element_at(F.col("signs"), j + 1) * F.col("cnt")).alias(f"s{j}")
         for j in range(bits)
     ]
-    agg = tok.groupBy(id_col).agg(*votes)
+    agg = voted.groupBy(id_col).agg(*votes)
     fp = None
     for j in range(bits):
         bit = F.when(F.col(f"s{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))

@@ -118,9 +118,12 @@ def sessionize(
     w = Window.partitionBy(key).orderBy(F.col(ts), F.col(order_tiebreak))
     prev_ts = F.lag(F.col(ts)).over(w)
     gap_sec = gap_minutes * 60
+    # gap >= threshold starts a new session — matches Spark's native
+    # session_window (exclusive end = last_ts + gap), so the batch and
+    # streaming twins sessionize identically.
     new_sess = F.when(
         prev_ts.isNull()
-        | ((F.unix_micros(F.col(ts).cast("timestamp")) - F.unix_micros(prev_ts.cast("timestamp"))) > gap_sec * 1_000_000),
+        | ((F.unix_micros(F.col(ts).cast("timestamp")) - F.unix_micros(prev_ts.cast("timestamp"))) >= gap_sec * 1_000_000),
         F.lit(1),
     ).otherwise(F.lit(0))
     sess_id = F.sum(new_sess).over(

@@ -443,7 +443,7 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
       SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
-                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -601,7 +601,8 @@ def _minhash_oracle() -> str:
     k, br = _dedup.N_MINHASH, _dedup.BAND_ROWS
     n_bands = k // br
     mh = ",\n             ".join(
-        f"min(md5('{j}:' || shingle)) AS mh{j}" for j in range(k)
+        f"min(substr(md5('{j // 4}:' || shingle), {(j % 4) * 8 + 1}, 8)) AS mh{j}"
+        for j in range(k)
     )
     bands = "\n      UNION ALL ".join(
         "SELECT doc_id, {b} AS band_id, {expr} AS bv FROM sigs".format(
@@ -1248,3 +1249,150 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_streaming_per_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_running_avg(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Session-window streaming twin, standalone n-gram Jaccard, tf-idf.
+# ---------------------------------------------------------------------------
+
+from ..operators.dedup import shingle_sets  # noqa: E402
+
+_SESSIONS_CTE = """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged)
+"""
+
+
+@_register(
+    "streaming_user_sessions",
+    _SESSIONS_CTE + """
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+    tags=("window", "streaming"),
+    doc="T3 session windows as a *streaming* aggregation: native "
+        "session_window(ts, '30 minutes') per user, complete-mode memory "
+        "sink, availableNow — must equal the batch lag/cumsum "
+        "sessionization oracle.",
+)
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+    import uuid as _uuid
+
+    from ..streaming.pipeline import stream_table
+
+    ev = stream_table(spark, sf_dir, "events")
+    agg = (
+        ev.groupBy(F.session_window(F.col("ts"), "30 minutes").alias("sw"), F.col("user_id"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    tag = _uuid.uuid4().hex[:12]
+    name = f"sessions_{tag}"
+    q = (
+        agg.writeStream.outputMode("complete").format("memory").queryName(name)
+        .option("checkpointLocation", f"{_tf.mkdtemp()}/chk_{tag}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name).select("user_id", "session_start", "session_end", "n_events")
+    return spark.createDataFrame(out.collect(), schema=out.schema)
+
+
+@_register(
+    "ngram_jaccard_adjacent",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 3
+               THEN list_transform(range(1, len(t) - 1),
+                                   i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+               ELSE [] END) AS s
+      FROM toks)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (CAST(len(a.s) + len(b.s) AS DOUBLE)
+                - CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)) AS jaccard
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    WHERE len(a.s) > 0 AND len(b.s) > 0
+    """,
+    tags=("m5", "dedup"),
+    doc="Standalone exact word-3-gram Jaccard similarity (here over the "
+        "deterministic adjacent-id pair set; the LSH pipeline supplies "
+        "candidate pairs at scale).",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sets_ = shingle_sets(docs)
+    a = sets_.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sets_.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        a.join(b, F.col("doc_b") == F.col("doc_a") + 1)
+        .filter((F.size("sh_a") > 0) & (F.size("sh_b") > 0))
+        .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
+    )
+
+
+@_register(
+    "tfidf_top_terms",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             CAST(tf.tf AS DOUBLE) * n.n_docs / df.df AS tf_icf
+      FROM tf JOIN df ON tf.token = df.token CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, token, tf_icf,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY tf_icf DESC, token) AS INTEGER) AS term_rank
+      FROM scored)
+    SELECT doc_id, token, tf_icf, term_rank FROM ranked WHERE term_rank <= 3
+    """,
+    tags=("m5", "text"),
+    doc="tf-idf-style term weighting (rarity factor N/df kept linear so "
+        "the score is an exact rational — cross-engine log() rounding "
+        "would be the only nondeterminism): top-3 terms per doc.",
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.col("doc_id"), F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "token",
+            (F.col("tf").cast("double") * F.col("n_docs") / F.col("df")).alias("tf_icf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf_icf"), F.asc("token"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("term_rank") <= 3)
+    )
