@@ -23,7 +23,7 @@ cross-engine verification is not needed.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .text import tokens

@@ -1396,3 +1396,50 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("term_rank", F.row_number().over(w).cast("int"))
         .filter(F.col("term_rank") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-union (multi-topic subscribe analogue) and display formatting.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "multi_stream_union",
+    """
+    SELECT stream, event_id, value FROM (
+      SELECT 'clicks' AS stream, event_id, value FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT 'views' AS stream, event_id, value FROM events WHERE event_type = 'view')
+    """,
+    tags=("parity", "setops"),
+    doc="§2.7 source-level union — the engine form of the reference's "
+        "multi-topic subscribe (avro_order_consumer.py:151-155): two "
+        "tagged streams unioned by name.",
+)
+def q_multi_stream_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.lit("clicks").alias("stream"), "event_id", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.lit("views").alias("stream"), "event_id", "value"
+    )
+    return clicks.unionByName(views)
+
+
+@_register(
+    "order_display_lines",
+    """
+    SELECT event_id,
+           printf('Event %d: %s @ $%.2f', event_id, event_type, value) AS display
+    FROM events
+    """,
+    tags=("parity", "function"),
+    doc="F6 display formatting (kafka_utils.py:69-83) as a codegen'd "
+        "format_string over the stream.",
+)
+def q_display_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.format_string("Event %d: %s @ $%.2f", F.col("event_id"), F.col("event_type"), F.col("value")).alias("display"),
+    )

@@ -1,0 +1,94 @@
+"""Property-based tests (hypothesis) for the operator algebra.
+
+The reference ships no tests (SURVEY.md §5); beyond golden rows and the
+DuckDB oracle gate, these check the algebraic invariants that make the
+operators safe at scale — partition-count invariance, split
+completeness, window/aggregate consistency — on randomized inputs.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kafka_avro_order_processing_spark.operators.aggregate import product_price_stats
+from kafka_avro_order_processing_spark.operators.validate import split_valid_invalid
+from kafka_avro_order_processing_spark.operators.windows import running_average
+
+PRODUCTS = ["Laptop", "Mouse", "Keyboard", None]
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 10_000),                       # seq
+        st.sampled_from(PRODUCTS),                    # product (may be null)
+        st.one_of(                                    # price: valid, nonpositive, null
+            st.none(),
+            st.decimals(min_value=-100, max_value=2000, places=2).map(float),
+        ),
+    ),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda r: r[0],
+)
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "seq long, product string, price double")
+
+
+@given(rows=rows_strategy)
+@SETTINGS
+def test_split_is_a_partition(spark, rows):
+    """valid ∪ invalid == input, disjoint — no record is ever dropped or
+    double-routed (the reference's poison-pill guarantee, T5/T7)."""
+    df = _df(spark, rows)
+    valid, invalid = split_valid_invalid(df, key="product", value="price", id_col=None)
+    n, nv, ni = df.count(), valid.count(), invalid.count()
+    assert nv + ni == n
+    seqs_v = {r["seq"] for r in valid.collect()}
+    seqs_i = {r["seq"] for r in invalid.collect()}
+    assert seqs_v.isdisjoint(seqs_i)
+    assert all(r["price"] is not None and r["price"] > 0 and r["product"] is not None
+               for r in valid.collect())
+
+
+@given(rows=rows_strategy, n_parts=st.integers(1, 5))
+@SETTINGS
+def test_stats_partition_invariance(spark, rows, n_parts):
+    """The aggregate is bit-identical under any repartitioning — the
+    decimal-sum determinism claim, tested rather than asserted."""
+    clean = [r for r in rows if r[1] is not None and r[2] is not None]
+    if not clean:
+        return
+    df = _df(spark, clean)
+    a = sorted(map(tuple, product_price_stats(df).collect()))
+    b = sorted(map(tuple, product_price_stats(df.repartition(n_parts)).collect()))
+    assert a == b
+
+
+@given(rows=rows_strategy)
+@SETTINGS
+def test_running_avg_last_row_equals_group_stats(spark, rows):
+    """The running aggregate's final row per key must equal the grouped
+    aggregate — streaming update-mode state is the incremental view of
+    the batch groupBy (SURVEY.md §7)."""
+    clean = [r for r in rows if r[1] is not None and r[2] is not None]
+    if not clean:
+        return
+    df = _df(spark, clean)
+    run = running_average(df, key="product", value="price", order_by=("seq",))
+    last = {}
+    for r in sorted(run.collect(), key=lambda r: r["seq"]):
+        last[r["product"]] = r
+    stats = {r["product"]: r for r in product_price_stats(df).collect()}
+    for product, s in stats.items():
+        r = last[product]
+        assert r["running_count"] == s["order_count"]
+        assert r["running_sum"] == s["price_sum"]
+        assert r["running_avg"] == s["average_price"]
