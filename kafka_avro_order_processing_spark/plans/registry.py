@@ -1443,3 +1443,97 @@ def q_display_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.format_string("Event %d: %s @ $%.2f", F.col("event_id"), F.col("event_type"), F.col("value")).alias("display"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured JSON columns, regexp/date functions, correlated subquery.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "props_json_extraction",
+    """
+    SELECT bucket, COUNT(*) AS n, MIN(k) AS min_k, MAX(k) AS max_k
+    FROM (SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+                 CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS bucket
+          FROM events)
+    GROUP BY bucket
+    """,
+    tags=("olap", "json"),
+    doc="Semi-structured payload column: JSON path extraction "
+        "(get_json_object) + typed aggregation, all JVM-side.",
+)
+def q_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.select(k.alias("k"), (k % 10).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), F.min("k").alias("min_k"), F.max("k").alias("max_k"))
+    )
+
+
+@_register(
+    "priority_code_extract",
+    """
+    SELECT DISTINCT o_orderpriority,
+           CAST(regexp_extract(o_orderpriority, '([0-9]+)', 1) AS INTEGER) AS priority_code
+    FROM orders
+    """,
+    tags=("olap", "function", "regex"),
+    doc="Regex extraction (the engine form of F13's pattern matching "
+        "generalized to capture groups).",
+)
+def q_priority_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderpriority",
+        F.regexp_extract("o_orderpriority", "([0-9]+)", 1).cast("int").alias("priority_code"),
+    ).distinct()
+
+
+@_register(
+    "orders_by_month",
+    """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(month(o_orderdate) AS INTEGER) AS order_month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY 1, 2
+    """,
+    tags=("olap", "aggregate", "datetime"),
+    doc="Calendar rollup: year/month extraction + aggregate (date "
+        "dimension handling the reference never needed).",
+)
+def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.month("o_orderdate").cast("int").alias("order_month"),
+        )
+        .agg(F.count("*").alias("n_orders"), dec_sum("o_totalprice").alias("revenue"))
+    )
+
+
+_ABOVE_AVG_SQL = """
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > (
+      SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      FROM orders i WHERE i.o_custkey = o.o_custkey)
+"""
+
+
+@_register(
+    "above_customer_avg_orders",
+    _ABOVE_AVG_SQL,
+    tags=("olap", "subquery"),
+    doc="Correlated scalar subquery (each order vs its customer's own "
+        "average) — Catalyst decorrelates it into an aggregate + join; "
+        "identical SQL text runs on both engines.",
+)
+def q_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import register_views as _rv
+
+    _rv(spark, sf_dir, tables=("orders",))
+    return spark.sql(_ABOVE_AVG_SQL)
