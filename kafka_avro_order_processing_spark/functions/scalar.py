@@ -74,6 +74,17 @@ def format_order_id(seq: Column | str) -> Column:
     return F.format_string("ORD-%04d", c.cast("int"))
 
 
+def simulated_failure_flag(col: Column | str, rate: float = 0.05, salt: str = "fail") -> Column:
+    """Deterministic stand-in for the reference's injected 5% transient
+    failure (`random.random() < 0.05`,
+    /root/reference/src/consumer/avro_order_consumer.py:106-108): a row
+    is flagged when its id hashes below the rate threshold.  Hash-based
+    rather than rand() so tests and retries see the SAME rows fail."""
+    c = F.col(col) if isinstance(col, str) else col
+    bucket = F.conv(F.substring(F.md5(F.concat(F.lit(salt + ":"), c.cast("string"))), 1, 8), 16, 10)
+    return bucket.cast("double") / F.lit(float(16 ** 8)) < F.lit(rate)
+
+
 def md5_hash_hex(col: Column, salt: str = "") -> Column:
     """Portable deterministic hash: md5 hex digest of (salt || value).
 

@@ -95,3 +95,76 @@ def decode_features(
             )
 
     return df.mapInPandas(_decode, schema=DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = "doc_id long, width int, height int, resized binary"
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_offset_ms long, frame binary"
+
+
+def resize_payloads(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Resize plumbing: Arrow-batched map, one JVM->Python crossing.
+
+    Stub 'resize' deterministically truncates/pads the byte payload to
+    w*h bytes (a real implementation decodes + PIL-resizes); schema and
+    batch shape are the production contract.
+    """
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not decode_stub:
+            raise NotImplementedError("real resize requires an image library")
+        size = target_w * target_h
+        for pdf in batches:
+            payloads = pdf[payload_col].map(
+                lambda b: (bytes(b) * (size // max(len(b), 1) + 1))[:size]
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": target_w,
+                    "height": target_h,
+                    "resized": payloads,
+                }
+            )
+
+    return df.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_ms: int = 1000,
+    max_frames: int = 8,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Frame sampling for video payloads: one input row fans out to
+    ≤max_frames frame rows (1:N mapInPandas — the schema change is why
+    this is a map, not a UDF).
+
+    Stub frames are deterministic byte slices; a real implementation
+    seeks with ffmpeg/pyav.
+    """
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not decode_stub:
+            raise NotImplementedError("real frame sampling requires ffmpeg/pyav")
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_offset_ms": [], "frame": []}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                n = min(max_frames, max(len(b) // 16, 1))
+                for i in range(n):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_offset_ms"].append(i * every_ms)
+                    out["frame"].append(b[i * 16:(i + 1) * 16] or b[:16])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_sample, schema=FRAME_SCHEMA)

@@ -1537,3 +1537,21 @@ def q_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _rv(spark, sf_dir, tables=("orders",))
     return spark.sql(_ABOVE_AVG_SQL)
+
+
+@_register(
+    "approx_distinct_users",
+    None,  # HLL++/KLL sketch values are engine-specific — rows-only check;
+           # exact twins are oracle-checked in overall_stats / value_percentiles
+    tags=("olap", "aggregate", "approx"),
+    doc="Streaming-compatible approximate aggregates: HLL++ distinct "
+        "users and KLL-sketch quantiles per event type (the forms usable "
+        "inside update-mode streaming where exact countDistinct is "
+        "disallowed — SURVEY.md §7 hard parts).",
+)
+def q_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5).alias("approx_median"),
+    )
