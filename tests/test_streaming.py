@@ -110,3 +110,33 @@ def test_observe_metrics(spark):
     # batch observe: metrics surface via the DataFrame observation API
     # (streaming path uses the listener; covered implicitly by schema)
     assert observed.count() == 3
+
+
+def test_aggregated_output_stream(spark, tmp_path):
+    """The reference created an `orders-aggregated` topic but never
+    wrote it (scripts/setup_topics.sh:31-37, SURVEY.md §1); the engine
+    implements it: per-epoch aggregate snapshots on a third sink."""
+    rows = [
+        ("ORD-0001", "Laptop", 100.0),
+        ("ORD-0002", "Laptop", 200.0),
+        ("ORD-0003", "Mouse", -1.0),   # -> DLQ, excluded from aggregates
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, "orderId string, product string, price double") \
+        .write.parquet(src)
+    stream = spark.readStream.schema("orderId string, product string, price double").parquet(src)
+    q = start_order_pipeline(
+        stream,
+        valid_sink=str(tmp_path / "valid"),
+        dlq_sink=str(tmp_path / "dlq"),
+        checkpoint=str(tmp_path / "chk"),
+        aggregated_sink=str(tmp_path / "aggregated"),
+    )
+    q.awaitTermination()
+    agg = spark.read.parquet(str(tmp_path / "aggregated"))
+    latest = agg.orderBy(F.desc("epoch_id")).collect()
+    by_product = {r["product"]: r for r in latest}
+    assert by_product["Laptop"]["order_count"] == 2
+    assert by_product["Laptop"]["price_sum"] == 300.0
+    assert by_product["Laptop"]["average_price"] == 150.0
+    assert "Mouse" not in by_product
