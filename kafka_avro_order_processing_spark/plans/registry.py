@@ -1571,3 +1571,197 @@ def q_salted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_product_price_stats(
         load_table(spark, sf_dir, "events"), key="event_type", value="value"
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF probe search, range join, distribution ranks, explicit GROUPING SETS.
+# ---------------------------------------------------------------------------
+
+_IVF_PROBE_ORACLE = """
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+      FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, embedding AS ce, norm AS cn FROM n WHERE vec_id < 8),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(v.embedding) + 1),
+                        i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)))
+                   / (v.norm * c.cn) DESC, c.centroid_id) AS rn
+        FROM n v, c) WHERE rn = 1),
+    qprobe AS (
+      SELECT vec_id AS query_id, centroid_id FROM (
+        SELECT v.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(v.embedding) + 1),
+                        i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)))
+                   / (v.norm * c.cn) DESC, c.centroid_id) AS rn
+        FROM n v, c WHERE v.vec_id < 5) WHERE rn <= 2),
+    cand AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id
+      FROM qprobe q JOIN assign a ON a.centroid_id = q.centroid_id
+      WHERE a.vec_id != q.query_id),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             list_sum(list_transform(range(1, len(qv.embedding) + 1),
+                    i -> CAST(qv.embedding[i] AS DOUBLE) * CAST(nv.embedding[i] AS DOUBLE)))
+               / (qv.norm * nv.norm) AS cosine
+      FROM cand
+        JOIN n qv ON qv.vec_id = cand.query_id
+        JOIN n nv ON nv.vec_id = cand.neighbor_id)
+    SELECT query_id, neighbor_id, cosine,
+           CAST(rnk AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS rnk FROM scored)
+    WHERE rnk <= 5
+"""
+
+
+@_register(
+    "ivf_probe_search",
+    _IVF_PROBE_ORACLE,
+    tags=("m5", "similarity"),
+    doc="IVF ANN search, probe side: queries (vec_id<5) probe their 2 "
+        "nearest of 8 centroid cells and rank only vectors assigned "
+        "there — the partition-pruned scale path whose recall/latency "
+        "tradeoff brute-force `embedding_topk` baselines.",
+)
+def q_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.similarity import DOT, ivf_assign, with_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assign = ivf_assign(emb, cents)
+
+    cn = with_norm(cents, "embedding").select(
+        "centroid_id", F.col("embedding").alias("ce"), F.col("norm").alias("cnorm")
+    )
+    qn = with_norm(emb.filter(F.col("vec_id") < 5), "embedding").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), F.col("norm").alias("qnorm")
+    )
+    qscore = qn.crossJoin(F.broadcast(cn)).select(
+        "query_id", "centroid_id",
+        (F.expr(DOT.format(a="qe", b="ce")) / (F.col("qnorm") * F.col("cnorm"))).alias("sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
+    qprobe = (
+        qscore.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 2)
+        .select("query_id", "centroid_id")
+    )
+    cand = (
+        qprobe.join(assign, "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    v = with_norm(emb, "embedding")
+    qv = v.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), F.col("norm").alias("qn"))
+    nv = v.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"), F.col("norm").alias("nn"))
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id",
+            (F.expr(DOT.format(a="qe", b="ne")) / (F.col("qn") * F.col("nn"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+@_register(
+    "clicks_before_purchase",
+    """
+    SELECT p.event_id, p.user_id, COUNT(c.event_id) AS n_clicks_prior_hour
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    GROUP BY p.event_id, p.user_id
+    """,
+    tags=("olap", "join", "range"),
+    doc="Range (interval) join: clicks within the hour before each "
+        "purchase — equi-join on the user key with the range as a "
+        "residual predicate; the streaming twin is a watermarked "
+        "interval join.",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id"), F.col("user_id"), F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_event"),
+    )
+    joined = p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left",
+    )
+    return joined.groupBy("event_id", "user_id").agg(
+        F.count("c_event").alias("n_clicks_prior_hour")
+    )
+
+
+@_register(
+    "value_distribution_ranks",
+    """
+    SELECT event_id, event_type,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+    tags=("olap", "window"),
+    doc="Distribution window functions: percent_rank / cume_dist / "
+        "ntile quartiles per key.",
+)
+def q_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.asc("value"), F.asc("event_id"))
+    return ev.select(
+        "event_id", "event_type",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+_GROUPING_SETS_SQL = """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@_register(
+    "explicit_grouping_sets",
+    _GROUPING_SETS_SQL,
+    tags=("olap", "aggregate", "grouping-sets"),
+    doc="Explicit GROUPING SETS with GROUPING() indicators — identical "
+        "SQL text on both engines.",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import register_views as _rv
+
+    _rv(spark, sf_dir, tables=("orders",))
+    return spark.sql(_GROUPING_SETS_SQL)
