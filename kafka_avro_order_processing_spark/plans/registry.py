@@ -1765,3 +1765,145 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _rv(spark, sf_dir, tables=("orders",))
     return spark.sql(_GROUPING_SETS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Composite pipelines: corpus curation (quality -> dedup -> stats),
+# user funnel, TPC-H Q3-style shipping priority.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "curated_corpus_stats",
+    f"""
+    WITH t AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS toks,
+                      md5(text) AS content_hash
+               FROM documents),
+    scored AS (
+      SELECT doc_id, lang, n_chars, content_hash,
+             0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+               + 0.5 * (1.0 - CAST(len(list_filter(toks, x -> list_contains([{_STOP_ARR}], x))) AS DOUBLE)
+                              / CAST(len(toks) AS DOUBLE)) AS quality
+      FROM t),
+    kept AS (SELECT * FROM scored WHERE quality >= 0.7),
+    dedup AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+        FROM kept) WHERE rn = 1)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           ROUND(CAST(SUM(quality) AS DOUBLE) / COUNT(*), 6) AS avg_quality
+    FROM dedup GROUP BY lang
+    """,
+    tags=("m5", "pipeline"),
+    doc="The M5 operators composed as one curation plan: quality-score "
+        "filter -> exact dedup (keep smallest id) -> per-language corpus "
+        "stats.  One declarative plan; Catalyst pipelines the stages.",
+)
+def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_score(docs).select("doc_id", "quality")
+    enriched = docs.join(scored, "doc_id").withColumn("content_hash", F.md5("text"))
+    kept = enriched.filter(F.col("quality") >= 0.7)
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    dedup = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    # quality sums are exact rationals but not 2dp — average via rounded
+    # double-of-identical-operands (sum of identical doubles in any
+    # order can differ; group sizes here are small, so sum order must be
+    # pinned: aggregate quality*1e12 as decimal for exactness)
+    qdec = (F.col("quality") * F.lit(1e12)).cast("decimal(38,0)")
+    return dedup.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        F.round(
+            (F.sum(qdec).cast("double") / F.lit(1e12)) / F.count("*"), 6
+        ).alias("avg_quality"),
+    )
+
+
+@_register(
+    "user_funnel",
+    """
+    WITH stages AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id)
+    SELECT COUNT(*) AS n_users,
+           COUNT(t_signup) AS signed_up,
+           COUNT(CASE WHEN t_click > t_signup THEN 1 END) AS clicked_after_signup,
+           COUNT(CASE WHEN t_purchase > t_click AND t_click > t_signup THEN 1 END)
+             AS purchased_after_click
+    FROM stages
+    """,
+    tags=("olap", "pipeline"),
+    doc="Funnel analytics: first-touch per stage via conditional MIN, "
+        "ordered-stage conversion counts — one aggregation, no joins.",
+)
+def q_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    stage = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    stages = ev.groupBy("user_id").agg(
+        stage("signup").alias("t_signup"),
+        stage("click").alias("t_click"),
+        stage("purchase").alias("t_purchase"),
+    )
+    return stages.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_signup").alias("signed_up"),
+        F.count(F.when(F.col("t_click") > F.col("t_signup"), 1)).alias("clicked_after_signup"),
+        F.count(
+            F.when((F.col("t_purchase") > F.col("t_click")) & (F.col("t_click") > F.col("t_signup")), 1)
+        ).alias("purchased_after_click"),
+    )
+
+
+@_register(
+    "shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l.l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+    tags=("olap", "join", "topk"),
+    doc="TPC-H Q3-style shipping priority: segment-filtered 3-way join, "
+        "grouped decimal revenue, global top-10 "
+        "(TakeOrderedAndProject).",
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    disc = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (1 - F.col("l_discount")).cast("decimal(18,2)")
+    ).cast("decimal(18,4)")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum(disc).cast("double").alias("revenue")
+    ).select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    return agg.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10)
