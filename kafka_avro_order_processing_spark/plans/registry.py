@@ -1907,3 +1907,90 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(disc).cast("double").alias("revenue")
     ).select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
     return agg.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10)
+
+
+def _hexval(expr: str, pos: int) -> str:
+    """SQL: value of hex digit `pos` (1-based) of md5 expr."""
+    return f"(strpos('0123456789abcdef', substr({expr}, {pos}, 1)) - 1)"
+
+
+@_register(
+    "multimodal_decoded_features",
+    f"""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           md5(text) AS content_hash,
+           CAST({_hexval('md5(text)', 1)} * 16 + {_hexval('md5(text)', 2)} + 1 AS INTEGER) AS width,
+           CAST({_hexval('md5(text)', 3)} * 16 + {_hexval('md5(text)', 4)} + 1 AS INTEGER) AS height,
+           CAST({_hexval('md5(text)', 5)} % 3 + 1 AS INTEGER) AS n_channels
+    FROM documents
+    """,
+    tags=("m5", "multimodal", "udf"),
+    doc="The Arrow-batched decode path (mapInPandas over binary "
+        "payloads) hash-checked end-to-end: the stub's md5-derived "
+        "features are reproduced by the oracle via hex-digit lookup — "
+        "proving the JVM->Python->JVM boundary is deterministic and "
+        "schema-correct, not just runnable.",
+)
+def q_multimodal_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import binarize_text, decode_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_features(binarize_text(docs))
+
+
+@_register(
+    "corrupt_json_handling",
+    """
+    SELECT is_valid, COUNT(*) AS n
+    FROM (SELECT json_valid(CASE WHEN event_id % 10 = 0
+                                 THEN 'garbage{' || props
+                                 ELSE props END) AS is_valid
+          FROM events)
+    GROUP BY is_valid
+    """,
+    tags=("parity", "filter", "json"),
+    doc="P6 corrupt-payload filtering (dead_letter_queue_consumer.py:"
+        "125-128): 10% of payloads mangled in-flight; permissive "
+        "from_json yields NULL for them, counted against the oracle's "
+        "json_valid.",
+)
+def q_corrupt_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    ev = load_table(spark, sf_dir, "events")
+    mangled = F.when(
+        F.col("event_id") % 10 == 0, F.concat(F.lit("garbage{"), F.col("props"))
+    ).otherwise(F.col("props"))
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("_corrupt", T.StringType())]
+    )
+    parsed = F.from_json(
+        mangled, schema, {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"}
+    )
+    return (
+        ev.select(parsed["_corrupt"].isNull().alias("is_valid"))
+        .groupBy("is_valid")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_register(
+    "value_bounds",
+    """
+    SELECT event_id,
+           least(value, 100.0) AS capped_value,
+           greatest(value, 1.0) AS floored_value
+    FROM events
+    """,
+    tags=("parity", "function"),
+    doc="F11 pairwise min/max (price_aggregator.py:45-46) as "
+        "least/greatest column expressions.",
+)
+def q_value_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.least(F.col("value"), F.lit(100.0)).alias("capped_value"),
+        F.greatest(F.col("value"), F.lit(1.0)).alias("floored_value"),
+    )
