@@ -252,3 +252,26 @@ def test_streaming_observe_listener(spark, tmp_path):
         assert listener.totals["records_invalid"] == 2    # negative + null key
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_stream_static_broadcast_join(spark, tmp_path):
+    """Stream-static join: a streaming fact enriched by a static dim —
+    the dim broadcasts per micro-batch, no stream-side state."""
+    src = str(tmp_path / "ss_src")
+    _write_batch(spark, src, [("a", "2024-01-01 10:00:00", 1.0),
+                              ("b", "2024-01-01 10:01:00", 2.0),
+                              ("zz", "2024-01-01 10:02:00", 3.0)])
+    dim = spark.createDataFrame(
+        [("a", "alpha"), ("b", "beta")], "key string, key_name string"
+    )
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    joined = stream.join(F.broadcast(dim), "key", "left")
+    q = (
+        joined.writeStream.format("memory").queryName("ss_join")
+        .option("checkpointLocation", str(tmp_path / "ss_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["key"]: r["key_name"] for r in spark.table("ss_join").collect()}
+    assert got == {"a": "alpha", "b": "beta", "zz": None}

@@ -1,0 +1,44 @@
+"""Upsert and SCD2 emulation tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from kafka_avro_order_processing_spark.operators.upsert import scd2_apply, upsert
+
+
+def test_upsert_replaces_and_inserts(spark):
+    target = spark.createDataFrame(
+        [("Laptop", 999.0), ("Mouse", 25.0)], "product string, price double"
+    )
+    updates = spark.createDataFrame(
+        [("Mouse", 30.0), ("Webcam", 80.0)], "product string, price double"
+    )
+    got = {r["product"]: r["price"] for r in upsert(target, updates, "product").collect()}
+    assert got == {"Laptop": 999.0, "Mouse": 30.0, "Webcam": 80.0}
+
+
+def test_scd2_closes_and_appends(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 6, 1)
+    dim = spark.createDataFrame(
+        [("Mouse", 25.0, t0, None, True), ("Laptop", 999.0, t0, None, True)],
+        "product string, price double, valid_from timestamp_ntz, valid_to timestamp_ntz, is_current boolean",
+    )
+    changes = spark.createDataFrame(
+        [("Mouse", 30.0, t1)],
+        "product string, price double, valid_from timestamp_ntz",
+    )
+    out = scd2_apply(dim, changes, key="product")
+    rows = sorted(
+        ((r["product"], r["price"], r["is_current"], r["valid_to"]) for r in out.collect())
+    )
+    assert rows == [
+        ("Laptop", 999.0, True, None),          # untouched current row
+        ("Mouse", 25.0, False, t1),             # closed at change ts
+        ("Mouse", 30.0, True, None),            # new current version
+    ]
+    # history is contiguous: closed row's valid_to == new row's valid_from
+    closed = next(r for r in out.collect() if r["product"] == "Mouse" and not r["is_current"])
+    new = next(r for r in out.collect() if r["product"] == "Mouse" and r["is_current"])
+    assert closed["valid_to"] == new["valid_from"]
