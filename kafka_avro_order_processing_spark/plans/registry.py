@@ -1290,7 +1290,7 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile as _tf
     import uuid as _uuid
 
-    from ..streaming.pipeline import stream_table
+    from ..streaming.pipeline import _scoped_shuffle_partitions, stream_table
 
     ev = stream_table(spark, sf_dir, "events")
     agg = (
@@ -1303,13 +1303,14 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tag = _uuid.uuid4().hex[:12]
     name = f"sessions_{tag}"
-    q = (
-        agg.writeStream.outputMode("complete").format("memory").queryName(name)
-        .option("checkpointLocation", f"{_tf.mkdtemp()}/chk_{tag}")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scoped_shuffle_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete").format("memory").queryName(name)
+            .option("checkpointLocation", f"{_tf.mkdtemp()}/chk_{tag}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     out = spark.table(name).select("user_id", "session_start", "session_end", "n_events")
     return spark.createDataFrame(out.collect(), schema=out.schema)
 
@@ -1993,4 +1994,64 @@ def q_value_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.least(F.col("value"), F.lit(100.0)).alias("capped_value"),
         F.greatest(F.col("value"), F.lit(1.0)).alias("floored_value"),
+    )
+
+
+@_register(
+    "forecast_revenue_change",
+    """
+    SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue_delta,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("olap", "aggregate"),
+    doc="TPC-H Q6 shape: pure filter + aggregate — every predicate "
+        "reaches the parquet scan, zero shuffles beyond the final "
+        "1-row combine.",
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    delta = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * F.col("l_discount").cast("decimal(18,2)")
+    ).cast("decimal(18,4)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.03) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(delta).cast("double").alias("revenue_delta"), F.count("*").alias("n_items"))
+    )
+
+
+@_register(
+    "large_quantity_orders",
+    """
+    SELECT o.o_orderkey, o.o_orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_totalprice
+    HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > 150
+    """,
+    tags=("olap", "join", "having"),
+    doc="TPC-H Q18 shape: fact-fact join + grouped HAVING filter on the "
+        "aggregate.",
+)
+def q_large_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dec_sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+        .select("o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
     )

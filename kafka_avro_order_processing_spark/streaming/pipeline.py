@@ -32,6 +32,32 @@ from ..operators.validate import dlq_envelope, split_valid_invalid
 from ..sources.tables import load_table
 
 
+class _scoped_shuffle_partitions:
+    """Temporarily size shuffle partitions to the session's parallelism
+    for a bounded streaming drain, restoring the caller's setting after.
+
+    A vanilla session carries the 200-partition default; a drained
+    memory-sink aggregation over test-scale data pays ~200 empty state
+    store tasks per batch for nothing.  State lives in a fresh
+    checkpoint per call, so the partition count is free to differ
+    between calls.
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(self.spark.sparkContext.defaultParallelism),
+        )
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        return False
+
+
 def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """File-source streaming twin of sources.tables.load_table: same
     schema and ts normalization, rows arrive as a bounded stream
@@ -70,15 +96,16 @@ def run_streaming_product_stats(
     tag = uuid.uuid4().hex[:12]
     out_table = f"stream_stats_{tag}"
     agg = product_price_stats(stream_table(spark, sf_dir, "events"), key=key, value=value)
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(out_table)
-        .option("checkpointLocation", f"{tempfile.mkdtemp()}/chk_{tag}")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scoped_shuffle_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(out_table)
+            .option("checkpointLocation", f"{tempfile.mkdtemp()}/chk_{tag}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # Materialize before the memory sink goes away; tiny (one row/key).
     return spark.createDataFrame(
         spark.table(out_table).collect(), schema=spark.table(out_table).schema
@@ -106,16 +133,17 @@ def run_streaming_running_avg(
     keyed = stream_table(spark, sf_dir, "events").select(
         F.col(key).alias("key"), F.col(seq).alias("seq"), F.col(value).alias("value")
     )
-    q = (
-        running_stats_per_record(keyed)
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(out_table)
-        .option("checkpointLocation", f"{tempfile.mkdtemp()}/chk_{tag}")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scoped_shuffle_partitions(spark):
+        q = (
+            running_stats_per_record(keyed)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(out_table)
+            .option("checkpointLocation", f"{tempfile.mkdtemp()}/chk_{tag}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.createDataFrame(
         spark.table(out_table).collect(), schema=spark.table(out_table).schema
     )
