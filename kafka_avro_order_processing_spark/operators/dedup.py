@@ -111,6 +111,10 @@ def minhash_signatures(
     integer, so min() over the substrings is a valid minhash.
     """
     sh = shingle_rows(df, id_col, text_col)
+    return _signatures_from_rows(sh, id_col, k)
+
+
+def _signatures_from_rows(sh: DataFrame, id_col: str, k: int) -> DataFrame:
     digests = {
         d: F.md5(F.concat(F.lit(f"{d}:"), F.col("shingle")))
         for d in range((k + 3) // 4)
@@ -167,11 +171,14 @@ def near_dup_pairs(
     doc->shingle-set join is broadcast-friendly because candidates are
     a tiny fraction of the corpus.
     """
-    # Persist the signature table: it feeds the band self-join AND both
-    # sides of the agreement join — without it Spark recomputes the
-    # shingle+minhash subtree 4x.  (At production scale this is a
-    # written-out intermediate: n_docs x k small strings.)
-    sigs = minhash_signatures(df, id_col, text_col, k).persist()
+    # Tokenize/shingle ONCE: the same shingle rows feed the minhash
+    # signatures AND the exact-Jaccard shingle sets.  Persist both
+    # derived tables — signatures feed the band self-join and both
+    # sides of the agreement join; without persistence Spark recomputes
+    # the shingle subtree 4x.  (At production scale these are
+    # written-out intermediates.)
+    rows = shingle_rows(df, id_col, text_col)
+    sigs = _signatures_from_rows(rows, id_col, k).persist()
     pairs = lsh_candidate_pairs(sigs, id_col, k, band_rows)
 
     sa = sigs.select(F.col(id_col).alias("doc_a"), *[F.col(f"mh{j}").alias(f"a{j}") for j in range(k)])
@@ -183,7 +190,7 @@ def near_dup_pairs(
         "doc_a", "doc_b", (agree.cast("double") / F.lit(float(k))).alias("est_jaccard")
     )
 
-    sets_ = shingle_sets(df, id_col, text_col).persist()
+    sets_ = rows.groupBy(id_col).agg(F.collect_set("shingle").alias("sh")).persist()
     wa = sets_.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
     wb = sets_.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")

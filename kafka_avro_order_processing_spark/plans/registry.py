@@ -2055,3 +2055,63 @@ def q_large_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_qty") > 150)
         .select("o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
     )
+
+
+@_register(
+    "streaming_interval_join",
+    """
+    SELECT p.event_id AS purchase_id, p.user_id,
+           c.event_id AS click_id, p.ts AS purchase_ts, c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    """,
+    tags=("parity", "streaming", "join"),
+    doc="Stream-stream interval join: two watermarked streams over the "
+        "same source joined on key + time bound, drained with "
+        "availableNow — inner matches emit as they arrive, so the "
+        "bounded drain equals the batch range join (the oracle).",
+)
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+    import uuid as _uuid
+
+    from ..streaming.pipeline import _scoped_shuffle_partitions, stream_table
+
+    def side(event_type: str, prefix: str):
+        s = stream_table(spark, sf_dir, "events").filter(
+            F.col("event_type") == event_type
+        )
+        return s.select(
+            F.col("event_id").alias(f"{prefix}_event"),
+            F.col("user_id").alias(f"{prefix}_user"),
+            F.col("ts").cast("timestamp").alias(f"{prefix}_ts"),
+        ).withWatermark(f"{prefix}_ts", "2 hours")
+
+    p = side("purchase", "p")
+    c = side("click", "c")
+    joined = p.join(
+        c,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select(
+        F.col("p_event").alias("purchase_id"),
+        F.col("p_user").alias("user_id"),
+        F.col("c_event").alias("click_id"),
+        F.col("p_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        F.col("c_ts").cast("timestamp_ntz").alias("click_ts"),
+    )
+    tag = _uuid.uuid4().hex[:12]
+    name = f"sjoin_{tag}"
+    with _scoped_shuffle_partitions(spark):
+        q = (
+            joined.writeStream.outputMode("append").format("memory").queryName(name)
+            .option("checkpointLocation", f"{_tf.mkdtemp()}/chk_{tag}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    out = spark.table(name)
+    return spark.createDataFrame(out.collect(), schema=out.schema)
