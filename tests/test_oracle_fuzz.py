@@ -85,3 +85,103 @@ def test_fuzz_running_avg_matches_duckdb(spark, rows):
         """).fetchall()
     )
     assert got == want
+
+
+ts_rows_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 50_000),                        # event id (unique)
+        st.integers(1, 6),                             # user id
+        st.integers(0, 6 * 3600 * 1_000_000),          # ts micros within 6h
+    ),
+    min_size=2,
+    max_size=120,
+    unique_by=lambda r: r[0],
+)
+
+
+def _materialize_events(spark, rows):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (eid, uid, base + dt.timedelta(microseconds=us)) for eid, uid, us in rows
+    ]
+    df = spark.createDataFrame(data, "event_id long, user_id long, ts timestamp_ntz")
+    path = os.path.join(tempfile.mkdtemp(), "ev.parquet")
+    df.coalesce(1).write.parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM read_parquet('{path}/*.parquet')")
+    return spark.read.parquet(path), con
+
+
+@given(rows=ts_rows_strategy)
+@SETTINGS
+def test_fuzz_sessionize_matches_duckdb(spark, rows):
+    """Gap-based sessionization on random microsecond timestamps — the
+    >= boundary and tie ordering must agree across engines."""
+    from kafka_avro_order_processing_spark.operators.windows import sessionize
+
+    df, con = _materialize_events(spark, rows)
+    got = sorted(
+        (r["user_id"], r["session_id"], r["session_start"].isoformat(),
+         r["session_end"].isoformat(), r["n_events"])
+        for r in sessionize(df, ts="ts", key="user_id", gap_minutes=30,
+                            order_tiebreak="event_id").collect()
+    )
+    want = sorted(
+        (u, s, a.isoformat(), b.isoformat(), n)
+        for u, s, a, b, n in con.execute("""
+            WITH flagged AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT user_id, ts,
+                     CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+              FROM flagged)
+            SELECT user_id, sid, MIN(ts), MAX(ts), COUNT(*)
+            FROM sess GROUP BY user_id, sid
+        """).fetchall()
+    )
+    assert got == want
+
+
+@given(rows=ts_rows_strategy)
+@SETTINGS
+def test_fuzz_asof_join_matches_duckdb(spark, rows):
+    """As-of join on random timestamps (left = even ids, right = odd):
+    nearest-prior semantics incl. exact-tie handling must agree with the
+    independent LATERAL formulation."""
+    from pyspark.sql import functions as F
+
+    from kafka_avro_order_processing_spark.operators.asof import asof_join
+
+    df, con = _materialize_events(spark, rows)
+    left = df.filter(F.col("event_id") % 2 == 0)
+    right = df.filter(F.col("event_id") % 2 == 1)
+    if left.count() == 0 or right.count() == 0:
+        return
+    out = asof_join(
+        left, right, on="user_id", ts="ts",
+        right_value_cols=("event_id",), right_tiebreak="event_id",
+    )
+    got = sorted(
+        (r["event_id"], r["ts_asof"].isoformat() if r["ts_asof"] else None,
+         r["event_id_asof"])
+        for r in out.collect()
+    )
+    want = sorted(
+        (eid, ts.isoformat() if ts else None, rid)
+        for eid, ts, rid in con.execute("""
+            SELECT l.event_id, r.ts, r.event_id
+            FROM (SELECT * FROM t WHERE event_id % 2 = 0) l
+            LEFT JOIN LATERAL (
+              SELECT ts, event_id FROM t r
+              WHERE r.event_id % 2 = 1 AND r.user_id = l.user_id AND r.ts <= l.ts
+              ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) r ON TRUE
+        """).fetchall()
+    )
+    assert got == want
