@@ -2115,3 +2115,43 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     out = spark.table(name)
     return spark.createDataFrame(out.collect(), schema=out.schema)
+
+
+def _dedup_clusters_oracle() -> str:
+    # canonical-cluster assignment over the near-dup pair graph: the
+    # minhash pipeline's verified pairs (jaccard >= 0.5), closed
+    # transitively with a recursive CTE, min node id per component.
+    return f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({_minhash_oracle()}) WHERE jaccard >= 0.5
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id,
+           LEAST(a, MIN(b)) AS canonical_id
+    FROM reach GROUP BY a
+    """
+
+
+@_register(
+    "dedup_clusters",
+    _dedup_clusters_oracle(),
+    tags=("m5", "dedup", "iterative"),
+    doc="Near-dup clustering: LSH candidate pairs verified at jaccard "
+        ">= 0.5 become an undirected graph; iterative min-label "
+        "propagation (Pregel-style connected components) assigns each "
+        "doc its cluster's canonical (minimum) id.  Oracle closes the "
+        "same graph with a recursive CTE.",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _dedup.near_dup_pairs(docs).filter(F.col("jaccard") >= 0.5)
+    comps = connected_components(pairs, src="doc_a", dst="doc_b")
+    return comps.select(F.col("node").alias("doc_id"), F.col("component").alias("canonical_id"))

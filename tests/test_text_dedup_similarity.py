@@ -121,3 +121,16 @@ def test_decode_stub_raises_without_decoder(spark):
     payloads = binarize_text(docs)
     with pytest.raises(Exception, match="NotImplementedError|real media decode"):
         decode_features(payloads, decode_stub=False).collect()
+
+
+def test_connected_components_clusters(spark):
+    from kafka_avro_order_processing_spark.operators.graph import (
+        connected_components,
+    )
+
+    # two components: {1,2,3} (chain) and {7,9}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "src long, dst long"
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
