@@ -170,6 +170,32 @@ def q_validated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return valid.select("event_id", "event_type", "value")
 
 
+# The testdata is all-valid, so the DLQ-path queries seed deterministic
+# invalids in-flight (negative price / missing key) before the split —
+# the same corruption the FIXTURES.md §1 cases describe, mirrored in
+# the oracle so the reject branch is hash-checked on real rows.
+_SEEDED_SQL = """
+      SELECT event_id,
+             CASE WHEN event_id % 37 = 0 THEN NULL ELSE event_type END AS event_type,
+             CASE WHEN event_id % 23 = 0 THEN -value
+                  WHEN event_id % 41 = 0 THEN NULL
+                  ELSE value END AS value
+      FROM events
+"""
+
+
+def _seeded_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 37 == 0, F.lit(None)).otherwise(F.col("event_type")).alias("event_type"),
+        F.when(F.col("event_id") % 23 == 0, -F.col("value"))
+        .when(F.col("event_id") % 41 == 0, F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+
+
 @_register(
     "rejected_orders",
     f"""
@@ -177,15 +203,15 @@ def q_validated(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN event_id IS NULL OR event_type IS NULL OR value IS NULL
                 THEN 'Missing required fields in order data'
                 ELSE 'Invalid price: ' || CAST(value AS VARCHAR) END AS error_message
-    FROM events
+    FROM ({_SEEDED_SQL})
     WHERE NOT ({_VALID_PRED}) OR ({_VALID_PRED}) IS NULL
     """,
     tags=("parity", "filter"),
     doc="P3 invalid branch with the reference's error text "
-        "(avro_order_consumer.py:100,103).",
+        "(avro_order_consumer.py:100,103) over seeded-invalid input.",
 )
 def q_rejected(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = _seeded_events(spark, sf_dir)
     _, invalid = split_valid_invalid(ev, key="event_type", value="value", id_col="event_id")
     return invalid.select("event_id", "event_type", "value", "error_message")
 
@@ -226,17 +252,18 @@ def q_error_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'PermanentError' AS error_type,
            COALESCE(event_type, 'UNKNOWN') AS product,
            COUNT(*) AS error_count
-    FROM events
+    FROM ({_SEEDED_SQL})
     WHERE NOT ({_VALID_PRED}) OR ({_VALID_PRED}) IS NULL
     GROUP BY 1, 2
     """,
     tags=("parity", "aggregate"),
     doc="A7+A8: DLQ error stats by type and product "
-        "(dead_letter_queue_consumer.py:73-76); rejects are routed through "
-        "the envelope (T7) first.",
+        "(dead_letter_queue_consumer.py:73-76) over seeded-invalid input; "
+        "rejects are routed through the envelope (T7) first, absent "
+        "product -> UNKNOWN (P5/F14).",
 )
 def q_dlq_error_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = _seeded_events(spark, sf_dir)
     _, invalid = split_valid_invalid(ev, key="event_type", value="value", id_col="event_id")
     env = dlq_envelope(invalid, source_topic="events")
     return error_stats(env, error_type="error_type", product=F.col("original_value.event_type"))
@@ -900,9 +927,9 @@ def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "churned_users",
     """
-    SELECT user_id FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+    SELECT user_id FROM events WHERE ts < TIMESTAMP '2024-01-30 00:00:00'
     EXCEPT
-    SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+    SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-30 00:00:00'
     """,
     tags=("olap", "setops"),
     doc="Set ops (§2.7): users active before the cutoff and silent after "
@@ -910,7 +937,7 @@ def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+    cutoff = F.lit("2024-01-30 00:00:00").cast("timestamp_ntz")
     before = ev.filter(F.col("ts") < cutoff).select("user_id")
     after = ev.filter(F.col("ts") >= cutoff).select("user_id")
     # subtract == EXCEPT (distinct) — exceptAll would be bag semantics
