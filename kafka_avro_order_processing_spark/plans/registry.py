@@ -2182,3 +2182,52 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _dedup.near_dup_pairs(docs).filter(F.col("jaccard") >= 0.5)
     comps = connected_components(pairs, src="doc_a", dst="doc_b")
     return comps.select(F.col("node").alias("doc_id"), F.col("component").alias("canonical_id"))
+
+
+@_register(
+    "embedding_quantization_error",
+    """
+    WITH scaled AS (
+      SELECT vec_id, label, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
+      FROM embeddings),
+    err AS (
+      SELECT vec_id, label,
+             list_max(list_transform(embedding,
+                x -> abs(CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) / s + 0.5) * s)))
+               AS max_abs_err,
+             s
+      FROM scaled)
+    SELECT label, COUNT(*) AS n_vectors,
+           MAX(max_abs_err) AS worst_abs_err,
+           MAX(s) AS max_scale
+    FROM err GROUP BY label
+    """,
+    tags=("m5", "similarity", "quantization"),
+    doc="Int8 scalar quantization for vector storage (4x compression at "
+        "100 TB): per-vector symmetric scale, round-half-up encode "
+        "(floor(x/s + 0.5) — portable across engines, unlike round()), "
+        "worst-case reconstruction error per label.  Only "
+        "order-independent aggregates (count/max) cross rows, so the "
+        "result is exact.",
+)
+def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    scaled = emb.withColumn(
+        "s",
+        F.expr(
+            "aggregate(embedding, 0D, (a, x) -> greatest(a, abs(cast(x as double)))) / 127.0"
+        ),
+    )
+    err = scaled.withColumn(
+        "max_abs_err",
+        F.expr(
+            "array_max(transform(embedding,"
+            " x -> abs(cast(x as double) - floor(cast(x as double) / s + 0.5) * s)))"
+        ),
+    )
+    return err.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.max("max_abs_err").alias("worst_abs_err"),
+        F.max("s").alias("max_scale"),
+    )
