@@ -2231,3 +2231,70 @@ def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("max_abs_err").alias("worst_abs_err"),
         F.max("s").alias("max_scale"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Reproducible sampling / dataset splitting — hash-based, not rand():
+# the same row lands in the same bucket on any cluster, any partition
+# layout, any engine (the only reproducible way to sample at 100 TB).
+# ---------------------------------------------------------------------------
+
+_HASH_BUCKET = "(strpos('0123456789abcdef', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"
+
+
+@_register(
+    "dataset_split_counts",
+    f"""
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (
+      SELECT CASE WHEN {_HASH_BUCKET} < 204 THEN 'train'
+                  WHEN {_HASH_BUCKET} < 230 THEN 'val'
+                  ELSE 'test' END AS split,
+             n_chars
+      FROM documents)
+    GROUP BY split
+    """,
+    tags=("m5", "sampling"),
+    doc="Reproducible ~80/10/10 train/val/test split: the first md5 byte "
+        "of the salted id picks the bucket — stable under any "
+        "partitioning/engine, unlike rand(seed).  (204/256 = 79.7%, "
+        "230/256 = 89.8%.)",
+)
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 2),
+        16, 10,
+    ).cast("int")
+    split = (
+        F.when(bucket < 204, F.lit("train"))
+        .when(bucket < 230, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+@_register(
+    "deterministic_sample",
+    f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE {_HASH_BUCKET} < 26
+    """,
+    tags=("m5", "sampling"),
+    doc="Reproducible ~10% sample via the same hash-bucket technique — "
+        "the sample is a stable property of each row, so incremental "
+        "runs resample identically.",
+)
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 2),
+        16, 10,
+    ).cast("int")
+    return docs.filter(bucket < 26).select("doc_id", "lang", "n_chars")
