@@ -108,11 +108,13 @@ def salted_product_price_stats(
     `salt_buckets` reducers instead of one — stage 2 merges the partial
     states on the bare key.  Decimal sums make the merge exact, so the
     result is bit-identical to the unsalted plan (tested + oracle-
-    checked).  The salt is a hash of a unique column when available,
-    else spark_partition_id — never rand() (nondeterministic under
-    retries).
+    checked).  The salt is spark_partition_id: it spreads a hot key
+    even when every hot row carries the SAME value (a value-derived
+    hash would collapse them into one bucket), is deterministic per
+    task attempt, and cannot change the merged result.  Never rand()
+    (nondeterministic under retries).
     """
-    salt = (F.crc32(F.col(value).cast("string")) % salt_buckets).alias("__salt")
+    salt = (F.spark_partition_id() % salt_buckets).alias("__salt")
     partial = (
         df.groupBy(F.col(key), salt)
         .agg(

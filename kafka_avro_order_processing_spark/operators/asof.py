@@ -42,19 +42,24 @@ def asof_join(
         F.col(ts).alias(f"{ts}{suffix}"),
         *[F.col(c).alias(f"{c}{suffix}") for c in right_value_cols],
     )
+    # Keep the tiebreak's native type — casting e.g. a string id to
+    # long would null it out and silently lose the determinism the
+    # parameter exists for.
+    tb = F.col(right_tiebreak) if right_tiebreak else F.lit(0)
     r_tagged = right.select(
         F.col(on).alias("__key"),
         F.col(ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        (F.col(right_tiebreak) if right_tiebreak else F.lit(0)).cast("long").alias("__tb"),
+        tb.alias("__tb"),
         rv.alias("__rv"),
     )
     rv_type = r_tagged.schema["__rv"].dataType
+    tb_type = r_tagged.schema["__tb"].dataType
     l_tagged = left.select(
         F.col(on).alias("__key"),
         F.col(ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        F.lit(0).cast("long").alias("__tb"),
+        F.lit(None).cast(tb_type).alias("__tb"),
         F.lit(None).cast(rv_type).alias("__rv"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__left"),
     )

@@ -29,8 +29,12 @@ STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and")
 
 
 def tokens(text: Column | str, sep: str = " ") -> Column:
+    """Split on the LITERAL separator (F.split takes a regex — an
+    unescaped '.' or '|' would split between every character)."""
+    import re
+
     c = F.col(text) if isinstance(text, str) else text
-    return F.split(c, sep)
+    return F.split(c, re.escape(sep))
 
 
 def doc_token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

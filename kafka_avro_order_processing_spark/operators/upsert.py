@@ -43,7 +43,20 @@ def scd2_apply(
     `dim` schema: key, attributes..., valid_from, valid_to (null for
     current), is_current.  `changes` schema: key, attributes...,
     valid_from.
+
+    Multiple changes for one key within a batch collapse to the LATEST
+    (max valid_from) before applying — a per-key reduction, not a join
+    fan-out; applying intermediate versions in-batch would require
+    iterative application and is out of scope for a single apply.
     """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(F.desc(ts_col))
+    changes = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
     change_ts = changes.select(
         F.col(key), F.col(ts_col).alias("__new_from")
     )

@@ -14,8 +14,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.scalar import classify_error
-
 
 def validity_predicate(
     key: str = "product", value: str = "price", id_col: str | None = "orderId"
@@ -63,6 +61,7 @@ def dlq_envelope(
     source_topic: str = "orders",
     consumer_group: str = "order-processor-group",
     retry_count: int = 0,
+    error_type: str = "PermanentError",
 ) -> DataFrame:
     """T7/P4: wrap failed records in the DLQ envelope
     (/root/reference/src/consumer/avro_order_consumer.py:123-134).
@@ -82,13 +81,14 @@ def dlq_envelope(
         (F.col("key").cast("string") if "key" in cols else F.lit(None).cast("string")).alias("original_key"),
         F.struct(*[F.col(c) for c in payload_cols]).alias("original_value"),
         F.col("error_message"),
-        # The deterministic validation failures are the reference's
-        # PermanentError path; classification of arbitrary messages is
-        # exposed separately via classify_error (T8).
-        F.when(
-            classify_error(F.col("error_message")) == "retryable",
-            F.lit("RetryableError"),
-        ).otherwise(F.lit("PermanentError")).alias("error_type"),
+        # Validation failures are deterministic data errors — always the
+        # reference's PermanentError path (avro_order_consumer.py:99-103
+        # raises ValueError -> permanent).  Do NOT pattern-classify the
+        # message here: a price like -429.95 contains '429' and would
+        # misclassify as retryable.  classify_error (T8) is for
+        # *exception* messages from the retry path, applied by callers
+        # that capture real exceptions.
+        F.lit(error_type).alias("error_type"),
         F.lit(retry_count).alias("retry_count"),
         F.unix_millis(F.current_timestamp()).alias("failed_at"),
         F.lit(consumer_group).alias("consumer_group"),

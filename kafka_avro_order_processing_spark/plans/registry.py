@@ -1314,10 +1314,7 @@ _SESSIONS_CTE = """
         "sessionization oracle.",
 )
 def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile as _tf
-    import uuid as _uuid
-
-    from ..streaming.pipeline import _scoped_shuffle_partitions, stream_table
+    from ..streaming.pipeline import drain_to_df, stream_table
 
     ev = stream_table(spark, sf_dir, "events")
     agg = (
@@ -1328,18 +1325,9 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
         )
     )
-    tag = _uuid.uuid4().hex[:12]
-    name = f"sessions_{tag}"
-    with _scoped_shuffle_partitions(spark):
-        q = (
-            agg.writeStream.outputMode("complete").format("memory").queryName(name)
-            .option("checkpointLocation", f"{_tf.mkdtemp()}/chk_{tag}")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    out = spark.table(name).select("user_id", "session_start", "session_end", "n_events")
-    return spark.createDataFrame(out.collect(), schema=out.schema)
+    return drain_to_df(agg, "complete").select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
 
 
 @_register(
@@ -2101,10 +2089,7 @@ def q_large_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bounded drain equals the batch range join (the oracle).",
 )
 def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile as _tf
-    import uuid as _uuid
-
-    from ..streaming.pipeline import _scoped_shuffle_partitions, stream_table
+    from ..streaming.pipeline import drain_to_df, stream_table
 
     def side(event_type: str, prefix: str):
         s = stream_table(spark, sf_dir, "events").filter(
@@ -2130,18 +2115,7 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_ts").cast("timestamp_ntz").alias("purchase_ts"),
         F.col("c_ts").cast("timestamp_ntz").alias("click_ts"),
     )
-    tag = _uuid.uuid4().hex[:12]
-    name = f"sjoin_{tag}"
-    with _scoped_shuffle_partitions(spark):
-        q = (
-            joined.writeStream.outputMode("append").format("memory").queryName(name)
-            .option("checkpointLocation", f"{_tf.mkdtemp()}/chk_{tag}")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    out = spark.table(name)
-    return spark.createDataFrame(out.collect(), schema=out.schema)
+    return drain_to_df(joined, "append")
 
 
 def _dedup_clusters_oracle() -> str:

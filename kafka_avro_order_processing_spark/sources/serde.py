@@ -136,11 +136,11 @@ def orders_from_avro(df: DataFrame, value_col: str = "value", spark=None) -> Dat
     return _avro_decode_fallback(df, value_col)
 
 
-def confluent_unwrap(value: Column) -> Column:
+def confluent_unwrap(value: Column | str) -> Column:
     """Strip the Confluent Schema Registry frame (1-byte magic 0 +
     4-byte schema id) from a Kafka value, leaving the bare Avro body."""
-    return F.expr(f"substring({'value' if not isinstance(value, str) else value}, 6, length(value) - 5)") \
-        if isinstance(value, str) else F.substring(value, 6, F.length(value) - 5)
+    c = F.col(value) if isinstance(value, str) else value
+    return F.substring(c, 6, F.length(c) - 5)
 
 
 # Pure-Python Avro binary codec for the flat order record (public Avro

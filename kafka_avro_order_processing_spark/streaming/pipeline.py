@@ -58,6 +58,31 @@ class _scoped_shuffle_partitions:
         return False
 
 
+def drain_to_df(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Run a bounded streaming plan to completion (availableNow, memory
+    sink, cluster-sized shuffle partitions, throwaway checkpoint) and
+    return the materialized result as a batch DataFrame.
+
+    The shared core of every streaming-twin query: the driver's oracle
+    compares the drained result against the batch SQL form.
+    """
+    spark = stream_df.sparkSession
+    tag = uuid.uuid4().hex[:12]
+    name = f"drain_{tag}"
+    with _scoped_shuffle_partitions(spark):
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{tempfile.mkdtemp()}/chk_{tag}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    out = spark.table(name)
+    return spark.createDataFrame(out.collect(), schema=out.schema)
+
+
 def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """File-source streaming twin of sources.tables.load_table: same
     schema and ts normalization, rows arrive as a bounded stream
@@ -93,23 +118,8 @@ def run_streaming_product_stats(
     Returns the final aggregate state — which must equal the batch
     groupBy exactly (the equivalence the driver's oracle checks).
     """
-    tag = uuid.uuid4().hex[:12]
-    out_table = f"stream_stats_{tag}"
     agg = product_price_stats(stream_table(spark, sf_dir, "events"), key=key, value=value)
-    with _scoped_shuffle_partitions(spark):
-        q = (
-            agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(out_table)
-            .option("checkpointLocation", f"{tempfile.mkdtemp()}/chk_{tag}")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    # Materialize before the memory sink goes away; tiny (one row/key).
-    return spark.createDataFrame(
-        spark.table(out_table).collect(), schema=spark.table(out_table).schema
-    )
+    return drain_to_df(agg, "complete")
 
 
 def run_streaming_running_avg(
@@ -128,25 +138,10 @@ def run_streaming_running_avg(
     """
     from .stateful import running_stats_per_record
 
-    tag = uuid.uuid4().hex[:12]
-    out_table = f"per_record_{tag}"
     keyed = stream_table(spark, sf_dir, "events").select(
         F.col(key).alias("key"), F.col(seq).alias("seq"), F.col(value).alias("value")
     )
-    with _scoped_shuffle_partitions(spark):
-        q = (
-            running_stats_per_record(keyed)
-            .writeStream.outputMode("append")
-            .format("memory")
-            .queryName(out_table)
-            .option("checkpointLocation", f"{tempfile.mkdtemp()}/chk_{tag}")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.createDataFrame(
-        spark.table(out_table).collect(), schema=spark.table(out_table).schema
-    )
+    return drain_to_df(running_stats_per_record(keyed), "append")
 
 
 def order_pipeline_batch(
@@ -158,23 +153,22 @@ def order_pipeline_batch(
     id_col: str | None = "orderId",
     source_topic: str = "orders",
 ) -> tuple[int, int]:
-    """The dual-sink epoch body (T5/T7): split one parsed DataFrame and
-    write both branches atomically-per-epoch — aggregate input to the
-    valid sink, enveloped rejects to the DLQ sink.
+    """The dual-sink epoch body (T5/T7) in batch form: split one parsed
+    DataFrame and write both branches — valid rows to the valid sink,
+    enveloped rejects to the DLQ sink.  (The streaming counterpart is
+    ``start_order_pipeline``, whose foreachBatch body performs the same
+    split per epoch.)
 
-    Used directly as a ``foreachBatch`` body in streaming (wrap with
-    RetryHandler.wrap_foreach_batch for T6) and callable in batch for
-    tests.  Returns (n_valid, n_rejected) — the reference's processing
-    counters (A9, avro_order_consumer.py:79-84).
+    Returns (n_valid, n_rejected) for THIS call's input — the
+    reference's processing counters (A9, avro_order_consumer.py:79-84)
+    — counted from the split itself, not by rescanning the sinks
+    (sinks are append-mode and may hold earlier batches).
     """
     valid, invalid = split_valid_invalid(orders, key=key, value=value, id_col=id_col)
     valid.write.mode("append").parquet(valid_sink)
     env = dlq_envelope(invalid, source_topic=source_topic)
     env.write.mode("append").parquet(dlq_sink)
-    spark = orders.sparkSession
-    n_valid = spark.read.parquet(valid_sink).count()
-    n_dlq = spark.read.parquet(dlq_sink).count()
-    return n_valid, n_dlq
+    return valid.count(), invalid.count()
 
 
 def start_order_pipeline(

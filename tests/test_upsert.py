@@ -42,3 +42,25 @@ def test_scd2_closes_and_appends(spark):
     closed = next(r for r in out.collect() if r["product"] == "Mouse" and not r["is_current"])
     new = next(r for r in out.collect() if r["product"] == "Mouse" and r["is_current"])
     assert closed["valid_to"] == new["valid_from"]
+
+
+def test_scd2_multiple_changes_same_key_collapse_to_latest(spark):
+    """Several changes for one key in a batch must not fan out the
+    dimension — only the latest (max valid_from) applies."""
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 6, 1)
+    t2 = dt.datetime(2024, 9, 1)
+    dim = spark.createDataFrame(
+        [("Mouse", 25.0, t0, None, True)],
+        "product string, price double, valid_from timestamp_ntz, valid_to timestamp_ntz, is_current boolean",
+    )
+    changes = spark.createDataFrame(
+        [("Mouse", 30.0, t1), ("Mouse", 35.0, t2)],
+        "product string, price double, valid_from timestamp_ntz",
+    )
+    out = scd2_apply(dim, changes, key="product").collect()
+    assert len(out) == 2  # closed original + ONE new current
+    current = [r for r in out if r["is_current"]]
+    assert len(current) == 1 and current[0]["price"] == 35.0
+    closed = next(r for r in out if not r["is_current"])
+    assert closed["valid_to"] == t2
