@@ -37,8 +37,13 @@ from kafka_avro_order_processing_spark.streaming.pipeline import start_order_pip
 from kafka_avro_order_processing_spark.streaming.retry import RetryHandler
 
 
-def main(n_orders: int = 30) -> None:
-    spark = get_spark(app_name="order-pipeline-demo", master="local[4]", shuffle_partitions=4)
+def main(n_orders: int = 30, spark=None) -> dict:
+    """Run the demo; returns the headline counters so tests can assert
+    on them.  Creates (and stops) its own session only when none is
+    passed in."""
+    own_session = spark is None
+    if own_session:
+        spark = get_spark(app_name="order-pipeline-demo", master="local[4]", shuffle_partitions=4)
     tmp = Path(tempfile.mkdtemp(prefix="order_demo_"))
 
     # EP1: produce n orders (+ seeded invalids) onto the JSON wire.
@@ -76,8 +81,15 @@ def main(n_orders: int = 30) -> None:
     # EP3: DLQ monitor stats (dead_letter_queue_consumer.print_statistics).
     print("=== DLQ errors by type/product ===")
     error_stats(dlq, product=F.col("original_value.product")).show(truncate=False)
-    print(f"processed={valid.count()} sent_to_dlq={dlq.count()} (of {n_orders + 2})")
-    spark.stop()
+    counters = {
+        "processed": valid.count(),
+        "sent_to_dlq": dlq.count(),
+        "offered": n_orders + 2,
+    }
+    print(f"processed={counters['processed']} sent_to_dlq={counters['sent_to_dlq']} (of {counters['offered']})")
+    if own_session:
+        spark.stop()
+    return counters
 
 
 if __name__ == "__main__":

@@ -185,3 +185,63 @@ def test_fuzz_asof_join_matches_duckdb(spark, rows):
         """).fetchall()
     )
     assert got == want
+
+
+@given(rows=ts_rows_strategy)
+@SETTINGS
+def test_fuzz_tumbling_windows_match_duckdb(spark, rows):
+    """Epoch-aligned tumbling windows over random microsecond
+    timestamps: Spark's window('1 hour') boundaries must equal
+    date_trunc-based bucketing exactly."""
+    from kafka_avro_order_processing_spark.operators.windows import (
+        tumbling_window_stats,
+    )
+
+    df, con = _materialize_events(spark, rows)
+    ev = df.withColumn("value", (df.event_id % 97).cast("double"))
+    got = sorted(
+        (r["window_start"].isoformat(), r["n_events"], repr(r["sum_value"]))
+        for r in tumbling_window_stats(
+            ev, ts="ts", key="user_id", value="value", width="1 hour"
+        ).select("window_start", "n_events", "sum_value").collect()
+    )
+    want = sorted(
+        (w.isoformat(), n, repr(s))
+        for w, n, s in con.execute("""
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w, COUNT(*),
+                   CAST(SUM(CAST(CAST(event_id % 97 AS DOUBLE) AS DECIMAL(18,2))) AS DOUBLE)
+            FROM t GROUP BY 1, user_id
+        """).fetchall()
+    )
+    assert got == want
+
+
+@given(rows=rows_strategy)
+@SETTINGS
+def test_fuzz_validation_split_matches_duckdb(spark, rows):
+    """The reject branch (messages included) on arbitrary invalid data —
+    double-to-string formatting inside the error text must agree."""
+    from kafka_avro_order_processing_spark.operators.validate import (
+        split_valid_invalid,
+    )
+
+    df, con = _materialize(spark, rows)
+    _, invalid = split_valid_invalid(
+        df, key="product", value="price", id_col=None
+    )
+    got = sorted(
+        (r["seq"], r["error_message"]) for r in invalid.collect()
+    )
+    want = sorted(
+        (s, m)
+        for s, m in con.execute("""
+            SELECT seq,
+                   CASE WHEN product IS NULL OR price IS NULL
+                        THEN 'Missing required fields in order data'
+                        ELSE 'Invalid price: ' || CAST(price AS VARCHAR) END
+            FROM t
+            WHERE NOT (product IS NOT NULL AND price IS NOT NULL AND price > 0)
+               OR (product IS NOT NULL AND price IS NOT NULL AND price > 0) IS NULL
+        """).fetchall()
+    )
+    assert got == want
