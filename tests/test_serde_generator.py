@@ -102,3 +102,39 @@ def test_confluent_unwrap(spark):
     bare = df.select(confluent_unwrap(F.col("value")).alias("value"))
     got = bytes(bare.collect()[0]["value"])
     assert got == payload
+
+
+def test_confluent_framed_avro_end_to_end(spark):
+    """The full wire path the reference implements with librdkafka +
+    Schema Registry: orders -> Avro binary + Confluent 5-byte frame ->
+    unwrap -> decode -> validate -> aggregate."""
+    from pyspark.sql import functions as F
+
+    from kafka_avro_order_processing_spark.operators.aggregate import (
+        product_price_stats,
+    )
+    from kafka_avro_order_processing_spark.operators.validate import (
+        split_valid_invalid,
+    )
+    from kafka_avro_order_processing_spark.sources.serde import confluent_unwrap
+
+    orders = gen_orders(spark, 40)
+    wire = orders_to_avro(orders)
+    # frame like the registry producer: magic 0 + 4-byte schema id
+    framed = wire.select(
+        "key",
+        F.concat(F.lit(bytearray(b"\x00\x00\x00\x00\x2a")), F.col("value")).alias("value"),
+    )
+    decoded = orders_from_avro(
+        framed.select(confluent_unwrap(F.col("value")).alias("value"))
+    )
+    valid, invalid = split_valid_invalid(decoded)
+    assert invalid.count() == 0
+    stats = product_price_stats(valid)
+    # counts survive the round trip exactly; prices within f32 wire precision
+    orig = {r["product"]: r["order_count"] for r in product_price_stats(orders).collect()}
+    got = {r["product"]: r["order_count"] for r in stats.collect()}
+    assert got == orig
+    orig_sum = {r["product"]: r["price_sum"] for r in product_price_stats(orders).collect()}
+    for r in stats.collect():
+        assert abs(r["price_sum"] - orig_sum[r["product"]]) < 0.05
