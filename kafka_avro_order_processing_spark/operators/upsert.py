@@ -51,7 +51,13 @@ def scd2_apply(
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy(key).orderBy(F.desc(ts_col))
+    # Deterministic tiebreak for changes sharing valid_from: order by
+    # the remaining columns too, so the survivor is a function of row
+    # content, never of shuffle order.
+    attr_cols = [c for c in changes.columns if c not in (key, ts_col)]
+    w = Window.partitionBy(key).orderBy(
+        F.desc(ts_col), *[F.desc(c) for c in attr_cols]
+    )
     changes = (
         changes.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

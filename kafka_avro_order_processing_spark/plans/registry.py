@@ -2272,3 +2272,27 @@ def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         16, 10,
     ).cast("int")
     return docs.filter(bucket < 26).select("doc_id", "lang", "n_chars")
+
+
+@_register(
+    "daily_events_unpivot",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           event_type, COUNT(*) AS n
+    FROM events
+    WHERE event_type IN ('click', 'error', 'purchase', 'signup', 'view')
+    GROUP BY 1, 2
+    """,
+    tags=("olap", "pivot"),
+    doc="Unpivot/stack: the daily-by-type pivot melted back to long form "
+        "(stack() over the wide columns, zero-count cells dropped) — "
+        "round-trips to the plain groupBy, which is the oracle.",
+)
+def q_daily_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = QUERIES["daily_event_type_pivot"].fn(spark, sf_dir)
+    n = len(_EVENT_TYPES)
+    stack_expr = ", ".join(f"'{t}', {t}" for t in _EVENT_TYPES)
+    return (
+        wide.selectExpr("day", f"stack({n}, {stack_expr}) AS (event_type, n)")
+        .filter(F.col("n") > 0)  # pivot materialized absent combos as 0
+    )

@@ -164,11 +164,17 @@ def order_pipeline_batch(
     — counted from the split itself, not by rescanning the sinks
     (sinks are append-mode and may hold earlier batches).
     """
-    valid, invalid = split_valid_invalid(orders, key=key, value=value, id_col=id_col)
-    valid.write.mode("append").parquet(valid_sink)
-    env = dlq_envelope(invalid, source_topic=source_topic)
-    env.write.mode("append").parquet(dlq_sink)
-    return valid.count(), invalid.count()
+    # One scan for both writes and both counts: without the persist,
+    # each write/count would re-scan the source and re-split.
+    orders = orders.persist()
+    try:
+        valid, invalid = split_valid_invalid(orders, key=key, value=value, id_col=id_col)
+        valid.write.mode("append").parquet(valid_sink)
+        env = dlq_envelope(invalid, source_topic=source_topic)
+        env.write.mode("append").parquet(dlq_sink)
+        return valid.count(), invalid.count()
+    finally:
+        orders.unpersist()
 
 
 def start_order_pipeline(

@@ -19,8 +19,11 @@ from kafka_avro_order_processing_spark.operators.windows import running_average
 rows_strategy = st.lists(
     st.tuples(
         st.integers(0, 100_000),
-        st.sampled_from(["A", "B", "C", "D", "E"]),
-        st.decimals(min_value=-10_000, max_value=10_000, places=2).map(float),
+        st.sampled_from(["A", "B", "C", "D", "E", None]),
+        st.one_of(
+            st.none(),
+            st.decimals(min_value=-10_000, max_value=10_000, places=2).map(float),
+        ),
     ),
     min_size=1,
     max_size=200,
@@ -48,11 +51,11 @@ def _materialize(spark, rows):
 def test_fuzz_grouped_stats_match_duckdb(spark, rows):
     df, con = _materialize(spark, rows)
     got = sorted(
-        (r["product"], r["order_count"], repr(r["price_sum"]), repr(r["average_price"]))
+        (repr(r["product"]), r["order_count"], repr(r["price_sum"]), repr(r["average_price"]))
         for r in product_price_stats(df).collect()
     )
     want = sorted(
-        (p, c, repr(s), repr(a))
+        (repr(p), c, repr(s), repr(a))
         for p, c, s, a in con.execute("""
             SELECT product, COUNT(*),
                    CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE),
