@@ -207,33 +207,26 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     vote summed over all tokens (with multiplicity); token bit j =
     parity of hex digit j of md5(token).
 
-    Hash factoring: collapse to (doc, token, multiplicity), compute the
-    ±1 sign vector once per *distinct corpus token* (a tiny dimension —
-    vocabularies are orders of magnitude smaller than token instances)
-    and broadcast-join it back; the per-doc work is then `bits` weighted
-    sums of array lookups.  Near-dup lookup is hamming distance over the
-    fingerprint (bit_count(a XOR b) in Spark; block-partitioned at
-    scale).
+    The sign vector is a pure function of md5(token), so it is computed
+    INLINE on the exploded token rows — `bits` codegen'd parity
+    expressions over one shared md5 — and summed per document in a
+    single partial+final aggregation.  No vocabulary dimension table,
+    no join, no broadcast: an earlier design broadcast the distinct
+    corpus vocabulary, which at web scale (10^8+ tokens) would overflow
+    the driver/broadcast threshold.  One shuffle total, keyed by doc.
+    Near-dup lookup is hamming distance over the fingerprint
+    (bit_count(a XOR b) in Spark; block-partitioned at scale).
     """
     tok = (
         _spread(df, id_col)
         .select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
-        .groupBy(id_col, "token")
-        .agg(F.count("*").alias("cnt"))
+        .select(F.col(id_col), F.md5(F.col("token")).alias("h"))
     )
-    h = F.md5(F.col("token"))
-    sign_dim = tok.select("token").distinct().select(
-        "token",
-        F.array(*[
-            (F.ascii(F.substring(h, j + 1, 1)) % 2) * 2 - 1 for j in range(bits)
-        ]).alias("signs"),
-    )
-    voted = tok.join(F.broadcast(sign_dim), "token")
     votes = [
-        F.sum(F.element_at(F.col("signs"), j + 1) * F.col("cnt")).alias(f"s{j}")
+        F.sum((F.ascii(F.substring(F.col("h"), j + 1, 1)) % 2) * 2 - 1).alias(f"s{j}")
         for j in range(bits)
     ]
-    agg = voted.groupBy(id_col).agg(*votes)
+    agg = tok.groupBy(id_col).agg(*votes)
     fp = None
     for j in range(bits):
         bit = F.when(F.col(f"s{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))

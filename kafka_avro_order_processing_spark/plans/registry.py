@@ -876,7 +876,10 @@ _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
     """
     + ",\n".join(
-        f"       SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS {t}"
+        # COUNT (not SUM) so DuckDB types the column BIGINT like Spark's
+        # pivot count — uncast SUM(CASE ...) comes back HUGEINT->float64
+        # and fails the driver's value hash despite identical values.
+        f"       COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}"
         for t in _EVENT_TYPES
     )
     + """
