@@ -126,11 +126,31 @@ def _signatures_from_rows(sh: DataFrame, id_col: str, k: int) -> DataFrame:
     return sh.groupBy(id_col).agg(*aggs)
 
 
+MAX_BUCKET_SIZE = 64   # all-pairs cap per LSH bucket; larger -> adjacent chain
+
+
 def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str = "doc_id", k: int = N_MINHASH, band_rows: int = BAND_ROWS
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    k: int = N_MINHASH,
+    band_rows: int = BAND_ROWS,
+    max_bucket_size: int = MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of the signature become a
-    candidate pair (a < b).  Self-join on (band_id, band_value)."""
+    candidate pair (a < b).  Self-join on (band_id, band_value).
+
+    Hot-bucket cap: boilerplate-heavy corpora (mirrors, templates)
+    produce buckets with thousands of members, and the all-pairs
+    self-join inside one bucket is quadratic.  Buckets larger than
+    `max_bucket_size` instead emit a STAR — every member paired with the
+    bucket's minimum doc id — O(bucket) edges that keep every member
+    transitively connected (diameter 2, so downstream connected
+    components converge in a round or two; a chain here would need
+    diameter-many label-propagation rounds).  The direct pairwise
+    Jaccard estimates are only produced for sane-sized buckets.
+    """
+    from pyspark.sql import Window
+
     n_bands = k // band_rows
     bands = sigs.select(
         F.col(id_col),
@@ -144,8 +164,17 @@ def lsh_candidate_pairs(
             ])
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_val")
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
+    w = Window.partitionBy("band_id", "band_val")
+    sized = bands.select(
+        id_col,
+        "band_id",
+        "band_val",
+        F.count("*").over(w).alias("bucket_n"),
+        F.min(id_col).over(w).alias("min_id"),
+    )
+    small = sized.filter(F.col("bucket_n") <= max_bucket_size)
+    a, b = small.alias("a"), small.alias("b")
+    all_pairs = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -153,8 +182,12 @@ def lsh_candidate_pairs(
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-        .distinct()
     )
+    starred = (
+        sized.filter((F.col("bucket_n") > max_bucket_size) & (F.col(id_col) != F.col("min_id")))
+        .select(F.col("min_id").alias("doc_a"), F.col(id_col).alias("doc_b"))
+    )
+    return all_pairs.unionByName(starred).distinct()
 
 
 def near_dup_pairs(
@@ -195,11 +228,20 @@ def near_dup_pairs(
     wb = sets_.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
-    return (
+    result = (
         est.join(wa, "doc_a")
         .join(wb, "doc_b")
         .select("doc_a", "doc_b", "est_jaccard", (inter / union).alias("jaccard"))
     )
+    # Materialize the (tiny) verified-pair result, then release the
+    # intermediate caches — repeated calls in one session must not
+    # accumulate cached partitions until someone clears the cache.
+    # localCheckpoint truncates lineage too, so the returned plan no
+    # longer references the unpersisted tables.
+    out = result.localCheckpoint(eager=True)
+    sigs.unpersist()
+    sets_.unpersist()
+    return out
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = SIMHASH_BITS) -> DataFrame:

@@ -35,17 +35,24 @@ def connected_components(
     Returns (node, component) where component = min node id reachable.
     Edges are treated as undirected.
     """
+    # localCheckpoint (not persist) per round: persist caches partitions
+    # but KEEPS the lineage, so after r rounds the logical plan nests r
+    # join trees and Catalyst re-optimizes an exponentially growing tree
+    # every iteration — measured driver OOM near round 20 on a
+    # long-chain graph.  Checkpointing truncates the plan to the
+    # materialized result each round; the checkpointed partitions are
+    # released when Python drops the reference.
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iterations):
         neighbor_min = (
@@ -62,7 +69,7 @@ def connected_components(
                     F.coalesce(F.col("nbr_component"), F.col("component")),
                 ).alias("component"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -70,9 +77,7 @@ def connected_components(
             .filter(F.col("n.component") != F.col("o.component"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    sym.unpersist()
     return labels

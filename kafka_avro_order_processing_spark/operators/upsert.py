@@ -24,7 +24,24 @@ from pyspark.sql import functions as F
 def upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
     """Rows of `updates` win on key collisions; all other target rows
     survive.  Equivalent of MERGE ... WHEN MATCHED UPDATE WHEN NOT
-    MATCHED INSERT."""
+    MATCHED INSERT.
+
+    Duplicate keys WITHIN `updates` collapse to one row before
+    applying (a transactional MERGE would raise on multiple matches;
+    this emulation instead documents a deterministic winner): the
+    survivor is the row that sorts highest over the non-key columns —
+    a pure function of row content, never of shuffle order, matching
+    ``scd2_apply``'s tiebreak.
+    """
+    from pyspark.sql import Window
+
+    attr_cols = [c for c in updates.columns if c != key]
+    w = Window.partitionBy(key).orderBy(*[F.desc(c) for c in attr_cols])
+    updates = (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
     survivors = target.join(updates.select(key), on=key, how="left_anti")
     return survivors.unionByName(updates)
 

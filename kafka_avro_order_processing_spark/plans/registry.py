@@ -788,7 +788,43 @@ def q_streaming_product_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..operators.asof import asof_join  # noqa: E402
 from ..operators.similarity import ivf_assign, with_norm  # noqa: E402
 from ..operators.windows import sliding_window_stats  # noqa: E402
-from ..sources.generator import gen_orders  # noqa: E402
+from ..sources.generator import PRODUCT_PRICE_RANGES, PRODUCTS, gen_orders  # noqa: E402
+
+
+def _gen_orders_oracle(n: int) -> str:
+    """DuckDB twin of the generator's md5-derived draws
+    (sources/generator.py:39-61): the first 13 hex digits of
+    md5(salt||id) as an exact BIGINT (13 per-digit terms with literal
+    powers of 16 — max 16^13-1 = 2^52-1, exactly representable), then
+    the same floor/index/round arithmetic.  floor() is required because
+    DuckDB CAST(double AS INT) rounds-to-nearest while Spark truncates."""
+    def hex13(hexpr: str) -> str:
+        return "(" + " + ".join(
+            f"(strpos('0123456789abcdef', substr({hexpr}, {i + 1}, 1)) - 1) * {16 ** (12 - i)}"
+            for i in range(13)
+        ) + ")"
+
+    def unit(salt: str) -> str:
+        h = f"md5(concat('{salt}', CAST(id AS VARCHAR)))"
+        return f"(CAST({hex13(h)} AS DOUBLE) / {float(16 ** 13)!r})"
+
+    prods = ", ".join(f"'{p}'" for p in PRODUCTS)
+    mins = ", ".join(repr(lo) for lo, _ in PRODUCT_PRICE_RANGES.values())
+    maxs = ", ".join(repr(hi) for _, hi in PRODUCT_PRICE_RANGES.values())
+    return f"""
+    WITH g AS (
+      SELECT id,
+             CAST(floor({unit('kaop:product')} * {len(PRODUCTS)}) AS INT) + 1 AS prod_idx,
+             {unit('kaop:price')} AS u_price
+      FROM range(0, {n}) AS t(id)
+    )
+    SELECT printf('ORD-%04d', id) AS orderId,
+           list_extract([{prods}], prod_idx) AS product,
+           round(list_extract([{mins}], prod_idx)
+                 + u_price * (list_extract([{maxs}], prod_idx)
+                              - list_extract([{mins}], prod_idx)), 2) AS price
+    FROM g
+    """
 
 
 @_register(
@@ -1046,11 +1082,12 @@ def q_avg_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "generated_orders",
-    None,  # md5-derived uniform draws aren't portably expressible in SQL
+    _gen_orders_oracle(1000),
     tags=("parity", "source"),
     doc="S1: deterministic synthetic order generator (distributed "
-        "spark.range + hash-derived draws); rows-only driver check, "
-        "fully asserted in tests/test_serde_generator.py.",
+        "spark.range + hash-derived draws); hash-checked against a "
+        "DuckDB replica of the md5-digit arithmetic, and fully "
+        "asserted in tests/test_serde_generator.py.",
 )
 def q_generated_orders(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: ARG001
     return gen_orders(spark, 1000).select("orderId", "product", "price")
@@ -1699,6 +1736,72 @@ def q_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ivf_recall_at_k",
+    """
+    WITH brute AS ({brute}),
+         probe AS ({probe})
+    SELECT b.query_id,
+           CAST(COUNT(p.neighbor_id) AS DOUBLE) / 5.0 AS recall_at_5
+    FROM brute b
+    LEFT JOIN probe p
+      ON p.query_id = b.query_id AND p.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+    """,
+    tags=("m5", "similarity", "metric"),
+    doc="ANN quality metric: per-query recall@5 of the partition-pruned "
+        "IVF probe (`ivf_probe_search`) against the brute-force "
+        "baseline (`embedding_topk`) — quantifies the recall/latency "
+        "tradeoff both queries exist to demonstrate.",
+)
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    brute = QUERIES["embedding_topk"].fn(spark, sf_dir).select("query_id", "neighbor_id")
+    probe = QUERIES["ivf_probe_search"].fn(spark, sf_dir).select(
+        F.col("query_id").alias("pq"), F.col("neighbor_id").alias("pn")
+    )
+    joined = brute.join(
+        probe,
+        (F.col("query_id") == F.col("pq")) & (F.col("neighbor_id") == F.col("pn")),
+        "left",
+    )
+    return joined.groupBy("query_id").agg(
+        (F.count("pn").cast("double") / F.lit(5.0)).alias("recall_at_5")
+    )
+
+
+# Patch the composed oracle now that both constituent oracles exist as
+# strings (brace-format deferral keeps the SQL readable above).
+QUERIES["ivf_recall_at_k"].oracle = QUERIES["ivf_recall_at_k"].oracle.format(
+    brute=QUERIES["embedding_topk"].oracle, probe=_IVF_PROBE_ORACLE
+)
+
+
+@_register(
+    "streaming_watermarked_windows",
+    """
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+         late AS (SELECT event_id FROM events ORDER BY ts, event_id LIMIT 1)
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events, mx
+    WHERE event_id != (SELECT event_id FROM late)
+      AND date_trunc('hour', ts) + INTERVAL 1 HOUR <= m - INTERVAL 17 MINUTE
+    GROUP BY 1
+    """,
+    tags=("parity", "streaming", "watermark"),
+    doc="T4: append-mode watermarked tumbling windows over two "
+        "controlled micro-batch rounds; the seeded late row (globally "
+        "earliest event, delivered in round 2) lands behind the "
+        "watermark and is dropped — the oracle is the batch form over "
+        "all finalized windows excluding that row.",
+)
+def q_streaming_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipeline import run_watermarked_window_stream
+
+    return run_watermarked_window_stream(spark, sf_dir)
+
+
+@_register(
     "clicks_before_purchase",
     """
     SELECT p.event_id, p.user_id, COUNT(c.event_id) AS n_clicks_prior_hour
@@ -2299,3 +2402,53 @@ def q_daily_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         wide.selectExpr("day", f"stack({n}, {stack_expr}) AS (event_type, n)")
         .filter(F.col("n") > 0)  # pivot materialized absent combos as 0
     )
+
+
+# ---------------------------------------------------------------------------
+# Registry ordering.  The driver's correctness harness checks queries in
+# registration order and caps the run (round 1 recorded rows for exactly
+# the first 50 of 74).  Lead with every query that does NOT yet have a
+# driver-green hash row — the 24 the round-1 run never reached, the
+# queries added this round, and the ones whose plan or oracle changed
+# this round — then the flagship/core set; everything after position 50
+# already holds a green round-1 row.
+# ---------------------------------------------------------------------------
+
+_LEAD_ORDER = [
+    # round-1 driver-unchecked (positions 50-73 in the old order)
+    "props_json_extraction", "priority_code_extract", "orders_by_month",
+    "above_customer_avg_orders", "approx_distinct_users",
+    "salted_product_stats", "ivf_probe_search", "clicks_before_purchase",
+    "value_distribution_ranks", "explicit_grouping_sets",
+    "curated_corpus_stats", "user_funnel", "shipping_priority",
+    "multimodal_decoded_features", "corrupt_json_handling", "value_bounds",
+    "forecast_revenue_change", "large_quantity_orders",
+    "streaming_interval_join", "dedup_clusters",
+    "embedding_quantization_error", "dataset_split_counts",
+    "deterministic_sample", "daily_events_unpivot",
+    # new this round
+    "ivf_recall_at_k", "streaming_watermarked_windows",
+    # plan or oracle changed this round — need a fresh driver row
+    "daily_event_type_pivot", "generated_orders", "simhash_fingerprints",
+    "near_dup_pairs",
+    # flagship + core parity set (keep inside any driver cap)
+    "pricing_summary", "per_product_stats", "overall_stats",
+    "validated_orders", "rejected_orders", "dlq_error_stats",
+    "error_classification", "running_avg", "top_customers",
+    "priority_line_revenue", "asof_purchase_click", "events_hourly",
+    "user_sessions", "streaming_product_stats",
+    "streaming_running_avg_per_record", "streaming_user_sessions",
+    "embedding_topk", "tfidf_top_terms", "dedup_exact",
+    "multi_stream_union",
+]
+
+
+def _apply_order() -> None:
+    assert not (set(_LEAD_ORDER) - set(QUERIES)), "unknown name in _LEAD_ORDER"
+    ordered = {n: QUERIES[n] for n in _LEAD_ORDER}
+    ordered.update({n: q for n, q in QUERIES.items() if n not in ordered})
+    QUERIES.clear()
+    QUERIES.update(ordered)
+
+
+_apply_order()

@@ -194,10 +194,16 @@ def start_order_pipeline(
 
     ``aggregated_sink`` implements the reference's `orders-aggregated`
     topic — created in scripts/setup_topics.sh:31-37 but never written
-    by any reference code (SURVEY.md §1): each epoch appends a snapshot
-    of the per-key stats over ALL valid data so far, stamped with the
-    epoch id (downstream consumers read the latest epoch, or the
-    history as a changelog).
+    by any reference code (SURVEY.md §1) — as an INCREMENTAL changelog:
+    each epoch writes only that epoch's mergeable per-key partials
+    (count / decimal sum / min / max), so per-epoch work is O(epoch),
+    not O(all data so far).  The partials land in an epoch_id-partitioned
+    directory with dynamic partition overwrite, so a replayed epoch
+    (at-least-once foreachBatch) overwrites its own partition instead of
+    double-appending — the changelog is exactly-once even though the
+    row sinks are at-least-once.  ``read_aggregated_snapshot`` folds the
+    changelog into the current per-key stats, bit-identical to the batch
+    ``product_price_stats`` over all valid rows.
     """
 
     def body(df: DataFrame, epoch_id: int) -> None:
@@ -205,12 +211,20 @@ def start_order_pipeline(
         valid.write.mode("append").parquet(valid_sink)
         dlq_envelope(invalid).write.mode("append").parquet(dlq_sink)
         if aggregated_sink is not None:
-            spark = df.sparkSession
-            all_valid = spark.read.parquet(valid_sink)
-            snapshot = product_price_stats(all_valid, key=key, value=value)
-            snapshot.withColumn("epoch_id", F.lit(epoch_id)).write.mode(
-                "append"
-            ).parquet(aggregated_sink)
+            partials = valid.groupBy(F.col(key)).agg(
+                F.count("*").alias("order_count"),
+                # keep the exact decimal representation in the log;
+                # merge stays associative, cast to double only at read
+                F.sum(F.col(value).cast("decimal(18,2)")).alias("price_sum_dec"),
+                F.min(value).alias("minimum_price"),
+                F.max(value).alias("maximum_price"),
+            ).withColumn("epoch_id", F.lit(epoch_id))
+            (
+                partials.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch_id")
+                .parquet(aggregated_sink)
+            )
 
     fn = retry_handler.wrap_foreach_batch(body) if retry_handler else body
     return (
@@ -218,4 +232,95 @@ def start_order_pipeline(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def run_watermarked_window_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    delay: str = "17 minutes",
+) -> DataFrame:
+    """T4 driver-visible: append-mode tumbling-window aggregation with a
+    watermark, run as TWO controlled micro-batch rounds sharing one
+    checkpoint (the only deterministic way to order file-source batches
+    — availableNow with maxFilesPerTrigger does not guarantee order for
+    same-mtime files):
+
+    - round 1 streams every event EXCEPT one seeded late row (the
+      globally earliest event); at round end the watermark stands at
+      max(ts) - delay and append mode finalizes every window whose end
+      the watermark has passed;
+    - round 2 delivers the seeded row, which is now far behind the
+      watermark — state for its window was already evicted, so the row
+      is DROPPED and the sink is unchanged.
+
+    The result is therefore the hourly windows with end <= max(ts) -
+    delay, counting all events except the seeded late one — exactly the
+    oracle's batch-SQL form.  The watermark delay is deliberately an odd
+    17 minutes so window ends (hour boundaries) never tie with the
+    watermark.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    late_id = ev.orderBy("ts", "event_id").limit(1).collect()[0]["event_id"]
+    base = tempfile.mkdtemp(prefix=f"wm_{uuid.uuid4().hex[:8]}_")
+    src, sink, chk = f"{base}/src", f"{base}/sink", f"{base}/chk"
+
+    # Watermarks need TIMESTAMP (session UTC), not TIMESTAMP_NTZ.
+    staged = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    staged.filter(F.col("event_id") != late_id).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+
+    def run_round() -> None:
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = (
+            stream.withWatermark("ts", delay)
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            )
+            .select(
+                F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+                "n_events",
+                "sum_value",
+            )
+        )
+        with _scoped_shuffle_partitions(spark):
+            q = (
+                agg.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", chk)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    run_round()
+    # seed the late arrival and resume from the same checkpoint
+    staged.filter(F.col("event_id") == late_id).write.mode("append").parquet(src)
+    run_round()
+    out = spark.read.parquet(sink)
+    return spark.createDataFrame(out.collect(), schema=out.schema)
+
+
+def read_aggregated_snapshot(
+    spark: SparkSession, aggregated_sink: str, key: str = "product"
+) -> DataFrame:
+    """Fold the aggregated changelog into current per-key stats.
+
+    O(changelog) = O(keys x epochs) — never O(raw rows).  Decimal
+    partial sums merge associatively, so the result is bit-identical to
+    ``product_price_stats`` over the union of all valid rows; downstream
+    consumers wanting history instead read the changelog directly.
+    """
+    log = spark.read.parquet(aggregated_sink)
+    total_dec = F.sum("price_sum_dec")
+    return log.groupBy(F.col(key)).agg(
+        F.sum("order_count").alias("order_count"),
+        total_dec.cast("double").alias("price_sum"),
+        (total_dec.cast("double") / F.sum("order_count")).alias("average_price"),
+        F.min("minimum_price").alias("minimum_price"),
+        F.max("maximum_price").alias("maximum_price"),
     )

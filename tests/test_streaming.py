@@ -133,10 +133,35 @@ def test_aggregated_output_stream(spark, tmp_path):
         aggregated_sink=str(tmp_path / "aggregated"),
     )
     q.awaitTermination()
-    agg = spark.read.parquet(str(tmp_path / "aggregated"))
-    latest = agg.orderBy(F.desc("epoch_id")).collect()
-    by_product = {r["product"]: r for r in latest}
+    from kafka_avro_order_processing_spark.streaming.pipeline import (
+        read_aggregated_snapshot,
+    )
+
+    snap = read_aggregated_snapshot(spark, str(tmp_path / "aggregated"))
+    by_product = {r["product"]: r for r in snap.collect()}
     assert by_product["Laptop"]["order_count"] == 2
     assert by_product["Laptop"]["price_sum"] == 300.0
     assert by_product["Laptop"]["average_price"] == 150.0
     assert "Mouse" not in by_product
+
+    # Replay idempotence: a fresh checkpoint re-processes the same
+    # source (at-least-once), re-emitting epoch 0 — the epoch-partitioned
+    # changelog must overwrite, not double-append, so the snapshot does
+    # not double-count even though the row sinks do re-append.
+    q2 = start_order_pipeline(
+        spark.readStream.schema("orderId string, product string, price double").parquet(src),
+        valid_sink=str(tmp_path / "valid"),
+        dlq_sink=str(tmp_path / "dlq"),
+        checkpoint=str(tmp_path / "chk_replay"),
+        aggregated_sink=str(tmp_path / "aggregated"),
+    )
+    q2.awaitTermination()
+    snap2 = read_aggregated_snapshot(spark, str(tmp_path / "aggregated"))
+    by_product2 = {r["product"]: r for r in snap2.collect()}
+    assert by_product2["Laptop"]["order_count"] == 2
+    assert by_product2["Laptop"]["price_sum"] == 300.0
+    # per-epoch work is O(epoch): the changelog holds partials per
+    # epoch, one partition per epoch id
+    agg = spark.read.parquet(str(tmp_path / "aggregated"))
+    assert set(agg.columns) >= {"product", "order_count", "price_sum_dec",
+                                "minimum_price", "maximum_price", "epoch_id"}

@@ -134,3 +134,56 @@ def test_connected_components_clusters(spark):
     )
     got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_lsh_hot_bucket_cap_linear_pairs(spark):
+    """A degenerate corpus (many identical docs) must not produce a
+    quadratic candidate-pair count: oversized LSH buckets fall back to
+    a star on the bucket-min id that keeps the set transitively
+    connected with diameter 2."""
+    from kafka_avro_order_processing_spark.operators.dedup import (
+        MAX_BUCKET_SIZE,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from kafka_avro_order_processing_spark.operators.graph import (
+        connected_components,
+    )
+
+    n = 300
+    docs = spark.createDataFrame(
+        [(f"doc_{i:04d}", "the same boilerplate text repeated everywhere here") for i in range(n)],
+        "doc_id string, text string",
+    )
+    sigs = minhash_signatures(docs)
+    pairs = lsh_candidate_pairs(sigs).persist()
+    n_pairs = pairs.count()
+    assert n > MAX_BUCKET_SIZE  # the corpus genuinely overflows a bucket
+    assert n_pairs == n - 1, "expected one star on the bucket min, not all-pairs"
+    comps = connected_components(pairs, "doc_a", "doc_b")
+    assert comps.select("component").distinct().count() == 1
+    pairs.unpersist()
+
+
+def test_lsh_small_buckets_unchanged_by_cap(spark):
+    """Buckets under the cap keep exact all-pairs semantics."""
+    from kafka_avro_order_processing_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "alpha beta gamma delta epsilon zeta"),
+            ("b", "alpha beta gamma delta epsilon zeta"),
+            ("c", "alpha beta gamma delta epsilon eta"),
+            ("d", "totally different content entirely unrelated words"),
+        ],
+        "doc_id string, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(minhash_signatures(docs)).collect()
+    }
+    assert ("a", "b") in pairs
+    assert not any("d" in p for p in pairs)

@@ -64,3 +64,18 @@ def test_scd2_multiple_changes_same_key_collapse_to_latest(spark):
     assert len(current) == 1 and current[0]["price"] == 35.0
     closed = next(r for r in out if not r["is_current"])
     assert closed["valid_to"] == t2
+
+
+def test_upsert_duplicate_update_keys_collapse_deterministically(spark):
+    """MERGE would raise on multiple matches; the emulation documents
+    last-writer-wins by content sort — the key must come out unique and
+    the survivor must not depend on shuffle order."""
+    target = spark.createDataFrame([("Mouse", 25.0)], "product string, price double")
+    updates = spark.createDataFrame(
+        [("Mouse", 30.0), ("Mouse", 28.0), ("Webcam", 80.0)],
+        "product string, price double",
+    )
+    rows = upsert(target, updates, "product").collect()
+    got = {r["product"]: r["price"] for r in rows}
+    assert len(rows) == len(got) == 2  # no duplicate keys survive
+    assert got == {"Mouse": 30.0, "Webcam": 80.0}  # highest-sorting row wins
