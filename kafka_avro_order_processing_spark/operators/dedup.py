@@ -57,9 +57,15 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def shingle_rows(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct word-n-gram shingles as (id, shingle) rows.
+    """Word-n-gram shingles as (id, shingle) rows — distinct per doc by
+    default (set semantics for minhash/Jaccard); ``distinct=False``
+    keeps multiplicity (bag semantics, e.g. repetition scoring).
 
     posexplode tokenizes each document exactly once; the n-gram is
     assembled with lead() windows over token position — fully
@@ -80,10 +86,11 @@ def shingle_rows(
         F.col("t0"),
         *[F.lead("t0", j).over(w).alias(f"t{j}") for j in range(1, n)],
     ).where(F.col(f"t{n-1}").isNotNull())
-    return grams.select(
+    out = grams.select(
         F.col(id_col),
         F.concat_ws(" ", *[F.col(f"t{j}") for j in range(n)]).alias("shingle"),
-    ).distinct()
+    )
+    return out.distinct() if distinct else out
 
 
 def shingle_sets(

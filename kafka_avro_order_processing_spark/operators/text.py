@@ -131,3 +131,24 @@ def doc_fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
         fp.alias("fingerprint"),
         F.substring(fp, 1, 16).alias("fingerprint_prefix"),
     )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Intra-document repetition: fraction of word n-grams that are
+    duplicates of an earlier n-gram in the same document — the
+    Gopher-style repetition filter (boilerplate/looping text scores
+    high).  Bag-semantics shingles, one partial+final aggregation per
+    doc; docs shorter than n tokens have no n-grams and drop out."""
+    from .dedup import shingle_rows
+
+    grams = shingle_rows(df, id_col, text_col, n, distinct=False)
+    return grams.groupBy(id_col).agg(
+        F.count("*").alias("n_grams"),
+        F.countDistinct("shingle").alias("n_distinct_grams"),
+        (
+            F.lit(1.0)
+            - F.countDistinct("shingle").cast("double") / F.count("*").cast("double")
+        ).alias("repetition_ratio"),
+    )

@@ -2405,6 +2405,124 @@ def q_daily_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-corpus curation, continued: intra-document repetition
+# (quality), benchmark-contamination screening, and PII detection —
+# the filters a 100 TB pretraining pipeline runs between dedup and
+# packing.  All pure column expressions / one aggregation pass.
+# ---------------------------------------------------------------------------
+
+# Shared DuckDB fragment: word 3-grams per document (bag semantics),
+# mirroring operators/dedup.shingle_rows(distinct=False).
+_GRAMS_CTE = """
+    t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(l) - 2),
+                        i -> concat_ws(' ', l[i], l[i+1], l[i+2]))) AS shingle
+          FROM t WHERE len(l) >= 3)
+"""
+
+
+@_register(
+    "doc_repetition_scores",
+    f"""
+    WITH {_GRAMS_CTE}
+    SELECT doc_id, COUNT(*) AS n_grams,
+           COUNT(DISTINCT shingle) AS n_distinct_grams,
+           1.0 - CAST(COUNT(DISTINCT shingle) AS DOUBLE) / COUNT(*)
+             AS repetition_ratio
+    FROM g GROUP BY doc_id
+    """,
+    tags=("m5", "text", "quality"),
+    doc="Gopher-style repetition filter: fraction of word 3-grams that "
+        "repeat within the document (looping/boilerplate text scores "
+        "high).  Bag-semantics shingles, one partial+final agg per doc.",
+)
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import repetition_stats
+
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "benchmark_contamination",
+    f"""
+    WITH {_GRAMS_CTE},
+    dg AS (SELECT DISTINCT doc_id, shingle FROM g),
+    hold AS (SELECT DISTINCT shingle FROM dg WHERE doc_id % 97 = 0)
+    SELECT dg.doc_id,
+           COUNT(*) AS n_contaminated_shingles
+    FROM dg JOIN hold USING (shingle)
+    WHERE dg.doc_id % 97 != 0
+    GROUP BY dg.doc_id
+    """,
+    tags=("m5", "text", "contamination"),
+    doc="Eval-set decontamination screen: for every training doc, the "
+        "number of distinct word 3-grams it shares with the held-out "
+        "'benchmark' slice (doc_id %% 97 == 0 stands in for the eval "
+        "set).  Shingle once, broadcast the (small) holdout shingle "
+        "set, count hits per doc — the n-gram-overlap screen run "
+        "before a corpus ships to pretraining.",
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shingle_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = shingle_rows(docs, "doc_id", "text")  # distinct per doc
+    hold = grams.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
+    return (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(hold), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated_shingles"))
+    )
+
+
+@_register(
+    "pii_detection",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             concat(text, CASE WHEN doc_id % 50 = 0
+                    THEN ' contact user@example.com or 555-1234 now'
+                    ELSE '' END) AS t
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[a-z0-9.]+@[a-z0-9.]+[a-z]')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{4}')) AS BIGINT)
+             AS n_phones,
+           (len(regexp_extract_all(t, '[a-z0-9.]+@[a-z0-9.]+[a-z]'))
+            + len(regexp_extract_all(t, '[0-9]{3}-[0-9]{4}'))) > 0 AS has_pii
+    FROM d
+    """,
+    tags=("m5", "text", "pii"),
+    doc="PII scrubbing pass, detection side: regex hit counts for "
+        "emails/phones per document (redaction is the same expression "
+        "with regexp_replace).  The synthetic corpus contains no PII, "
+        "so the query seeds a deterministic marker into every 50th doc "
+        "— same derivation in the oracle — to prove the counts on "
+        "non-zero rows.",
+)
+def q_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    email_re = "[a-z0-9.]+@[a-z0-9.]+[a-z]"
+    phone_re = "[0-9]{3}-[0-9]{4}"
+    seeded = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 50 == 0, F.lit(" contact user@example.com or 555-1234 now"))
+        .otherwise(F.lit("")),
+    )
+    n_emails = F.regexp_count(seeded, F.lit(email_re)).cast("long")
+    n_phones = F.regexp_count(seeded, F.lit(phone_re)).cast("long")
+    return docs.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        ((n_emails + n_phones) > 0).alias("has_pii"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness harness checks queries in
 # registration order and caps the run (round 1 recorded rows for exactly
 # the first 50 of 74).  Lead with every query that does NOT yet have a
@@ -2428,6 +2546,7 @@ _LEAD_ORDER = [
     "deterministic_sample", "daily_events_unpivot",
     # new this round
     "ivf_recall_at_k", "streaming_watermarked_windows",
+    "doc_repetition_scores", "benchmark_contamination", "pii_detection",
     # plan or oracle changed this round — need a fresh driver row
     "daily_event_type_pivot", "generated_orders", "simhash_fingerprints",
     "near_dup_pairs",
