@@ -2522,6 +2522,58 @@ def q_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "sequence_packing",
+    """
+    WITH t AS (
+      SELECT doc_id, doc_id % 16 AS shard,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, shard, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t)
+    SELECT doc_id, shard, n_tokens,
+           CAST(shard * 1000000 + floor((cum - n_tokens) / 256.0) AS BIGINT)
+             AS bin_id
+    FROM c
+    """,
+    tags=("m5", "text", "packing"),
+    doc="Context-window packing, the last step before a corpus ships to "
+        "pretraining: documents are packed contiguously into 256-token "
+        "bins WITHIN hash shards (shard = doc_id %% 16) — a per-shard "
+        "running token count, not a global cumsum, because a global "
+        "ordered window is a one-partition bottleneck at 100 TB while "
+        "per-shard windows shuffle once on the shard key and scale "
+        "with the cluster.  bin_id is stable under any partitioning.",
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 16).alias("shard"),
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = t.withColumn("cum", F.sum("n_tokens").over(w))
+    return cum.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        (F.col("shard") * 1000000
+         + F.floor((F.col("cum") - F.col("n_tokens")) / 256.0)).cast("bigint").alias("bin_id"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness harness checks queries in
 # registration order and caps the run (round 1 recorded rows for exactly
@@ -2547,6 +2599,7 @@ _LEAD_ORDER = [
     # new this round
     "ivf_recall_at_k", "streaming_watermarked_windows",
     "doc_repetition_scores", "benchmark_contamination", "pii_detection",
+    "sequence_packing",
     # plan or oracle changed this round — need a fresh driver row
     "daily_event_type_pivot", "generated_orders", "simhash_fingerprints",
     "near_dup_pairs",
