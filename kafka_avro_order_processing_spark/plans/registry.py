@@ -2522,9 +2522,9 @@ def q_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "sequence_packing",
-    """
+# Shared DuckDB fragment: the packing assignment (also the CTE base of
+# packing_efficiency below).
+_PACKING_SQL = """
     WITH t AS (
       SELECT doc_id, doc_id % 16 AS shard,
              len(string_split(text, ' ')) AS n_tokens
@@ -2538,7 +2538,12 @@ def q_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(shard * 1000000 + floor((cum - n_tokens) / 256.0) AS BIGINT)
              AS bin_id
     FROM c
-    """,
+    """
+
+
+@_register(
+    "sequence_packing",
+    _PACKING_SQL,
     tags=("m5", "text", "packing"),
     doc="Context-window packing, the last step before a corpus ships to "
         "pretraining: documents are packed contiguously into 256-token "
@@ -2575,6 +2580,358 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus-curation dashboards: per-source health, target-mixture
+# resampling, inter-document boilerplate, the filter funnel, packing
+# efficiency, and the cross-source overlap map.  Everything an operator
+# of a 100 TB pretraining pipeline watches between ingest and shipping.
+# Determinism notes: every ratio is a double division of exact integer
+# aggregates (never an AVG over per-row doubles — cross-row double sums
+# are order-dependent and would break the hash oracle).
+# ---------------------------------------------------------------------------
+
+_STOPWORD_SQL = "x IN ('the', 'a', 'of', 'and')"  # mirrors text.STOPWORDS
+
+# Per-document integer token stats shared by the per-source rollup and
+# the filter funnel (DuckDB side).
+_DOCSTATS_CTE = f"""
+    s AS (SELECT doc_id, source, lang, n_chars,
+                 len(string_split(text, ' ')) AS n,
+                 len(list_distinct(string_split(text, ' '))) AS nd,
+                 len(list_filter(string_split(text, ' '),
+                                 x -> {_STOPWORD_SQL})) AS ns
+          FROM documents)
+"""
+
+
+def _doc_int_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc integer token stats (Spark twin of _DOCSTATS_CTE)."""
+    from ..operators.text import STOPWORDS, tokens
+
+    toks = tokens("text")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    return docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.size(toks).cast("long").alias("n"),
+        F.size(F.array_distinct(toks)).cast("long").alias("nd"),
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast("long").alias("ns"),
+    )
+
+
+@_register(
+    "per_source_quality",
+    f"""
+    WITH {_DOCSTATS_CTE}
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS total_tokens,
+           CAST(SUM(nd) AS DOUBLE) / SUM(n) AS pooled_diversity,
+           CAST(SUM(ns) AS DOUBLE) / SUM(n) AS pooled_stopword_ratio,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM s GROUP BY source
+    """,
+    tags=("m5", "curation", "quality"),
+    doc="Per-source corpus health rollup: doc counts, token volume, and "
+        "POOLED diversity/stopword ratios (sum-of-ints divided once — "
+        "averaging per-doc doubles would be order-dependent and "
+        "unverifiable).  The table every curation run reviews before "
+        "adjusting source weights.",
+)
+def q_per_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stats = _doc_int_stats(load_table(spark, sf_dir, "documents"))
+    return stats.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n").alias("total_tokens"),
+        (F.sum("nd").cast("double") / F.sum("n")).alias("pooled_diversity"),
+        (F.sum("ns").cast("double") / F.sum("n")).alias("pooled_stopword_ratio"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+    )
+
+
+def _mix_bucket_sql(salt: str) -> str:
+    m = f"md5('{salt}' || CAST(doc_id AS VARCHAR))"
+    return (
+        f"(strpos('0123456789abcdef', substr({m}, 1, 1)) - 1) * 16"
+        f" + (strpos('0123456789abcdef', substr({m}, 2, 1)) - 1)"
+    )
+
+
+@_register(
+    "domain_mixture_sample",
+    f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_s,
+             CAST(substr(source, 4) AS BIGINT) + 1 AS wt
+      FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(wt) AS BIGINT) AS w_sum FROM counts),
+    feas AS (
+      SELECT MIN(CAST(n_s * w_sum AS DOUBLE) / wt) AS t_max
+      FROM counts, tot),
+    rates AS (
+      SELECT source, n_s,
+             CAST(floor(LEAST(1.0,
+                 (t_max * wt) / CAST(w_sum * n_s AS DOUBLE)) * 256) AS BIGINT)
+               AS threshold
+      FROM counts, tot, feas),
+    kept AS (
+      SELECT d.source,
+             CASE WHEN {_mix_bucket_sql('mix:')} < r.threshold
+                  THEN 1 ELSE 0 END AS keep
+      FROM documents d JOIN rates r ON d.source = r.source)
+    SELECT r.source, r.n_s AS n_docs,
+           CAST(SUM(k.keep) AS BIGINT) AS n_sampled,
+           r.threshold
+    FROM kept k JOIN rates r ON k.source = r.source
+    GROUP BY r.source, r.n_s, r.threshold
+    """,
+    tags=("m5", "curation", "sampling"),
+    doc="Target-mixture resampling: given per-source target weights "
+        "(w_s proportional to source index + 1), find the largest total "
+        "corpus T the weights allow (T = min n_s/w_s), derive each "
+        "source's acceptance rate w_s*T/n_s, and accept docs by salted "
+        "md5 bucket < floor(rate*256) — the same retrieval-stable "
+        "hash-sampling used for splits, so reruns and incremental "
+        "ingests sample identically.  The per-source rate table is "
+        "rows-of-sources small: computed in two tiny aggregates and "
+        "broadcast back onto the corpus (no big-side shuffle).",
+)
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_s")).withColumn(
+        "wt", F.substring("source", 4, 10).cast("bigint") + 1
+    )
+    tot = counts.agg(F.sum("wt").alias("w_sum"))
+    with_tot = counts.crossJoin(F.broadcast(tot))
+    feas = with_tot.agg(
+        F.min((F.col("n_s") * F.col("w_sum")).cast("double") / F.col("wt")).alias("t_max")
+    )
+    rates = with_tot.crossJoin(F.broadcast(feas)).select(
+        "source",
+        "n_s",
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                (F.col("t_max") * F.col("wt")) / (F.col("w_sum") * F.col("n_s")).cast("double"),
+            ) * 256
+        ).cast("bigint").alias("threshold"),
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 2),
+        16, 10,
+    ).cast("long")
+    kept = docs.select("source", "doc_id").join(F.broadcast(rates), "source").select(
+        "source", F.when(bucket < F.col("threshold"), 1).otherwise(0).alias("keep")
+    )
+    return (
+        kept.groupBy("source")
+        .agg(F.sum("keep").alias("n_sampled"))
+        .join(F.broadcast(rates), "source")
+        .select("source", F.col("n_s").alias("n_docs"), "n_sampled", "threshold")
+    )
+
+
+@_register(
+    "boilerplate_grams",
+    f"""
+    WITH {_GRAMS_CTE},
+    dg AS (SELECT DISTINCT doc_id, shingle FROM g),
+    df AS (SELECT shingle, COUNT(*) AS doc_freq FROM dg GROUP BY shingle),
+    j AS (SELECT dg.doc_id,
+                 CASE WHEN df.doc_freq >= 3 THEN 1 ELSE 0 END AS boiler
+          FROM dg JOIN df USING (shingle))
+    SELECT doc_id,
+           COUNT(*) AS n_distinct_grams,
+           CAST(SUM(boiler) AS BIGINT) AS n_boiler_grams,
+           CAST(SUM(boiler) AS DOUBLE) / COUNT(*) AS boiler_frac
+    FROM j GROUP BY doc_id
+    """,
+    tags=("m5", "curation", "boilerplate"),
+    doc="Inter-document boilerplate signal (the C4/CCNet-style template "
+        "filter): a word 3-gram occurring in >= 3 distinct documents is "
+        "'boilerplate'; each doc reports what fraction of its distinct "
+        "3-grams are boilerplate.  Shape = the tf-idf join: shingle "
+        "once, doc-frequency aggregate on the gram key, join back on "
+        "the same key — two shuffles on (shingle), both partial-agg "
+        "bounded.  Ultra-hot grams at web scale get the same skew "
+        "treatment as LSH buckets (AQE skew join; cap + log).",
+)
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shingle_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = shingle_rows(docs, "doc_id", "text")  # distinct per doc
+    dfreq = grams.groupBy("shingle").agg(F.count("*").alias("doc_freq"))
+    joined = grams.join(dfreq, "shingle").select(
+        "doc_id", F.when(F.col("doc_freq") >= 3, 1).otherwise(0).alias("boiler")
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_distinct_grams"),
+        F.sum("boiler").alias("n_boiler_grams"),
+        (F.sum("boiler").cast("double") / F.count("*")).alias("boiler_frac"),
+    )
+
+
+@_register(
+    "quality_filter_funnel",
+    f"""
+    WITH {_DOCSTATS_CTE},
+    agg AS (
+      SELECT COUNT(*) AS n0,
+             SUM(CASE WHEN n >= 25 THEN 1 ELSE 0 END) AS n1,
+             SUM(CASE WHEN n >= 25
+                       AND CAST(nd AS DOUBLE) / n >= 0.35
+                      THEN 1 ELSE 0 END) AS n2,
+             SUM(CASE WHEN n >= 25
+                       AND CAST(nd AS DOUBLE) / n >= 0.35
+                       AND ns >= 1 THEN 1 ELSE 0 END) AS n3,
+             SUM(CASE WHEN n >= 25
+                       AND CAST(nd AS DOUBLE) / n >= 0.35
+                       AND ns >= 1 AND lang = 'en' THEN 1 ELSE 0 END) AS n4
+      FROM s)
+    SELECT stage_id, stage, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_docs AS DOUBLE) / CAST(n0 AS DOUBLE) AS retention
+    FROM (
+      SELECT 0 AS stage_id, 'all' AS stage, n0 AS n_docs, n0 FROM agg
+      UNION ALL SELECT 1, 'min_length', n1, n0 FROM agg
+      UNION ALL SELECT 2, 'lexical_diversity', n2, n0 FROM agg
+      UNION ALL SELECT 3, 'has_stopwords', n3, n0 FROM agg
+      UNION ALL SELECT 4, 'english', n4, n0 FROM agg)
+    """,
+    tags=("m5", "curation", "quality"),
+    doc="The curation funnel: docs surviving each successive filter "
+        "(length >= 25 tokens -> lexical diversity >= 0.35 -> contains "
+        "stopwords -> lang == en), with retention vs the raw corpus.  "
+        "ONE aggregation pass computes every stage (cumulative "
+        "conjunction flags summed map-side) — not one scan per stage; "
+        "at 100 TB the funnel costs the same as a single count.",
+)
+def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stats = _doc_int_stats(load_table(spark, sf_dir, "documents"))
+    f1 = (F.col("n") >= 25).cast("long")
+    f2 = f1 * ((F.col("nd").cast("double") / F.col("n")) >= 0.35).cast("long")
+    f3 = f2 * (F.col("ns") >= 1).cast("long")
+    f4 = f3 * (F.col("lang") == "en").cast("long")
+    agg = stats.agg(
+        F.count("*").alias("n0"),
+        F.sum(f1).alias("n1"),
+        F.sum(f2).alias("n2"),
+        F.sum(f3).alias("n3"),
+        F.sum(f4).alias("n4"),
+    )
+    stack = (
+        "stack(5, 0, 'all', n0, 1, 'min_length', n1, 2, 'lexical_diversity', n2,"
+        " 3, 'has_stopwords', n3, 4, 'english', n4) AS (stage_id, stage, n_docs)"
+    )
+    return agg.selectExpr(stack, "n0").select(
+        F.col("stage_id").cast("int").alias("stage_id"),
+        "stage",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        (F.col("n_docs").cast("double") / F.col("n0").cast("double")).alias("retention"),
+    )
+
+
+@_register(
+    "packing_efficiency",
+    f"""
+    WITH packed AS ({_PACKING_SQL})
+    SELECT shard, COUNT(*) AS n_docs,
+           COUNT(DISTINCT bin_id) AS n_bins,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT bin_id) AS avg_docs_per_bin,
+           CAST(SUM(n_tokens) AS DOUBLE) / COUNT(DISTINCT bin_id) AS avg_bin_tokens
+    FROM packed GROUP BY shard
+    """,
+    tags=("m5", "text", "packing"),
+    doc="Packing QA over sequence_packing: per shard, how full the "
+        "256-token bins actually are (docs per bin, tokens per bin).  "
+        "The metric a pipeline watches to tune bin capacity vs padding "
+        "waste before shipping shards to the trainer.",
+)
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    packed = QUERIES["sequence_packing"].fn(spark, sf_dir)
+    return packed.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("bin_id").alias("n_bins"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.count("*").cast("double") / F.countDistinct("bin_id")).alias("avg_docs_per_bin"),
+        (F.sum("n_tokens").cast("double") / F.countDistinct("bin_id")).alias("avg_bin_tokens"),
+    )
+
+
+@_register(
+    "source_overlap_grams",
+    f"""
+    WITH {_GRAMS_CTE},
+    sg AS (SELECT DISTINCT d.source, g.shingle
+           FROM g JOIN documents d USING (doc_id))
+    SELECT a.source AS source_a, b.source AS source_b,
+           COUNT(*) AS n_shared_grams
+    FROM sg a JOIN sg b
+      ON a.shingle = b.shingle AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+    tags=("m5", "curation", "overlap"),
+    doc="Cross-source content-overlap map: for every source pair, the "
+        "number of distinct word 3-grams both contain — the corpus-level "
+        "view of mirror/syndication overlap (the corpus has no exact "
+        "cross-source duplicates, so gram overlap is the right "
+        "granularity).  Distinct (source, gram) first — ONE row per "
+        "source per gram regardless of doc count — then a self-join on "
+        "the gram key; gram doc-frequency is bounded (p99.9 = 6 here), "
+        "and at web scale ultra-common grams get the LSH hot-bucket "
+        "treatment (cap + log) before the pair explosion, not after.",
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shingle_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = shingle_rows(docs, "doc_id", "text")
+    sg = (
+        grams.join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "shingle")
+        .distinct()
+    )
+    a = sg.select(F.col("source").alias("source_a"), "shingle")
+    b = sg.select(F.col("source").alias("source_b"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+
+
+@_register(
+    "doc_length_histogram",
+    """
+    SELECT CAST(floor(len(string_split(text, ' ')) / 10) * 10 AS BIGINT)
+             AS token_bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+    FROM documents GROUP BY 1
+    """,
+    tags=("m5", "curation", "histogram"),
+    doc="Document-length histogram (10-token buckets) — the first plot "
+        "of any corpus audit.  Pure map-side bucketing + one partial+ "
+        "final count agg; output is bucket-count rows, never the docs.",
+)
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(tokens("text")).cast("long")
+    return (
+        docs.select(
+            (F.floor(n / 10) * 10).cast("bigint").alias("token_bucket"),
+            n.alias("n_tokens"),
+        )
+        .groupBy("token_bucket")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("total_tokens"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness harness checks queries in
 # registration order and caps the run (round 1 recorded rows for exactly
 # the first 50 of 74).  Lead with every query that does NOT yet have a
@@ -2599,7 +2956,9 @@ _LEAD_ORDER = [
     # new this round
     "ivf_recall_at_k", "streaming_watermarked_windows",
     "doc_repetition_scores", "benchmark_contamination", "pii_detection",
-    "sequence_packing",
+    "sequence_packing", "per_source_quality", "domain_mixture_sample",
+    "boilerplate_grams", "quality_filter_funnel", "packing_efficiency",
+    "source_overlap_grams", "doc_length_histogram",
     # plan or oracle changed this round — need a fresh driver row
     "daily_event_type_pivot", "generated_orders", "simhash_fingerprints",
     "near_dup_pairs",
