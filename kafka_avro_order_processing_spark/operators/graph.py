@@ -24,6 +24,111 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    rounds (Kiveris et al., 'Connected Components in MapReduce and
+    Beyond') — the web-scale upgrade over plain min-label propagation:
+    convergence is O(log n) rounds on ANY topology (a length-n chain
+    needs n min-label rounds but ~log n star rounds), and each round is
+    the same shuffle primitives (groupBy min + join on node).
+
+    large-star(u): connect every strictly-larger neighbor of u to the
+    minimum of u's closed neighborhood.  small-star(u): connect u and
+    its smaller neighbors to that group's minimum.  At the fixed point
+    the edge set IS the star (component-min -> member); same
+    (node, component) contract as connected_components.
+    """
+    def _canon(e: DataFrame) -> DataFrame:
+        # Undirected edge set in canonical (hi > lo) orientation.
+        return (
+            e.filter(F.col("x") != F.col("y"))
+            .select(
+                F.greatest("x", "y").alias("hi"),
+                F.least("x", "y").alias("lo"),
+            )
+            .distinct()
+        )
+
+    def _fingerprint(e: DataFrame) -> tuple[int, int]:
+        # Cheap set identity for the convergence test: count + an
+        # order-independent hash sum (one aggregate per round, no
+        # set-difference join).
+        row = e.agg(
+            F.count("*").alias("n"),
+            # decimal sum: exact + order-independent + cannot overflow
+            # (a long sum trips ANSI overflow on large hash values)
+            F.coalesce(
+                F.sum(F.xxhash64("hi", "lo").cast("decimal(38,0)")), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return row["n"], int(row["h"])
+
+    cur = _canon(
+        edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+    ).localCheckpoint(eager=True)
+    fp = _fingerprint(cur)
+    stable_rounds = 0
+    for i in range(max_iterations):
+        if i % 2 == 0:
+            # large-star: needs the SYMMETRIC adjacency; for each node u
+            # with closed-neighborhood min m, attach every strictly
+            # larger neighbor v directly to m.
+            sym = cur.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(
+                cur.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+            )
+            m = sym.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+            out = (
+                sym.filter(F.col("v") > F.col("u"))
+                .join(m, "u")
+                .select(F.col("v").alias("x"), F.col("m").alias("y"))
+            )
+        else:
+            # small-star: needs the CANONICAL orientation; for each node
+            # hi with smaller-neighbor min m, attach hi and all its
+            # smaller neighbors to m.
+            m = cur.groupBy("hi").agg(F.min("lo").alias("m"))
+            out = (
+                cur.join(m, "hi")
+                .select(F.col("lo").alias("x"), F.col("m").alias("y"))
+                .unionByName(
+                    m.select(F.col("hi").alias("x"), F.col("m").alias("y"))
+                )
+            )
+        nxt = _canon(out).localCheckpoint(eager=True)
+        nfp = _fingerprint(nxt)
+        if nfp == fp:
+            # Stable under one phase can still change under the other
+            # (a star is large-star-stable mid-convergence); require a
+            # full large+small cycle with no change.
+            stable_rounds += 1
+            if stable_rounds >= 2:
+                cur = nxt
+                break
+        else:
+            stable_rounds = 0
+        cur, fp = nxt, nfp
+
+    # Fixed point: every edge is (member, component-min).  Union with
+    # self-labels for EVERY input node (roots, and nodes whose only
+    # edges were self-loops — the canonical form drops those edges but
+    # the node must still be labeled, matching connected_components).
+    members = cur.select(F.col("hi").alias("node"), F.col("lo").alias("component"))
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    return members.unionByName(nodes).groupBy("node").agg(
+        F.min("component").alias("component")
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",

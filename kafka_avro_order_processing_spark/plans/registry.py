@@ -2265,6 +2265,27 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_clusters_star",
+    _dedup_clusters_oracle(),
+    tags=("m5", "dedup", "iterative"),
+    doc="Same cluster contract as dedup_clusters, computed with the "
+        "web-scale algorithm: alternating large-star/small-star rounds "
+        "(Kiveris et al.) converge in O(log n) rounds on ANY graph "
+        "shape — a length-n chain needs n min-label rounds but ~log n "
+        "star rounds — making it the production choice for skewed "
+        "near-dup graphs.  Equivalence with min-label is also "
+        "property-tested on adversarial topologies (tests/test_graph_star.py).",
+)
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components_star
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _dedup.near_dup_pairs(docs).filter(F.col("jaccard") >= 0.5)
+    comps = connected_components_star(pairs, src="doc_a", dst="doc_b")
+    return comps.select(F.col("node").alias("doc_id"), F.col("component").alias("canonical_id"))
+
+
+@_register(
     "embedding_quantization_error",
     """
     WITH scaled AS (
@@ -2958,7 +2979,7 @@ _LEAD_ORDER = [
     "doc_repetition_scores", "benchmark_contamination", "pii_detection",
     "sequence_packing", "per_source_quality", "domain_mixture_sample",
     "boilerplate_grams", "quality_filter_funnel", "packing_efficiency",
-    "source_overlap_grams", "doc_length_histogram",
+    "source_overlap_grams", "doc_length_histogram", "dedup_clusters_star",
     # plan or oracle changed this round — need a fresh driver row
     "daily_event_type_pivot", "generated_orders", "simhash_fingerprints",
     "near_dup_pairs",
