@@ -142,6 +142,7 @@ def lsh_candidate_pairs(
     k: int = N_MINHASH,
     band_rows: int = BAND_ROWS,
     max_bucket_size: int = MAX_BUCKET_SIZE,
+    cache_into: list | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of the signature become a
     candidate pair (a < b).  Self-join on (band_id, band_value).
@@ -172,19 +173,25 @@ def lsh_candidate_pairs(
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_val")
     w = Window.partitionBy("band_id", "band_val")
-    # Materialize the sized band table once (localCheckpoint): three
-    # consumers read it (all-pairs self-join x2, star branch) and would
-    # otherwise each re-shuffle and re-sort the band rows — measured
-    # ~25% faster than recomputing per consumer.  At production scale
-    # this is the written-out intermediate between the banding and
-    # pairing stages.
+    # Three consumers read the sized band table (all-pairs self-join
+    # x2, star branch).  When the caller passes `cache_into`, persist
+    # it once and let the caller release it after materializing the
+    # final result (A/B at sf0.1: persist 2.3 s vs recompute 2.9 s vs
+    # eager localCheckpoint 4.9 s — checkpointing copies the partitions
+    # through the block store and breaks the window/join pipelining, so
+    # it LOSES here; at production scale this intermediate would be a
+    # written-out table between the banding and pairing stages).
     sized = bands.select(
         id_col,
         "band_id",
         "band_val",
         F.count("*").over(w).alias("bucket_n"),
         F.min(id_col).over(w).alias("min_id"),
-    ).localCheckpoint(eager=True)
+    )
+    if cache_into is not None:
+        sized = sized.persist()
+        sized.count()
+        cache_into.append(sized)
     small = sized.filter(F.col("bucket_n") <= max_bucket_size)
     a, b = small.alias("a"), small.alias("b")
     all_pairs = (
@@ -225,7 +232,8 @@ def near_dup_pairs(
     # written-out intermediates.)
     rows = shingle_rows(df, id_col, text_col)
     sigs = _signatures_from_rows(rows, id_col, k).persist()
-    pairs = lsh_candidate_pairs(sigs, id_col, k, band_rows)
+    caches: list[DataFrame] = []
+    pairs = lsh_candidate_pairs(sigs, id_col, k, band_rows, cache_into=caches)
 
     sa = sigs.select(F.col(id_col).alias("doc_a"), *[F.col(f"mh{j}").alias(f"a{j}") for j in range(k)])
     sb = sigs.select(F.col(id_col).alias("doc_b"), *[F.col(f"mh{j}").alias(f"b{j}") for j in range(k)])
@@ -254,6 +262,8 @@ def near_dup_pairs(
     out = result.localCheckpoint(eager=True)
     sigs.unpersist()
     sets_.unpersist()
+    for c in caches:
+        c.unpersist()
     return out
 
 
