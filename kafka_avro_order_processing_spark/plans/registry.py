@@ -2924,6 +2924,149 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "streaming_dedup_exact",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    tags=("parity", "streaming", "dedup"),
+    doc="Streaming exact dedup: dropDuplicates on the key columns over "
+        "an unbounded stream (state-store-backed first-wins; the "
+        "streaming form of the exact-dedup operator).  Only the KEYS "
+        "are emitted, so the drained result is order-independent and "
+        "equals batch DISTINCT (the oracle) no matter how micro-batches "
+        "split.  Production note: unbounded key state wants "
+        "dropDuplicatesWithinWatermark + RocksDB when keys don't fit "
+        "heap.",
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipeline import drain_to_df, stream_table
+
+    s = stream_table(spark, sf_dir, "events").select("user_id", "event_type")
+    return drain_to_df(s.dropDuplicates(["user_id", "event_type"]), "append")
+
+
+@_register(
+    "streaming_static_enrich",
+    f"""
+    SELECT c.c_mktsegment AS mktsegment,
+           COUNT(*) AS n_events,
+           {_dsum('e.value')} AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("parity", "streaming", "join"),
+    doc="Stream-static enrichment: the event stream joined to a static "
+        "dimension (customer, broadcast — re-read per micro-batch, no "
+        "stream state) and aggregated per market segment in update "
+        "mode.  The canonical Kafka-enrichment topology: stream joins "
+        "dim, dim side never shuffles the stream.  Decimal value sums "
+        "keep the drained result bit-equal to the batch oracle.",
+)
+def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipeline import drain_to_df, stream_table
+
+    events = stream_table(spark, sf_dir, "events").select("user_id", "value")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = events.join(
+        F.broadcast(cust), events.user_id == cust.c_custkey
+    )
+    agg = enriched.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count("*").alias("n_events"),
+        dec_sum("value").alias("total_value"),
+    )
+    return drain_to_df(agg, "complete")
+
+
+@_register(
+    "upsert_orders",
+    """
+    WITH upd AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus,
+             o_totalprice * 0.9 AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT -(o_orderkey + 1), 'N', 100.0
+      FROM orders WHERE o_orderkey % 500 = 0)
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders t
+    WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = t.o_orderkey)
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM upd
+    """,
+    tags=("olap", "upsert"),
+    doc="MERGE emulation (operators/upsert.py): a deterministic delta "
+        "(10%% price-adjusted existing keys + synthetic new negative "
+        "keys) upserted into orders via the anti-join + union rewrite "
+        "a lakehouse MERGE compiles to; full post-merge table checked "
+        "row-for-row against the NOT EXISTS / UNION ALL oracle.",
+)
+def q_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.upsert import upsert
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 0.9).alias("o_totalprice"),
+    ).unionByName(
+        orders.filter(F.col("o_orderkey") % 500 == 0).select(
+            (-(F.col("o_orderkey") + 1)).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.lit(100.0).alias("o_totalprice"),
+        )
+    )
+    return upsert(orders, updates, "o_orderkey")
+
+
+@_register(
+    "scd2_customer_dim",
+    """
+    WITH chg AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal + 100 AS c_acctbal,
+             TIMESTAMP '1995-06-01' AS valid_from
+      FROM customer WHERE c_custkey % 10 = 0)
+    SELECT d.c_custkey, d.c_mktsegment, d.c_acctbal,
+           TIMESTAMP '1990-01-01' AS valid_from,
+           CASE WHEN c.c_custkey IS NOT NULL
+                THEN TIMESTAMP '1995-06-01' END AS valid_to,
+           c.c_custkey IS NULL AS is_current
+    FROM customer d LEFT JOIN chg c USING (c_custkey)
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, c_acctbal, valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+    FROM chg
+    """,
+    tags=("olap", "scd2"),
+    doc="Slowly-changing-dimension type 2 (operators/upsert.py "
+        "scd2_apply): a change batch (10%% of customers, adjusted "
+        "balance) closes each key's current row at the change "
+        "timestamp and appends the new current version; the full "
+        "versioned dimension is checked against a join+union oracle.",
+)
+def q_scd2_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.upsert import scd2_apply
+
+    cust = load_table(spark, sf_dir, "customer")
+    dim = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.lit("1990-01-01 00:00:00").cast("timestamp_ntz").alias("valid_from"),
+        F.lit(None).cast("timestamp_ntz").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changes = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("c_acctbal") + 100).alias("c_acctbal"),
+        F.lit("1995-06-01 00:00:00").cast("timestamp_ntz").alias("valid_from"),
+    )
+    return scd2_apply(dim, changes, key="c_custkey")
+
+
+@_register(
     "doc_length_histogram",
     """
     SELECT CAST(floor(len(string_split(text, ' ')) / 10) * 10 AS BIGINT)
@@ -2980,6 +3123,8 @@ _LEAD_ORDER = [
     "sequence_packing", "per_source_quality", "domain_mixture_sample",
     "boilerplate_grams", "quality_filter_funnel", "packing_efficiency",
     "source_overlap_grams", "doc_length_histogram", "dedup_clusters_star",
+    "streaming_dedup_exact", "streaming_static_enrich",
+    "upsert_orders", "scd2_customer_dim",
     # plan or oracle changed this round — need a fresh driver row
     "daily_event_type_pivot", "generated_orders", "simhash_fingerprints",
     "near_dup_pairs",
