@@ -93,6 +93,43 @@ def shingle_rows(
     return out.distinct() if distinct else out
 
 
+def char_shingle_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    distinct: bool = True,
+) -> DataFrame:
+    """Character-n-gram shingles as (id, shingle) rows — the
+    tokenization-independent alternative to word shingles (robust to
+    punctuation/whitespace differences between near-duplicate docs;
+    the standard choice for multilingual corpora where word splitting
+    is unreliable).  Default n=8: short char grams are shared by most
+    docs of a same-domain corpus (a 5-gram sweep measured LSH buckets
+    of 189 members and 18% of ALL pairs emerging as candidates), so
+    the char variant needs longer shingles — paired with a sharper
+    banding curve (k=16, 4 rows/band) in near_dup_pairs_char.
+
+    explode a position sequence, then substring(text, pos, n) — both
+    codegen'd; the text column rides along only between the explode and
+    the immediate projection.
+    """
+    base = _spread(df, id_col).select(F.col(id_col), F.col(text_col)).filter(
+        F.length(text_col) >= n
+    )
+    out = base.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.explode(
+            F.sequence(F.lit(1), F.length(text_col) - (n - 1))
+        ).alias("pos"),
+    ).select(
+        F.col(id_col),
+        F.expr(f"substring({text_col}, pos, {n})").alias("shingle"),
+    )
+    return out.distinct() if distinct else out
+
+
 def shingle_sets(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
@@ -216,13 +253,16 @@ def near_dup_pairs(
     text_col: str = "text",
     k: int = N_MINHASH,
     band_rows: int = BAND_ROWS,
+    shingler=shingle_rows,
 ) -> DataFrame:
     """Full near-dup pipeline: minhash -> LSH candidates -> signature
     agreement estimate -> exact n-gram Jaccard verification.
 
     Only candidate pairs (LSH hits) pay the exact-Jaccard cost; the
     doc->shingle-set join is broadcast-friendly because candidates are
-    a tiny fraction of the corpus.
+    a tiny fraction of the corpus.  `shingler` picks the shingle
+    domain: word 3-grams (default) or `char_shingle_rows` for
+    tokenization-independent character 5-grams.
     """
     # Tokenize/shingle ONCE: the same shingle rows feed the minhash
     # signatures AND the exact-Jaccard shingle sets.  Persist both
@@ -230,7 +270,7 @@ def near_dup_pairs(
     # sides of the agreement join; without persistence Spark recomputes
     # the shingle subtree 4x.  (At production scale these are
     # written-out intermediates.)
-    rows = shingle_rows(df, id_col, text_col)
+    rows = shingler(df, id_col, text_col)
     sigs = _signatures_from_rows(rows, id_col, k).persist()
     caches: list[DataFrame] = []
     pairs = lsh_candidate_pairs(sigs, id_col, k, band_rows, cache_into=caches)

@@ -624,8 +624,23 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
 
 
-def _minhash_oracle() -> str:
-    k, br = _dedup.N_MINHASH, _dedup.BAND_ROWS
+#: char-8-gram shingle-set CTE body (vs the default word-3-gram one);
+#: DuckDB range() is end-exclusive, so starts run 1 .. len-7.
+_CHAR_SH_CTE = """
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(text) >= 8
+               THEN list_transform(range(1, len(text) - 6),
+                                   i -> substr(text, i, 8))
+               ELSE [] END) AS s
+      FROM documents)"""
+
+
+def _minhash_oracle(
+    sh_cte: str | None = None, k: int | None = None, br: int | None = None
+) -> str:
+    k = _dedup.N_MINHASH if k is None else k
+    br = _dedup.BAND_ROWS if br is None else br
     n_bands = k // br
     mh = ",\n             ".join(
         f"min(substr(md5('{j // 4}:' || shingle), {(j % 4) * 8 + 1}, 8)) AS mh{j}"
@@ -638,15 +653,18 @@ def _minhash_oracle() -> str:
         for b in range(n_bands)
     )
     agree = " + ".join(f"CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END" for j in range(k))
-    return f"""
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    if sh_cte is None:
+        sh_cte = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     sh AS (
       SELECT doc_id,
              list_distinct(CASE WHEN len(t) >= 3
                THEN list_transform(range(1, len(t) - 1),
                                    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
                ELSE [] END) AS s
-      FROM toks),
+      FROM toks)"""
+    return f"""
+    WITH {sh_cte},
     ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
     sigs AS (SELECT doc_id,
              {mh}
@@ -681,6 +699,30 @@ def _minhash_oracle() -> str:
 )
 def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.near_dup_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "near_dup_pairs_char",
+    _minhash_oracle(sh_cte=_CHAR_SH_CTE, k=16, br=4),
+    tags=("m5", "dedup"),
+    doc="MinHash-LSH over character 8-grams: the tokenization-"
+        "independent near-dup variant (robust to whitespace/punctuation "
+        "divergence; the standard choice for multilingual corpora where "
+        "word splitting is unreliable).  Same signature/banding/verify "
+        "pipeline as near_dup_pairs, but the shingle domain demands "
+        "different LSH tuning: char grams overlap far more than word "
+        "3-grams, so 16 minhashes in 4-row bands sharpen the candidate "
+        "S-curve (a 5-gram/8-hash sweep yielded 189-member buckets and "
+        "22k candidate pairs on 500 docs; 8-gram/16-hash yields "
+        "bucket max 3 and 28).",
+)
+def q_near_dup_pairs_char(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.near_dup_pairs(
+        load_table(spark, sf_dir, "documents"),
+        k=16,
+        band_rows=4,
+        shingler=_dedup.char_shingle_rows,
+    )
 
 
 def _simhash_oracle() -> str:
@@ -2736,7 +2778,13 @@ def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("t_max") * F.col("wt")) / (F.col("w_sum") * F.col("n_s")).cast("double"),
             ) * 256
         ).cast("bigint").alias("threshold"),
-    )
+    # Materialize the rate table once: it is rows-of-sources tiny, but
+    # it is REFERENCED twice (doc filter + final join) and each
+    # reference would otherwise re-expand the counts->total->feasible
+    # chain and re-aggregate the full corpus — 3 extra big-side scans
+    # at 100 TB for a 20-row table.  Checkpoint cost here is one tiny
+    # job.
+    ).localCheckpoint(eager=True)
     bucket = F.conv(
         F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 2),
         16, 10,
@@ -3124,7 +3172,7 @@ _LEAD_ORDER = [
     "boilerplate_grams", "quality_filter_funnel", "packing_efficiency",
     "source_overlap_grams", "doc_length_histogram", "dedup_clusters_star",
     "streaming_dedup_exact", "streaming_static_enrich",
-    "upsert_orders", "scd2_customer_dim",
+    "upsert_orders", "scd2_customer_dim", "near_dup_pairs_char",
     # plan or oracle changed this round — need a fresh driver row
     "daily_event_type_pivot", "generated_orders", "simhash_fingerprints",
     "near_dup_pairs",
