@@ -125,7 +125,7 @@ def char_shingle_rows(
         ).alias("pos"),
     ).select(
         F.col(id_col),
-        F.expr(f"substring({text_col}, pos, {n})").alias("shingle"),
+        F.substring(F.col(text_col), F.col("pos"), F.lit(n)).alias("shingle"),
     )
     return out.distinct() if distinct else out
 
@@ -262,7 +262,9 @@ def near_dup_pairs(
     doc->shingle-set join is broadcast-friendly because candidates are
     a tiny fraction of the corpus.  `shingler` picks the shingle
     domain: word 3-grams (default) or `char_shingle_rows` for
-    tokenization-independent character 5-grams.
+    tokenization-independent character 8-grams (pair with k=16,
+    band_rows=4 — see char_shingle_rows on why char grams need a
+    sharper banding curve).
     """
     # Tokenize/shingle ONCE: the same shingle rows feed the minhash
     # signatures AND the exact-Jaccard shingle sets.  Persist both

@@ -36,12 +36,17 @@ def upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
     from pyspark.sql import Window
 
     attr_cols = [c for c in updates.columns if c != key]
-    w = Window.partitionBy(key).orderBy(*[F.desc(c) for c in attr_cols])
-    updates = (
-        updates.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    if attr_cols:
+        w = Window.partitionBy(key).orderBy(*[F.desc(c) for c in attr_cols])
+        updates = (
+            updates.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        # key-only updates: duplicates are literally identical rows —
+        # distinct is the collapse (an empty orderBy window would throw)
+        updates = updates.distinct()
     survivors = target.join(updates.select(key), on=key, how="left_anti")
     return survivors.unionByName(updates)
 

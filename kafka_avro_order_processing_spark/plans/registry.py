@@ -670,10 +670,24 @@ def _minhash_oracle(
              {mh}
              FROM ex GROUP BY doc_id),
     bands AS ({bands}),
+    sized AS (
+      SELECT doc_id, band_id, bv,
+             COUNT(*) OVER (PARTITION BY band_id, bv) AS bucket_n,
+             MIN(doc_id) OVER (PARTITION BY band_id, bv) AS min_id
+      FROM bands),
     pairs AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.band_id = b.band_id AND a.bv = b.bv AND a.doc_id < b.doc_id),
+      -- mirrors the engine's hot-bucket cap (dedup.MAX_BUCKET_SIZE):
+      -- sane buckets emit all pairs, oversized buckets emit a linear
+      -- star on the bucket-min id
+      SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sized a JOIN sized b
+          ON a.band_id = b.band_id AND a.bv = b.bv
+         AND a.doc_id < b.doc_id
+        WHERE a.bucket_n <= {_dedup.MAX_BUCKET_SIZE}
+        UNION ALL
+        SELECT min_id, doc_id FROM sized
+        WHERE bucket_n > {_dedup.MAX_BUCKET_SIZE} AND doc_id != min_id)),
     est AS (
       SELECT p.doc_a, p.doc_b,
              CAST({agree} AS DOUBLE) / {float(k)} AS est_jaccard

@@ -207,24 +207,32 @@ def start_order_pipeline(
     """
 
     def body(df: DataFrame, epoch_id: int) -> None:
-        valid, invalid = split_valid_invalid(df, key=key, value=value, id_col=id_col)
-        valid.write.mode("append").parquet(valid_sink)
-        dlq_envelope(invalid).write.mode("append").parquet(dlq_sink)
-        if aggregated_sink is not None:
-            partials = valid.groupBy(F.col(key)).agg(
-                F.count("*").alias("order_count"),
-                # keep the exact decimal representation in the log;
-                # merge stays associative, cast to double only at read
-                F.sum(F.col(value).cast("decimal(18,2)")).alias("price_sum_dec"),
-                F.min(value).alias("minimum_price"),
-                F.max(value).alias("maximum_price"),
-            ).withColumn("epoch_id", F.lit(epoch_id))
-            (
-                partials.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("epoch_id")
-                .parquet(aggregated_sink)
-            )
+        # Persist the epoch once: three consumers (valid write, DLQ
+        # write, partials write) would otherwise each re-scan the
+        # micro-batch source and re-run the validation split — the same
+        # reason order_pipeline_batch persists its input.
+        df = df.persist()
+        try:
+            valid, invalid = split_valid_invalid(df, key=key, value=value, id_col=id_col)
+            valid.write.mode("append").parquet(valid_sink)
+            dlq_envelope(invalid).write.mode("append").parquet(dlq_sink)
+            if aggregated_sink is not None:
+                partials = valid.groupBy(F.col(key)).agg(
+                    F.count("*").alias("order_count"),
+                    # keep the exact decimal representation in the log;
+                    # merge stays associative, cast to double only at read
+                    F.sum(F.col(value).cast("decimal(18,2)")).alias("price_sum_dec"),
+                    F.min(value).alias("minimum_price"),
+                    F.max(value).alias("maximum_price"),
+                ).withColumn("epoch_id", F.lit(epoch_id))
+                (
+                    partials.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("epoch_id")
+                    .parquet(aggregated_sink)
+                )
+        finally:
+            df.unpersist()
 
     fn = retry_handler.wrap_foreach_batch(body) if retry_handler else body
     return (
@@ -260,6 +268,8 @@ def run_watermarked_window_stream(
     17 minutes so window ends (hour boundaries) never tie with the
     watermark.
     """
+    import shutil
+
     ev = load_table(spark, sf_dir, "events")
     late_id = ev.orderBy("ts", "event_id").limit(1).collect()[0]["event_id"]
     base = tempfile.mkdtemp(prefix=f"wm_{uuid.uuid4().hex[:8]}_")
@@ -267,11 +277,8 @@ def run_watermarked_window_stream(
 
     # Watermarks need TIMESTAMP (session UTC), not TIMESTAMP_NTZ.
     staged = ev.withColumn("ts", F.col("ts").cast("timestamp"))
-    staged.filter(F.col("event_id") != late_id).write.mode("append").parquet(src)
 
-    schema = spark.read.parquet(src).schema
-
-    def run_round() -> None:
+    def run_round(schema) -> None:
         stream = spark.readStream.schema(schema).parquet(src)
         agg = (
             stream.withWatermark("ts", delay)
@@ -297,12 +304,19 @@ def run_watermarked_window_stream(
             )
             q.awaitTermination()
 
-    run_round()
-    # seed the late arrival and resume from the same checkpoint
-    staged.filter(F.col("event_id") == late_id).write.mode("append").parquet(src)
-    run_round()
-    out = spark.read.parquet(sink)
-    return spark.createDataFrame(out.collect(), schema=out.schema)
+    try:
+        staged.filter(F.col("event_id") != late_id).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+        run_round(schema)
+        # seed the late arrival and resume from the same checkpoint
+        staged.filter(F.col("event_id") == late_id).write.mode("append").parquet(src)
+        run_round(schema)
+        out = spark.read.parquet(sink)
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        # per-call scratch (staged events copy, sink, checkpoint) —
+        # repeated driver/bench runs must not accumulate /tmp disk
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def read_aggregated_snapshot(

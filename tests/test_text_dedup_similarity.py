@@ -187,3 +187,46 @@ def test_lsh_small_buckets_unchanged_by_cap(spark):
     }
     assert ("a", "b") in pairs
     assert not any("d" in p for p in pairs)
+
+
+def test_minhash_oracle_mirrors_bucket_cap(spark, tmp_path):
+    """The DuckDB oracle must reproduce the hot-bucket star fallback,
+    not just the all-pairs path — otherwise parity silently breaks the
+    first time real data overflows a bucket (sf0.01 maxes at 4-member
+    buckets, so the driver's run never exercises the cap; this test
+    does, with a 120-identical-doc corpus)."""
+    import duckdb
+
+    from kafka_avro_order_processing_spark.operators.dedup import (
+        MAX_BUCKET_SIZE,
+        near_dup_pairs,
+    )
+    from kafka_avro_order_processing_spark.plans.registry import _minhash_oracle
+
+    n_hot = 120
+    assert n_hot > MAX_BUCKET_SIZE
+    rows = [
+        (i, "the same boilerplate text repeated for every mirror page")
+        for i in range(n_hot)
+    ] + [
+        (500 + i, " ".join(f"w{i}_{j} unique content" for j in range(8)))
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "docs.parquet")
+    df.coalesce(1).write.parquet(path)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    got = sorted(
+        (r["doc_a"], r["doc_b"], repr(r["est_jaccard"]), repr(r["jaccard"]))
+        for r in near_dup_pairs(spark.read.parquet(path)).collect()
+    )
+    want = sorted(
+        (a, b, repr(e), repr(j)) for a, b, e, j in con.execute(_minhash_oracle()).fetchall()
+    )
+    assert got == want
+    # the hot bucket produced a linear star, not quadratic all-pairs
+    assert len(got) == n_hot - 1
