@@ -67,28 +67,28 @@ def shingle_rows(
     default (set semantics for minhash/Jaccard); ``distinct=False``
     keeps multiplicity (bag semantics, e.g. repetition scoring).
 
-    posexplode tokenizes each document exactly once; the n-gram is
-    assembled with lead() windows over token position — fully
-    codegen'd, one shuffle on the doc id that every downstream
-    per-doc aggregation reuses.  (The tempting alternative — a
-    higher-order transform over an array column — re-evaluates the
-    interpreted lambda per element and defeats subexpression
-    elimination: measured ~20x slower.)
+    The n-gram assembly is pure per-row expression work: zip the token
+    array with its own 1..n-1 shifted slices (`arrays_zip` over
+    `slice`) and explode — all codegen'd, NO window sort and no
+    per-token shuffle; the only shuffle left is whatever the consumer's
+    per-doc aggregation needs.  (Two tempting alternatives lose: a
+    higher-order transform re-evaluates its interpreted lambda per
+    element and defeats subexpression elimination — measured ~20x
+    slower; and the posexplode + lead()-window form pays a full
+    per-token sort-shuffle before the grams even exist.)
     """
-    from pyspark.sql import Window
-
-    tok = _spread(df, id_col).select(
-        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "t0")
-    )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    grams = tok.select(
-        F.col(id_col),
-        F.col("t0"),
-        *[F.lead("t0", j).over(w).alias(f"t{j}") for j in range(1, n)],
-    ).where(F.col(f"t{n-1}").isNotNull())
-    out = grams.select(
-        F.col(id_col),
-        F.concat_ws(" ", *[F.col(f"t{j}") for j in range(n)]).alias("shingle"),
+    t = tokens(text_col)
+    m = F.greatest(F.size(t) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(t, j + 1, m) for j in range(n)])
+    out = (
+        _spread(df, id_col)
+        .select(F.col(id_col), F.explode(zipped).alias("g"))
+        .select(
+            F.col(id_col),
+            F.concat_ws(
+                " ", *[F.col("g").getField(str(j)) for j in range(n)]
+            ).alias("shingle"),
+        )
     )
     return out.distinct() if distinct else out
 
@@ -136,7 +136,9 @@ def shingle_sets(
     """Distinct shingle set per doc as an array column `sh` (order
     irrelevant — consumers use intersection/size only)."""
     return (
-        shingle_rows(df, id_col, text_col, n)
+        # collect_set dedups, so bag rows feed it directly (skips the
+        # per-(doc, shingle) distinct shuffle)
+        shingle_rows(df, id_col, text_col, n, distinct=False)
         .groupBy(id_col)
         .agg(F.collect_set("shingle").alias("sh"))
     )
@@ -154,7 +156,8 @@ def minhash_signatures(
     md5 per function); fixed-width hex compares like the underlying
     integer, so min() over the substrings is a valid minhash.
     """
-    sh = shingle_rows(df, id_col, text_col)
+    # min() is duplicate-insensitive -> bag rows, no distinct shuffle
+    sh = shingle_rows(df, id_col, text_col, distinct=False)
     return _signatures_from_rows(sh, id_col, k)
 
 
@@ -266,35 +269,58 @@ def near_dup_pairs(
     band_rows=4 — see char_shingle_rows on why char grams need a
     sharper banding curve).
     """
-    # Tokenize/shingle ONCE: the same shingle rows feed the minhash
-    # signatures AND the exact-Jaccard shingle sets.  Persist both
-    # derived tables — signatures feed the band self-join and both
-    # sides of the agreement join; without persistence Spark recomputes
-    # the shingle subtree 4x.  (At production scale these are
-    # written-out intermediates.)
-    rows = shingler(df, id_col, text_col)
-    sigs = _signatures_from_rows(rows, id_col, k).persist()
+    # Tokenize/shingle ONCE, then fuse the minhash signature AND the
+    # exact-Jaccard shingle set into a SINGLE per-doc aggregation (same
+    # grouping key — k min() aggregates + collect_set in one
+    # partial+final pass) instead of two separate groupBys over the
+    # shingle rows.  One cached per-doc table then serves the band
+    # explode and BOTH sides of the verification join, so the pair
+    # verification is 2 joins (doc_a side, doc_b side) rather than 4.
+    # (At production scale this per-doc table is the written-out
+    # intermediate between the shingling and pairing stages.)
+    #
+    # distinct=False: min() and collect_set are duplicate-insensitive,
+    # so the usual per-(doc, shingle) dedup shuffle would be pure waste
+    # — the fused aggregation dedups for free.
+    rows = shingler(df, id_col, text_col, distinct=False)
+    digests = {
+        d: F.md5(F.concat(F.lit(f"{d}:"), F.col("shingle")))
+        for d in range((k + 3) // 4)
+    }
+    per_doc = rows.groupBy(id_col).agg(
+        *[
+            F.min(F.substring(digests[j // 4], (j % 4) * 8 + 1, 8)).alias(f"mh{j}")
+            for j in range(k)
+        ],
+        F.collect_set("shingle").alias("sh"),
+    ).persist()
     caches: list[DataFrame] = []
-    pairs = lsh_candidate_pairs(sigs, id_col, k, band_rows, cache_into=caches)
+    pairs = lsh_candidate_pairs(per_doc, id_col, k, band_rows, cache_into=caches)
 
-    sa = sigs.select(F.col(id_col).alias("doc_a"), *[F.col(f"mh{j}").alias(f"a{j}") for j in range(k)])
-    sb = sigs.select(F.col(id_col).alias("doc_b"), *[F.col(f"mh{j}").alias(f"b{j}") for j in range(k)])
+    a = per_doc.select(
+        F.col(id_col).alias("doc_a"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(k)],
+        F.col("sh").alias("sh_a"),
+    )
+    b = per_doc.select(
+        F.col(id_col).alias("doc_b"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(k)],
+        F.col("sh").alias("sh_b"),
+    )
     agree = sum(
         F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(k)
     )
-    est = pairs.join(sa, "doc_a").join(sb, "doc_b").select(
-        "doc_a", "doc_b", (agree.cast("double") / F.lit(float(k))).alias("est_jaccard")
-    )
-
-    sets_ = rows.groupBy(id_col).agg(F.collect_set("shingle").alias("sh")).persist()
-    wa = sets_.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
-    wb = sets_.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
     result = (
-        est.join(wa, "doc_a")
-        .join(wb, "doc_b")
-        .select("doc_a", "doc_b", "est_jaccard", (inter / union).alias("jaccard"))
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (agree.cast("double") / F.lit(float(k))).alias("est_jaccard"),
+            (inter / union).alias("jaccard"),
+        )
     )
     # Materialize the (tiny) verified-pair result, then release the
     # intermediate caches — repeated calls in one session must not
@@ -302,8 +328,7 @@ def near_dup_pairs(
     # localCheckpoint truncates lineage too, so the returned plan no
     # longer references the unpersisted tables.
     out = result.localCheckpoint(eager=True)
-    sigs.unpersist()
-    sets_.unpersist()
+    per_doc.unpersist()
     for c in caches:
         c.unpersist()
     return out
