@@ -103,3 +103,119 @@ def ivf_assign(
         .filter(F.col("rn") == 1)
         .select(id_col, centroid_id)
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (Charikar '02 sign-random-projection) — the
+# tokenless near-dup scale path: no blocking label needed, no all-pairs.
+# ---------------------------------------------------------------------------
+
+HYPERPLANE_BITS = 32
+HYPERPLANE_BAND_ROWS = 8
+
+
+def hyperplane_matrix(bits: int, dim: int) -> list:
+    """Deterministic +-1 hyperplanes: sign j,i = parity of the first
+    hex digit of md5("j:i").  A fixed sign matrix (Achlioptas-style
+    +-1 entries) preserves the cosine-LSH guarantee, and determinism
+    lets an ANSI oracle reproduce the exact buckets."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1.0
+            for i in range(dim)
+        ]
+        for j in range(bits)
+    ]
+
+
+def hyperplane_signatures(
+    df: DataFrame,
+    dim: int,
+    bits: int = HYPERPLANE_BITS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector bit signature: bit j = sign of the projection onto
+    hyperplane j, emitted as '1'/'0' string columns mh0..mh{bits-1} —
+    the same signature shape dedup.lsh_candidate_pairs bands over, so
+    the banding/hot-bucket machinery is shared with minhash.
+
+    The hyperplanes are literal arrays baked into the plan (no
+    dimension table, no join, nothing broadcast at runtime); each
+    projection is a sequential float64 fold, bit-matching the oracle's
+    list_sum.  At real scale the 10^2 folds/vector would move to one
+    Arrow-batched pandas_udf matrix multiply — kept as expressions here
+    because bit-for-bit oracle parity is worth more than the constant
+    factor at test scale.
+    """
+    R = hyperplane_matrix(bits, dim)
+    cols = []
+    for j in range(bits):
+        lits = ", ".join(f"{v}D" for v in R[j])
+        proj = F.expr(
+            f"aggregate(zip_with({vec_col}, array({lits}), "
+            "(x, y) -> cast(x as double) * y), 0D, (acc, v) -> acc + v)"
+        )
+        cols.append(
+            F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")).alias(f"mh{j}")
+        )
+    return df.select(F.col(id_col), *cols)
+
+
+def embedding_lsh_near_dup(
+    df: DataFrame,
+    dim: int = 64,
+    bits: int = HYPERPLANE_BITS,
+    band_rows: int = HYPERPLANE_BAND_ROWS,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup via hyperplane LSH: sign-bit signature ->
+    banded buckets (4 bands x 8 bits: a random pair collides with
+    p ~ 4/256, a cosine-0.8 pair with p ~ 0.6) -> candidate pairs
+    (hot-bucket star cap shared with minhash) -> exact cosine verify.
+
+    Unlike embedding_near_dup's label blocking, this needs NO metadata
+    — the buckets come from the geometry, so it is the variant that
+    runs on an unlabeled 100 TB corpus.  Candidates are a vanishing
+    fraction of all pairs; only they pay the exact-cosine join.
+    """
+    from .dedup import lsh_candidate_pairs
+
+    sigs = hyperplane_signatures(df, dim, bits, id_col, vec_col).persist()
+    caches: list = []
+    pairs = lsh_candidate_pairs(
+        sigs, id_col=id_col, k=bits, band_rows=band_rows, cache_into=caches
+    )
+    emb = with_norm(df, vec_col)
+    a = emb.select(
+        F.col(id_col).alias("doc_a"),
+        F.col(vec_col).alias("ea"),
+        F.col("norm").alias("na"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("doc_b"),
+        F.col(vec_col).alias("eb"),
+        F.col("norm").alias("nb"),
+    )
+    cos = _dot("ea", "eb") / (F.col("na") * F.col("nb"))
+    result = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            F.col("doc_a").alias("vec_a"),
+            F.col("doc_b").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    out = result.localCheckpoint(eager=True)
+    sigs.unpersist()
+    for c in caches:
+        c.unpersist()
+    return out

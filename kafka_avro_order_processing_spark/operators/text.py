@@ -152,3 +152,97 @@ def repetition_stats(
             - F.countDistinct("shingle").cast("double") / F.count("*").cast("double")
         ).alias("repetition_ratio"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 20,
+) -> DataFrame:
+    """BM25 document ranking for a fixed query-term set (Robertson/
+    Sparck Jones probabilistic relevance; the standard retrieval scorer
+    a curation pipeline uses to mine topic-relevant training docs).
+
+    Two cross-engine determinism choices (see module docstring):
+
+    - the idf keeps the classic rational core (N - df + 0.5)/(df + 0.5)
+      WITHOUT the log wrap — log is monotone, so rankings are identical,
+      and libm rounding is the only thing the log would add;
+    - the per-doc score sums its per-term contributions in FIXED query
+      order via one conditional sum per term (float addition is not
+      associative; a bag SUM would be partial-aggregation-order
+      dependent), then adds them left-to-right.
+
+    avgdl is exact: token counts are integers, so their double sum is
+    order-independent (< 2^53) and avg = sum/n is one deterministic
+    division.
+
+    One explode + two aggregations (per-doc tf for the query terms,
+    corpus df/avgdl as a broadcast single row); the explode only emits
+    query-term hits, so the shuffle is O(matching tokens), not
+    O(corpus tokens).
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    dl = df.select(
+        F.col(id_col), F.size(tokens(text_col)).cast("double").alias("dl")
+    )
+    hits = tok.filter(F.col("token").isin(*terms))
+    tf = hits.groupBy(id_col, "token").agg(F.count("*").cast("double").alias("tf"))
+    dfreq = hits.groupBy("token").agg(
+        F.countDistinct(id_col).cast("double").alias("df")
+    )
+    stats = df.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum(F.size(tokens(text_col)).cast("double")) / F.count("*")).alias("avgdl"),
+    )
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    w = (
+        idf
+        * F.col("tf")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    weights = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), F.col("token"), w.alias("w"))
+    )
+    # fixed-order sum: one conditional aggregate per query term, added
+    # in query order (each term has at most one row per doc, so the
+    # conditional sums are single-element and exact)
+    per_term = weights.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(F.col("token") == t, F.col("w"))).alias(f"w{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    score = None
+    for i in range(len(terms)):
+        c = F.coalesce(F.col(f"w{i}"), F.lit(0.0))
+        score = c if score is None else score + c
+    from pyspark.sql import Window
+
+    # top-k FIRST via orderBy+limit (distributed TakeOrderedAndProject
+    # — per-partition heaps, no global sort shuffle), then number the
+    # <=topk survivors; a row_number window over the full corpus would
+    # drag every row into one partition.
+    top = (
+        per_term.select(F.col(id_col), score.alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(topk)
+    )
+    return top.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc(id_col)))
+        .cast("int"),
+    )

@@ -3158,6 +3158,135 @@ def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BM25 retrieval scoring + hyperplane-LSH embedding near-dup (curation
+# scale path; both deterministic by construction — rational idf / fixed
+# sign matrix — so they carry full hash oracles).
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("join", "vector", "stream")
+
+
+def _bm25_oracle(terms: tuple = _BM25_TERMS, topk: int = 20) -> str:
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    w_cols = ",\n         ".join(
+        f"SUM(CASE WHEN token = '{t}' THEN w END) AS w{i}"
+        for i, t in enumerate(terms)
+    )
+    score = " + ".join(f"COALESCE(w{i}, 0.0)" for i in range(len(terms)))
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    hits AS (SELECT doc_id, token FROM tok WHERE token IN ({in_list})),
+    tf AS (SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf
+           FROM hits GROUP BY doc_id, token),
+    dfq AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+            FROM hits GROUP BY token),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                     SUM(CAST(len(string_split(text, ' ')) AS DOUBLE)) / COUNT(*) AS avgdl
+              FROM documents),
+    dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+           FROM documents),
+    w AS (
+      SELECT tf.doc_id, tf.token,
+             (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS w
+      FROM tf JOIN dfq ON tf.token = dfq.token
+              JOIN dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN stats),
+    per AS (SELECT doc_id, {w_cols} FROM w GROUP BY doc_id),
+    scored AS (SELECT doc_id, {score} AS bm25 FROM per),
+    ranked AS (
+      SELECT doc_id, bm25,
+             CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rank
+      FROM scored)
+    SELECT doc_id, bm25, rank FROM ranked WHERE rank <= {topk}
+    """
+
+
+@_register(
+    "bm25_top20",
+    _bm25_oracle(),
+    tags=("m5", "text", "retrieval"),
+    doc="BM25 relevance ranking for a fixed query-term set (k1=1.2, "
+        "b=0.75) — the retrieval scorer a curation pipeline uses to "
+        "mine topic-relevant docs.  idf keeps the rational core "
+        "without the (monotone) log wrap and the per-doc score sums "
+        "per-term contributions in fixed query order, so the result "
+        "hash-matches cross-engine.",
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bm25_topk
+
+    return bm25_topk(load_table(spark, sf_dir, "documents"), _BM25_TERMS)
+
+
+def _hyperplane_oracle(
+    bits: int = 32, band_rows: int = 8, dim: int = 64, threshold: float = 0.35
+) -> str:
+    from ..operators.similarity import hyperplane_matrix
+
+    R = hyperplane_matrix(bits, dim)
+    bit_exprs = ",\n             ".join(
+        "CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * list_extract([{', '.join(str(v) for v in R[j])}], i))) >= 0 "
+        f"THEN '1' ELSE '0' END AS b{j}"
+        for j in range(bits)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT vec_id, {bnum} AS band_id, "
+        f"{'||'.join(f'b{bnum * band_rows + r}' for r in range(band_rows))} AS bv FROM s"
+        for bnum in range(bits // band_rows)
+    )
+    return f"""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm,
+             {bit_exprs}
+      FROM embeddings),
+    bands AS ({band_selects}),
+    sized AS (
+      SELECT vec_id, band_id, bv,
+             COUNT(*) OVER (PARTITION BY band_id, bv) AS bucket_n,
+             MIN(vec_id) OVER (PARTITION BY band_id, bv) AS min_id
+      FROM bands),
+    pairs AS (
+      SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        FROM sized a JOIN sized b
+          ON a.band_id = b.band_id AND a.bv = b.bv
+         AND a.vec_id < b.vec_id
+        WHERE a.bucket_n <= {_dedup.MAX_BUCKET_SIZE}
+        UNION ALL
+        SELECT min_id, vec_id FROM sized
+        WHERE bucket_n > {_dedup.MAX_BUCKET_SIZE} AND vec_id != min_id)),
+    scored AS (
+      SELECT p.doc_a AS vec_a, p.doc_b AS vec_b,
+             list_sum(list_transform(range(1, len(a.embedding) + 1),
+                    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+               / (a.norm * b.norm) AS cosine
+      FROM pairs p JOIN s a ON a.vec_id = p.doc_a JOIN s b ON b.vec_id = p.doc_b)
+    SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {threshold}
+    """
+
+
+@_register(
+    "embedding_lsh_near_dup",
+    _hyperplane_oracle(),
+    tags=("m5", "dedup", "similarity"),
+    doc="Tokenless embedding near-dup via random-hyperplane LSH "
+        "(Charikar '02): 32 sign bits from fixed +-1 hyperplanes, 4x8 "
+        "banding, hot-bucket star cap shared with minhash, exact cosine "
+        "verify on candidates only.  The no-metadata scale path "
+        "complementing embedding_near_dup's label blocking.",
+)
+def q_embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import embedding_lsh_near_dup
+
+    return embedding_lsh_near_dup(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness harness checks queries in
 # registration order and caps the run (round 1 recorded rows for exactly
 # the first 50 of 74).  Lead with every query that does NOT yet have a
@@ -3187,6 +3316,7 @@ _LEAD_ORDER = [
     "source_overlap_grams", "doc_length_histogram", "dedup_clusters_star",
     "streaming_dedup_exact", "streaming_static_enrich",
     "upsert_orders", "scd2_customer_dim", "near_dup_pairs_char",
+    "bm25_top20", "embedding_lsh_near_dup",
     # plan or oracle changed this round — need a fresh driver row
     "daily_event_type_pivot", "generated_orders", "simhash_fingerprints",
     "near_dup_pairs",

@@ -230,3 +230,62 @@ def test_minhash_oracle_mirrors_bucket_cap(spark, tmp_path):
     assert got == want
     # the hot bucket produced a linear star, not quadratic all-pairs
     assert len(got) == n_hot - 1
+
+
+def test_hyperplane_lsh_finds_identical_vectors(spark):
+    """Identical vectors share every sign bit, so they collide in all
+    bands and come out with cosine exactly 1.0; an orthogonal one-hot
+    basis has pairwise cosine 0 and should never pass the threshold."""
+    from kafka_avro_order_processing_spark.operators.similarity import (
+        embedding_lsh_near_dup,
+    )
+
+    dim = 16
+    dup = [0.5] * dim
+    rows = [(1, dup), (2, dup)] + [
+        (10 + i, [1.0 if j == i else 0.0 for j in range(dim)]) for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in embedding_lsh_near_dup(df, dim=dim, threshold=0.9).collect()
+    }
+    assert got == {(1, 2): 1.0}
+
+
+def test_hyperplane_signature_deterministic(spark):
+    from kafka_avro_order_processing_spark.operators.similarity import (
+        hyperplane_matrix,
+        hyperplane_signatures,
+    )
+
+    assert hyperplane_matrix(4, 8) == hyperplane_matrix(4, 8)
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0, 0.5, 3.0])], "vec_id long, embedding array<float>"
+    )
+    a = hyperplane_signatures(df, dim=4, bits=8).collect()[0]
+    b = hyperplane_signatures(df, dim=4, bits=8).collect()[0]
+    assert a == b
+    assert all(a[f"mh{j}"] in ("0", "1") for j in range(8))
+
+
+def test_bm25_ranks_term_dense_docs_first(spark):
+    """A doc saturated with the query terms must outrank one with a
+    single hit; docs with no hits are absent; ranks are 1..k dense."""
+    from kafka_avro_order_processing_spark.operators.text import bm25_topk
+
+    rows = [
+        (1, "join vector stream join vector stream join"),
+        (2, "join filler filler filler filler filler filler"),
+        (3, "nothing relevant here at all whatsoever truly"),
+        (4, "vector stream filler filler filler filler filler"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = bm25_topk(df, ("join", "vector", "stream"), topk=10).collect()
+    by_id = {r["doc_id"]: r for r in got}
+    assert 3 not in by_id
+    assert by_id[1]["rank"] == 1
+    assert [r["rank"] for r in sorted(got, key=lambda r: r["rank"])] == list(
+        range(1, len(got) + 1)
+    )
+    assert by_id[1]["bm25"] > by_id[2]["bm25"]
