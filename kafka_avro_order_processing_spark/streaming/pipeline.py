@@ -59,28 +59,56 @@ class _scoped_shuffle_partitions:
 
 
 def drain_to_df(stream_df: DataFrame, output_mode: str) -> DataFrame:
-    """Run a bounded streaming plan to completion (availableNow, memory
-    sink, cluster-sized shuffle partitions, throwaway checkpoint) and
-    return the materialized result as a batch DataFrame.
+    """Run a bounded streaming plan to completion (availableNow,
+    cluster-sized shuffle partitions, throwaway checkpoint) and return
+    the result as a batch DataFrame.
+
+    The result stays DISTRIBUTED end-to-end — no memory sink: append
+    mode streams straight into a parquet file sink (executor-side
+    writes; a per-record twin's output is O(input) and must never
+    funnel through the driver), and complete mode overwrites a parquet
+    snapshot from foreachBatch each epoch (the final epoch leaves the
+    final state).  The returned DataFrame is a lazy scan of that sink,
+    so downstream consumers keep whatever parallelism they want.
 
     The shared core of every streaming-twin query: the driver's oracle
-    compares the drained result against the batch SQL form.
+    compares the drained result against the batch SQL form.  Scratch
+    (sink + checkpoint) lives in a per-call temp dir that is left for
+    the OS/tmp reaper — the returned plan reads from it lazily, so it
+    cannot be deleted here.
     """
     spark = stream_df.sparkSession
     tag = uuid.uuid4().hex[:12]
-    name = f"drain_{tag}"
+    base = tempfile.mkdtemp(prefix=f"drain_{tag}_")
+    sink, chk = f"{base}/sink", f"{base}/chk"
     with _scoped_shuffle_partitions(spark):
+        if output_mode == "append":
+            writer = (
+                stream_df.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", sink)
+            )
+        elif output_mode == "complete":
+
+            def _snapshot(df: DataFrame, epoch_id: int) -> None:
+                df.write.mode("overwrite").parquet(sink)
+
+            writer = stream_df.writeStream.outputMode("complete").foreachBatch(
+                _snapshot
+            )
+        else:  # update mode has no self-contained final table
+            raise ValueError(f"drain_to_df: unsupported mode {output_mode!r}")
         q = (
-            stream_df.writeStream.outputMode(output_mode)
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", f"{tempfile.mkdtemp()}/chk_{tag}")
+            writer.option("checkpointLocation", chk)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
-    out = spark.table(name)
-    return spark.createDataFrame(out.collect(), schema=out.schema)
+    try:
+        return spark.read.parquet(sink)
+    except Exception:
+        # empty stream: no epoch ever wrote the sink
+        return spark.createDataFrame([], schema=stream_df.schema)
 
 
 def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
