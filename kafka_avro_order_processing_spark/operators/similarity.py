@@ -219,3 +219,87 @@ def embedding_lsh_near_dup(
     for c in caches:
         c.unpersist()
     return out
+
+
+def kmeans_refine(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means refinement of the IVF centroids: `iters`
+    Lloyd rounds (cosine argmax assignment -> per-cell mean), seeded
+    with the same vec_id<k convention the static IVF queries use.
+    Returns one row per surviving cell: member count plus norm/sum
+    digests of the refined centroid (scalar digests keep the oracle
+    comparison away from cross-engine array-repr differences while
+    still covering every component's bits).
+
+    Determinism contract (what makes this hash-oracle-able):
+    - assignment ties break on centroid id (shared with ivf_assign);
+    - the per-(cell, dim) mean folds members in vec_id order
+      (array_sort(collect_list(struct(id, x))) then a sequential
+      float64 fold == DuckDB list_sum over list(x ORDER BY vec_id),
+      verified bit-exact) — float addition is not associative, so an
+      unordered SUM would be partial-aggregation-order dependent;
+    - the division by the member count is one double op.
+
+    Scale shape: each round is one broadcast-assign (k rows broadcast,
+    argmax inline) + one explode + two keyed aggregations — no
+    all-pairs anything; lineage is cut per round (localCheckpoint, the
+    iterative-operator rule) so plans stay O(1) deep.  At production
+    scale the ordered fold would relax to decimal partial sums (order-
+    free, exact) — kept as the fold here because it is what the ANSI
+    oracle can reproduce exactly.
+    """
+    elems = vectors.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim", "val")
+    ).persist()
+    cents = vectors.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias(vec_col)
+    )
+    for _ in range(iters):
+        assigned = ivf_assign(vectors, cents, id_col=id_col, vec_col=vec_col)
+        per = (
+            assigned.join(elems, id_col)
+            .groupBy("centroid_id", "dim")
+            .agg(
+                F.collect_list(
+                    F.struct(
+                        F.col(id_col).alias("i"),
+                        F.col("val").cast("double").alias("x"),
+                    )
+                ).alias("vals"),
+                F.count("*").alias("n"),
+            )
+            .select(
+                "centroid_id",
+                "dim",
+                (
+                    F.aggregate(
+                        F.array_sort("vals"), F.lit(0.0), lambda acc, s: acc + s["x"]
+                    )
+                    / F.col("n")
+                ).alias("mean"),
+                F.col("n"),
+            )
+        )
+        cents = (
+            per.groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "mean"))),
+                    lambda s: s["mean"],
+                ).alias(vec_col),
+                F.max("n").alias("n_members"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    elems.unpersist()
+    return cents.select(
+        F.col("centroid_id").alias("cell_id"),
+        F.col("n_members"),
+        F.sqrt(_dot(vec_col, vec_col)).alias("centroid_norm"),
+        F.expr(f"aggregate({vec_col}, 0D, (acc, v) -> acc + v)").alias("centroid_sum"),
+    )

@@ -3286,6 +3286,79 @@ def q_embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_lsh_near_dup(load_table(spark, sf_dir, "embeddings"))
 
 
+def _kmeans_oracle(k: int = 8, iters: int = 2) -> str:
+    """Unrolled Lloyd rounds as one CTE chain — every float op mirrors
+    kmeans_refine exactly (see its determinism contract)."""
+    ctes = [
+        """n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+      FROM embeddings)""",
+        """e AS (
+      SELECT vec_id, t.i AS dim, CAST(embedding[t.i] AS DOUBLE) AS x
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i))""",
+        f"""c0 AS (
+      SELECT vec_id AS cell_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent,
+             norm AS cn
+      FROM n WHERE vec_id < {k})""",
+    ]
+    for i in range(iters):
+        ctes.append(f"""s{i} AS (
+      SELECT n.vec_id, c.cell_id,
+             list_sum(list_transform(range(1, len(n.embedding) + 1),
+                    j -> CAST(n.embedding[j] AS DOUBLE) * c.cent[j]))
+               / (n.norm * c.cn) AS sim
+      FROM n CROSS JOIN c{i} c)""")
+        ctes.append(f"""a{i} AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT vec_id, cell_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                      ORDER BY sim DESC, cell_id) AS rn
+        FROM s{i}) WHERE rn = 1)""")
+        ctes.append(f"""m{i} AS (
+      SELECT a.cell_id, e.dim,
+             list_sum(list(e.x ORDER BY e.vec_id)) / COUNT(*) AS mean,
+             COUNT(*) AS n
+      FROM a{i} a JOIN e ON a.vec_id = e.vec_id
+      GROUP BY a.cell_id, e.dim)""")
+        ctes.append(f"""c{i + 1} AS (
+      SELECT cell_id,
+             list(mean ORDER BY dim) AS cent,
+             sqrt(list_sum(list_transform(list(mean ORDER BY dim),
+                    x -> x * x))) AS cn,
+             MAX(n) AS n_members
+      FROM m{i} GROUP BY cell_id)""")
+    return (
+        "\n    WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT cell_id, n_members, cn AS centroid_norm,
+           list_sum(cent) AS centroid_sum
+    FROM c{iters}
+    """
+    )
+
+
+@_register(
+    "ivf_kmeans_refine",
+    _kmeans_oracle(),
+    tags=("m5", "similarity", "iterative"),
+    doc="IVF centroid TRAINING: 2 spherical-k-means Lloyd rounds "
+        "(cosine argmax assign -> per-cell mean) from the vec_id<8 "
+        "seeds the static IVF queries use.  Per-(cell,dim) means fold "
+        "members in vec_id order so the oracle reproduces every bit; "
+        "output digests (norm/sum per refined centroid) cover all "
+        "components.  The iterative-DataFrame pattern: broadcast "
+        "assign + keyed agg per round, lineage cut per round.",
+)
+def q_ivf_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import kmeans_refine
+
+    return kmeans_refine(load_table(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness harness checks queries in
 # registration order and caps the run (round 1 recorded rows for exactly
@@ -3297,7 +3370,9 @@ def q_embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _LEAD_ORDER = [
-    # round-1 driver-unchecked (positions 50-73 in the old order)
+    # never driver-checked: round-1 unchecked (the 24 past the round-1
+    # cap) + everything added this round = exactly the 50-query window
+    # the driver's harness covers
     "props_json_extraction", "priority_code_extract", "orders_by_month",
     "above_customer_avg_orders", "approx_distinct_users",
     "salted_product_stats", "ivf_probe_search", "clicks_before_purchase",
@@ -3316,8 +3391,10 @@ _LEAD_ORDER = [
     "source_overlap_grams", "doc_length_histogram", "dedup_clusters_star",
     "streaming_dedup_exact", "streaming_static_enrich",
     "upsert_orders", "scd2_customer_dim", "near_dup_pairs_char",
-    "bm25_top20", "embedding_lsh_near_dup",
-    # plan or oracle changed this round — need a fresh driver row
+    "bm25_top20", "embedding_lsh_near_dup", "ivf_kmeans_refine",
+    # plan or oracle changed this round (round-1 rows are green and the
+    # outputs are unchanged — re-verified by the local parity suite at
+    # sf0.001/0.01/0.1 — so these rank just after the never-checked set)
     "daily_event_type_pivot", "generated_orders", "simhash_fingerprints",
     "near_dup_pairs",
     # flagship + core parity set (keep inside any driver cap)

@@ -289,3 +289,21 @@ def test_bm25_ranks_term_dense_docs_first(spark):
         range(1, len(got) + 1)
     )
     assert by_id[1]["bm25"] > by_id[2]["bm25"]
+
+
+def test_kmeans_refine_partitions_all_vectors(spark):
+    """Two well-separated clusters seeded with one vector from each:
+    every vector lands in a cell, counts partition the corpus, and the
+    refined centroid of a tight cluster has ~the cluster norm."""
+    from kafka_avro_order_processing_spark.operators.similarity import kmeans_refine
+
+    rows = [(0, [1.0, 0.0, 0.01 * 0]), (1, [0.0, 1.0, 0.0])] + [
+        (2 + i, [1.0, 0.02 * i, 0.0]) for i in range(5)
+    ] + [(10 + i, [0.01 * i, 1.0, 0.0]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["cell_id"]: r for r in kmeans_refine(df, k=2, iters=2).collect()}
+    assert set(out) == {0, 1}
+    assert out[0]["n_members"] + out[1]["n_members"] == len(rows)
+    assert out[0]["n_members"] == 6 and out[1]["n_members"] == 6
+    for r in out.values():
+        assert 0.9 < r["centroid_norm"] < 1.2
