@@ -58,23 +58,34 @@ class _scoped_shuffle_partitions:
         return False
 
 
-def drain_to_df(stream_df: DataFrame, output_mode: str) -> DataFrame:
+def drain_to_df(
+    stream_df: DataFrame,
+    output_mode: str,
+    key_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Run a bounded streaming plan to completion (availableNow,
     cluster-sized shuffle partitions, throwaway checkpoint) and return
     the result as a batch DataFrame.
 
-    The result stays DISTRIBUTED end-to-end — no memory sink: append
-    mode streams straight into a parquet file sink (executor-side
-    writes; a per-record twin's output is O(input) and must never
-    funnel through the driver), and complete mode overwrites a parquet
-    snapshot from foreachBatch each epoch (the final epoch leaves the
-    final state).  The returned DataFrame is a lazy scan of that sink,
-    so downstream consumers keep whatever parallelism they want.
+    The result stays DISTRIBUTED end-to-end — no memory sink:
 
-    The shared core of every streaming-twin query: the driver's oracle
-    compares the drained result against the batch SQL form.  Scratch
-    (sink + checkpoint) lives in a per-call temp dir that is left for
-    the OS/tmp reaper — the returned plan reads from it lazily, so it
+    - **append**: straight into a parquet file sink (executor-side
+      writes; a per-record twin's output is O(input) and must never
+      funnel through the driver).
+    - **complete**: foreachBatch overwrites a parquet snapshot each
+      epoch; the final epoch leaves the final state.  O(keys) per
+      epoch — fine for drains, but prefer update at scale.
+    - **update** (requires `key_cols`): each epoch APPENDS only its
+      changed keys, stamped with the epoch id — an O(changed-keys)
+      changelog, the scale-preferred mode (complete rewrites ALL state
+      every epoch).  The drain folds the changelog with
+      latest-epoch-wins per key (an update epoch emits a key at most
+      once, so the fold is unambiguous).
+
+    The returned DataFrame is a lazy scan of that sink, so downstream
+    consumers keep whatever parallelism they want.  Scratch (sink +
+    checkpoint) lives in a per-call temp dir that is left for the
+    OS/tmp reaper — the returned plan reads from it lazily, so it
     cannot be deleted here.
     """
     spark = stream_df.sparkSession
@@ -96,7 +107,19 @@ def drain_to_df(stream_df: DataFrame, output_mode: str) -> DataFrame:
             writer = stream_df.writeStream.outputMode("complete").foreachBatch(
                 _snapshot
             )
-        else:  # update mode has no self-contained final table
+        elif output_mode == "update":
+            if not key_cols:
+                raise ValueError("drain_to_df: update mode needs key_cols")
+
+            def _delta(df: DataFrame, epoch_id: int) -> None:
+                df.withColumn("__epoch", F.lit(epoch_id)).write.mode(
+                    "append"
+                ).parquet(sink)
+
+            writer = stream_df.writeStream.outputMode("update").foreachBatch(
+                _delta
+            )
+        else:
             raise ValueError(f"drain_to_df: unsupported mode {output_mode!r}")
         q = (
             writer.option("checkpointLocation", chk)
@@ -105,10 +128,20 @@ def drain_to_df(stream_df: DataFrame, output_mode: str) -> DataFrame:
         )
         q.awaitTermination()
     try:
-        return spark.read.parquet(sink)
+        out = spark.read.parquet(sink)
     except Exception:
         # empty stream: no epoch ever wrote the sink
         return spark.createDataFrame([], schema=stream_df.schema)
+    if output_mode == "update":
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*key_cols).orderBy(F.desc("__epoch"))
+        out = (
+            out.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__epoch")
+        )
+    return out
 
 
 def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

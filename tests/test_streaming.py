@@ -165,3 +165,42 @@ def test_aggregated_output_stream(spark, tmp_path):
     agg = spark.read.parquet(str(tmp_path / "aggregated"))
     assert set(agg.columns) >= {"product", "order_count", "price_sum_dec",
                                 "minimum_price", "maximum_price", "epoch_id"}
+
+
+def test_update_mode_drain_folds_changelog(spark, tmp_path):
+    """Update-mode drain across MULTIPLE epochs: each epoch appends
+    only its changed keys; the fold must keep the latest epoch's row
+    per key and equal the batch aggregate over all data."""
+    from kafka_avro_order_processing_spark.operators.aggregate import (
+        product_price_stats,
+    )
+    from kafka_avro_order_processing_spark.streaming.pipeline import drain_to_df
+
+    src = str(tmp_path / "src")
+    rows = [(i, ["a", "b", "c"][i % 3], float(i)) for i in range(300)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    # 4 separate files -> maxFilesPerTrigger=1 forces 4 update epochs
+    df.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got = drain_to_df(
+        product_price_stats(stream, key="event_type", value="value"),
+        "update",
+        key_cols=("event_type",),
+    )
+    want = product_price_stats(df, key="event_type", value="value")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_update_mode_drain_requires_keys(spark):
+    import pytest as _pytest
+
+    from kafka_avro_order_processing_spark.streaming.pipeline import drain_to_df
+
+    df = spark.readStream.format("rate").load()
+    with _pytest.raises(ValueError, match="key_cols"):
+        drain_to_df(df, "update")
