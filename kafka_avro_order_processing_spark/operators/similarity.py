@@ -17,6 +17,13 @@ Scale notes (100 TB of vectors):
 - the IVF variant assigns each vector to its nearest of c centroids at
   write time (partition column), so a query probes only its cell's
   partitions — classic partition pruning.
+
+Zero-norm contract: cosine is undefined for all-zero vectors (0/0 is
+an ANSI division error under Spark's default ansi mode).
+`embedding_lsh_near_dup` excludes them up front (they also pollute one
+LSH bucket per band); the other entry points assume non-degenerate
+input — pre-filter degenerate corpora with
+``with_norm(df).filter(F.col("norm") > 0)``.
 """
 
 from __future__ import annotations
@@ -184,9 +191,15 @@ def embedding_lsh_near_dup(
     — the buckets come from the geometry, so it is the variant that
     runs on an unlabeled 100 TB corpus.  Candidates are a vanishing
     fraction of all pairs; only they pay the exact-cosine join.
+
+    Zero-norm vectors are excluded up front: cosine is undefined for
+    them (0/0 — ANSI division error), and their projections are all
+    exactly 0, so their identical sign bits would collide them with
+    each other AND pollute one bucket per band.
     """
     from .dedup import lsh_candidate_pairs
 
+    df = with_norm(df, vec_col).filter(F.col("norm") > 0).drop("norm")
     sigs = hyperplane_signatures(df, dim, bits, id_col, vec_col).persist()
     caches: list = []
     pairs = lsh_candidate_pairs(

@@ -3259,11 +3259,13 @@ def _hyperplane_oracle(
     )
     return f"""
     WITH s AS (
-      SELECT vec_id, embedding,
-             sqrt(list_sum(list_transform(embedding,
-                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm,
-             {bit_exprs}
-      FROM embeddings),
+      SELECT vec_id, embedding, norm, {bit_exprs}
+      FROM (
+        SELECT vec_id, embedding,
+               sqrt(list_sum(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+        FROM embeddings)
+      WHERE norm > 0),
     bands AS ({band_selects}),
     sized AS (
       SELECT vec_id, band_id, bv,

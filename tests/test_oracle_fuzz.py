@@ -248,3 +248,85 @@ def test_fuzz_validation_split_matches_duckdb(spark, rows):
         """).fetchall()
     )
     assert got == want
+
+
+# --- near-dup / LSH fuzzing -------------------------------------------------
+
+_VOCAB = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+
+corpus_strategy = st.lists(
+    st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(texts=corpus_strategy)
+@SETTINGS
+def test_fuzz_near_dup_pairs_match_duckdb(spark, texts):
+    """The full minhash->LSH->verify pipeline vs its ANSI oracle on
+    arbitrary tiny-vocab corpora — small vocabularies force heavy
+    shingle collisions, duplicate docs, and (at the size cap) hot
+    buckets, the adversarial regime for the banding/cap logic."""
+    from kafka_avro_order_processing_spark.operators.dedup import near_dup_pairs
+    from kafka_avro_order_processing_spark.plans.registry import _minhash_oracle
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = os.path.join(tempfile.mkdtemp(), "docs.parquet")
+    df.coalesce(1).write.parquet(path)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    got = sorted(
+        (r["doc_a"], r["doc_b"], repr(r["est_jaccard"]), repr(r["jaccard"]))
+        for r in near_dup_pairs(spark.read.parquet(path)).collect()
+    )
+    want = sorted(
+        (a, b, repr(e), repr(j))
+        for a, b, e, j in con.execute(_minhash_oracle()).fetchall()
+    )
+    assert got == want
+
+
+embedding_strategy = st.lists(
+    st.lists(
+        st.floats(-1, 1, width=32, allow_nan=False), min_size=8, max_size=8
+    ),
+    min_size=2,
+    max_size=25,
+)
+
+
+@given(vecs=embedding_strategy)
+@SETTINGS
+def test_fuzz_hyperplane_lsh_matches_duckdb(spark, vecs):
+    """Hyperplane-LSH near-dup vs its oracle on arbitrary float32
+    vectors (including duplicates, zeros and near-parallel pairs)."""
+    from kafka_avro_order_processing_spark.operators.similarity import (
+        embedding_lsh_near_dup,
+    )
+    from kafka_avro_order_processing_spark.plans.registry import _hyperplane_oracle
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = os.path.join(tempfile.mkdtemp(), "emb.parquet")
+    df.coalesce(1).write.parquet(path)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    got = sorted(
+        (r["vec_a"], r["vec_b"], repr(r["cosine"]))
+        for r in embedding_lsh_near_dup(
+            spark.read.parquet(path), dim=8, bits=16, band_rows=4
+        ).collect()
+    )
+    want = sorted(
+        (a, b, repr(c))
+        for a, b, c in con.execute(
+            _hyperplane_oracle(bits=16, band_rows=4, dim=8)
+        ).fetchall()
+    )
+    assert got == want
