@@ -16,3 +16,19 @@ def test_demo_end_to_end(spark):
     assert counters["processed"] == 20        # all generated orders valid
     assert counters["sent_to_dlq"] == 2       # the two seeded invalids
     assert counters["offered"] == 22
+
+
+def test_curation_demo_end_to_end(spark, tmp_path):
+    """The raw-docs -> packed-shards curation pipeline: the funnel only
+    shrinks, every stage keeps >0 docs, and the written shard layout is
+    readable with dense per-shard packing bins."""
+    from curation_pipeline_demo import main
+
+    c = main("/root/testdata/sf0.001", spark=spark, out_dir=str(tmp_path))
+    assert c["raw"] >= c["after_quality"] >= c["after_exact_dedup"] >= c["after_near_dedup"] > 0
+    assert c["after_quality"] < c["raw"]          # quality gate filtered
+    assert c["after_near_dedup"] < c["after_exact_dedup"]  # near-dups pruned
+    assert c["shards"] == 8
+    shards = spark.read.parquet(str(tmp_path / "shards"))
+    assert shards.count() == c["after_near_dedup"]
+    assert set(shards.columns) == {"doc_id", "text", "shard", "n_tokens", "bin_id"}
