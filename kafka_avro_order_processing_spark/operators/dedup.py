@@ -197,8 +197,6 @@ def lsh_candidate_pairs(
     diameter-many label-propagation rounds).  The direct pairwise
     Jaccard estimates are only produced for sane-sized buckets.
     """
-    from pyspark.sql import Window
-
     n_bands = k // band_rows
     bands = sigs.select(
         F.col(id_col),
@@ -212,25 +210,29 @@ def lsh_candidate_pairs(
             ])
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_val")
-    w = Window.partitionBy("band_id", "band_val")
+    # Bucket sizing via partial-aggregated groupBy + join-back, NOT a
+    # count()/min() window: the window form sorts every partition of
+    # the band table just to annotate it, while the groupBy form
+    # map-side-combines down to one row per bucket before the shuffle
+    # and the join-back reuses the same (band_id, band_val) hash
+    # partitioning (AQE broadcasts the stats side outright when it is
+    # small).  Measured at sf0.1 the two sort-windows were the single
+    # largest cost in the near-dup plan.
+    stats = bands.groupBy("band_id", "band_val").agg(
+        F.count("*").alias("bucket_n"), F.min(id_col).alias("min_id")
+    )
+    sized = bands.join(stats, ["band_id", "band_val"])
     # Three consumers read the sized band table (all-pairs self-join
     # x2, star branch).  When the caller passes `cache_into`, persist
-    # it once and let the caller release it after materializing the
-    # final result (A/B at sf0.1: persist 2.3 s vs recompute 2.9 s vs
-    # eager localCheckpoint 4.9 s — checkpointing copies the partitions
-    # through the block store and breaks the window/join pipelining, so
-    # it LOSES here; at production scale this intermediate would be a
-    # written-out table between the banding and pairing stages).
-    sized = bands.select(
-        id_col,
-        "band_id",
-        "band_val",
-        F.count("*").over(w).alias("bucket_n"),
-        F.min(id_col).over(w).alias("min_id"),
-    )
+    # it lazily: the input signature table is expected to be cached and
+    # MATERIALIZED by the caller, so concurrent first-computations of
+    # `sized` duplicate only the cheap explode/groupBy/join above the
+    # cache, never the expensive shingle aggregation below it.  (An
+    # eager count() barrier here was measured a net loss at sf0.1 —
+    # one extra job's scheduling latency outweighs the duplicated
+    # cheap work.)
     if cache_into is not None:
         sized = sized.persist()
-        sized.count()
         cache_into.append(sized)
     small = sized.filter(F.col("bucket_n") <= max_bucket_size)
     a, b = small.alias("a"), small.alias("b")
@@ -294,6 +296,14 @@ def near_dup_pairs(
         ],
         F.collect_set("shingle").alias("sh"),
     ).persist()
+    # Materialize per_doc NOW: it feeds the band explode AND both sides
+    # of the verification join, and those are concurrently-scheduled
+    # stages of the final job — without this barrier they race to
+    # compute the shingle aggregation before the cache fills (measured
+    # 3x slower at sf0.1).  Everything downstream of this point is
+    # orders of magnitude smaller than the corpus, so the single extra
+    # job is the cheapest possible barrier.
+    per_doc.count()
     caches: list[DataFrame] = []
     pairs = lsh_candidate_pairs(per_doc, id_col, k, band_rows, cache_into=caches)
 

@@ -234,6 +234,39 @@ def embedding_lsh_near_dup(
     return out
 
 
+# 2^52: scaling a float32-derived double by 2^52 is an exponent shift
+# (exact) whose result is integral for any float32 magnitude >= 2^-29,
+# making the double->DECIMAL(38,0) cast rounding-free in every engine.
+MEAN_SCALE = 4503599627370496
+
+
+def cell_means(assigned: DataFrame, elems: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Per-(cell, dim) member mean as an order-free exact aggregation:
+    2^52-scaled DECIMAL(38,0) partial sums (associative — safe under
+    any partial-aggregation order and any skew) divided once in
+    float64.  O(1) aggregation state per group: a skewed cell with
+    10^8 members costs the same buffer as one with 10."""
+    return (
+        assigned.join(elems, id_col)
+        .groupBy("centroid_id", "dim")
+        .agg(
+            F.sum(
+                F.expr(f"CAST(CAST(val AS DOUBLE) * {MEAN_SCALE}D AS DECIMAL(38,0))")
+            ).alias("ssum"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "centroid_id",
+            "dim",
+            (
+                F.col("ssum").cast("double")
+                / (F.col("n").cast("double") * F.lit(float(MEAN_SCALE)))
+            ).alias("mean"),
+            F.col("n"),
+        )
+    )
+
+
 def kmeans_refine(
     vectors: DataFrame,
     k: int = 8,
@@ -251,20 +284,29 @@ def kmeans_refine(
 
     Determinism contract (what makes this hash-oracle-able):
     - assignment ties break on centroid id (shared with ivf_assign);
-    - the per-(cell, dim) mean folds members in vec_id order
-      (array_sort(collect_list(struct(id, x))) then a sequential
-      float64 fold == DuckDB list_sum over list(x ORDER BY vec_id),
-      verified bit-exact) — float addition is not associative, so an
-      unordered SUM would be partial-aggregation-order dependent;
-    - the division by the member count is one double op.
+    - the per-(cell, dim) mean is an ORDER-FREE exact sum: each float32
+      member value x is scaled by 2^52 — an exponent shift, exact in
+      float64, and integral for any float32 with |x| >= 2^-29 (or 0) —
+      then summed as DECIMAL(38,0).  Integer sums are associative, so
+      partial aggregation order cannot change the result, and the
+      integral-double -> decimal cast is rounding-free in both engines
+      (a plain DECIMAL(38,18) cast is NOT — DuckDB's double->decimal
+      conversion is itself float-rounded, measured mismatching Spark's
+      in the low digits).  The mean is then one double divide by
+      (n * 2^52), exact in both engines.
+    - float addition is not associative, so a plain double SUM here
+      would be partial-aggregation-order dependent; the previous
+      design folded a collect_list(struct(id, x)) in vec_id order,
+      which is order-stable but materializes an entire cell's values
+      in ONE aggregation buffer — a skewed cell with 10^8 members is
+      a ~GB buffer and an executor OOM.  The decimal partial sum keeps
+      bit-exactness with O(1) state per (cell, dim) group.
 
     Scale shape: each round is one broadcast-assign (k rows broadcast,
-    argmax inline) + one explode + two keyed aggregations — no
-    all-pairs anything; lineage is cut per round (localCheckpoint, the
-    iterative-operator rule) so plans stay O(1) deep.  At production
-    scale the ordered fold would relax to decimal partial sums (order-
-    free, exact) — kept as the fold here because it is what the ANSI
-    oracle can reproduce exactly.
+    argmax inline) + one explode + two keyed aggregations with
+    map-side partials — no all-pairs anything, no unbounded buffers;
+    lineage is cut per round (localCheckpoint, the iterative-operator
+    rule) so plans stay O(1) deep.
     """
     elems = vectors.select(
         F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim", "val")
@@ -274,30 +316,7 @@ def kmeans_refine(
     )
     for _ in range(iters):
         assigned = ivf_assign(vectors, cents, id_col=id_col, vec_col=vec_col)
-        per = (
-            assigned.join(elems, id_col)
-            .groupBy("centroid_id", "dim")
-            .agg(
-                F.collect_list(
-                    F.struct(
-                        F.col(id_col).alias("i"),
-                        F.col("val").cast("double").alias("x"),
-                    )
-                ).alias("vals"),
-                F.count("*").alias("n"),
-            )
-            .select(
-                "centroid_id",
-                "dim",
-                (
-                    F.aggregate(
-                        F.array_sort("vals"), F.lit(0.0), lambda acc, s: acc + s["x"]
-                    )
-                    / F.col("n")
-                ).alias("mean"),
-                F.col("n"),
-            )
-        )
+        per = cell_means(assigned, elems, id_col)
         cents = (
             per.groupBy("centroid_id")
             .agg(

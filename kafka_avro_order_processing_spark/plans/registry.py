@@ -510,6 +510,7 @@ from ..operators.text import (  # noqa: E402
     token_counts,
 )
 from ..operators import dedup as _dedup  # noqa: E402
+from ..operators import similarity as _sim  # noqa: E402
 from ..operators.similarity import cosine_topk  # noqa: E402
 from ..operators.multimodal import binarize_text, payload_metadata  # noqa: E402
 
@@ -2620,10 +2621,14 @@ def q_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Shared DuckDB fragment: the packing assignment (also the CTE base of
-# packing_efficiency below).
-_PACKING_SQL = """
+# packing_efficiency below), parameterized exactly like
+# operators.packing.pack_sequences.
+def _packing_sql(n_shards: int, bin_tokens: int = 256) -> str:
+    from ..operators.packing import SHARD_STRIDE
+
+    return f"""
     WITH t AS (
-      SELECT doc_id, doc_id % 16 AS shard,
+      SELECT doc_id, doc_id % {n_shards} AS shard,
              len(string_split(text, ' ')) AS n_tokens
       FROM documents),
     c AS (
@@ -2632,10 +2637,17 @@ _PACKING_SQL = """
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       FROM t)
     SELECT doc_id, shard, n_tokens,
-           CAST(shard * 1000000 + floor((cum - n_tokens) / 256.0) AS BIGINT)
+           CAST(shard * {SHARD_STRIDE} + floor((cum - n_tokens) / {float(bin_tokens)}) AS BIGINT)
              AS bin_id
     FROM c
     """
+
+
+# The registered query pins n_shards=16 ONLY so the oracle SQL (a
+# static string) and the CORRECTNESS rows stay stable across rounds;
+# the operator itself defaults to the session's parallelism and is
+# hash-verified at multiple shard counts in tests/test_oracle_parity.
+_PACKING_SQL = _packing_sql(16)
 
 
 @_register(
@@ -2644,36 +2656,19 @@ _PACKING_SQL = """
     tags=("m5", "text", "packing"),
     doc="Context-window packing, the last step before a corpus ships to "
         "pretraining: documents are packed contiguously into 256-token "
-        "bins WITHIN hash shards (shard = doc_id %% 16) — a per-shard "
-        "running token count, not a global cumsum, because a global "
-        "ordered window is a one-partition bottleneck at 100 TB while "
-        "per-shard windows shuffle once on the shard key and scale "
-        "with the cluster.  bin_id is stable under any partitioning.",
+        "bins WITHIN hash shards — a per-shard running token count, not "
+        "a global cumsum, because a global ordered window is a "
+        "one-partition bottleneck at 100 TB while per-shard windows "
+        "shuffle once on the shard key.  The shard count is a parameter "
+        "of operators.packing.pack_sequences (default: session "
+        "parallelism — parallelism and per-task sort volume both scale "
+        "with it); this registry entry pins 16 so the static oracle "
+        "matches.  bin_id is stable under any input partitioning.",
 )
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from ..operators.packing import pack_sequences
 
-    from ..operators.text import tokens
-
-    docs = load_table(spark, sf_dir, "documents")
-    t = docs.select(
-        "doc_id",
-        (F.col("doc_id") % 16).alias("shard"),
-        F.size(tokens("text")).cast("long").alias("n_tokens"),
-    )
-    w = (
-        Window.partitionBy("shard")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = t.withColumn("cum", F.sum("n_tokens").over(w))
-    return cum.select(
-        "doc_id",
-        "shard",
-        "n_tokens",
-        (F.col("shard") * 1000000
-         + F.floor((F.col("cum") - F.col("n_tokens")) / 256.0)).cast("bigint").alias("bin_id"),
-    )
+    return pack_sequences(load_table(spark, sf_dir, "documents"), n_shards=16)
 
 
 # ---------------------------------------------------------------------------
@@ -3310,7 +3305,12 @@ def q_embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _kmeans_oracle(k: int = 8, iters: int = 2) -> str:
     """Unrolled Lloyd rounds as one CTE chain — every float op mirrors
-    kmeans_refine exactly (see its determinism contract)."""
+    kmeans_refine exactly (see its determinism contract).  Per-(cell,
+    dim) means use the same order-free 2^52-scaled DECIMAL(38,0) sum
+    as the operator: exact and associative in both engines, unlike a
+    double SUM (order-dependent) or a DECIMAL(38,18) cast (DuckDB's
+    double->decimal conversion is float-rounded and mismatches
+    Spark's)."""
     ctes = [
         """n AS (
       SELECT vec_id, embedding,
@@ -3341,7 +3341,8 @@ def _kmeans_oracle(k: int = 8, iters: int = 2) -> str:
         FROM s{i}) WHERE rn = 1)""")
         ctes.append(f"""m{i} AS (
       SELECT a.cell_id, e.dim,
-             list_sum(list(e.x ORDER BY e.vec_id)) / COUNT(*) AS mean,
+             CAST(SUM(CAST(e.x * {_sim.MEAN_SCALE} AS DECIMAL(38,0))) AS DOUBLE)
+               / (COUNT(*) * {_sim.MEAN_SCALE}.0) AS mean,
              COUNT(*) AS n
       FROM a{i} a JOIN e ON a.vec_id = e.vec_id
       GROUP BY a.cell_id, e.dim)""")

@@ -72,3 +72,28 @@ def test_query_matches_oracle(spark, name):
         (a, b) for a, b in zip(s_data, o_data) if a != b
     ]
     assert not mismatches, f"{name}: {len(mismatches)} mismatching rows; first: {mismatches[:3]}"
+
+
+@pytest.mark.parametrize("n_shards", [5, 48])
+def test_sequence_packing_parameterized_shards(spark, n_shards):
+    """pack_sequences must hash-match its oracle at ANY shard count,
+    not just the registry-pinned 16 — the shard count is the scale
+    knob (sized to the cluster at 100 TB), so internal consistency
+    across counts is what makes it safe to turn."""
+    from kafka_avro_order_processing_spark.operators.packing import pack_sequences
+    from kafka_avro_order_processing_spark.plans.registry import _packing_sql
+    from kafka_avro_order_processing_spark.sources.tables import load_table
+
+    sdf = pack_sequences(load_table(spark, SF_DIR, "documents"), n_shards=n_shards)
+    srows = sdf.collect()
+    con = _duck(SF_DIR)
+    orows = con.execute(_packing_sql(n_shards)).fetchall()
+    ocols = [d[0] for d in con.description]
+
+    s_cols, s_data = _canon(sdf.columns, [tuple(r) for r in srows])
+    o_cols, o_data = _canon(ocols, orows)
+    assert s_cols == o_cols
+    assert s_data == o_data
+    assert len({r["shard"] for r in srows}) == min(
+        n_shards, sdf.sparkSession.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    )
