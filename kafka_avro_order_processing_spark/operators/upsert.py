@@ -12,13 +12,88 @@ engine-level emulation is the standard anti-join + union rewrite:
 
 Scale notes: at 100 TB the rewrite is bounded by partition pruning —
 partition the target by a stable key range/date so only partitions
-containing updated keys rewrite; the logic below is unchanged.
+containing updated keys rewrite.  ``write_partitioned`` /
+``merge_partitioned`` below DO that: the target lives as a
+key-bucket-partitioned parquet table, the merge scans only the
+buckets the delta touches (partition pruning at the scan), and the
+write-back uses dynamic partition overwrite so untouched partitions'
+files are never rewritten — the IO profile a lakehouse MERGE has,
+without the table-format jars.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+BUCKET_COL = "bucket"
+
+
+def key_bucket(key: str, n_buckets: int):
+    """Stable partition bucket for a numeric key: pmod keeps negative
+    keys (e.g. synthetic inserts) inside [0, n_buckets)."""
+    return F.pmod(F.col(key), F.lit(n_buckets)).cast("int")
+
+
+def write_partitioned(
+    df: DataFrame, key: str, path: str, n_buckets: int = 16
+) -> None:
+    """Seed the merge target: parquet partitioned by key bucket.
+
+    At real scale n_buckets is sized so one bucket ~ one comfortable
+    rewrite unit (e.g. thousands of buckets over 100 TB); the demo
+    uses 16 to keep listings readable.
+    """
+    (
+        df.withColumn(BUCKET_COL, key_bucket(key, n_buckets))
+        .repartition(F.col(BUCKET_COL))
+        .write.partitionBy(BUCKET_COL)
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def merge_partitioned(
+    spark: SparkSession,
+    updates: DataFrame,
+    key: str,
+    path: str,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Partition-pruned MERGE into the table at `path`: only the
+    buckets containing updated keys are scanned and rewritten.
+
+    - touched buckets come from the (tiny) delta: one distinct
+      aggregation, <= n_buckets values collected;
+    - the target scan filters on the PARTITION column, so pruning
+      happens at file-listing time — untouched buckets are never read;
+    - the write-back uses dynamic partition overwrite: only partitions
+      present in the written data are replaced, untouched partitions'
+      files stay byte-identical on disk (asserted in
+      tests/test_upsert.py via before/after file listings).
+
+    Returns the full post-merge table (all buckets).
+    """
+    updates = updates.withColumn(BUCKET_COL, key_bucket(key, n_buckets))
+    touched = [
+        r[BUCKET_COL] for r in updates.select(BUCKET_COL).distinct().collect()
+    ]
+    target = spark.read.parquet(path).filter(F.col(BUCKET_COL).isin(touched))
+    merged = upsert(target, updates.select(*target.columns), key)
+    # The merge output overwrites partitions of the very table it reads
+    # (Spark refuses an overwrite of a path in its own lineage) — cut
+    # lineage by materializing the merged touched-bucket rows first.
+    # Only touched buckets flow through here, so this is O(delta
+    # partitions), not O(table).
+    merged = merged.localCheckpoint(eager=True)
+    (
+        merged.repartition(F.col(BUCKET_COL))
+        .write.partitionBy(BUCKET_COL)
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(path)
+    )
+    return spark.read.parquet(path)
 
 
 def upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:

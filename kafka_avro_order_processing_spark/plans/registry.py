@@ -3098,6 +3098,62 @@ def q_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "upsert_orders_partitioned",
+    """
+    WITH upd AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus,
+             o_totalprice * 0.9 AS o_totalprice
+      FROM orders WHERE o_orderkey % 500 = 0
+      UNION ALL
+      SELECT -(o_orderkey + 1), 'N', 100.0
+      FROM orders WHERE o_orderkey % 1000 = 0),
+    merged AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders t
+      WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = t.o_orderkey)
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM upd)
+    SELECT CAST(((o_orderkey % 16) + 16) % 16 AS INT) AS bucket,
+           o_orderkey, o_orderstatus, o_totalprice
+    FROM merged
+    """,
+    tags=("olap", "upsert", "partitioned"),
+    doc="Partition-pruned MERGE (operators/upsert.py "
+        "write_partitioned/merge_partitioned): the target lives as a "
+        "key-bucket-partitioned parquet table; a selective delta "
+        "(keys %% 500, touching 4 of 16 buckets) is merged by scanning "
+        "ONLY touched buckets (partition pruning at file listing) and "
+        "writing back with dynamic partition overwrite, so untouched "
+        "partitions' files are never read or rewritten — the IO "
+        "profile a lakehouse MERGE has at 100 TB, demonstrated "
+        "without table-format jars.  tests/test_upsert.py asserts the "
+        "untouched files stay byte-identical.",
+)
+def q_upsert_orders_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.upsert import merge_partitioned, write_partitioned
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = orders.filter(F.col("o_orderkey") % 500 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 0.9).alias("o_totalprice"),
+    ).unionByName(
+        orders.filter(F.col("o_orderkey") % 1000 == 0).select(
+            (-(F.col("o_orderkey") + 1)).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.lit(100.0).alias("o_totalprice"),
+        )
+    )
+    path = tempfile.mkdtemp(prefix="kaop_upsert_part_") + "/orders"
+    write_partitioned(orders, "o_orderkey", path)
+    return merge_partitioned(spark, updates, "o_orderkey", path)
+
+
+@_register(
     "scd2_customer_dim",
     """
     WITH chg AS (
@@ -3141,6 +3197,45 @@ def q_scd2_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("1995-06-01 00:00:00").cast("timestamp_ntz").alias("valid_from"),
     )
     return scd2_apply(dim, changes, key="c_custkey")
+
+
+@_register(
+    "runtime_filtered_join",
+    """
+    SELECT o.o_orderpriority AS priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING' AND c.c_acctbal > 9000
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("olap", "join", "runtime-filter"),
+    doc="Selective-dim fact join, the classic runtime-pruning shape: "
+        "~2%% of customers survive the dim filter, so at 100 TB the "
+        "orders scan should be pruned by a runtime filter built from "
+        "the dim side (Spark's runtime bloom filter / DPP) instead of "
+        "shuffling the whole fact table.  tests/test_runtime_filter.py "
+        "asserts the bloom filter actually injects "
+        "(BloomFilterMightContain in EXPLAIN) under shuffle-join "
+        "conditions; under session defaults AQE broadcasts the tiny "
+        "dim, which is the right plan at this SF.",
+)
+def q_runtime_filtered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 9000))
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            dec_sum("o_totalprice").alias("total_price"),
+        )
+    )
 
 
 @_register(
@@ -3382,46 +3477,50 @@ def q_ivf_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_refine(load_table(spark, sf_dir, "embeddings"))
 
 
+@_register(
+    "streaming_kmeans_refine",
+    _kmeans_oracle(),
+    tags=("m5", "similarity", "streaming", "iterative"),
+    doc="Streaming twin of ivf_kmeans_refine, SAME oracle: each Lloyd "
+        "round is a bounded streaming drain — vectors arrive as a "
+        "stream, assignment is an argmax over k centroid literals "
+        "baked into the plan (no window, no join — streaming-safe), "
+        "and per-(cell,dim) means accumulate as 2^52-scaled "
+        "DECIMAL(38,0) streaming aggregation state.  Decimal "
+        "associativity makes the result independent of micro-batch "
+        "boundaries (tests/test_streaming_kmeans.py re-drains under a "
+        "different file split), so the streaming path provably "
+        "computes the batch answer bit-for-bit.",
+)
+def q_streaming_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.kmeans import streaming_kmeans_refine
+
+    return streaming_kmeans_refine(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness harness checks queries in
-# registration order and caps the run (round 1 recorded rows for exactly
-# the first 50 of 74).  Lead with every query that does NOT yet have a
-# driver-green hash row — the 24 the round-1 run never reached, the
-# queries added this round, and the ones whose plan or oracle changed
-# this round — then the flagship/core set; everything after position 50
-# already holds a green round-1 row.
+# registration order and caps the run at 50 (measured in rounds 1-2).
+# Round-3 rotation policy: (1) queries that have NEVER been
+# driver-checked, (2) queries whose plan changed this round (highest
+# regression risk), (3) the stalest names — those whose only green
+# CORRECTNESS row is from round 1 — oldest-coverage-first.  Seven
+# low-risk round-1-green names (simple single-table plans, code
+# untouched since round 1) sit just past the cap and lead the round-4
+# rotation; every round-2-green name keeps a row at most 2 rounds old.
 # ---------------------------------------------------------------------------
 
 _LEAD_ORDER = [
-    # never driver-checked: round-1 unchecked (the 24 past the round-1
-    # cap) + everything added this round = exactly the 50-query window
-    # the driver's harness covers
-    "props_json_extraction", "priority_code_extract", "orders_by_month",
-    "above_customer_avg_orders", "approx_distinct_users",
-    "salted_product_stats", "ivf_probe_search", "clicks_before_purchase",
-    "value_distribution_ranks", "explicit_grouping_sets",
-    "curated_corpus_stats", "user_funnel", "shipping_priority",
-    "multimodal_decoded_features", "corrupt_json_handling", "value_bounds",
-    "forecast_revenue_change", "large_quantity_orders",
-    "streaming_interval_join", "dedup_clusters",
-    "embedding_quantization_error", "dataset_split_counts",
-    "deterministic_sample", "daily_events_unpivot",
-    # new this round
-    "ivf_recall_at_k", "streaming_watermarked_windows",
-    "doc_repetition_scores", "benchmark_contamination", "pii_detection",
-    "sequence_packing", "per_source_quality", "domain_mixture_sample",
-    "boilerplate_grams", "quality_filter_funnel", "packing_efficiency",
-    "source_overlap_grams", "doc_length_histogram", "dedup_clusters_star",
-    "streaming_dedup_exact", "streaming_static_enrich",
-    "upsert_orders", "scd2_customer_dim", "near_dup_pairs_char",
-    "bm25_top20", "embedding_lsh_near_dup", "ivf_kmeans_refine",
-    "streaming_product_stats_update",
-    # plan or oracle changed this round (round-1 rows are green and the
-    # outputs are unchanged — re-verified by the local parity suite at
-    # sf0.001/0.01/0.1 — so these rank just after the never-checked set)
-    "daily_event_type_pivot", "generated_orders", "simhash_fingerprints",
-    "near_dup_pairs",
-    # flagship + core parity set (keep inside any driver cap)
+    # never driver-checked (added this round)
+    "upsert_orders_partitioned", "runtime_filtered_join",
+    "streaming_kmeans_refine",
+    # plan changed this round: LSH bucket sizing rewrite
+    # (near_dup_pairs* / embedding_lsh_near_dup / dedup_clusters*),
+    # decimal-partial-sum k-means, parameterized packing
+    "near_dup_pairs", "near_dup_pairs_char", "embedding_lsh_near_dup",
+    "ivf_kmeans_refine", "sequence_packing", "packing_efficiency",
+    "dedup_clusters", "dedup_clusters_star",
+    # stalest: green only in round 1, not re-checked since
     "pricing_summary", "per_product_stats", "overall_stats",
     "validated_orders", "rejected_orders", "dlq_error_stats",
     "error_classification", "running_avg", "top_customers",
@@ -3429,7 +3528,19 @@ _LEAD_ORDER = [
     "user_sessions", "streaming_product_stats",
     "streaming_running_avg_per_record", "streaming_user_sessions",
     "embedding_topk", "tfidf_top_terms", "dedup_exact",
-    "multi_stream_union",
+    "multi_stream_union", "revenue_by_region", "order_priority_counts",
+    "supplier_balance_by_nation", "top3_events_per_type",
+    "doc_token_stats", "token_counts_top20", "language_id",
+    "quality_scores", "doc_fingerprints", "multimodal_meta",
+    "region_nation_rollup", "priority_status_cube", "events_sliding_30m",
+    "churned_users", "embedding_near_dup", "ivf_cell_sizes",
+    "daily_revenue_lag", "customers_no_pending_orders",
+    "ngram_jaccard_adjacent",
+    # --- position 50 boundary: names below already hold green rows ---
+    # round-1-green, low-risk, lead the round-4 rotation
+    "product_stats_snapshot", "purchase_avg_lookup",
+    "sql_api_events_hourly", "value_percentiles", "value_dispersion",
+    "customers_with_pending_orders", "order_display_lines",
 ]
 
 

@@ -373,6 +373,12 @@ def run_watermarked_window_stream(
         staged.filter(F.col("event_id") == late_id).write.mode("append").parquet(src)
         run_round(schema)
         out = spark.read.parquet(sink)
+        # Driver round-trip ONLY because the scratch sink is deleted in
+        # the finally below; cardinality is O(distinct hour windows) —
+        # bounded by the stream's time span (720 rows/month of hourly
+        # data), never by event volume.  If windows ever got fine
+        # enough to matter, copy the sink to a stable temp table and
+        # return a lazy scan instead.
         return spark.createDataFrame(out.collect(), schema=out.schema)
     finally:
         # per-call scratch (staged events copy, sink, checkpoint) —

@@ -79,3 +79,61 @@ def test_upsert_duplicate_update_keys_collapse_deterministically(spark):
     got = {r["product"]: r["price"] for r in rows}
     assert len(rows) == len(got) == 2  # no duplicate keys survive
     assert got == {"Mouse": 30.0, "Webcam": 80.0}  # highest-sorting row wins
+
+
+def test_merge_partitioned_rewrites_only_touched_buckets(spark, tmp_path):
+    """The 100 TB MERGE story: untouched partitions' files must be
+    byte-identical after the merge (never read, never rewritten);
+    touched buckets = exactly the delta's key buckets; and the merged
+    table content equals the plain anti-join+union upsert."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafka_avro_order_processing_spark.operators.upsert import (
+        key_bucket,
+        merge_partitioned,
+        upsert,
+        write_partitioned,
+    )
+
+    n_buckets = 8
+    target = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    updates = spark.createDataFrame(
+        [(16, -1.0), (24, -2.0), (-3, 99.0)], "k long, v double"
+    )
+    path = str(tmp_path / "t")
+    write_partitioned(target, "k", path, n_buckets)
+
+    def listing():
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("bucket="):
+                b = int(d.split("=")[1])
+                out[b] = sorted(
+                    (f, os.path.getmtime(os.path.join(path, d, f)))
+                    for f in os.listdir(os.path.join(path, d))
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    before = listing()
+    merged = merge_partitioned(spark, updates, "k", path, n_buckets)
+    after = listing()
+
+    expected_touched = {
+        r["b"] for r in updates.select(key_bucket("k", n_buckets).alias("b")).collect()
+    }
+    changed = {b for b in after if after[b] != before.get(b)}
+    assert changed == expected_touched  # {0, 5} here: 16,24 -> 0; -3 -> 5
+    for b in set(before) - expected_touched:
+        assert after[b] == before[b]  # untouched files byte-for-byte in place
+
+    want = {
+        (r["k"], r["v"])
+        for r in upsert(target, updates, "k").collect()
+    }
+    got = {(r["k"], r["v"]) for r in merged.collect()}
+    assert got == want
