@@ -31,6 +31,48 @@ BIN_TOKENS = 256
 SHARD_STRIDE = 1_000_000
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-length token windows per document — the writer-side step
+    that turns raw documents into training sequences (sequence packing
+    above then bins whole docs; this SPLITS long docs).  ``stride``
+    defaults to ``chunk_tokens`` (disjoint windows); a smaller stride
+    yields overlapping context windows, the standard trick to avoid
+    truncating cross-boundary context.
+
+    Pure per-row expression work (split -> sequence of window starts ->
+    explode -> slice): no shuffle at all — the chunker is map-side
+    codegen over the scan, which is exactly what a 100 TB corpus pass
+    can afford.  Each chunk carries a content hash so downstream
+    dedup/provenance never re-reads the text.
+    """
+    stride = chunk_tokens if stride is None else stride
+    toks = tokens(text_col)
+    n = F.size(toks)
+    # number of windows: ceil(max(n - chunk_tokens, 0) / stride) + 1 —
+    # every token lands in >= 1 window, the last window may be short
+    n_win = (
+        F.ceil(F.greatest(n - chunk_tokens, F.lit(0)) / float(stride)) + 1
+    ).cast("int")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("__toks"),
+        F.explode(F.sequence(F.lit(0), n_win - 1)).alias("chunk_id"),
+    )
+    chunk = F.slice(F.col("__toks"), F.col("chunk_id") * stride + 1, chunk_tokens)
+    return base.select(
+        "doc_id",
+        "chunk_id",
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     n_shards: int | None = None,

@@ -2671,6 +2671,45 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(load_table(spark, sf_dir, "documents"), n_shards=16)
 
 
+@_register(
+    "doc_chunks",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents),
+    w AS (
+      SELECT doc_id, toks,
+             UNNEST(range(0, CAST(ceil(greatest(n - 64, 0) / 48.0) AS BIGINT) + 1))
+               AS chunk_id
+      FROM t)
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           CAST(len(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64))
+                AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(
+                 list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64), ' '))
+             AS chunk_hash
+    FROM w
+    """,
+    tags=("m5", "text", "packing"),
+    doc="Writer-side document chunking: every doc split into 64-token "
+        "windows at stride 48 (overlapping context windows, the "
+        "standard sliding-window training-sequence prep; "
+        "sequence_packing bins whole docs — this SPLITS long ones).  "
+        "Pure map-side expression work (split -> window starts -> "
+        "explode -> slice), NO shuffle anywhere: a full-corpus chunk "
+        "pass at 100 TB is scan-bound, which is the point.  Chunks "
+        "carry content hashes so chunk-level dedup/provenance joins "
+        "never touch the text again.",
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=64, stride=48
+    )
+
+
 # ---------------------------------------------------------------------------
 # Corpus-curation dashboards: per-source health, target-mixture
 # resampling, inter-document boilerplate, the filter funnel, packing
