@@ -60,18 +60,23 @@ def main() -> None:
         spark.catalog.clearCache()  # operators persist intermediates; don't let runs accumulate
 
     # min of 2 timed runs per query: steady-state engine cost, robust to
-    # one-off GC/compilation hiccups.
+    # one-off GC/compilation hiccups.  The per-query [min, max] spread
+    # across the timed runs is reported alongside so a reader can
+    # separate plan regressions from sandbox noise (a wide spread on an
+    # untouched query is environment, not code).
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name].fn
-        best = float("inf")
+        runs = []
         for _ in range(2):
             t0 = time.perf_counter()
             rows = fn(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
+            runs.append(time.perf_counter() - t0)
             del rows
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+        timings[name] = round(min(runs), 3)
+        spread[name] = [round(min(runs), 3), round(max(runs), 3)]
 
     total = round(sum(timings.values()), 3)
     print(
@@ -81,6 +86,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

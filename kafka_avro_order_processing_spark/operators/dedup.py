@@ -62,6 +62,7 @@ def shingle_rows(
     text_col: str = "text",
     n: int = 3,
     distinct: bool = True,
+    spread: bool = True,
 ) -> DataFrame:
     """Word-n-gram shingles as (id, shingle) rows — distinct per doc by
     default (set semantics for minhash/Jaccard); ``distinct=False``
@@ -81,7 +82,7 @@ def shingle_rows(
     m = F.greatest(F.size(t) - (n - 1), F.lit(0))
     zipped = F.arrays_zip(*[F.slice(t, j + 1, m) for j in range(n)])
     out = (
-        _spread(df, id_col)
+        (_spread(df, id_col) if spread else df)
         .select(F.col(id_col), F.explode(zipped).alias("g"))
         .select(
             F.col(id_col),
@@ -99,6 +100,7 @@ def char_shingle_rows(
     text_col: str = "text",
     n: int = 8,
     distinct: bool = True,
+    spread: bool = True,
 ) -> DataFrame:
     """Character-n-gram shingles as (id, shingle) rows — the
     tokenization-independent alternative to word shingles (robust to
@@ -114,9 +116,9 @@ def char_shingle_rows(
     codegen'd; the text column rides along only between the explode and
     the immediate projection.
     """
-    base = _spread(df, id_col).select(F.col(id_col), F.col(text_col)).filter(
-        F.length(text_col) >= n
-    )
+    base = (_spread(df, id_col) if spread else df).select(
+        F.col(id_col), F.col(text_col)
+    ).filter(F.length(text_col) >= n)
     out = base.select(
         F.col(id_col),
         F.col(text_col),
@@ -176,6 +178,32 @@ def _signatures_from_rows(sh: DataFrame, id_col: str, k: int) -> DataFrame:
 MAX_BUCKET_SIZE = 64   # all-pairs cap per LSH bucket; larger -> adjacent chain
 
 
+def band_rows_of(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    k: int = N_MINHASH,
+    band_rows: int = BAND_ROWS,
+) -> DataFrame:
+    """Explode a signature table (id, mh0..mh{k-1}) into LSH band rows
+    (id, band_id, band_val) — the joinable/bucketable form of the
+    banding scheme, shared by the batch self-join pipeline and the
+    streaming incremental index (which PERSISTS this table keyed by
+    band value so each ingest epoch joins only matching buckets)."""
+    n_bands = k // band_rows
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.concat(*[F.col(f"mh{b * band_rows + r}") for r in range(band_rows)]).alias("band_val"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_val")
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -197,19 +225,7 @@ def lsh_candidate_pairs(
     diameter-many label-propagation rounds).  The direct pairwise
     Jaccard estimates are only produced for sane-sized buckets.
     """
-    n_bands = k // band_rows
-    bands = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band_id"),
-                    F.concat(*[F.col(f"mh{b * band_rows + r}") for r in range(band_rows)]).alias("band_val"),
-                )
-                for b in range(n_bands)
-            ])
-        ).alias("band"),
-    ).select(id_col, "band.band_id", "band.band_val")
+    bands = band_rows_of(sigs, id_col, k, band_rows)
     # Bucket sizing via partial-aggregated groupBy + join-back, NOT a
     # count()/min() window: the window form sorts every partition of
     # the band table just to annotate it, while the groupBy form
@@ -263,56 +279,65 @@ def near_dup_pairs(
     """Full near-dup pipeline: minhash -> LSH candidates -> signature
     agreement estimate -> exact n-gram Jaccard verification.
 
-    Only candidate pairs (LSH hits) pay the exact-Jaccard cost; the
-    doc->shingle-set join is broadcast-friendly because candidates are
-    a tiny fraction of the corpus.  `shingler` picks the shingle
+    Only candidate pairs (LSH hits) pay the exact-Jaccard cost, and —
+    crucially — only candidate DOCS pay the shingle-set
+    materialization: the corpus-wide pass computes signatures alone
+    (k fixed-width min() aggregates, O(k) state per doc), and the
+    exact-verify shingle sets are rebuilt by re-shingling just the
+    docs that appear in some candidate pair (a broadcast semi-join of
+    a ~few-percent subset).  An earlier design fused
+    ``collect_set(shingle)`` into the corpus-wide aggregation; that
+    carried every document's full shingle set through the shuffle to
+    serve a verification that only ever reads the candidate subset —
+    the wrong shape at any scale.  `shingler` picks the shingle
     domain: word 3-grams (default) or `char_shingle_rows` for
     tokenization-independent character 8-grams (pair with k=16,
     band_rows=4 — see char_shingle_rows on why char grams need a
     sharper banding curve).
     """
-    # Tokenize/shingle ONCE, then fuse the minhash signature AND the
-    # exact-Jaccard shingle set into a SINGLE per-doc aggregation (same
-    # grouping key — k min() aggregates + collect_set in one
-    # partial+final pass) instead of two separate groupBys over the
-    # shingle rows.  One cached per-doc table then serves the band
-    # explode and BOTH sides of the verification join, so the pair
-    # verification is 2 joins (doc_a side, doc_b side) rather than 4.
-    # (At production scale this per-doc table is the written-out
-    # intermediate between the shingling and pairing stages.)
-    #
-    # distinct=False: min() and collect_set are duplicate-insensitive,
-    # so the usual per-(doc, shingle) dedup shuffle would be pure waste
-    # — the fused aggregation dedups for free.
+    # Corpus-wide pass: signatures ONLY.  distinct=False — min() is
+    # duplicate-insensitive, so the per-(doc, shingle) dedup shuffle
+    # would be pure waste.
     rows = shingler(df, id_col, text_col, distinct=False)
-    digests = {
-        d: F.md5(F.concat(F.lit(f"{d}:"), F.col("shingle")))
-        for d in range((k + 3) // 4)
-    }
-    per_doc = rows.groupBy(id_col).agg(
-        *[
-            F.min(F.substring(digests[j // 4], (j % 4) * 8 + 1, 8)).alias(f"mh{j}")
-            for j in range(k)
-        ],
-        F.collect_set("shingle").alias("sh"),
-    ).persist()
-    # Materialize per_doc NOW: it feeds the band explode AND both sides
-    # of the verification join, and those are concurrently-scheduled
-    # stages of the final job — without this barrier they race to
-    # compute the shingle aggregation before the cache fills (measured
-    # 3x slower at sf0.1).  Everything downstream of this point is
-    # orders of magnitude smaller than the corpus, so the single extra
-    # job is the cheapest possible barrier.
-    per_doc.count()
+    per_doc = _signatures_from_rows(rows, id_col, k).persist()
     caches: list[DataFrame] = []
     pairs = lsh_candidate_pairs(per_doc, id_col, k, band_rows, cache_into=caches)
+    # Materialize the (tiny) candidate-pair table eagerly: it is read
+    # three times below (two id projections + the final join), it cuts
+    # the race where the banding table's three consumers each recompute
+    # the signature aggregation before the caches fill, and it is the
+    # natural stage boundary at scale (pairs are what a production run
+    # writes out between the LSH and verify stages).
+    pairs = pairs.localCheckpoint(eager=True)
 
-    a = per_doc.select(
+    # Re-shingle ONLY docs that appear in some candidate pair.  The id
+    # set is tiny -> broadcast semi-join prunes the corpus scan without
+    # shuffling it; the collect_set state now exists only for the
+    # candidate subset.
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias(id_col))
+        .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    cand_docs = df.join(F.broadcast(cand_ids), id_col, "semi")
+    sets = (
+        # spread=False: the candidate subset is tiny and the broadcast
+        # semi-join left the scan un-shuffled — a repartition here would
+        # add a shuffle of text payloads just to explode a few hundred
+        # docs.
+        shingler(cand_docs, id_col, text_col, distinct=False, spread=False)
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("sh"))
+    )
+    # Candidate-doc features: signature (cached, est-Jaccard) + shingle
+    # set (exact Jaccard).  Inner join keeps candidate docs only.
+    feat = per_doc.join(sets, id_col)
+    a = feat.select(
         F.col(id_col).alias("doc_a"),
         *[F.col(f"mh{j}").alias(f"a{j}") for j in range(k)],
         F.col("sh").alias("sh_a"),
     )
-    b = per_doc.select(
+    b = feat.select(
         F.col(id_col).alias("doc_b"),
         *[F.col(f"mh{j}").alias(f"b{j}") for j in range(k)],
         F.col("sh").alias("sh_b"),

@@ -205,6 +205,11 @@ def embedding_lsh_near_dup(
     pairs = lsh_candidate_pairs(
         sigs, id_col=id_col, k=bits, band_rows=band_rows, cache_into=caches
     )
+    # Materialize the (tiny) candidate-pair table eagerly — mirrors
+    # near_dup_pairs: the banding table's three consumers would
+    # otherwise race to recompute the signature projection (and the
+    # scan under it) inside the final job before the lazy caches fill.
+    pairs = pairs.localCheckpoint(eager=True)
     emb = with_norm(df, vec_col)
     a = emb.select(
         F.col(id_col).alias("doc_a"),
@@ -301,6 +306,18 @@ def kmeans_refine(
       in ONE aggregation buffer — a skewed cell with 10^8 members is
       a ~GB buffer and an executor OOM.  The decimal partial sum keeps
       bit-exactness with O(1) state per (cell, dim) group.
+
+    Input contract (the bounds under which the 2^52 trick is exact):
+    vector components must be float32-representable with |x| >= 2^-29
+    or exactly 0, and cell-wise sums of |x| * 2^52 must stay inside
+    DECIMAL(38,0) (|x| <= ~10^22 even for 10^8-member cells — any
+    real embedding satisfies this by orders of magnitude).  Outside
+    the contract the engines' cast behaviors differ (Spark rounds /
+    nulls on overflow, DuckDB rounds-half-even / errors) and results
+    may silently diverge from an external oracle; normalize or clamp
+    such inputs upstream.  A clamp is deliberately NOT applied here —
+    it would have to be mirrored in every consumer's oracle to keep
+    hash parity, for inputs no embedding model produces.
 
     Scale shape: each round is one broadcast-assign (k rows broadcast,
     argmax inline) + one explode + two keyed aggregations with

@@ -79,7 +79,15 @@ def merge_partitioned(
         r[BUCKET_COL] for r in updates.select(BUCKET_COL).distinct().collect()
     ]
     target = spark.read.parquet(path).filter(F.col(BUCKET_COL).isin(touched))
-    merged = upsert(target, updates.select(*target.columns), key)
+    # Reconcile the delta's column types to the on-disk schema before
+    # merging: dynamic overwrite rewrites ONLY touched buckets, so a
+    # type drift in the updates (e.g. double-producing arithmetic over
+    # a decimal target column) would otherwise land a mixed-schema
+    # parquet table whose later reads fail or silently coerce.
+    updates = updates.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in target.schema.fields]
+    )
+    merged = upsert(target, updates, key)
     # The merge output overwrites partitions of the very table it reads
     # (Spark refuses an overwrite of a path in its own lineage) — cut
     # lineage by materializing the merged touched-bucket rows first.
@@ -88,6 +96,53 @@ def merge_partitioned(
     merged = merged.localCheckpoint(eager=True)
     (
         merged.repartition(F.col(BUCKET_COL))
+        .write.partitionBy(BUCKET_COL)
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(path)
+    )
+    return spark.read.parquet(path)
+
+
+def scd2_apply_partitioned(
+    spark: SparkSession,
+    changes: DataFrame,
+    key: str,
+    path: str,
+    n_buckets: int = 16,
+    ts_col: str = "valid_from",
+    end_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Partition-pruned SCD2 apply into the versioned dimension at
+    `path` (seeded with ``write_partitioned``): only buckets containing
+    changed keys are scanned and rewritten — closing a key's current
+    row and appending its new version both happen inside the key's own
+    bucket, so the rewrite set is exactly the delta's buckets.
+
+    Returns the full post-apply dimension (all buckets).
+    """
+    changes = changes.withColumn(BUCKET_COL, key_bucket(key, n_buckets))
+    touched = [
+        r[BUCKET_COL] for r in changes.select(BUCKET_COL).distinct().collect()
+    ]
+    target = spark.read.parquet(path).filter(F.col(BUCKET_COL).isin(touched))
+    applied = scd2_apply(
+        target.drop(BUCKET_COL),
+        changes.drop(BUCKET_COL),
+        key,
+        ts_col=ts_col,
+        end_col=end_col,
+        current_col=current_col,
+    ).withColumn(BUCKET_COL, key_bucket(key, n_buckets))
+    # Same two safeguards as merge_partitioned: reconcile types to the
+    # on-disk schema (dynamic overwrite must not land a mixed-schema
+    # table) and cut lineage before overwriting a path we just read.
+    applied = applied.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in target.schema.fields]
+    ).localCheckpoint(eager=True)
+    (
+        applied.repartition(F.col(BUCKET_COL))
         .write.partitionBy(BUCKET_COL)
         .mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

@@ -3062,6 +3062,124 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "streaming_dedup_watermarked",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    tags=("parity", "streaming", "dedup", "watermark"),
+    doc="Streaming exact dedup with BOUNDED state — the production form "
+        "streaming_dedup_exact's note prescribes: "
+        "dropDuplicatesWithinWatermark keeps a key's state only until "
+        "the watermark passes its event time + delay, so state is "
+        "O(keys-per-delay-window) instead of O(all keys ever).  The "
+        "delay here exceeds the fixture's whole time span, so no key "
+        "evicts mid-drain and the result equals batch DISTINCT (the "
+        "oracle); the eviction semantics themselves — a duplicate "
+        "arriving after its key's state expired IS re-emitted — are "
+        "pinned by a 2-round checkpointed drain in "
+        "tests/test_streaming_cdc.py.",
+)
+def q_streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipeline import drain_to_df, stream_table
+
+    ev = stream_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    dd = ev.withWatermark("ts", "3650 days").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    return drain_to_df(dd, "append").select("user_id", "event_type")
+
+
+def _incremental_dedup_oracle(threshold: float = 0.5) -> str:
+    """Batch form of the incremental dedup rule: a doc is dropped iff
+    some candidate pair (shared LSH band) links it to a LOWER id with
+    signature agreement >= threshold.  No hot-bucket cap: the
+    incremental index must stay complete (see
+    streaming/incremental_dedup.py), so its oracle is the uncapped
+    self-join (bucket sizes at test SFs are <= 12)."""
+    k, br = _dedup.N_MINHASH, _dedup.BAND_ROWS
+    mh = ",\n             ".join(
+        f"min(substr(md5('{j // 4}:' || shingle), {(j % 4) * 8 + 1}, 8)) AS mh{j}"
+        for j in range(k)
+    )
+    bands = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, {expr} AS bv FROM sigs".format(
+            b=b, expr=" || ".join(f"mh{b * br + r}" for r in range(br))
+        )
+        for b in range(k // br)
+    )
+    agree = " + ".join(
+        f"CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END" for j in range(k)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 3
+               THEN list_transform(range(1, len(t) - 1),
+                                   i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+               ELSE [] END) AS s
+      FROM toks),
+    ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    sigs AS (SELECT doc_id,
+             {mh}
+             FROM ex GROUP BY doc_id),
+    bands AS ({bands}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.bv = b.bv AND a.doc_id < b.doc_id),
+    dropped AS (
+      SELECT DISTINCT p.doc_b
+      FROM pairs p
+        JOIN sigs sa ON sa.doc_id = p.doc_a
+        JOIN sigs sb ON sb.doc_id = p.doc_b
+      WHERE CAST({agree} AS DOUBLE) / {float(k)} >= {threshold})
+    SELECT d.doc_id FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.doc_b = d.doc_id)
+    """
+
+
+@_register(
+    "streaming_incremental_dedup",
+    _incremental_dedup_oracle(),
+    tags=("m5", "streaming", "dedup"),
+    doc="Incremental corpus dedup (streaming/incremental_dedup.py): "
+        "documents arrive as a multi-epoch stream and are deduped "
+        "against a GROWING MinHash-LSH index — per epoch, new docs "
+        "join only the index buckets their bands hit (O(epoch), never "
+        "O(corpus)); the higher id of any pair with signature "
+        "agreement >= 0.5 joins a monotone dropped set.  The survivor "
+        "set is a pure function of the pair set, so it is independent "
+        "of how the stream slices into epochs and equals the batch "
+        "uncapped LSH self-join rule (the oracle).  This is the "
+        "production ingest shape at 100 TB: index stores fixed-width "
+        "signatures keyed by band value, never text.",
+)
+def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.incremental_dedup import (
+        read_survivors,
+        start_incremental_dedup,
+    )
+
+    base = tempfile.mkdtemp(prefix="kaop_incdedup_")
+    src, idx, chk = f"{base}/src", f"{base}/index", f"{base}/chk"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # several files -> several genuine ingest epochs (maxFilesPerTrigger=1)
+    docs.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    start_incremental_dedup(stream, idx, chk).awaitTermination()
+    return read_survivors(spark, idx)
+
+
+@_register(
     "streaming_static_enrich",
     f"""
     SELECT c.c_mktsegment AS mktsegment,
@@ -3193,6 +3311,76 @@ def q_upsert_orders_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "streaming_upsert_orders",
+    """
+    WITH upd AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus,
+             o_totalprice * 0.9 AS o_totalprice
+      FROM orders WHERE o_orderkey % 500 = 0
+      UNION ALL
+      SELECT -(o_orderkey + 1), 'N', 100.0
+      FROM orders WHERE o_orderkey % 1000 = 0),
+    merged AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders t
+      WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = t.o_orderkey)
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM upd)
+    SELECT CAST(((o_orderkey % 16) + 16) % 16 AS INT) AS bucket,
+           o_orderkey, o_orderstatus, o_totalprice
+    FROM merged
+    """,
+    tags=("parity", "streaming", "upsert", "partitioned"),
+    doc="Streaming CDC apply (streaming/cdc.py): the same delta as "
+        "upsert_orders_partitioned delivered as a keyed change-STREAM "
+        "(multiple micro-batches — maxFilesPerTrigger=1 over a "
+        "several-file source) whose foreachBatch epoch body is the "
+        "partition-pruned MERGE.  Each epoch scans and rewrites only "
+        "the buckets its delta touches (tests/test_streaming_cdc.py "
+        "asserts untouched partitions stay byte-identical per epoch); "
+        "the final maintained table must equal the single batch MERGE "
+        "— hence the shared oracle.  This is the reference's "
+        "keyed-orders-topic semantics (latest record per key wins) "
+        "landed as a maintained lake table.",
+)
+def q_streaming_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.upsert import write_partitioned
+    from ..streaming.cdc import start_upsert_sink
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = orders.filter(F.col("o_orderkey") % 500 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 0.9).alias("o_totalprice"),
+    ).unionByName(
+        orders.filter(F.col("o_orderkey") % 1000 == 0).select(
+            (-(F.col("o_orderkey") + 1)).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.lit(100.0).alias("o_totalprice"),
+        )
+    )
+    base = tempfile.mkdtemp(prefix="kaop_cdc_")
+    path, src, chk = f"{base}/orders", f"{base}/changes", f"{base}/chk"
+    write_partitioned(orders, "o_orderkey", path)
+    # Stage the delta as several files; maxFilesPerTrigger=1 turns each
+    # into its own micro-batch so the sink genuinely merges epoch by
+    # epoch.  Keys are unique across the delta, so the epoch split
+    # cannot change the final table.
+    updates.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    start_upsert_sink(stream, "o_orderkey", path, checkpoint=chk).awaitTermination()
+    return spark.read.parquet(path)
+
+
+@_register(
     "scd2_customer_dim",
     """
     WITH chg AS (
@@ -3236,6 +3424,53 @@ def q_scd2_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("1995-06-01 00:00:00").cast("timestamp_ntz").alias("valid_from"),
     )
     return scd2_apply(dim, changes, key="c_custkey")
+
+
+@_register(
+    "streaming_scd2_customer_dim",
+    QUERIES["scd2_customer_dim"].oracle,
+    tags=("parity", "streaming", "scd2", "partitioned"),
+    doc="Streaming SCD2 apply (streaming/cdc.py start_scd2_sink): the "
+        "same change batch as scd2_customer_dim delivered as a "
+        "multi-epoch keyed stream; each foreachBatch epoch closes its "
+        "keys' current rows and appends the new versions via the "
+        "partition-pruned scd2_apply_partitioned — only the changed "
+        "keys' buckets rewrite (tests/test_streaming_cdc.py).  One "
+        "change per key, so the final versioned dimension equals the "
+        "single batch apply — hence the shared oracle.",
+)
+def q_streaming_scd2_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.upsert import write_partitioned
+    from ..streaming.cdc import start_scd2_sink
+
+    cust = load_table(spark, sf_dir, "customer")
+    dim = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.lit("1990-01-01 00:00:00").cast("timestamp_ntz").alias("valid_from"),
+        F.lit(None).cast("timestamp_ntz").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changes = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("c_acctbal") + 100).alias("c_acctbal"),
+        F.lit("1995-06-01 00:00:00").cast("timestamp_ntz").alias("valid_from"),
+    )
+    base = tempfile.mkdtemp(prefix="kaop_scd2_")
+    path, src, chk = f"{base}/dim", f"{base}/changes", f"{base}/chk"
+    write_partitioned(dim, "c_custkey", path)
+    changes.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    start_scd2_sink(stream, "c_custkey", path, checkpoint=chk).awaitTermination()
+    return spark.read.parquet(path).drop("bucket")
 
 
 @_register(
@@ -3550,36 +3785,52 @@ def q_streaming_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _LEAD_ORDER = [
-    # never driver-checked (added this round)
-    "upsert_orders_partitioned", "runtime_filtered_join",
-    "streaming_kmeans_refine",
-    # plan changed this round: LSH bucket sizing rewrite
-    # (near_dup_pairs* / embedding_lsh_near_dup / dedup_clusters*),
-    # decimal-partial-sum k-means, parameterized packing
+    # never driver-checked: doc_chunks (added late in round 3, missed
+    # that window) + the three new round-4 queries
+    "doc_chunks", "streaming_upsert_orders", "streaming_dedup_watermarked",
+    "streaming_incremental_dedup", "streaming_scd2_customer_dim",
+    # plan changed this round: near-dup verify rewritten to
+    # candidate-only re-shingling; embedding LSH gained the eager pair
+    # checkpoint; merge_partitioned now casts the delta to the on-disk
+    # schema
     "near_dup_pairs", "near_dup_pairs_char", "embedding_lsh_near_dup",
-    "ivf_kmeans_refine", "sequence_packing", "packing_efficiency",
-    "dedup_clusters", "dedup_clusters_star",
-    # stalest: green only in round 1, not re-checked since
-    "pricing_summary", "per_product_stats", "overall_stats",
-    "validated_orders", "rejected_orders", "dlq_error_stats",
-    "error_classification", "running_avg", "top_customers",
-    "priority_line_revenue", "asof_purchase_click", "events_hourly",
-    "user_sessions", "streaming_product_stats",
-    "streaming_running_avg_per_record", "streaming_user_sessions",
-    "embedding_topk", "tfidf_top_terms", "dedup_exact",
-    "multi_stream_union", "revenue_by_region", "order_priority_counts",
-    "supplier_balance_by_nation", "top3_events_per_type",
-    "doc_token_stats", "token_counts_top20", "language_id",
-    "quality_scores", "doc_fingerprints", "multimodal_meta",
-    "region_nation_rollup", "priority_status_cube", "events_sliding_30m",
-    "churned_users", "embedding_near_dup", "ivf_cell_sizes",
-    "daily_revenue_lag", "customers_no_pending_orders",
-    "ngram_jaccard_adjacent",
-    # --- position 50 boundary: names below already hold green rows ---
-    # round-1-green, low-risk, lead the round-4 rotation
+    "upsert_orders_partitioned",
+    # stalest: green only in round 1, queued here as promised in r3
     "product_stats_snapshot", "purchase_avg_lookup",
     "sql_api_events_hourly", "value_percentiles", "value_dispersion",
     "customers_with_pending_orders", "order_display_lines",
+    # round-2-green names, oldest rows first (36 of 43 fit; the 7 left
+    # below the boundary are deliberately the most twinned/trivial
+    # plans — each names the newer green row that covers its operator)
+    "above_customer_avg_orders", "approx_distinct_users",
+    "benchmark_contamination", "bm25_top20", "boilerplate_grams",
+    "clicks_before_purchase", "corrupt_json_handling",
+    "curated_corpus_stats", "dataset_split_counts",
+    "deterministic_sample", "doc_length_histogram",
+    "doc_repetition_scores", "domain_mixture_sample",
+    "embedding_quantization_error", "explicit_grouping_sets",
+    "forecast_revenue_change", "generated_orders", "ivf_probe_search",
+    "ivf_recall_at_k", "large_quantity_orders",
+    "multimodal_decoded_features", "per_source_quality",
+    "pii_detection", "props_json_extraction", "quality_filter_funnel",
+    "scd2_customer_dim", "shipping_priority", "simhash_fingerprints",
+    "source_overlap_grams", "streaming_dedup_exact",
+    "streaming_interval_join", "streaming_static_enrich",
+    "streaming_watermarked_windows", "upsert_orders",
+    # --- position 50 boundary: names below hold r2-green rows; the
+    # twins are covered by newer-checked rows of the same operator
+    # code, user_funnel / value_distribution_ranks were displaced by
+    # the two new streaming queries (re-lead all of these in round 5):
+    "user_funnel", "value_distribution_ranks",
+    #   salted_product_stats          -> per_product_stats (r3, bit-equal twin)
+    #   streaming_product_stats_update-> streaming_product_stats (r3)
+    #   value_bounds                  -> overall_stats min/max (r3)
+    #   orders_by_month / pivot / unpivot -> events_hourly-family date
+    #                                    exprs + region_nation_rollup (r3)
+    #   priority_code_extract         -> error_classification regexps (r3)
+    "salted_product_stats", "streaming_product_stats_update",
+    "value_bounds", "orders_by_month", "daily_event_type_pivot",
+    "daily_events_unpivot", "priority_code_extract",
 ]
 
 

@@ -99,3 +99,36 @@ def test_point_lookup(spark, golden_df):
     got = product_average(golden_df, "Monitor").collect()
     assert len(got) == 1 and got[0]["average_price"] == pytest.approx(324.99)
     assert product_average(golden_df, "Webcam").count() == 0
+
+
+def test_approx_distinct_users_within_configured_error(spark):
+    """The HLL++ sketch behind approx_distinct_users is rows-only at
+    the driver (sketch values are engine-specific), so pin its
+    accuracy here: every per-group estimate must fall within the
+    sketch's configured relative error of the exact countDistinct.
+    approx_count_distinct's default rsd is 0.05 (one standard
+    deviation); 4 sigma makes the bound deterministic-in-practice
+    while still catching any mis-wiring (a wrong column or a
+    collapsed group is off by far more than 20%)."""
+    import os
+
+    from kafka_avro_order_processing_spark.plans.registry import QUERIES
+    from kafka_avro_order_processing_spark.sources.tables import load_table
+
+    sf_dir = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["approx_distinct_users"].fn(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, n in exact.items():
+        assert abs(approx[et] - n) <= max(1, 4 * 0.05 * n), (
+            f"{et}: approx={approx[et]} exact={n} outside 4-sigma rsd bound"
+        )

@@ -1,0 +1,256 @@
+"""Streaming CDC apply (streaming/cdc.py) and watermarked streaming
+dedup: per-epoch partition pruning, batch-merge equivalence, and
+state-eviction semantics."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import functions as F
+
+from kafka_avro_order_processing_spark.operators.upsert import (
+    upsert,
+    write_partitioned,
+)
+from kafka_avro_order_processing_spark.streaming.cdc import start_upsert_sink
+
+
+def _listing(path: str) -> dict[str, tuple[int, float]]:
+    """Relative file path -> (size, mtime) for every data file under
+    `path` (checkpoint/_spark_metadata noise excluded by basename)."""
+    out = {}
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            p = os.path.join(root, f)
+            st = os.stat(p)
+            out[os.path.relpath(p, path)] = (st.st_size, st.st_mtime)
+    return out
+
+
+def _drain(spark, src, path, chk, n_buckets):
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = start_upsert_sink(stream, "k", path, checkpoint=chk, n_buckets=n_buckets)
+    q.awaitTermination()
+
+
+def test_cdc_epochs_rewrite_only_touched_partitions(spark):
+    """Each epoch's merge must leave every bucket its delta does not
+    touch byte-identical on disk — the partition-pruned IO profile,
+    asserted per epoch via two sequential drains sharing a checkpoint."""
+    n_buckets = 8
+    base = tempfile.mkdtemp(prefix=f"cdc_test_{uuid.uuid4().hex[:8]}_")
+    path, src, chk = f"{base}/target", f"{base}/changes", f"{base}/chk"
+
+    target = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).cast("double").alias("v")
+    )
+    write_partitioned(target, "k", path, n_buckets=n_buckets)
+
+    # epoch 1: keys in bucket 1 only
+    upd1 = spark.createDataFrame([(1, -1.0), (9, -9.0)], "k long, v double")
+    upd1.coalesce(1).write.mode("append").parquet(src)
+    _drain(spark, src, path, chk, n_buckets)
+    after1 = _listing(path)
+    assert any("bucket=1" in p for p in after1), "bucket 1 must exist"
+
+    # epoch 2 (same checkpoint — only the new file is consumed):
+    # keys in bucket 2 only
+    upd2 = spark.createDataFrame([(2, -2.0), (10, -10.0)], "k long, v double")
+    upd2.coalesce(1).write.mode("append").parquet(src)
+    _drain(spark, src, path, chk, n_buckets)
+    after2 = _listing(path)
+
+    changed = {
+        p for p in set(after1) | set(after2) if after1.get(p) != after2.get(p)
+    }
+    assert changed, "epoch 2 must rewrite something"
+    assert all("bucket=2" in p for p in changed), (
+        f"epoch 2 touched only bucket 2's keys but rewrote: {sorted(changed)}"
+    )
+
+    # final table == one batch merge of the full delta
+    got = {
+        (r["k"], r["v"])
+        for r in spark.read.parquet(path).select("k", "v").collect()
+    }
+    want = {
+        (r["k"], r["v"])
+        for r in upsert(target, upd1.unionByName(upd2), "k").collect()
+    }
+    assert got == want
+
+
+def test_cdc_stream_matches_batch_merge_across_epoch_splits(spark):
+    """The final maintained table must be independent of how the delta
+    splits into micro-batches (keys unique per delta)."""
+    n_buckets = 4
+    target = spark.range(50).select(
+        F.col("id").alias("k"), F.lit("old").alias("s")
+    )
+    updates = spark.createDataFrame(
+        [(5, "new"), (17, "new"), (-3, "ins"), (42, "new")], "k long, s string"
+    )
+    want = {
+        (r["k"], r["s"]) for r in upsert(target, updates, "k").collect()
+    }
+    for n_files in (1, 4):
+        base = tempfile.mkdtemp(prefix=f"cdc_split_{uuid.uuid4().hex[:8]}_")
+        path, src, chk = f"{base}/target", f"{base}/changes", f"{base}/chk"
+        write_partitioned(target, "k", path, n_buckets=n_buckets)
+        updates.repartition(n_files).write.parquet(src)
+        _drain(spark, src, path, chk, n_buckets)
+        got = {
+            (r["k"], r["s"])
+            for r in spark.read.parquet(path).select("k", "s").collect()
+        }
+        assert got == want, f"n_files={n_files}"
+
+
+def test_dedup_watermarked_reemits_after_eviction(spark):
+    """dropDuplicatesWithinWatermark's bounded state is a real semantic
+    trade: once the watermark passes a key's event time + delay, its
+    state evicts, and a LATER duplicate is re-emitted.  Two controlled
+    rounds over one checkpoint pin both sides:
+
+    - a duplicate WITHIN the delay window is suppressed (round 1);
+    - a duplicate arriving after eviction is emitted again (round 2).
+    """
+    import datetime as dt
+    import shutil
+
+    base = tempfile.mkdtemp(prefix=f"wmdd_{uuid.uuid4().hex[:8]}_")
+    src, sink, chk = f"{base}/src", f"{base}/sink", f"{base}/chk"
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def run_round(rows):
+        spark.createDataFrame(rows, "k string, ts timestamp").write.mode(
+            "append"
+        ).parquet(src)
+        stream = (
+            spark.readStream.schema("k string, ts timestamp")
+            .parquet(src)
+            .withWatermark("ts", "10 minutes")
+            .dropDuplicatesWithinWatermark(["k"])
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        # round 1: A twice within the delay (suppressed), plus a row two
+        # hours later that drags the watermark far past A's expiry.
+        run_round(
+            [
+                ("A", t0),
+                ("A", t0 + dt.timedelta(minutes=1)),
+                ("Z", t0 + dt.timedelta(hours=2)),
+            ]
+        )
+        # round 2: A again — its state evicted, so it re-emits.
+        run_round([("A", t0 + dt.timedelta(hours=2, minutes=1))])
+        ks = sorted(r["k"] for r in spark.read.parquet(sink).collect())
+        assert ks == ["A", "A", "Z"], ks
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_incremental_dedup_independent_of_epoch_split(spark):
+    """The survivor set must be a pure function of the corpus — the
+    same docs deduped in 1 epoch, 3 epochs, or with the near-dups
+    arriving in different epochs must agree.  Includes the tricky
+    orientation: a LOWER-id doc arriving AFTER its higher-id near-dup
+    must still drop the higher one (monotone dropped set)."""
+    from kafka_avro_order_processing_spark.streaming.incremental_dedup import (
+        read_survivors,
+        start_incremental_dedup,
+    )
+
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    text_b = "the quick brown fox jumps over the lazy dog again and again today"
+    text_c = "completely different content about spark structured streaming state"
+    docs = [(10, text_a), (20, text_c), (30, text_b), (40, "tiny")]
+
+    def run(splits):
+        base = tempfile.mkdtemp(prefix=f"incdd_{uuid.uuid4().hex[:8]}_")
+        src, idx, chk = f"{base}/src", f"{base}/index", f"{base}/chk"
+        schema = "doc_id long, text string"
+        for i, chunk in enumerate(splits):
+            spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        start_incremental_dedup(stream, idx, chk).awaitTermination()
+        return {r["doc_id"] for r in read_survivors(spark, idx).collect()}
+
+    one = run([docs])
+    # near-dups split across epochs, higher id (30) arrives FIRST
+    split = run([[docs[2], docs[3]], [docs[1]], [docs[0]]])
+    assert one == split
+    assert 10 in one and 30 not in one, one   # 30 lost to near-dup 10
+    assert 20 in one and 40 in one            # unique + shingle-less survive
+
+
+def test_scd2_sink_rewrites_only_touched_partitions(spark):
+    """The SCD2 epoch body must prune like the upsert one: closing a
+    key's current row + appending its new version stay inside the
+    key's own bucket, so untouched buckets are byte-identical."""
+    import datetime as dt
+
+    from kafka_avro_order_processing_spark.operators.upsert import scd2_apply
+    from kafka_avro_order_processing_spark.streaming.cdc import start_scd2_sink
+
+    n_buckets = 8
+    base = tempfile.mkdtemp(prefix=f"scd2_sink_{uuid.uuid4().hex[:8]}_")
+    path, src, chk = f"{base}/dim", f"{base}/changes", f"{base}/chk"
+    t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 6, 1)
+
+    dim = spark.range(64).select(
+        F.col("id").alias("k"),
+        F.lit("v1").alias("attr"),
+        F.lit(t0).cast("timestamp_ntz").alias("valid_from"),
+        F.lit(None).cast("timestamp_ntz").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    write_partitioned(dim, "k", path, n_buckets=n_buckets)
+    before = _listing(path)
+
+    # all changed keys fall in bucket 3
+    changes = spark.createDataFrame(
+        [(3, "v2", t1), (11, "v2", t1)],
+        "k long, attr string, valid_from timestamp_ntz",
+    )
+    changes.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    start_scd2_sink(stream, "k", path, checkpoint=chk, n_buckets=n_buckets).awaitTermination()
+    after = _listing(path)
+
+    changed = {p for p in set(before) | set(after) if before.get(p) != after.get(p)}
+    assert changed and all("bucket=3" in p for p in changed), sorted(changed)
+
+    got = {
+        (r["k"], r["attr"], r["is_current"], r["valid_to"])
+        for r in spark.read.parquet(path).drop("bucket").collect()
+    }
+    want = {
+        (r["k"], r["attr"], r["is_current"], r["valid_to"])
+        for r in scd2_apply(dim, changes, "k").collect()
+    }
+    assert got == want
