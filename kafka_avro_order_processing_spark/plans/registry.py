@@ -1170,6 +1170,31 @@ def q_generated_orders(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: 
     return gen_orders(spark, 1000).select("orderId", "product", "price")
 
 
+@_register(
+    "generated_orders_datasource",
+    _gen_orders_oracle(1000),
+    tags=("parity", "source", "datasource"),
+    doc="S1 through the Spark 4 PYTHON DATASOURCE surface "
+        "(sources/order_datasource.py): the same deterministic orders "
+        "served by a registered pluggable source — executor-parallel "
+        "id-range partitions, one Arrow RecordBatch per partition, "
+        "Spark HALF_UP rounding replicated via decimal — and checked "
+        "against the SAME oracle as the column-expression generator "
+        "(bit-identity of the two paths is also unit-tested).  This is "
+        "the engine's add-a-source extension story made concrete.",
+)
+def q_generated_orders_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: ARG001
+    from ..sources.order_datasource import register as _reg_ds
+
+    _reg_ds(spark)
+    return (
+        spark.read.format("kaop_orders")
+        .option("n", 1000)
+        .load()
+        .select("orderId", "product", "price")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Statistical aggregates, analytic windows (lag/rank), fact-fact and
 # semi/anti joins, SQL-API twin, exact per-record streaming emission.
@@ -3789,6 +3814,7 @@ _LEAD_ORDER = [
     # that window) + the three new round-4 queries
     "doc_chunks", "streaming_upsert_orders", "streaming_dedup_watermarked",
     "streaming_incremental_dedup", "streaming_scd2_customer_dim",
+    "generated_orders_datasource",
     # plan changed this round: near-dup verify rewritten to
     # candidate-only re-shingling; embedding LSH gained the eager pair
     # checkpoint; merge_partitioned now casts the delta to the on-disk
@@ -3816,12 +3842,14 @@ _LEAD_ORDER = [
     "scd2_customer_dim", "shipping_priority", "simhash_fingerprints",
     "source_overlap_grams", "streaming_dedup_exact",
     "streaming_interval_join", "streaming_static_enrich",
-    "streaming_watermarked_windows", "upsert_orders",
+    "streaming_watermarked_windows",
     # --- position 50 boundary: names below hold r2-green rows; the
     # twins are covered by newer-checked rows of the same operator
-    # code, user_funnel / value_distribution_ranks were displaced by
-    # the two new streaming queries (re-lead all of these in round 5):
-    "user_funnel", "value_distribution_ranks",
+    # code, upsert_orders / user_funnel / value_distribution_ranks
+    # were displaced by new round-4 queries (upsert_orders' operator is
+    # re-checked via upsert_orders_partitioned + streaming_upsert_orders
+    # this round).  Re-lead all of these in round 5:
+    "upsert_orders", "user_funnel", "value_distribution_ranks",
     #   salted_product_stats          -> per_product_stats (r3, bit-equal twin)
     #   streaming_product_stats_update-> streaming_product_stats (r3)
     #   value_bounds                  -> overall_stats min/max (r3)

@@ -138,3 +138,79 @@ def test_confluent_framed_avro_end_to_end(spark):
     orig_sum = {r["product"]: r["price_sum"] for r in product_price_stats(orders).collect()}
     for r in stats.collect():
         assert abs(r["price_sum"] - orig_sum[r["product"]]) < 0.05
+
+
+def test_datasource_bit_identical_to_expression_generator(spark):
+    """The Python DataSource path and the column-expression path must
+    produce the SAME rows — one generator contract, two surfaces."""
+    from kafka_avro_order_processing_spark.sources.generator import gen_orders
+    from kafka_avro_order_processing_spark.sources.order_datasource import register
+
+    register(spark)
+    via_ds = sorted(
+        tuple(r)
+        for r in spark.read.format("kaop_orders")
+        .option("n", 257)
+        .option("numPartitions", 5)
+        .load()
+        .collect()
+    )
+    via_expr = sorted(
+        tuple(r)
+        for r in gen_orders(spark, 257).select("orderId", "product", "price").collect()
+    )
+    assert via_ds == via_expr
+
+
+def test_datasource_partitions_cover_range_exactly(spark):
+    """Partition math: no dropped or duplicated ids at awkward
+    n/numPartitions combinations."""
+    from kafka_avro_order_processing_spark.sources.order_datasource import register
+
+    register(spark)
+    for n, p in ((1, 8), (7, 3), (100, 7)):
+        ids = [
+            r["orderId"]
+            for r in spark.read.format("kaop_orders")
+            .option("n", n)
+            .option("numPartitions", p)
+            .load()
+            .collect()
+        ]
+        assert sorted(ids) == sorted(f"ORD-{i:04d}" for i in range(n)), (n, p)
+
+
+def test_datasource_stream_drains_to_batch_rows(spark):
+    """readStream through the custom source, drained availableNow, must
+    equal the batch read — offset-as-next-id makes replay deterministic."""
+    import tempfile
+    import uuid
+
+    from kafka_avro_order_processing_spark.sources.order_datasource import register
+
+    register(spark)
+    base = tempfile.mkdtemp(prefix=f"dssrc_{uuid.uuid4().hex[:8]}_")
+    sink, chk = f"{base}/sink", f"{base}/chk"
+    # Python micro-batch sources don't support availableNow (Spark
+    # falls back to ONE batch); drain with processAllAvailable —
+    # bounded because reads past n return no rows and a fixed offset.
+    q = (
+        spark.readStream.format("kaop_orders")
+        .option("n", 230)
+        .option("rowsPerBatch", 100)  # 3 micro-batches: 100/100/30
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", chk)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    got = sorted(tuple(r) for r in spark.read.parquet(sink).collect())
+    want = sorted(
+        tuple(r)
+        for r in spark.read.format("kaop_orders").option("n", 230).load().collect()
+    )
+    assert got == want and len(got) == 230
