@@ -1321,6 +1321,47 @@ def q_daily_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "user_retention_cohorts",
+    """
+    WITH w AS (
+      SELECT user_id, CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk
+      FROM events),
+    f AS (SELECT user_id, MIN(wk) AS cohort_week FROM w GROUP BY user_id),
+    a AS (SELECT DISTINCT user_id, wk FROM w)
+    SELECT f.cohort_week, a.wk - f.cohort_week AS week_offset,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    tags=("olap", "aggregate", "cohort"),
+    doc="Retention cohort matrix: users bucketed by first-activity "
+        "week, counted per (cohort, week-offset) — the standard "
+        "engagement rollup over an event stream.  Weeks are integer "
+        "epoch/604800 buckets (exact in both engines; date_trunc "
+        "week-start conventions differ).  Scale shape: per-user min "
+        "and the distinct-activity set shuffle on user_id once and "
+        "reuse the exchange for their join; the final cohort grid is "
+        "tiny.",
+)
+def q_user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.floor(
+        F.unix_timestamp(F.col("ts").cast("timestamp")) / F.lit(604800)
+    ).cast("long")
+    w = ev.select("user_id", wk.alias("wk"))
+    first = w.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    active = w.distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("wk") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@_register(
     "priority_line_revenue",
     """
     SELECT o.o_orderpriority,
@@ -3814,7 +3855,7 @@ _LEAD_ORDER = [
     # that window) + the three new round-4 queries
     "doc_chunks", "streaming_upsert_orders", "streaming_dedup_watermarked",
     "streaming_incremental_dedup", "streaming_scd2_customer_dim",
-    "generated_orders_datasource",
+    "generated_orders_datasource", "user_retention_cohorts",
     # plan changed this round: near-dup verify rewritten to
     # candidate-only re-shingling; embedding LSH gained the eager pair
     # checkpoint; merge_partitioned now casts the delta to the on-disk
@@ -3842,14 +3883,15 @@ _LEAD_ORDER = [
     "scd2_customer_dim", "shipping_priority", "simhash_fingerprints",
     "source_overlap_grams", "streaming_dedup_exact",
     "streaming_interval_join", "streaming_static_enrich",
-    "streaming_watermarked_windows",
     # --- position 50 boundary: names below hold r2-green rows; the
     # twins are covered by newer-checked rows of the same operator
-    # code, upsert_orders / user_funnel / value_distribution_ranks
-    # were displaced by new round-4 queries (upsert_orders' operator is
-    # re-checked via upsert_orders_partitioned + streaming_upsert_orders
-    # this round).  Re-lead all of these in round 5:
-    "upsert_orders", "user_funnel", "value_distribution_ranks",
+    # code, the others were displaced by new round-4 queries
+    # (upsert_orders' operator is re-checked via
+    # upsert_orders_partitioned + streaming_upsert_orders this round;
+    # streaming_watermarked_windows' watermark machinery via
+    # streaming_dedup_watermarked).  Re-lead all of these in round 5:
+    "streaming_watermarked_windows", "upsert_orders", "user_funnel",
+    "value_distribution_ranks",
     #   salted_product_stats          -> per_product_stats (r3, bit-equal twin)
     #   streaming_product_stats_update-> streaming_product_stats (r3)
     #   value_bounds                  -> overall_stats min/max (r3)
