@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from kafka_avro_order_processing_spark.operators.aggregate import product_price_stats
 from kafka_avro_order_processing_spark.operators.validate import split_valid_invalid
@@ -92,3 +93,61 @@ def test_running_avg_last_row_equals_group_stats(spark, rows):
         assert r["running_count"] == s["order_count"]
         assert r["running_sum"] == s["price_sum"]
         assert r["running_avg"] == s["average_price"]
+
+
+# --- MERGE / CDC algebra -------------------------------------------------
+
+_delta_strategy = st.lists(
+    st.tuples(
+        st.integers(-50, 120),                        # key (some outside target)
+        st.text(alphabet="abcxyz", min_size=1, max_size=4),
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda r: r[0],
+)
+
+
+@given(delta=_delta_strategy, split_at=st.integers(0, 30))
+@SETTINGS
+def test_sequential_merge_equals_batch_merge(spark, delta, split_at):
+    """The CDC-sink foundation: for a unique-key delta, applying any
+    2-way split sequentially equals one batch MERGE — what makes the
+    foreachBatch upsert sink's final table independent of micro-batch
+    slicing (generalizes tests/test_streaming_cdc.py's fixed cases)."""
+    from kafka_avro_order_processing_spark.operators.upsert import upsert
+
+    target = spark.range(100).select(
+        F.col("id").alias("k"), F.lit("orig").alias("s")
+    )
+    d = spark.createDataFrame(delta, "k long, s string")
+    want = {tuple(r) for r in upsert(target, d, "k").collect()}
+
+    cut = min(split_at, len(delta))
+    d1, d2 = delta[:cut], delta[cut:]
+    stepped = target
+    for chunk in (d1, d2):
+        if chunk:
+            stepped = upsert(
+                stepped, spark.createDataFrame(chunk, "k long, s string"), "k"
+            )
+    got = {tuple(r) for r in stepped.collect()}
+    assert got == want
+
+
+@given(delta=_delta_strategy)
+@SETTINGS
+def test_merge_is_idempotent(spark, delta):
+    """Replay safety of the upsert sink: re-applying the same delta is
+    a no-op (at-least-once foreachBatch converges)."""
+    from kafka_avro_order_processing_spark.operators.upsert import upsert
+
+    target = spark.range(100).select(
+        F.col("id").alias("k"), F.lit("orig").alias("s")
+    )
+    d = spark.createDataFrame(delta, "k long, s string")
+    once = upsert(target, d, "k")
+    twice = upsert(once, d, "k")
+    assert {tuple(r) for r in once.collect()} == {
+        tuple(r) for r in twice.collect()
+    }
