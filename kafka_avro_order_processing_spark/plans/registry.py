@@ -1338,26 +1338,33 @@ def q_daily_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "week, counted per (cohort, week-offset) — the standard "
         "engagement rollup over an event stream.  Weeks are integer "
         "epoch/604800 buckets (exact in both engines; date_trunc "
-        "week-start conventions differ).  Scale shape: per-user min "
-        "and the distinct-activity set shuffle on user_id once and "
-        "reuse the exchange for their join; the final cohort grid is "
-        "tiny.",
+        "week-start conventions differ).  Scale shape: ONE shuffle on "
+        "user_id computes min-week and the distinct-week set together "
+        "(set cardinality is bounded by the stream's span in weeks, "
+        "never by event volume); exploding the set yields unique "
+        "(user, week) rows, so the final tiny cohort-grid aggregation "
+        "is a plain count — no countDistinct expand, no join.  The "
+        "naive form (min-agg + distinct + join) pays three shuffles.",
 )
 def q_user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     wk = F.floor(
         F.unix_timestamp(F.col("ts").cast("timestamp")) / F.lit(604800)
     ).cast("long")
-    w = ev.select("user_id", wk.alias("wk"))
-    first = w.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
-    active = w.distinct()
+    per_user = (
+        ev.select("user_id", wk.alias("wk"))
+        .groupBy("user_id")
+        .agg(F.min("wk").alias("cohort_week"), F.collect_set("wk").alias("wks"))
+    )
     return (
-        active.join(first, "user_id")
+        per_user.select(
+            "cohort_week", F.explode("wks").alias("wk")
+        )
         .groupBy(
             "cohort_week",
             (F.col("wk") - F.col("cohort_week")).alias("week_offset"),
         )
-        .agg(F.countDistinct("user_id").alias("n_users"))
+        .agg(F.count("*").alias("n_users"))
     )
 
 
