@@ -86,3 +86,26 @@ def test_stream_stream_interval_join(spark, tmp_path):
     # user 1: both clicks within the hour; user 2: none (too early)
     got = sorted((r["b_user"], r["c_ts"].isoformat()) for r in rows)
     assert got == [(1, "2024-01-01T10:00:00"), (1, "2024-01-01T10:30:00")]
+
+
+def test_retention_cohorts_is_two_shuffles(spark):
+    """user_retention_cohorts must stay the fused one-pass form: one
+    exchange for the user-keyed (min, week-set) aggregation and one for
+    the tiny cohort grid — a refactor back to min-agg + distinct + join
+    (three shuffles) would show up here."""
+    import io
+    import contextlib
+
+    from kafka_avro_order_processing_spark.plans.registry import QUERIES
+
+    df = QUERIES["user_retention_cohorts"].fn(spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # the details section lists every node once as "(N) NodeName"
+    n_exchanges = sum(
+        1 for line in plan.splitlines()
+        if line.strip().startswith("(") and "Exchange" in line and "Reused" not in line
+    )
+    assert n_exchanges == 2, f"expected 2 exchanges, plan:\n{plan}"
