@@ -254,3 +254,38 @@ def test_scd2_sink_rewrites_only_touched_partitions(spark):
         for r in scd2_apply(dim, changes, "k").collect()
     }
     assert got == want
+
+
+def test_incremental_dedup_resumes_across_sessions(spark):
+    """Ingest is a long-lived process: new corpus shards arriving AFTER
+    a drain completes must dedup against the index built by earlier
+    drains (same checkpoint + index dir), ending at the same survivor
+    set as one batch run over everything."""
+    from kafka_avro_order_processing_spark.streaming.incremental_dedup import (
+        read_survivors,
+        start_incremental_dedup,
+    )
+
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    batch1 = [(10, t), (20, "unrelated content one two three four five six")]
+    batch2 = [(30, t + " today")]  # near-dup of 10, arrives in a later drain
+
+    base = tempfile.mkdtemp(prefix=f"incdd_resume_{uuid.uuid4().hex[:8]}_")
+    src, idx, chk = f"{base}/src", f"{base}/index", f"{base}/chk"
+    schema = "doc_id long, text string"
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        start_incremental_dedup(stream, idx, chk).awaitTermination()
+
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    assert {r["doc_id"] for r in read_survivors(spark, idx).collect()} == {10, 20}
+
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src)
+    drain()  # resumes from the checkpoint: only the new file is ingested
+    assert {r["doc_id"] for r in read_survivors(spark, idx).collect()} == {10, 20}
