@@ -313,11 +313,11 @@ def near_dup_pairs(
     # Re-shingle ONLY docs that appear in some candidate pair.  The id
     # set is tiny -> broadcast semi-join prunes the corpus scan without
     # shuffling it; the collect_set state now exists only for the
-    # candidate subset.
-    cand_ids = (
-        pairs.select(F.col("doc_a").alias(id_col))
-        .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
-        .distinct()
+    # candidate subset.  No distinct() on the id projection: a semi
+    # join dedups its build side anyway, and the distinct would cost a
+    # shuffle just to shrink an already-tiny broadcast.
+    cand_ids = pairs.select(F.col("doc_a").alias(id_col)).unionByName(
+        pairs.select(F.col("doc_b").alias(id_col))
     )
     cand_docs = df.join(F.broadcast(cand_ids), id_col, "semi")
     sets = (
