@@ -1140,6 +1140,66 @@ def q_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "diversity_sample",
+    """
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+      FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, embedding AS ce, norm AS cn FROM n WHERE vec_id < 8),
+    scored AS (
+      SELECT v.vec_id, c.centroid_id,
+             list_sum(list_transform(range(1, len(v.embedding) + 1),
+                    i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)))
+               / (v.norm * c.cn) AS sim
+      FROM n v, c),
+    best AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+        FROM scored) WHERE rn = 1),
+    sizes AS (SELECT centroid_id, COUNT(*) AS n_cell FROM best GROUP BY centroid_id)
+    SELECT b.vec_id, b.centroid_id
+    FROM best b JOIN sizes s USING (centroid_id)
+    WHERE ((strpos('0123456789abcdef', substr(md5('divsamp:' || CAST(b.vec_id AS VARCHAR)), 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5('divsamp:' || CAST(b.vec_id AS VARCHAR)), 2, 1)) - 1))
+          * s.n_cell < 8192
+    """,
+    tags=("m5", "sampling", "similarity"),
+    doc="Cluster-balanced (diversity) sampling: assign every vector to "
+        "its IVF cell, then keep ~32 per cell regardless of cell size "
+        "— the curation step that stops dense embedding regions from "
+        "dominating a training mix.  The accept test is INTEGER-only "
+        "(md5 bucket x cell size < 256 x target), so no float-rate "
+        "rounding can diverge between engines, and the sample is a "
+        "stable per-row property (incremental runs resample "
+        "identically — same contract as deterministic_sample).  Scale "
+        "shape: broadcast-assign, one cell-size aggregation joined "
+        "back broadcast, pure filter — no sort, no per-cell windows.",
+)
+def q_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = ivf_assign(emb, cents)
+    sizes = assigned.groupBy("centroid_id").agg(F.count("*").alias("n_cell"))
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("divsamp:"), F.col("vec_id").cast("string"))), 1, 2
+        ),
+        16,
+        10,
+    ).cast("int")
+    return (
+        assigned.join(F.broadcast(sizes), "centroid_id")
+        .filter(bucket * F.col("n_cell") < 256 * 32)
+        .select("vec_id", "centroid_id")
+    )
+
+
+@_register(
     "purchase_avg_lookup",
     f"""
     SELECT event_type, {_dsum('value')} / COUNT(*) AS average_price
@@ -3863,6 +3923,7 @@ _LEAD_ORDER = [
     "doc_chunks", "streaming_upsert_orders", "streaming_dedup_watermarked",
     "streaming_incremental_dedup", "streaming_scd2_customer_dim",
     "generated_orders_datasource", "user_retention_cohorts",
+    "diversity_sample",
     # plan changed this round: near-dup verify rewritten to
     # candidate-only re-shingling; embedding LSH gained the eager pair
     # checkpoint; merge_partitioned now casts the delta to the on-disk
@@ -3896,9 +3957,11 @@ _LEAD_ORDER = [
     # (upsert_orders' operator is re-checked via
     # upsert_orders_partitioned + streaming_upsert_orders this round;
     # streaming_watermarked_windows' watermark machinery via
-    # streaming_dedup_watermarked).  Re-lead all of these in round 5:
-    "streaming_watermarked_windows", "upsert_orders", "user_funnel",
-    "value_distribution_ranks",
+    # streaming_dedup_watermarked; streaming_static_enrich's
+    # stream-dim join via streaming_product_stats r3 + the interval
+    # join in-window).  Re-lead all of these in round 5:
+    "streaming_static_enrich", "streaming_watermarked_windows",
+    "upsert_orders", "user_funnel", "value_distribution_ranks",
     #   salted_product_stats          -> per_product_stats (r3, bit-equal twin)
     #   streaming_product_stats_update-> streaming_product_stats (r3)
     #   value_bounds                  -> overall_stats min/max (r3)
