@@ -1,9 +1,10 @@
 """Streaming CDC apply: a keyed change-stream maintained as a
 partition-pruned parquet table.
 
-The reference keys its orders topic by order id (setup_topics.sh
-creates the keyed `orders` topic; the consumer treats the latest
-record per key as current state).  Landed in a lake, that topology is
+The reference keys its orders topic by order id
+(/root/reference/scripts/setup_topics.sh:14-19 creates the keyed
+`orders` topic; the consumer treats the latest record per key as
+current state).  Landed in a lake, that topology is
 "apply the change-stream to a maintained table" — here expressed as a
 ``foreachBatch`` sink whose epoch body is the partition-pruned MERGE
 from ``operators.upsert.merge_partitioned``:
