@@ -40,6 +40,8 @@ capped index would silently stop dropping against popular buckets).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -53,6 +55,13 @@ from ..operators.dedup import (
 
 
 def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
+    # Cheap existence probe first: asking Spark to resolve a
+    # not-yet-seeded store logs a scary (but caught) JVM
+    # FileNotFoundException trace on every first epoch.  Local paths
+    # short-circuit; URI stores (s3://, hdfs://) fall through to the
+    # resolve-and-catch.
+    if "://" not in path and not os.path.exists(path):
+        return None
     try:
         return spark.read.parquet(path)
     except Exception:
