@@ -3,11 +3,14 @@
 Images/audio/video are opaque ``binary`` payloads with typed metadata
 riding alongside; the Spark-side contract — schema, partition-friendly
 metadata extraction, Arrow-batched decode UDFs over mapInPandas — is
-real and tested.  The actual media decode is STUBBED (this container
-has no image/audio libraries): ``decode_stub=True`` yields
-deterministic fake features, ``decode_stub=False`` raises
-NotImplementedError where a real decoder (PIL/torchaudio/ffmpeg)
-would be imported.
+real and tested.  Decode is REAL for the formats that need no
+external library: ``decode_media_features`` decodes PNG (stdlib zlib,
+all five scanline filters) and WAV/PCM (stdlib wave) end-to-end — see
+``operators/media_codecs.py``.  JPEG/video decode and image resize
+remain STUBBED (they genuinely need PIL/ffmpeg, absent here):
+``decode_stub=True`` yields deterministic fake features,
+``decode_stub=False`` raises NotImplementedError where the library
+import would go.
 
 Scale notes: binary payloads dominate bytes; metadata extraction
 (length/hash/magic sniff) is pure Column expressions so pruning a
@@ -95,6 +98,68 @@ def decode_features(
             )
 
     return df.mapInPandas(_decode, schema=DECODED_SCHEMA)
+
+
+MEDIA_SCHEMA = (
+    "doc_id long, mime string, byte_len long, width int, height int, "
+    "n_channels int, sample_rate int, n_frames long, duration_ms double, "
+    "rms double, mean_pixel double, decode_error string"
+)
+
+
+def decode_media_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL media decode for the formats that need no external library
+    (operators/media_codecs.py): PNG (stdlib zlib inflate + all five
+    scanline filters) and WAV/PCM (stdlib wave) — dims / channels /
+    mean pixel for images, sample rate / frames / duration / RMS for
+    audio.  Unsupported payloads (JPEG, video, junk) land in
+    `decode_error` instead of failing the batch — at corpus scale a
+    poison payload must cost one row, not one task retry loop.
+
+    Same scale contract as the stub path: Arrow-batched mapInPandas,
+    payloads cross the JVM->Python boundary once, only for rows that
+    survived the column-expression metadata filter.
+    """
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .media_codecs import PNG_SIGNATURE, decode_png, decode_wav
+
+        def one(doc_id, payload):
+            b = bytes(payload)
+            row = {
+                "doc_id": doc_id, "mime": "application/octet-stream",
+                "byte_len": len(b), "width": None, "height": None,
+                "n_channels": None, "sample_rate": None, "n_frames": None,
+                "duration_ms": None, "rms": None, "mean_pixel": None,
+                "decode_error": None,
+            }
+            try:
+                if b[:8] == PNG_SIGNATURE:
+                    d = decode_png(b)
+                    row.update(
+                        mime="image/png", width=d["width"], height=d["height"],
+                        n_channels=d["n_channels"], mean_pixel=d["mean_pixel"],
+                    )
+                elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                    d = decode_wav(b)
+                    row.update(
+                        mime="audio/wav", n_channels=d["n_channels"],
+                        sample_rate=d["sample_rate"], n_frames=d["n_frames"],
+                        duration_ms=d["duration_ms"], rms=d["rms"],
+                    )
+                else:
+                    row["decode_error"] = "unsupported format"
+            except Exception as e:  # poison payload -> row-level error
+                row["decode_error"] = f"{type(e).__name__}: {e}"[:200]
+            return row
+
+        for pdf in batches:
+            rows = [one(i, p) for i, p in zip(pdf[id_col], pdf[payload_col])]
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(_decode, schema=MEDIA_SCHEMA)
 
 
 RESIZED_SCHEMA = "doc_id long, width int, height int, resized binary"
