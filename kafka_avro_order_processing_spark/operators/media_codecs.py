@@ -143,6 +143,24 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
     )
 
 
+def resize_png(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """Real PNG resize without any image library: decode -> pixel-center
+    nearest-neighbor index sampling (numpy) -> re-encode.  Nearest
+    neighbor is the standard cheap thumbnailing kernel; swap the index
+    map for area averaging when a real pipeline needs it."""
+    d = decode_png(payload)
+    px = d["pixels"]
+    yi = np.minimum(
+        ((np.arange(target_h) + 0.5) * d["height"] / target_h).astype(int),
+        d["height"] - 1,
+    )
+    xi = np.minimum(
+        ((np.arange(target_w) + 0.5) * d["width"] / target_w).astype(int),
+        d["width"] - 1,
+    )
+    return encode_png(px[yi][:, xi])
+
+
 def decode_png(payload: bytes) -> dict:
     """Real PNG decode: parse chunks, inflate, un-filter, return dims +
     channel count + pixel array + mean pixel value."""

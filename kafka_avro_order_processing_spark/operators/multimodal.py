@@ -176,14 +176,32 @@ def resize_payloads(
 ) -> DataFrame:
     """Resize plumbing: Arrow-batched map, one JVM->Python crossing.
 
-    Stub 'resize' deterministically truncates/pads the byte payload to
-    w*h bytes (a real implementation decodes + PIL-resizes); schema and
-    batch shape are the production contract.
+    ``decode_stub=False`` performs a REAL resize for PNG payloads
+    (media_codecs.resize_png: stdlib decode -> nearest-neighbor ->
+    re-encode); the input contract is rows pre-filtered to
+    ``mime = 'image/png'`` via ``payload_metadata`` — a non-PNG payload
+    raises, because silently passing junk through a resize is how a
+    corpus pipeline corrupts itself.  The stub branch deterministically
+    truncates/pads bytes (for JPEG/video shapes a real implementation
+    needs PIL/ffmpeg); schema and batch shape are identical in both.
     """
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if not decode_stub:
-            raise NotImplementedError("real resize requires an image library")
+            from .media_codecs import resize_png
+
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf[id_col],
+                        "width": target_w,
+                        "height": target_h,
+                        "resized": pdf[payload_col].map(
+                            lambda b: resize_png(bytes(b), target_w, target_h)
+                        ),
+                    }
+                )
+            return
         size = target_w * target_h
         for pdf in batches:
             payloads = pdf[payload_col].map(

@@ -105,3 +105,38 @@ def test_spark_decode_media_features(spark):
     assert rows[2]["decode_error"] is None
 
     assert rows[3]["decode_error"] == "unsupported format"
+
+
+def test_spark_resize_png_real(spark):
+    """decode_stub=False resize is a REAL PNG round-trip: output bytes
+    re-decode to the nearest-neighbor-sampled pixels."""
+    from kafka_avro_order_processing_spark.operators.multimodal import (
+        resize_payloads,
+    )
+
+    arr = _rng_image(8, 6, 3, seed=7)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_png(arr)))], "doc_id long, payload binary"
+    )
+    out = resize_payloads(df, target_w=3, target_h=4, decode_stub=False).collect()
+    assert len(out) == 1 and (out[0]["width"], out[0]["height"]) == (3, 4)
+    d = decode_png(bytes(out[0]["resized"]))
+    yi = np.minimum(((np.arange(4) + 0.5) * 8 / 4).astype(int), 7)
+    xi = np.minimum(((np.arange(3) + 0.5) * 6 / 3).astype(int), 5)
+    assert np.array_equal(d["pixels"], arr[yi][:, xi])
+
+
+def test_spark_resize_rejects_non_png_when_real(spark):
+    from kafka_avro_order_processing_spark.operators.multimodal import (
+        resize_payloads,
+    )
+    from py4j.protocol import Py4JJavaError
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"junk"))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception) as exc:
+        resize_payloads(df, 2, 2, decode_stub=False).collect()
+    assert "signature" in str(exc.value) or "PNG" in str(exc.value) or isinstance(
+        exc.value, Py4JJavaError
+    )
