@@ -227,17 +227,52 @@ def sample_frames(
     payload_col: str = "payload",
     decode_stub: bool = True,
 ) -> DataFrame:
-    """Frame sampling for video payloads: one input row fans out to
-    ≤max_frames frame rows (1:N mapInPandas — the schema change is why
-    this is a map, not a UDF).
+    """Frame sampling for time-media payloads: one input row fans out
+    to ≤max_frames frame rows (1:N mapInPandas — the schema change is
+    why this is a map, not a UDF).
 
-    Stub frames are deterministic byte slices; a real implementation
-    seeks with ffmpeg/pyav.
+    ``decode_stub=False`` is REAL for WAV payloads: the PCM stream is
+    windowed into consecutive `every_ms` chunks, each re-encoded as a
+    standalone WAV (media_codecs — same rate/channels), which is the
+    standard audio pre-featurization step.  Video payloads genuinely
+    need ffmpeg/pyav and raise.  Stub frames are deterministic byte
+    slices in the same schema/batch shape.
     """
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if not decode_stub:
-            raise NotImplementedError("real frame sampling requires ffmpeg/pyav")
+            import io as _io
+            import wave as _wave
+
+            import numpy as np
+
+            from .media_codecs import synthesize_wav
+
+            for pdf in batches:
+                out = {"doc_id": [], "frame_idx": [], "frame_offset_ms": [], "frame": []}
+                for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                    b = bytes(payload)
+                    if not (b[:4] == b"RIFF" and b[8:12] == b"WAVE"):
+                        raise NotImplementedError(
+                            "real frame sampling: WAV supported; video needs ffmpeg/pyav"
+                        )
+                    with _wave.open(_io.BytesIO(b), "rb") as w:
+                        sr, nch = w.getframerate(), w.getnchannels()
+                        pcm = np.frombuffer(
+                            w.readframes(w.getnframes()), dtype="<i2"
+                        ).reshape(-1, nch)
+                    per = max(1, sr * every_ms // 1000)  # frames per chunk
+                    n = min(max_frames, -(-len(pcm) // per)) if len(pcm) else 0
+                    for i in range(n):
+                        chunk = pcm[i * per : (i + 1) * per].reshape(-1)
+                        out["doc_id"].append(doc_id)
+                        out["frame_idx"].append(i)
+                        out["frame_offset_ms"].append(i * every_ms)
+                        out["frame"].append(
+                            synthesize_wav(chunk, sample_rate=sr, n_channels=nch)
+                        )
+                yield pd.DataFrame(out)
+            return
         for pdf in batches:
             out = {"doc_id": [], "frame_idx": [], "frame_offset_ms": [], "frame": []}
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):

@@ -140,3 +140,33 @@ def test_spark_resize_rejects_non_png_when_real(spark):
     assert "signature" in str(exc.value) or "PNG" in str(exc.value) or isinstance(
         exc.value, Py4JJavaError
     )
+
+
+def test_spark_sample_frames_wav_real(spark):
+    """decode_stub=False frame sampling windows real PCM: each emitted
+    frame is a standalone decodable WAV holding the right slice."""
+    from kafka_avro_order_processing_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    sr = 1000  # 1 kHz -> every_ms=250 is 250 samples/frame
+    samples = np.arange(900, dtype="<i2")  # 900 ms -> 4 frames (last partial)
+    df = spark.createDataFrame(
+        [(7, bytearray(synthesize_wav(samples, sample_rate=sr)))],
+        "doc_id long, payload binary",
+    )
+    rows = sorted(
+        sample_frames(df, every_ms=250, max_frames=8, decode_stub=False).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["frame_idx"] for r in rows] == [0, 1, 2, 3]
+    assert [r["frame_offset_ms"] for r in rows] == [0, 250, 500, 750]
+    d0 = decode_wav(bytes(rows[0]["frame"]))
+    assert d0["sample_rate"] == sr and d0["n_frames"] == 250
+    d3 = decode_wav(bytes(rows[3]["frame"]))
+    assert d3["n_frames"] == 150  # 900 - 3*250
+    # slice content check: frame 1 carries samples 250..499
+    with_frames = np.frombuffer(
+        bytes(rows[1]["frame"])[44:], dtype="<i2"
+    )  # canonical 44-byte header
+    assert np.array_equal(with_frames, samples[250:500])
