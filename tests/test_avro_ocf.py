@@ -1,0 +1,125 @@
+"""Avro Object Container File source (sources/avro_ocf.py): spec
+round-trips and the jar-less Spark read path."""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+import pytest
+
+from kafka_avro_order_processing_spark.sources.avro_ocf import (
+    parse_ocf,
+    read_avro_ocf,
+    write_avro_ocf,
+)
+
+SCHEMA = {
+    "type": "record",
+    "name": "Doc",
+    "fields": [
+        {"name": "doc_id", "type": "long"},
+        {"name": "title", "type": "string"},
+        {"name": "score", "type": "double"},
+        {"name": "lang", "type": ["null", "string"]},
+        {"name": "flags", "type": {"type": "array", "items": "int"}},
+        {"name": "ok", "type": "boolean"},
+    ],
+}
+
+ROWS = [
+    {"doc_id": 1, "title": "alpha", "score": 0.5, "lang": "en", "flags": [1, 2, 3], "ok": True},
+    {"doc_id": 2, "title": "béta", "score": -1.25, "lang": None, "flags": [], "ok": False},
+    {"doc_id": 3, "title": "", "score": 2.0 ** 40, "lang": "fr", "flags": [0], "ok": True},
+]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_ocf_round_trip(codec, tmp_path):
+    p = str(tmp_path / "docs.avro")
+    write_avro_ocf(p, ROWS, SCHEMA, codec=codec)
+    schema, records = parse_ocf(open(p, "rb").read())
+    assert schema == SCHEMA
+    assert records == ROWS
+
+
+def test_ocf_multi_block(tmp_path):
+    p = str(tmp_path / "many.avro")
+    rows = [
+        {"doc_id": i, "title": f"t{i}", "score": float(i), "lang": None,
+         "flags": [i % 3], "ok": bool(i % 2)}
+        for i in range(2500)
+    ]
+    write_avro_ocf(p, rows, SCHEMA, records_per_block=1000)  # 3 blocks
+    _, records = parse_ocf(open(p, "rb").read())
+    assert records == rows
+
+
+def test_ocf_rejects_corruption_and_unknown(tmp_path):
+    p = str(tmp_path / "x.avro")
+    write_avro_ocf(p, ROWS, SCHEMA)
+    raw = bytearray(open(p, "rb").read())
+    with pytest.raises(ValueError, match="container"):
+        parse_ocf(b"PK\x03\x04junk")
+    raw[-1] ^= 0xFF  # flip a sync byte
+    with pytest.raises(ValueError, match="sync"):
+        parse_ocf(bytes(raw))
+    with pytest.raises(ValueError, match="unsupported Avro type"):
+        write_avro_ocf(
+            p,
+            [{"e": "A"}],
+            {"type": "record", "name": "R",
+             "fields": [{"name": "e", "type": {"type": "enum", "name": "E", "symbols": ["A"]}}]},
+        )
+
+
+def test_spark_reads_ocf_directory(spark):
+    """binaryFile + mapInPandas read: two files, deflate, nullable and
+    array columns land as proper Spark types."""
+    base = tempfile.mkdtemp(prefix=f"ocf_{uuid.uuid4().hex[:8]}_")
+    write_avro_ocf(f"{base}/part-0.avro", ROWS[:2], SCHEMA, codec="deflate")
+    write_avro_ocf(f"{base}/part-1.avro", ROWS[2:], SCHEMA, codec="deflate")
+    df = read_avro_ocf(spark, base)
+    assert dict(df.dtypes)["flags"] == "array<int>"
+    got = sorted(
+        (r["doc_id"], r["title"], r["score"], r["lang"], list(r["flags"]), r["ok"])
+        for r in df.collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["title"], r["score"], r["lang"], r["flags"], r["ok"])
+        for r in ROWS
+    )
+    assert got == want
+
+
+def test_spark_read_schema_drift_fails(spark):
+    base = tempfile.mkdtemp(prefix=f"ocf_{uuid.uuid4().hex[:8]}_")
+    write_avro_ocf(f"{base}/a.avro", ROWS[:1], SCHEMA)
+    other = {**SCHEMA, "fields": SCHEMA["fields"][:-1]}
+    write_avro_ocf(f"{base}/b.avro", [{k: v for k, v in ROWS[0].items() if k != "ok"}], other)
+    with pytest.raises(Exception, match="drift|Py4J"):
+        read_avro_ocf(spark, base).collect()
+
+
+def test_order_records_through_ocf(spark):
+    """The reference's order record shape through the container format:
+    generator rows written as .avro, read back identically."""
+    from kafka_avro_order_processing_spark.sources.generator import gen_orders
+
+    order_schema = {
+        "type": "record",
+        "name": "Order",
+        "fields": [
+            {"name": "orderId", "type": "string"},
+            {"name": "product", "type": "string"},
+            {"name": "price", "type": "double"},
+        ],
+    }
+    orders = [
+        {"orderId": r["orderId"], "product": r["product"], "price": r["price"]}
+        for r in gen_orders(spark, 50).select("orderId", "product", "price").collect()
+    ]
+    base = tempfile.mkdtemp(prefix=f"ocf_{uuid.uuid4().hex[:8]}_")
+    write_avro_ocf(f"{base}/orders.avro", orders, order_schema)
+    got = sorted(tuple(r) for r in read_avro_ocf(spark, base).collect())
+    assert got == sorted((o["orderId"], o["product"], o["price"]) for o in orders)
