@@ -5,7 +5,10 @@ is gated: ``kafka_available`` detects the connector, and the
 reader/writer builders either return the configured plan (jar present)
 or raise ``KafkaUnavailableError`` with the exact spark-submit package
 coordinate.  Everything downstream of the source is format-agnostic —
-the parquet/rate twins exercise identical plans in tests.
+the parquet/rate twins exercise identical plans in tests.  The Avro
+FILE path needs no jar at all: ``sources/avro_ocf.py`` reads/writes
+Object Container Files with a stdlib codec (the lake-side cousin of
+the Schema-Registry wire frame handled in ``serde.py``).
 
 Option mapping from the reference:
 - producer reliability (acks=all, idempotence, snappy, batching —

@@ -43,8 +43,12 @@ def test_frame_sampling_fanout(spark, payloads):
     assert offsets == [0, 500, 1000, 1500]
 
 
-def test_stub_raises_without_libs(spark, payloads):
-    with pytest.raises(Exception, match="NotImplementedError|image library"):
+def test_real_resize_rejects_non_image_payloads(spark, payloads):
+    """decode_stub=False is REAL for PNG now (media_codecs.py), so the
+    contract for these text-byte payloads is a decode error, not a
+    NotImplementedError: junk must never silently pass through a
+    resize."""
+    with pytest.raises(Exception, match="signature|PNG"):
         resize_payloads(payloads, 2, 2, decode_stub=False).collect()
 
 

@@ -8,6 +8,8 @@ import os
 import tempfile
 import uuid
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from kafka_avro_order_processing_spark.operators.upsert import (
@@ -289,3 +291,55 @@ def test_incremental_dedup_resumes_across_sessions(spark):
     spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src)
     drain()  # resumes from the checkpoint: only the new file is ingested
     assert {r["doc_id"] for r in read_survivors(spark, idx).collect()} == {10, 20}
+
+
+def test_cdc_sink_replays_failed_epoch_idempotently(spark):
+    """foreachBatch is at-least-once: if the epoch body dies AFTER the
+    merge wrote some buckets, the restarted query replays the same
+    micro-batch.  Re-merging identical updates is idempotent, so the
+    maintained table converges to the batch answer anyway — the
+    property that makes the upsert sink safe without a transactional
+    sink."""
+    from kafka_avro_order_processing_spark.operators.upsert import (
+        merge_partitioned,
+    )
+
+    n_buckets = 4
+    base = tempfile.mkdtemp(prefix=f"cdc_replay_{uuid.uuid4().hex[:8]}_")
+    path, src, chk = f"{base}/target", f"{base}/changes", f"{base}/chk"
+    target = spark.range(40).select(
+        F.col("id").alias("k"), F.lit("orig").alias("s")
+    )
+    write_partitioned(target, "k", path, n_buckets=n_buckets)
+    updates = spark.createDataFrame([(5, "new"), (-1, "ins")], "k long, s string")
+    updates.coalesce(1).write.parquet(src)
+
+    state = {"fail": True}
+
+    def flaky_body(df, epoch_id):
+        if df.isEmpty():
+            return
+        merge_partitioned(df.sparkSession, df, "k", path, n_buckets)
+        if state["fail"]:
+            state["fail"] = False  # crash AFTER the write, once
+            raise RuntimeError("injected post-write failure")
+
+    def run():
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(flaky_body)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    with pytest.raises(Exception, match="injected"):
+        run()
+    run()  # restart: same epoch replays, merge is idempotent
+
+    got = {tuple(r) for r in spark.read.parquet(path).select("k", "s").collect()}
+    want = {tuple(r) for r in upsert(target, updates, "k").collect()}
+    assert got == want
