@@ -312,3 +312,117 @@ def read_avro_ocf(spark, path: str):
             yield pd.DataFrame(rows, columns=names)
 
     return listing.select("content").mapInPandas(_decode, schema=out_schema)
+
+
+# --------------------------------------------------------------------------
+# custom DataSource: spark.read/readStream.format("kaop_avro")
+# --------------------------------------------------------------------------
+
+try:  # pyspark>=4 only
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+        SimpleDataSourceStreamReader,
+    )
+except ImportError:  # pragma: no cover
+    DataSource = DataSourceReader = object  # type: ignore[assignment,misc]
+    SimpleDataSourceStreamReader = object  # type: ignore[assignment,misc]
+    InputPartition = None  # type: ignore[assignment]
+
+
+def _list_avro(path: str) -> list[str]:
+    import glob as _glob
+
+    return sorted(_glob.glob(os.path.join(path, "*.avro")))
+
+
+def _schema_of_dir(path: str):
+    files = _list_avro(path)
+    if not files:
+        raise ValueError(f"no .avro files under {path}")
+    with open(files[0], "rb") as f:
+        schema, _ = parse_ocf(f.read())
+    if _norm_schema(schema).get("type") != "record":
+        raise ValueError("top-level OCF schema must be a record")
+    fields = [(fl["name"], _spark_field_type(fl["type"])) for fl in schema["fields"]]
+    return schema, fields
+
+
+def _file_rows(fname: str, schema, names):
+    with open(fname, "rb") as f:
+        fschema, recs = parse_ocf(f.read())
+    if fschema != schema:
+        raise ValueError(f"schema drift in {fname}")
+    return [tuple(r[n] for n in names) for r in recs]
+
+
+class AvroOcfReader(DataSourceReader):
+    def __init__(self, path: str, schema, names):
+        self.path, self.avro_schema, self.names = path, schema, names
+
+    def partitions(self):  # one partition per container file
+        return [InputPartition(f) for f in _list_avro(self.path)]
+
+    def read(self, partition):
+        yield from _file_rows(partition.value, self.avro_schema, self.names)
+
+
+class AvroOcfStreamReader(SimpleDataSourceStreamReader):
+    """Landing-directory ingestion: the offset is the count of files
+    already consumed from the SORTED listing.  Deterministic replay
+    holds under the standard landing contract — files are immutable
+    once visible and names grow monotonically (part-0001 < part-0002);
+    out-of-order names are still ingested, just not replay-stable."""
+
+    def __init__(self, path: str, schema, names):
+        self.path, self.avro_schema, self.names = path, schema, names
+
+    def initialOffset(self) -> dict:
+        return {"n_files": 0}
+
+    def read(self, start: dict):
+        files = _list_avro(self.path)
+        new = files[start["n_files"] :]
+        rows = [r for f in new for r in _file_rows(f, self.avro_schema, self.names)]
+        return iter(rows), {"n_files": len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        files = _list_avro(self.path)[start["n_files"] : end["n_files"]]
+        return iter(
+            [r for f in files for r in _file_rows(f, self.avro_schema, self.names)]
+        )
+
+
+class AvroOcfDataSource(DataSource):
+    """``format("kaop_avro").option("path", dir)`` — batch reads fan
+    out one executor partition per container file; streaming ingests a
+    growing landing directory with file-count offsets."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "kaop_avro"
+
+    def _resolved(self):
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("kaop_avro requires .option('path', <dir>)")
+        schema, fields = _schema_of_dir(path)
+        return path, schema, [n for n, _ in fields], fields
+
+    def schema(self) -> str:
+        _, _, _, fields = self._resolved()
+        return ", ".join(f"{n} {t}" for n, t in fields)
+
+    def reader(self, schema) -> AvroOcfReader:  # noqa: ARG002
+        path, avsc, names, _ = self._resolved()
+        return AvroOcfReader(path, avsc, names)
+
+    def simpleStreamReader(self, schema) -> AvroOcfStreamReader:  # noqa: ARG002
+        path, avsc, names, _ = self._resolved()
+        return AvroOcfStreamReader(path, avsc, names)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the OCF source on a session."""
+    spark.dataSource.register(AvroOcfDataSource)

@@ -123,3 +123,54 @@ def test_order_records_through_ocf(spark):
     write_avro_ocf(f"{base}/orders.avro", orders, order_schema)
     got = sorted(tuple(r) for r in read_avro_ocf(spark, base).collect())
     assert got == sorted((o["orderId"], o["product"], o["price"]) for o in orders)
+
+
+def test_datasource_batch_matches_mapinpandas_path(spark):
+    """format('kaop_avro') batch read == read_avro_ocf over the same
+    directory (one partition per file)."""
+    from kafka_avro_order_processing_spark.sources.avro_ocf import register
+
+    base = tempfile.mkdtemp(prefix=f"ocfds_{uuid.uuid4().hex[:8]}_")
+    write_avro_ocf(f"{base}/p0.avro", ROWS[:2], SCHEMA)
+    write_avro_ocf(f"{base}/p1.avro", ROWS[2:], SCHEMA)
+    register(spark)
+    via_ds = sorted(
+        (r["doc_id"], r["title"], r["lang"], list(r["flags"]))
+        for r in spark.read.format("kaop_avro").option("path", base).load().collect()
+    )
+    via_map = sorted(
+        (r["doc_id"], r["title"], r["lang"], list(r["flags"]))
+        for r in read_avro_ocf(spark, base).collect()
+    )
+    assert via_ds == via_map and len(via_ds) == 3
+
+
+def test_datasource_streams_growing_landing_dir(spark):
+    """readStream over a landing dir: files visible at start ingest in
+    batch one; a file landing later ingests on the next trigger —
+    file-count offsets, no reprocessing."""
+    from kafka_avro_order_processing_spark.sources.avro_ocf import register
+
+    base = tempfile.mkdtemp(prefix=f"ocfstream_{uuid.uuid4().hex[:8]}_")
+    land, sink, chk = f"{base}/land", f"{base}/sink", f"{base}/chk"
+    write_avro_ocf(f"{land}/part-0001.avro", ROWS[:2], SCHEMA)
+    register(spark)
+    q = (
+        spark.readStream.format("kaop_avro")
+        .option("path", land)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", chk)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert {r["doc_id"] for r in spark.read.parquet(sink).collect()} == {1, 2}
+        write_avro_ocf(f"{land}/part-0002.avro", ROWS[2:], SCHEMA)
+        q.processAllAvailable()
+        assert {r["doc_id"] for r in spark.read.parquet(sink).collect()} == {1, 2, 3}
+        assert spark.read.parquet(sink).count() == 3  # no reprocessing
+    finally:
+        q.stop()
