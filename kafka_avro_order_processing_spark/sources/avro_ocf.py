@@ -245,6 +245,49 @@ def parse_ocf(payload: bytes) -> tuple[dict, list[dict]]:
 
 
 # --------------------------------------------------------------------------
+# schema resolution (Avro spec "Schema Resolution" — the evolution subset
+# a lake actually leans on)
+# --------------------------------------------------------------------------
+
+#: legal numeric promotions writer -> reader (spec table)
+_PROMOTIONS = {
+    ("int", "long"), ("int", "float"), ("int", "double"),
+    ("long", "float"), ("long", "double"), ("float", "double"),
+}
+
+
+def resolve_record(writer_rec: dict, writer_schema: dict, reader_schema: dict) -> dict:
+    """Project one decoded writer record onto the reader schema:
+
+    - reader fields present in the writer pass through (with numeric
+      promotion when the spec allows it);
+    - reader fields ABSENT from the writer take their ``default``
+      (required by the spec — missing default raises);
+    - writer fields the reader dropped are discarded.
+
+    Aliases and union re-resolution are out of scope (named explicitly
+    — this is the evolution subset additive lake schemas use)."""
+    writer_fields = {f["name"]: f for f in writer_schema["fields"]}
+    out = {}
+    for rf in reader_schema["fields"]:
+        name = rf["name"]
+        if name in writer_fields:
+            v = writer_rec[name]
+            wt, rt = _norm_schema(writer_fields[name]["type"]), _norm_schema(rf["type"])
+            if isinstance(wt, str) and isinstance(rt, str) and wt != rt:
+                if (wt, rt) in _PROMOTIONS:
+                    v = float(v) if rt in ("float", "double") else int(v)
+                else:
+                    raise ValueError(f"illegal promotion {wt} -> {rt} for {name!r}")
+            out[name] = v
+        elif "default" in rf:
+            out[name] = rf["default"]
+        else:
+            raise ValueError(f"reader field {name!r} absent in writer and has no default")
+    return out
+
+
+# --------------------------------------------------------------------------
 # Spark integration
 # --------------------------------------------------------------------------
 
@@ -274,7 +317,7 @@ def _spark_field_type(schema) -> str:
     raise ValueError(f"cannot map Avro schema node {schema!r}")
 
 
-def read_avro_ocf(spark, path: str):
+def read_avro_ocf(spark, path: str, reader_schema: dict | None = None):
     """``spark.read`` for `.avro` container files without the jar.
 
     The writer schema comes from ONE file's header (driver-side, a few
@@ -282,22 +325,32 @@ def read_avro_ocf(spark, path: str):
     files themselves stream through binaryFile + one Arrow-batched
     mapInPandas that parses blocks and decodes records executor-side.
     Top-level schema must be a record of mappable fields.
-    """
-    from pyspark.sql import functions as F
 
+    With ``reader_schema`` the source performs Avro schema RESOLUTION
+    per record (``resolve_record``): files written under EVOLVED
+    writer schemas read as one table — new reader fields fill from
+    defaults, dropped fields are discarded, numeric promotions apply.
+    Without it, every file must match the discovered schema exactly
+    (drift is an error, not a silent coercion).
+    """
     listing = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.avro")
         .load(path)
         .select("path", "content")
     )
-    first = listing.select("content").limit(1).collect()
-    if not first:
-        raise ValueError(f"no .avro files under {path}")
-    schema, _ = parse_ocf(bytes(first[0]["content"]))
-    if _norm_schema(schema).get("type") != "record":
-        raise ValueError("top-level OCF schema must be a record")
-    fields = [(f["name"], _spark_field_type(f["type"])) for f in schema["fields"]]
+    if reader_schema is None:
+        first = listing.select("content").limit(1).collect()
+        if not first:
+            raise ValueError(f"no .avro files under {path}")
+        schema, _ = parse_ocf(bytes(first[0]["content"]))
+        if _norm_schema(schema).get("type") != "record":
+            raise ValueError("top-level OCF schema must be a record")
+        out_fields = schema["fields"]
+    else:
+        schema = None
+        out_fields = reader_schema["fields"]
+    fields = [(f["name"], _spark_field_type(f["type"])) for f in out_fields]
     out_schema = ", ".join(f"{n} {t}" for n, t in fields)
     names = [n for n, _ in fields]
 
@@ -306,7 +359,9 @@ def read_avro_ocf(spark, path: str):
             rows: list[dict] = []
             for content in pdf["content"]:
                 fschema, recs = parse_ocf(bytes(content))
-                if fschema != schema:
+                if reader_schema is not None:
+                    recs = [resolve_record(r, fschema, reader_schema) for r in recs]
+                elif fschema != schema:
                     raise ValueError("schema drift across .avro files")
                 rows.extend(recs)
             yield pd.DataFrame(rows, columns=names)

@@ -174,3 +174,57 @@ def test_datasource_streams_growing_landing_dir(spark):
         assert spark.read.parquet(sink).count() == 3  # no reprocessing
     finally:
         q.stop()
+
+
+def test_schema_resolution_across_evolved_files(spark):
+    """The lake-evolution story: v1 files (no 'ok', int doc_id) and v2
+    files (full schema) read as ONE table under a reader schema —
+    defaults fill, int promotes to long, dropped fields vanish."""
+    from kafka_avro_order_processing_spark.sources.avro_ocf import resolve_record
+
+    v1 = {
+        "type": "record",
+        "name": "Doc",
+        "fields": [
+            {"name": "doc_id", "type": "int"},
+            {"name": "title", "type": "string"},
+            {"name": "legacy", "type": "string"},  # dropped by the reader
+        ],
+    }
+    reader = {
+        "type": "record",
+        "name": "Doc",
+        "fields": [
+            {"name": "doc_id", "type": "long"},
+            {"name": "title", "type": "string"},
+            {"name": "ok", "type": "boolean", "default": False},
+        ],
+    }
+    v2 = {
+        "type": "record",
+        "name": "Doc",
+        "fields": [
+            {"name": "doc_id", "type": "long"},
+            {"name": "title", "type": "string"},
+            {"name": "ok", "type": "boolean"},
+        ],
+    }
+    base = tempfile.mkdtemp(prefix=f"ocfevo_{uuid.uuid4().hex[:8]}_")
+    write_avro_ocf(f"{base}/v1.avro", [{"doc_id": 1, "title": "old", "legacy": "x"}], v1)
+    write_avro_ocf(f"{base}/v2.avro", [{"doc_id": 2, "title": "new", "ok": True}], v2)
+
+    got = sorted(
+        (r["doc_id"], r["title"], r["ok"])
+        for r in read_avro_ocf(spark, base, reader_schema=reader).collect()
+    )
+    assert got == [(1, "old", False), (2, "new", True)]
+
+    # missing default is an error, not a null
+    with pytest.raises(ValueError, match="no default"):
+        resolve_record({"doc_id": 1, "title": "t", "legacy": "x"}, v1, v2)
+    # illegal promotion is an error
+    bad = {**reader, "fields": [{"name": "doc_id", "type": "int"},
+                                 {"name": "title", "type": "string"},
+                                 {"name": "ok", "type": "boolean", "default": False}]}
+    with pytest.raises(ValueError, match="promotion"):
+        resolve_record({"doc_id": 2, "title": "n", "ok": True}, v2, bad)
