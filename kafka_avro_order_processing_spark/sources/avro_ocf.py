@@ -377,19 +377,28 @@ try:  # pyspark>=4 only
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceReader,
+        DataSourceWriter,
         InputPartition,
         SimpleDataSourceStreamReader,
+        WriterCommitMessage,
     )
 except ImportError:  # pragma: no cover
     DataSource = DataSourceReader = object  # type: ignore[assignment,misc]
+    DataSourceWriter = object  # type: ignore[assignment,misc]
     SimpleDataSourceStreamReader = object  # type: ignore[assignment,misc]
-    InputPartition = None  # type: ignore[assignment]
+    InputPartition = WriterCommitMessage = None  # type: ignore[assignment]
 
 
 def _list_avro(path: str) -> list[str]:
     import glob as _glob
 
-    return sorted(_glob.glob(os.path.join(path, "*.avro")))
+    # _tmp_* are in-flight writer files — never visible to readers (or
+    # to an overwrite's delete pass) until commit renames them
+    return sorted(
+        f
+        for f in _glob.glob(os.path.join(path, "*.avro"))
+        if not os.path.basename(f).startswith("_tmp_")
+    )
 
 
 def _schema_of_dir(path: str):
@@ -449,10 +458,82 @@ class AvroOcfStreamReader(SimpleDataSourceStreamReader):
         )
 
 
+#: Spark type -> Avro type for the writer path (reverse of _AVRO_TO_SPARK).
+_SPARK_TO_AVRO = {
+    "boolean": "boolean", "integer": "int", "long": "long",
+    "float": "float", "double": "double", "string": "string", "binary": "bytes",
+}
+
+
+def _avro_schema_of(struct) -> dict:
+    """Writer-side schema mapping: StructType -> Avro record; nullable
+    columns become ``["null", T]`` unions (Spark columns are nullable
+    by default, and the union round-trips through the reader)."""
+    fields = []
+    for f in struct.fields:
+        tn = f.dataType.typeName()
+        if tn == "array":
+            et = f.dataType.elementType.typeName()
+            if et not in _SPARK_TO_AVRO:
+                raise ValueError(f"cannot write array<{et}> as Avro")
+            t = {"type": "array", "items": _SPARK_TO_AVRO[et]}
+        elif tn in _SPARK_TO_AVRO:
+            t = _SPARK_TO_AVRO[tn]
+        else:
+            raise ValueError(f"cannot write Spark type {tn!r} as Avro")
+        fields.append(
+            {"name": f.name, "type": ["null", t] if f.nullable else t}
+        )
+    return {"type": "record", "name": "SparkRecord", "fields": fields}
+
+
+class _OcfCommit(WriterCommitMessage):
+    def __init__(self, tmp: str | None):
+        self.tmp = tmp
+
+
+class AvroOcfWriter(DataSourceWriter):
+    """Per-task OCF part writer with the standard temp-then-rename
+    commit: tasks write ``_tmp_*.avro``, the driver's ``commit``
+    renames them into place (deleting prior parts first on overwrite),
+    ``abort`` deletes the temps — failed/speculative tasks never leave
+    visible partial files."""
+
+    def __init__(self, path: str, avro_schema: dict, names, overwrite: bool):
+        self.path, self.avro_schema, self.names = path, avro_schema, names
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _OcfCommit:
+        import uuid as _uuid
+
+        records = [{n: row[n] for n in self.names} for row in iterator]
+        if not records:
+            return _OcfCommit(None)  # empty partition -> no file
+        tmp = os.path.join(self.path, f"_tmp_{_uuid.uuid4().hex}.avro")
+        write_avro_ocf(tmp, records, self.avro_schema)
+        return _OcfCommit(tmp)
+
+    def commit(self, messages) -> None:
+        if self.overwrite:
+            for f in _list_avro(self.path):  # committed parts only
+                os.remove(f)
+        i = 0
+        for m in messages:
+            if m is not None and m.tmp is not None:
+                os.replace(m.tmp, os.path.join(self.path, f"part-{i:05d}.avro"))
+                i += 1
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and m.tmp is not None and os.path.exists(m.tmp):
+                os.remove(m.tmp)
+
+
 class AvroOcfDataSource(DataSource):
     """``format("kaop_avro").option("path", dir)`` — batch reads fan
     out one executor partition per container file; streaming ingests a
-    growing landing directory with file-count offsets."""
+    growing landing directory with file-count offsets; writes emit one
+    container part per task with temp-then-rename commit."""
 
     @classmethod
     def name(cls) -> str:
@@ -476,6 +557,15 @@ class AvroOcfDataSource(DataSource):
     def simpleStreamReader(self, schema) -> AvroOcfStreamReader:  # noqa: ARG002
         path, avsc, names, _ = self._resolved()
         return AvroOcfStreamReader(path, avsc, names)
+
+    def writer(self, schema, overwrite: bool) -> AvroOcfWriter:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("kaop_avro requires .option('path', <dir>)")
+        os.makedirs(path, exist_ok=True)
+        return AvroOcfWriter(
+            path, _avro_schema_of(schema), [f.name for f in schema.fields], overwrite
+        )
 
 
 def register(spark) -> None:

@@ -228,3 +228,39 @@ def test_schema_resolution_across_evolved_files(spark):
                                  {"name": "ok", "type": "boolean", "default": False}]}
     with pytest.raises(ValueError, match="promotion"):
         resolve_record({"doc_id": 2, "title": "n", "ok": True}, v2, bad)
+
+
+def test_datasource_write_then_read_round_trip(spark):
+    """df.write.format('kaop_avro') -> .avro parts -> read back equal.
+    Covers nullable union columns and the empty-partition no-file
+    case."""
+    from kafka_avro_order_processing_spark.sources.avro_ocf import register
+
+    register(spark)
+    base = tempfile.mkdtemp(prefix=f"ocfw_{uuid.uuid4().hex[:8]}_") + "/out"
+    df = spark.createDataFrame(
+        [(1, "a", 1.5, None), (2, "b", -2.0, "en"), (3, "c", 0.0, "fr")],
+        "doc_id long, title string, score double, lang string",
+    ).repartition(8)  # more partitions than rows -> empty partitions
+    df.write.format("kaop_avro").option("path", base).mode("append").save()
+    got = sorted(tuple(r) for r in
+                 spark.read.format("kaop_avro").option("path", base).load().collect())
+    assert got == [(1, "a", 1.5, None), (2, "b", -2.0, "en"), (3, "c", 0.0, "fr")]
+    import glob
+    parts = glob.glob(f"{base}/part-*.avro")
+    assert 1 <= len(parts) <= 3  # empty partitions wrote no files
+    assert not glob.glob(f"{base}/_tmp_*.avro")  # temps all renamed
+
+
+def test_datasource_write_overwrite_replaces_parts(spark):
+    from kafka_avro_order_processing_spark.sources.avro_ocf import register
+
+    register(spark)
+    base = tempfile.mkdtemp(prefix=f"ocfw2_{uuid.uuid4().hex[:8]}_") + "/out"
+    a = spark.createDataFrame([(1, "x")], "k long, s string")
+    b = spark.createDataFrame([(2, "y")], "k long, s string")
+    a.write.format("kaop_avro").option("path", base).mode("append").save()
+    b.write.format("kaop_avro").option("path", base).mode("overwrite").save()
+    got = [tuple(r) for r in
+           spark.read.format("kaop_avro").option("path", base).load().collect()]
+    assert got == [(2, "y")]
