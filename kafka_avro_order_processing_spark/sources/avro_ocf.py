@@ -377,6 +377,7 @@ try:  # pyspark>=4 only
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceReader,
+        DataSourceStreamWriter,
         DataSourceWriter,
         InputPartition,
         SimpleDataSourceStreamReader,
@@ -384,7 +385,7 @@ try:  # pyspark>=4 only
     )
 except ImportError:  # pragma: no cover
     DataSource = DataSourceReader = object  # type: ignore[assignment,misc]
-    DataSourceWriter = object  # type: ignore[assignment,misc]
+    DataSourceWriter = DataSourceStreamWriter = object  # type: ignore[assignment,misc]
     SimpleDataSourceStreamReader = object  # type: ignore[assignment,misc]
     InputPartition = WriterCommitMessage = None  # type: ignore[assignment]
 
@@ -529,11 +530,47 @@ class AvroOcfWriter(DataSourceWriter):
                 os.remove(m.tmp)
 
 
+class AvroOcfStreamWriter(DataSourceStreamWriter):
+    """writeStream sink: each micro-batch commits its tasks' temp
+    files as ``part-<batchId>-<i>.avro``.  Exactly-once lands for
+    free: a REPLAYED epoch (foreachBatch/sink retry semantics) renames
+    over its own batch-stamped part names instead of appending new
+    ones, so readers never see a half-committed or doubled epoch."""
+
+    def __init__(self, path: str, avro_schema: dict, names):
+        self.path, self.avro_schema, self.names = path, avro_schema, names
+
+    def write(self, iterator) -> _OcfCommit:
+        import uuid as _uuid
+
+        records = [{n: row[n] for n in self.names} for row in iterator]
+        if not records:
+            return _OcfCommit(None)
+        tmp = os.path.join(self.path, f"_tmp_{_uuid.uuid4().hex}.avro")
+        write_avro_ocf(tmp, records, self.avro_schema)
+        return _OcfCommit(tmp)
+
+    def commit(self, messages, batchId: int) -> None:
+        i = 0
+        for m in messages:
+            if m is not None and m.tmp is not None:
+                os.replace(
+                    m.tmp, os.path.join(self.path, f"part-{batchId:08d}-{i:04d}.avro")
+                )
+                i += 1
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: ARG002
+        for m in messages:
+            if m is not None and m.tmp is not None and os.path.exists(m.tmp):
+                os.remove(m.tmp)
+
+
 class AvroOcfDataSource(DataSource):
     """``format("kaop_avro").option("path", dir)`` — batch reads fan
     out one executor partition per container file; streaming ingests a
-    growing landing directory with file-count offsets; writes emit one
-    container part per task with temp-then-rename commit."""
+    growing landing directory with file-count offsets; batch writes
+    emit one container part per task with temp-then-rename commit;
+    stream writes commit batch-stamped parts per epoch (replay-safe)."""
 
     @classmethod
     def name(cls) -> str:
@@ -565,6 +602,15 @@ class AvroOcfDataSource(DataSource):
         os.makedirs(path, exist_ok=True)
         return AvroOcfWriter(
             path, _avro_schema_of(schema), [f.name for f in schema.fields], overwrite
+        )
+
+    def streamWriter(self, schema, overwrite: bool) -> AvroOcfStreamWriter:  # noqa: ARG002
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("kaop_avro requires .option('path', <dir>)")
+        os.makedirs(path, exist_ok=True)
+        return AvroOcfStreamWriter(
+            path, _avro_schema_of(schema), [f.name for f in schema.fields]
         )
 
 

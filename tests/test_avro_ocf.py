@@ -264,3 +264,45 @@ def test_datasource_write_overwrite_replaces_parts(spark):
     got = [tuple(r) for r in
            spark.read.format("kaop_avro").option("path", base).load().collect()]
     assert got == [(2, "y")]
+
+
+def test_datasource_stream_write_commits_epoch_parts(spark):
+    """writeStream.format('kaop_avro'): a parquet-staged stream lands
+    as batch-stamped .avro parts; total content equals the input and a
+    second drain (new epoch) appends without touching old parts."""
+    from kafka_avro_order_processing_spark.sources.avro_ocf import register
+
+    register(spark)
+    base = tempfile.mkdtemp(prefix=f"ocfsw_{uuid.uuid4().hex[:8]}_")
+    src, out, chk = f"{base}/src", f"{base}/out", f"{base}/chk"
+
+    def drain(rows):
+        spark.createDataFrame(rows, "k long, s string").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = (
+            spark.readStream.schema("k long, s string")
+            .parquet(src)
+            .writeStream.format("kaop_avro")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain([(1, "a"), (2, "b")])
+    first = sorted(
+        tuple(r)
+        for r in spark.read.format("kaop_avro").option("path", out).load().collect()
+    )
+    assert first == [(1, "a"), (2, "b")]
+    drain([(3, "c")])
+    both = sorted(
+        tuple(r)
+        for r in spark.read.format("kaop_avro").option("path", out).load().collect()
+    )
+    assert both == [(1, "a"), (2, "b"), (3, "c")]
+    import glob
+    names = sorted(glob.glob(f"{out}/part-*.avro"))
+    assert len(names) >= 2  # distinct epochs -> distinct batch stamps
