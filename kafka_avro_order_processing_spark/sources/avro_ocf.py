@@ -14,9 +14,11 @@ implements the public Avro 1.x spec directly (stdlib only):
 - **Generic binary decoder** driven by the embedded writer schema:
   primitives (null/boolean/int/long/float/double/string/bytes),
   records, unions (zigzag branch index — covers the ubiquitous
-  nullable-field ``["null", T]``), and arrays (block-counted, with
-  the negative-count/byte-size form).  Enums/maps/fixed raise
-  ``ValueError`` naming the unsupported type — explicit, not silent.
+  nullable-field ``["null", T]``), arrays and maps (block-counted,
+  with the negative-count/byte-size form), enums (symbol index) and
+  fixed (raw width bytes).  The remaining unsupported corner —
+  named-type references (reuse of an earlier definition by name) —
+  raises ``ValueError`` naming it: explicit, not silent.
 
 Scale shape: files are listed and read by ``binaryFile`` (one row per
 object, executor-side), block parsing + record decode run in ONE
@@ -120,6 +122,22 @@ def decode_value(schema, buf: io.BytesIO):
                     _read_long(buf)
                     count = -count
                 out.extend(decode_value(s["items"], buf) for _ in range(count))
+        if t == "map":  # same block-counted layout, string keys
+            m: dict = {}
+            while True:
+                count = _read_long(buf)
+                if count == 0:
+                    return m
+                if count < 0:
+                    _read_long(buf)
+                    count = -count
+                for _ in range(count):
+                    key = buf.read(_read_long(buf)).decode("utf-8")
+                    m[key] = decode_value(s["values"], buf)
+        if t == "enum":  # zigzag symbol index
+            return s["symbols"][_read_long(buf)]
+        if t == "fixed":  # exactly `size` raw bytes, no length prefix
+            return buf.read(s["size"])
         if t in _PRIMITIVES:  # {"type": "long"} wrapper form
             return decode_value(t, buf)
         raise ValueError(f"unsupported Avro type: {t!r}")
@@ -164,6 +182,28 @@ def encode_value(schema, value) -> bytes:
                 + b"".join(encode_value(s["items"], v) for v in value)
                 + _write_long(0)
             )
+        if t == "map":
+            if not value:
+                return _write_long(0)
+            out = bytearray(_write_long(len(value)))
+            for mk, mv in value.items():
+                kb = str(mk).encode("utf-8")
+                out += _write_long(len(kb)) + kb + encode_value(s["values"], mv)
+            return bytes(out) + _write_long(0)
+        if t == "enum":
+            try:
+                return _write_long(s["symbols"].index(value))
+            except ValueError:
+                raise ValueError(
+                    f"{value!r} not in enum {s.get('name')!r} symbols"
+                ) from None
+        if t == "fixed":
+            raw = bytes(value)
+            if len(raw) != s["size"]:
+                raise ValueError(
+                    f"fixed {s.get('name')!r} needs {s['size']} bytes, got {len(raw)}"
+                )
+            return raw
         if t in _PRIMITIVES:
             return encode_value(t, value)
         raise ValueError(f"unsupported Avro type: {t!r}")
@@ -256,27 +296,45 @@ _PROMOTIONS = {
 }
 
 
+def _unwrap_nullable(schema):
+    """Normalize, then peel a single-non-null-branch union down to its
+    payload type — so a nullable ``["null", T]`` field takes the same
+    promotion/mismatch validation path as a bare ``T``.  Returns the
+    normalized node unchanged for everything else."""
+    s = _norm_schema(schema)
+    if isinstance(s, list):
+        non_null = [b for b in s if _norm_schema(b) != "null"]
+        if len(non_null) == 1:
+            return _norm_schema(non_null[0])
+    return s
+
+
 def resolve_record(writer_rec: dict, writer_schema: dict, reader_schema: dict) -> dict:
     """Project one decoded writer record onto the reader schema:
 
     - reader fields present in the writer pass through (with numeric
-      promotion when the spec allows it);
+      promotion when the spec allows it — nullable ``["null", T]``
+      unions are unwrapped on BOTH sides first, so evolved nullable
+      fields get the same type checking as bare primitives);
     - reader fields ABSENT from the writer take their ``default``
       (required by the spec — missing default raises);
     - writer fields the reader dropped are discarded.
 
-    Aliases and union re-resolution are out of scope (named explicitly
-    — this is the evolution subset additive lake schemas use)."""
+    Aliases and general union re-resolution are out of scope (named
+    explicitly — this is the evolution subset additive lake schemas
+    use)."""
     writer_fields = {f["name"]: f for f in writer_schema["fields"]}
     out = {}
     for rf in reader_schema["fields"]:
         name = rf["name"]
         if name in writer_fields:
             v = writer_rec[name]
-            wt, rt = _norm_schema(writer_fields[name]["type"]), _norm_schema(rf["type"])
+            wt = _unwrap_nullable(writer_fields[name]["type"])
+            rt = _unwrap_nullable(rf["type"])
             if isinstance(wt, str) and isinstance(rt, str) and wt != rt:
                 if (wt, rt) in _PROMOTIONS:
-                    v = float(v) if rt in ("float", "double") else int(v)
+                    if v is not None:  # nullable writer value: null passes
+                        v = float(v) if rt in ("float", "double") else int(v)
                 else:
                     raise ValueError(f"illegal promotion {wt} -> {rt} for {name!r}")
             out[name] = v
@@ -312,6 +370,12 @@ def _spark_field_type(schema) -> str:
         t = s["type"]
         if t == "array":
             return f"array<{_spark_field_type(s['items'])}>"
+        if t == "map":  # Avro map keys are always strings
+            return f"map<string,{_spark_field_type(s['values'])}>"
+        if t == "enum":  # symbols land as their string names
+            return "string"
+        if t == "fixed":  # width-checked at codec level, binary column
+            return "binary"
         if t in _AVRO_TO_SPARK:
             return _AVRO_TO_SPARK[t]
     raise ValueError(f"cannot map Avro schema node {schema!r}")
@@ -377,24 +441,40 @@ try:  # pyspark>=4 only
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceReader,
+        DataSourceStreamReader,
         DataSourceStreamWriter,
         DataSourceWriter,
         InputPartition,
-        SimpleDataSourceStreamReader,
         WriterCommitMessage,
     )
 except ImportError:  # pragma: no cover
     DataSource = DataSourceReader = object  # type: ignore[assignment,misc]
     DataSourceWriter = DataSourceStreamWriter = object  # type: ignore[assignment,misc]
-    SimpleDataSourceStreamReader = object  # type: ignore[assignment,misc]
+    DataSourceStreamReader = object  # type: ignore[assignment,misc]
     InputPartition = WriterCommitMessage = None  # type: ignore[assignment]
 
 
 def _list_avro(path: str) -> list[str]:
+    # _tmp_* are in-flight writer files — never visible to readers (or
+    # to an overwrite's delete pass) until commit renames them.
+    # URI paths (file://, s3://, hdfs://, ...) list through pyarrow's
+    # filesystem layer so the source is not local-glob-only; plain
+    # paths stay on the cheap stdlib glob.
+    if "://" in path:
+        import pyarrow.fs as pafs
+
+        fs, rel = pafs.FileSystem.from_uri(path)
+        scheme = path.split("://", 1)[0]
+        sel = pafs.FileSelector(rel, allow_not_found=True)
+        return sorted(
+            f"{scheme}://{fi.path}"
+            for fi in fs.get_file_info(sel)
+            if fi.is_file
+            and fi.path.endswith(".avro")
+            and not fi.base_name.startswith("_tmp_")
+        )
     import glob as _glob
 
-    # _tmp_* are in-flight writer files — never visible to readers (or
-    # to an overwrite's delete pass) until commit renames them
     return sorted(
         f
         for f in _glob.glob(os.path.join(path, "*.avro"))
@@ -402,61 +482,91 @@ def _list_avro(path: str) -> list[str]:
     )
 
 
+def _read_bytes(path: str) -> bytes:
+    """Whole-file read through pyarrow's fs for URI paths (runs in the
+    executor task that owns the file's partition), stdlib otherwise."""
+    if "://" in path:
+        import pyarrow.fs as pafs
+
+        fs, rel = pafs.FileSystem.from_uri(path)
+        with fs.open_input_file(rel) as f:
+            return f.read()
+    with open(path, "rb") as f:
+        return f.read()
+
+
 def _schema_of_dir(path: str):
     files = _list_avro(path)
     if not files:
         raise ValueError(f"no .avro files under {path}")
-    with open(files[0], "rb") as f:
-        schema, _ = parse_ocf(f.read())
+    schema, _ = parse_ocf(_read_bytes(files[0]))
     if _norm_schema(schema).get("type") != "record":
         raise ValueError("top-level OCF schema must be a record")
     fields = [(fl["name"], _spark_field_type(fl["type"])) for fl in schema["fields"]]
     return schema, fields
 
 
-def _file_rows(fname: str, schema, names):
-    with open(fname, "rb") as f:
-        fschema, recs = parse_ocf(f.read())
-    if fschema != schema:
+def _file_rows(fname: str, schema, names, reader_schema: dict | None = None):
+    fschema, recs = parse_ocf(_read_bytes(fname))
+    if reader_schema is not None:  # per-file Avro schema resolution
+        recs = [resolve_record(r, fschema, reader_schema) for r in recs]
+    elif fschema != schema:
         raise ValueError(f"schema drift in {fname}")
     return [tuple(r[n] for n in names) for r in recs]
 
 
 class AvroOcfReader(DataSourceReader):
-    def __init__(self, path: str, schema, names):
+    def __init__(self, path: str, schema, names, reader_schema: dict | None = None):
         self.path, self.avro_schema, self.names = path, schema, names
+        self.reader_schema = reader_schema
 
     def partitions(self):  # one partition per container file
         return [InputPartition(f) for f in _list_avro(self.path)]
 
     def read(self, partition):
-        yield from _file_rows(partition.value, self.avro_schema, self.names)
+        yield from _file_rows(
+            partition.value, self.avro_schema, self.names, self.reader_schema
+        )
 
 
-class AvroOcfStreamReader(SimpleDataSourceStreamReader):
+class AvroOcfStreamReader(DataSourceStreamReader):
     """Landing-directory ingestion: the offset is the count of files
     already consumed from the SORTED listing.  Deterministic replay
     holds under the standard landing contract — files are immutable
     once visible and names grow monotonically (part-0001 < part-0002);
-    out-of-order names are still ingested, just not replay-stable."""
+    out-of-order names are still ingested, just not replay-stable.
 
-    def __init__(self, path: str, schema, names):
+    This is the PARTITIONED stream reader: only the file LISTING and
+    offset bookkeeping run driver-side (metadata, same as any file
+    source); ``partitions(start, end)`` yields one ``InputPartition``
+    per new file and the container parse + record decode run in
+    executor tasks — record payloads never funnel through the driver
+    (the earlier ``SimpleDataSourceStreamReader`` form materialized
+    every streamed row in a driver-side list, which caps throughput at
+    one Python process; a landing-directory source must scale with the
+    number of landed files)."""
+
+    def __init__(self, path: str, schema, names, reader_schema: dict | None = None):
         self.path, self.avro_schema, self.names = path, schema, names
+        self.reader_schema = reader_schema
 
     def initialOffset(self) -> dict:
         return {"n_files": 0}
 
-    def read(self, start: dict):
-        files = _list_avro(self.path)
-        new = files[start["n_files"] :]
-        rows = [r for f in new for r in _file_rows(f, self.avro_schema, self.names)]
-        return iter(rows), {"n_files": len(files)}
+    def latestOffset(self) -> dict:
+        return {"n_files": len(_list_avro(self.path))}
 
-    def readBetweenOffsets(self, start: dict, end: dict):
+    def partitions(self, start: dict, end: dict):
         files = _list_avro(self.path)[start["n_files"] : end["n_files"]]
-        return iter(
-            [r for f in files for r in _file_rows(f, self.avro_schema, self.names)]
+        return [InputPartition(f) for f in files]
+
+    def read(self, partition):  # executor-side decode, one task per file
+        yield from _file_rows(
+            partition.value, self.avro_schema, self.names, self.reader_schema
         )
+
+    def commit(self, end: dict) -> None:  # offsets live in the checkpoint log
+        pass
 
 
 #: Spark type -> Avro type for the writer path (reverse of _AVRO_TO_SPARK).
@@ -498,11 +608,21 @@ class AvroOcfWriter(DataSourceWriter):
     commit: tasks write ``_tmp_*.avro``, the driver's ``commit``
     renames them into place (deleting prior parts first on overwrite),
     ``abort`` deletes the temps — failed/speculative tasks never leave
-    visible partial files."""
+    visible partial files.  Part names carry a per-job uuid
+    (``part-<jobid>-<i>.avro``) so successive ``append`` writes into
+    the same directory never collide — a fixed ``part-00000`` scheme
+    would silently os.replace the previous append's files."""
 
-    def __init__(self, path: str, avro_schema: dict, names, overwrite: bool):
+    def __init__(
+        self, path: str, avro_schema: dict, names, overwrite: bool,
+        codec: str = "null",
+    ):
+        import uuid as _uuid
+
         self.path, self.avro_schema, self.names = path, avro_schema, names
         self.overwrite = overwrite
+        self.codec = codec
+        self.job_id = _uuid.uuid4().hex[:12]
 
     def write(self, iterator) -> _OcfCommit:
         import uuid as _uuid
@@ -511,7 +631,7 @@ class AvroOcfWriter(DataSourceWriter):
         if not records:
             return _OcfCommit(None)  # empty partition -> no file
         tmp = os.path.join(self.path, f"_tmp_{_uuid.uuid4().hex}.avro")
-        write_avro_ocf(tmp, records, self.avro_schema)
+        write_avro_ocf(tmp, records, self.avro_schema, codec=self.codec)
         return _OcfCommit(tmp)
 
     def commit(self, messages) -> None:
@@ -521,7 +641,10 @@ class AvroOcfWriter(DataSourceWriter):
         i = 0
         for m in messages:
             if m is not None and m.tmp is not None:
-                os.replace(m.tmp, os.path.join(self.path, f"part-{i:05d}.avro"))
+                os.replace(
+                    m.tmp,
+                    os.path.join(self.path, f"part-{self.job_id}-{i:05d}.avro"),
+                )
                 i += 1
 
     def abort(self, messages) -> None:
@@ -537,8 +660,9 @@ class AvroOcfStreamWriter(DataSourceStreamWriter):
     over its own batch-stamped part names instead of appending new
     ones, so readers never see a half-committed or doubled epoch."""
 
-    def __init__(self, path: str, avro_schema: dict, names):
+    def __init__(self, path: str, avro_schema: dict, names, codec: str = "null"):
         self.path, self.avro_schema, self.names = path, avro_schema, names
+        self.codec = codec
 
     def write(self, iterator) -> _OcfCommit:
         import uuid as _uuid
@@ -547,7 +671,7 @@ class AvroOcfStreamWriter(DataSourceStreamWriter):
         if not records:
             return _OcfCommit(None)
         tmp = os.path.join(self.path, f"_tmp_{_uuid.uuid4().hex}.avro")
-        write_avro_ocf(tmp, records, self.avro_schema)
+        write_avro_ocf(tmp, records, self.avro_schema, codec=self.codec)
         return _OcfCommit(tmp)
 
     def commit(self, messages, batchId: int) -> None:
@@ -568,49 +692,76 @@ class AvroOcfStreamWriter(DataSourceStreamWriter):
 class AvroOcfDataSource(DataSource):
     """``format("kaop_avro").option("path", dir)`` — batch reads fan
     out one executor partition per container file; streaming ingests a
-    growing landing directory with file-count offsets; batch writes
-    emit one container part per task with temp-then-rename commit;
-    stream writes commit batch-stamped parts per epoch (replay-safe)."""
+    growing landing directory with file-count offsets (partitioned
+    reader: executors decode); batch writes emit one container part
+    per task with temp-then-rename commit; stream writes commit
+    batch-stamped parts per epoch (replay-safe).
+
+    Options: ``path`` (required); ``readerSchema`` (Avro schema JSON —
+    read evolved files as one table via per-file schema resolution;
+    without it schema drift is an error); ``codec`` (write side:
+    ``null`` default or ``deflate``).  Read paths accept ``file://``
+    and other pyarrow-filesystem URIs (listing + per-file reads go
+    through pyarrow's fs); the WRITERS are local-path-only — the
+    temp-then-rename commit has no atomic rename on object stores."""
 
     @classmethod
     def name(cls) -> str:
         return "kaop_avro"
 
+    def _reader_schema(self) -> dict | None:
+        raw = self.options.get("readerschema") or self.options.get("readerSchema")
+        return json.loads(raw) if raw else None
+
     def _resolved(self):
         path = self.options.get("path")
         if not path:
             raise ValueError("kaop_avro requires .option('path', <dir>)")
-        schema, fields = _schema_of_dir(path)
-        return path, schema, [n for n, _ in fields], fields
+        rs = self._reader_schema()
+        if rs is not None:
+            # output shape comes from the READER schema; files resolve
+            schema = None
+            fields = [(f["name"], _spark_field_type(f["type"])) for f in rs["fields"]]
+        else:
+            schema, fields = _schema_of_dir(path)
+        return path, schema, [n for n, _ in fields], fields, rs
 
     def schema(self) -> str:
-        _, _, _, fields = self._resolved()
+        _, _, _, fields, _ = self._resolved()
         return ", ".join(f"{n} {t}" for n, t in fields)
 
     def reader(self, schema) -> AvroOcfReader:  # noqa: ARG002
-        path, avsc, names, _ = self._resolved()
-        return AvroOcfReader(path, avsc, names)
+        path, avsc, names, _, rs = self._resolved()
+        return AvroOcfReader(path, avsc, names, rs)
 
-    def simpleStreamReader(self, schema) -> AvroOcfStreamReader:  # noqa: ARG002
-        path, avsc, names, _ = self._resolved()
-        return AvroOcfStreamReader(path, avsc, names)
+    def streamReader(self, schema) -> AvroOcfStreamReader:  # noqa: ARG002
+        path, avsc, names, _, rs = self._resolved()
+        return AvroOcfStreamReader(path, avsc, names, rs)
 
-    def writer(self, schema, overwrite: bool) -> AvroOcfWriter:
+    def _write_target(self):
         path = self.options.get("path")
         if not path:
             raise ValueError("kaop_avro requires .option('path', <dir>)")
+        if "://" in path:
+            raise ValueError(
+                "kaop_avro writes are local-path-only (temp-then-rename "
+                "commit needs atomic rename); read paths accept URIs"
+            )
+        codec = self.options.get("codec", "null")
         os.makedirs(path, exist_ok=True)
+        return path, codec
+
+    def writer(self, schema, overwrite: bool) -> AvroOcfWriter:
+        path, codec = self._write_target()
         return AvroOcfWriter(
-            path, _avro_schema_of(schema), [f.name for f in schema.fields], overwrite
+            path, _avro_schema_of(schema), [f.name for f in schema.fields],
+            overwrite, codec,
         )
 
     def streamWriter(self, schema, overwrite: bool) -> AvroOcfStreamWriter:  # noqa: ARG002
-        path = self.options.get("path")
-        if not path:
-            raise ValueError("kaop_avro requires .option('path', <dir>)")
-        os.makedirs(path, exist_ok=True)
+        path, codec = self._write_target()
         return AvroOcfStreamWriter(
-            path, _avro_schema_of(schema), [f.name for f in schema.fields]
+            path, _avro_schema_of(schema), [f.name for f in schema.fields], codec
         )
 
 

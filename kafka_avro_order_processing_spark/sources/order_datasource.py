@@ -110,7 +110,18 @@ class OrdersStreamReader(SimpleDataSourceStreamReader):
     messages-per-interval.  Caveat: Python micro-batch sources do not
     support Trigger.AvailableNow (Spark falls back to a single batch)
     — drain with processingTime + processAllAvailable(), as the unit
-    test does."""
+    test does.
+
+    SCALE CAVEAT — this reader is DRIVER-SIDE by design:
+    ``SimpleDataSourceStreamReader.read`` materializes each batch as a
+    Python list on the driver, which is fine for a demo-load synthetic
+    generator (the reference's producer emits ~2 msg/s from one
+    process) but is NOT a pattern to copy for real ingestion — a real
+    source must implement the partitioned ``DataSourceStreamReader``
+    so executors read, as ``AvroOcfStreamReader``
+    (sources/avro_ocf.py) does for landing-directory ingestion.  The
+    BATCH reader above already fans out executor-parallel id ranges;
+    use it (or the column-expression generator) for any volume run."""
 
     def __init__(self, options: dict):
         self.n = int(options.get("n", 1000))

@@ -69,8 +69,99 @@ def test_ocf_rejects_corruption_and_unknown(tmp_path):
             p,
             [{"e": "A"}],
             {"type": "record", "name": "R",
-             "fields": [{"name": "e", "type": {"type": "enum", "name": "E", "symbols": ["A"]}}]},
+             "fields": [{"name": "e", "type": {"type": "interval"}}]},
         )
+    with pytest.raises(ValueError, match="named-type reference"):
+        write_avro_ocf(
+            p,
+            [{"e": "A"}],
+            {"type": "record", "name": "R",
+             "fields": [{"name": "e", "type": "SomeEarlierRecord"}]},
+        )
+
+
+ENUM_MAP_FIXED_SCHEMA = {
+    "type": "record",
+    "name": "Evt",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "kind", "type": {"type": "enum", "name": "Kind",
+                                  "symbols": ["CLICK", "VIEW", "PURCHASE"]}},
+        {"name": "counts", "type": {"type": "map", "values": "int"}},
+        {"name": "digest", "type": {"type": "fixed", "name": "Md5", "size": 4}},
+        {"name": "maybe_kind", "type": ["null", {"type": "enum", "name": "Kind2",
+                                                 "symbols": ["A", "B"]}]},
+    ],
+}
+
+ENUM_MAP_FIXED_ROWS = [
+    {"id": 1, "kind": "CLICK", "counts": {"a": 1, "b": 2},
+     "digest": b"\x00\x01\x02\x03", "maybe_kind": "B"},
+    {"id": 2, "kind": "PURCHASE", "counts": {},
+     "digest": b"\xff\xfe\xfd\xfc", "maybe_kind": None},
+]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_enum_map_fixed_round_trip(codec, tmp_path):
+    """Avro enums (symbol index), maps (block-counted string-keyed)
+    and fixed (raw width bytes) encode+decode per spec."""
+    p = str(tmp_path / "emf.avro")
+    write_avro_ocf(p, ENUM_MAP_FIXED_ROWS, ENUM_MAP_FIXED_SCHEMA, codec=codec)
+    schema, records = parse_ocf(open(p, "rb").read())
+    assert schema == ENUM_MAP_FIXED_SCHEMA
+    assert records == ENUM_MAP_FIXED_ROWS
+
+
+def test_enum_map_fixed_invalid_values(tmp_path):
+    p = str(tmp_path / "bad.avro")
+    bad_sym = [{**ENUM_MAP_FIXED_ROWS[0], "kind": "NOPE"}]
+    with pytest.raises(ValueError, match="not in enum"):
+        write_avro_ocf(p, bad_sym, ENUM_MAP_FIXED_SCHEMA)
+    bad_fixed = [{**ENUM_MAP_FIXED_ROWS[0], "digest": b"\x00"}]
+    with pytest.raises(ValueError, match="needs 4 bytes"):
+        write_avro_ocf(p, bad_fixed, ENUM_MAP_FIXED_SCHEMA)
+
+
+def test_spark_reads_enum_map_fixed(spark):
+    """Enum -> string, map -> map<string,int>, fixed -> binary through
+    the jar-less Spark read path (Arrow-batched mapInPandas)."""
+    base = tempfile.mkdtemp(prefix=f"ocfemf_{uuid.uuid4().hex[:8]}_")
+    write_avro_ocf(f"{base}/p0.avro", ENUM_MAP_FIXED_ROWS, ENUM_MAP_FIXED_SCHEMA)
+    df = read_avro_ocf(spark, base)
+    assert dict(df.dtypes)["kind"] == "string"
+    assert dict(df.dtypes)["counts"] == "map<string,int>"
+    assert dict(df.dtypes)["digest"] == "binary"
+    got = sorted(
+        (r["id"], r["kind"], dict(r["counts"] or {}), bytes(r["digest"]),
+         r["maybe_kind"])
+        for r in df.collect()
+    )
+    want = sorted(
+        (r["id"], r["kind"], r["counts"], r["digest"], r["maybe_kind"])
+        for r in ENUM_MAP_FIXED_ROWS
+    )
+    assert got == want
+
+
+def test_resolution_validates_nullable_unions():
+    """ADVICE fix: ['null', T] fields unwrap before the promotion
+    check — nullable int promotes to nullable long (null passes), and
+    a writer string under reader ['null','long'] is an ERROR, not a
+    silent pass-through."""
+    from kafka_avro_order_processing_spark.sources.avro_ocf import resolve_record
+
+    w = {"type": "record", "name": "R",
+         "fields": [{"name": "v", "type": ["null", "int"]}]}
+    r_ok = {"type": "record", "name": "R",
+            "fields": [{"name": "v", "type": ["null", "long"]}]}
+    assert resolve_record({"v": 7}, w, r_ok) == {"v": 7}
+    assert resolve_record({"v": None}, w, r_ok) == {"v": None}
+
+    w_str = {"type": "record", "name": "R",
+             "fields": [{"name": "v", "type": "string"}]}
+    with pytest.raises(ValueError, match="illegal promotion"):
+        resolve_record({"v": "oops"}, w_str, r_ok)
 
 
 def test_spark_reads_ocf_directory(spark):
@@ -176,6 +267,44 @@ def test_datasource_streams_growing_landing_dir(spark):
         q.stop()
 
 
+def test_datasource_stream_read_is_partitioned(spark):
+    """The stream reader must decode on EXECUTORS, one task per landed
+    file — three files in one micro-batch arrive as three distinct
+    input partitions (the old SimpleDataSourceStreamReader funneled
+    every record through a driver-side list)."""
+    from pyspark.sql import functions as F
+
+    from kafka_avro_order_processing_spark.sources.avro_ocf import register
+
+    base = tempfile.mkdtemp(prefix=f"ocfpart_{uuid.uuid4().hex[:8]}_")
+    land, chk = f"{base}/land", f"{base}/chk"
+    for i, row in enumerate(ROWS):
+        write_avro_ocf(f"{land}/part-{i:04d}.avro", [row], SCHEMA)
+    register(spark)
+    seen = {"pids": set(), "rows": 0}
+
+    def body(df, _eid):
+        pids = [r[0] for r in df.select(F.spark_partition_id()).collect()]
+        seen["pids"].update(pids)
+        seen["rows"] += len(pids)
+
+    q = (
+        spark.readStream.format("kaop_avro")
+        .option("path", land)
+        .load()
+        .writeStream.foreachBatch(body)
+        .option("checkpointLocation", chk)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert seen["rows"] == len(ROWS)
+    assert len(seen["pids"]) == len(ROWS)  # one input partition per file
+
+
 def test_schema_resolution_across_evolved_files(spark):
     """The lake-evolution story: v1 files (no 'ok', int doc_id) and v2
     files (full schema) read as ONE table under a reader schema —
@@ -252,6 +381,26 @@ def test_datasource_write_then_read_round_trip(spark):
     assert not glob.glob(f"{base}/_tmp_*.avro")  # temps all renamed
 
 
+def test_datasource_two_appends_keep_both_writes(spark):
+    """Two successive mode('append') saves into one directory must not
+    collide on part names: the commit's per-job uuid keeps every part,
+    so the second append never silently replaces the first's files."""
+    from kafka_avro_order_processing_spark.sources.avro_ocf import register
+
+    register(spark)
+    base = tempfile.mkdtemp(prefix=f"ocfw3_{uuid.uuid4().hex[:8]}_") + "/out"
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "k long, s string")
+    b = spark.createDataFrame([(3, "z")], "k long, s string")
+    a.write.format("kaop_avro").option("path", base).mode("append").save()
+    import glob
+    n_first = len(glob.glob(f"{base}/part-*.avro"))
+    b.write.format("kaop_avro").option("path", base).mode("append").save()
+    got = sorted(tuple(r) for r in
+                 spark.read.format("kaop_avro").option("path", base).load().collect())
+    assert got == [(1, "x"), (2, "y"), (3, "z")]
+    assert len(glob.glob(f"{base}/part-*.avro")) > n_first  # nothing replaced
+
+
 def test_datasource_write_overwrite_replaces_parts(spark):
     from kafka_avro_order_processing_spark.sources.avro_ocf import register
 
@@ -264,6 +413,75 @@ def test_datasource_write_overwrite_replaces_parts(spark):
     got = [tuple(r) for r in
            spark.read.format("kaop_avro").option("path", base).load().collect()]
     assert got == [(2, "y")]
+
+
+def test_datasource_reader_schema_and_codec_options(spark):
+    """format('kaop_avro') depth: .option('readerSchema', json) reads
+    EVOLVED files as one table through per-file resolution, and
+    .option('codec','deflate') writes spec-compliant deflate blocks
+    that round-trip."""
+    import json as _json
+
+    from kafka_avro_order_processing_spark.sources.avro_ocf import register
+
+    register(spark)
+    base = tempfile.mkdtemp(prefix=f"ocfopt_{uuid.uuid4().hex[:8]}_")
+
+    # deflate write -> read back
+    df = spark.createDataFrame([(1, "a" * 500), (2, "b" * 500)], "k long, s string")
+    df.write.format("kaop_avro").option("path", f"{base}/defl") \
+        .option("codec", "deflate").mode("append").save()
+    import glob
+    part = glob.glob(f"{base}/defl/part-*.avro")[0]
+    _, recs = parse_ocf(open(part, "rb").read())  # codec honored on disk
+    got = sorted(tuple(r) for r in spark.read.format("kaop_avro")
+                 .option("path", f"{base}/defl").load().collect())
+    assert got == [(1, "a" * 500), (2, "b" * 500)]
+
+    # evolved files under a reader schema, through the format() path
+    v1 = {"type": "record", "name": "Doc",
+          "fields": [{"name": "doc_id", "type": "int"},
+                     {"name": "title", "type": "string"}]}
+    v2 = {"type": "record", "name": "Doc",
+          "fields": [{"name": "doc_id", "type": "long"},
+                     {"name": "title", "type": "string"},
+                     {"name": "ok", "type": "boolean"}]}
+    reader = {"type": "record", "name": "Doc",
+              "fields": [{"name": "doc_id", "type": "long"},
+                         {"name": "title", "type": "string"},
+                         {"name": "ok", "type": "boolean", "default": False}]}
+    evo = f"{base}/evo"
+    write_avro_ocf(f"{evo}/v1.avro", [{"doc_id": 1, "title": "old"}], v1)
+    write_avro_ocf(f"{evo}/v2.avro", [{"doc_id": 2, "title": "new", "ok": True}], v2)
+    got = sorted(
+        (r["doc_id"], r["title"], r["ok"])
+        for r in spark.read.format("kaop_avro").option("path", evo)
+        .option("readerSchema", _json.dumps(reader)).load().collect()
+    )
+    assert got == [(1, "old", False), (2, "new", True)]
+
+    # writes reject URI paths (no atomic rename on object stores)
+    with pytest.raises(Exception, match="local-path-only|Py4J"):
+        df.write.format("kaop_avro").option(
+            "path", f"file://{base}/uri_out"
+        ).mode("append").save()
+
+
+def test_datasource_reads_file_uri(spark):
+    """Listing and per-file reads route through pyarrow's filesystem
+    for URI paths — the source is not local-glob-only."""
+    from kafka_avro_order_processing_spark.sources.avro_ocf import register
+
+    register(spark)
+    base = tempfile.mkdtemp(prefix=f"ocfuri_{uuid.uuid4().hex[:8]}_")
+    write_avro_ocf(f"{base}/p0.avro", ROWS[:2], SCHEMA)
+    write_avro_ocf(f"{base}/p1.avro", ROWS[2:], SCHEMA)
+    got = sorted(
+        r["doc_id"]
+        for r in spark.read.format("kaop_avro")
+        .option("path", f"file://{base}").load().collect()
+    )
+    assert got == [1, 2, 3]
 
 
 def test_datasource_stream_write_commits_epoch_parts(spark):
