@@ -2,16 +2,29 @@
 against a growing MinHash-LSH index.
 
 The production shape for corpus ingestion at 100 TB: you do NOT
-re-LSH the whole corpus when a new shard arrives — you keep an index
-of (signature, band) rows and join only the NEW docs against it.
-Per epoch the work is O(epoch x matching-buckets), never O(corpus):
+re-LSH the whole corpus when a new shard arrives — you keep the BAND
+TABLE itself as the persisted index and join only the NEW docs'
+band rows against it.  Per epoch:
 
-    epoch docs -> minhash signatures -> band rows
-      -> candidate pairs = (new x indexed on shared band)
-                         UNION (new x new, id-ordered)
+    epoch docs -> minhash signatures -> band rows (+ band bucket)
+      -> candidate pairs = (new x new, id-ordered)
+                         UNION (new x band-store on shared band,
+                                reading ONLY the band_bucket
+                                partitions the epoch touches)
       -> signature-agreement estimate >= threshold  ==> the pair's
          HIGHER id is marked dropped
-      -> append epoch signatures/bands/ids to the index
+      -> append epoch band rows / signatures / ids to the index
+
+Per-epoch cost: the epoch pass (signatures + bands) is O(epoch); the
+index side of the band join reads only the band-store partitions
+whose bucket appears in the epoch's own band rows (disk partition
+pruning on ``band_bucket = pmod(hash(band_val), n_buckets)`` — the
+skew-aware layout: hot band values spread across reads, and at real
+scale ``n_buckets`` grows so each epoch prunes most of the store);
+the signature-estimate join touches only ids appearing in some
+candidate pair (broadcast semi-join against the signature store — the
+same candidate-only trick batch ``near_dup_pairs`` uses).  Nothing
+re-bands or re-shingles the existing corpus, ever.
 
 Determinism across epoch splits: the dedup rule is a pure function of
 the pair set — a doc is dropped iff SOME candidate pair links it to a
@@ -25,17 +38,22 @@ later epoch only if a lower-id doc arrives late, which the batch rule
 gives the same answer for).  Survivors are read at the end as
 ids - dropped; no retractions are ever needed.
 
+At-least-once replay tolerance: foreachBatch may re-run an epoch
+whose store appends partially landed.  Three guards make the replay
+converge instead of self-destructing: the new-vs-index join requires
+``new.id != indexed.id`` (a doc meeting its own replayed index entry
+is NOT a pair — without this, every replayed doc would "agree with
+itself" k/k and be dropped); the signature lookup dedups by id (a
+double-appended signature must not double pair rows); and survivors
+dedup the ids store on read.  Duplicate band rows only produce
+duplicate candidate pairs, which ``distinct()`` already removes.
+
 Estimate-only verification (signature agreement, no exact-Jaccard
 re-shingle) is deliberate: it is the standard corpus-dedup operating
-point (the index stores fixed-width signatures, never text) and keeps
-the index O(k) bytes per doc.  Consumers wanting exact Jaccard on the
-survivor set run the batch `near_dup_pairs` over it.
-
-Skew note: the per-epoch band join inherits the hot-bucket problem;
-at scale, partition the band store BY band_val (bucket pruning at the
-join) and let AQE skew-split the few hot values — the batch cap/star
-treatment does not apply because the index must stay complete (a
-capped index would silently stop dropping against popular buckets).
+point (the index stores fixed-width signatures and band rows, never
+text) and keeps the index O(k) bytes per doc.  Consumers wanting
+exact Jaccard on the survivor set run the batch `near_dup_pairs`
+over it.
 """
 
 from __future__ import annotations
@@ -53,6 +71,12 @@ from ..operators.dedup import (
     shingle_rows,
 )
 
+#: disk partitions of the band store.  Sized so one epoch's bands
+#: prune a useful fraction at test scale; at 100 TB this grows (e.g.
+#: 1024) — more pruning per epoch, still trivially many files ONLY if
+#: epochs are large enough to fill them (tune with ingest shard size).
+N_BAND_BUCKETS = 16
+
 
 def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
     # Cheap existence probe first: asking Spark to resolve a
@@ -68,6 +92,60 @@ def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
         return None  # first epoch: store not seeded yet
 
 
+def epoch_bands(
+    sigs_new: DataFrame,
+    id_col: str = "doc_id",
+    k: int = N_MINHASH,
+    band_rows: int = BAND_ROWS,
+    n_buckets: int = N_BAND_BUCKETS,
+) -> DataFrame:
+    """Band rows of one epoch's signatures, carrying the band_bucket
+    partition key under which they are stored AND pruned."""
+    return band_rows_of(sigs_new, id_col, k, band_rows).withColumn(
+        "band_bucket", F.pmod(F.hash(F.col("band_val")), F.lit(n_buckets))
+    )
+
+
+def index_candidate_pairs(
+    spark: SparkSession,
+    bands_new: DataFrame,
+    band_store: str,
+    id_col: str = "doc_id",
+) -> DataFrame | None:
+    """Candidate pairs between the epoch's band rows and the PERSISTED
+    band-table index — the O(epoch)-shaped half of the join.
+
+    Reads only the ``band_bucket=`` partitions the epoch's own bands
+    hit (the bucket list is at most ``n_buckets`` small integers — a
+    bounded driver collect, same pattern as the partition-pruned
+    MERGE).  The ``new.id != indexed.id`` guard keeps an at-least-once
+    replay (epoch bands already appended) from pairing docs with
+    themselves.  Returns None when the store does not exist yet or the
+    epoch produced no bands."""
+    if _read_or_none(spark, band_store) is None:
+        return None
+    buckets = [r[0] for r in bands_new.select("band_bucket").distinct().collect()]
+    if not buckets:
+        return None
+    idx = spark.read.parquet(band_store).filter(F.col("band_bucket").isin(buckets))
+    n, o = bands_new.alias("n"), idx.alias("o")
+    return (
+        n.join(
+            o,
+            (F.col("n.band_id") == F.col("o.band_id"))
+            & (F.col("n.band_val") == F.col("o.band_val"))
+            # id-orient below: the new doc may have the LOWER id —
+            # then the indexed doc drops.  Self-meet (replayed epoch
+            # finding its own index rows) is excluded here.
+            & (F.col(f"n.{id_col}") != F.col(f"o.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"n.{id_col}"), F.col(f"o.{id_col}")).alias("doc_a"),
+            F.greatest(F.col(f"n.{id_col}"), F.col(f"o.{id_col}")).alias("doc_b"),
+        )
+    )
+
+
 def start_incremental_dedup(
     doc_stream: DataFrame,
     index_path: str,
@@ -78,15 +156,19 @@ def start_incremental_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingler=shingle_rows,
+    n_buckets: int = N_BAND_BUCKETS,
 ):
     """Start the availableNow ingest query.  The index at `index_path`
-    holds three append-only parquet stores: ``ids`` (every streamed
+    holds four append-only parquet stores: ``ids`` (every streamed
     doc id — docs too short to shingle still count), ``sigs``
-    (signatures), ``dropped`` (ids that lost to a lower-id near-dup).
-    Read survivors afterwards with :func:`read_survivors`.
+    (signatures, read candidate-only), ``bands`` (the band-table
+    index, partitioned by ``band_bucket`` for per-epoch pruning), and
+    ``dropped`` (ids that lost to a lower-id near-dup).  Read
+    survivors afterwards with :func:`read_survivors`.
     """
     ids_store = f"{index_path}/ids"
     sig_store = f"{index_path}/sigs"
+    band_store = f"{index_path}/bands"
     drop_store = f"{index_path}/dropped"
 
     def body(df: DataFrame, epoch_id: int) -> None:
@@ -94,15 +176,14 @@ def start_incremental_dedup(
         if df.isEmpty():
             return
         # Epoch signatures: computed once (eager checkpoint — they feed
-        # the band explode, both est sides, and the store append).
+        # the band explode, the estimate lookup, and the store append).
         sigs_new = _signatures_from_rows(
             shingler(df, id_col, text_col, distinct=False, spread=False),
             id_col,
             k,
         ).localCheckpoint(eager=True)
-        bands_new = band_rows_of(sigs_new, id_col, k, band_rows)
+        bands_new = epoch_bands(sigs_new, id_col, k, band_rows, n_buckets)
 
-        sigs_old = _read_or_none(spark, sig_store)
         # new x new candidates, id-ordered
         a, b = bands_new.alias("a"), bands_new.alias("b")
         pairs = (
@@ -117,32 +198,36 @@ def start_incremental_dedup(
                 F.col(f"b.{id_col}").alias("doc_b"),
             )
         )
-        sigs_all = sigs_new
-        if sigs_old is not None:
-            # new x indexed on shared band; id-orient the pair (the new
-            # doc may have the LOWER id — then the indexed doc drops)
-            bands_old = band_rows_of(sigs_old, id_col, k, band_rows)
-            n, o = bands_new.alias("n"), bands_old.alias("o")
-            cross = (
-                n.join(
-                    o,
-                    (F.col("n.band_id") == F.col("o.band_id"))
-                    & (F.col("n.band_val") == F.col("o.band_val")),
-                )
-                .select(
-                    F.least(F.col(f"n.{id_col}"), F.col(f"o.{id_col}")).alias("doc_a"),
-                    F.greatest(F.col(f"n.{id_col}"), F.col(f"o.{id_col}")).alias("doc_b"),
-                )
-            )
+        # new x index via the persisted band table (pruned read)
+        cross = index_candidate_pairs(spark, bands_new, band_store, id_col)
+        if cross is not None:
             pairs = pairs.unionByName(cross)
-            sigs_all = sigs_new.unionByName(sigs_old)
-        pairs = pairs.distinct()
+        # Tiny table, read three times below (two id projections + the
+        # estimate join) — materialize eagerly, same stage boundary the
+        # batch pipeline draws between LSH and verify.
+        pairs = pairs.distinct().localCheckpoint(eager=True)
+
+        # Signature lookup for the estimate: epoch signatures plus ONLY
+        # the indexed signatures that appear in some candidate pair
+        # (broadcast semi-join — the store is never shuffled, never
+        # banded, never carried into the join whole).  dropDuplicates
+        # tolerates a replay's double-appended signatures.
+        cand_ids = pairs.select(F.col("doc_a").alias(id_col)).unionByName(
+            pairs.select(F.col("doc_b").alias(id_col))
+        )
+        sigs_lookup = sigs_new
+        sigs_old = _read_or_none(spark, sig_store)
+        if sigs_old is not None:
+            sigs_lookup = sigs_lookup.unionByName(
+                sigs_old.join(F.broadcast(cand_ids), id_col, "semi")
+            )
+        sigs_lookup = sigs_lookup.dropDuplicates([id_col])
 
         agree = sum(
             F.when(F.col(f"sa.mh{j}") == F.col(f"sb.mh{j}"), 1).otherwise(0)
             for j in range(k)
         )
-        sa, sb = sigs_all.alias("sa"), sigs_all.alias("sb")
+        sa, sb = sigs_lookup.alias("sa"), sigs_lookup.alias("sb")
         dropped = (
             pairs.join(sa, F.col("doc_a") == F.col(f"sa.{id_col}"))
             .join(sb, F.col("doc_b") == F.col(f"sb.{id_col}"))
@@ -151,6 +236,7 @@ def start_incremental_dedup(
             .distinct()
         )
         dropped.write.mode("append").parquet(drop_store)
+        bands_new.write.mode("append").partitionBy("band_bucket").parquet(band_store)
         sigs_new.write.mode("append").parquet(sig_store)
         df.select(id_col).write.mode("append").parquet(ids_store)
 
@@ -166,8 +252,10 @@ def read_survivors(
     spark: SparkSession, index_path: str, id_col: str = "doc_id"
 ) -> DataFrame:
     """Current survivor set: every streamed id minus the dropped set.
-    One anti-join over the (id-only) stores — O(corpus ids), no text."""
-    ids = spark.read.parquet(f"{index_path}/ids")
+    One anti-join over the (id-only) stores — O(corpus ids), no text.
+    The ids side dedups so a replayed epoch's double-append cannot
+    double a survivor row."""
+    ids = spark.read.parquet(f"{index_path}/ids").dropDuplicates([id_col])
     dropped = _read_or_none(spark, f"{index_path}/dropped")
     if dropped is None:
         return ids

@@ -258,6 +258,99 @@ def test_scd2_sink_rewrites_only_touched_partitions(spark):
     assert got == want
 
 
+def test_incremental_dedup_epoch_reads_band_store_pruned(spark):
+    """The per-epoch index join must read the PERSISTED band table
+    with partition pruning — not re-band the signature store.  The
+    r4 verdict's scale demand: seed an index, then verify a one-doc
+    epoch's candidate plan (a) scans the band store with a
+    band_bucket PartitionFilter, (b) lists fewer partition dirs than
+    exist, and (c) never touches the sigs store."""
+    import contextlib
+    import io
+
+    from kafka_avro_order_processing_spark.operators.dedup import (
+        _signatures_from_rows,
+        shingle_rows,
+    )
+    from kafka_avro_order_processing_spark.streaming.incremental_dedup import (
+        epoch_bands,
+        index_candidate_pairs,
+        start_incremental_dedup,
+    )
+
+    base = tempfile.mkdtemp(prefix=f"incdd_prune_{uuid.uuid4().hex[:8]}_")
+    src, idx, chk = f"{base}/src", f"{base}/index", f"{base}/chk"
+    schema = "doc_id long, text string"
+    seed = [
+        (i, f"document number {i} about topic {i % 7} with shared filler "
+            f"words plus unique tail {i * 17} {i * 31} {i * 13}")
+        for i in range(40)
+    ]
+    spark.createDataFrame(seed, schema).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    start_incremental_dedup(stream, idx, chk).awaitTermination()
+
+    import glob
+    store_buckets = glob.glob(f"{idx}/bands/band_bucket=*")
+    assert len(store_buckets) > 4, store_buckets  # seed spread the store
+
+    one = spark.createDataFrame([(99, seed[3][1])], schema)
+    sigs = _signatures_from_rows(
+        shingle_rows(one, distinct=False, spread=False), "doc_id", 8
+    )
+    bands_new = epoch_bands(sigs)
+    pairs = index_candidate_pairs(spark, bands_new, f"{idx}/bands")
+    assert pairs is not None
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pairs.explain("formatted")
+    plan = buf.getvalue()
+    scans = [p for p in plan.split("\n\n") if "Scan parquet" in p and "bands" in p]
+    assert any("PartitionFilters" in s and "band_bucket" in s for s in scans), plan
+    assert "sigs" not in plan  # estimate lookup is candidate-only, elsewhere
+    # one doc -> at most 4 bands -> at most 4 of the >4 stored buckets
+    n_bands = bands_new.select("band_bucket").distinct().count()
+    assert n_bands <= 4 < len(store_buckets)
+    # and the near-dup is still found through the pruned index
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (3, 99) in got, got
+
+
+def test_incremental_dedup_replayed_epoch_converges(spark):
+    """At-least-once replay: if an epoch's store appends landed but
+    the checkpoint commit did not, the epoch re-runs against an index
+    that already contains its own docs.  The new-vs-index join's
+    ``id != id`` guard plus id-deduped reads mean the replay converges
+    to the same survivor set — without the guard every replayed doc
+    would 'agree with itself' k/k and be dropped.  Simulated by
+    draining the same source twice into ONE index under two
+    checkpoints (a full replay of every epoch)."""
+    from kafka_avro_order_processing_spark.streaming.incremental_dedup import (
+        read_survivors,
+        start_incremental_dedup,
+    )
+
+    base = tempfile.mkdtemp(prefix=f"incdd_replay_{uuid.uuid4().hex[:8]}_")
+    src, idx = f"{base}/src", f"{base}/index"
+    schema = "doc_id long, text string"
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [(10, t), (20, "unrelated content one two three four five six"),
+            (30, t + " today")]
+    spark.createDataFrame(docs, schema).coalesce(1).write.parquet(src)
+
+    def drain(chk):
+        stream = spark.readStream.schema(schema).parquet(src)
+        start_incremental_dedup(stream, idx, f"{base}/{chk}").awaitTermination()
+
+    drain("chk1")
+    first = {r["doc_id"] for r in read_survivors(spark, idx).collect()}
+    assert first == {10, 20}
+    drain("chk2")  # full replay into the same index
+    again = {r["doc_id"] for r in read_survivors(spark, idx).collect()}
+    assert again == first, again
+
+
 def test_incremental_dedup_resumes_across_sessions(spark):
     """Ingest is a long-lived process: new corpus shards arriving AFTER
     a drain completes must dedup against the index built by earlier
