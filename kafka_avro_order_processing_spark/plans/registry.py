@@ -1255,6 +1255,68 @@ def q_generated_orders_datasource(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@_register(
+    "avro_ocf_roundtrip",
+    f"""
+    SELECT o_orderstatus,
+           'web' AS channel,
+           COUNT(*) AS n_orders,
+           {_dsum('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("source", "avro", "datasource"),
+    doc="Jar-less Avro OCF lake round-trip (sources/avro_ocf.py): "
+        "orders written as spec-compliant .avro container parts via "
+        "df.write.format('kaop_avro') in TWO append jobs (part names "
+        "carry a per-job uuid, so appends never collide), read back "
+        "under an EVOLVED reader schema — resolve_record fills a new "
+        "defaulted column and promotes the nullable-union orderkey "
+        "long -> double (the ['null', T] unwrap path) — then "
+        "aggregated.  The oracle is plain SQL over the original "
+        "parquet: every value must survive the Avro binary codec "
+        "bit-exactly (doubles are IEEE 8-byte little-endian per "
+        "spec, strings UTF-8).",
+)
+def q_avro_ocf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.avro_ocf import read_avro_ocf
+    from ..sources.avro_ocf import register as _reg_avro
+
+    _reg_avro(spark)
+    out = tempfile.mkdtemp(prefix="kaop_ocf_rt_") + "/orders"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    # two appends = the collision-prone path the writer must survive
+    for parity in (0, 1):
+        (
+            o.filter(F.col("o_orderkey") % 2 == parity)
+            .write.format("kaop_avro")
+            .option("path", out)
+            .mode("append")
+            .save()
+        )
+    reader_schema = {
+        "type": "record",
+        "name": "SparkRecord",
+        "fields": [
+            # writer wrote ["null","long"]: nullable-union promotion
+            {"name": "o_orderkey", "type": ["null", "double"]},
+            {"name": "o_orderstatus", "type": ["null", "string"]},
+            {"name": "o_totalprice", "type": ["null", "double"]},
+            # absent in writer: spec default fills
+            {"name": "channel", "type": "string", "default": "web"},
+        ],
+    }
+    back = read_avro_ocf(spark, out, reader_schema=reader_schema)
+    return back.groupBy("o_orderstatus", "channel").agg(
+        F.count("*").alias("n_orders"),
+        dec_sum("o_totalprice").alias("total_price"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Statistical aggregates, analytic windows (lag/rank), fact-fact and
 # semi/anti joins, SQL-API twin, exact per-record streaming emission.
@@ -3280,15 +3342,20 @@ def _incremental_dedup_oracle(threshold: float = 0.5) -> str:
     tags=("m5", "streaming", "dedup"),
     doc="Incremental corpus dedup (streaming/incremental_dedup.py): "
         "documents arrive as a multi-epoch stream and are deduped "
-        "against a GROWING MinHash-LSH index — per epoch, new docs "
-        "join only the index buckets their bands hit (O(epoch), never "
-        "O(corpus)); the higher id of any pair with signature "
-        "agreement >= 0.5 joins a monotone dropped set.  The survivor "
-        "set is a pure function of the pair set, so it is independent "
-        "of how the stream slices into epochs and equals the batch "
-        "uncapped LSH self-join rule (the oracle).  This is the "
-        "production ingest shape at 100 TB: index stores fixed-width "
-        "signatures keyed by band value, never text.",
+        "against a GROWING MinHash-LSH index — the index IS the "
+        "persisted band table (partitioned by band bucket): per "
+        "epoch, new docs' band rows join only the band-store "
+        "partitions they hit (disk partition pruning, plan-asserted "
+        "in tests/test_streaming_cdc.py), and the signature-estimate "
+        "lookup reads candidate-pair ids only (broadcast semi-join); "
+        "the higher id of any pair with signature agreement >= 0.5 "
+        "joins a monotone dropped set.  The survivor set is a pure "
+        "function of the pair set, so it is independent of how the "
+        "stream slices into epochs and equals the batch uncapped LSH "
+        "self-join rule (the oracle).  This is the production ingest "
+        "shape at 100 TB: nothing re-bands or re-shingles the "
+        "existing corpus, and the index stores band rows + "
+        "fixed-width signatures, never text.",
 )
 def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
@@ -3918,64 +3985,63 @@ def q_streaming_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _LEAD_ORDER = [
-    # never driver-checked: doc_chunks (added late in round 3, missed
-    # that window) + the three new round-4 queries
-    "doc_chunks", "streaming_upsert_orders", "streaming_dedup_watermarked",
-    "streaming_incremental_dedup", "streaming_scd2_customer_dim",
-    "generated_orders_datasource", "user_retention_cohorts",
-    "diversity_sample",
-    # plan changed this round: near-dup verify rewritten to
-    # candidate-only re-shingling; embedding LSH gained the eager pair
-    # checkpoint; merge_partitioned now casts the delta to the on-disk
-    # schema
-    "near_dup_pairs", "near_dup_pairs_char", "embedding_lsh_near_dup",
-    "upsert_orders_partitioned",
-    # stalest: green only in round 1, queued here as promised in r3
-    "product_stats_snapshot", "purchase_avg_lookup",
-    "sql_api_events_hourly", "value_percentiles", "value_dispersion",
-    "customers_with_pending_orders", "order_display_lines",
-    # round-2-green names, oldest rows first (36 of 43 fit; the 7 left
-    # below the boundary are deliberately the most twinned/trivial
-    # plans — each names the newer green row that covers its operator)
-    "above_customer_avg_orders", "approx_distinct_users",
-    "benchmark_contamination", "bm25_top20", "boilerplate_grams",
-    "clicks_before_purchase", "corrupt_json_handling",
-    "curated_corpus_stats", "dataset_split_counts",
-    "deterministic_sample", "doc_length_histogram",
-    "doc_repetition_scores", "domain_mixture_sample",
-    "embedding_quantization_error", "explicit_grouping_sets",
-    "forecast_revenue_change", "generated_orders", "ivf_probe_search",
-    "ivf_recall_at_k", "large_quantity_orders",
-    "multimodal_decoded_features", "per_source_quality",
-    "pii_detection", "props_json_extraction", "quality_filter_funnel",
-    "scd2_customer_dim", "shipping_priority", "simhash_fingerprints",
-    "source_overlap_grams", "streaming_dedup_exact",
-    "streaming_interval_join", "streaming_static_enrich",
-    # --- position 50 boundary: names below hold r2-green rows; the
-    # twins are covered by newer-checked rows of the same operator
-    # code, the others were displaced by new round-4 queries
-    # (upsert_orders' operator is re-checked via
-    # upsert_orders_partitioned + streaming_upsert_orders this round;
-    # streaming_watermarked_windows' watermark machinery via
-    # streaming_dedup_watermarked; streaming_static_enrich's
-    # stream-dim join via streaming_product_stats r3 + the interval
-    # join in-window).  Re-lead all of these in round 5:
+    # -- round-5 window (exactly 50 names precede the boundary) --
+    # new this round (a new name must displace into the window in the
+    # same round it is added) + the one plan rewritten this round (the
+    # incremental-dedup index now persists the band table and prunes)
+    "avro_ocf_roundtrip", "streaming_incremental_dedup",
+    # the 12 names whose latest green row is round 2 (age 2 — the
+    # oldest anywhere), exactly as HANDOFF.md's rotation math queued
     "streaming_static_enrich", "streaming_watermarked_windows",
     "upsert_orders", "user_funnel", "value_distribution_ranks",
-    #   salted_product_stats          -> per_product_stats (r3, bit-equal twin)
-    #   streaming_product_stats_update-> streaming_product_stats (r3)
-    #   value_bounds                  -> overall_stats min/max (r3)
-    #   orders_by_month / pivot / unpivot -> events_hourly-family date
-    #                                    exprs + region_nation_rollup (r3)
-    #   priority_code_extract         -> error_classification regexps (r3)
     "salted_product_stats", "streaming_product_stats_update",
     "value_bounds", "orders_by_month", "daily_event_type_pivot",
     "daily_events_unpivot", "priority_code_extract",
+    # round-3-green names reaching age 2 this round (36 of 46 fit;
+    # the 10 past the boundary are the most twinned — each is named
+    # there with the newer green row covering its operator code)
+    "runtime_filtered_join", "ivf_kmeans_refine", "sequence_packing",
+    "dedup_clusters", "pricing_summary", "per_product_stats",
+    "overall_stats", "validated_orders", "rejected_orders",
+    "dlq_error_stats", "error_classification", "running_avg",
+    "top_customers", "priority_line_revenue", "asof_purchase_click",
+    "events_hourly", "user_sessions", "streaming_product_stats",
+    "streaming_running_avg_per_record", "streaming_user_sessions",
+    "embedding_topk", "tfidf_top_terms", "dedup_exact",
+    "revenue_by_region", "top3_events_per_type", "doc_token_stats",
+    "token_counts_top20", "language_id", "quality_scores",
+    "doc_fingerprints", "multimodal_meta", "region_nation_rollup",
+    "priority_status_cube", "events_sliding_30m", "churned_users",
+    "ivf_cell_sizes",
+    # --- position 50 boundary: names below hold green rows at most
+    # 2 rounds old after this round.  First the 10 r3-green twins
+    # displaced above (they reach age 3 in round 6 — LEAD ROUND 6
+    # WITH THESE), each twinned by an in-window/newer row of the same
+    # operator code:
+    #   dedup_clusters_star        -> dedup_clusters (property-tested ==)
+    #   streaming_kmeans_refine    -> ivf_kmeans_refine (bit-equal twin)
+    #   packing_efficiency         -> sequence_packing (same operator)
+    #   customers_no_pending_orders-> customers_with_pending_orders (r4)
+    #   embedding_near_dup         -> embedding_lsh_near_dup (r4) + embedding_topk
+    #   ngram_jaccard_adjacent     -> near_dup_pairs exact-Jaccard (r4)
+    #   order_priority_counts      -> priority_status_cube (in-window)
+    #   daily_revenue_lag          -> running_avg lag/window (in-window)
+    #   supplier_balance_by_nation -> revenue_by_region (in-window)
+    #   multi_stream_union         -> churned_users set-ops (in-window)
+    "dedup_clusters_star", "streaming_kmeans_refine",
+    "packing_efficiency", "customers_no_pending_orders",
+    "embedding_near_dup", "ngram_jaccard_adjacent",
+    "order_priority_counts", "daily_revenue_lag",
+    "supplier_balance_by_nation", "multi_stream_union",
+    # then the round-4-green names (age 1 — safe until round 7),
+    # oldest-registration-first via the fallback append in
+    # _apply_order; no need to enumerate them here.
 ]
 
 
 def _apply_order() -> None:
     assert not (set(_LEAD_ORDER) - set(QUERIES)), "unknown name in _LEAD_ORDER"
+    assert len(set(_LEAD_ORDER)) == len(_LEAD_ORDER), "duplicate in _LEAD_ORDER"
     ordered = {n: QUERIES[n] for n in _LEAD_ORDER}
     ordered.update({n: q for n, q in QUERIES.items() if n not in ordered})
     QUERIES.clear()
