@@ -13,12 +13,16 @@ implements the public Avro 1.x spec directly (stdlib only):
   raw stream).
 - **Generic binary decoder** driven by the embedded writer schema:
   primitives (null/boolean/int/long/float/double/string/bytes),
-  records, unions (zigzag branch index — covers the ubiquitous
-  nullable-field ``["null", T]``), arrays and maps (block-counted,
-  with the negative-count/byte-size form), enums (symbol index) and
-  fixed (raw width bytes).  The remaining unsupported corner —
-  named-type references (reuse of an earlier definition by name) —
-  raises ``ValueError`` naming it: explicit, not silent.
+  records (nested ones land as struct columns), unions (zigzag branch
+  index — covers the ubiquitous nullable-field ``["null", T]``),
+  arrays and maps (block-counted, with the negative-count/byte-size
+  form), enums (symbol index), fixed (raw width bytes), and the
+  common logical types (``timestamp-micros``/``timestamp-millis`` ->
+  naive-UTC ``timestamp_ntz``, ``date`` -> ``date``).  Named-type
+  REFERENCES (reuse of an earlier record/enum/fixed definition by
+  name) expand via the spec's define-before-use reading order;
+  RECURSIVE schemas — the one shape that cannot expand to a finite
+  tree — raise ``ValueError`` naming the type: explicit, not silent.
 
 Scale shape: files are listed and read by ``binaryFile`` (one row per
 object, executor-side), block parsing + record decode run in ONE
@@ -30,6 +34,7 @@ discovery every file source performs at planning time).  A writer
 
 from __future__ import annotations
 
+import datetime as _dt
 import io
 import json
 import os
@@ -38,6 +43,17 @@ import zlib
 from collections.abc import Iterator
 
 import pandas as pd
+
+_EPOCH_DT = _dt.datetime(1970, 1, 1)
+_EPOCH_DATE = _dt.date(1970, 1, 1)
+
+
+def _naive_utc(value: _dt.datetime) -> _dt.datetime:
+    """Aware datetimes convert to UTC then drop the tzinfo; naive ones
+    are taken as already-UTC (Spark's session-UTC convention)."""
+    if value.tzinfo is not None:
+        return value.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return value
 
 MAGIC = b"Obj\x01"
 _SYNC = bytes(range(16))  # fixed writer sync marker (any 16 bytes are valid)
@@ -90,6 +106,61 @@ def _norm_schema(schema):
     return schema
 
 
+def _expand_named_refs(schema):
+    """Expand named-type REFERENCES (a string naming an earlier
+    record/enum/fixed definition) into the definition itself, so the
+    codec walks a self-contained tree.  Spec rule: a name must be
+    defined before (reading order) it is referenced — a left-to-right
+    walk satisfies exactly that.  RECURSIVE types (a record referencing
+    itself) cannot expand to a finite tree and raise explicitly."""
+    env: dict[str, dict] = {}
+    building: set[str] = set()
+
+    def names_of(s) -> list[str]:
+        n = s.get("name")
+        if not n:
+            return []
+        out = [n]
+        ns = s.get("namespace")
+        if ns and "." not in n:
+            out.append(f"{ns}.{n}")
+        return out
+
+    def walk(s):
+        if isinstance(s, str):
+            if s in _PRIMITIVES:
+                return s
+            if s in building:
+                raise ValueError(f"recursive named type {s!r} unsupported")
+            if s in env:
+                return env[s]
+            raise ValueError(f"unsupported named-type reference: {s!r}")
+        if isinstance(s, list):
+            return [walk(b) for b in s]
+        if isinstance(s, dict):
+            t = s["type"]
+            if t == "record":
+                ns = names_of(s)
+                building.update(ns)
+                out = {**s, "fields": [{**f, "type": walk(f["type"])} for f in s["fields"]]}
+                building.difference_update(ns)
+                for n in ns:
+                    env[n] = out
+                return out
+            if t in ("enum", "fixed"):
+                for n in names_of(s):
+                    env[n] = s
+                return s
+            if t == "array":
+                return {**s, "items": walk(s["items"])}
+            if t == "map":
+                return {**s, "values": walk(s["values"])}
+            return s
+        return s
+
+    return walk(schema)
+
+
 def decode_value(schema, buf: io.BytesIO):
     s = _norm_schema(schema)
     if isinstance(s, str):
@@ -139,7 +210,24 @@ def decode_value(schema, buf: io.BytesIO):
         if t == "fixed":  # exactly `size` raw bytes, no length prefix
             return buf.read(s["size"])
         if t in _PRIMITIVES:  # {"type": "long"} wrapper form
-            return decode_value(t, buf)
+            v = decode_value(t, buf)
+            lt = s.get("logicalType")
+            if v is not None and lt is not None:
+                # spec logical types over int/long: naive-UTC datetimes
+                # (matches Spark's session-UTC timestamp convention)
+                if lt == "timestamp-micros":
+                    return _EPOCH_DT + _dt.timedelta(microseconds=v)
+                if lt == "timestamp-millis":
+                    return _EPOCH_DT + _dt.timedelta(milliseconds=v)
+                if lt == "date":
+                    return _EPOCH_DATE + _dt.timedelta(days=v)
+                if lt == "decimal" and t == "bytes":
+                    # big-endian two's-complement unscaled int (spec)
+                    import decimal as _decimal
+
+                    unscaled = int.from_bytes(v, "big", signed=True)
+                    return _decimal.Decimal(unscaled).scaleb(-s.get("scale", 0))
+            return v
         raise ValueError(f"unsupported Avro type: {t!r}")
     raise ValueError(f"bad schema node: {schema!r}")
 
@@ -205,6 +293,25 @@ def encode_value(schema, value) -> bytes:
                 )
             return raw
         if t in _PRIMITIVES:
+            lt = s.get("logicalType")
+            if lt == "decimal" and t == "bytes" and not isinstance(value, bytes):
+                import decimal as _decimal
+
+                unscaled = int(
+                    _decimal.Decimal(value).scaleb(s.get("scale", 0)).to_integral_value()
+                )
+                n = (unscaled.bit_length() + 8) // 8 or 1
+                value = unscaled.to_bytes(n, "big", signed=True)
+            elif lt == "timestamp-micros" and isinstance(value, _dt.datetime):
+                value = (_naive_utc(value) - _EPOCH_DT) // _dt.timedelta(
+                    microseconds=1
+                )
+            elif lt == "timestamp-millis" and isinstance(value, _dt.datetime):
+                value = (_naive_utc(value) - _EPOCH_DT) // _dt.timedelta(
+                    milliseconds=1
+                )
+            elif lt == "date" and isinstance(value, _dt.date):
+                value = (value - _EPOCH_DATE).days
             return encode_value(t, value)
         raise ValueError(f"unsupported Avro type: {t!r}")
     raise ValueError(f"bad schema node: {schema!r}")
@@ -232,11 +339,12 @@ def write_avro_ocf(
         out += _write_long(len(kk)) + kk + _write_long(len(v)) + v
     out += _write_long(0)  # end of metadata map
     out += _SYNC
+    enc_schema = _expand_named_refs(schema)
     for i in range(0, len(records), records_per_block) or [0]:
         block = records[i : i + records_per_block]
         if not block:
             continue
-        payload = b"".join(encode_value(schema, r) for r in block)
+        payload = b"".join(encode_value(enc_schema, r) for r in block)
         if codec == "deflate":
             payload = zlib.compress(payload)[2:-4]  # raw deflate per spec
         out += _write_long(len(block)) + _write_long(len(payload)) + payload + _SYNC
@@ -265,6 +373,7 @@ def parse_ocf(payload: bytes) -> tuple[dict, list[dict]]:
     codec = meta.get("avro.codec", b"null").decode()
     if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported codec {codec!r}")
+    dec_schema = _expand_named_refs(schema)
     sync = buf.read(16)
     records: list[dict] = []
     while True:
@@ -280,7 +389,7 @@ def parse_ocf(payload: bytes) -> tuple[dict, list[dict]]:
         if codec == "deflate":
             block = zlib.decompress(block, wbits=-15)
         bbuf = io.BytesIO(block)
-        records.extend(decode_value(schema, bbuf) for _ in range(count))
+        records.extend(decode_value(dec_schema, bbuf) for _ in range(count))
     return schema, records
 
 
@@ -318,18 +427,24 @@ def resolve_record(writer_rec: dict, writer_schema: dict, reader_schema: dict) -
       fields get the same type checking as bare primitives);
     - reader fields ABSENT from the writer take their ``default``
       (required by the spec — missing default raises);
+    - a reader field may RENAME a writer field by listing the old
+      name in its ``aliases`` (spec field-alias matching; first
+      matching alias wins);
     - writer fields the reader dropped are discarded.
 
-    Aliases and general union re-resolution are out of scope (named
-    explicitly — this is the evolution subset additive lake schemas
-    use)."""
+    General union re-resolution (beyond the nullable unwrap) is out
+    of scope — named explicitly; this is the evolution subset
+    additive lake schemas use."""
     writer_fields = {f["name"]: f for f in writer_schema["fields"]}
     out = {}
     for rf in reader_schema["fields"]:
         name = rf["name"]
-        if name in writer_fields:
-            v = writer_rec[name]
-            wt = _unwrap_nullable(writer_fields[name]["type"])
+        src = name if name in writer_fields else next(
+            (a for a in rf.get("aliases", ()) if a in writer_fields), None
+        )
+        if src is not None:
+            v = writer_rec[src]
+            wt = _unwrap_nullable(writer_fields[src]["type"])
             rt = _unwrap_nullable(rf["type"])
             if isinstance(wt, str) and isinstance(rt, str) and wt != rt:
                 if (wt, rt) in _PROMOTIONS:
@@ -376,6 +491,18 @@ def _spark_field_type(schema) -> str:
             return "string"
         if t == "fixed":  # width-checked at codec level, binary column
             return "binary"
+        if t == "record":  # nested record -> struct column
+            inner = ", ".join(
+                f"{f['name']}: {_spark_field_type(f['type'])}" for f in s["fields"]
+            )
+            return f"struct<{inner}>"
+        lt = s.get("logicalType")
+        if lt in ("timestamp-micros", "timestamp-millis"):
+            return "timestamp_ntz"  # codec yields naive-UTC datetimes
+        if lt == "date":
+            return "date"
+        if lt == "decimal" and t == "bytes":
+            return f"decimal({s.get('precision', 38)},{s.get('scale', 0)})"
         if t in _AVRO_TO_SPARK:
             return _AVRO_TO_SPARK[t]
     raise ValueError(f"cannot map Avro schema node {schema!r}")
@@ -410,10 +537,10 @@ def read_avro_ocf(spark, path: str, reader_schema: dict | None = None):
         schema, _ = parse_ocf(bytes(first[0]["content"]))
         if _norm_schema(schema).get("type") != "record":
             raise ValueError("top-level OCF schema must be a record")
-        out_fields = schema["fields"]
+        out_fields = _expand_named_refs(schema)["fields"]
     else:
         schema = None
-        out_fields = reader_schema["fields"]
+        out_fields = _expand_named_refs(reader_schema)["fields"]
     fields = [(f["name"], _spark_field_type(f["type"])) for f in out_fields]
     out_schema = ", ".join(f"{n} {t}" for n, t in fields)
     names = [n for n, _ in fields]
@@ -502,7 +629,10 @@ def _schema_of_dir(path: str):
     schema, _ = parse_ocf(_read_bytes(files[0]))
     if _norm_schema(schema).get("type") != "record":
         raise ValueError("top-level OCF schema must be a record")
-    fields = [(fl["name"], _spark_field_type(fl["type"])) for fl in schema["fields"]]
+    fields = [
+        (fl["name"], _spark_field_type(fl["type"]))
+        for fl in _expand_named_refs(schema)["fields"]
+    ]
     return schema, fields
 
 
@@ -576,22 +706,53 @@ _SPARK_TO_AVRO = {
 }
 
 
+def _avro_type_of(dtype, path: str):
+    """Writer-side type mapping, recursive: arrays/maps/structs nest,
+    timestamps and dates carry spec logical types, nullable container
+    elements become ``["null", T]`` unions.  `path` seeds unique names
+    for nested records (Avro named types need distinct fullnames)."""
+    tn = dtype.typeName()
+    if tn == "array":
+        items = _avro_type_of(dtype.elementType, path + "_item")
+        return {
+            "type": "array",
+            "items": ["null", items] if dtype.containsNull else items,
+        }
+    if tn == "map":
+        if dtype.keyType.typeName() != "string":
+            raise ValueError("Avro maps require string keys")
+        values = _avro_type_of(dtype.valueType, path + "_value")
+        return {
+            "type": "map",
+            "values": ["null", values] if dtype.valueContainsNull else values,
+        }
+    if tn == "struct":
+        fields = []
+        for f in dtype.fields:
+            t = _avro_type_of(f.dataType, f"{path}_{f.name}")
+            fields.append({"name": f.name, "type": ["null", t] if f.nullable else t})
+        return {"type": "record", "name": f"Rec_{path}", "fields": fields}
+    if tn in ("timestamp", "timestamp_ntz"):
+        return {"type": "long", "logicalType": "timestamp-micros"}
+    if tn == "date":
+        return {"type": "int", "logicalType": "date"}
+    if tn == "decimal":
+        return {
+            "type": "bytes", "logicalType": "decimal",
+            "precision": dtype.precision, "scale": dtype.scale,
+        }
+    if tn in _SPARK_TO_AVRO:
+        return _SPARK_TO_AVRO[tn]
+    raise ValueError(f"cannot write Spark type {tn!r} as Avro")
+
+
 def _avro_schema_of(struct) -> dict:
     """Writer-side schema mapping: StructType -> Avro record; nullable
     columns become ``["null", T]`` unions (Spark columns are nullable
     by default, and the union round-trips through the reader)."""
     fields = []
     for f in struct.fields:
-        tn = f.dataType.typeName()
-        if tn == "array":
-            et = f.dataType.elementType.typeName()
-            if et not in _SPARK_TO_AVRO:
-                raise ValueError(f"cannot write array<{et}> as Avro")
-            t = {"type": "array", "items": _SPARK_TO_AVRO[et]}
-        elif tn in _SPARK_TO_AVRO:
-            t = _SPARK_TO_AVRO[tn]
-        else:
-            raise ValueError(f"cannot write Spark type {tn!r} as Avro")
+        t = _avro_type_of(f.dataType, f.name)
         fields.append(
             {"name": f.name, "type": ["null", t] if f.nullable else t}
         )
@@ -721,7 +882,10 @@ class AvroOcfDataSource(DataSource):
         if rs is not None:
             # output shape comes from the READER schema; files resolve
             schema = None
-            fields = [(f["name"], _spark_field_type(f["type"])) for f in rs["fields"]]
+            fields = [
+                (f["name"], _spark_field_type(f["type"]))
+                for f in _expand_named_refs(rs)["fields"]
+            ]
         else:
             schema, fields = _schema_of_dir(path)
         return path, schema, [n for n, _ in fields], fields, rs

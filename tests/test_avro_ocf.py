@@ -144,6 +144,223 @@ def test_spark_reads_enum_map_fixed(spark):
     assert got == want
 
 
+def test_logical_types_and_nested_record_round_trip(tmp_path):
+    """timestamp-micros/millis and date logical types decode to
+    naive-UTC datetimes/dates (and encode back); nested records
+    round-trip as dicts."""
+    import datetime as dt
+
+    schema = {
+        "type": "record", "name": "Evt",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+            {"name": "ts_ms", "type": {"type": "long", "logicalType": "timestamp-millis"}},
+            {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+            {"name": "loc", "type": {"type": "record", "name": "Loc",
+                                     "fields": [{"name": "lat", "type": "double"},
+                                                {"name": "lon", "type": "double"}]}},
+        ],
+    }
+    rows = [
+        {"id": 1, "ts": dt.datetime(2024, 3, 1, 12, 30, 15, 123456),
+         "ts_ms": dt.datetime(2024, 3, 1, 12, 30, 15, 123000),
+         "d": dt.date(2024, 3, 1), "loc": {"lat": 1.5, "lon": -2.25}},
+        {"id": 2, "ts": dt.datetime(1969, 12, 31, 23, 59, 59),  # pre-epoch
+         "ts_ms": dt.datetime(1970, 1, 1),
+         "d": dt.date(1969, 7, 20), "loc": {"lat": 0.0, "lon": 0.0}},
+    ]
+    p = str(tmp_path / "lt.avro")
+    write_avro_ocf(p, rows, schema)
+    got_schema, got = parse_ocf(open(p, "rb").read())
+    assert got_schema == schema
+    assert got == rows
+
+
+def test_spark_reads_logical_types_and_structs(spark):
+    """Logical-type columns land as timestamp_ntz/date, nested records
+    as struct columns — through both the mapInPandas path and the
+    kaop_avro DataSource."""
+    import datetime as dt
+
+    from kafka_avro_order_processing_spark.sources.avro_ocf import register
+
+    schema = {
+        "type": "record", "name": "Evt",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+            {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+            {"name": "loc", "type": {"type": "record", "name": "Loc",
+                                     "fields": [{"name": "lat", "type": "double"},
+                                                {"name": "lon", "type": "double"}]}},
+        ],
+    }
+    rows = [
+        {"id": 1, "ts": dt.datetime(2024, 3, 1, 12, 30, 15, 123456),
+         "d": dt.date(2024, 3, 1), "loc": {"lat": 1.5, "lon": -2.25}},
+        {"id": 2, "ts": dt.datetime(2023, 11, 5, 1, 30),
+         "d": dt.date(2023, 11, 5), "loc": {"lat": 48.85, "lon": 2.35}},
+    ]
+    base = tempfile.mkdtemp(prefix=f"ocflt_{uuid.uuid4().hex[:8]}_")
+    write_avro_ocf(f"{base}/p0.avro", rows, schema)
+
+    df = read_avro_ocf(spark, base)
+    assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+    assert dict(df.dtypes)["d"] == "date"
+    assert dict(df.dtypes)["loc"] == "struct<lat:double,lon:double>"
+    got = sorted(
+        (r["id"], r["ts"], r["d"], r["loc"]["lat"], r["loc"]["lon"])
+        for r in df.collect()
+    )
+    want = sorted(
+        (r["id"], r["ts"], r["d"], r["loc"]["lat"], r["loc"]["lon"]) for r in rows
+    )
+    assert got == want
+
+    register(spark)
+    got_ds = sorted(
+        (r["id"], r["ts"], r["d"], r["loc"]["lat"], r["loc"]["lon"])
+        for r in spark.read.format("kaop_avro").option("path", base).load().collect()
+    )
+    assert got_ds == want
+
+
+def test_datasource_writes_timestamps_dates_structs(spark):
+    """df.write.format('kaop_avro') now maps timestamp/date columns to
+    spec logical types and struct columns to nested records; the full
+    round-trip through the container bytes is value-identical."""
+    import datetime as dt
+
+    from kafka_avro_order_processing_spark.sources.avro_ocf import register
+
+    register(spark)
+    base = tempfile.mkdtemp(prefix=f"ocfwl_{uuid.uuid4().hex[:8]}_") + "/out"
+    df = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 3, 1, 12, 30, 15, 123456), dt.date(2024, 3, 1),
+             (1.5, "a"), {"k1": 2}),
+            (2, dt.datetime(2023, 11, 5, 1, 30), dt.date(2023, 11, 5),
+             (-0.5, "b"), {}),
+        ],
+        "id long, ts timestamp_ntz, d date, "
+        "loc struct<x: double, tag: string>, m map<string, long>",
+    )
+    df.write.format("kaop_avro").option("path", base).mode("append").save()
+    back = spark.read.format("kaop_avro").option("path", base).load()
+    assert dict(back.dtypes)["ts"] == "timestamp_ntz"
+    assert dict(back.dtypes)["loc"] == "struct<x:double,tag:string>"
+    got = sorted(
+        (r["id"], r["ts"], r["d"], r["loc"]["x"], r["loc"]["tag"],
+         dict(r["m"] or {}))
+        for r in back.collect()
+    )
+    want = sorted(
+        (r["id"], r["ts"], r["d"], r["loc"]["x"], r["loc"]["tag"],
+         dict(r["m"]))
+        for r in df.collect()
+    )
+    assert got == want
+
+
+def test_decimal_logical_type_round_trip(tmp_path, spark):
+    """bytes-backed decimal: big-endian two's-complement unscaled int
+    per spec, lands as a Spark decimal(p,s) column, and Spark decimal
+    columns write back as the same logical type."""
+    import decimal as dec
+
+    schema = {
+        "type": "record", "name": "Amt",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "amount", "type": {"type": "bytes", "logicalType": "decimal",
+                                        "precision": 12, "scale": 2}},
+        ],
+    }
+    rows = [
+        {"id": 1, "amount": dec.Decimal("12345.67")},
+        {"id": 2, "amount": dec.Decimal("-0.05")},
+        {"id": 3, "amount": dec.Decimal("0.00")},
+    ]
+    p = str(tmp_path / "amt.avro")
+    write_avro_ocf(p, rows, schema)
+    _, got = parse_ocf(open(p, "rb").read())
+    assert got == rows
+
+    base = tempfile.mkdtemp(prefix=f"ocfdec_{uuid.uuid4().hex[:8]}_")
+    write_avro_ocf(f"{base}/a.avro", rows, schema)
+    df = read_avro_ocf(spark, base)
+    assert dict(df.dtypes)["amount"] == "decimal(12,2)"
+    assert sorted((r["id"], r["amount"]) for r in df.collect()) == [
+        (1, dec.Decimal("12345.67")), (2, dec.Decimal("-0.05")),
+        (3, dec.Decimal("0.00"))]
+
+    # Spark decimal column -> kaop_avro write -> read back
+    from kafka_avro_order_processing_spark.sources.avro_ocf import register
+
+    register(spark)
+    out = tempfile.mkdtemp(prefix=f"ocfdecw_{uuid.uuid4().hex[:8]}_") + "/o"
+    sdf = spark.createDataFrame(
+        [(1, dec.Decimal("99.99")), (2, dec.Decimal("-1.50"))],
+        "id long, v decimal(10,2)",
+    )
+    sdf.write.format("kaop_avro").option("path", out).mode("append").save()
+    back = spark.read.format("kaop_avro").option("path", out).load()
+    assert dict(back.dtypes)["v"] == "decimal(10,2)"
+    assert sorted(tuple(r) for r in back.collect()) == [
+        (1, dec.Decimal("99.99")), (2, dec.Decimal("-1.50"))]
+
+
+def test_named_type_reference_reuse_and_recursion(tmp_path, spark):
+    """A named record/enum defined once may be referenced again by
+    name (spec define-before-use); a RECURSIVE schema raises."""
+    schema = {
+        "type": "record", "name": "Trip",
+        "fields": [
+            {"name": "src", "type": {"type": "record", "name": "Loc",
+                                     "fields": [{"name": "lat", "type": "double"},
+                                                {"name": "lon", "type": "double"}]}},
+            {"name": "dst", "type": "Loc"},  # reference by name
+            {"name": "tags", "type": {"type": "array", "items": "Loc"}},
+        ],
+    }
+    rows = [
+        {"src": {"lat": 1.0, "lon": 2.0}, "dst": {"lat": 3.0, "lon": 4.0},
+         "tags": [{"lat": 5.0, "lon": 6.0}]},
+    ]
+    p = str(tmp_path / "trip.avro")
+    write_avro_ocf(p, rows, schema)
+    got_schema, got = parse_ocf(open(p, "rb").read())
+    assert got_schema == schema and got == rows
+
+    base = tempfile.mkdtemp(prefix=f"ocfref_{uuid.uuid4().hex[:8]}_")
+    write_avro_ocf(f"{base}/t.avro", rows, schema)
+    df = read_avro_ocf(spark, base)
+    assert dict(df.dtypes)["dst"] == "struct<lat:double,lon:double>"
+    r = df.collect()[0]
+    assert (r["dst"]["lat"], r["tags"][0]["lon"]) == (3.0, 6.0)
+
+    recursive = {
+        "type": "record", "name": "Node",
+        "fields": [{"name": "next", "type": ["null", "Node"]}],
+    }
+    with pytest.raises(ValueError, match="recursive"):
+        write_avro_ocf(p, [{"next": None}], recursive)
+
+
+def test_resolution_field_aliases():
+    """A reader field renames a writer field by listing the old name
+    in its aliases — spec field-alias matching."""
+    from kafka_avro_order_processing_spark.sources.avro_ocf import resolve_record
+
+    w = {"type": "record", "name": "R",
+         "fields": [{"name": "old_score", "type": "int"}]}
+    r = {"type": "record", "name": "R",
+         "fields": [{"name": "score", "type": "long",
+                     "aliases": ["ancient_score", "old_score"]}]}
+    assert resolve_record({"old_score": 7}, w, r) == {"score": 7}
+
+
 def test_resolution_validates_nullable_unions():
     """ADVICE fix: ['null', T] fields unwrap before the promotion
     check — nullable int promotes to nullable long (null passes), and
