@@ -32,3 +32,17 @@ def test_curation_demo_end_to_end(spark, tmp_path):
     shards = spark.read.parquet(str(tmp_path / "shards"))
     assert shards.count() == c["after_near_dedup"]
     assert set(shards.columns) == {"doc_id", "text", "shard", "n_tokens", "bin_id"}
+
+
+def test_streaming_ingest_demo_end_to_end(spark):
+    """Two waves of landed .avro files stream through the partitioned
+    kaop_avro source into the incremental dedup index: every planted
+    wave-2 near-dup of a wave-1 doc drops against the index; fresh
+    docs all survive."""
+    from streaming_ingest_demo import main
+
+    c = main(spark=spark, n_docs=30)
+    assert c["planted_dups"] == 5
+    assert c["late_dups_caught"] == c["planted_dups"]  # index caught all
+    assert c["dropped"] == c["planted_dups"]           # nothing else dropped
+    assert c["survivors"] == c["ingested"] - c["dropped"]
