@@ -151,3 +151,69 @@ def test_merge_is_idempotent(spark, delta):
     assert {tuple(r) for r in once.collect()} == {
         tuple(r) for r in twice.collect()
     }
+
+
+# ---------------------------------------------------------------------------
+# Avro OCF codec: encode/decode round-trip on randomized records over a
+# schema exercising every supported shape (no Spark session needed).
+# ---------------------------------------------------------------------------
+
+_AVRO_SCHEMA = {
+    "type": "record", "name": "Everything",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "f", "type": "double"},
+        {"name": "s", "type": "string"},
+        {"name": "b", "type": ["null", "bytes"]},
+        {"name": "flag", "type": "boolean"},
+        {"name": "arr", "type": {"type": "array", "items": ["null", "int"]}},
+        {"name": "m", "type": {"type": "map", "values": "long"}},
+        {"name": "kind", "type": {"type": "enum", "name": "K",
+                                  "symbols": ["A", "B", "C"]}},
+        {"name": "loc", "type": {"type": "record", "name": "Loc",
+                                 "fields": [{"name": "x", "type": "double"},
+                                            {"name": "y", "type": ["null", "double"]}]}},
+        {"name": "loc2", "type": ["null", "Loc"]},
+    ],
+}
+
+_avro_record = st.fixed_dictionaries({
+    "id": st.integers(-(2 ** 62), 2 ** 62),
+    "f": st.floats(allow_nan=False, width=64),
+    "s": st.text(max_size=40),
+    "b": st.one_of(st.none(), st.binary(max_size=20)),
+    "flag": st.booleans(),
+    "arr": st.lists(st.one_of(st.none(), st.integers(-(2 ** 31), 2 ** 31 - 1)),
+                    max_size=6),
+    "m": st.dictionaries(st.text(max_size=8), st.integers(-(2 ** 62), 2 ** 62),
+                         max_size=4),
+    "kind": st.sampled_from(["A", "B", "C"]),
+    "loc": st.fixed_dictionaries({
+        "x": st.floats(allow_nan=False, width=64),
+        "y": st.one_of(st.none(), st.floats(allow_nan=False, width=64)),
+    }),
+    "loc2": st.one_of(st.none(), st.fixed_dictionaries({
+        "x": st.floats(allow_nan=False, width=64),
+        "y": st.one_of(st.none(), st.floats(allow_nan=False, width=64)),
+    })),
+})
+
+
+@settings(max_examples=25, deadline=None)
+@given(records=st.lists(_avro_record, min_size=0, max_size=20),
+       codec=st.sampled_from(["null", "deflate"]))
+def test_ocf_codec_round_trips_any_records(tmp_path_factory, records, codec):
+    """Spec-compliance property: ANY records valid under a schema that
+    exercises every supported shape (unions incl. named-ref branches,
+    nested records, maps, enums, block splits) must round-trip through
+    real container bytes bit-exactly."""
+    from kafka_avro_order_processing_spark.sources.avro_ocf import (
+        parse_ocf,
+        write_avro_ocf,
+    )
+
+    p = str(tmp_path_factory.mktemp("ocfprop") / "r.avro")
+    write_avro_ocf(p, records, _AVRO_SCHEMA, codec=codec, records_per_block=7)
+    schema, got = parse_ocf(open(p, "rb").read())
+    assert schema == _AVRO_SCHEMA
+    assert got == records
