@@ -701,6 +701,55 @@ def test_datasource_reads_file_uri(spark):
     assert got == [1, 2, 3]
 
 
+def test_datasource_stream_read_with_reader_schema(spark):
+    """Streaming ingestion of a landing dir whose files EVOLVE between
+    epochs: with .option('readerSchema', ...) each file resolves
+    per-epoch (defaults fill, promotions apply) — the schema-drift
+    error path is for un-resolved reads only."""
+    import json as _json
+
+    from kafka_avro_order_processing_spark.sources.avro_ocf import register
+
+    v1 = {"type": "record", "name": "Doc",
+          "fields": [{"name": "doc_id", "type": "int"},
+                     {"name": "title", "type": "string"}]}
+    v2 = {"type": "record", "name": "Doc",
+          "fields": [{"name": "doc_id", "type": "long"},
+                     {"name": "title", "type": "string"},
+                     {"name": "ok", "type": "boolean"}]}
+    reader = {"type": "record", "name": "Doc",
+              "fields": [{"name": "doc_id", "type": "long"},
+                         {"name": "title", "type": "string"},
+                         {"name": "ok", "type": "boolean", "default": False}]}
+    base = tempfile.mkdtemp(prefix=f"ocfsrs_{uuid.uuid4().hex[:8]}_")
+    land, sink, chk = f"{base}/land", f"{base}/sink", f"{base}/chk"
+    write_avro_ocf(f"{land}/part-0001.avro", [{"doc_id": 1, "title": "old"}], v1)
+    register(spark)
+    q = (
+        spark.readStream.format("kaop_avro")
+        .option("path", land)
+        .option("readerSchema", _json.dumps(reader))
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", chk)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_avro_ocf(f"{land}/part-0002.avro",
+                       [{"doc_id": 2, "title": "new", "ok": True}], v2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r["doc_id"], r["title"], r["ok"])
+        for r in spark.read.parquet(sink).collect()
+    )
+    assert got == [(1, "old", False), (2, "new", True)]
+
+
 def test_datasource_stream_write_commits_epoch_parts(spark):
     """writeStream.format('kaop_avro'): a parquet-staged stream lands
     as batch-stamped .avro parts; total content equals the input and a
