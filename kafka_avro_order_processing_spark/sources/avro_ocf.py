@@ -321,11 +321,11 @@ def encode_value(schema, value) -> bytes:
 # container file layout
 # --------------------------------------------------------------------------
 
-def write_avro_ocf(
-    path: str, records: list[dict], schema: dict, codec: str = "null",
+def ocf_bytes(
+    records: list[dict], schema: dict, codec: str = "null",
     records_per_block: int = 1000,
-) -> None:
-    """Write a spec-compliant OCF (test/fixture writer; driver-side)."""
+) -> bytes:
+    """Serialize records to spec-compliant OCF container bytes."""
     if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported codec {codec!r}")
     meta = {
@@ -348,9 +348,29 @@ def write_avro_ocf(
         if codec == "deflate":
             payload = zlib.compress(payload)[2:-4]  # raw deflate per spec
         out += _write_long(len(block)) + _write_long(len(payload)) + payload + _SYNC
+    return bytes(out)
+
+
+def write_avro_ocf(
+    path: str, records: list[dict], schema: dict, codec: str = "null",
+    records_per_block: int = 1000,
+) -> None:
+    """Write a spec-compliant OCF (test/fixture writer; driver-side).
+    Accepts pyarrow-filesystem URIs as well as local paths."""
+    data = ocf_bytes(records, schema, codec, records_per_block)
+    if "://" in path:
+        import pyarrow.fs as pafs
+
+        fs, rel = pafs.FileSystem.from_uri(path)
+        parent = rel.rsplit("/", 1)[0] if "/" in rel else ""
+        if parent:
+            fs.create_dir(parent, recursive=True)
+        with fs.open_output_stream(rel) as f:
+            f.write(data)
+        return
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "wb") as f:
-        f.write(bytes(out))
+        f.write(data)
 
 
 def parse_ocf(payload: bytes) -> tuple[dict, list[dict]]:
@@ -582,6 +602,13 @@ except ImportError:  # pragma: no cover
 
 
 def _list_avro(path: str) -> list[str]:
+    # Manifest-managed directories (URI-mode writes) read the COMMITTED
+    # part set, never the raw listing — that is what makes the
+    # no-rename object-store commit safe.
+    m = _read_manifest(path)
+    if m is not None:
+        base = path.rstrip("/")
+        return [f"{base}/{p}" for p in sorted(m.get("parts", []))]
     # _tmp_* are in-flight writer files — never visible to readers (or
     # to an overwrite's delete pass) until commit renames them.
     # URI paths (file://, s3://, hdfs://, ...) list through pyarrow's
@@ -620,6 +647,62 @@ def _read_bytes(path: str) -> bytes:
             return f.read()
     with open(path, "rb") as f:
         return f.read()
+
+
+def _delete_file(path: str) -> None:
+    if "://" in path:
+        import pyarrow.fs as pafs
+
+        fs, rel = pafs.FileSystem.from_uri(path)
+        fs.delete_file(rel)
+        return
+    os.remove(path)
+
+
+# --------------------------------------------------------------------------
+# manifest commit protocol (URI/object-store writes)
+#
+# Object stores have no atomic rename, so the local temp-then-rename
+# commit cannot work there.  Instead URI-mode writes use the standard
+# manifest pattern: tasks write final uniquely-named parts directly
+# (invisible — readers of a manifest-managed directory read the
+# manifest, not the listing), and the driver's commit publishes them
+# with ONE small-object PUT of ``_manifest.json`` (atomic per object).
+# The writer seeds the manifest from the current listing before the
+# job, so externally-produced parts fold in and in-flight parts never
+# leak through the listing fallback.  Single-writer-at-a-time per
+# directory (no manifest CAS), stated here explicitly.
+# --------------------------------------------------------------------------
+
+MANIFEST = "_manifest.json"
+
+
+def _manifest_path(path: str) -> str:
+    return path.rstrip("/") + "/" + MANIFEST
+
+
+def _read_manifest(path: str) -> dict | None:
+    mp = _manifest_path(path)
+    if "://" not in mp and not os.path.exists(mp):
+        return None
+    try:
+        return json.loads(_read_bytes(mp))
+    except Exception:
+        return None  # absent (or unreadable): fall back to listing
+
+
+def _write_manifest(path: str, manifest: dict) -> None:
+    data = json.dumps(manifest, sort_keys=True).encode()
+    mp = _manifest_path(path)
+    if "://" in mp:
+        import pyarrow.fs as pafs
+
+        fs, rel = pafs.FileSystem.from_uri(mp)
+        with fs.open_output_stream(rel) as f:
+            f.write(data)
+        return
+    with open(mp, "wb") as f:
+        f.write(data)
 
 
 def _schema_of_dir(path: str):
@@ -765,14 +848,22 @@ class _OcfCommit(WriterCommitMessage):
 
 
 class AvroOcfWriter(DataSourceWriter):
-    """Per-task OCF part writer with the standard temp-then-rename
-    commit: tasks write ``_tmp_*.avro``, the driver's ``commit``
-    renames them into place (deleting prior parts first on overwrite),
-    ``abort`` deletes the temps — failed/speculative tasks never leave
-    visible partial files.  Part names carry a per-job uuid
-    (``part-<jobid>-<i>.avro``) so successive ``append`` writes into
-    the same directory never collide — a fixed ``part-00000`` scheme
-    would silently os.replace the previous append's files."""
+    """Per-task OCF part writer, two commit protocols:
+
+    - LOCAL paths: standard temp-then-rename — tasks write
+      ``_tmp_*.avro``, the driver's ``commit`` renames them into place
+      (deleting prior parts first on overwrite), ``abort`` deletes the
+      temps — failed/speculative tasks never leave visible partial
+      files.
+    - URI paths (object stores — no atomic rename): tasks write final
+      uniquely-named parts directly; ``commit`` publishes them by
+      PUTting ``_manifest.json`` (readers of a manifest-managed dir
+      never consult the raw listing, so uncommitted parts are
+      invisible); overwrite deletes the previously committed set
+      best-effort after the new manifest lands.
+
+    Part names carry a per-job uuid so successive ``append`` writes
+    into one directory never collide."""
 
     def __init__(
         self, path: str, avro_schema: dict, names, overwrite: bool,
@@ -784,6 +875,7 @@ class AvroOcfWriter(DataSourceWriter):
         self.overwrite = overwrite
         self.codec = codec
         self.job_id = _uuid.uuid4().hex[:12]
+        self.uri_mode = "://" in path
 
     def write(self, iterator) -> _OcfCommit:
         import uuid as _uuid
@@ -791,26 +883,48 @@ class AvroOcfWriter(DataSourceWriter):
         records = [{n: row[n] for n in self.names} for row in iterator]
         if not records:
             return _OcfCommit(None)  # empty partition -> no file
+        if self.uri_mode:  # final name now; published only via manifest
+            name = f"part-{self.job_id}-{_uuid.uuid4().hex[:8]}.avro"
+            write_avro_ocf(
+                f"{self.path.rstrip('/')}/{name}",
+                records, self.avro_schema, codec=self.codec,
+            )
+            return _OcfCommit(name)
         tmp = os.path.join(self.path, f"_tmp_{_uuid.uuid4().hex}.avro")
         write_avro_ocf(tmp, records, self.avro_schema, codec=self.codec)
         return _OcfCommit(tmp)
 
     def commit(self, messages) -> None:
+        new = [m.tmp for m in messages if m is not None and m.tmp is not None]
+        if self.uri_mode:
+            old = _list_avro(self.path)  # committed set (manifest-backed)
+            prior = [] if self.overwrite else [p.rsplit("/", 1)[1] for p in old]
+            _write_manifest(self.path, {"parts": sorted(set(prior) | set(new))})
+            if self.overwrite:
+                for f in old:  # best-effort cleanup of replaced parts
+                    try:
+                        _delete_file(f)
+                    except OSError:
+                        pass
+            return
         if self.overwrite:
             for f in _list_avro(self.path):  # committed parts only
                 os.remove(f)
-        i = 0
-        for m in messages:
-            if m is not None and m.tmp is not None:
-                os.replace(
-                    m.tmp,
-                    os.path.join(self.path, f"part-{self.job_id}-{i:05d}.avro"),
-                )
-                i += 1
+        for i, tmp in enumerate(new):
+            os.replace(
+                tmp, os.path.join(self.path, f"part-{self.job_id}-{i:05d}.avro")
+            )
 
     def abort(self, messages) -> None:
         for m in messages:
-            if m is not None and m.tmp is not None and os.path.exists(m.tmp):
+            if m is None or m.tmp is None:
+                continue
+            if self.uri_mode:
+                try:
+                    _delete_file(f"{self.path.rstrip('/')}/{m.tmp}")
+                except OSError:
+                    pass
+            elif os.path.exists(m.tmp):
                 os.remove(m.tmp)
 
 
@@ -819,11 +933,18 @@ class AvroOcfStreamWriter(DataSourceStreamWriter):
     files as ``part-<batchId>-<i>.avro``.  Exactly-once lands for
     free: a REPLAYED epoch (foreachBatch/sink retry semantics) renames
     over its own batch-stamped part names instead of appending new
-    ones, so readers never see a half-committed or doubled epoch."""
+    ones, so readers never see a half-committed or doubled epoch.
+
+    URI paths use the manifest protocol instead of rename: parts are
+    final-named at write, and ``commit`` swaps the epoch's entry in
+    ``_manifest.json`` (an ``epochs`` map keyed by batchId) — a
+    replayed epoch REPLACES its prior part set in the manifest, then
+    best-effort deletes the superseded files."""
 
     def __init__(self, path: str, avro_schema: dict, names, codec: str = "null"):
         self.path, self.avro_schema, self.names = path, avro_schema, names
         self.codec = codec
+        self.uri_mode = "://" in path
 
     def write(self, iterator) -> _OcfCommit:
         import uuid as _uuid
@@ -831,22 +952,49 @@ class AvroOcfStreamWriter(DataSourceStreamWriter):
         records = [{n: row[n] for n in self.names} for row in iterator]
         if not records:
             return _OcfCommit(None)
+        if self.uri_mode:
+            name = f"part-{_uuid.uuid4().hex}.avro"
+            write_avro_ocf(
+                f"{self.path.rstrip('/')}/{name}",
+                records, self.avro_schema, codec=self.codec,
+            )
+            return _OcfCommit(name)
         tmp = os.path.join(self.path, f"_tmp_{_uuid.uuid4().hex}.avro")
         write_avro_ocf(tmp, records, self.avro_schema, codec=self.codec)
         return _OcfCommit(tmp)
 
     def commit(self, messages, batchId: int) -> None:
-        i = 0
-        for m in messages:
-            if m is not None and m.tmp is not None:
-                os.replace(
-                    m.tmp, os.path.join(self.path, f"part-{batchId:08d}-{i:04d}.avro")
-                )
-                i += 1
+        new = [m.tmp for m in messages if m is not None and m.tmp is not None]
+        if self.uri_mode:
+            m = _read_manifest(self.path) or {"parts": []}
+            epochs = m.get("epochs", {})
+            replaced = epochs.get(str(batchId), [])  # replayed epoch
+            epochs[str(batchId)] = new
+            parts = [p for p in m.get("parts", []) if p not in replaced] + new
+            _write_manifest(
+                self.path, {"parts": sorted(set(parts)), "epochs": epochs}
+            )
+            for name in replaced:
+                try:
+                    _delete_file(f"{self.path.rstrip('/')}/{name}")
+                except OSError:
+                    pass
+            return
+        for i, tmp in enumerate(new):
+            os.replace(
+                tmp, os.path.join(self.path, f"part-{batchId:08d}-{i:04d}.avro")
+            )
 
     def abort(self, messages, batchId: int) -> None:  # noqa: ARG002
         for m in messages:
-            if m is not None and m.tmp is not None and os.path.exists(m.tmp):
+            if m is None or m.tmp is None:
+                continue
+            if self.uri_mode:
+                try:
+                    _delete_file(f"{self.path.rstrip('/')}/{m.tmp}")
+                except OSError:
+                    pass
+            elif os.path.exists(m.tmp):
                 os.remove(m.tmp)
 
 
@@ -861,10 +1009,13 @@ class AvroOcfDataSource(DataSource):
     Options: ``path`` (required); ``readerSchema`` (Avro schema JSON —
     read evolved files as one table via per-file schema resolution;
     without it schema drift is an error); ``codec`` (write side:
-    ``null`` default or ``deflate``).  Read paths accept ``file://``
-    and other pyarrow-filesystem URIs (listing + per-file reads go
-    through pyarrow's fs); the WRITERS are local-path-only — the
-    temp-then-rename commit has no atomic rename on object stores."""
+    ``null`` default or ``deflate``).  Paths accept ``file://`` and
+    other pyarrow-filesystem URIs on BOTH sides: reads list and fetch
+    through pyarrow's fs, and URI writes commit via the
+    ``_manifest.json`` protocol (final-named parts published by one
+    manifest PUT — no rename needed, so object stores work;
+    single-writer per directory).  Local paths keep the classic
+    temp-then-rename commit and need no manifest."""
 
     @classmethod
     def name(cls) -> str:
@@ -906,12 +1057,22 @@ class AvroOcfDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("kaop_avro requires .option('path', <dir>)")
-        if "://" in path:
-            raise ValueError(
-                "kaop_avro writes are local-path-only (temp-then-rename "
-                "commit needs atomic rename); read paths accept URIs"
-            )
         codec = self.options.get("codec", "null")
+        if "://" in path:
+            # URI (object-store) writes use the manifest protocol.
+            # Seed the manifest BEFORE any task writes: from then on
+            # readers resolve through the manifest, so final-named
+            # in-flight parts can never leak via the listing fallback.
+            # Seeding folds in any externally-produced parts already
+            # present.
+            import pyarrow.fs as pafs
+
+            fs, rel = pafs.FileSystem.from_uri(path)
+            fs.create_dir(rel, recursive=True)
+            if _read_manifest(path) is None:
+                existing = [p.rsplit("/", 1)[1] for p in _list_avro(path)]
+                _write_manifest(path, {"parts": sorted(existing)})
+            return path, codec
         os.makedirs(path, exist_ok=True)
         return path, codec
 

@@ -677,11 +677,6 @@ def test_datasource_reader_schema_and_codec_options(spark):
     )
     assert got == [(1, "old", False), (2, "new", True)]
 
-    # writes reject URI paths (no atomic rename on object stores)
-    with pytest.raises(Exception, match="local-path-only|Py4J"):
-        df.write.format("kaop_avro").option(
-            "path", f"file://{base}/uri_out"
-        ).mode("append").save()
 
 
 def test_datasource_reads_file_uri(spark):
@@ -748,6 +743,103 @@ def test_datasource_stream_read_with_reader_schema(spark):
         for r in spark.read.parquet(sink).collect()
     )
     assert got == [(1, "old", False), (2, "new", True)]
+
+
+def test_uri_write_manifest_commit(spark):
+    """URI (object-store-shaped) writes: final-named parts published
+    by a _manifest.json PUT — two appends accumulate, overwrite
+    replaces, externally-produced parts fold into the first seed, and
+    readers never see the raw listing of a manifest-managed dir."""
+    import json as _json
+
+    from kafka_avro_order_processing_spark.sources.avro_ocf import register
+
+    register(spark)
+    base = tempfile.mkdtemp(prefix=f"ocfuriw_{uuid.uuid4().hex[:8]}_")
+    out, uri = f"{base}/out", f"file://{base}/out"
+
+    # an externally-produced part, written before our writer ever ran
+    # (same shape the writer emits: Spark columns are nullable unions)
+    nullable_schema = {
+        "type": "record", "name": "SparkRecord",
+        "fields": [
+            {"name": "doc_id", "type": ["null", "long"]},
+            {"name": "title", "type": ["null", "string"]},
+            {"name": "score", "type": ["null", "double"]},
+            {"name": "lang", "type": ["null", "string"]},
+            {"name": "flags",
+             "type": ["null", {"type": "array", "items": ["null", "int"]}]},
+            {"name": "ok", "type": ["null", "boolean"]},
+        ],
+    }
+    write_avro_ocf(f"{out}/external.avro", [ROWS[0]], nullable_schema)
+
+    df1 = spark.createDataFrame([(10, "t", 0.5, None, [1], True)],
+                                "doc_id long, title string, score double,"
+                                " lang string, flags array<int>, ok boolean")
+    df2 = spark.createDataFrame([(11, "u", 1.5, "en", [], False)],
+                                df1.schema)
+    df1.write.format("kaop_avro").option("path", uri).mode("append").save()
+    m = _json.loads(open(f"{out}/_manifest.json").read())
+    assert "external.avro" in m["parts"] and len(m["parts"]) == 2
+
+    df2.write.format("kaop_avro").option("path", uri).mode("append").save()
+    got = sorted(r["doc_id"] for r in spark.read.format("kaop_avro")
+                 .option("path", uri).load().collect())
+    assert got == [1, 10, 11]
+
+    # a stray uncommitted part in the dir must stay invisible
+    write_avro_ocf(f"{base}/stray.avro", [ROWS[1]], SCHEMA)
+    import shutil
+    shutil.copy(f"{base}/stray.avro", f"{out}/part-stray.avro")
+    got = sorted(r["doc_id"] for r in spark.read.format("kaop_avro")
+                 .option("path", uri).load().collect())
+    assert got == [1, 10, 11]  # manifest, not listing
+
+    df1.write.format("kaop_avro").option("path", uri).mode("overwrite").save()
+    got = [r["doc_id"] for r in spark.read.format("kaop_avro")
+           .option("path", uri).load().collect()]
+    assert got == [10]
+    m = _json.loads(open(f"{out}/_manifest.json").read())
+    assert len(m["parts"]) == 1
+    import glob
+    assert not glob.glob(f"{out}/external.avro")  # replaced set deleted
+
+
+def test_uri_stream_write_epoch_manifest(spark):
+    """writeStream to a URI path: each epoch's parts swap into the
+    manifest under the epochs map — two drains accumulate, and the
+    committed set reads back exactly."""
+    from kafka_avro_order_processing_spark.sources.avro_ocf import register
+
+    register(spark)
+    base = tempfile.mkdtemp(prefix=f"ocfurisw_{uuid.uuid4().hex[:8]}_")
+    src, chk = f"{base}/src", f"{base}/chk"
+    uri = f"file://{base}/out"
+
+    def drain(rows):
+        spark.createDataFrame(rows, "k long, s string").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = (
+            spark.readStream.schema("k long, s string")
+            .parquet(src)
+            .writeStream.format("kaop_avro")
+            .option("path", uri)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain([(1, "a"), (2, "b")])
+    drain([(3, "c")])
+    got = sorted(tuple(r) for r in spark.read.format("kaop_avro")
+                 .option("path", uri).load().collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+    import json as _json
+    m = _json.loads(open(f"{base}/out/_manifest.json").read())
+    assert len(m["epochs"]) >= 2  # distinct epochs tracked
 
 
 def test_datasource_stream_write_commits_epoch_parts(spark):
