@@ -80,7 +80,9 @@ def compact_parquet(
         .agg(F.count("*").alias("n"), F.sum("sz").alias("bytes"))
         .collect()[0]
     )
-    n_before, total = inv["n"], inv["bytes"]
+    # a store of only empty files inventories as 0 files / null
+    # bytes (the metadata scan sees no row groups) -> one empty file
+    n_before, total = inv["n"], inv["bytes"] or 0
     n_after = max(1, math.ceil(total / target_file_bytes))
     out = df.coalesce(n_after) if n_after <= n_before else df.repartition(n_after)
     out.write.mode("overwrite").parquet(dst)

@@ -248,6 +248,71 @@ def start_incremental_dedup(
     )
 
 
+def compact_index(spark: SparkSession, index_path: str) -> dict:
+    """Maintenance compaction for the index stores.
+
+    Every ingest epoch appends one small parquet file per writing task
+    to each store; over thousands of epochs the stores become
+    LISTING-bound — the classic small-file problem, and at 100 TB the
+    thing that actually kills a long-lived index.  Run this BETWEEN
+    drains (single-writer maintenance window, like any lake
+    compaction):
+
+    - the band store rewrites to one file per ``band_bucket``
+      partition (hash-repartition on the partition key, so pruning
+      layout is preserved exactly);
+    - the id-shaped stores (ids/sigs/dropped) rewrite via
+      ``compact_parquet`` (size-targeted file count);
+    - each store swaps in with old->bak / new->live / drop-bak, so a
+      crash mid-swap leaves either the old or the new layout, never
+      neither.
+
+    Results are unchanged — the stores are row SETS and only the file
+    layout moves (survivor-identity asserted in tests).  Local-path
+    stores only (the swap uses directory renames); returns per-store
+    {files_before, files_after} stats."""
+    import glob as _glob
+    import shutil
+
+    from ..sources.files import compact_parquet
+
+    def _nfiles(d: str) -> int:
+        return len(_glob.glob(f"{d}/**/*.parquet", recursive=True))
+
+    def _swap(live: str, fresh: str) -> None:
+        bak = live + "_bak"
+        os.rename(live, bak)
+        os.rename(fresh, live)
+        shutil.rmtree(bak)
+
+    stats: dict[str, dict] = {}
+    for name in ("ids", "sigs", "dropped"):
+        src = f"{index_path}/{name}"
+        if not os.path.exists(src):
+            continue
+        tmp = f"{index_path}/compacting.{name}"
+        before = _nfiles(src)
+        compact_parquet(spark, src, tmp)
+        _swap(src, tmp)
+        stats[name] = {"files_before": before, "files_after": _nfiles(src)}
+
+    band_store = f"{index_path}/bands"
+    if os.path.exists(band_store):
+        tmp = f"{index_path}/compacting.bands"
+        before = _nfiles(band_store)
+        df = spark.read.parquet(band_store)
+        n = max(df.select("band_bucket").distinct().count(), 1)
+        (
+            df.repartition(n, F.col("band_bucket"))
+            .write.mode("overwrite")
+            .partitionBy("band_bucket")
+            .parquet(tmp)
+        )
+        _swap(band_store, tmp)
+        stats["bands"] = {"files_before": before, "files_after": _nfiles(band_store)}
+    return stats
+
+
 def read_survivors(
     spark: SparkSession, index_path: str, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -317,6 +317,62 @@ def test_incremental_dedup_epoch_reads_band_store_pruned(spark):
     assert (3, 99) in got, got
 
 
+def test_incremental_dedup_index_compaction(spark):
+    """Per-epoch appends grow one small file per task per store —
+    compact_index must collapse the layout (band store keeps its
+    band_bucket partitioning) WITHOUT changing the survivor set, and
+    ingestion must continue against the compacted index (a post-
+    compaction near-dup of an old doc still drops)."""
+    import glob
+
+    from kafka_avro_order_processing_spark.streaming.incremental_dedup import (
+        compact_index,
+        read_survivors,
+        start_incremental_dedup,
+    )
+
+    base = tempfile.mkdtemp(prefix=f"incdd_compact_{uuid.uuid4().hex[:8]}_")
+    src, idx, chk = f"{base}/src", f"{base}/index", f"{base}/chk"
+    schema = "doc_id long, text string"
+    docs = [
+        (i, f"doc {i} body " + " ".join(f"w{i}x{j}v{i * 31 + j * 7}" for j in range(10)))
+        for i in range(24)
+    ]
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        start_incremental_dedup(stream, idx, chk).awaitTermination()
+
+    # four epochs of appends -> many small files per store
+    for i in range(0, 24, 6):
+        spark.createDataFrame(docs[i : i + 6], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    drain()
+    before_sv = {r["doc_id"] for r in read_survivors(spark, idx).collect()}
+    n_band_files = len(glob.glob(f"{idx}/bands/**/*.parquet", recursive=True))
+
+    stats = compact_index(spark, idx)
+    assert stats["bands"]["files_after"] < n_band_files
+    assert stats["ids"]["files_after"] <= stats["ids"]["files_before"]
+    # layout preserved: still partitioned by band_bucket on disk
+    assert glob.glob(f"{idx}/bands/band_bucket=*")
+    after_sv = {r["doc_id"] for r in read_survivors(spark, idx).collect()}
+    assert after_sv == before_sv
+
+    # ingestion continues: a near-dup of doc 3 lands post-compaction
+    spark.createDataFrame([(999, docs[3][1] + " tail")], schema).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    drain()
+    final = {r["doc_id"] for r in read_survivors(spark, idx).collect()}
+    assert final == before_sv  # 999 dropped against the compacted index
+
+
 def test_incremental_dedup_replayed_epoch_converges(spark):
     """At-least-once replay: if an epoch's store appends landed but
     the checkpoint commit did not, the epoch re-runs against an index
