@@ -49,3 +49,24 @@ def test_no_row_wise_python_udf_or_cartesian(spark, name):
     assert "CartesianProduct" not in plan, (
         f"{name} has an unbounded cartesian join (broadcast the singleton side)"
     )
+
+
+#: queries whose FIRST operation is a selective filter on a base-table
+#: column — the filter must reach the parquet scan as a pushed
+#: predicate, or at 100 TB the scan reads the whole table to drop most
+#: of it afterwards.
+PUSHDOWN_CASES = {
+    "pricing_summary": "l_shipdate",        # date cutoff on lineitem
+    "shipping_priority": "o_orderdate",     # date bound on orders
+    "purchase_avg_lookup": "event_type",    # single-key point lookup
+}
+
+
+@pytest.mark.parametrize("name", sorted(PUSHDOWN_CASES))
+def test_selective_filters_reach_the_scan(spark, name):
+    plan = _plan_of(spark, name)
+    col = PUSHDOWN_CASES[name]
+    scans = [p for p in plan.split("\n\n") if "PushedFilters" in p]
+    assert any(
+        col in s.split("PushedFilters", 1)[1].split("\n", 1)[0] for s in scans
+    ), f"{name}: filter on {col} not pushed to the scan\n{plan}"
