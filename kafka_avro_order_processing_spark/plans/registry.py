@@ -1317,6 +1317,73 @@ def q_avro_ocf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "avro_uri_manifest_write",
+    f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           {_dsum('o_totalprice')} AS total_price
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+    tags=("source", "avro", "datasource", "manifest"),
+    doc="The object-store (URI) write path of the kaop_avro source "
+        "(sources/avro_ocf.py): orders written to a file:// URI go "
+        "through the MANIFEST COMMIT protocol — tasks write "
+        "final-named uuid parts directly (no rename, as object "
+        "stores require), the driver publishes each job with one "
+        "versioned _manifest.json PUT, and a second append job "
+        "folds its parts into the committed set.  Before reading "
+        "back, a final-named part that NO commit published is "
+        "planted in the directory carrying poison values: the "
+        "manifest-resolved listing must hide it — the oracle over "
+        "the source parquet fails if even one uncommitted row "
+        "leaks, so this row pins the protocol's visibility "
+        "invariant, not just the codec.",
+)
+def q_avro_uri_manifest_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.avro_ocf import register as _reg_avro
+    from ..sources.avro_ocf import write_avro_ocf
+
+    _reg_avro(spark)
+    out = "file://" + tempfile.mkdtemp(prefix="kaop_ocf_uri_") + "/orders"
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
+    # two append JOBS: the second one's publish must fold the first
+    # job's committed parts into the manifest, not replace them
+    for parity in (0, 1):
+        (
+            o.filter(F.col("o_orderkey") % 2 == parity)
+            .write.format("kaop_avro")
+            .option("path", out)
+            .mode("append")
+            .save()
+        )
+    # an aborted/foreign final-named part no commit ever published —
+    # invisible to the manifest-resolved read, or the oracle fails
+    write_avro_ocf(
+        f"{out}/part-uncommitted-poison.avro",
+        [{"o_orderkey": 0, "o_orderpriority": "1-URGENT",
+          "o_totalprice": 9.9e9}],
+        {"type": "record", "name": "SparkRecord", "fields": [
+            {"name": "o_orderkey", "type": ["null", "long"]},
+            {"name": "o_orderpriority", "type": ["null", "string"]},
+            {"name": "o_totalprice", "type": ["null", "double"]},
+        ]},
+    )
+    back = spark.read.format("kaop_avro").option("path", out).load()
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        dec_sum("o_totalprice").alias("total_price"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Statistical aggregates, analytic windows (lag/rank), fact-fact and
 # semi/anti joins, SQL-API twin, exact per-record streaming emission.
@@ -3985,57 +4052,52 @@ def q_streaming_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _LEAD_ORDER = [
-    # -- round-5 window (exactly 50 names precede the boundary) --
+    # -- round-6 window (exactly 50 names precede the boundary) --
     # new this round (a new name must displace into the window in the
-    # same round it is added) + the one plan rewritten this round (the
-    # incremental-dedup index now persists the band table and prunes)
-    "avro_ocf_roundtrip", "streaming_incremental_dedup",
-    # the 12 names whose latest green row is round 2 (age 2 — the
-    # oldest anywhere), exactly as HANDOFF.md's rotation math queued
-    "streaming_static_enrich", "streaming_watermarked_windows",
-    "upsert_orders", "user_funnel", "value_distribution_ranks",
-    "salted_product_stats", "streaming_product_stats_update",
-    "value_bounds", "orders_by_month", "daily_event_type_pivot",
-    "daily_events_unpivot", "priority_code_extract",
-    # round-3-green names reaching age 2 this round (36 of 46 fit;
-    # the 10 past the boundary are the most twinned — each is named
-    # there with the newer green row covering its operator code)
-    "runtime_filtered_join", "ivf_kmeans_refine", "sequence_packing",
-    "dedup_clusters", "pricing_summary", "per_product_stats",
-    "overall_stats", "validated_orders", "rejected_orders",
-    "dlq_error_stats", "error_classification", "running_avg",
-    "top_customers", "priority_line_revenue", "asof_purchase_click",
-    "events_hourly", "user_sessions", "streaming_product_stats",
-    "streaming_running_avg_per_record", "streaming_user_sessions",
-    "embedding_topk", "tfidf_top_terms", "dedup_exact",
-    "revenue_by_region", "top3_events_per_type", "doc_token_stats",
-    "token_counts_top20", "language_id", "quality_scores",
-    "doc_fingerprints", "multimodal_meta", "region_nation_rollup",
-    "priority_status_cube", "events_sliding_30m", "churned_users",
-    "ivf_cell_sizes",
-    # --- position 50 boundary: names below hold green rows at most
-    # 2 rounds old after this round.  First the 10 r3-green twins
-    # displaced above (they reach age 3 in round 6 — LEAD ROUND 6
-    # WITH THESE), each twinned by an in-window/newer row of the same
-    # operator code:
-    #   dedup_clusters_star        -> dedup_clusters (property-tested ==)
-    #   streaming_kmeans_refine    -> ivf_kmeans_refine (bit-equal twin)
-    #   packing_efficiency         -> sequence_packing (same operator)
-    #   customers_no_pending_orders-> customers_with_pending_orders (r4)
-    #   embedding_near_dup         -> embedding_lsh_near_dup (r4) + embedding_topk
-    #   ngram_jaccard_adjacent     -> near_dup_pairs exact-Jaccard (r4)
-    #   order_priority_counts      -> priority_status_cube (in-window)
-    #   daily_revenue_lag          -> running_avg lag/window (in-window)
-    #   supplier_balance_by_nation -> revenue_by_region (in-window)
-    #   multi_stream_union         -> churned_users set-ops (in-window)
+    # same round it is added): the manifest-commit URI write path's
+    # first driver row (VERDICT r5 next-round #2)
+    "avro_uri_manifest_write",
+    # the 10 names whose latest green row is round 3 (age 3 this
+    # round — the oldest anywhere), exactly as the r5 boundary
+    # comment + HANDOFF rotation math queued them
     "dedup_clusters_star", "streaming_kmeans_refine",
     "packing_efficiency", "customers_no_pending_orders",
     "embedding_near_dup", "ngram_jaccard_adjacent",
     "order_priority_counts", "daily_revenue_lag",
     "supplier_balance_by_nation", "multi_stream_union",
-    # then the round-4-green names (age 1 — safe until round 7),
-    # oldest-registration-first via the fallback append in
-    # _apply_order; no need to enumerate them here.
+    # round-4-green names reaching age 2 this round, oldest-
+    # registration-first (39 of 49 fit; the 10 past the boundary are
+    # queued for round 7)
+    "doc_chunks", "streaming_upsert_orders",
+    "streaming_dedup_watermarked", "streaming_scd2_customer_dim",
+    "generated_orders_datasource", "user_retention_cohorts",
+    "diversity_sample", "near_dup_pairs", "near_dup_pairs_char",
+    "embedding_lsh_near_dup", "upsert_orders_partitioned",
+    "product_stats_snapshot", "purchase_avg_lookup",
+    "sql_api_events_hourly", "value_percentiles", "value_dispersion",
+    "customers_with_pending_orders", "order_display_lines",
+    "above_customer_avg_orders", "approx_distinct_users",
+    "benchmark_contamination", "bm25_top20", "boilerplate_grams",
+    "clicks_before_purchase", "corrupt_json_handling",
+    "curated_corpus_stats", "dataset_split_counts",
+    "deterministic_sample", "doc_length_histogram",
+    "doc_repetition_scores", "domain_mixture_sample",
+    "embedding_quantization_error", "explicit_grouping_sets",
+    "forecast_revenue_change", "generated_orders", "ivf_probe_search",
+    "ivf_recall_at_k", "large_quantity_orders",
+    "multimodal_decoded_features",
+    # --- position 50 boundary: names below hold green rows at most
+    # 2 rounds old after this round.  First the 10 r4-green names
+    # displaced past the cap (they reach age 3 in round 7 — LEAD
+    # ROUND 7 WITH THESE, then fill with the 50 r5-green names
+    # oldest-registration-first; the r6 window's names are safe
+    # until round 8):
+    "per_source_quality", "pii_detection", "props_json_extraction",
+    "quality_filter_funnel", "scd2_customer_dim", "shipping_priority",
+    "simhash_fingerprints", "source_overlap_grams",
+    "streaming_dedup_exact", "streaming_interval_join",
+    # then everything else (r5-green, age 1 — safe until round 7)
+    # via the fallback append in _apply_order.
 ]
 
 

@@ -425,26 +425,164 @@ _PROMOTIONS = {
 }
 
 
-def _unwrap_nullable(schema):
-    """Normalize, then peel a single-non-null-branch union down to its
-    payload type — so a nullable ``["null", T]`` field takes the same
-    promotion/mismatch validation path as a bare ``T``.  Returns the
-    normalized node unchanged for everything else."""
+def _type_kind(schema) -> str:
+    """The type-kind name used for resolution matching: primitive name,
+    ``"union"`` for lists, the ``type`` attribute for complex nodes."""
+    s = _norm_schema(schema)
+    if isinstance(s, str):
+        return s
+    if isinstance(s, list):
+        return "union"
+    return s["type"]
+
+
+def _value_matches(v, schema) -> bool:
+    """Does a DECODED Python value conform to this (normalized) Avro
+    node?  Used to re-match a writer-union value to the branch the
+    writer chose — the branch index is consumed at decode time, but
+    the decoded value's shape identifies it (mirrors ``encode_value``'s
+    first-match rule, so the re-match is symmetric with the writer)."""
     s = _norm_schema(schema)
     if isinstance(s, list):
-        non_null = [b for b in s if _norm_schema(b) != "null"]
-        if len(non_null) == 1:
-            return _norm_schema(non_null[0])
-    return s
+        return any(_value_matches(v, b) for b in s)
+    if s == "null" or (isinstance(s, dict) and s["type"] == "null"):
+        return v is None
+    if v is None:
+        return False
+    if isinstance(s, str):
+        if s == "boolean":
+            return isinstance(v, bool)
+        if s in ("int", "long"):
+            return isinstance(v, int) and not isinstance(v, bool)
+        if s in ("float", "double"):
+            return isinstance(v, float)
+        if s == "string":
+            return isinstance(v, str)
+        if s == "bytes":
+            return isinstance(v, bytes)
+        return False
+    t, lt = s["type"], s.get("logicalType")
+    if lt in ("timestamp-micros", "timestamp-millis"):
+        return isinstance(v, _dt.datetime)
+    if lt == "date":
+        return isinstance(v, _dt.date) and not isinstance(v, _dt.datetime)
+    if lt == "decimal" and t == "bytes":
+        import decimal as _decimal
+
+        return isinstance(v, (_decimal.Decimal, bytes))
+    if t == "record":
+        return isinstance(v, dict) and set(v) >= {f["name"] for f in s["fields"]}
+    if t == "map":
+        return isinstance(v, dict)
+    if t == "array":
+        return isinstance(v, list)
+    if t == "enum":
+        return isinstance(v, str) and v in s["symbols"]
+    if t == "fixed":
+        return isinstance(v, bytes) and len(v) == s["size"]
+    if t in _PRIMITIVES:
+        return _value_matches(v, t)
+    return False
+
+
+def _branch_compatible(writer_type, reader_branch) -> bool:
+    """Can this (non-union) writer type resolve against this reader
+    union branch?  Spec: the FIRST reader branch that matches is
+    recursively resolved against — match means same type-kind or a
+    legal promotion (numeric table plus string<->bytes)."""
+    rb = _norm_schema(reader_branch)
+    if isinstance(rb, list):  # unions never directly nest in Avro
+        return False
+    wk, rk = _type_kind(writer_type), _type_kind(rb)
+    if wk == rk:
+        return True
+    return (wk, rk) in _PROMOTIONS or (wk, rk) in (
+        ("string", "bytes"), ("bytes", "string"),
+    )
+
+
+def _resolve_value(v, writer_type, reader_type, field: str = ""):
+    """Resolve one decoded value against the reader's type per the
+    spec's Schema Resolution rules — full union re-resolution:
+
+    - writer union: the value re-matches to the branch the writer
+      chose, then that branch resolves against the reader type (so
+      branch-subset/superset/reordered unions all work; an error
+      surfaces only for a datum whose actual branch the reader
+      dropped — exactly the spec's per-datum semantics);
+    - reader union (writer branch not a union): the first reader
+      branch the writer type matches is resolved against; no match —
+      including a null from a nullable writer meeting a reader with
+      no null branch — is an error, never a silent pass-through;
+    - both non-union: equal kinds pass through (records/arrays/maps
+      recurse, so nested evolution works; enum symbols must exist in
+      the reader's symbol set or its spec ``default``; fixed must
+      agree on size), numeric promotions and string<->bytes convert,
+      anything else raises ``illegal promotion``."""
+    ws, rs = _norm_schema(writer_type), _norm_schema(reader_type)
+    if isinstance(ws, list):
+        branch = next((b for b in ws if _value_matches(v, b)), None)
+        if branch is None:
+            raise ValueError(
+                f"value {v!r} matches no writer union branch for {field!r}"
+            )
+        return _resolve_value(v, branch, rs, field)
+    if isinstance(rs, list):
+        for rb in rs:
+            if _branch_compatible(ws, rb):
+                return _resolve_value(v, ws, rb, field)
+        rnames = "|".join(_type_kind(b) for b in rs)
+        raise ValueError(
+            f"illegal promotion {_type_kind(ws)} -> union[{rnames}] for {field!r}"
+        )
+    wk, rk = _type_kind(ws), _type_kind(rs)
+    if wk == rk:
+        if wk == "record":
+            return resolve_record(v, ws, rs)
+        if wk == "array":
+            return [
+                _resolve_value(x, ws["items"], rs["items"], field) for x in v
+            ]
+        if wk == "map":
+            return {
+                mk: _resolve_value(mv, ws["values"], rs["values"], field)
+                for mk, mv in v.items()
+            }
+        if wk == "enum":
+            if v in rs["symbols"]:
+                return v
+            if "default" in rs:  # spec enum default for unknown symbols
+                return rs["default"]
+            raise ValueError(
+                f"enum symbol {v!r} absent from reader symbols for {field!r}"
+            )
+        if wk == "fixed":
+            if rs["size"] != len(v):
+                raise ValueError(
+                    f"fixed size mismatch {len(v)} -> {rs['size']} for {field!r}"
+                )
+            return v
+        return v
+    if v is None:  # nullable writer value meeting a promotable reader
+        raise ValueError(f"illegal promotion null -> {rk} for {field!r}")
+    if (wk, rk) in _PROMOTIONS:
+        return float(v) if rk in ("float", "double") else int(v)
+    if (wk, rk) == ("string", "bytes"):
+        return v.encode("utf-8")
+    if (wk, rk) == ("bytes", "string"):
+        return v.decode("utf-8")
+    raise ValueError(f"illegal promotion {wk} -> {rk} for {field!r}")
 
 
 def resolve_record(writer_rec: dict, writer_schema: dict, reader_schema: dict) -> dict:
     """Project one decoded writer record onto the reader schema:
 
-    - reader fields present in the writer pass through (with numeric
-      promotion when the spec allows it — nullable ``["null", T]``
-      unions are unwrapped on BOTH sides first, so evolved nullable
-      fields get the same type checking as bare primitives);
+    - reader fields present in the writer resolve via
+      :func:`_resolve_value` — full spec resolution including numeric
+      and string<->bytes promotion, UNION re-resolution (writer and
+      reader unions with different branch sets, matched per the spec's
+      first-match rule), and recursion into nested records, arrays
+      and maps;
     - reader fields ABSENT from the writer take their ``default``
       (required by the spec — missing default raises);
     - a reader field may RENAME a writer field by listing the old
@@ -452,9 +590,8 @@ def resolve_record(writer_rec: dict, writer_schema: dict, reader_schema: dict) -
       matching alias wins);
     - writer fields the reader dropped are discarded.
 
-    General union re-resolution (beyond the nullable unwrap) is out
-    of scope — named explicitly; this is the evolution subset
-    additive lake schemas use."""
+    The only remaining resolution exclusion is recursive schemas
+    (which the expansion layer rejects up front)."""
     writer_fields = {f["name"]: f for f in writer_schema["fields"]}
     out = {}
     for rf in reader_schema["fields"]:
@@ -463,16 +600,9 @@ def resolve_record(writer_rec: dict, writer_schema: dict, reader_schema: dict) -
             (a for a in rf.get("aliases", ()) if a in writer_fields), None
         )
         if src is not None:
-            v = writer_rec[src]
-            wt = _unwrap_nullable(writer_fields[src]["type"])
-            rt = _unwrap_nullable(rf["type"])
-            if isinstance(wt, str) and isinstance(rt, str) and wt != rt:
-                if (wt, rt) in _PROMOTIONS:
-                    if v is not None:  # nullable writer value: null passes
-                        v = float(v) if rt in ("float", "double") else int(v)
-                else:
-                    raise ValueError(f"illegal promotion {wt} -> {rt} for {name!r}")
-            out[name] = v
+            out[name] = _resolve_value(
+                writer_rec[src], writer_fields[src]["type"], rf["type"], name
+            )
         elif "default" in rf:
             out[name] = rf["default"]
         else:
@@ -543,18 +673,18 @@ def read_avro_ocf(spark, path: str, reader_schema: dict | None = None):
     defaults, dropped fields are discarded, numeric promotions apply.
     Without it, every file must match the discovered schema exactly
     (drift is an error, not a silent coercion).
+
+    Listing goes through ``_list_avro`` — the same manifest-aware,
+    ``_tmp_``-filtering path the ``kaop_avro`` reader uses — so on a
+    manifest-managed (URI-written) directory this function sees the
+    COMMITTED part set, never uncommitted or aborted final-named
+    parts, and the two batch read paths always agree.
     """
-    listing = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.avro")
-        .load(path)
-        .select("path", "content")
-    )
+    files = [path] if path.endswith(".avro") else _list_avro(path)
+    if not files:
+        raise ValueError(f"no .avro files under {path}")
     if reader_schema is None:
-        first = listing.select("content").limit(1).collect()
-        if not first:
-            raise ValueError(f"no .avro files under {path}")
-        schema, _ = parse_ocf(bytes(first[0]["content"]))
+        schema, _ = parse_ocf(_read_bytes(files[0]))
         if _norm_schema(schema).get("type") != "record":
             raise ValueError("top-level OCF schema must be a record")
         out_fields = _expand_named_refs(schema)["fields"]
@@ -564,12 +694,15 @@ def read_avro_ocf(spark, path: str, reader_schema: dict | None = None):
     fields = [(f["name"], _spark_field_type(f["type"])) for f in out_fields]
     out_schema = ", ".join(f"{n} {t}" for n, t in fields)
     names = [n for n, _ in fields]
+    listing = spark.createDataFrame(
+        [(f,) for f in files], "path string"
+    ).repartition(len(files))  # one executor task per container file
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: list[dict] = []
-            for content in pdf["content"]:
-                fschema, recs = parse_ocf(bytes(content))
+            for fpath in pdf["path"]:
+                fschema, recs = parse_ocf(_read_bytes(fpath))
                 if reader_schema is not None:
                     recs = [resolve_record(r, fschema, reader_schema) for r in recs]
                 elif fschema != schema:
@@ -577,7 +710,7 @@ def read_avro_ocf(spark, path: str, reader_schema: dict | None = None):
                 rows.extend(recs)
             yield pd.DataFrame(rows, columns=names)
 
-    return listing.select("content").mapInPandas(_decode, schema=out_schema)
+    return listing.mapInPandas(_decode, schema=out_schema)
 
 
 # --------------------------------------------------------------------------
@@ -670,8 +803,23 @@ def _delete_file(path: str) -> None:
 # with ONE small-object PUT of ``_manifest.json`` (atomic per object).
 # The writer seeds the manifest from the current listing before the
 # job, so externally-produced parts fold in and in-flight parts never
-# leak through the listing fallback.  Single-writer-at-a-time per
-# directory (no manifest CAS), stated here explicitly.
+# leak through the listing fallback.
+#
+# Concurrent writers: plain object stores have no compare-and-swap,
+# so the read-modify-write of the manifest can race.  ``_publish_
+# manifest`` closes the common window: every publish re-reads the
+# manifest, applies its mutation to the CURRENT state (so an append
+# folds in parts another writer committed meanwhile — part names are
+# per-job unique, unions are safe), stamps a version + a one-shot
+# writer token, PUTs, then READS BACK; if another writer's PUT won
+# the race the token mismatch is detected and the merge retries
+# against the new state, and after bounded retries it raises instead
+# of silently dropping the other writer's parts.  This is
+# detect-and-repair, not true CAS — a store that reorders or delays
+# read-after-write visibility can still interleave two PUTs
+# undetected, so heavy multi-writer workloads should serialize
+# commits externally; what can no longer happen silently is the
+# last-writer-wins part loss.
 # --------------------------------------------------------------------------
 
 MANIFEST = "_manifest.json"
@@ -682,13 +830,20 @@ def _manifest_path(path: str) -> str:
 
 
 def _read_manifest(path: str) -> dict | None:
+    """The committed manifest, or None ONLY when it is genuinely
+    absent (the directory is not manifest-managed).  Any other
+    failure — IO/permission/network, or corrupt JSON — raises: a
+    silent fallback to the raw listing on a flaky read would surface
+    uncommitted final-named parts, violating the commit protocol's
+    visibility invariant."""
     mp = _manifest_path(path)
     if "://" not in mp and not os.path.exists(mp):
         return None
     try:
-        return json.loads(_read_bytes(mp))
-    except Exception:
-        return None  # absent (or unreadable): fall back to listing
+        raw = _read_bytes(mp)
+    except FileNotFoundError:
+        return None
+    return json.loads(raw)
 
 
 def _write_manifest(path: str, manifest: dict) -> None:
@@ -703,6 +858,31 @@ def _write_manifest(path: str, manifest: dict) -> None:
         return
     with open(mp, "wb") as f:
         f.write(data)
+
+
+def _publish_manifest(path: str, mutate, max_retries: int = 5) -> dict:
+    """Versioned read-mutate-write of the manifest with lost-race
+    detection (see the protocol comment above).  ``mutate(current)``
+    returns the new manifest body computed from the CURRENT committed
+    state — it is re-invoked on every retry so concurrent commits
+    fold in rather than being overwritten."""
+    import uuid as _uuid
+
+    last_seen = None
+    for _ in range(max_retries):
+        cur = _read_manifest(path) or {}
+        new = mutate(dict(cur))
+        new["version"] = int(cur.get("version", 0)) + 1
+        new["writer"] = _uuid.uuid4().hex  # one-shot token: detects lost PUT races
+        _write_manifest(path, new)
+        check = _read_manifest(path)
+        if check == new:
+            return new
+        last_seen = check
+    raise RuntimeError(
+        f"manifest publish for {path!r} kept losing to a concurrent writer "
+        f"(last observed: {last_seen!r}); serialize writers to this directory"
+    )
 
 
 def _schema_of_dir(path: str):
@@ -743,43 +923,106 @@ class AvroOcfReader(DataSourceReader):
 
 
 class AvroOcfStreamReader(DataSourceStreamReader):
-    """Landing-directory ingestion: the offset is the count of files
-    already consumed from the SORTED listing.  Deterministic replay
-    holds under the standard landing contract — files are immutable
-    once visible and names grow monotonically (part-0001 < part-0002);
-    out-of-order names are still ingested, just not replay-stable.
+    """Landing-directory ingestion: the offset is the SET of file
+    basenames already consumed (``{"files": [...]}``), so arrival
+    order never matters — a newly landed file whose name sorts before
+    already-consumed names (the uuid part names both writers emit are
+    non-monotonic) is simply "not in the set yet" and gets ingested,
+    and replay is exact because each offset names its files
+    explicitly.  (The earlier file-COUNT offset over a sorted listing
+    silently lost such a file AND re-read an old one for the slice.)
+    At scale the name set grows with the directory; like Spark's own
+    file source seen-files map, pair it with retention/compaction of
+    the landing directory — the offset only carries what is listed.
+
+    ``maxFilesPerBatch`` (option) caps how many NEW files one
+    micro-batch admits; a 10k-file backlog drains in ceil(N/cap)
+    batches instead of one giant epoch.  Restart safety: a capped
+    ``latestOffset`` computed from an EMPTY consumed-set on a
+    restarted query would publish an offset BEHIND the checkpointed
+    start and rewind the stream.  That cannot happen here: on every
+    restart the engine re-plans the checkpoint's last batch —
+    ``partitions(start, end)``/``commit(end)`` run with the restored
+    offsets BEFORE the first ``latestOffset`` (verified against the
+    runner's call order) — so the instance has re-learned the
+    committed name set by the time it caps, while on a genuinely
+    fresh query there is nothing to learn and capping from empty is
+    exact.  As defense in depth, ``partitions`` raises loudly if it
+    is ever handed a backward range (``end`` missing names from
+    ``start``) instead of silently re-ingesting files.
 
     This is the PARTITIONED stream reader: only the file LISTING and
     offset bookkeeping run driver-side (metadata, same as any file
     source); ``partitions(start, end)`` yields one ``InputPartition``
     per new file and the container parse + record decode run in
     executor tasks — record payloads never funnel through the driver
-    (the earlier ``SimpleDataSourceStreamReader`` form materialized
-    every streamed row in a driver-side list, which caps throughput at
-    one Python process; a landing-directory source must scale with the
-    number of landed files)."""
+    (a landing-directory source must scale with the number of landed
+    files)."""
 
-    def __init__(self, path: str, schema, names, reader_schema: dict | None = None):
+    def __init__(
+        self, path: str, schema, names, reader_schema: dict | None = None,
+        max_files_per_batch: int | None = None,
+    ):
         self.path, self.avro_schema, self.names = path, schema, names
         self.reader_schema = reader_schema
+        self.max_files_per_batch = max_files_per_batch
+        #: basenames covered by the last offset this instance returned
+        #: or learned from the engine; None = fresh instance, unknown
+        self._known: set[str] | None = None
+
+
+    def _names_of(self, offset: dict) -> set[str]:
+        if "files" in offset:
+            return set(offset["files"])
+        # legacy count-offset from a pre-name-set checkpoint: best-
+        # effort conversion via the sorted listing prefix it indexed
+        names = sorted(p.rsplit("/", 1)[-1] for p in _list_avro(self.path))
+        return set(names[: offset.get("n_files", 0)])
 
     def initialOffset(self) -> dict:
-        return {"n_files": 0}
+        self._known = set()  # fresh query: nothing consumed
+        return {"files": []}
 
     def latestOffset(self) -> dict:
-        return {"n_files": len(_list_avro(self.path))}
+        listing = {p.rsplit("/", 1)[-1] for p in _list_avro(self.path)}
+        if self._known is None:
+            # First call of a fresh query (the engine may ask for the
+            # latest offset before the initial one): nothing consumed.
+            # A restarted query never reaches here with None — the
+            # engine re-plans the checkpointed batch first, which
+            # teaches partitions()/commit() the committed set.
+            self._known = set()
+        new = sorted(listing - self._known)
+        if self.max_files_per_batch is not None:
+            new = new[: self.max_files_per_batch]
+        self._known |= set(new)
+        return {"files": sorted(self._known)}
 
     def partitions(self, start: dict, end: dict):
-        files = _list_avro(self.path)[start["n_files"] : end["n_files"]]
-        return [InputPartition(f) for f in files]
+        start_names, end_names = self._names_of(start), self._names_of(end)
+        if not end_names >= start_names:
+            # a backward offset range would silently re-ingest files
+            raise ValueError(
+                f"kaop_avro stream offset went backwards: end is missing "
+                f"{sorted(start_names - end_names)[:5]} from start"
+            )
+        # ground truth from the engine (covers batch replay on restart)
+        self._known = (self._known or set()) | end_names
+        base = self.path.rstrip("/")
+        return [
+            InputPartition(f"{base}/{n}") for n in sorted(end_names - start_names)
+        ]
 
     def read(self, partition):  # executor-side decode, one task per file
         yield from _file_rows(
             partition.value, self.avro_schema, self.names, self.reader_schema
         )
 
-    def commit(self, end: dict) -> None:  # offsets live in the checkpoint log
-        pass
+    def commit(self, end: dict) -> None:
+        # offsets live in the checkpoint log; learning the committed
+        # set here restores the cap watermark when the engine commits
+        # a restored batch after restart
+        self._known = (self._known or set()) | self._names_of(end)
 
 
 #: Spark type -> Avro type for the writer path (reverse of _AVRO_TO_SPARK).
@@ -897,15 +1140,28 @@ class AvroOcfWriter(DataSourceWriter):
     def commit(self, messages) -> None:
         new = [m.tmp for m in messages if m is not None and m.tmp is not None]
         if self.uri_mode:
-            old = _list_avro(self.path)  # committed set (manifest-backed)
-            prior = [] if self.overwrite else [p.rsplit("/", 1)[1] for p in old]
-            _write_manifest(self.path, {"parts": sorted(set(prior) | set(new))})
-            if self.overwrite:
-                for f in old:  # best-effort cleanup of replaced parts
-                    try:
-                        _delete_file(f)
-                    except OSError:
-                        pass
+            replaced: list[str] = []
+
+            def mutate(cur: dict) -> dict:
+                # computed against the CURRENT committed state on every
+                # retry: a concurrent append's parts fold in (uuid part
+                # names never collide), overwrite replaces whatever is
+                # committed at publish time.
+                if self.overwrite:
+                    replaced[:] = cur.get("parts", [])
+                    cur.pop("epochs", None)
+                    cur["parts"] = sorted(set(new))
+                else:
+                    cur["parts"] = sorted(set(cur.get("parts", [])) | set(new))
+                return cur
+
+            _publish_manifest(self.path, mutate)
+            base = self.path.rstrip("/")
+            for name in replaced:  # best-effort cleanup of replaced parts
+                try:
+                    _delete_file(f"{base}/{name}")
+                except OSError:
+                    pass
             return
         if self.overwrite:
             for f in _list_avro(self.path):  # committed parts only
@@ -966,14 +1222,18 @@ class AvroOcfStreamWriter(DataSourceStreamWriter):
     def commit(self, messages, batchId: int) -> None:
         new = [m.tmp for m in messages if m is not None and m.tmp is not None]
         if self.uri_mode:
-            m = _read_manifest(self.path) or {"parts": []}
-            epochs = m.get("epochs", {})
-            replaced = epochs.get(str(batchId), [])  # replayed epoch
-            epochs[str(batchId)] = new
-            parts = [p for p in m.get("parts", []) if p not in replaced] + new
-            _write_manifest(
-                self.path, {"parts": sorted(set(parts)), "epochs": epochs}
-            )
+            replaced: list[str] = []
+
+            def mutate(cur: dict) -> dict:
+                epochs = cur.get("epochs", {})
+                replaced[:] = epochs.get(str(batchId), [])  # replayed epoch
+                epochs[str(batchId)] = new
+                parts = [p for p in cur.get("parts", []) if p not in replaced]
+                cur["epochs"] = epochs
+                cur["parts"] = sorted(set(parts) | set(new))
+                return cur
+
+            _publish_manifest(self.path, mutate)
             for name in replaced:
                 try:
                     _delete_file(f"{self.path.rstrip('/')}/{name}")
@@ -1001,15 +1261,20 @@ class AvroOcfStreamWriter(DataSourceStreamWriter):
 class AvroOcfDataSource(DataSource):
     """``format("kaop_avro").option("path", dir)`` — batch reads fan
     out one executor partition per container file; streaming ingests a
-    growing landing directory with file-count offsets (partitioned
-    reader: executors decode); batch writes emit one container part
+    growing landing directory with consumed-file-name-set offsets
+    (arrival-order independent, optionally rate-limited via
+    ``maxFilesPerBatch``; partitioned reader: executors decode);
+    batch writes emit one container part
     per task with temp-then-rename commit; stream writes commit
     batch-stamped parts per epoch (replay-safe).
 
     Options: ``path`` (required); ``readerSchema`` (Avro schema JSON —
     read evolved files as one table via per-file schema resolution;
     without it schema drift is an error); ``codec`` (write side:
-    ``null`` default or ``deflate``).  Paths accept ``file://`` and
+    ``null`` default or ``deflate``); ``maxFilesPerBatch`` (stream
+    read side: admit at most N new files per micro-batch — a landed
+    backlog drains in ceil(N/cap) batches instead of one giant
+    epoch).  Paths accept ``file://`` and
     other pyarrow-filesystem URIs on BOTH sides: reads list and fetch
     through pyarrow's fs, and URI writes commit via the
     ``_manifest.json`` protocol (final-named parts published by one
@@ -1051,7 +1316,13 @@ class AvroOcfDataSource(DataSource):
 
     def streamReader(self, schema) -> AvroOcfStreamReader:  # noqa: ARG002
         path, avsc, names, _, rs = self._resolved()
-        return AvroOcfStreamReader(path, avsc, names, rs)
+        cap = self.options.get("maxfilesperbatch") or self.options.get(
+            "maxFilesPerBatch"
+        )
+        return AvroOcfStreamReader(
+            path, avsc, names, rs,
+            max_files_per_batch=int(cap) if cap is not None else None,
+        )
 
     def _write_target(self):
         path = self.options.get("path")
@@ -1071,7 +1342,14 @@ class AvroOcfDataSource(DataSource):
             fs.create_dir(rel, recursive=True)
             if _read_manifest(path) is None:
                 existing = [p.rsplit("/", 1)[1] for p in _list_avro(path)]
-                _write_manifest(path, {"parts": sorted(existing)})
+
+                def seed(cur: dict) -> dict:
+                    # a concurrent writer may have seeded between the
+                    # read above and this publish — keep its part set
+                    cur["parts"] = sorted(set(cur.get("parts", existing)))
+                    return cur
+
+                _publish_manifest(path, seed)
             return path, codec
         os.makedirs(path, exist_ok=True)
         return path, codec

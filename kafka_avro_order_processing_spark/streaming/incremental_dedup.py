@@ -170,6 +170,10 @@ def start_incremental_dedup(
     sig_store = f"{index_path}/sigs"
     band_store = f"{index_path}/bands"
     drop_store = f"{index_path}/dropped"
+    if "://" not in index_path:
+        # heal a crashed compaction BEFORE any epoch can mistake a
+        # mid-swap missing store for "first epoch" (see recover_index)
+        recover_index(index_path)
 
     def body(df: DataFrame, epoch_id: int) -> None:
         spark = df.sparkSession
@@ -248,6 +252,44 @@ def start_incremental_dedup(
     )
 
 
+_STORE_NAMES = ("ids", "sigs", "dropped", "bands")
+
+
+def recover_index(index_path: str) -> list[str]:
+    """Crash recovery for :func:`compact_index`'s store swaps — run
+    automatically at ingest start and compaction start.
+
+    The swap is old->``_bak`` / new->live / drop-``_bak``; a crash in
+    the window between the two renames leaves NO live store, and
+    without recovery the next drain's ``_read_or_none`` would treat
+    the missing store as "first epoch" — ingestion would silently
+    continue without the index, permanently losing dedup against the
+    existing corpus.  Recovery rolls BACK: a ``<store>_bak`` with no
+    live sibling renames back into place (the pre-compaction store is
+    always complete); a ``_bak`` beside a live store is the
+    post-swap leftover and is dropped; any ``compacting.<store>``
+    output is stale scratch (rebuildable) and is removed.  After
+    recovery exactly one complete layout is live — old or new, never
+    neither.  Returns a human-readable action list (empty = clean)."""
+    import shutil
+
+    actions: list[str] = []
+    for name in _STORE_NAMES:
+        live = f"{index_path}/{name}"
+        bak, tmp = live + "_bak", f"{index_path}/compacting.{name}"
+        if os.path.exists(bak):
+            if os.path.exists(live):
+                shutil.rmtree(bak)
+                actions.append(f"dropped post-swap leftover {name}_bak")
+            else:
+                os.rename(bak, live)
+                actions.append(f"restored {name} from {name}_bak after mid-swap crash")
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+            actions.append(f"removed stale compacting.{name}")
+    return actions
+
+
 def compact_index(spark: SparkSession, index_path: str) -> dict:
     """Maintenance compaction for the index stores.
 
@@ -263,9 +305,12 @@ def compact_index(spark: SparkSession, index_path: str) -> dict:
       layout is preserved exactly);
     - the id-shaped stores (ids/sigs/dropped) rewrite via
       ``compact_parquet`` (size-targeted file count);
-    - each store swaps in with old->bak / new->live / drop-bak, so a
-      crash mid-swap leaves either the old or the new layout, never
-      neither.
+    - each store swaps in with old->bak / new->live / drop-bak; a
+      crash can land in the window between the two renames (no live
+      store), so BOTH this function and ingest start by running
+      :func:`recover_index`, which rolls a dangling ``_bak`` back
+      into place — after recovery either the old or the new layout
+      is live, never neither.
 
     Results are unchanged — the stores are row SETS and only the file
     layout moves (survivor-identity asserted in tests).  Local-path
@@ -275,6 +320,8 @@ def compact_index(spark: SparkSession, index_path: str) -> dict:
     import shutil
 
     from ..sources.files import compact_parquet
+
+    recover_index(index_path)  # heal any crashed prior compaction first
 
     def _nfiles(d: str) -> int:
         return len(_glob.glob(f"{d}/**/*.parquet", recursive=True))

@@ -456,7 +456,7 @@ def test_datasource_batch_matches_mapinpandas_path(spark):
 def test_datasource_streams_growing_landing_dir(spark):
     """readStream over a landing dir: files visible at start ingest in
     batch one; a file landing later ingests on the next trigger —
-    file-count offsets, no reprocessing."""
+    consumed-name-set offsets, no reprocessing."""
     from kafka_avro_order_processing_spark.sources.avro_ocf import register
 
     base = tempfile.mkdtemp(prefix=f"ocfstream_{uuid.uuid4().hex[:8]}_")
@@ -882,3 +882,348 @@ def test_datasource_stream_write_commits_epoch_parts(spark):
     import glob
     names = sorted(glob.glob(f"{out}/part-*.avro"))
     assert len(names) >= 2  # distinct epochs -> distinct batch stamps
+
+
+# ---------------------------------------------------------------------------
+# round 6: general union re-resolution, strict manifest reads,
+# manifest-aware batch listing, concurrent-writer publish safety,
+# name-set stream offsets + maxFilesPerBatch
+# ---------------------------------------------------------------------------
+
+
+def test_union_re_resolution_subset_superset_reorder():
+    """Spec Schema Resolution for unions with DIFFERENT branch sets:
+    the datum re-matches to its writer branch, then resolves against
+    the first compatible reader branch — superset, subset (error only
+    for a datum on a dropped branch), and reordered unions all work."""
+    from kafka_avro_order_processing_spark.sources.avro_ocf import resolve_record
+
+    def rec(t):
+        return {"type": "record", "name": "R",
+                "fields": [{"name": "v", "type": t}]}
+
+    # superset: reader adds a branch
+    w, r = rec(["null", "int"]), rec(["null", "int", "string"])
+    assert resolve_record({"v": 5}, w, r) == {"v": 5}
+    assert resolve_record({"v": None}, w, r) == {"v": None}
+    # subset: datum on a surviving branch resolves (with promotion),
+    # datum on the dropped branch errors
+    w2, r2 = rec(["null", "int", "string"]), rec(["null", "long"])
+    assert resolve_record({"v": 5}, w2, r2) == {"v": 5}
+    assert resolve_record({"v": None}, w2, r2) == {"v": None}
+    with pytest.raises(ValueError, match="illegal promotion"):
+        resolve_record({"v": "oops"}, w2, r2)
+    # reorder + promotion
+    w3, r3 = rec(["int", "null"]), rec(["null", "double"])
+    assert resolve_record({"v": 7}, w3, r3) == {"v": 7.0}
+    # non-union writer into a multi-branch reader union
+    w4, r4 = rec("string"), rec(["int", "string", "null"])
+    assert resolve_record({"v": "hi"}, w4, r4) == {"v": "hi"}
+
+
+def test_union_resolution_recurses_into_records_and_arrays():
+    """Union re-resolution composes with nested evolution: a record
+    branch resolves field-by-field (defaults fill), array items
+    promote element-wise."""
+    from kafka_avro_order_processing_spark.sources.avro_ocf import resolve_record
+
+    w_inner = {"type": "record", "name": "P",
+               "fields": [{"name": "x", "type": "int"}]}
+    r_inner = {"type": "record", "name": "P",
+               "fields": [{"name": "x", "type": "long"},
+                          {"name": "tag", "type": "string", "default": "t"}]}
+    w = {"type": "record", "name": "R",
+         "fields": [{"name": "p", "type": ["null", w_inner]},
+                    {"name": "xs", "type": {"type": "array", "items": "int"}}]}
+    r = {"type": "record", "name": "R",
+         "fields": [{"name": "p", "type": ["null", r_inner]},
+                    {"name": "xs", "type": {"type": "array", "items": "double"}}]}
+    got = resolve_record({"p": {"x": 3}, "xs": [1, 2]}, w, r)
+    assert got == {"p": {"x": 3, "tag": "t"}, "xs": [1.0, 2.0]}
+    assert resolve_record({"p": None, "xs": []}, w, r) == {"p": None, "xs": []}
+
+
+def test_string_bytes_promotion_and_enum_default():
+    """The remaining spec promotions: string<->bytes both ways; an
+    enum symbol the reader dropped falls to the reader's default
+    symbol, and errors without one."""
+    from kafka_avro_order_processing_spark.sources.avro_ocf import resolve_record
+
+    w = {"type": "record", "name": "R",
+         "fields": [{"name": "s", "type": "string"},
+                    {"name": "b", "type": "bytes"}]}
+    r = {"type": "record", "name": "R",
+         "fields": [{"name": "s", "type": "bytes"},
+                    {"name": "b", "type": "string"}]}
+    assert resolve_record({"s": "héllo", "b": "héllo".encode()}, w, r) == {
+        "s": "héllo".encode(), "b": "héllo"}
+
+    we = {"type": "record", "name": "R",
+          "fields": [{"name": "c", "type": {
+              "type": "enum", "name": "E", "symbols": ["OLD", "A"]}}]}
+    re_def = {"type": "record", "name": "R",
+              "fields": [{"name": "c", "type": {
+                  "type": "enum", "name": "E", "symbols": ["A", "B"],
+                  "default": "A"}}]}
+    re_nodef = {"type": "record", "name": "R",
+                "fields": [{"name": "c", "type": {
+                    "type": "enum", "name": "E", "symbols": ["A", "B"]}}]}
+    assert resolve_record({"c": "OLD"}, we, re_def) == {"c": "A"}
+    assert resolve_record({"c": "A"}, we, re_nodef) == {"c": "A"}
+    with pytest.raises(ValueError, match="enum symbol"):
+        resolve_record({"c": "OLD"}, we, re_nodef)
+
+
+def test_null_into_non_nullable_reader_errors():
+    """ADVICE fix: a null from a nullable writer field must ERROR
+    against a reader type with no null branch — never pass silently
+    into a non-nullable column."""
+    from kafka_avro_order_processing_spark.sources.avro_ocf import resolve_record
+
+    w = {"type": "record", "name": "R",
+         "fields": [{"name": "v", "type": ["null", "int"]}]}
+    r_bare = {"type": "record", "name": "R",
+              "fields": [{"name": "v", "type": "int"}]}
+    r_union = {"type": "record", "name": "R",
+               "fields": [{"name": "v", "type": ["int", "string"]}]}
+    assert resolve_record({"v": 7}, w, r_bare) == {"v": 7}
+    with pytest.raises(ValueError, match="null"):
+        resolve_record({"v": None}, w, r_bare)
+    with pytest.raises(ValueError, match="null"):
+        resolve_record({"v": None}, w, r_union)
+
+
+def test_read_manifest_strict_errors(tmp_path):
+    """ADVICE fix: _read_manifest returns None ONLY for a genuinely
+    absent manifest; corrupt content raises instead of silently
+    falling back to the raw listing (which would expose uncommitted
+    parts)."""
+    import json as _json
+
+    from kafka_avro_order_processing_spark.sources.avro_ocf import _read_manifest
+
+    d = str(tmp_path / "lake")
+    import os as _os
+
+    _os.makedirs(d)
+    assert _read_manifest(d) is None               # absent, local
+    assert _read_manifest(f"file://{d}") is None   # absent, URI
+    with open(f"{d}/_manifest.json", "w") as f:
+        f.write("{not json")
+    with pytest.raises(_json.JSONDecodeError):
+        _read_manifest(d)
+    with pytest.raises(_json.JSONDecodeError):
+        _read_manifest(f"file://{d}")
+
+
+def test_read_avro_ocf_honors_manifest(spark, tmp_path):
+    """ADVICE fix: the mapInPandas batch path lists through the same
+    manifest-aware filter as the kaop_avro reader — an uncommitted
+    final-named part in a manifest-managed directory is invisible to
+    BOTH, and the two paths agree."""
+    from kafka_avro_order_processing_spark.sources.avro_ocf import register
+
+    register(spark)
+    uri = f"file://{tmp_path}/lake"
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+    df.write.format("kaop_avro").option("path", uri).mode("append").save()
+    # a final-named part that no commit published (simulated abort)
+    write_avro_ocf(
+        f"{uri}/part-deadbeef-zz.avro",
+        [{"k": None, "s": None}],
+        {"type": "record", "name": "SparkRecord",
+         "fields": [{"name": "k", "type": ["null", "long"]},
+                    {"name": "s", "type": ["null", "string"]}]},
+    )
+    via_mip = sorted(tuple(r) for r in read_avro_ocf(spark, uri).collect())
+    via_ds = sorted(
+        tuple(r)
+        for r in spark.read.format("kaop_avro").option("path", uri).load().collect()
+    )
+    assert via_mip == via_ds == [(1, "a"), (2, "b")]
+
+
+def test_manifest_publish_detects_lost_race(tmp_path, monkeypatch):
+    """Concurrent-writer safety: if another writer's manifest PUT
+    lands after ours (last-writer-wins race), the read-back check
+    catches it and the retry merges against the adversary's state —
+    no part loss."""
+    from kafka_avro_order_processing_spark.sources import avro_ocf as mod
+
+    uri = f"file://{tmp_path}/lake"
+    import pyarrow.fs as pafs
+
+    fs, rel = pafs.FileSystem.from_uri(uri)
+    fs.create_dir(rel, recursive=True)
+    real_write = mod._write_manifest
+    state = {"raced": False}
+
+    def racing_write(path, manifest):
+        real_write(path, manifest)
+        if not state["raced"]:  # adversary's PUT lands right after ours
+            state["raced"] = True
+            real_write(path, {"parts": ["part-advers-1.avro"], "version": 99,
+                              "writer": "adversary"})
+
+    monkeypatch.setattr(mod, "_write_manifest", racing_write)
+    out = mod._publish_manifest(
+        uri, lambda cur: {**cur, "parts": sorted(set(cur.get("parts", []))
+                                                 | {"part-mine-1.avro"})}
+    )
+    assert state["raced"]
+    assert set(out["parts"]) == {"part-advers-1.avro", "part-mine-1.avro"}
+    assert mod._read_manifest(uri)["parts"] == sorted(out["parts"])
+
+
+def test_concurrent_append_writers_keep_all_parts(spark, tmp_path):
+    """Two interleaved append jobs into one URI directory: writer A
+    writes, writer B writes and commits, then A commits — A's publish
+    folds B's committed parts in (mutation computed against the
+    CURRENT manifest), so nothing is lost."""
+    from pyspark.sql import Row
+
+    from kafka_avro_order_processing_spark.sources.avro_ocf import (
+        AvroOcfWriter,
+        register,
+    )
+
+    register(spark)
+    uri = f"file://{tmp_path}/lake"
+    import pyarrow.fs as pafs
+
+    fs, rel = pafs.FileSystem.from_uri(uri)
+    fs.create_dir(rel, recursive=True)
+    avsc = {"type": "record", "name": "SparkRecord",
+            "fields": [{"name": "k", "type": "long"},
+                       {"name": "s", "type": "string"}]}
+    wa = AvroOcfWriter(uri, avsc, ["k", "s"], overwrite=False)
+    wb = AvroOcfWriter(uri, avsc, ["k", "s"], overwrite=False)
+    ma = wa.write(iter([Row(k=1, s="a")]))
+    mb = wb.write(iter([Row(k=2, s="b")]))
+    wb.commit([mb])
+    wa.commit([ma])
+    got = sorted(
+        tuple(r)
+        for r in spark.read.format("kaop_avro").option("path", uri).load().collect()
+    )
+    assert got == [(1, "a"), (2, "b")]
+
+
+def test_stream_reader_ingests_out_of_order_names(spark):
+    """ADVICE fix: name-SET offsets — a newly landed file whose name
+    sorts BEFORE already-consumed names (uuid part names are
+    non-monotonic) is still ingested exactly once, with no re-read of
+    old files."""
+    from kafka_avro_order_processing_spark.sources.avro_ocf import register
+
+    base = tempfile.mkdtemp(prefix=f"ocfooo_{uuid.uuid4().hex[:8]}_")
+    land, sink, chk = f"{base}/land", f"{base}/sink", f"{base}/chk"
+    write_avro_ocf(f"{land}/part-zz.avro", ROWS[:2], SCHEMA)
+    register(spark)
+    q = (
+        spark.readStream.format("kaop_avro")
+        .option("path", land)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", chk)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert {r["doc_id"] for r in spark.read.parquet(sink).collect()} == {1, 2}
+        # sorts before the consumed part-zz name
+        write_avro_ocf(f"{land}/part-aa.avro", ROWS[2:], SCHEMA)
+        q.processAllAvailable()
+        got = [r["doc_id"] for r in spark.read.parquet(sink).collect()]
+        assert sorted(got) == [1, 2, 3]  # ingested once, nothing re-read
+    finally:
+        q.stop()
+
+
+def test_stream_reader_max_files_per_batch(spark):
+    """maxFilesPerBatch: a 5-file backlog on a FRESH query drains in
+    ceil(5/2)=3 capped micro-batches, every row exactly once."""
+    from kafka_avro_order_processing_spark.sources.avro_ocf import register
+
+    base = tempfile.mkdtemp(prefix=f"ocfcap_{uuid.uuid4().hex[:8]}_")
+    land, chk = f"{base}/land", f"{base}/chk"
+    for i in range(5):
+        write_avro_ocf(
+            f"{land}/part-{i:04d}.avro",
+            [{**ROWS[0], "doc_id": 100 + i}],
+            SCHEMA,
+        )
+    register(spark)
+    batches: list[list[int]] = []
+
+    def body(df, _eid):
+        ids = [r["doc_id"] for r in df.collect()]
+        if ids:
+            batches.append(sorted(ids))
+
+    q = (
+        spark.readStream.format("kaop_avro")
+        .option("path", land)
+        .option("maxFilesPerBatch", "2")
+        .load()
+        .writeStream.foreachBatch(body)
+        .option("checkpointLocation", chk)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(x for b in batches for x in b) == [100, 101, 102, 103, 104]
+    assert all(len(b) <= 2 for b in batches)  # cap honored per batch
+    assert len(batches) >= 3  # ceil(5/2)
+
+
+def test_stream_reader_restart_no_rewind_no_skip(spark):
+    """Checkpoint restart with a cap configured: the consumed set
+    restores from the checkpointed name-set offset — nothing already
+    ingested re-reads (no rewind), every new file lands exactly once
+    (no skip)."""
+    from kafka_avro_order_processing_spark.sources.avro_ocf import register
+
+    base = tempfile.mkdtemp(prefix=f"ocfrst_{uuid.uuid4().hex[:8]}_")
+    land, sink, chk = f"{base}/land", f"{base}/sink", f"{base}/chk"
+    register(spark)
+
+    def run_query(cap=None):
+        reader = (
+            spark.readStream.format("kaop_avro").option("path", land)
+        )
+        if cap is not None:
+            reader = reader.option("maxFilesPerBatch", str(cap))
+        return (
+            reader.load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", chk)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    write_avro_ocf(f"{land}/part-a.avro", [{**ROWS[0], "doc_id": 1}], SCHEMA)
+    write_avro_ocf(f"{land}/part-b.avro", [{**ROWS[0], "doc_id": 2}], SCHEMA)
+    q = run_query()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(sink).collect()
+    ) == [1, 2]
+    write_avro_ocf(f"{land}/part-c.avro", [{**ROWS[0], "doc_id": 3}], SCHEMA)
+    write_avro_ocf(f"{land}/part-d.avro", [{**ROWS[0], "doc_id": 4}], SCHEMA)
+    q = run_query(cap=1)  # restarted instance, same checkpoint
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r["doc_id"] for r in spark.read.parquet(sink).collect())
+    assert got == [1, 2, 3, 4]  # no rewind (1,2 once), no skip (3,4 land)

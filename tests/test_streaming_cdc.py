@@ -492,3 +492,59 @@ def test_cdc_sink_replays_failed_epoch_idempotently(spark):
     got = {tuple(r) for r in spark.read.parquet(path).select("k", "s").collect()}
     want = {tuple(r) for r in upsert(target, updates, "k").collect()}
     assert got == want
+
+
+def test_compaction_crash_recovery_restores_index(spark):
+    """ADVICE fix: a crash inside compact_index's swap window leaves
+    ``<store>_bak`` with NO live store — before recovery existed, the
+    next drain's _read_or_none mistook that for "first epoch" and
+    silently ingested without the index, permanently losing dedup
+    against the existing corpus.  recover_index (run automatically at
+    ingest and compaction start) rolls the _bak back; a stale
+    ``compacting.*`` scratch dir and a post-swap ``_bak`` leftover
+    are dropped.  A post-crash ingest must still drop a near-dup of a
+    PRE-crash doc."""
+    import os
+    import shutil
+
+    from kafka_avro_order_processing_spark.streaming.incremental_dedup import (
+        read_survivors,
+        recover_index,
+        start_incremental_dedup,
+    )
+
+    base = tempfile.mkdtemp(prefix=f"incdd_crash_{uuid.uuid4().hex[:8]}_")
+    src, idx, chk = f"{base}/src", f"{base}/index", f"{base}/chk"
+    schema = "doc_id long, text string"
+    docs = [
+        (i, f"doc {i} body " + " ".join(f"w{i}x{j}v{i * 31 + j * 7}" for j in range(10)))
+        for i in range(8)
+    ]
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        start_incremental_dedup(stream, idx, chk).awaitTermination()
+
+    spark.createDataFrame(docs, schema).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    before_sv = {r["doc_id"] for r in read_survivors(spark, idx).collect()}
+    assert before_sv == set(range(8))
+
+    # simulate a crash mid-swap: bands live renamed away, fresh layout
+    # never renamed in; plus a stale scratch dir and a post-swap leftover
+    os.rename(f"{idx}/bands", f"{idx}/bands_bak")
+    os.makedirs(f"{idx}/compacting.sigs")
+    shutil.copytree(f"{idx}/ids", f"{idx}/ids_bak")
+
+    # next drain heals FIRST, then ingests: near-dup of doc 3 must
+    # still drop against the restored band index
+    spark.createDataFrame([(999, docs[3][1] + " tail")], schema).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    drain()
+    final = {r["doc_id"] for r in read_survivors(spark, idx).collect()}
+    assert final == before_sv  # 999 dropped — the index survived the crash
+    assert not os.path.exists(f"{idx}/bands_bak")
+    assert not os.path.exists(f"{idx}/ids_bak")
+    assert not os.path.exists(f"{idx}/compacting.sigs")
+    assert recover_index(idx) == []  # idempotent: nothing left to heal
