@@ -40,12 +40,12 @@ try:  # pyspark>=4 only; import-gated so the package loads on 3.x
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceReader,
+        DataSourceStreamReader,
         InputPartition,
-        SimpleDataSourceStreamReader,
     )
 except ImportError:  # pragma: no cover
     DataSource = DataSourceReader = object  # type: ignore[assignment,misc]
-    SimpleDataSourceStreamReader = object  # type: ignore[assignment,misc]
+    DataSourceStreamReader = object  # type: ignore[assignment,misc]
     InputPartition = None  # type: ignore[assignment]
 
 SCHEMA = "orderId string, product string, price double"
@@ -72,74 +72,101 @@ def order_row(i: int, seed: str = "kaop") -> tuple[str, str, float]:
     return (f"ORD-{int(i):04d}", product, price)  # %04d pads, never truncates
 
 
+def _id_range_partitions(start: int, end: int, num_partitions: int):
+    """Split [start, end) into ceil-sized executor-parallel chunks —
+    shared by the batch reader and the stream reader's micro-batches."""
+    if end <= start:
+        return []
+    step = -(-(end - start) // num_partitions)  # ceil
+    return [
+        InputPartition((s, min(s + step, end))) for s in range(start, end, step)
+    ]
+
+
+def _arrow_batch(start: int, end: int, seed: str):
+    """One pyarrow RecordBatch of deterministic orders for an id range
+    (executor-side; the vectorized Arrow hand-off, not per-row
+    tuples)."""
+    import pyarrow as pa
+
+    rows = [order_row(i, seed) for i in range(start, end)]
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array([r[0] for r in rows], pa.string()),
+            pa.array([r[1] for r in rows], pa.string()),
+            pa.array([r[2] for r in rows], pa.float64()),
+        ],
+        names=["orderId", "product", "price"],
+    )
+
+
+def _opt(options: dict, key: str, default):
+    # Python DataSource option keys arrive lowercased; accept both
+    return options.get(key.lower(), options.get(key, default))
+
+
 class OrdersReader(DataSourceReader):
     def __init__(self, options: dict):
-        self.n = int(options.get("n", 1000))
-        self.num_partitions = int(options.get("numPartitions", 8))
-        self.seed = options.get("seed", "kaop")
+        self.n = int(_opt(options, "n", 1000))
+        self.num_partitions = int(_opt(options, "numPartitions", 8))
+        self.seed = _opt(options, "seed", "kaop")
 
     def partitions(self):  # executor-parallel id ranges
-        step = -(-self.n // self.num_partitions)  # ceil
-        return [
-            InputPartition((start, min(start + step, self.n)))
-            for start in range(0, self.n, step)
-        ]
+        return _id_range_partitions(0, self.n, self.num_partitions)
 
     def read(self, partition):
-        import pyarrow as pa
-
-        start, end = partition.value
-        rows = [order_row(i, self.seed) for i in range(start, end)]
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array([r[0] for r in rows], pa.string()),
-                pa.array([r[1] for r in rows], pa.string()),
-                pa.array([r[2] for r in rows], pa.float64()),
-            ],
-            names=["orderId", "product", "price"],
-        )
+        yield _arrow_batch(*partition.value, self.seed)
 
 
-class OrdersStreamReader(SimpleDataSourceStreamReader):
+class OrdersStreamReader(DataSourceStreamReader):
     """Streaming twin (S3 bounded consumption): the offset IS the next
     order id, so any replayed micro-batch regenerates identical rows —
     deterministic replay is what makes a custom source checkpointable.
-    ``n`` bounds the stream (reads past it return no data, so an
-    drain terminates); ``rowsPerBatch`` is the per-batch cap, the
+    ``n`` bounds the stream (offsets stop advancing at it, so a drain
+    terminates); ``rowsPerBatch`` is the per-batch cap, the
     offered-load knob the reference's producer loop exposes as
-    messages-per-interval.  Caveat: Python micro-batch sources do not
-    support Trigger.AvailableNow (Spark falls back to a single batch)
-    — drain with processingTime + processAllAvailable(), as the unit
-    test does.
+    messages-per-interval.
 
-    SCALE CAVEAT — this reader is DRIVER-SIDE by design:
-    ``SimpleDataSourceStreamReader.read`` materializes each batch as a
-    Python list on the driver, which is fine for a demo-load synthetic
-    generator (the reference's producer emits ~2 msg/s from one
-    process) but is NOT a pattern to copy for real ingestion — a real
-    source must implement the partitioned ``DataSourceStreamReader``
-    so executors read, as ``AvroOcfStreamReader``
-    (sources/avro_ocf.py) does for landing-directory ingestion.  The
-    BATCH reader above already fans out executor-parallel id ranges;
-    use it (or the column-expression generator) for any volume run."""
+    This is the PARTITIONED stream reader: each micro-batch's id range
+    splits into ``numPartitions`` executor chunks through the same
+    helpers as the batch reader — only offset arithmetic runs on the
+    driver, rows are generated executor-side as Arrow batches.
+    Restart safety mirrors ``AvroOcfStreamReader``: the engine
+    re-plans the checkpointed batch before asking for a new latest
+    offset, which re-teaches ``_next``; ``partitions`` raises on a
+    backward range as defense in depth."""
 
     def __init__(self, options: dict):
-        self.n = int(options.get("n", 1000))
-        self.rows_per_batch = int(options.get("rowsPerBatch", 100))
-        self.seed = options.get("seed", "kaop")
+        self.n = int(_opt(options, "n", 1000))
+        self.rows_per_batch = int(_opt(options, "rowsPerBatch", 100))
+        self.num_partitions = int(_opt(options, "numPartitions", 4))
+        self.seed = _opt(options, "seed", "kaop")
+        self._next: int | None = None  # high-watermark this instance knows
 
     def initialOffset(self) -> dict:
+        self._next = 0
         return {"next": 0}
 
-    def read(self, start: dict):
-        s = start["next"]
-        e = min(s + self.rows_per_batch, self.n)
-        return iter([order_row(i, self.seed) for i in range(s, e)]), {"next": e}
+    def latestOffset(self) -> dict:
+        if self._next is None:
+            # first call of a fresh query (restarts re-plan the
+            # checkpointed batch first, teaching partitions/commit)
+            self._next = 0
+        self._next = min(self._next + self.rows_per_batch, self.n)
+        return {"next": self._next}
 
-    def readBetweenOffsets(self, start: dict, end: dict):
-        return iter(
-            [order_row(i, self.seed) for i in range(start["next"], end["next"])]
-        )
+    def partitions(self, start: dict, end: dict):
+        s, e = start["next"], end["next"]
+        if e < s:
+            raise ValueError(f"kaop_orders stream offset went backwards: {s} -> {e}")
+        self._next = max(self._next or 0, e)
+        return _id_range_partitions(s, e, self.num_partitions)
+
+    def read(self, partition):  # executor-side generation
+        yield _arrow_batch(*partition.value, self.seed)
+
+    def commit(self, end: dict) -> None:
+        self._next = max(self._next or 0, end["next"])
 
 
 class OrdersDataSource(DataSource):
@@ -157,7 +184,7 @@ class OrdersDataSource(DataSource):
     def reader(self, schema) -> OrdersReader:  # noqa: ARG002
         return OrdersReader(self.options)
 
-    def simpleStreamReader(self, schema) -> OrdersStreamReader:  # noqa: ARG002
+    def streamReader(self, schema) -> OrdersStreamReader:  # noqa: ARG002
         return OrdersStreamReader(self.options)
 
 

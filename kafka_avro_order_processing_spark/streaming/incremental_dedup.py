@@ -75,7 +75,40 @@ from ..operators.dedup import (
 #: prune a useful fraction at test scale; at 100 TB this grows (e.g.
 #: 1024) — more pruning per epoch, still trivially many files ONLY if
 #: epochs are large enough to fill them (tune with ingest shard size).
+#: This is only the CREATION-TIME default: the count an index was
+#: created with persists inside its band store (``_n_buckets.json``)
+#: and every later epoch reads it back, so ingest processes with
+#: different defaults can never disagree on the partitioning a store
+#: is laid out in.  Re-bucket a live index with
+#: ``compact_index(..., n_buckets=new_n)``.
 N_BAND_BUCKETS = 16
+
+_BUCKETS_MARKER = "_n_buckets.json"
+
+
+def stored_n_buckets(index_path: str) -> int | None:
+    """The bucket count the band store is PHYSICALLY laid out in, or
+    None for a not-yet-created (or pre-marker legacy) store.  The
+    marker lives INSIDE the band store directory so compaction's
+    directory swap carries it atomically with the layout it
+    describes — meta and data can never disagree after a crash."""
+    mp = f"{index_path}/bands/{_BUCKETS_MARKER}"
+    if "://" in index_path or not os.path.exists(mp):
+        return None
+    import json
+
+    with open(mp) as f:
+        return int(json.load(f)["n_band_buckets"])
+
+
+def _write_buckets_marker(band_store: str, n: int) -> None:
+    import json
+
+    os.makedirs(band_store, exist_ok=True)
+    # Spark's file listing hides "_"-prefixed files, so the marker is
+    # invisible to parquet reads of the store
+    with open(f"{band_store}/{_BUCKETS_MARKER}", "w") as f:
+        json.dump({"n_band_buckets": int(n)}, f)
 
 
 def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
@@ -165,6 +198,12 @@ def start_incremental_dedup(
     index, partitioned by ``band_bucket`` for per-epoch pruning), and
     ``dropped`` (ids that lost to a lower-id near-dup).  Read
     survivors afterwards with :func:`read_survivors`.
+
+    ``n_buckets`` applies at index CREATION only: the count persists
+    inside the band store (see :func:`stored_n_buckets`) and later
+    drains always band under the stored count, whatever their own
+    parameter says — epochs and layout can never disagree.  Grow a
+    live index's count with ``compact_index(..., n_buckets=new_n)``.
     """
     ids_store = f"{index_path}/ids"
     sig_store = f"{index_path}/sigs"
@@ -179,6 +218,14 @@ def start_incremental_dedup(
         spark = df.sparkSession
         if df.isEmpty():
             return
+        # The bucket count the store is laid out in ALWAYS wins over
+        # this process's parameter (which only applies at creation):
+        # an epoch banding under a different count than the store's
+        # physical layout would prune the wrong partitions.
+        stored = stored_n_buckets(index_path)
+        n_eff = stored if stored is not None else n_buckets
+        if stored is None and "://" not in index_path:
+            _write_buckets_marker(band_store, n_eff)  # before first append
         # Epoch signatures: computed once (eager checkpoint — they feed
         # the band explode, the estimate lookup, and the store append).
         sigs_new = _signatures_from_rows(
@@ -186,7 +233,7 @@ def start_incremental_dedup(
             id_col,
             k,
         ).localCheckpoint(eager=True)
-        bands_new = epoch_bands(sigs_new, id_col, k, band_rows, n_buckets)
+        bands_new = epoch_bands(sigs_new, id_col, k, band_rows, n_eff)
 
         # new x new candidates, id-ordered
         a, b = bands_new.alias("a"), bands_new.alias("b")
@@ -290,8 +337,17 @@ def recover_index(index_path: str) -> list[str]:
     return actions
 
 
-def compact_index(spark: SparkSession, index_path: str) -> dict:
+def compact_index(
+    spark: SparkSession, index_path: str, n_buckets: int | None = None
+) -> dict:
     """Maintenance compaction for the index stores.
+
+    Pass ``n_buckets`` to RE-BUCKET the band store to a new partition
+    count during the rewrite (the 100 TB growth path: an index created
+    at a small count re-buckets to e.g. 1024 as the corpus grows, and
+    the persisted ``_n_buckets.json`` marker swaps in atomically with
+    the new layout so subsequent epochs band and prune under the new
+    count).  Without it the stored count — and layout — is preserved.
 
     Every ingest epoch appends one small parquet file per writing task
     to each store; over thousands of epochs the stores become
@@ -348,6 +404,16 @@ def compact_index(spark: SparkSession, index_path: str) -> dict:
         tmp = f"{index_path}/compacting.bands"
         before = _nfiles(band_store)
         df = spark.read.parquet(band_store)
+        cur_n = stored_n_buckets(index_path)
+        target_n = n_buckets if n_buckets is not None else cur_n
+        if target_n is not None and target_n != cur_n:
+            # RE-BUCKET: recompute the partition key under the new
+            # count (same expression epoch_bands uses, so future
+            # epochs' pruning agrees with the new layout)
+            df = df.withColumn(
+                "band_bucket",
+                F.pmod(F.hash(F.col("band_val")), F.lit(int(target_n))),
+            )
         n = max(df.select("band_bucket").distinct().count(), 1)
         (
             df.repartition(n, F.col("band_bucket"))
@@ -355,6 +421,10 @@ def compact_index(spark: SparkSession, index_path: str) -> dict:
             .partitionBy("band_bucket")
             .parquet(tmp)
         )
+        if target_n is not None:
+            # marker written into the fresh layout BEFORE the swap:
+            # the directory rename carries layout + marker atomically
+            _write_buckets_marker(tmp, target_n)
         _swap(band_store, tmp)
         stats["bands"] = {"files_before": before, "files_after": _nfiles(band_store)}
     return stats

@@ -214,3 +214,42 @@ def test_datasource_stream_drains_to_batch_rows(spark):
         for r in spark.read.format("kaop_orders").option("n", 230).load().collect()
     )
     assert got == want and len(got) == 230
+
+
+def test_datasource_stream_is_partitioned(spark):
+    """The generator's stream reader is the partitioned form: one
+    micro-batch's id range fans out over numPartitions executor
+    chunks (rows never funnel through a driver-side list)."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from kafka_avro_order_processing_spark.sources.order_datasource import register
+
+    register(spark)
+    base = tempfile.mkdtemp(prefix=f"dsspart_{uuid.uuid4().hex[:8]}_")
+    seen = {"pids": set(), "rows": 0}
+
+    def body(df, _eid):
+        pids = [r[0] for r in df.select(F.spark_partition_id()).collect()]
+        seen["pids"].update(pids)
+        seen["rows"] += len(pids)
+
+    q = (
+        spark.readStream.format("kaop_orders")
+        .option("n", 120)
+        .option("rowsPerBatch", 120)  # one batch...
+        .option("numPartitions", 4)   # ...across four executor chunks
+        .load()
+        .writeStream.foreachBatch(body)
+        .option("checkpointLocation", f"{base}/chk")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert seen["rows"] == 120
+    assert len(seen["pids"]) == 4  # executor-parallel id ranges

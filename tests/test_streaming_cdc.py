@@ -548,3 +548,73 @@ def test_compaction_crash_recovery_restores_index(spark):
     assert not os.path.exists(f"{idx}/ids_bak")
     assert not os.path.exists(f"{idx}/compacting.sigs")
     assert recover_index(idx) == []  # idempotent: nothing left to heal
+
+
+def test_band_bucket_count_persists_and_rebuckets(spark):
+    """VERDICT r5 #7: the band-store bucket count is an index-creation
+    parameter persisted WITH the store — a later drain passing a
+    different default still bands under the stored count (epochs and
+    layout never disagree) — and compact_index re-buckets a live
+    index to a new count with survivors unchanged and post-compaction
+    ingestion pruning under the new layout."""
+    import glob
+    import os
+
+    from kafka_avro_order_processing_spark.streaming.incremental_dedup import (
+        compact_index,
+        read_survivors,
+        start_incremental_dedup,
+        stored_n_buckets,
+    )
+
+    base = tempfile.mkdtemp(prefix=f"incdd_nb_{uuid.uuid4().hex[:8]}_")
+    src, idx, chk = f"{base}/src", f"{base}/index", f"{base}/chk"
+    schema = "doc_id long, text string"
+    docs = [
+        (i, f"doc {i} body " + " ".join(f"w{i}x{j}v{i * 31 + j * 7}" for j in range(10)))
+        for i in range(12)
+    ]
+
+    def drain(n_buckets):
+        stream = spark.readStream.schema(schema).parquet(src)
+        start_incremental_dedup(
+            stream, idx, chk, n_buckets=n_buckets
+        ).awaitTermination()
+
+    # created at 8; the creation count persists in the store
+    spark.createDataFrame(docs[:6], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain(n_buckets=8)
+    assert stored_n_buckets(idx) == 8
+
+    def bucket_dirs():
+        return {
+            int(os.path.basename(d).split("=")[1])
+            for d in glob.glob(f"{idx}/bands/band_bucket=*")
+        }
+
+    assert bucket_dirs() <= set(range(8))
+    # a second drain passing a DIFFERENT default must band under the
+    # stored 8 — including finding a cross-epoch near-dup of doc 2
+    spark.createDataFrame(
+        docs[6:] + [(555, docs[2][1] + " tail")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain(n_buckets=16)
+    assert stored_n_buckets(idx) == 8
+    assert bucket_dirs() <= set(range(8))
+    sv = {r["doc_id"] for r in read_survivors(spark, idx).collect()}
+    assert sv == set(range(12))  # 555 dropped across epochs under stored count
+
+    # re-bucket the live index to 4 during compaction
+    compact_index(spark, idx, n_buckets=4)
+    assert stored_n_buckets(idx) == 4
+    assert bucket_dirs() <= set(range(4))
+    assert {r["doc_id"] for r in read_survivors(spark, idx).collect()} == sv
+    # ingestion continues under the NEW count: near-dup of doc 9 drops
+    spark.createDataFrame([(777, docs[9][1] + " tail")], schema).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    drain(n_buckets=16)
+    assert {r["doc_id"] for r in read_survivors(spark, idx).collect()} == sv
+    assert stored_n_buckets(idx) == 4
