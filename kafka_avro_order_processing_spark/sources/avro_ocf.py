@@ -792,6 +792,24 @@ def _delete_file(path: str) -> None:
     os.remove(path)
 
 
+def _move_file(src: str, dst: str) -> None:
+    """Move within one filesystem (cleanSource=archive).  URI paths go
+    through pyarrow's fs; local paths use an os.replace after creating
+    the destination directory."""
+    if "://" in src:
+        import pyarrow.fs as pafs
+
+        fs, rel_src = pafs.FileSystem.from_uri(src)
+        _, rel_dst = pafs.FileSystem.from_uri(dst)
+        parent = rel_dst.rsplit("/", 1)[0] if "/" in rel_dst else ""
+        if parent:
+            fs.create_dir(parent, recursive=True)
+        fs.move(rel_src, rel_dst)
+        return
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    os.replace(src, dst)
+
+
 # --------------------------------------------------------------------------
 # manifest commit protocol (URI/object-store writes)
 #
@@ -931,9 +949,12 @@ class AvroOcfStreamReader(DataSourceStreamReader):
     and replay is exact because each offset names its files
     explicitly.  (The earlier file-COUNT offset over a sorted listing
     silently lost such a file AND re-read an old one for the slice.)
-    At scale the name set grows with the directory; like Spark's own
-    file source seen-files map, pair it with retention/compaction of
-    the landing directory — the offset only carries what is listed.
+    At scale the name set grows with the directory; ``cleanSource=
+    delete|archive`` (Spark's own file-source retention knob) retires
+    committed files on commit, and names this reader itself removed
+    prune out of subsequent offsets — they cannot legitimately
+    reappear — so with retention on, listing cost and offset size
+    stay O(live files), not O(files ever landed).
 
     ``maxFilesPerBatch`` (option) caps how many NEW files one
     micro-batch admits; a 10k-file backlog drains in ceil(N/cap)
@@ -962,13 +983,26 @@ class AvroOcfStreamReader(DataSourceStreamReader):
     def __init__(
         self, path: str, schema, names, reader_schema: dict | None = None,
         max_files_per_batch: int | None = None,
+        clean_source: str = "off", archive_dir: str | None = None,
     ):
+        if clean_source not in ("off", "delete", "archive"):
+            raise ValueError(f"cleanSource must be off|delete|archive, got {clean_source!r}")
+        if clean_source == "archive" and not archive_dir:
+            raise ValueError("cleanSource=archive requires sourceArchiveDir")
+        if archive_dir and archive_dir.rstrip("/") == path.rstrip("/"):
+            raise ValueError("sourceArchiveDir must differ from the landing directory")
         self.path, self.avro_schema, self.names = path, schema, names
         self.reader_schema = reader_schema
         self.max_files_per_batch = max_files_per_batch
+        self.clean_source = clean_source
+        self.archive_dir = archive_dir
         #: basenames covered by the last offset this instance returned
         #: or learned from the engine; None = fresh instance, unknown
         self._known: set[str] | None = None
+        #: basenames this instance removed from the landing dir
+        #: (cleanSource) — safe to prune from future offsets, since a
+        #: name we deleted/archived cannot legitimately reappear
+        self._cleaned: set[str] = set()
 
 
     def _names_of(self, offset: dict) -> set[str]:
@@ -1000,14 +1034,25 @@ class AvroOcfStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         start_names, end_names = self._names_of(start), self._names_of(end)
-        if not end_names >= start_names:
-            # a backward offset range would silently re-ingest files
-            raise ValueError(
-                f"kaop_avro stream offset went backwards: end is missing "
-                f"{sorted(start_names - end_names)[:5]} from start"
-            )
-        # ground truth from the engine (covers batch replay on restart)
-        self._known = (self._known or set()) | end_names
+        missing = start_names - end_names
+        if missing:
+            # names absent from both the end offset AND the landing
+            # dir were retired by cleanSource — pruned state, not a
+            # rewind.  A missing name still PRESENT in the directory
+            # means the offset genuinely went backwards: raise rather
+            # than silently re-ingest.
+            listing = {p.rsplit("/", 1)[-1] for p in _list_avro(self.path)}
+            still_there = sorted(missing & listing)
+            if still_there:
+                raise ValueError(
+                    f"kaop_avro stream offset went backwards: end is missing "
+                    f"{still_there[:5]} from start"
+                )
+        # ground truth from the engine (covers batch replay on restart).
+        # Names this instance already retired must NOT re-learn here:
+        # offsets written before a retirement still carry the old
+        # names, and re-adding them would undo the pruning forever.
+        self._known = (self._known or set()) | (end_names - self._cleaned)
         base = self.path.rstrip("/")
         return [
             InputPartition(f"{base}/{n}") for n in sorted(end_names - start_names)
@@ -1022,7 +1067,49 @@ class AvroOcfStreamReader(DataSourceStreamReader):
         # offsets live in the checkpoint log; learning the committed
         # set here restores the cap watermark when the engine commits
         # a restored batch after restart
-        self._known = (self._known or set()) | self._names_of(end)
+        end_names = self._names_of(end)
+        self._known = (self._known or set()) | (end_names - self._cleaned)
+        if self.clean_source == "off":
+            return
+        # cleanSource retention (Spark's own file-source option): a
+        # committed batch's files delete or archive out of the landing
+        # directory, which bounds BOTH the per-trigger listing and —
+        # because a name this reader removed can never legitimately
+        # reappear — the offset state: retired names prune out of
+        # every subsequent offset this instance publishes.
+        base = self.path.rstrip("/")
+        listing = {p.rsplit("/", 1)[-1] for p in _list_avro(self.path)}
+        cleaned_now: set[str] = set()
+        for name in sorted((end_names & listing) - self._cleaned):
+            src = f"{base}/{name}"
+            try:
+                if self.clean_source == "delete":
+                    _delete_file(src)
+                else:
+                    _move_file(src, f"{self.archive_dir.rstrip('/')}/{name}")
+            except (OSError, FileNotFoundError):
+                continue  # already cleaned / concurrently removed
+            cleaned_now.add(name)
+        if cleaned_now and _read_manifest(self.path) is not None:
+            # manifest-managed landing dir: retire the parts from the
+            # committed set too, or readers resolve dangling names
+            def mutate(cur: dict) -> dict:
+                cur["parts"] = sorted(set(cur.get("parts", [])) - cleaned_now)
+                if "epochs" in cur:
+                    cur["epochs"] = {
+                        k: [p for p in v if p not in cleaned_now]
+                        for k, v in cur["epochs"].items()
+                    }
+                return cur
+
+            _publish_manifest(self.path, mutate)
+        # retire everything committed that is no longer in the landing
+        # dir — removed just now, OR by a previous incarnation of this
+        # query before a restart (its checkpointed offsets still carry
+        # the names; with retention on they can never come back)
+        retired = (end_names - listing) | cleaned_now
+        self._cleaned |= retired
+        self._known -= retired
 
 
 #: Spark type -> Avro type for the writer path (reverse of _AVRO_TO_SPARK).
@@ -1274,7 +1361,11 @@ class AvroOcfDataSource(DataSource):
     ``null`` default or ``deflate``); ``maxFilesPerBatch`` (stream
     read side: admit at most N new files per micro-batch — a landed
     backlog drains in ceil(N/cap) batches instead of one giant
-    epoch).  Paths accept ``file://`` and
+    epoch); ``cleanSource`` = ``delete``/``archive`` (+
+    ``sourceArchiveDir``) retires each committed batch's files from
+    the landing directory — the retention knob that keeps the
+    per-trigger listing AND the name-set offset bounded on a
+    long-lived stream.  Paths accept ``file://`` and
     other pyarrow-filesystem URIs on BOTH sides: reads list and fetch
     through pyarrow's fs, and URI writes commit via the
     ``_manifest.json`` protocol (final-named parts published by one
@@ -1316,12 +1407,16 @@ class AvroOcfDataSource(DataSource):
 
     def streamReader(self, schema) -> AvroOcfStreamReader:  # noqa: ARG002
         path, avsc, names, _, rs = self._resolved()
-        cap = self.options.get("maxfilesperbatch") or self.options.get(
-            "maxFilesPerBatch"
-        )
+
+        def opt(key, default=None):
+            return self.options.get(key.lower(), self.options.get(key, default))
+
+        cap = opt("maxFilesPerBatch")
         return AvroOcfStreamReader(
             path, avsc, names, rs,
             max_files_per_batch=int(cap) if cap is not None else None,
+            clean_source=str(opt("cleanSource", "off")).lower(),
+            archive_dir=opt("sourceArchiveDir"),
         )
 
     def _write_target(self):

@@ -1227,3 +1227,143 @@ def test_stream_reader_restart_no_rewind_no_skip(spark):
         q.stop()
     got = sorted(r["doc_id"] for r in spark.read.parquet(sink).collect())
     assert got == [1, 2, 3, 4]  # no rewind (1,2 once), no skip (3,4 land)
+
+
+def test_stream_clean_source_delete_bounds_state(spark):
+    """cleanSource=delete: a committed batch's files retire from the
+    landing dir when the engine delivers the commit (after the NEXT
+    batch completes — same trailing-batch semantics as Spark's own
+    file source), and retired names prune out of subsequent
+    checkpoint offsets (bounded state)."""
+    import glob
+    import json as _json
+
+    from kafka_avro_order_processing_spark.sources.avro_ocf import register
+
+    base = tempfile.mkdtemp(prefix=f"ocfclean_{uuid.uuid4().hex[:8]}_")
+    land, sink, chk = f"{base}/land", f"{base}/sink", f"{base}/chk"
+    register(spark)
+    write_avro_ocf(f"{land}/part-a.avro", [{**ROWS[0], "doc_id": 1}], SCHEMA)
+    write_avro_ocf(f"{land}/part-b.avro", [{**ROWS[0], "doc_id": 2}], SCHEMA)
+    q = (
+        spark.readStream.format("kaop_avro")
+        .option("path", land)
+        .option("cleanSource", "delete")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", chk)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1: a+b
+        write_avro_ocf(f"{land}/part-c.avro", [{**ROWS[0], "doc_id": 3}], SCHEMA)
+        q.processAllAvailable()  # batch 2: c; commit(1) retires a+b
+        write_avro_ocf(f"{land}/part-d.avro", [{**ROWS[0], "doc_id": 4}], SCHEMA)
+        q.processAllAvailable()  # batch 3: d; commit(2) retires c
+        write_avro_ocf(f"{land}/part-e.avro", [{**ROWS[0], "doc_id": 5}], SCHEMA)
+        q.processAllAvailable()  # batch 4; earlier retirements now pruned
+    finally:
+        q.stop()
+    got = sorted(r["doc_id"] for r in spark.read.parquet(sink).collect())
+    assert got == [1, 2, 3, 4, 5]
+    left = sorted(f.rsplit("/", 1)[-1] for f in glob.glob(f"{land}/*.avro"))
+    assert "part-a.avro" not in left and "part-b.avro" not in left
+    assert "part-c.avro" not in left  # retired waves gone from landing
+    # the newest offset entry must no longer carry long-retired names
+    # (pruning trails the engine's lazy commit delivery by a batch) —
+    # bounded offset state is the point of retention
+    offs = sorted(glob.glob(f"{chk}/offsets/*"), key=lambda p: int(p.rsplit("/", 1)[-1]))
+    flat = open(offs[-1]).read()
+    assert "part-a.avro" not in flat and "part-b.avro" not in flat
+
+
+def test_stream_clean_source_archive_moves_files(spark):
+    """cleanSource=archive: committed files MOVE to sourceArchiveDir
+    (audit trail preserved) once the engine delivers their commit;
+    ingestion continues over the cleaned directory."""
+    import glob
+
+    from kafka_avro_order_processing_spark.sources.avro_ocf import register
+
+    base = tempfile.mkdtemp(prefix=f"ocfarch_{uuid.uuid4().hex[:8]}_")
+    land, arch, sink, chk = (
+        f"{base}/land", f"{base}/archive", f"{base}/sink", f"{base}/chk"
+    )
+    register(spark)
+    write_avro_ocf(f"{land}/part-a.avro", ROWS[:2], SCHEMA)
+    q = (
+        spark.readStream.format("kaop_avro")
+        .option("path", land)
+        .option("cleanSource", "archive")
+        .option("sourceArchiveDir", arch)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", chk)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1: part-a
+        write_avro_ocf(f"{land}/part-b.avro", ROWS[2:], SCHEMA)
+        q.processAllAvailable()  # batch 2: part-b; commit(1) archives part-a
+    finally:
+        q.stop()
+    assert sorted(r["doc_id"] for r in spark.read.parquet(sink).collect()) == [1, 2, 3]
+    archived = sorted(f.rsplit("/", 1)[-1] for f in glob.glob(f"{arch}/*.avro"))
+    landing = sorted(f.rsplit("/", 1)[-1] for f in glob.glob(f"{land}/*.avro"))
+    assert "part-a.avro" in archived  # the committed batch moved out
+    # every file is in exactly one place — moved, never copied or lost
+    assert sorted(archived + landing) == ["part-a.avro", "part-b.avro"]
+
+
+def test_stream_clean_source_restart_after_clean(spark):
+    """Restart over a retention-cleaned landing dir: the checkpointed
+    offset still names retired files that no longer exist — the
+    reader treats that as pruned state (no rewind error, no
+    re-ingest) and keeps consuming new files; the retired file's
+    clean-up then completes on the restarted query's first commit."""
+    import glob
+    import os as _os
+
+    from kafka_avro_order_processing_spark.sources.avro_ocf import register
+
+    base = tempfile.mkdtemp(prefix=f"ocfcrst_{uuid.uuid4().hex[:8]}_")
+    land, sink, chk = f"{base}/land", f"{base}/sink", f"{base}/chk"
+    register(spark)
+
+    def run():
+        return (
+            spark.readStream.format("kaop_avro")
+            .option("path", land)
+            .option("cleanSource", "delete")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", chk)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    write_avro_ocf(f"{land}/part-a.avro", [{**ROWS[0], "doc_id": 1}], SCHEMA)
+    write_avro_ocf(f"{land}/part-b.avro", [{**ROWS[0], "doc_id": 2}], SCHEMA)
+    q = run()
+    try:
+        q.processAllAvailable()  # batch 1: a+b
+        write_avro_ocf(f"{land}/part-c.avro", [{**ROWS[0], "doc_id": 3}], SCHEMA)
+        q.processAllAvailable()  # batch 2: c; commit(1) retires a+b
+    finally:
+        q.stop()
+    assert not _os.path.exists(f"{land}/part-a.avro")
+    write_avro_ocf(f"{land}/part-d.avro", [{**ROWS[0], "doc_id": 4}], SCHEMA)
+    q = run()  # fresh instance; checkpointed offsets name retired files
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r["doc_id"] for r in spark.read.parquet(sink).collect())
+    assert got == [1, 2, 3, 4]  # no rewind, no re-ingest, no skip
+    landing = sorted(f.rsplit("/", 1)[-1] for f in glob.glob(f"{land}/*.avro"))
+    assert "part-a.avro" not in landing and "part-b.avro" not in landing
