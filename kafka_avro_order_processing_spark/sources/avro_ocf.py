@@ -20,9 +20,12 @@ implements the public Avro 1.x spec directly (stdlib only):
   common logical types (``timestamp-micros``/``timestamp-millis`` ->
   naive-UTC ``timestamp_ntz``, ``date`` -> ``date``).  Named-type
   REFERENCES (reuse of an earlier record/enum/fixed definition by
-  name) expand via the spec's define-before-use reading order;
-  RECURSIVE schemas — the one shape that cannot expand to a finite
-  tree — raise ``ValueError`` naming the type: explicit, not silent.
+  name) resolve lazily through a named-type table — which makes
+  RECURSIVE schemas (linked lists, trees) decode and encode natively,
+  the nesting depth driven by the data.  A recursive value has no
+  finite Spark struct type, so recursive-typed FIELDS surface as
+  ``string`` columns holding the value's deterministic JSON
+  rendering; all other fields keep their native column types.
 
 Scale shape: files are listed and read by ``binaryFile`` (one row per
 object, executor-side), block parsing + record decode run in ONE
@@ -96,41 +99,88 @@ def _read_long(buf: io.BytesIO) -> int:
 # schema-driven value codec
 # --------------------------------------------------------------------------
 
-def _norm_schema(schema):
+def _norm_schema(schema, env: dict | None = None):
     """Normalize the JSON-schema shape: bare strings for primitives,
-    dicts for complex types, lists for unions."""
+    dicts for complex types, lists for unions.  With an ``env`` (the
+    schema's named-type table from :func:`_build_env`), a string
+    naming an earlier record/enum/fixed definition resolves to that
+    definition — which is what lets RECURSIVE types decode: the name
+    re-resolves lazily at each level instead of expanding forever."""
     if isinstance(schema, str):
         if schema in _PRIMITIVES:
             return schema
+        if env and schema in env:
+            return env[schema]
         raise ValueError(f"unsupported named-type reference: {schema!r}")
     return schema
 
 
-def _expand_named_refs(schema):
+def _names_of_def(s: dict) -> list[str]:
+    n = s.get("name")
+    if not n:
+        return []
+    out = [n]
+    ns = s.get("namespace")
+    if ns and "." not in n:
+        out.append(f"{ns}.{n}")
+    return out
+
+
+def _build_env(schema) -> dict:
+    """Named-type table for the env-based codec: every record/enum/
+    fixed DEFINITION in the schema, keyed by (qualified) name.  A
+    record registers BEFORE its fields walk, so self-references —
+    recursive schemas — resolve."""
+    env: dict[str, dict] = {}
+
+    def walk(s) -> None:
+        if isinstance(s, list):
+            for b in s:
+                walk(b)
+        elif isinstance(s, dict):
+            t = s["type"]
+            if t == "record":
+                for n in _names_of_def(s):
+                    env[n] = s
+                for f in s["fields"]:
+                    walk(f["type"])
+            elif t in ("enum", "fixed"):
+                for n in _names_of_def(s):
+                    env[n] = s
+            elif t == "array":
+                walk(s["items"])
+            elif t == "map":
+                walk(s["values"])
+
+    walk(schema)
+    return env
+
+
+def _expand_named_refs(schema, recursive_sentinel: bool = False):
     """Expand named-type REFERENCES (a string naming an earlier
     record/enum/fixed definition) into the definition itself, so the
-    codec walks a self-contained tree.  Spec rule: a name must be
-    defined before (reading order) it is referenced — a left-to-right
-    walk satisfies exactly that.  RECURSIVE types (a record referencing
-    itself) cannot expand to a finite tree and raise explicitly."""
+    Spark column mapper walks a self-contained tree.  Spec rule: a
+    name must be defined before (reading order) it is referenced — a
+    left-to-right walk satisfies exactly that.  RECURSIVE types
+    cannot expand to a finite tree: by default they raise; with
+    ``recursive_sentinel`` the cycle edge expands to a
+    ``{"type": "__recursive__"}`` marker node so the column mapper
+    can detect fields on a cycle and map them to JSON string columns
+    (the codec itself decodes recursion natively via the lazy
+    :func:`_build_env` path and never calls this)."""
     env: dict[str, dict] = {}
     building: set[str] = set()
 
     def names_of(s) -> list[str]:
-        n = s.get("name")
-        if not n:
-            return []
-        out = [n]
-        ns = s.get("namespace")
-        if ns and "." not in n:
-            out.append(f"{ns}.{n}")
-        return out
+        return _names_of_def(s)
 
     def walk(s):
         if isinstance(s, str):
             if s in _PRIMITIVES:
                 return s
             if s in building:
+                if recursive_sentinel:
+                    return {"type": "__recursive__", "name": s}
                 raise ValueError(f"recursive named type {s!r} unsupported")
             if s in env:
                 return env[s]
@@ -161,8 +211,8 @@ def _expand_named_refs(schema):
     return walk(schema)
 
 
-def decode_value(schema, buf: io.BytesIO):
-    s = _norm_schema(schema)
+def decode_value(schema, buf: io.BytesIO, env: dict | None = None):
+    s = _norm_schema(schema, env)
     if isinstance(s, str):
         if s == "null":
             return None
@@ -178,11 +228,13 @@ def decode_value(schema, buf: io.BytesIO):
             raw = buf.read(_read_long(buf))
             return raw.decode("utf-8") if s == "string" else raw
     if isinstance(s, list):  # union: zigzag branch index then value
-        return decode_value(s[_read_long(buf)], buf)
+        return decode_value(s[_read_long(buf)], buf, env)
     if isinstance(s, dict):
         t = s["type"]
         if t == "record":
-            return {f["name"]: decode_value(f["type"], buf) for f in s["fields"]}
+            return {
+                f["name"]: decode_value(f["type"], buf, env) for f in s["fields"]
+            }
         if t == "array":
             out = []
             while True:
@@ -192,7 +244,7 @@ def decode_value(schema, buf: io.BytesIO):
                 if count < 0:  # negative count -> byte size follows
                     _read_long(buf)
                     count = -count
-                out.extend(decode_value(s["items"], buf) for _ in range(count))
+                out.extend(decode_value(s["items"], buf, env) for _ in range(count))
         if t == "map":  # same block-counted layout, string keys
             m: dict = {}
             while True:
@@ -204,7 +256,7 @@ def decode_value(schema, buf: io.BytesIO):
                     count = -count
                 for _ in range(count):
                     key = buf.read(_read_long(buf)).decode("utf-8")
-                    m[key] = decode_value(s["values"], buf)
+                    m[key] = decode_value(s["values"], buf, env)
         if t == "enum":  # zigzag symbol index
             return s["symbols"][_read_long(buf)]
         if t == "fixed":  # exactly `size` raw bytes, no length prefix
@@ -232,8 +284,8 @@ def decode_value(schema, buf: io.BytesIO):
     raise ValueError(f"bad schema node: {schema!r}")
 
 
-def encode_value(schema, value) -> bytes:
-    s = _norm_schema(schema)
+def encode_value(schema, value, env: dict | None = None) -> bytes:
+    s = _norm_schema(schema, env)
     if isinstance(s, str):
         if s == "null":
             return b""
@@ -253,21 +305,23 @@ def encode_value(schema, value) -> bytes:
             return _write_long(len(raw)) + raw
     if isinstance(s, list):  # union: pick the first matching branch
         for i, branch in enumerate(s):
-            bn = _norm_schema(branch)
+            bn = _norm_schema(branch, env)
             is_null = bn == "null"
             if (value is None) == is_null:
-                return _write_long(i) + encode_value(branch, value)
+                return _write_long(i) + encode_value(branch, value, env)
         raise ValueError(f"no union branch for {value!r} in {s!r}")
     if isinstance(s, dict):
         t = s["type"]
         if t == "record":
-            return b"".join(encode_value(f["type"], value[f["name"]]) for f in s["fields"])
+            return b"".join(
+                encode_value(f["type"], value[f["name"]], env) for f in s["fields"]
+            )
         if t == "array":
             if not value:
                 return _write_long(0)
             return (
                 _write_long(len(value))
-                + b"".join(encode_value(s["items"], v) for v in value)
+                + b"".join(encode_value(s["items"], v, env) for v in value)
                 + _write_long(0)
             )
         if t == "map":
@@ -276,7 +330,7 @@ def encode_value(schema, value) -> bytes:
             out = bytearray(_write_long(len(value)))
             for mk, mv in value.items():
                 kb = str(mk).encode("utf-8")
-                out += _write_long(len(kb)) + kb + encode_value(s["values"], mv)
+                out += _write_long(len(kb)) + kb + encode_value(s["values"], mv, env)
             return bytes(out) + _write_long(0)
         if t == "enum":
             try:
@@ -339,12 +393,12 @@ def ocf_bytes(
         out += _write_long(len(kk)) + kk + _write_long(len(v)) + v
     out += _write_long(0)  # end of metadata map
     out += _SYNC
-    enc_schema = _expand_named_refs(schema)
+    env = _build_env(schema)  # named refs (incl. recursive) resolve lazily
     for i in range(0, len(records), records_per_block) or [0]:
         block = records[i : i + records_per_block]
         if not block:
             continue
-        payload = b"".join(encode_value(enc_schema, r) for r in block)
+        payload = b"".join(encode_value(schema, r, env) for r in block)
         if codec == "deflate":
             payload = zlib.compress(payload)[2:-4]  # raw deflate per spec
         out += _write_long(len(block)) + _write_long(len(payload)) + payload + _SYNC
@@ -393,7 +447,7 @@ def parse_ocf(payload: bytes) -> tuple[dict, list[dict]]:
     codec = meta.get("avro.codec", b"null").decode()
     if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported codec {codec!r}")
-    dec_schema = _expand_named_refs(schema)
+    env = _build_env(schema)  # named refs (incl. recursive) resolve lazily
     sync = buf.read(16)
     records: list[dict] = []
     while True:
@@ -409,7 +463,7 @@ def parse_ocf(payload: bytes) -> tuple[dict, list[dict]]:
         if codec == "deflate":
             block = zlib.decompress(block, wbits=-15)
         bbuf = io.BytesIO(block)
-        records.extend(decode_value(dec_schema, bbuf) for _ in range(count))
+        records.extend(decode_value(schema, bbuf, env) for _ in range(count))
     return schema, records
 
 
@@ -590,8 +644,10 @@ def resolve_record(writer_rec: dict, writer_schema: dict, reader_schema: dict) -
       matching alias wins);
     - writer fields the reader dropped are discarded.
 
-    The only remaining resolution exclusion is recursive schemas
-    (which the expansion layer rejects up front)."""
+    The only remaining resolution exclusion: a ``reader_schema``
+    whose fields reference RECURSIVE named types (the codec
+    reads/writes recursion natively, but evolving a recursive type
+    through per-record resolution raises by name rather than guess)."""
     writer_fields = {f["name"]: f for f in writer_schema["fields"]}
     out = {}
     for rf in reader_schema["fields"]:
@@ -658,6 +714,53 @@ def _spark_field_type(schema) -> str:
     raise ValueError(f"cannot map Avro schema node {schema!r}")
 
 
+def _contains_recursive(s) -> bool:
+    if isinstance(s, list):
+        return any(_contains_recursive(b) for b in s)
+    if isinstance(s, dict):
+        t = s.get("type")
+        if t == "__recursive__":
+            return True
+        if t == "record":
+            return any(_contains_recursive(f["type"]) for f in s["fields"])
+        if t == "array":
+            return _contains_recursive(s["items"])
+        if t == "map":
+            return _contains_recursive(s["values"])
+    return False
+
+
+def _json_default(o):
+    if isinstance(o, bytes):
+        return o.hex()
+    if hasattr(o, "isoformat"):
+        return o.isoformat()
+    return str(o)
+
+
+def _to_json_cell(v):
+    return None if v is None else json.dumps(
+        v, sort_keys=True, default=_json_default
+    )
+
+
+def _spark_fields_of(schema) -> list[tuple[str, str, bool]]:
+    """``(name, spark_type, is_json)`` per top-level record field.
+    A field whose type participates in a named-type CYCLE (recursive
+    schema — linked lists, trees) has no finite struct representation,
+    so it lands as a ``string`` column holding the decoded value's
+    deterministic JSON rendering; every other field maps to its native
+    Spark type as before."""
+    expanded = _expand_named_refs(schema, recursive_sentinel=True)
+    out = []
+    for f in expanded["fields"]:
+        if _contains_recursive(f["type"]):
+            out.append((f["name"], "string", True))
+        else:
+            out.append((f["name"], _spark_field_type(f["type"]), False))
+    return out
+
+
 def read_avro_ocf(spark, path: str, reader_schema: dict | None = None):
     """``spark.read`` for `.avro` container files without the jar.
 
@@ -687,13 +790,13 @@ def read_avro_ocf(spark, path: str, reader_schema: dict | None = None):
         schema, _ = parse_ocf(_read_bytes(files[0]))
         if _norm_schema(schema).get("type") != "record":
             raise ValueError("top-level OCF schema must be a record")
-        out_fields = _expand_named_refs(schema)["fields"]
+        fields = _spark_fields_of(schema)
     else:
         schema = None
-        out_fields = _expand_named_refs(reader_schema)["fields"]
-    fields = [(f["name"], _spark_field_type(f["type"])) for f in out_fields]
-    out_schema = ", ".join(f"{n} {t}" for n, t in fields)
-    names = [n for n, _ in fields]
+        fields = _spark_fields_of(reader_schema)
+    out_schema = ", ".join(f"{n} {t}" for n, t, _ in fields)
+    names = [n for n, _, _ in fields]
+    json_fields = {n for n, _, is_json in fields if is_json}
     listing = spark.createDataFrame(
         [(f,) for f in files], "path string"
     ).repartition(len(files))  # one executor task per container file
@@ -707,6 +810,11 @@ def read_avro_ocf(spark, path: str, reader_schema: dict | None = None):
                     recs = [resolve_record(r, fschema, reader_schema) for r in recs]
                 elif fschema != schema:
                     raise ValueError("schema drift across .avro files")
+                if json_fields:  # recursive-typed fields -> JSON cells
+                    recs = [
+                        {**r, **{n: _to_json_cell(r[n]) for n in json_fields}}
+                        for r in recs
+                    ]
                 rows.extend(recs)
             yield pd.DataFrame(rows, columns=names)
 
@@ -910,33 +1018,42 @@ def _schema_of_dir(path: str):
     schema, _ = parse_ocf(_read_bytes(files[0]))
     if _norm_schema(schema).get("type") != "record":
         raise ValueError("top-level OCF schema must be a record")
-    fields = [
-        (fl["name"], _spark_field_type(fl["type"]))
-        for fl in _expand_named_refs(schema)["fields"]
-    ]
-    return schema, fields
+    return schema, _spark_fields_of(schema)
 
 
-def _file_rows(fname: str, schema, names, reader_schema: dict | None = None):
+def _file_rows(
+    fname: str, schema, names, reader_schema: dict | None = None,
+    json_fields: frozenset[str] | set[str] = frozenset(),
+):
     fschema, recs = parse_ocf(_read_bytes(fname))
     if reader_schema is not None:  # per-file Avro schema resolution
         recs = [resolve_record(r, fschema, reader_schema) for r in recs]
     elif fschema != schema:
         raise ValueError(f"schema drift in {fname}")
-    return [tuple(r[n] for n in names) for r in recs]
+    return [
+        tuple(
+            _to_json_cell(r[n]) if n in json_fields else r[n] for n in names
+        )
+        for r in recs
+    ]
 
 
 class AvroOcfReader(DataSourceReader):
-    def __init__(self, path: str, schema, names, reader_schema: dict | None = None):
+    def __init__(
+        self, path: str, schema, names, reader_schema: dict | None = None,
+        json_fields: frozenset[str] = frozenset(),
+    ):
         self.path, self.avro_schema, self.names = path, schema, names
         self.reader_schema = reader_schema
+        self.json_fields = json_fields
 
     def partitions(self):  # one partition per container file
         return [InputPartition(f) for f in _list_avro(self.path)]
 
     def read(self, partition):
         yield from _file_rows(
-            partition.value, self.avro_schema, self.names, self.reader_schema
+            partition.value, self.avro_schema, self.names, self.reader_schema,
+            self.json_fields,
         )
 
 
@@ -984,6 +1101,7 @@ class AvroOcfStreamReader(DataSourceStreamReader):
         self, path: str, schema, names, reader_schema: dict | None = None,
         max_files_per_batch: int | None = None,
         clean_source: str = "off", archive_dir: str | None = None,
+        json_fields: frozenset[str] = frozenset(),
     ):
         if clean_source not in ("off", "delete", "archive"):
             raise ValueError(f"cleanSource must be off|delete|archive, got {clean_source!r}")
@@ -996,6 +1114,7 @@ class AvroOcfStreamReader(DataSourceStreamReader):
         self.max_files_per_batch = max_files_per_batch
         self.clean_source = clean_source
         self.archive_dir = archive_dir
+        self.json_fields = json_fields
         #: basenames covered by the last offset this instance returned
         #: or learned from the engine; None = fresh instance, unknown
         self._known: set[str] | None = None
@@ -1060,7 +1179,8 @@ class AvroOcfStreamReader(DataSourceStreamReader):
 
     def read(self, partition):  # executor-side decode, one task per file
         yield from _file_rows(
-            partition.value, self.avro_schema, self.names, self.reader_schema
+            partition.value, self.avro_schema, self.names, self.reader_schema,
+            self.json_fields,
         )
 
     def commit(self, end: dict) -> None:
@@ -1389,24 +1509,24 @@ class AvroOcfDataSource(DataSource):
         if rs is not None:
             # output shape comes from the READER schema; files resolve
             schema = None
-            fields = [
-                (f["name"], _spark_field_type(f["type"]))
-                for f in _expand_named_refs(rs)["fields"]
-            ]
+            fields = _spark_fields_of(rs)
         else:
             schema, fields = _schema_of_dir(path)
-        return path, schema, [n for n, _ in fields], fields, rs
+        return path, schema, [n for n, _, _ in fields], fields, rs
 
     def schema(self) -> str:
         _, _, _, fields, _ = self._resolved()
-        return ", ".join(f"{n} {t}" for n, t in fields)
+        return ", ".join(f"{n} {t}" for n, t, _ in fields)
+
+    def _json_fields(self, fields) -> frozenset[str]:
+        return frozenset(n for n, _, is_json in fields if is_json)
 
     def reader(self, schema) -> AvroOcfReader:  # noqa: ARG002
-        path, avsc, names, _, rs = self._resolved()
-        return AvroOcfReader(path, avsc, names, rs)
+        path, avsc, names, fields, rs = self._resolved()
+        return AvroOcfReader(path, avsc, names, rs, self._json_fields(fields))
 
     def streamReader(self, schema) -> AvroOcfStreamReader:  # noqa: ARG002
-        path, avsc, names, _, rs = self._resolved()
+        path, avsc, names, fields, rs = self._resolved()
 
         def opt(key, default=None):
             return self.options.get(key.lower(), self.options.get(key, default))
@@ -1417,6 +1537,7 @@ class AvroOcfDataSource(DataSource):
             max_files_per_batch=int(cap) if cap is not None else None,
             clean_source=str(opt("cleanSource", "off")).lower(),
             archive_dir=opt("sourceArchiveDir"),
+            json_fields=self._json_fields(fields),
         )
 
     def _write_target(self):

@@ -313,7 +313,8 @@ def test_decimal_logical_type_round_trip(tmp_path, spark):
 
 def test_named_type_reference_reuse_and_recursion(tmp_path, spark):
     """A named record/enum defined once may be referenced again by
-    name (spec define-before-use); a RECURSIVE schema raises."""
+    name (spec define-before-use); a RECURSIVE schema round-trips
+    through the codec (lazy named-type resolution)."""
     schema = {
         "type": "record", "name": "Trip",
         "fields": [
@@ -342,10 +343,13 @@ def test_named_type_reference_reuse_and_recursion(tmp_path, spark):
 
     recursive = {
         "type": "record", "name": "Node",
-        "fields": [{"name": "next", "type": ["null", "Node"]}],
+        "fields": [{"name": "v", "type": "long"},
+                   {"name": "next", "type": ["null", "Node"]}],
     }
-    with pytest.raises(ValueError, match="recursive"):
-        write_avro_ocf(p, [{"next": None}], recursive)
+    chain = {"v": 1, "next": {"v": 2, "next": {"v": 3, "next": None}}}
+    write_avro_ocf(p, [chain, {"v": 9, "next": None}], recursive)
+    _, got_rec = parse_ocf(open(p, "rb").read())
+    assert got_rec == [chain, {"v": 9, "next": None}]
 
 
 def test_resolution_field_aliases():
@@ -1367,3 +1371,65 @@ def test_stream_clean_source_restart_after_clean(spark):
     assert got == [1, 2, 3, 4]  # no rewind, no re-ingest, no skip
     landing = sorted(f.rsplit("/", 1)[-1] for f in glob.glob(f"{land}/*.avro"))
     assert "part-a.avro" not in landing and "part-b.avro" not in landing
+
+
+def test_recursive_schema_spark_read_as_json_column(spark, tmp_path):
+    """Recursive schemas (linked lists / trees) have no finite struct
+    type: the recursive-typed FIELD surfaces as a string column of
+    deterministic JSON, non-recursive siblings keep native types —
+    through BOTH batch read paths, which must agree."""
+    import json as _json
+
+    from kafka_avro_order_processing_spark.sources.avro_ocf import register
+
+    register(spark)
+    schema = {
+        "type": "record", "name": "Node",
+        "fields": [
+            {"name": "doc_id", "type": "long"},
+            {"name": "label", "type": "string"},
+            {"name": "next", "type": ["null", "Node"]},
+        ],
+    }
+    rows = [
+        {"doc_id": 1, "label": "a",
+         "next": {"doc_id": 10, "label": "a1",
+                  "next": {"doc_id": 100, "label": "a2", "next": None}}},
+        {"doc_id": 2, "label": "b", "next": None},
+    ]
+    base = str(tmp_path / "nodes")
+    write_avro_ocf(f"{base}/p0.avro", rows, schema)
+    df = read_avro_ocf(spark, base)
+    assert dict(df.dtypes) == {
+        "doc_id": "bigint", "label": "string", "next": "string"}
+    got = {r["doc_id"]: r["next"] for r in df.collect()}
+    assert got[2] is None
+    chain = _json.loads(got[1])
+    assert chain["doc_id"] == 10 and chain["next"]["doc_id"] == 100
+    assert chain["next"]["next"] is None
+    via_ds = {
+        r["doc_id"]: r["next"]
+        for r in spark.read.format("kaop_avro").option("path", base).load().collect()
+    }
+    assert via_ds == got  # mapInPandas path and DataSource path agree
+
+
+def test_recursive_tree_round_trip(tmp_path):
+    """A branching recursive type (binary tree) with arrays of
+    self-references round-trips the container bytes, both codecs."""
+    schema = {
+        "type": "record", "name": "Tree",
+        "fields": [
+            {"name": "v", "type": "long"},
+            {"name": "kids", "type": {"type": "array", "items": "Tree"}},
+        ],
+    }
+    tree = {"v": 1, "kids": [
+        {"v": 2, "kids": [{"v": 4, "kids": []}]},
+        {"v": 3, "kids": []},
+    ]}
+    for codec in ("null", "deflate"):
+        p = str(tmp_path / f"tree_{codec}.avro")
+        write_avro_ocf(p, [tree], schema, codec=codec)
+        _, got = parse_ocf(open(p, "rb").read())
+        assert got == [tree]
