@@ -624,7 +624,12 @@ def _resolve_value(v, writer_type, reader_type, field: str = ""):
     if (wk, rk) == ("string", "bytes"):
         return v.encode("utf-8")
     if (wk, rk) == ("bytes", "string"):
-        return v.decode("utf-8")
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError as e:
+            raise ValueError(
+                f"bytes -> string promotion for {field!r}: not valid UTF-8 ({e})"
+            ) from None
     raise ValueError(f"illegal promotion {wk} -> {rk} for {field!r}")
 
 

@@ -1433,3 +1433,56 @@ def test_recursive_tree_round_trip(tmp_path):
         write_avro_ocf(p, [tree], schema, codec=codec)
         _, got = parse_ocf(open(p, "rb").read())
         assert got == [tree]
+
+
+def test_bytes_to_string_promotion_requires_utf8():
+    """Hypothesis-found edge: spec bytes->string promotion assumes
+    UTF-8 — non-decodable bytes raise a named resolution ValueError,
+    not a bare UnicodeDecodeError."""
+    from kafka_avro_order_processing_spark.sources.avro_ocf import resolve_record
+
+    w = {"type": "record", "name": "R",
+         "fields": [{"name": "b", "type": "bytes"}]}
+    r = {"type": "record", "name": "R",
+         "fields": [{"name": "b", "type": "string"}]}
+    assert resolve_record({"b": "ok".encode()}, w, r) == {"b": "ok"}
+    with pytest.raises(ValueError, match="not valid UTF-8"):
+        resolve_record({"b": b"\x00\xff"}, w, r)
+
+
+def test_manifest_publish_gives_up_after_retries(tmp_path, monkeypatch):
+    """_publish_manifest raises RuntimeError (documented abort) when a
+    concurrent writer wins EVERY retry — no silent last-writer-wins."""
+    from kafka_avro_order_processing_spark.sources import avro_ocf as mod
+
+    uri = f"file://{tmp_path}/lake"
+    import pyarrow.fs as pafs
+
+    fs, rel = pafs.FileSystem.from_uri(uri)
+    fs.create_dir(rel, recursive=True)
+    real_write = mod._write_manifest
+
+    def always_lose(path, manifest):
+        real_write(path, manifest)
+        real_write(path, {"parts": ["part-advers.avro"], "version": 10**6,
+                          "writer": "adversary"})
+
+    monkeypatch.setattr(mod, "_write_manifest", always_lose)
+    with pytest.raises(RuntimeError, match="concurrent writer"):
+        mod._publish_manifest(uri, lambda cur: {**cur, "parts": ["p.avro"]},
+                              max_retries=3)
+
+
+def test_clean_source_option_validation(spark):
+    """Bad retention configs fail fast at stream construction."""
+    from kafka_avro_order_processing_spark.sources.avro_ocf import (
+        AvroOcfStreamReader,
+    )
+
+    with pytest.raises(ValueError, match="off\\|delete\\|archive"):
+        AvroOcfStreamReader("/x", {}, [], clean_source="purge")
+    with pytest.raises(ValueError, match="sourceArchiveDir"):
+        AvroOcfStreamReader("/x", {}, [], clean_source="archive")
+    with pytest.raises(ValueError, match="differ"):
+        AvroOcfStreamReader("/x", {}, [], clean_source="archive",
+                            archive_dir="/x/")

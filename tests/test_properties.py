@@ -217,3 +217,81 @@ def test_ocf_codec_round_trips_any_records(tmp_path_factory, records, codec):
     schema, got = parse_ocf(open(p, "rb").read())
     assert schema == _AVRO_SCHEMA
     assert got == records
+
+
+# ---------------------------------------------------------------------------
+# round 6: union re-resolution property — the value decides the writer
+# branch, the first compatible reader branch decides the result
+# ---------------------------------------------------------------------------
+
+_BRANCH_VALUES = {
+    "null": None,
+    "boolean": True,
+    "int": 7,
+    "long": 2**40,
+    "float": 1.5,
+    "double": -2.25,
+    "string": "héllo",
+    "bytes": "héllo".encode(),  # valid UTF-8: bytes->string may promote
+}
+#: writer kind -> reader kinds it legally resolves against (spec:
+#: identity, numeric promotion table, string<->bytes)
+_OK = {
+    "null": {"null"},
+    "boolean": {"boolean"},
+    "int": {"int", "long", "float", "double"},
+    "long": {"long", "float", "double"},
+    "float": {"float", "double"},
+    "double": {"double"},
+    "string": {"string", "bytes"},
+    "bytes": {"bytes", "string"},
+}
+_KINDS = sorted(_BRANCH_VALUES)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    writer_kind=st.sampled_from(_KINDS),
+    writer_extra=st.lists(st.sampled_from(_KINDS), max_size=3, unique=True),
+    reader_branches=st.lists(st.sampled_from(_KINDS), min_size=1, max_size=4,
+                             unique=True),
+)
+def test_union_resolution_first_compatible_branch_or_error(
+    writer_kind, writer_extra, reader_branches
+):
+    """For ANY writer union containing the datum's branch and ANY
+    reader union: resolution succeeds iff some reader branch is
+    compatible with the datum's branch, lands on the FIRST such
+    branch (promoted), and raises otherwise — never a silent
+    pass-through."""
+    import pytest as _pytest
+
+    from kafka_avro_order_processing_spark.sources.avro_ocf import resolve_record
+
+    value = _BRANCH_VALUES[writer_kind]
+    # the datum's branch FIRST so the value-driven re-match is exact
+    # (int/long and float/double values are mutually indistinguishable)
+    writer_union = [writer_kind] + [k for k in writer_extra if k != writer_kind]
+    w = {"type": "record", "name": "R",
+         "fields": [{"name": "v", "type": writer_union}]}
+    r = {"type": "record", "name": "R",
+         "fields": [{"name": "v", "type": list(reader_branches)}]}
+    compatible = [rk for rk in reader_branches if rk in _OK[writer_kind]]
+    if not compatible:
+        with _pytest.raises(ValueError):
+            resolve_record({"v": value}, w, r)
+        return
+    got = resolve_record({"v": value}, w, r)["v"]
+    target = compatible[0]
+    if value is None:
+        assert got is None
+    elif target in ("float", "double"):
+        assert got == float(value) and isinstance(got, float)
+    elif target in ("int", "long"):
+        assert got == int(value) and isinstance(got, int)
+    elif writer_kind == "string" and target == "bytes":
+        assert got == value.encode("utf-8")
+    elif writer_kind == "bytes" and target == "string":
+        assert got == value.decode("utf-8")
+    else:
+        assert got == value
