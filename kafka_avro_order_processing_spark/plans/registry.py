@@ -1384,6 +1384,83 @@ def q_avro_uri_manifest_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "avro_stats_pruned_read",
+    f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           {_dsum('o_totalprice')} AS total_price
+    FROM orders
+    WHERE o_totalprice < 50000.0
+    GROUP BY o_orderpriority
+    """,
+    tags=("source", "avro", "datasource", "stats-pruning", "pushdown"),
+    doc="Stats-based FILE SKIPPING for the Avro lake source "
+        "(sources/avro_ocf.py): every part the kaop_avro writer emits "
+        "carries per-column min/max/null-count stats in its container "
+        "header (kaop.stats) and, on manifest commits, in "
+        "_manifest.json; with statsPruning=true the batch reader "
+        "receives Spark's pushed filters (Python DataSource "
+        "pushFilters, spark.sql.python.filterPushdown.enabled) and "
+        "plans only the parts whose stats admit a match — the "
+        "parquet-style scan-pruning story at 100 TB, where a "
+        "selective filter over a range-clustered lake must open a "
+        "handful of files, not all of them.  Orders are written "
+        "range-clustered on o_totalprice into 8 parts, so the "
+        "< 50000 filter prunes most parts at planning time.  The "
+        "read is BOOBY-TRAPPED: a planted part whose header stats "
+        "claim a disjoint price range has a deliberately corrupt "
+        "body — if pruning ever stops skipping it the scan raises "
+        "and this row goes red, so the green row pins the pruning "
+        "behavior itself, not just the aggregate.",
+)
+def q_avro_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.avro_ocf import (
+        _list_avro,
+        _stats_meta,
+        ocf_bytes,
+        parse_ocf,
+    )
+    from ..sources.avro_ocf import register as _reg_avro
+
+    _reg_avro(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    out = tempfile.mkdtemp(prefix="kaop_ocf_pruned_") + "/orders"
+    cols = ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    (
+        load_table(spark, sf_dir, "orders")
+        .select(*cols)
+        .repartitionByRange(8, "o_totalprice")  # range-clustered parts
+        .write.format("kaop_avro")
+        .option("path", out)
+        .mode("append")
+        .save()
+    )
+    # the booby trap: header stats disjoint from the filter, corrupt
+    # body, name sorted past every real part (schema discovery must
+    # not open it either)
+    first = _list_avro(out)[0]
+    pschema, _ = parse_ocf(open(first, "rb").read())
+    prec = [{"o_orderkey": -1, "o_orderpriority": "X-POISON",
+             "o_totalprice": 9.9e9}]
+    raw = ocf_bytes(prec, pschema, extra_meta=_stats_meta(prec, cols))
+    with open(f"{out}/part-zz-poison.avro", "wb") as f:
+        f.write(raw[:-16] + bytes(16))  # break the trailing sync marker
+    back = (
+        spark.read.format("kaop_avro")
+        .option("path", out)
+        .option("statsPruning", "true")
+        .load()
+        .filter(F.col("o_totalprice") < 50000.0)
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        dec_sum("o_totalprice").alias("total_price"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Statistical aggregates, analytic windows (lag/rank), fact-fact and
 # semi/anti joins, SQL-API twin, exact per-record streaming emission.
@@ -4055,8 +4132,9 @@ _LEAD_ORDER = [
     # -- round-6 window (exactly 50 names precede the boundary) --
     # new this round (a new name must displace into the window in the
     # same round it is added): the manifest-commit URI write path's
-    # first driver row (VERDICT r5 next-round #2)
-    "avro_uri_manifest_write",
+    # first driver row (VERDICT r5 next-round #2), and the stats-based
+    # file-skipping read (statsPruning pushFilters path)
+    "avro_uri_manifest_write", "avro_stats_pruned_read",
     # the 10 names whose latest green row is round 3 (age 3 this
     # round — the oldest anywhere), exactly as the r5 boundary
     # comment + HANDOFF rotation math queued them
@@ -4066,7 +4144,7 @@ _LEAD_ORDER = [
     "order_priority_counts", "daily_revenue_lag",
     "supplier_balance_by_nation", "multi_stream_union",
     # round-4-green names reaching age 2 this round, oldest-
-    # registration-first (39 of 49 fit; the 10 past the boundary are
+    # registration-first (38 of 49 fit; the 11 past the boundary are
     # queued for round 7)
     "doc_chunks", "streaming_upsert_orders",
     "streaming_dedup_watermarked", "streaming_scd2_customer_dim",
@@ -4085,13 +4163,13 @@ _LEAD_ORDER = [
     "embedding_quantization_error", "explicit_grouping_sets",
     "forecast_revenue_change", "generated_orders", "ivf_probe_search",
     "ivf_recall_at_k", "large_quantity_orders",
-    "multimodal_decoded_features",
     # --- position 50 boundary: names below hold green rows at most
-    # 2 rounds old after this round.  First the 10 r4-green names
+    # 2 rounds old after this round.  First the 11 r4-green names
     # displaced past the cap (they reach age 3 in round 7 — LEAD
     # ROUND 7 WITH THESE, then fill with the 50 r5-green names
     # oldest-registration-first; the r6 window's names are safe
     # until round 8):
+    "multimodal_decoded_features",
     "per_source_quality", "pii_detection", "props_json_extraction",
     "quality_filter_funnel", "scd2_customer_dim", "shipping_priority",
     "simhash_fingerprints", "source_overlap_grams",

@@ -26,6 +26,10 @@ RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     # Arrow transfer for pandas UDFs / toPandas (vectorized boundary).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Python DataSource filter pushdown (pyspark>=4.1) — off upstream by
+    # default; needed for the kaop_avro statsPruning file-skipping
+    # reader (Spark refuses to plan a pushFilters reader without it).
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

@@ -377,15 +377,24 @@ def encode_value(schema, value, env: dict | None = None) -> bytes:
 
 def ocf_bytes(
     records: list[dict], schema: dict, codec: str = "null",
-    records_per_block: int = 1000,
+    records_per_block: int = 1000, extra_meta: dict[str, bytes] | None = None,
 ) -> bytes:
-    """Serialize records to spec-compliant OCF container bytes."""
+    """Serialize records to spec-compliant OCF container bytes.
+
+    ``extra_meta`` adds application metadata entries to the header map
+    (the spec reserves only the ``avro.`` prefix); the ``kaop_avro``
+    writers use it to embed per-part column stats under
+    ``kaop.stats``."""
     if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported codec {codec!r}")
     meta = {
         "avro.schema": json.dumps(schema).encode(),
         "avro.codec": codec.encode(),
     }
+    for k, v in (extra_meta or {}).items():
+        if k.startswith("avro."):
+            raise ValueError(f"extra_meta may not use the reserved avro. prefix: {k!r}")
+        meta[k] = v
     out = bytearray(MAGIC)
     out += _write_long(len(meta))
     for k, v in meta.items():
@@ -407,11 +416,11 @@ def ocf_bytes(
 
 def write_avro_ocf(
     path: str, records: list[dict], schema: dict, codec: str = "null",
-    records_per_block: int = 1000,
+    records_per_block: int = 1000, extra_meta: dict[str, bytes] | None = None,
 ) -> None:
     """Write a spec-compliant OCF (test/fixture writer; driver-side).
     Accepts pyarrow-filesystem URIs as well as local paths."""
-    data = ocf_bytes(records, schema, codec, records_per_block)
+    data = ocf_bytes(records, schema, codec, records_per_block, extra_meta)
     if "://" in path:
         import pyarrow.fs as pafs
 
@@ -465,6 +474,88 @@ def parse_ocf(payload: bytes) -> tuple[dict, list[dict]]:
         bbuf = io.BytesIO(block)
         records.extend(decode_value(schema, bbuf, env) for _ in range(count))
     return schema, records
+
+
+def parse_ocf_meta(payload: bytes) -> dict[str, bytes]:
+    """The header metadata map of a container file, from a byte PREFIX
+    — no block decode, so a small ranged read suffices.  Raises on any
+    truncation (including a prefix that ends inside the map or before
+    the sync marker), letting callers fall back to a full read."""
+    buf = io.BytesIO(payload)
+    if buf.read(4) != MAGIC:
+        raise ValueError("not an Avro object container file")
+    meta: dict[str, bytes] = {}
+    while True:
+        n = _read_long(buf)
+        if n == 0:
+            break
+        if n < 0:  # negative block count form
+            _read_long(buf)
+            n = -n
+        for _ in range(n):
+            klen = _read_long(buf)
+            k = buf.read(klen)
+            vlen = _read_long(buf)
+            v = buf.read(vlen)
+            if len(k) != klen or len(v) != vlen:
+                raise ValueError("truncated OCF header")
+            meta[k.decode()] = v
+    if len(buf.read(16)) != 16:  # sync marker must be fully present
+        raise ValueError("truncated OCF header")
+    return meta
+
+
+#: header metadata key under which the writers embed per-part column
+#: stats (the spec reserves only the ``avro.`` prefix for itself)
+STATS_META_KEY = "kaop.stats"
+
+
+def collect_stats(records: list[dict], names) -> dict:
+    """Per-part column stats for stats-based file skipping:
+    ``{"rows": N, "cols": {name: {"nulls": K[, "min": lo, "max": hi]}}}``.
+
+    ``min``/``max`` are present only when every non-null value of the
+    column is an orderable primitive (int/float/str — not bool, not
+    NaN, not bytes/struct/array/datetime): a column any of whose
+    values cannot safely order keeps just its null count, and file
+    skipping stays conservative for it.  NaN is excluded outright
+    because Spark orders NaN LARGER than any float while Python
+    comparisons with NaN are all false — a NaN-contaminated max would
+    wrongly prune files."""
+    cols: dict[str, dict] = {}
+    for n in names:
+        nulls, lo, hi, orderable = 0, None, None, True
+        for r in records:
+            v = r.get(n)
+            if v is None:
+                nulls += 1
+            elif (
+                orderable
+                and isinstance(v, (int, float, str))
+                and not isinstance(v, bool)
+                and v == v  # excludes float NaN
+            ):
+                if lo is None:
+                    lo = hi = v
+                else:
+                    try:
+                        if v < lo:
+                            lo = v
+                        if v > hi:
+                            hi = v
+                    except TypeError:
+                        orderable, lo, hi = False, None, None
+            else:
+                orderable, lo, hi = False, None, None
+        ent: dict = {"nulls": nulls}
+        if orderable and lo is not None:
+            ent["min"], ent["max"] = lo, hi
+        cols[n] = ent
+    return {"rows": len(records), "cols": cols}
+
+
+def _stats_meta(records: list[dict], names) -> dict[str, bytes]:
+    return {STATS_META_KEY: json.dumps(collect_stats(records, names), sort_keys=True).encode()}
 
 
 # --------------------------------------------------------------------------
@@ -846,6 +937,23 @@ except ImportError:  # pragma: no cover
     DataSourceStreamReader = object  # type: ignore[assignment,misc]
     InputPartition = WriterCommitMessage = None  # type: ignore[assignment]
 
+try:  # pyspark>=4.1 only — the Python DataSource filter-pushdown API
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        IsNotNull,
+        IsNull,
+        LessThan,
+        LessThanOrEqual,
+        StringStartsWith,
+    )
+
+    _HAS_PUSHDOWN = True
+except ImportError:  # pragma: no cover
+    _HAS_PUSHDOWN = False
+
 
 def _list_avro(path: str) -> list[str]:
     # Manifest-managed directories (URI-mode writes) read the COMMITTED
@@ -893,6 +1001,41 @@ def _read_bytes(path: str) -> bytes:
             return f.read()
     with open(path, "rb") as f:
         return f.read()
+
+
+_HEADER_PROBE_BYTES = 1 << 16
+
+
+def _read_prefix(path: str, n: int) -> bytes:
+    """First ``n`` bytes of a file (ranged read — what a header probe
+    costs on an object store, not a whole-object GET)."""
+    if "://" in path:
+        import pyarrow.fs as pafs
+
+        fs, rel = pafs.FileSystem.from_uri(path)
+        with fs.open_input_stream(rel) as f:
+            return f.read(n)
+    with open(path, "rb") as f:
+        return f.read(n)
+
+
+def _header_stats(path: str) -> dict | None:
+    """The ``kaop.stats`` entry of one part's header, or None when the
+    part predates stats / was written by another tool (file skipping
+    then keeps the file — conservative).  A header larger than the
+    probe window falls back to one full read."""
+    try:
+        meta = parse_ocf_meta(_read_prefix(path, _HEADER_PROBE_BYTES))
+    except (ValueError, OSError):
+        try:
+            meta = parse_ocf_meta(_read_bytes(path))
+        except (ValueError, OSError):
+            return None
+    raw = meta.get(STATS_META_KEY)
+    try:
+        return json.loads(raw) if raw else None
+    except ValueError:
+        return None
 
 
 def _delete_file(path: str) -> None:
@@ -1062,6 +1205,129 @@ class AvroOcfReader(DataSourceReader):
         )
 
 
+def _stat_filter_supported(f) -> bool:
+    """Filters the stats model can reason about: simple comparisons /
+    null tests on one TOP-LEVEL column.  Everything else is never
+    examined (the file is kept)."""
+    if not isinstance(
+        f,
+        (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual,
+         In, IsNull, IsNotNull, StringStartsWith),
+    ):
+        return False
+    attr = getattr(f, "attribute", None)
+    return isinstance(attr, tuple) and len(attr) == 1
+
+
+def _file_may_match(stats: dict | None, filters: list) -> bool:
+    """Conservative overlap test: False ONLY when the part's stats
+    PROVE no row can satisfy some pushed filter (the AND of the list).
+    Missing stats, missing columns, missing min/max, or any cross-type
+    comparison oddity keep the file — pruning may only ever remove
+    certainly-dead files, never introduce wrong answers (Spark also
+    re-evaluates every filter row-level above this scan)."""
+    if not stats:
+        return True
+    rows = stats.get("rows")
+    cols = stats.get("cols", {})
+    for f in filters:
+        ent = cols.get(f.attribute[0])
+        if ent is None:
+            continue
+        nulls = ent.get("nulls", 0)
+        lo, hi = ent.get("min"), ent.get("max")
+        all_null = rows is not None and nulls >= rows
+        try:
+            if isinstance(f, IsNull):
+                if nulls == 0:
+                    return False
+                continue
+            if isinstance(f, IsNotNull):
+                if all_null:
+                    return False
+                continue
+            # every remaining form is a comparison — null rows cannot
+            # satisfy it, so an all-null part is prunable outright
+            if all_null:
+                return False
+            if lo is None:
+                continue  # no min/max recorded: cannot reason further
+            if isinstance(f, EqualTo):
+                if not (lo <= f.value <= hi):
+                    return False
+            elif isinstance(f, GreaterThan):
+                if not (hi > f.value):
+                    return False
+            elif isinstance(f, GreaterThanOrEqual):
+                if not (hi >= f.value):
+                    return False
+            elif isinstance(f, LessThan):
+                if not (lo < f.value):
+                    return False
+            elif isinstance(f, LessThanOrEqual):
+                if not (lo <= f.value):
+                    return False
+            elif isinstance(f, In):
+                if not any(lo <= v <= hi for v in f.value):
+                    return False
+            elif isinstance(f, StringStartsWith):
+                p = f.value
+                if not (isinstance(p, str) and isinstance(lo, str)):
+                    continue
+                if hi < p:  # every value sorts before the prefix range
+                    return False
+                if p:  # strings with prefix p live in [p, p_successor)
+                    nxt = p[:-1] + chr(ord(p[-1]) + 1)
+                    if lo >= nxt:
+                        return False
+        except (TypeError, ValueError):
+            continue  # cross-type comparison: keep the file
+    return True
+
+
+class AvroOcfPruningReader(AvroOcfReader):
+    """File-skipping batch reader (``statsPruning=true``): pushed
+    comparison filters are tested against each part's column stats and
+    parts that provably contain no matching row are never opened — the
+    parquet-style scan pruning story for the Avro lake.
+
+    Stats resolve from ONE manifest read on a manifest-managed (URI-
+    written) directory — per-part stats ride the commit messages into
+    ``_manifest.json``, so planning cost stays O(1) object reads no
+    matter how many parts — and from a small header probe per file
+    (ranged read of ``kaop.stats``) on plain local directories.  A
+    part with no stats anywhere is always kept.
+
+    ``pushFilters`` returns EVERY input filter: stats prune whole
+    files only, and Spark re-evaluates the predicates row-level above
+    the scan, so a stale or absent stats entry can cost speed, never
+    correctness.  Requires ``spark.sql.python.filterPushdown.enabled``
+    (Spark refuses to plan a pushFilters reader without it — which is
+    why this subclass is option-gated rather than the default)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.pushed: list = []
+
+    def pushFilters(self, filters):
+        self.pushed = [f for f in filters if _stat_filter_supported(f)]
+        return filters  # Spark re-checks rows; we only skip dead files
+
+    def partitions(self):
+        files = _list_avro(self.path)
+        if self.pushed and files:
+            m = _read_manifest(self.path)
+            if m is not None:  # one read covers every part's stats
+                by_name = m.get("stats", {})
+                stats = [by_name.get(f.rsplit("/", 1)[-1]) for f in files]
+            else:  # local dir: ranged header probe per file
+                stats = [_header_stats(f) for f in files]
+            files = [
+                f for f, s in zip(files, stats) if _file_may_match(s, self.pushed)
+            ]
+        return [InputPartition(f) for f in files]
+
+
 class AvroOcfStreamReader(DataSourceStreamReader):
     """Landing-directory ingestion: the offset is the SET of file
     basenames already consumed (``{"files": [...]}``), so arrival
@@ -1225,6 +1491,7 @@ class AvroOcfStreamReader(DataSourceStreamReader):
                         k: [p for p in v if p not in cleaned_now]
                         for k, v in cur["epochs"].items()
                     }
+                _set_manifest_stats(cur, {})  # drop retired parts' stats
                 return cur
 
             _publish_manifest(self.path, mutate)
@@ -1298,8 +1565,21 @@ def _avro_schema_of(struct) -> dict:
 
 
 class _OcfCommit(WriterCommitMessage):
-    def __init__(self, tmp: str | None):
+    def __init__(self, tmp: str | None, stats: dict | None = None):
         self.tmp = tmp
+        #: per-part column stats (collect_stats) — URI-mode commits
+        #: fold these into the manifest so file skipping plans from
+        #: ONE manifest read instead of per-part header probes
+        self.stats = stats
+
+
+def _set_manifest_stats(cur: dict, new_stats: dict[str, dict]) -> None:
+    """Fold per-part stats into a manifest body and drop entries for
+    parts no longer committed (keeps the manifest bounded across
+    overwrites, epoch replays, and cleanSource retirement)."""
+    merged = {**cur.get("stats", {}), **new_stats}
+    live = set(cur.get("parts", []))
+    cur["stats"] = {k: v for k, v in merged.items() if k in live}
 
 
 class AvroOcfWriter(DataSourceWriter):
@@ -1338,19 +1618,26 @@ class AvroOcfWriter(DataSourceWriter):
         records = [{n: row[n] for n in self.names} for row in iterator]
         if not records:
             return _OcfCommit(None)  # empty partition -> no file
+        stats = collect_stats(records, self.names)
+        meta = {STATS_META_KEY: json.dumps(stats, sort_keys=True).encode()}
         if self.uri_mode:  # final name now; published only via manifest
             name = f"part-{self.job_id}-{_uuid.uuid4().hex[:8]}.avro"
             write_avro_ocf(
                 f"{self.path.rstrip('/')}/{name}",
-                records, self.avro_schema, codec=self.codec,
+                records, self.avro_schema, codec=self.codec, extra_meta=meta,
             )
-            return _OcfCommit(name)
+            return _OcfCommit(name, stats)
         tmp = os.path.join(self.path, f"_tmp_{_uuid.uuid4().hex}.avro")
-        write_avro_ocf(tmp, records, self.avro_schema, codec=self.codec)
+        write_avro_ocf(tmp, records, self.avro_schema, codec=self.codec, extra_meta=meta)
         return _OcfCommit(tmp)
 
     def commit(self, messages) -> None:
         new = [m.tmp for m in messages if m is not None and m.tmp is not None]
+        new_stats = {
+            m.tmp: m.stats
+            for m in messages
+            if m is not None and m.tmp is not None and getattr(m, "stats", None)
+        }
         if self.uri_mode:
             replaced: list[str] = []
 
@@ -1365,6 +1652,7 @@ class AvroOcfWriter(DataSourceWriter):
                     cur["parts"] = sorted(set(new))
                 else:
                     cur["parts"] = sorted(set(cur.get("parts", [])) | set(new))
+                _set_manifest_stats(cur, new_stats)
                 return cur
 
             _publish_manifest(self.path, mutate)
@@ -1420,19 +1708,26 @@ class AvroOcfStreamWriter(DataSourceStreamWriter):
         records = [{n: row[n] for n in self.names} for row in iterator]
         if not records:
             return _OcfCommit(None)
+        stats = collect_stats(records, self.names)
+        meta = {STATS_META_KEY: json.dumps(stats, sort_keys=True).encode()}
         if self.uri_mode:
             name = f"part-{_uuid.uuid4().hex}.avro"
             write_avro_ocf(
                 f"{self.path.rstrip('/')}/{name}",
-                records, self.avro_schema, codec=self.codec,
+                records, self.avro_schema, codec=self.codec, extra_meta=meta,
             )
-            return _OcfCommit(name)
+            return _OcfCommit(name, stats)
         tmp = os.path.join(self.path, f"_tmp_{_uuid.uuid4().hex}.avro")
-        write_avro_ocf(tmp, records, self.avro_schema, codec=self.codec)
+        write_avro_ocf(tmp, records, self.avro_schema, codec=self.codec, extra_meta=meta)
         return _OcfCommit(tmp)
 
     def commit(self, messages, batchId: int) -> None:
         new = [m.tmp for m in messages if m is not None and m.tmp is not None]
+        new_stats = {
+            m.tmp: m.stats
+            for m in messages
+            if m is not None and m.tmp is not None and getattr(m, "stats", None)
+        }
         if self.uri_mode:
             replaced: list[str] = []
 
@@ -1443,6 +1738,7 @@ class AvroOcfStreamWriter(DataSourceStreamWriter):
                 parts = [p for p in cur.get("parts", []) if p not in replaced]
                 cur["epochs"] = epochs
                 cur["parts"] = sorted(set(parts) | set(new))
+                _set_manifest_stats(cur, new_stats)
                 return cur
 
             _publish_manifest(self.path, mutate)
@@ -1482,8 +1778,15 @@ class AvroOcfDataSource(DataSource):
 
     Options: ``path`` (required); ``readerSchema`` (Avro schema JSON —
     read evolved files as one table via per-file schema resolution;
-    without it schema drift is an error); ``codec`` (write side:
-    ``null`` default or ``deflate``); ``maxFilesPerBatch`` (stream
+    without it schema drift is an error); ``statsPruning=true`` (batch
+    read side: skip container files whose per-part column stats —
+    written by this source into every part's header under
+    ``kaop.stats`` and folded into ``_manifest.json`` on URI commits —
+    prove no row matches the pushed filters; requires
+    ``spark.sql.python.filterPushdown.enabled=true``, prunes files
+    only, Spark still evaluates every predicate row-level); ``codec``
+    (write side: ``null`` default or ``deflate``); ``maxFilesPerBatch``
+    (stream
     read side: admit at most N new files per micro-batch — a landed
     backlog drains in ceil(N/cap) batches instead of one giant
     epoch); ``cleanSource`` = ``delete``/``archive`` (+
@@ -1528,6 +1831,21 @@ class AvroOcfDataSource(DataSource):
 
     def reader(self, schema) -> AvroOcfReader:  # noqa: ARG002
         path, avsc, names, fields, rs = self._resolved()
+        prune = str(
+            self.options.get("statspruning", self.options.get("statsPruning", "false"))
+        ).lower() == "true"
+        # statsPruning is an opt-in subclass, not the default, because
+        # Spark refuses to plan ANY reader that implements pushFilters
+        # unless spark.sql.python.filterPushdown.enabled is set — the
+        # plain reader must keep working on vanilla sessions.  With a
+        # readerSchema the option downgrades to the plain reader:
+        # alias resolution can remap reader column names onto
+        # different writer fields, and stats recorded under writer
+        # names must not be trusted for renamed columns.
+        if prune and rs is None and _HAS_PUSHDOWN:
+            return AvroOcfPruningReader(
+                path, avsc, names, rs, self._json_fields(fields)
+            )
         return AvroOcfReader(path, avsc, names, rs, self._json_fields(fields))
 
     def streamReader(self, schema) -> AvroOcfStreamReader:  # noqa: ARG002

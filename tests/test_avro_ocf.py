@@ -1486,3 +1486,235 @@ def test_clean_source_option_validation(spark):
     with pytest.raises(ValueError, match="differ"):
         AvroOcfStreamReader("/x", {}, [], clean_source="archive",
                             archive_dir="/x/")
+
+
+# --------------------------------------------------------------------------
+# per-part column stats + file-skipping filter pushdown (statsPruning)
+# --------------------------------------------------------------------------
+
+def _stats_imports():
+    from kafka_avro_order_processing_spark.sources import avro_ocf as mod
+
+    return mod
+
+
+def test_collect_stats_shapes():
+    mod = _stats_imports()
+    recs = [
+        {"a": 3, "b": "m", "c": None, "d": True, "e": 1.5},
+        {"a": -7, "b": "zz", "c": None, "d": False, "e": float("nan")},
+        {"a": 10, "b": None, "c": None, "d": None, "e": 2.0},
+    ]
+    st = mod.collect_stats(recs, ["a", "b", "c", "d", "e"])
+    assert st["rows"] == 3
+    assert st["cols"]["a"] == {"nulls": 0, "min": -7, "max": 10}
+    assert st["cols"]["b"] == {"nulls": 1, "min": "m", "max": "zz"}
+    # all-null column: null count only, no min/max
+    assert st["cols"]["c"] == {"nulls": 3}
+    # bools are not orderable stats (Spark bool vs Python int subclass)
+    assert "min" not in st["cols"]["d"]
+    # a NaN anywhere poisons ordering -> min/max dropped, nulls kept
+    assert "min" not in st["cols"]["e"] and st["cols"]["e"]["nulls"] == 0
+
+
+def test_parse_ocf_meta_prefix_and_extra_meta(tmp_path):
+    mod = _stats_imports()
+    p = str(tmp_path / "m.avro")
+    write_avro_ocf(p, ROWS, SCHEMA, extra_meta={"kaop.stats": b'{"rows": 3}'})
+    raw = open(p, "rb").read()
+    meta = mod.parse_ocf_meta(raw[:65536])
+    assert meta["kaop.stats"] == b'{"rows": 3}'
+    assert "avro.schema" in meta
+    # records still decode (extra metadata is spec-legal)
+    _, recs = parse_ocf(raw)
+    assert recs == ROWS
+    # a truncated prefix raises instead of returning a partial map
+    with pytest.raises(ValueError):
+        mod.parse_ocf_meta(raw[:20])
+    # the avro. namespace is reserved by the spec
+    with pytest.raises(ValueError, match="reserved"):
+        mod.ocf_bytes(ROWS, SCHEMA, extra_meta={"avro.codec": b"x"})
+
+
+def test_header_stats_probe(tmp_path):
+    mod = _stats_imports()
+    p = str(tmp_path / "s.avro")
+    recs = [{"doc_id": i, "title": f"t{i:03d}", "score": float(i), "lang": None,
+             "flags": [], "ok": True} for i in range(5, 42)]
+    write_avro_ocf(p, recs, SCHEMA,
+                   extra_meta=mod._stats_meta(recs, ["doc_id", "title", "score"]))
+    st = mod._header_stats(p)
+    assert st["rows"] == 37
+    assert st["cols"]["doc_id"] == {"nulls": 0, "min": 5, "max": 41}
+    assert st["cols"]["score"]["max"] == 41.0
+    # a part with no stats entry yields None (reader keeps the file)
+    q = str(tmp_path / "nostats.avro")
+    write_avro_ocf(q, recs[:2], SCHEMA)
+    assert mod._header_stats(q) is None
+
+
+def test_file_may_match_predicate():
+    mod = _stats_imports()
+    from pyspark.sql.datasource import (
+        EqualTo, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull,
+        LessThan, LessThanOrEqual, StringStartsWith,
+    )
+
+    st = {"rows": 10, "cols": {
+        "v": {"nulls": 0, "min": 10.0, "max": 20.0},
+        "s": {"nulls": 2, "min": "apple", "max": "mango"},
+        "n": {"nulls": 10},
+        "u": {"nulls": 3},  # 3 of 10 null, values unorderable
+    }}
+    may = mod._file_may_match
+    # range overlap
+    assert may(st, [EqualTo(("v",), 15.0)])
+    assert not may(st, [EqualTo(("v",), 25.0)])
+    assert not may(st, [GreaterThan(("v",), 20.0)])
+    assert may(st, [GreaterThanOrEqual(("v",), 20.0)])
+    assert not may(st, [LessThan(("v",), 10.0)])
+    assert may(st, [LessThanOrEqual(("v",), 10.0)])
+    assert not may(st, [In(("v",), (1.0, 2.0, 30.0))])
+    assert may(st, [In(("v",), (1.0, 12.5))])
+    # AND semantics: one dead filter kills the file
+    assert not may(st, [EqualTo(("v",), 15.0), LessThan(("v",), 5.0)])
+    # null tests
+    assert not may(st, [IsNull(("v",))])
+    assert may(st, [IsNull(("s",))])
+    assert not may(st, [IsNotNull(("n",))])
+    assert may(st, [IsNotNull(("u",))])
+    # an all-null column can satisfy no comparison
+    assert not may(st, [EqualTo(("n",), 1)])
+    # unorderable-but-not-all-null column: conservative keep
+    assert may(st, [EqualTo(("u",), 1)])
+    # unknown column / absent stats: keep
+    assert may(st, [EqualTo(("zzz",), 1)])
+    assert may(None, [EqualTo(("v",), 99.0)])
+    # prefix pruning
+    assert may(st, [StringStartsWith(("s",), "ba")])
+    assert not may(st, [StringStartsWith(("s",), "z")])
+    assert not may(st, [StringStartsWith(("s",), "aa")])
+    # cross-type comparison: keep, never raise
+    assert may(st, [EqualTo(("s",), 42)])
+
+
+def test_pruning_reader_partitions_unit(tmp_path, spark):
+    """Direct reader check: disjoint-range parts drop out of the plan."""
+    mod = _stats_imports()
+    from pyspark.sql.datasource import LessThan
+
+    d = str(tmp_path / "lake")
+    for lo, name in ((0, "part-a.avro"), (1000, "part-b.avro"), (5000, "part-c.avro")):
+        recs = [{"doc_id": lo + i, "title": f"t{lo+i}", "score": float(lo + i),
+                 "lang": None, "flags": [], "ok": True} for i in range(50)]
+        write_avro_ocf(f"{d}/{name}", recs, SCHEMA,
+                       extra_meta=mod._stats_meta(recs, ["doc_id", "score"]))
+    names = [f["name"] for f in SCHEMA["fields"]]
+    r = mod.AvroOcfPruningReader(d, SCHEMA, names)
+    r.pushFilters([LessThan(("score",), 800.0)])
+    parts = [p.value.rsplit("/", 1)[-1] for p in r.partitions()]
+    assert parts == ["part-a.avro"]
+    # no pushed filters -> every part planned
+    r2 = mod.AvroOcfPruningReader(d, SCHEMA, names)
+    assert len(r2.partitions()) == 3
+
+
+def test_manifest_carries_stats(tmp_path, spark):
+    """URI (manifest) writes fold each part's stats into the manifest;
+    the pruning reader plans from that single read — and an overwrite
+    drops the replaced parts' stats entries."""
+    mod = _stats_imports()
+    from pyspark.sql.datasource import GreaterThan
+
+    uri = "file://" + str(tmp_path / "mlake")
+    mod.register(spark)
+    spark.range(0, 100).selectExpr("id", "CAST(id AS DOUBLE) AS v") \
+        .coalesce(1).write.format("kaop_avro").option("path", uri).mode("append").save()
+    spark.range(1000, 1100).selectExpr("id", "CAST(id AS DOUBLE) AS v") \
+        .coalesce(1).write.format("kaop_avro").option("path", uri).mode("append").save()
+    m = mod._read_manifest(uri)
+    assert sorted(m["stats"]) == sorted(m["parts"]) and len(m["parts"]) == 2
+    ranges = sorted(
+        (s["cols"]["v"]["min"], s["cols"]["v"]["max"]) for s in m["stats"].values()
+    )
+    assert ranges == [(0.0, 99.0), (1000.0, 1099.0)]
+    # pruning reader consumes manifest stats (no header probing needed)
+    names = ["id", "v"]
+    r = mod.AvroOcfPruningReader(uri, None, names)
+    r.pushFilters([GreaterThan(("v",), 500.0)])
+    assert len(r.partitions()) == 1
+    # overwrite: replaced parts' stats leave the manifest with them
+    spark.range(7).selectExpr("id", "CAST(id AS DOUBLE) AS v") \
+        .coalesce(1).write.format("kaop_avro").option("path", uri).mode("overwrite").save()
+    m2 = mod._read_manifest(uri)
+    assert sorted(m2["stats"]) == sorted(m2["parts"]) and len(m2["parts"]) == 1
+
+
+def test_stats_pruning_e2e_poison(tmp_path, spark):
+    """Engine-level proof the scan SKIPS dead files: a planted part
+    whose header stats are disjoint from the filter has a CORRUPT body
+    — the filtered statsPruning read succeeds (file never opened),
+    while the same read without pruning fails loudly."""
+    mod = _stats_imports()
+    mod.register(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    d = str(tmp_path / "plake")
+    spark.range(0, 200).selectExpr(
+        "id", "CAST(id AS DOUBLE) AS v", "CONCAT('u', CAST(id AS STRING)) AS tag"
+    ).coalesce(1).write.format("kaop_avro").option("path", d).mode("append").save()
+    # poison: stats claim v in [9e9, 9.9e9]; body is corrupt; name sorts last
+    first = mod._list_avro(d)[0]
+    pschema, _ = parse_ocf(open(first, "rb").read())
+    prec = [{"id": 0, "v": 9.9e9, "tag": "poison"}, {"id": 1, "v": 9.0e9, "tag": "poison"}]
+    raw = mod.ocf_bytes(prec, pschema, extra_meta=mod._stats_meta(prec, ["id", "v", "tag"]))
+    corrupted = raw[:-16] + bytes(16)  # break the trailing sync marker
+    assert corrupted != raw
+    with open(f"{d}/part-zz-poison.avro", "wb") as f:
+        f.write(corrupted)
+
+    base = spark.read.format("kaop_avro").option("path", d)
+    pruned = (
+        spark.read.format("kaop_avro").option("path", d)
+        .option("statsPruning", "true").load().filter("v < 150.0")
+    )
+    assert pruned.count() == 150  # poison skipped, answer exact
+    # same filter, plain reader: the dead file IS opened -> corrupt
+    with pytest.raises(Exception, match="sync marker|corrupt"):
+        base.load().filter("v < 150.0").count()
+    # overlapping filter with pruning on: poison not prunable by v-range?
+    # it IS (9e9 > 150) — but a filter touching its claimed range must
+    # open it and surface the corruption, not silently drop data
+    with pytest.raises(Exception, match="sync marker|corrupt"):
+        spark.read.format("kaop_avro").option("path", d) \
+            .option("statsPruning", "true").load().filter("v > 5e9").count()
+
+
+def test_stats_pruning_answers_match_plain_reader(tmp_path, spark):
+    """Pruning is an optimization only: overlapping filters return the
+    exact rows the plain reader returns."""
+    mod = _stats_imports()
+    mod.register(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    d = str(tmp_path / "qlake")
+    for lo in (0, 100, 200):
+        spark.range(lo, lo + 100).selectExpr("id", "CAST(id % 7 AS DOUBLE) AS v") \
+            .coalesce(1).write.format("kaop_avro").option("path", d).mode("append").save()
+    plain = spark.read.format("kaop_avro").option("path", d).load() \
+        .filter("v >= 3.0 AND id < 250").orderBy("id").collect()
+    pruned = spark.read.format("kaop_avro").option("path", d) \
+        .option("statsPruning", "true").load() \
+        .filter("v >= 3.0 AND id < 250").orderBy("id").collect()
+    assert plain == pruned and len(plain) > 0
+
+
+def test_stats_pruning_downgrades_with_reader_schema(tmp_path, spark):
+    """readerSchema + statsPruning -> plain reader (alias resolution can
+    remap names; stats recorded under writer names are not trusted)."""
+    mod = _stats_imports()
+    ds = mod.AvroOcfDataSource(options={
+        "path": "/nonexistent",
+        "statspruning": "true",
+        "readerschema": '{"type":"record","name":"R","fields":[]}',
+    })
+    r = ds.reader(None)
+    assert type(r) is mod.AvroOcfReader
