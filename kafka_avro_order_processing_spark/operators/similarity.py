@@ -352,3 +352,83 @@ def kmeans_refine(
         F.sqrt(_dot(vec_col, vec_col)).alias("centroid_norm"),
         F.expr(f"aggregate({vec_col}, 0D, (acc, v) -> acc + v)").alias("centroid_sum"),
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    k: int = 8,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-then-prune semantic deduplication (the SemDeDup shape,
+    Abbas et al. '23): vectors assign to their nearest of ``k``
+    centroids (cosine, deterministic tie-break — the same assignment
+    the IVF queries use, seeded ``vec_id < k``), and near-duplicate
+    pruning runs ONLY within each cell — pairwise cosine against
+    cluster peers, never the whole corpus.  A vector drops when some
+    LOWER-id cell peer sits within ``threshold`` cosine of it (the
+    monotone higher-id-drops rule every dedup operator here shares,
+    which makes the dropped set independent of evaluation order).
+
+    Returns one row per cell: member count, dropped count, and the
+    dropped-id sum — an integer digest that pins exact dropped-set
+    membership for the oracle without emitting any floats.
+
+    Scale shape (why this is the 100 TB semantic-dedup path): the
+    all-pairs comparison that brute-force semantic dedup needs is
+    quadratic in corpus size; clustering first makes it quadratic in
+    CELL size (k grows with the corpus, cells stay bounded).  The
+    plan is one broadcast-assign (k centroid rows), one shuffle on
+    cell id for the self-join (AQE skew-splits hot cells), partial+
+    final aggregation for the summary.  No corpus-wide window, no
+    driver-side state; at real scale the refined centroids come from
+    ``kmeans_refine`` and cells land as write-time partitions.
+    """
+    m = with_norm(vectors, vec_col).join(
+        ivf_assign(
+            vectors,
+            vectors.filter(F.col(id_col) < k).select(
+                F.col(id_col).alias("centroid_id"), F.col(vec_col).alias(vec_col)
+            ),
+            id_col=id_col,
+            vec_col=vec_col,
+        ),
+        id_col,
+    ).select(
+        F.col(id_col),
+        F.col("centroid_id").alias("cell_id"),
+        F.col(vec_col),
+        F.col("norm"),
+    )
+    n_par = vectors.sparkSession.sparkContext.defaultParallelism
+    a = m.repartition(n_par, F.col("cell_id")).select(
+        F.col(id_col).alias("ia"), F.col("cell_id"),
+        F.col(vec_col).alias("ea"), F.col("norm").alias("na"),
+    )
+    b = m.select(
+        F.col(id_col).alias("ib"), F.col("cell_id"),
+        F.col(vec_col).alias("eb"), F.col("norm").alias("nb"),
+    )
+    dropped = (
+        a.join(b, ["cell_id"])
+        .filter(F.col("ia") < F.col("ib"))
+        .filter(
+            (_dot("ea", "eb") / (F.col("na") * F.col("nb"))) >= F.lit(threshold)
+        )
+        .select("cell_id", "ib")
+        .distinct()
+    )
+    members = m.groupBy("cell_id").agg(F.count("*").alias("n_members"))
+    drops = dropped.groupBy("cell_id").agg(
+        F.count("*").alias("n_dropped"), F.sum("ib").alias("dropped_id_sum")
+    )
+    return (
+        members.join(drops, "cell_id", "left")
+        .select(
+            "cell_id",
+            "n_members",
+            F.coalesce(F.col("n_dropped"), F.lit(0)).cast("long").alias("n_dropped"),
+            F.coalesce(F.col("dropped_id_sum"), F.lit(0)).cast("long").alias("dropped_id_sum"),
+        )
+    )

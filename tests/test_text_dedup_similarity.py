@@ -307,3 +307,31 @@ def test_kmeans_refine_partitions_all_vectors(spark):
     assert out[0]["n_members"] == 6 and out[1]["n_members"] == 6
     for r in out.values():
         assert 0.9 < r["centroid_norm"] < 1.2
+
+
+def test_semantic_dedup_cluster_then_prune(spark):
+    """Planted near-duplicates drop within their cell; distinct
+    vectors survive; summary digests pin the dropped set."""
+    from kafka_avro_order_processing_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    # two orthogonal seed directions (ids 0,1 double as centroids with
+    # k=2); ids 10/11 are near-copies of seed 0, id 20 is a distinct
+    # member of seed 1's cell
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0]),
+            (10, [0.99, 0.05, 0.0]),     # near-dup of 0
+            (11, [0.98, 0.0, 0.05]),     # near-dup of 0 (and of 10)
+            (20, [0.05, 0.7, -0.7]),     # same cell as 1, not a dup
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.cell_id: r for r in semantic_dedup(vecs, k=2, threshold=0.9).collect()}
+    assert out[0].n_members == 3 and out[1].n_members == 2
+    # monotone rule: 10 and 11 drop (lower-id peer 0 within threshold)
+    assert out[0].n_dropped == 2 and out[0].dropped_id_sum == 21
+    # 20 is cosine ~0.71 from seed 1 -> below 0.9, survives
+    assert out[1].n_dropped == 0 and out[1].dropped_id_sum == 0
