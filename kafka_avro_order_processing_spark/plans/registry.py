@@ -1461,6 +1461,81 @@ def q_avro_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "avro_bloom_pruned_lookup",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderkey IN (17, 4242, 9001)
+    """,
+    tags=("source", "avro", "datasource", "stats-pruning", "bloom"),
+    doc="Bloom-filter point-lookup pruning for the Avro lake source: "
+        "orders written HASH-distributed on o_orderkey (every part "
+        "spans nearly the full key range, so min/max stats cannot "
+        "prune an equality probe) with bloomColumns=o_orderkey — each "
+        "part's stats then carry a bloom filter over its distinct "
+        "keys, and the statsPruning reader answers an IN-lookup by "
+        "opening only the parts whose bloom admits some key.  This is "
+        "the Iceberg/parquet bloom story for a 100 TB lake keyed by "
+        "id: a point read costs O(matching parts), not a scan.  "
+        "Booby-trapped like avro_stats_pruned_read: a planted part "
+        "whose bloom lacks every probed key has a corrupt body, so "
+        "the row goes red if bloom pruning ever stops skipping it.",
+)
+def q_avro_bloom_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import tempfile
+
+    from ..sources.avro_ocf import (
+        STATS_META_KEY,
+        _list_avro,
+        collect_stats,
+        ocf_bytes,
+        parse_ocf,
+    )
+    from ..sources.avro_ocf import register as _reg_avro
+
+    _reg_avro(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    out = tempfile.mkdtemp(prefix="kaop_ocf_bloom_") + "/orders"
+    cols = ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    (
+        load_table(spark, sf_dir, "orders")
+        .select(*cols)
+        .repartition(8, "o_orderkey")  # hash split: min/max can't prune
+        .write.format("kaop_avro")
+        .option("path", out)
+        .option("bloomColumns", "o_orderkey")
+        .mode("append")
+        .save()
+    )
+    first = _list_avro(out)[0]
+    pschema, _ = parse_ocf(open(first, "rb").read())
+    prec = [{"o_orderkey": 10**9 + i, "o_orderpriority": "X-POISON",
+             "o_totalprice": 1.0} for i in range(20)]
+    st = collect_stats(prec, cols, bloom_cols={"o_orderkey"})
+    raw = ocf_bytes(prec, pschema,
+                    extra_meta={STATS_META_KEY: _json.dumps(st).encode()})
+    with open(f"{out}/part-zz-poison.avro", "wb") as f:
+        f.write(raw[:-16] + bytes(16))  # corrupt body; bloom lacks keys
+    return (
+        spark.read.format("kaop_avro")
+        .option("path", out)
+        .option("statsPruning", "true")
+        .load()
+        .filter(F.col("o_orderkey").isin(17, 4242, 9001))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("o_totalprice")
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Statistical aggregates, analytic windows (lag/rank), fact-fact and
 # semi/anti joins, SQL-API twin, exact per-record streaming emission.
@@ -4195,9 +4270,10 @@ _LEAD_ORDER = [
     # new this round (a new name must displace into the window in the
     # same round it is added): the manifest-commit URI write path's
     # first driver row (VERDICT r5 next-round #2), the stats-based
-    # file-skipping read (statsPruning pushFilters path), and the
-    # cluster-then-prune semantic dedup
-    "avro_uri_manifest_write", "avro_stats_pruned_read", "semantic_dedup",
+    # file-skipping read (statsPruning pushFilters path), the bloom
+    # point-lookup twin, and the cluster-then-prune semantic dedup
+    "avro_uri_manifest_write", "avro_stats_pruned_read",
+    "avro_bloom_pruned_lookup", "semantic_dedup",
     # the 10 names whose latest green row is round 3 (age 3 this
     # round — the oldest anywhere), exactly as the r5 boundary
     # comment + HANDOFF rotation math queued them
@@ -4207,7 +4283,7 @@ _LEAD_ORDER = [
     "order_priority_counts", "daily_revenue_lag",
     "supplier_balance_by_nation", "multi_stream_union",
     # round-4-green names reaching age 2 this round, oldest-
-    # registration-first (37 of 49 fit; the 12 past the boundary are
+    # registration-first (36 of 49 fit; the 13 past the boundary are
     # queued for round 7)
     "doc_chunks", "streaming_upsert_orders",
     "streaming_dedup_watermarked", "streaming_scd2_customer_dim",
@@ -4225,14 +4301,14 @@ _LEAD_ORDER = [
     "doc_repetition_scores", "domain_mixture_sample",
     "embedding_quantization_error", "explicit_grouping_sets",
     "forecast_revenue_change", "generated_orders", "ivf_probe_search",
-    "ivf_recall_at_k",
     # --- position 50 boundary: names below hold green rows at most
-    # 2 rounds old after this round.  First the 12 r4-green names
+    # 2 rounds old after this round.  First the 13 r4-green names
     # displaced past the cap (they reach age 3 in round 7 — LEAD
     # ROUND 7 WITH THESE, then fill with the 50 r5-green names
     # oldest-registration-first; the r6 window's names are safe
     # until round 8):
-    "large_quantity_orders", "multimodal_decoded_features",
+    "ivf_recall_at_k", "large_quantity_orders",
+    "multimodal_decoded_features",
     "per_source_quality", "pii_detection", "props_json_extraction",
     "quality_filter_funnel", "scd2_customer_dim", "shipping_priority",
     "simhash_fingerprints", "source_overlap_grams",

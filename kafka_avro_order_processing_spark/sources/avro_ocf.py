@@ -510,7 +510,75 @@ def parse_ocf_meta(payload: bytes) -> dict[str, bytes]:
 STATS_META_KEY = "kaop.stats"
 
 
-def collect_stats(records: list[dict], names) -> dict:
+_BLOOM_K = 7              # hash probes per key (Kirsch-Mitzenmacher)
+_BLOOM_BITS_PER_KEY = 10  # ~1% fpp at k=7
+_BLOOM_MAX_BITS = 1 << 16  # 8 KB raw per column per part, hard cap
+
+
+def _bloom_hashes(canon: str) -> tuple[int, int]:
+    """Two 64-bit hash seeds from the canonical value string; all k
+    probe positions derive as h1 + i*h2 (Kirsch-Mitzenmacher).  md5 so
+    the writer and any independent reader implementation agree."""
+    import hashlib
+
+    d = hashlib.md5(canon.encode()).digest()
+    return int.from_bytes(d[:8], "big"), int.from_bytes(d[8:], "big") | 1
+
+
+def _bloom_build(values) -> dict | None:
+    """A per-part bloom filter over a column's distinct non-null
+    values, JSON-serializable: ``{"t": "i"|"s", "m": bits, "k": n,
+    "b64": bitset}``.  Only single-typed int or str columns qualify
+    (floats have no canonical equality representation, bools are
+    pointless); anything else returns None and equality pruning stays
+    min/max-only for the column."""
+    import base64
+
+    vals = [v for v in values if v is not None]
+    if not vals:
+        return None
+    if all(isinstance(v, int) and not isinstance(v, bool) for v in vals):
+        t = "i"
+    elif all(isinstance(v, str) for v in vals):
+        t = "s"
+    else:
+        return None
+    canon = {str(v) for v in vals}
+    m = 64
+    while m < len(canon) * _BLOOM_BITS_PER_KEY and m < _BLOOM_MAX_BITS:
+        m <<= 1
+    bits = bytearray(m // 8)
+    for s in canon:
+        h1, h2 = _bloom_hashes(s)
+        for i in range(_BLOOM_K):
+            pos = (h1 + i * h2) % m
+            bits[pos >> 3] |= 1 << (pos & 7)
+    return {"t": t, "m": m, "k": _BLOOM_K,
+            "b64": base64.b64encode(bytes(bits)).decode()}
+
+
+def _bloom_may_contain(bloom: dict, value) -> bool:
+    """Membership probe; True (keep) whenever the probe cannot be
+    trusted — type mismatch between the filter literal and the values
+    the bloom was built over means the canonical strings would not be
+    comparable, so no pruning."""
+    import base64
+
+    if bloom["t"] == "i":
+        if not isinstance(value, int) or isinstance(value, bool):
+            return True
+    elif not isinstance(value, str):
+        return True
+    m, k = bloom["m"], bloom["k"]
+    bits = base64.b64decode(bloom["b64"])
+    h1, h2 = _bloom_hashes(str(value))
+    return all(
+        bits[pos >> 3] & (1 << (pos & 7))
+        for pos in ((h1 + i * h2) % m for i in range(k))
+    )
+
+
+def collect_stats(records: list[dict], names, bloom_cols=frozenset()) -> dict:
     """Per-part column stats for stats-based file skipping:
     ``{"rows": N, "cols": {name: {"nulls": K[, "min": lo, "max": hi]}}}``.
 
@@ -521,7 +589,13 @@ def collect_stats(records: list[dict], names) -> dict:
     skipping stays conservative for it.  NaN is excluded outright
     because Spark orders NaN LARGER than any float while Python
     comparisons with NaN are all false — a NaN-contaminated max would
-    wrongly prune files."""
+    wrongly prune files.
+
+    Columns named in ``bloom_cols`` additionally get a per-part bloom
+    filter over their distinct values (``bloom`` sub-entry) — the
+    point-lookup complement to min/max: an equality probe into a
+    hash-distributed lake, where every part spans nearly the full key
+    range, prunes by bloom even though no range test can."""
     cols: dict[str, dict] = {}
     for n in names:
         nulls, lo, hi, orderable = 0, None, None, True
@@ -550,6 +624,10 @@ def collect_stats(records: list[dict], names) -> dict:
         ent: dict = {"nulls": nulls}
         if orderable and lo is not None:
             ent["min"], ent["max"] = lo, hi
+        if n in bloom_cols:
+            bloom = _bloom_build([r.get(n) for r in records])
+            if bloom is not None:
+                ent["bloom"] = bloom
         cols[n] = ent
     return {"rows": len(records), "cols": cols}
 
@@ -1250,6 +1328,16 @@ def _file_may_match(stats: dict | None, filters: list) -> bool:
             # satisfy it, so an all-null part is prunable outright
             if all_null:
                 return False
+            bloom = ent.get("bloom")
+            if bloom is not None:  # point-lookup pruning: min/max is
+                # useless on a hash-distributed key (every part spans
+                # the range); the bloom answers the equality directly
+                if isinstance(f, EqualTo) and not _bloom_may_contain(bloom, f.value):
+                    return False
+                if isinstance(f, In) and not any(
+                    _bloom_may_contain(bloom, v) for v in f.value
+                ):
+                    return False
             if lo is None:
                 continue  # no min/max recorded: cannot reason further
             if isinstance(f, EqualTo):
@@ -1602,13 +1690,14 @@ class AvroOcfWriter(DataSourceWriter):
 
     def __init__(
         self, path: str, avro_schema: dict, names, overwrite: bool,
-        codec: str = "null",
+        codec: str = "null", bloom_cols: frozenset[str] = frozenset(),
     ):
         import uuid as _uuid
 
         self.path, self.avro_schema, self.names = path, avro_schema, names
         self.overwrite = overwrite
         self.codec = codec
+        self.bloom_cols = bloom_cols
         self.job_id = _uuid.uuid4().hex[:12]
         self.uri_mode = "://" in path
 
@@ -1618,7 +1707,7 @@ class AvroOcfWriter(DataSourceWriter):
         records = [{n: row[n] for n in self.names} for row in iterator]
         if not records:
             return _OcfCommit(None)  # empty partition -> no file
-        stats = collect_stats(records, self.names)
+        stats = collect_stats(records, self.names, self.bloom_cols)
         meta = {STATS_META_KEY: json.dumps(stats, sort_keys=True).encode()}
         if self.uri_mode:  # final name now; published only via manifest
             name = f"part-{self.job_id}-{_uuid.uuid4().hex[:8]}.avro"
@@ -1697,9 +1786,13 @@ class AvroOcfStreamWriter(DataSourceStreamWriter):
     replayed epoch REPLACES its prior part set in the manifest, then
     best-effort deletes the superseded files."""
 
-    def __init__(self, path: str, avro_schema: dict, names, codec: str = "null"):
+    def __init__(
+        self, path: str, avro_schema: dict, names, codec: str = "null",
+        bloom_cols: frozenset[str] = frozenset(),
+    ):
         self.path, self.avro_schema, self.names = path, avro_schema, names
         self.codec = codec
+        self.bloom_cols = bloom_cols
         self.uri_mode = "://" in path
 
     def write(self, iterator) -> _OcfCommit:
@@ -1708,7 +1801,7 @@ class AvroOcfStreamWriter(DataSourceStreamWriter):
         records = [{n: row[n] for n in self.names} for row in iterator]
         if not records:
             return _OcfCommit(None)
-        stats = collect_stats(records, self.names)
+        stats = collect_stats(records, self.names, self.bloom_cols)
         meta = {STATS_META_KEY: json.dumps(stats, sort_keys=True).encode()}
         if self.uri_mode:
             name = f"part-{_uuid.uuid4().hex}.avro"
@@ -1784,7 +1877,11 @@ class AvroOcfDataSource(DataSource):
     ``kaop.stats`` and folded into ``_manifest.json`` on URI commits —
     prove no row matches the pushed filters; requires
     ``spark.sql.python.filterPushdown.enabled=true``, prunes files
-    only, Spark still evaluates every predicate row-level); ``codec``
+    only, Spark still evaluates every predicate row-level);
+    ``bloomColumns`` (write side: comma-separated int/string columns
+    that additionally get a per-part bloom filter in their stats — the
+    point-lookup complement to min/max for hash-distributed keys,
+    consulted by ``statsPruning`` for ``=`` and ``IN``); ``codec``
     (write side: ``null`` default or ``deflate``); ``maxFilesPerBatch``
     (stream
     read side: admit at most N new files per micro-batch — a landed
@@ -1893,17 +1990,39 @@ class AvroOcfDataSource(DataSource):
         os.makedirs(path, exist_ok=True)
         return path, codec
 
+    def _bloom_cols(self, schema) -> frozenset[str]:
+        """Parse + validate the ``bloomColumns`` write option: designated
+        columns must be integer- or string-typed (bloom equality needs a
+        canonical value representation; floats/bools have none useful).
+        Fails fast at writer construction, not per-task."""
+        raw = self.options.get("bloomcolumns", self.options.get("bloomColumns"))
+        if not raw:
+            return frozenset()
+        cols = frozenset(c.strip() for c in str(raw).split(",") if c.strip())
+        ok_types = ("byte", "short", "integer", "long", "string")
+        by_name = {f.name: f.dataType.typeName() for f in schema.fields}
+        for c in sorted(cols):
+            if c not in by_name:
+                raise ValueError(f"bloomColumns: no such column {c!r}")
+            if by_name[c] not in ok_types:
+                raise ValueError(
+                    f"bloomColumns: {c!r} is {by_name[c]}; only integer and "
+                    f"string columns support bloom pruning"
+                )
+        return cols
+
     def writer(self, schema, overwrite: bool) -> AvroOcfWriter:
         path, codec = self._write_target()
         return AvroOcfWriter(
             path, _avro_schema_of(schema), [f.name for f in schema.fields],
-            overwrite, codec,
+            overwrite, codec, self._bloom_cols(schema),
         )
 
     def streamWriter(self, schema, overwrite: bool) -> AvroOcfStreamWriter:  # noqa: ARG002
         path, codec = self._write_target()
         return AvroOcfStreamWriter(
-            path, _avro_schema_of(schema), [f.name for f in schema.fields], codec
+            path, _avro_schema_of(schema), [f.name for f in schema.fields], codec,
+            self._bloom_cols(schema),
         )
 
 

@@ -1718,3 +1718,101 @@ def test_stats_pruning_downgrades_with_reader_schema(tmp_path, spark):
     })
     r = ds.reader(None)
     assert type(r) is mod.AvroOcfReader
+
+
+# --------------------------------------------------------------------------
+# per-part bloom filters (bloomColumns): point-lookup file skipping
+# --------------------------------------------------------------------------
+
+def test_bloom_build_and_membership():
+    mod = _stats_imports()
+    bl = mod._bloom_build(list(range(0, 2000, 2)) + [None])
+    assert bl["t"] == "i" and bl["m"] <= mod._BLOOM_MAX_BITS
+    # zero false negatives, ever
+    assert all(mod._bloom_may_contain(bl, v) for v in range(0, 2000, 2))
+    # false positive rate in the designed ballpark (deterministic set)
+    fp = sum(mod._bloom_may_contain(bl, v) for v in range(1, 2000, 2))
+    assert fp / 1000 < 0.05
+    # type mismatch -> keep (no canonical comparison possible)
+    assert mod._bloom_may_contain(bl, "6")
+    sbl = mod._bloom_build(["apple", "mango"])
+    assert sbl["t"] == "s"
+    assert mod._bloom_may_contain(sbl, "apple")
+    assert not mod._bloom_may_contain(sbl, "pear")
+    assert mod._bloom_may_contain(sbl, 7)  # int probe on str bloom: keep
+    # unsupported value types build no bloom
+    assert mod._bloom_build([1.5, 2.5]) is None
+    assert mod._bloom_build([True, False]) is None
+    assert mod._bloom_build([None]) is None
+
+
+def test_bloom_stats_prune_equality(tmp_path):
+    mod = _stats_imports()
+    from pyspark.sql.datasource import EqualTo, In
+
+    recs_a = [{"doc_id": i, "title": f"t{i}", "score": 0.0, "lang": None,
+               "flags": [], "ok": True} for i in range(0, 100, 2)]   # evens
+    recs_b = [{"doc_id": i, "title": f"t{i}", "score": 0.0, "lang": None,
+               "flags": [], "ok": True} for i in range(1, 100, 2)]   # odds
+    d = str(tmp_path / "bl")
+    for name, recs in (("part-a.avro", recs_a), ("part-b.avro", recs_b)):
+        st = mod.collect_stats(recs, ["doc_id", "title"], bloom_cols={"doc_id"})
+        write_avro_ocf(f"{d}/{name}", recs, SCHEMA,
+                       extra_meta={mod.STATS_META_KEY:
+                                   __import__("json").dumps(st).encode()})
+    names = [f["name"] for f in SCHEMA["fields"]]
+    # min/max is useless here (both parts span ~[0, 99]) — bloom prunes
+    r = mod.AvroOcfPruningReader(d, SCHEMA, names)
+    r.pushFilters([EqualTo(("doc_id",), 42)])
+    assert [p.value.rsplit("/", 1)[-1] for p in r.partitions()] == ["part-a.avro"]
+    r2 = mod.AvroOcfPruningReader(d, SCHEMA, names)
+    r2.pushFilters([In(("doc_id",), (7, 13))])
+    assert [p.value.rsplit("/", 1)[-1] for p in r2.partitions()] == ["part-b.avro"]
+    # IN spanning both parities keeps both
+    r3 = mod.AvroOcfPruningReader(d, SCHEMA, names)
+    r3.pushFilters([In(("doc_id",), (2, 3))])
+    assert len(r3.partitions()) == 2
+
+
+def test_bloom_columns_option_validation(tmp_path, spark):
+    mod = _stats_imports()
+    mod.register(spark)
+    df = spark.range(5).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    with pytest.raises(Exception, match="no such column"):
+        df.write.format("kaop_avro").option("path", str(tmp_path / "x")) \
+            .option("bloomColumns", "nope").mode("append").save()
+    with pytest.raises(Exception, match="only integer and string"):
+        df.write.format("kaop_avro").option("path", str(tmp_path / "y")) \
+            .option("bloomColumns", "v").mode("append").save()
+
+
+def test_bloom_e2e_point_lookup(tmp_path, spark):
+    """Hash-distributed write + bloomColumns: a point lookup opens only
+    the parts whose bloom admits the key, proven by a corrupt poison
+    part whose bloom lacks it."""
+    mod = _stats_imports()
+    mod.register(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    d = str(tmp_path / "blake")
+    (spark.range(0, 1000)
+        .selectExpr("id AS k", "CONCAT('row', CAST(id AS STRING)) AS payload")
+        .repartition(4, "k")   # hash split: every part spans ~full range
+        .write.format("kaop_avro").option("path", d)
+        .option("bloomColumns", "k").mode("append").save())
+    first = mod._list_avro(d)[0]
+    pschema, _ = parse_ocf(open(first, "rb").read())
+    prec = [{"k": 10**9 + i, "payload": "poison"} for i in range(50)]
+    st = mod.collect_stats(prec, ["k", "payload"], bloom_cols={"k"})
+    raw = mod.ocf_bytes(prec, pschema,
+                        extra_meta={mod.STATS_META_KEY:
+                                    __import__("json").dumps(st).encode()})
+    with open(f"{d}/part-zz-poison.avro", "wb") as f:
+        f.write(raw[:-16] + bytes(16))
+    got = (spark.read.format("kaop_avro").option("path", d)
+           .option("statsPruning", "true").load()
+           .filter("k = 777").collect())
+    assert [(r.k, r.payload) for r in got] == [(777, "row777")]
+    # without pruning the corrupt part is opened and fails
+    with pytest.raises(Exception, match="sync marker|corrupt"):
+        spark.read.format("kaop_avro").option("path", d).load() \
+            .filter("k = 777").collect()

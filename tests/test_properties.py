@@ -295,3 +295,33 @@ def test_union_resolution_first_compatible_branch_or_error(
         assert got == value.decode("utf-8")
     else:
         assert got == value
+
+
+# --------------------------------------------------------------------------
+# bloom-filter stats: no false negatives, ever (the property file
+# skipping's correctness rests on), for any int or str value set
+# --------------------------------------------------------------------------
+
+_bloom_values = st.one_of(
+    st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1),
+             min_size=1, max_size=300),
+    st.lists(st.text(min_size=0, max_size=40), min_size=1, max_size=300),
+)
+
+
+@given(values=_bloom_values)
+@settings(max_examples=60, deadline=None)
+def test_bloom_never_false_negative(values):
+    from kafka_avro_order_processing_spark.sources.avro_ocf import (
+        _bloom_build,
+        _bloom_may_contain,
+    )
+
+    bl = _bloom_build(values)
+    assert bl is not None
+    assert all(_bloom_may_contain(bl, v) for v in values)
+    # and it serializes through the JSON the stats plumbing uses
+    import json
+
+    bl2 = json.loads(json.dumps(bl))
+    assert all(_bloom_may_contain(bl2, v) for v in values)
