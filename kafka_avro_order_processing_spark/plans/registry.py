@@ -1462,6 +1462,75 @@ def q_avro_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "avro_compacted_roundtrip",
+    f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           {_dsum('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("source", "avro", "datasource", "maintenance", "manifest"),
+    doc="Lake maintenance for kaop_avro directories "
+        "(sources/avro_ocf.py compact_avro_dir / vacuum_avro_dir): "
+        "orders land as three small append jobs on a manifest-managed "
+        "URI directory, plus a planted final-named part no commit "
+        "published carrying poison values; compaction rewrites the "
+        "committed rows dense in ONE distributed job whose overwrite "
+        "commit is a single manifest PUT (readers see wholly-old or "
+        "wholly-new, never a mix — and never the poison), with the "
+        "row count planned from the parts' own stats, no data pass; "
+        "vacuum then deletes the invisible orphan the manifest was "
+        "hiding.  The aggregate equals plain SQL over the source "
+        "parquet only if every committed row survived the swap "
+        "exactly once and the uncommitted part never leaked.",
+)
+def q_avro_compacted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.avro_ocf import (
+        compact_avro_dir,
+        vacuum_avro_dir,
+        write_avro_ocf,
+    )
+    from ..sources.avro_ocf import register as _reg_avro
+
+    _reg_avro(spark)
+    out = "file://" + tempfile.mkdtemp(prefix="kaop_ocf_compact_") + "/orders"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    for residue in (0, 1, 2):  # three small append jobs -> small parts
+        (
+            o.filter(F.col("o_orderkey") % 3 == residue)
+            .coalesce(1)
+            .write.format("kaop_avro")
+            .option("path", out)
+            .mode("append")
+            .save()
+        )
+    # a final-named part no commit published: poison values that would
+    # corrupt the aggregate if compaction or the read ever saw it
+    write_avro_ocf(
+        f"{out}/part-zz-uncommitted.avro",
+        [{"o_orderkey": -1, "o_orderstatus": "O", "o_totalprice": 8.8e9}],
+        {"type": "record", "name": "SparkRecord", "fields": [
+            {"name": "o_orderkey", "type": ["null", "long"]},
+            {"name": "o_orderstatus", "type": ["null", "string"]},
+            {"name": "o_totalprice", "type": ["null", "double"]},
+        ]},
+    )
+    stats = compact_avro_dir(spark, out, target_records=8000)
+    assert stats["parts_before"] == 3, stats
+    vacuum_avro_dir(out, grace_seconds=0.0)  # retires the orphan
+    back = spark.read.format("kaop_avro").option("path", out).load()
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        dec_sum("o_totalprice").alias("total_price"),
+    )
+
+
+@_register(
     "avro_bloom_pruned_lookup",
     """
     SELECT o_orderkey, o_orderpriority,
@@ -4271,9 +4340,11 @@ _LEAD_ORDER = [
     # same round it is added): the manifest-commit URI write path's
     # first driver row (VERDICT r5 next-round #2), the stats-based
     # file-skipping read (statsPruning pushFilters path), the bloom
-    # point-lookup twin, and the cluster-then-prune semantic dedup
+    # point-lookup twin, the compaction+vacuum maintenance round-trip,
+    # and the cluster-then-prune semantic dedup
     "avro_uri_manifest_write", "avro_stats_pruned_read",
-    "avro_bloom_pruned_lookup", "semantic_dedup",
+    "avro_bloom_pruned_lookup", "avro_compacted_roundtrip",
+    "semantic_dedup",
     # the 10 names whose latest green row is round 3 (age 3 this
     # round — the oldest anywhere), exactly as the r5 boundary
     # comment + HANDOFF rotation math queued them
@@ -4283,7 +4354,7 @@ _LEAD_ORDER = [
     "order_priority_counts", "daily_revenue_lag",
     "supplier_balance_by_nation", "multi_stream_union",
     # round-4-green names reaching age 2 this round, oldest-
-    # registration-first (36 of 49 fit; the 13 past the boundary are
+    # registration-first (35 of 49 fit; the 14 past the boundary are
     # queued for round 7)
     "doc_chunks", "streaming_upsert_orders",
     "streaming_dedup_watermarked", "streaming_scd2_customer_dim",
@@ -4300,13 +4371,14 @@ _LEAD_ORDER = [
     "deterministic_sample", "doc_length_histogram",
     "doc_repetition_scores", "domain_mixture_sample",
     "embedding_quantization_error", "explicit_grouping_sets",
-    "forecast_revenue_change", "generated_orders", "ivf_probe_search",
+    "forecast_revenue_change", "generated_orders",
     # --- position 50 boundary: names below hold green rows at most
-    # 2 rounds old after this round.  First the 13 r4-green names
+    # 2 rounds old after this round.  First the 14 r4-green names
     # displaced past the cap (they reach age 3 in round 7 — LEAD
     # ROUND 7 WITH THESE, then fill with the 50 r5-green names
     # oldest-registration-first; the r6 window's names are safe
     # until round 8):
+    "ivf_probe_search",
     "ivf_recall_at_k", "large_quantity_orders",
     "multimodal_decoded_features",
     "per_source_quality", "pii_detection", "props_json_extraction",

@@ -2029,3 +2029,165 @@ class AvroOcfDataSource(DataSource):
 def register(spark) -> None:
     """Idempotent registration of the OCF source on a session."""
     spark.dataSource.register(AvroOcfDataSource)
+
+
+# --------------------------------------------------------------------------
+# lake maintenance: compaction + vacuum
+#
+# Streaming epochs and frequent small appends land one part per task
+# per job — after thousands of commits a directory goes listing-bound
+# and per-file overheads dominate (the same failure mode
+# compact_index addresses for the dedup stores).  ``compact_avro_dir``
+# rewrites the COMMITTED row set dense; ``vacuum_avro_dir`` retires the
+# invisible debris (aborted/orphaned final-named parts on
+# manifest-managed dirs, ``_tmp_`` leftovers from crashed local jobs)
+# that readers already cannot see but storage still pays for.
+# --------------------------------------------------------------------------
+
+
+def _stats_rows_of_dir(path: str, files: list[str]) -> int | None:
+    """Total committed row count from per-part stats — manifest first
+    (one read), header probes otherwise; None when any part lacks
+    stats (caller falls back to counting)."""
+    m = _read_manifest(path)
+    stats: list[dict | None]
+    if m is not None and m.get("stats"):
+        by_name = m["stats"]
+        stats = [by_name.get(f.rsplit("/", 1)[-1]) for f in files]
+    else:
+        stats = [_header_stats(f) for f in files]
+    if any(s is None or "rows" not in s for s in stats):
+        return None
+    return sum(s["rows"] for s in stats)
+
+
+def _bloom_cols_of_dir(path: str, files: list[str]) -> frozenset[str]:
+    """Columns any committed part carries a bloom for (so compaction
+    preserves the dir's bloom coverage without being told)."""
+    m = _read_manifest(path)
+    if m is not None and m.get("stats"):
+        entries = list(m["stats"].values())
+    else:
+        entries = [s for s in (_header_stats(f) for f in files) if s]
+    return frozenset(
+        c for s in entries for c, ent in s.get("cols", {}).items() if "bloom" in ent
+    )
+
+
+def compact_avro_dir(
+    spark,
+    path: str,
+    target_records: int = 100_000,
+    codec: str = "null",
+    reader_schema: dict | None = None,
+) -> dict:
+    """Rewrite a ``kaop_avro`` directory's committed rows into
+    ``ceil(rows / target_records)`` parts, preserving per-part stats
+    and bloom coverage (recomputed for the new parts).
+
+    One distributed job: the scan reads the committed parts (tasks
+    hold them until the driver commit, so retries are safe), the
+    shuffle repartitions to the target count, and the write commits
+    through the source's own overwrite protocol — local dirs
+    temp-then-rename, manifest dirs a SINGLE manifest PUT that swaps
+    the part set (readers see wholly-old or wholly-new, never a mix;
+    superseded parts are then deleted best-effort and any stragglers
+    are ``vacuum_avro_dir``'s job).  Planning reads the row count from
+    the parts' own stats when every part carries them — no data pass.
+
+    ``reader_schema`` compacts a schema-evolved directory: files
+    resolve per record and the rewritten parts all carry the reader
+    schema (upgrading the directory in place).
+
+    Do NOT compact a LANDING directory a stream is actively consuming:
+    the stream's consumed-name-set offsets would treat the merged
+    parts as brand-new files and re-ingest every row.  Compaction is
+    for batch-maintained lake directories; landing-dir retention is
+    ``cleanSource``.
+    """
+    import math as _math
+
+    register(spark)
+    files = _list_avro(path)
+    if not files:
+        return {"parts_before": 0, "parts_after": 0, "rows": 0}
+    rd = spark.read.format("kaop_avro").option("path", path)
+    if reader_schema is not None:
+        rd = rd.option("readerSchema", json.dumps(reader_schema))
+    df = rd.load()
+    rows = _stats_rows_of_dir(path, files)
+    if rows is None:
+        rows = df.count()  # stats-less legacy parts: one counting pass
+    bloom_cols = _bloom_cols_of_dir(path, files)
+    target_parts = max(1, _math.ceil(rows / max(1, target_records)))
+    wr = (
+        df.repartition(target_parts)
+        .write.format("kaop_avro")
+        .option("path", path)
+        .option("codec", codec)
+    )
+    if bloom_cols:
+        wr = wr.option("bloomColumns", ",".join(sorted(bloom_cols)))
+    wr.mode("overwrite").save()
+    return {
+        "parts_before": len(files),
+        "parts_after": len(_list_avro(path)),
+        "rows": rows,
+    }
+
+
+def vacuum_avro_dir(path: str, grace_seconds: float = 86400.0) -> list[str]:
+    """Delete the invisible debris of a ``kaop_avro`` directory:
+    ``_tmp_`` leftovers from crashed local jobs and — on a
+    manifest-managed directory — final-named ``.avro`` parts no commit
+    ever published (aborted tasks, lost writers, parts superseded by
+    an overwrite/compaction whose best-effort delete failed).  Files
+    younger than ``grace_seconds`` are kept: an ACTIVE job's parts are
+    final-named-but-unpublished for exactly the window between task
+    write and driver commit, and the grace keeps vacuum from racing
+    it.  Committed parts and the manifest itself are never touched.
+    Returns the deleted basenames."""
+    import time as _time
+
+    m = _read_manifest(path)
+    committed = set(m.get("parts", [])) if m is not None else None
+    now = _time.time()
+    deleted: list[str] = []
+    if "://" in path:
+        import pyarrow.fs as pafs
+
+        fs, rel = pafs.FileSystem.from_uri(path)
+        sel = pafs.FileSelector(rel, allow_not_found=True)
+        infos = [
+            (fi.base_name, fi.mtime.timestamp() if fi.mtime else 0.0, fi.path)
+            for fi in fs.get_file_info(sel)
+            if fi.is_file and fi.base_name.endswith(".avro")
+        ]
+        for name, mtime, full in sorted(infos):
+            orphan = name.startswith("_tmp_") or (
+                committed is not None and name not in committed
+            )
+            if orphan and (now - mtime) >= grace_seconds:
+                try:
+                    fs.delete_file(full)
+                except OSError:
+                    continue
+                deleted.append(name)
+        return deleted
+    import glob as _glob
+
+    for f in sorted(_glob.glob(os.path.join(path, "*.avro"))):  # incl. _tmp_*
+        name = os.path.basename(f)
+        orphan = name.startswith("_tmp_") or (
+            committed is not None and name not in committed
+        )
+        if not orphan:
+            continue
+        try:
+            if (now - os.path.getmtime(f)) < grace_seconds:
+                continue
+            os.remove(f)
+        except OSError:
+            continue
+        deleted.append(name)
+    return deleted

@@ -1816,3 +1816,105 @@ def test_bloom_e2e_point_lookup(tmp_path, spark):
     with pytest.raises(Exception, match="sync marker|corrupt"):
         spark.read.format("kaop_avro").option("path", d).load() \
             .filter("k = 777").collect()
+
+
+# --------------------------------------------------------------------------
+# lake maintenance: compact_avro_dir + vacuum_avro_dir
+# --------------------------------------------------------------------------
+
+def test_compact_local_dir_preserves_rows_and_bloom(tmp_path, spark):
+    mod = _stats_imports()
+    mod.register(spark)
+    d = str(tmp_path / "clake")
+    for lo in range(0, 500, 100):  # five small appends
+        (spark.range(lo, lo + 100)
+            .selectExpr("id AS k", "CAST(id % 9 AS DOUBLE) AS v")
+            .coalesce(1).write.format("kaop_avro").option("path", d)
+            .option("bloomColumns", "k").mode("append").save())
+    assert len(mod._list_avro(d)) == 5
+    res = mod.compact_avro_dir(spark, d, target_records=250)
+    assert res == {"parts_before": 5, "parts_after": 2, "rows": 500}
+    back = spark.read.format("kaop_avro").option("path", d).load()
+    assert back.count() == 500
+    assert back.selectExpr("sum(k)").collect()[0][0] == sum(range(500))
+    # new parts regenerated stats AND bloom coverage
+    for f in mod._list_avro(d):
+        st = mod._header_stats(f)
+        assert st and "bloom" in st["cols"]["k"] and "min" in st["cols"]["v"]
+    # bloom pruning still works post-compaction
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    got = (spark.read.format("kaop_avro").option("path", d)
+           .option("statsPruning", "true").load().filter("k = 123").collect())
+    assert [(r.k,) for r in got] == [(123,)]
+
+
+def test_compact_manifest_dir_hides_uncommitted(tmp_path, spark):
+    """Compaction of a URI dir is one manifest swap: committed rows
+    survive exactly, an uncommitted poison part stays invisible
+    throughout and is then vacuumable."""
+    mod = _stats_imports()
+    mod.register(spark)
+    uri = "file://" + str(tmp_path / "culake")
+    for lo in (0, 300):
+        (spark.range(lo, lo + 300)
+            .selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+            .coalesce(1).write.format("kaop_avro").option("path", uri)
+            .mode("append").save())
+    # a final-named part no commit published
+    write_avro_ocf(f"{uri}/part-zz-orphan.avro",
+                   [{"k": -1, "v": -1.0}],
+                   {"type": "record", "name": "SparkRecord", "fields": [
+                       {"name": "k", "type": ["null", "long"]},
+                       {"name": "v", "type": ["null", "double"]}]})
+    res = mod.compact_avro_dir(spark, uri, target_records=600)
+    assert res["parts_before"] == 2 and res["parts_after"] == 1
+    back = spark.read.format("kaop_avro").option("path", uri).load()
+    assert back.count() == 600 and back.selectExpr("min(k)").collect()[0][0] == 0
+    # orphan survives on disk but stays invisible; vacuum removes it
+    m = mod._read_manifest(uri)
+    assert "part-zz-orphan.avro" not in m["parts"]
+    deleted = mod.vacuum_avro_dir(uri, grace_seconds=0.0)
+    assert "part-zz-orphan.avro" in deleted
+    assert spark.read.format("kaop_avro").option("path", uri).load().count() == 600
+
+
+def test_vacuum_grace_and_safety(tmp_path, spark):
+    mod = _stats_imports()
+    mod.register(spark)
+    d = str(tmp_path / "vlake")
+    (spark.range(10).selectExpr("id AS k")
+        .coalesce(1).write.format("kaop_avro").option("path", d)
+        .mode("append").save())
+    # a fresh _tmp_ leftover: inside grace -> kept; grace 0 -> deleted
+    with open(f"{d}/_tmp_crashed.avro", "wb") as f:
+        f.write(b"junk")
+    assert mod.vacuum_avro_dir(d, grace_seconds=3600) == []
+    assert mod.vacuum_avro_dir(d, grace_seconds=0.0) == ["_tmp_crashed.avro"]
+    # committed parts never touched (local dir, no manifest)
+    assert len(mod._list_avro(d)) == 1
+    assert spark.read.format("kaop_avro").option("path", d).load().count() == 10
+
+
+def test_compact_evolved_dir_with_reader_schema(tmp_path, spark):
+    """reader_schema compacts files written under different schemas
+    into one upgraded part set."""
+    mod = _stats_imports()
+    mod.register(spark)
+    d = str(tmp_path / "elake")
+    s1 = {"type": "record", "name": "R", "fields": [
+        {"name": "k", "type": "long"}]}
+    s2 = {"type": "record", "name": "R", "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "tag", "type": "string"}]}
+    write_avro_ocf(f"{d}/part-a.avro", [{"k": 1}, {"k": 2}], s1)
+    write_avro_ocf(f"{d}/part-b.avro", [{"k": 3, "tag": "x"}], s2)
+    reader = {"type": "record", "name": "R", "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "tag", "type": "string", "default": "none"}]}
+    res = mod.compact_avro_dir(spark, d, target_records=10, reader_schema=reader)
+    assert res["parts_after"] == 1
+    rows = sorted(
+        (r.k, r.tag)
+        for r in spark.read.format("kaop_avro").option("path", d).load().collect()
+    )
+    assert rows == [(1, "none"), (2, "none"), (3, "x")]
