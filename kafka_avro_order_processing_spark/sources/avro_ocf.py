@@ -1653,12 +1653,25 @@ def _avro_schema_of(struct) -> dict:
 
 
 class _OcfCommit(WriterCommitMessage):
-    def __init__(self, tmp: str | None, stats: dict | None = None):
-        self.tmp = tmp
-        #: per-part column stats (collect_stats) — URI-mode commits
-        #: fold these into the manifest so file skipping plans from
-        #: ONE manifest read instead of per-part header probes
-        self.stats = stats
+    """One task's written parts: ``[(path_or_name, stats), ...]`` — a
+    LIST because ``maxRecordsPerPart`` can split one task's rows into
+    several container files.  ``stats`` (collect_stats) rides to the
+    driver so URI-mode commits fold it into the manifest and file
+    skipping plans from ONE manifest read, not per-part probes."""
+
+    def __init__(self, parts: list[tuple[str, dict | None]]):
+        self.parts = parts
+
+
+def _chunked(records: list[dict], cap: int | None):
+    """Split a task's records into <=cap-record part payloads (one
+    payload when no cap): bounds the size of any single container
+    file regardless of how large an input partition lands."""
+    if cap is None or len(records) <= cap:
+        yield records
+        return
+    for i in range(0, len(records), cap):
+        yield records[i : i + cap]
 
 
 def _set_manifest_stats(cur: dict, new_stats: dict[str, dict]) -> None:
@@ -1691,6 +1704,7 @@ class AvroOcfWriter(DataSourceWriter):
     def __init__(
         self, path: str, avro_schema: dict, names, overwrite: bool,
         codec: str = "null", bloom_cols: frozenset[str] = frozenset(),
+        max_records_per_part: int | None = None,
     ):
         import uuid as _uuid
 
@@ -1698,6 +1712,7 @@ class AvroOcfWriter(DataSourceWriter):
         self.overwrite = overwrite
         self.codec = codec
         self.bloom_cols = bloom_cols
+        self.max_records_per_part = max_records_per_part
         self.job_id = _uuid.uuid4().hex[:12]
         self.uri_mode = "://" in path
 
@@ -1705,27 +1720,30 @@ class AvroOcfWriter(DataSourceWriter):
         import uuid as _uuid
 
         records = [{n: row[n] for n in self.names} for row in iterator]
-        if not records:
-            return _OcfCommit(None)  # empty partition -> no file
-        stats = collect_stats(records, self.names, self.bloom_cols)
-        meta = {STATS_META_KEY: json.dumps(stats, sort_keys=True).encode()}
-        if self.uri_mode:  # final name now; published only via manifest
-            name = f"part-{self.job_id}-{_uuid.uuid4().hex[:8]}.avro"
-            write_avro_ocf(
-                f"{self.path.rstrip('/')}/{name}",
-                records, self.avro_schema, codec=self.codec, extra_meta=meta,
-            )
-            return _OcfCommit(name, stats)
-        tmp = os.path.join(self.path, f"_tmp_{_uuid.uuid4().hex}.avro")
-        write_avro_ocf(tmp, records, self.avro_schema, codec=self.codec, extra_meta=meta)
-        return _OcfCommit(tmp)
+        parts: list[tuple[str, dict | None]] = []
+        for chunk in _chunked(records, self.max_records_per_part):
+            if not chunk:
+                continue  # empty partition -> no file
+            stats = collect_stats(chunk, self.names, self.bloom_cols)
+            meta = {STATS_META_KEY: json.dumps(stats, sort_keys=True).encode()}
+            if self.uri_mode:  # final name now; published only via manifest
+                name = f"part-{self.job_id}-{_uuid.uuid4().hex[:8]}.avro"
+                write_avro_ocf(
+                    f"{self.path.rstrip('/')}/{name}",
+                    chunk, self.avro_schema, codec=self.codec, extra_meta=meta,
+                )
+                parts.append((name, stats))
+            else:
+                tmp = os.path.join(self.path, f"_tmp_{_uuid.uuid4().hex}.avro")
+                write_avro_ocf(tmp, chunk, self.avro_schema,
+                               codec=self.codec, extra_meta=meta)
+                parts.append((tmp, stats))
+        return _OcfCommit(parts)
 
     def commit(self, messages) -> None:
-        new = [m.tmp for m in messages if m is not None and m.tmp is not None]
+        new = [p for m in messages if m is not None for p, _ in m.parts]
         new_stats = {
-            m.tmp: m.stats
-            for m in messages
-            if m is not None and m.tmp is not None and getattr(m, "stats", None)
+            p: st for m in messages if m is not None for p, st in m.parts if st
         }
         if self.uri_mode:
             replaced: list[str] = []
@@ -1762,15 +1780,16 @@ class AvroOcfWriter(DataSourceWriter):
 
     def abort(self, messages) -> None:
         for m in messages:
-            if m is None or m.tmp is None:
+            if m is None:
                 continue
-            if self.uri_mode:
-                try:
-                    _delete_file(f"{self.path.rstrip('/')}/{m.tmp}")
-                except OSError:
-                    pass
-            elif os.path.exists(m.tmp):
-                os.remove(m.tmp)
+            for p, _ in m.parts:
+                if self.uri_mode:
+                    try:
+                        _delete_file(f"{self.path.rstrip('/')}/{p}")
+                    except OSError:
+                        pass
+                elif os.path.exists(p):
+                    os.remove(p)
 
 
 class AvroOcfStreamWriter(DataSourceStreamWriter):
@@ -1789,37 +1808,42 @@ class AvroOcfStreamWriter(DataSourceStreamWriter):
     def __init__(
         self, path: str, avro_schema: dict, names, codec: str = "null",
         bloom_cols: frozenset[str] = frozenset(),
+        max_records_per_part: int | None = None,
     ):
         self.path, self.avro_schema, self.names = path, avro_schema, names
         self.codec = codec
         self.bloom_cols = bloom_cols
+        self.max_records_per_part = max_records_per_part
         self.uri_mode = "://" in path
 
     def write(self, iterator) -> _OcfCommit:
         import uuid as _uuid
 
         records = [{n: row[n] for n in self.names} for row in iterator]
-        if not records:
-            return _OcfCommit(None)
-        stats = collect_stats(records, self.names, self.bloom_cols)
-        meta = {STATS_META_KEY: json.dumps(stats, sort_keys=True).encode()}
-        if self.uri_mode:
-            name = f"part-{_uuid.uuid4().hex}.avro"
-            write_avro_ocf(
-                f"{self.path.rstrip('/')}/{name}",
-                records, self.avro_schema, codec=self.codec, extra_meta=meta,
-            )
-            return _OcfCommit(name, stats)
-        tmp = os.path.join(self.path, f"_tmp_{_uuid.uuid4().hex}.avro")
-        write_avro_ocf(tmp, records, self.avro_schema, codec=self.codec, extra_meta=meta)
-        return _OcfCommit(tmp)
+        parts: list[tuple[str, dict | None]] = []
+        for chunk in _chunked(records, self.max_records_per_part):
+            if not chunk:
+                continue
+            stats = collect_stats(chunk, self.names, self.bloom_cols)
+            meta = {STATS_META_KEY: json.dumps(stats, sort_keys=True).encode()}
+            if self.uri_mode:
+                name = f"part-{_uuid.uuid4().hex}.avro"
+                write_avro_ocf(
+                    f"{self.path.rstrip('/')}/{name}",
+                    chunk, self.avro_schema, codec=self.codec, extra_meta=meta,
+                )
+                parts.append((name, stats))
+            else:
+                tmp = os.path.join(self.path, f"_tmp_{_uuid.uuid4().hex}.avro")
+                write_avro_ocf(tmp, chunk, self.avro_schema,
+                               codec=self.codec, extra_meta=meta)
+                parts.append((tmp, stats))
+        return _OcfCommit(parts)
 
     def commit(self, messages, batchId: int) -> None:
-        new = [m.tmp for m in messages if m is not None and m.tmp is not None]
+        new = [p for m in messages if m is not None for p, _ in m.parts]
         new_stats = {
-            m.tmp: m.stats
-            for m in messages
-            if m is not None and m.tmp is not None and getattr(m, "stats", None)
+            p: st for m in messages if m is not None for p, st in m.parts if st
         }
         if self.uri_mode:
             replaced: list[str] = []
@@ -1848,15 +1872,16 @@ class AvroOcfStreamWriter(DataSourceStreamWriter):
 
     def abort(self, messages, batchId: int) -> None:  # noqa: ARG002
         for m in messages:
-            if m is None or m.tmp is None:
+            if m is None:
                 continue
-            if self.uri_mode:
-                try:
-                    _delete_file(f"{self.path.rstrip('/')}/{m.tmp}")
-                except OSError:
-                    pass
-            elif os.path.exists(m.tmp):
-                os.remove(m.tmp)
+            for p, _ in m.parts:
+                if self.uri_mode:
+                    try:
+                        _delete_file(f"{self.path.rstrip('/')}/{p}")
+                    except OSError:
+                        pass
+                elif os.path.exists(p):
+                    os.remove(p)
 
 
 class AvroOcfDataSource(DataSource):
@@ -1882,7 +1907,11 @@ class AvroOcfDataSource(DataSource):
     that additionally get a per-part bloom filter in their stats — the
     point-lookup complement to min/max for hash-distributed keys,
     consulted by ``statsPruning`` for ``=`` and ``IN``); ``codec``
-    (write side: ``null`` default or ``deflate``); ``maxFilesPerBatch``
+    (write side: ``null`` default or ``deflate``); ``maxRecordsPerPart``
+    (write side, batch AND stream: split any task's rows into
+    <=N-record container files — bounds the largest part a skewed or
+    coarse input partition can produce, each split part carrying its
+    own stats/bloom); ``maxFilesPerBatch``
     (stream
     read side: admit at most N new files per micro-batch — a landed
     backlog drains in ceil(N/cap) batches instead of one giant
@@ -2011,18 +2040,30 @@ class AvroOcfDataSource(DataSource):
                 )
         return cols
 
+    def _max_records_per_part(self) -> int | None:
+        raw = self.options.get(
+            "maxrecordsperpart", self.options.get("maxRecordsPerPart")
+        )
+        if raw is None:
+            return None
+        cap = int(raw)
+        if cap < 1:
+            raise ValueError(f"maxRecordsPerPart must be >= 1, got {cap}")
+        return cap
+
     def writer(self, schema, overwrite: bool) -> AvroOcfWriter:
         path, codec = self._write_target()
         return AvroOcfWriter(
             path, _avro_schema_of(schema), [f.name for f in schema.fields],
             overwrite, codec, self._bloom_cols(schema),
+            self._max_records_per_part(),
         )
 
     def streamWriter(self, schema, overwrite: bool) -> AvroOcfStreamWriter:  # noqa: ARG002
         path, codec = self._write_target()
         return AvroOcfStreamWriter(
             path, _avro_schema_of(schema), [f.name for f in schema.fields], codec,
-            self._bloom_cols(schema),
+            self._bloom_cols(schema), self._max_records_per_part(),
         )
 
 
@@ -2104,6 +2145,14 @@ def compact_avro_dir(
     parts as brand-new files and re-ingest every row.  Compaction is
     for batch-maintained lake directories; landing-dir retention is
     ``cleanSource``.
+
+    Serialize compaction with WRITERS to the same directory (the
+    manifest protocol's standing single-writer-per-commit-window
+    rule): the overwrite commit replaces the committed set as of
+    publish time, so an append that commits between this function's
+    scan and its publish would be replaced without having been read.
+    Maintenance windows — the way every table format schedules
+    compaction — satisfy this.
     """
     import math as _math
 
@@ -2159,7 +2208,9 @@ def vacuum_avro_dir(path: str, grace_seconds: float = 86400.0) -> list[str]:
         fs, rel = pafs.FileSystem.from_uri(path)
         sel = pafs.FileSelector(rel, allow_not_found=True)
         infos = [
-            (fi.base_name, fi.mtime.timestamp() if fi.mtime else 0.0, fi.path)
+            # unknown mtime -> treat as JUST written (keep): deleting a
+            # file whose age we cannot prove would race an active job
+            (fi.base_name, fi.mtime.timestamp() if fi.mtime else now, fi.path)
             for fi in fs.get_file_info(sel)
             if fi.is_file and fi.base_name.endswith(".avro")
         ]

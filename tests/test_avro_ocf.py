@@ -1918,3 +1918,102 @@ def test_compact_evolved_dir_with_reader_schema(tmp_path, spark):
         for r in spark.read.format("kaop_avro").option("path", d).load().collect()
     )
     assert rows == [(1, "none"), (2, "none"), (3, "x")]
+
+
+def test_stream_written_parts_carry_stats_and_prune(spark):
+    """The stream writer embeds per-part stats too (header + manifest
+    epoch swap), so a landing dir later read as a batch table prunes
+    like any other lake dir — including bloomColumns on the sink."""
+    mod = _stats_imports()
+    mod.register(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    base = tempfile.mkdtemp(prefix=f"ocfswst_{uuid.uuid4().hex[:8]}_")
+    src, chk = f"{base}/src", f"{base}/chk"
+    uri = f"file://{base}/out"
+
+    def drain(rows):
+        spark.createDataFrame(rows, "k long, v double").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = (
+            spark.readStream.schema("k long, v double")
+            .parquet(src)
+            .writeStream.format("kaop_avro")
+            .option("path", uri)
+            .option("bloomColumns", "k")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain([(1, 10.0), (2, 20.0)])
+    drain([(100, 1000.0), (200, 2000.0)])
+    m = mod._read_manifest(uri)
+    assert sorted(m["stats"]) == sorted(m["parts"]) and len(m["parts"]) == 2
+    assert all("bloom" in s["cols"]["k"] for s in m["stats"].values())
+    # min/max pruning on v and bloom pruning on k, from manifest stats
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    r = mod.AvroOcfPruningReader(uri, None, ["k", "v"])
+    r.pushFilters([GreaterThan(("v",), 500.0)])
+    assert len(r.partitions()) == 1
+    r2 = mod.AvroOcfPruningReader(uri, None, ["k", "v"])
+    r2.pushFilters([EqualTo(("k",), 2)])
+    assert len(r2.partitions()) == 1
+    got = (spark.read.format("kaop_avro").option("path", uri)
+           .option("statsPruning", "true").load().filter("k = 200").collect())
+    assert [(r_.k, r_.v) for r_ in got] == [(200, 2000.0)]
+
+
+def test_max_records_per_part_batch_write(tmp_path, spark):
+    """maxRecordsPerPart splits one task's rows into bounded container
+    files, each carrying its own stats; content is exact."""
+    mod = _stats_imports()
+    mod.register(spark)
+    d = str(tmp_path / "splitlake")
+    (spark.range(1000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+        .coalesce(1)  # ONE task...
+        .write.format("kaop_avro").option("path", d)
+        .option("maxRecordsPerPart", "300")  # ...but bounded parts
+        .option("bloomColumns", "k").mode("append").save())
+    files = mod._list_avro(d)
+    assert len(files) == 4  # 300+300+300+100
+    sizes = sorted(mod._header_stats(f)["rows"] for f in files)
+    assert sizes == [100, 300, 300, 300]
+    assert all("bloom" in mod._header_stats(f)["cols"]["k"] for f in files)
+    back = spark.read.format("kaop_avro").option("path", d).load()
+    assert back.count() == 1000
+    assert back.selectExpr("sum(k)").collect()[0][0] == sum(range(1000))
+    with pytest.raises(Exception, match="maxRecordsPerPart"):
+        spark.range(3).selectExpr("id AS k").write.format("kaop_avro") \
+            .option("path", str(tmp_path / "bad")) \
+            .option("maxRecordsPerPart", "0").mode("append").save()
+
+
+def test_max_records_per_part_uri_stream_write(spark):
+    """The stream writer honors the cap too; manifest stats cover every
+    split part of every epoch."""
+    mod = _stats_imports()
+    mod.register(spark)
+    base = tempfile.mkdtemp(prefix=f"ocfswcap_{uuid.uuid4().hex[:8]}_")
+    src, chk = f"{base}/src", f"{base}/chk"
+    uri = f"file://{base}/out"
+    spark.createDataFrame([(i, float(i)) for i in range(500)],
+                          "k long, v double").coalesce(1).write.parquet(src)
+    q = (
+        spark.readStream.schema("k long, v double").parquet(src)
+        .writeStream.format("kaop_avro")
+        .option("path", uri)
+        .option("maxRecordsPerPart", "200")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    m = mod._read_manifest(uri)
+    assert len(m["parts"]) == 3  # 200+200+100
+    assert sorted(m["stats"]) == sorted(m["parts"])
+    assert sorted(s["rows"] for s in m["stats"].values()) == [100, 200, 200]
+    back = spark.read.format("kaop_avro").option("path", uri).load()
+    assert back.count() == 500
