@@ -2140,6 +2140,14 @@ def compact_avro_dir(
     resolve per record and the rewritten parts all carry the reader
     schema (upgrading the directory in place).
 
+    Schema normalization, stated plainly: the rewritten parts carry
+    the SPARK-derived schema of the read (timestamps/dates/decimals
+    keep their logical types, but Avro ``enum`` columns become plain
+    strings, ``fixed`` becomes ``bytes``, and recursive-typed fields
+    stay the JSON string columns the reader surfaced).  A directory
+    whose consumers depend on those exact Avro declarations should
+    not be compacted through this path.
+
     Do NOT compact a LANDING directory a stream is actively consuming:
     the stream's consumed-name-set offsets would treat the merged
     parts as brand-new files and re-ingest every row.  Compaction is

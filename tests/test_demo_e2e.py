@@ -46,3 +46,19 @@ def test_streaming_ingest_demo_end_to_end(spark):
     assert c["late_dups_caught"] == c["planted_dups"]  # index caught all
     assert c["dropped"] == c["planted_dups"]           # nothing else dropped
     assert c["survivors"] == c["ingested"] - c["dropped"]
+
+
+def test_lake_maintenance_demo_end_to_end(spark, tmp_path):
+    """Land -> skip -> compact -> vacuum: pruning plans fewer parts
+    than the directory holds (range by min/max, point by bloom),
+    compaction shrinks the part count without changing any answer,
+    and vacuum retires exactly the planted orphan."""
+    from lake_maintenance_demo import main
+
+    c = main("/root/testdata/sf0.001", spark=spark, out_dir=str(tmp_path))
+    assert c["rows_total"] == 1500 == c["compact_rows"]
+    assert c["parts_before"] > c["parts_after"]
+    assert 0 < c["range_parts_planned"] < c["parts_before"]
+    assert 0 < c["point_parts_planned"] < c["range_parts_planned"]
+    assert c["orphans_deleted"] == 1
+    assert c["answers_stable"] is True
