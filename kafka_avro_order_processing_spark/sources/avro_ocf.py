@@ -1025,6 +1025,7 @@ try:  # pyspark>=4.1 only — the Python DataSource filter-pushdown API
         IsNull,
         LessThan,
         LessThanOrEqual,
+        Not,
         StringStartsWith,
     )
 
@@ -1285,8 +1286,11 @@ class AvroOcfReader(DataSourceReader):
 
 def _stat_filter_supported(f) -> bool:
     """Filters the stats model can reason about: simple comparisons /
-    null tests on one TOP-LEVEL column.  Everything else is never
-    examined (the file is kept)."""
+    null tests on one TOP-LEVEL column, plus ``Not(EqualTo)`` (a
+    constant-column part proves ``!=`` dead).  Everything else is
+    never examined (the file is kept)."""
+    if isinstance(f, Not):
+        return isinstance(f.child, EqualTo) and _stat_filter_supported(f.child)
     if not isinstance(
         f,
         (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual,
@@ -1309,13 +1313,23 @@ def _file_may_match(stats: dict | None, filters: list) -> bool:
     rows = stats.get("rows")
     cols = stats.get("cols", {})
     for f in filters:
-        ent = cols.get(f.attribute[0])
+        target = f.child if isinstance(f, Not) else f
+        ent = cols.get(target.attribute[0])
         if ent is None:
             continue
         nulls = ent.get("nulls", 0)
         lo, hi = ent.get("min"), ent.get("max")
         all_null = rows is not None and nulls >= rows
         try:
+            if isinstance(f, Not):
+                # Not(EqualTo(v)): null rows fail `!=` too (SQL
+                # three-valued), so the part is dead when every
+                # non-null value equals the literal — or none exist
+                if all_null:
+                    return False
+                if lo is not None and lo == hi and lo == target.value:
+                    return False
+                continue
             if isinstance(f, IsNull):
                 if nulls == 0:
                     return False

@@ -2017,3 +2017,23 @@ def test_max_records_per_part_uri_stream_write(spark):
     assert sorted(s["rows"] for s in m["stats"].values()) == [100, 200, 200]
     back = spark.read.format("kaop_avro").option("path", uri).load()
     assert back.count() == 500
+
+
+def test_not_equal_pruning():
+    """Not(EqualTo): a constant-valued (or all-null) part proves !=
+    dead; anything else keeps the file."""
+    mod = _stats_imports()
+    from pyspark.sql.datasource import EqualTo, Not
+
+    const = {"rows": 5, "cols": {"s": {"nulls": 0, "min": "x", "max": "x"}}}
+    mixed = {"rows": 5, "cols": {"s": {"nulls": 0, "min": "a", "max": "x"}}}
+    allnull = {"rows": 5, "cols": {"s": {"nulls": 5}}}
+    constnull = {"rows": 5, "cols": {"s": {"nulls": 2, "min": "x", "max": "x"}}}
+    may = mod._file_may_match
+    ne_x = Not(EqualTo(("s",), "x"))
+    assert not may(const, [ne_x])         # every row == x
+    assert not may(allnull, [ne_x])       # nulls fail != too
+    assert not may(constnull, [ne_x])     # nulls + constant x
+    assert may(mixed, [ne_x])             # some row may differ
+    assert may(const, [Not(EqualTo(("s",), "y"))])  # != y is satisfied
+    assert mod._stat_filter_supported(ne_x)
