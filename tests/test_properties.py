@@ -325,3 +325,102 @@ def test_bloom_never_false_negative(values):
 
     bl2 = json.loads(json.dumps(bl))
     assert all(_bloom_may_contain(bl2, v) for v in values)
+
+
+# --------------------------------------------------------------------------
+# file-skipping soundness: whenever _file_may_match prunes a part, NO
+# record in it satisfies the filter conjunction under SQL semantics —
+# for any record set and any supported filter combination
+# --------------------------------------------------------------------------
+
+def _sql_sat(rec, f):
+    """SQL-semantics evaluation of one pushed filter on one record:
+    comparisons with NULL are not-true, Not(EqualTo) on NULL is
+    not-true (three-valued logic collapses to 'row not selected')."""
+    from pyspark.sql.datasource import (
+        EqualTo, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull,
+        LessThan, LessThanOrEqual, Not, StringStartsWith,
+    )
+
+    if isinstance(f, Not):
+        v = rec.get(f.child.attribute[0])
+        return v is not None and v != f.child.value
+    v = rec.get(f.attribute[0])
+    if isinstance(f, IsNull):
+        return v is None
+    if isinstance(f, IsNotNull):
+        return v is not None
+    if v is None:
+        return False
+    if isinstance(f, EqualTo):
+        return v == f.value
+    if isinstance(f, GreaterThan):
+        return v > f.value
+    if isinstance(f, GreaterThanOrEqual):
+        return v >= f.value
+    if isinstance(f, LessThan):
+        return v < f.value
+    if isinstance(f, LessThanOrEqual):
+        return v <= f.value
+    if isinstance(f, In):
+        return v in f.value
+    if isinstance(f, StringStartsWith):
+        return isinstance(v, str) and v.startswith(f.value)
+    raise AssertionError(f"unhandled filter {f!r}")
+
+
+_int_or_null = st.one_of(st.none(), st.integers(-50, 50))
+_str_or_null = st.one_of(st.none(), st.text("abcxyz", min_size=0, max_size=4))
+_record = st.fixed_dictionaries({"a": _int_or_null, "b": _str_or_null})
+
+
+def _filters_strategy():
+    from pyspark.sql.datasource import (
+        EqualTo, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull,
+        LessThan, LessThanOrEqual, Not, StringStartsWith,
+    )
+
+    ints = st.integers(-60, 60)
+    strs = st.text("abcxyz", min_size=0, max_size=4)
+
+    def typed(col, lit):
+        return st.one_of(
+            st.builds(EqualTo, st.just((col,)), lit),
+            st.builds(GreaterThan, st.just((col,)), lit),
+            st.builds(GreaterThanOrEqual, st.just((col,)), lit),
+            st.builds(LessThan, st.just((col,)), lit),
+            st.builds(LessThanOrEqual, st.just((col,)), lit),
+            st.builds(In, st.just((col,)), st.lists(lit, min_size=1, max_size=4).map(tuple)),
+            st.builds(IsNull, st.just((col,))),
+            st.builds(IsNotNull, st.just((col,))),
+            st.builds(lambda c, v: Not(EqualTo(c, v)), st.just((col,)), lit),
+        )
+
+    per_filter = st.one_of(
+        typed("a", ints),
+        typed("b", strs),
+        st.builds(StringStartsWith, st.just(("b",)), strs.filter(len)),
+    )
+    return st.lists(per_filter, min_size=1, max_size=4)
+
+
+@given(records=st.lists(_record, min_size=1, max_size=25),
+       filters=_filters_strategy())
+@settings(max_examples=300, deadline=None)
+def test_file_skipping_never_prunes_a_matching_part(records, filters):
+    from kafka_avro_order_processing_spark.sources.avro_ocf import (
+        _file_may_match,
+        _stat_filter_supported,
+        collect_stats,
+    )
+
+    filters = [f for f in filters if _stat_filter_supported(f)]
+    if not filters:
+        return
+    stats = collect_stats(records, ["a", "b"], bloom_cols={"a", "b"})
+    if not _file_may_match(stats, filters):
+        # pruned -> PROVE no record satisfies the conjunction
+        for rec in records:
+            assert not all(_sql_sat(rec, f) for f in filters), (
+                rec, filters, stats,
+            )
