@@ -4322,6 +4322,55 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(load_table(spark, sf_dir, "embeddings"))
 
 
+@_register(
+    "training_order_shuffle",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             md5(CONCAT('epoch7:', CAST(doc_id AS VARCHAR))) AS shuffle_key
+      FROM documents)
+    SELECT substring(shuffle_key, 1, 2) AS bucket,
+           COUNT(*) AS n_docs,
+           SUM(doc_id) AS doc_id_sum,
+           MIN_BY(doc_id, shuffle_key) AS first_doc_id,
+           MIN(shuffle_key) AS first_key
+    FROM h
+    GROUP BY 1
+    """,
+    tags=("m5", "text", "ordering"),
+    doc="Deterministic epoch shuffling — the data-ORDERING step of a "
+        "training pipeline (every epoch must visit the corpus in a "
+        "different but REPRODUCIBLE pseudo-random order, identical "
+        "across engines, reruns, and partitionings): shuffle key = "
+        "md5(seed:doc_id), global order = ORDER BY key, realized at "
+        "scale as a write-time repartitionByRange on the key (range "
+        "boundaries = the shuffle buckets) with an in-partition sort "
+        "— one shuffle, no global single-partition sort.  The query "
+        "pins the key function and the induced order cross-engine: "
+        "per key-prefix bucket, the doc count, id sum, and the FIRST "
+        "doc in shuffle order (min_by) must match the oracle exactly "
+        "— a different md5, collation, or tie-break anywhere shows "
+        "up as a hash mismatch.",
+)
+def q_training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("epoch7:"), F.col("doc_id").cast("string"))).alias(
+            "shuffle_key"
+        ),
+    )
+    return (
+        h.groupBy(F.substring("shuffle_key", 1, 2).alias("bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").alias("doc_id_sum"),
+            F.min_by("doc_id", "shuffle_key").alias("first_doc_id"),
+            F.min("shuffle_key").alias("first_key"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness harness checks queries in
 # registration order and caps the run at 50 (measured in rounds 1-2).
@@ -4341,10 +4390,11 @@ _LEAD_ORDER = [
     # first driver row (VERDICT r5 next-round #2), the stats-based
     # file-skipping read (statsPruning pushFilters path), the bloom
     # point-lookup twin, the compaction+vacuum maintenance round-trip,
-    # and the cluster-then-prune semantic dedup
+    # the cluster-then-prune semantic dedup, and the deterministic
+    # epoch-shuffle ordering
     "avro_uri_manifest_write", "avro_stats_pruned_read",
     "avro_bloom_pruned_lookup", "avro_compacted_roundtrip",
-    "semantic_dedup",
+    "semantic_dedup", "training_order_shuffle",
     # the 10 names whose latest green row is round 3 (age 3 this
     # round — the oldest anywhere), exactly as the r5 boundary
     # comment + HANDOFF rotation math queued them
@@ -4354,7 +4404,7 @@ _LEAD_ORDER = [
     "order_priority_counts", "daily_revenue_lag",
     "supplier_balance_by_nation", "multi_stream_union",
     # round-4-green names reaching age 2 this round, oldest-
-    # registration-first (35 of 49 fit; the 14 past the boundary are
+    # registration-first (34 of 49 fit; the 15 past the boundary are
     # queued for round 7)
     "doc_chunks", "streaming_upsert_orders",
     "streaming_dedup_watermarked", "streaming_scd2_customer_dim",
@@ -4371,14 +4421,14 @@ _LEAD_ORDER = [
     "deterministic_sample", "doc_length_histogram",
     "doc_repetition_scores", "domain_mixture_sample",
     "embedding_quantization_error", "explicit_grouping_sets",
-    "forecast_revenue_change", "generated_orders",
+    "forecast_revenue_change",
     # --- position 50 boundary: names below hold green rows at most
-    # 2 rounds old after this round.  First the 14 r4-green names
+    # 2 rounds old after this round.  First the 15 r4-green names
     # displaced past the cap (they reach age 3 in round 7 — LEAD
     # ROUND 7 WITH THESE, then fill with the 50 r5-green names
     # oldest-registration-first; the r6 window's names are safe
     # until round 8):
-    "ivf_probe_search",
+    "generated_orders", "ivf_probe_search",
     "ivf_recall_at_k", "large_quantity_orders",
     "multimodal_decoded_features",
     "per_source_quality", "pii_detection", "props_json_extraction",
