@@ -424,3 +424,37 @@ def test_file_skipping_never_prunes_a_matching_part(records, filters):
             assert not all(_sql_sat(rec, f) for f in filters), (
                 rec, filters, stats,
             )
+
+
+@given(records=st.lists(_record, min_size=1, max_size=40),
+       cap=st.integers(1, 15))
+@settings(max_examples=80, deadline=None)
+def test_chunked_part_stats_fold_to_whole_set_stats(records, cap):
+    """maxRecordsPerPart splits a task's rows into several parts; the
+    split parts' stats must FOLD back to the unsplit stats (min of
+    mins, max of maxes, sums of nulls/rows) — the invariant any
+    directory-level stats consumer (compaction planning, pruning over
+    many small parts) silently relies on."""
+    from kafka_avro_order_processing_spark.sources.avro_ocf import (
+        _chunked,
+        collect_stats,
+    )
+
+    whole = collect_stats(records, ["a", "b"])
+    parts = [collect_stats(c, ["a", "b"]) for c in _chunked(records, cap)]
+    assert sum(p["rows"] for p in parts) == whole["rows"] == len(records)
+    for col in ("a", "b"):
+        assert sum(p["cols"][col]["nulls"] for p in parts) == whole["cols"][col]["nulls"]
+        mins = [p["cols"][col]["min"] for p in parts if "min" in p["cols"][col]]
+        maxs = [p["cols"][col]["max"] for p in parts if "max" in p["cols"][col]]
+        if "min" in whole["cols"][col]:
+            assert min(mins) == whole["cols"][col]["min"]
+            assert max(maxs) == whole["cols"][col]["max"]
+        # a column unorderable as a whole can still be orderable per
+        # chunk (the offending value may land elsewhere) — but never
+        # may a chunk CONTRADICT the whole-set range
+        for p in parts:
+            ent = p["cols"][col]
+            if "min" in ent and "min" in whole["cols"][col]:
+                assert whole["cols"][col]["min"] <= ent["min"]
+                assert ent["max"] <= whole["cols"][col]["max"]
