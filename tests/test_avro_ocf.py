@@ -2037,3 +2037,65 @@ def test_not_equal_pruning():
     assert may(mixed, [ne_x])             # some row may differ
     assert may(const, [Not(EqualTo(("s",), "y"))])  # != y is satisfied
     assert mod._stat_filter_supported(ne_x)
+
+
+def test_stream_cap_retention_restart_combined(spark):
+    """The three newest stream-reader features interacting: a capped
+    drain with cleanSource=delete retires files as epochs commit, a
+    restart from the checkpoint then ingests a second backlog under
+    the same cap and retention — every row exactly once, landing dir
+    empty at the end, per-batch cap never exceeded."""
+    from kafka_avro_order_processing_spark.sources.avro_ocf import register
+
+    base = tempfile.mkdtemp(prefix=f"ocfmix_{uuid.uuid4().hex[:8]}_")
+    land, sink, chk = f"{base}/land", f"{base}/sink", f"{base}/chk"
+    register(spark)
+    batch_sizes: list[int] = []
+
+    def run_query():
+        import glob as _g
+
+        def body(df, _eid):
+            rows = df.collect()
+            if rows:
+                batch_sizes.append(len({r["doc_id"] for r in rows}))
+                spark.createDataFrame(rows, df.schema).write.mode("append") \
+                    .parquet(sink)
+
+        return (
+            spark.readStream.format("kaop_avro")
+            .option("path", land)
+            .option("maxFilesPerBatch", "2")
+            .option("cleanSource", "delete")
+            .load()
+            .writeStream.foreachBatch(body)
+            .option("checkpointLocation", chk)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    for i in range(4):  # first backlog
+        write_avro_ocf(f"{land}/part-a{i}.avro",
+                       [{**ROWS[0], "doc_id": 10 + i}], SCHEMA)
+    q = run_query()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    import glob as _g
+    assert _g.glob(f"{land}/*.avro") == []  # retention emptied the dir
+    assert sorted(r["doc_id"] for r in spark.read.parquet(sink).collect()) \
+        == [10, 11, 12, 13]
+
+    for i in range(3):  # second backlog lands while the query is DOWN
+        write_avro_ocf(f"{land}/part-b{i}.avro",
+                       [{**ROWS[0], "doc_id": 20 + i}], SCHEMA)
+    q = run_query()  # restart: consumed set restores from checkpoint
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(r["doc_id"] for r in spark.read.parquet(sink).collect()) \
+        == [10, 11, 12, 13, 20, 21, 22]  # once each: no rewind, no skip
+    assert _g.glob(f"{land}/*.avro") == []
+    assert all(s <= 2 for s in batch_sizes)  # one-file parts: cap bound
