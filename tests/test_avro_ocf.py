@@ -2099,3 +2099,49 @@ def test_stream_cap_retention_restart_combined(spark):
         == [10, 11, 12, 13, 20, 21, 22]  # once each: no rewind, no skip
     assert _g.glob(f"{land}/*.avro") == []
     assert all(s <= 2 for s in batch_sizes)  # one-file parts: cap bound
+
+
+def test_stats_survive_lost_publish_race(tmp_path, monkeypatch):
+    """A commit whose first manifest PUT loses to a concurrent append
+    must, on retry, fold BOTH writers' parts AND both writers' stats
+    into the winning manifest — the stats map may never silently drop
+    the other writer's entries (pruning would then degrade to
+    conservative keeps, but a lost part entry would be data loss)."""
+    import json as _json
+
+    mod = _stats_imports()
+    d = str(tmp_path / "race")
+    import os as _os
+    _os.makedirs(d)
+    real_write = mod._write_manifest
+    hits = {"n": 0}
+
+    other_stats = {"rows": 7, "cols": {"k": {"nulls": 0, "min": 1, "max": 7}}}
+
+    def lose_once(path, manifest):
+        real_write(path, manifest)
+        if hits["n"] == 0:  # a concurrent append lands AFTER our PUT
+            hits["n"] += 1
+            cur = dict(manifest)
+            cur["parts"] = sorted(set(cur.get("parts", [])) | {"part-other.avro"})
+            stats = dict(cur.get("stats", {}))
+            stats["part-other.avro"] = other_stats
+            cur["stats"] = stats
+            cur["version"] = int(cur.get("version", 0)) + 1
+            cur["writer"] = "other-writer"
+            real_write(path, cur)
+
+    monkeypatch.setattr(mod, "_write_manifest", lose_once)
+    mine_stats = {"rows": 3, "cols": {"k": {"nulls": 0, "min": 10, "max": 12}}}
+
+    def mutate(cur: dict) -> dict:
+        cur["parts"] = sorted(set(cur.get("parts", [])) | {"part-mine.avro"})
+        mod._set_manifest_stats(cur, {"part-mine.avro": mine_stats})
+        return cur
+
+    final = mod._publish_manifest(d, mutate)
+    assert final["parts"] == ["part-mine.avro", "part-other.avro"]
+    assert final["stats"]["part-mine.avro"] == mine_stats
+    assert final["stats"]["part-other.avro"] == other_stats  # kept!
+    on_disk = _json.loads(open(f"{d}/_manifest.json").read())
+    assert on_disk == final
