@@ -4384,50 +4384,10 @@ def q_training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _LEAD_ORDER = [
-    # -- round-6 window (exactly 50 names precede the boundary) --
-    # new this round (a new name must displace into the window in the
-    # same round it is added): the manifest-commit URI write path's
-    # first driver row (VERDICT r5 next-round #2), the stats-based
-    # file-skipping read (statsPruning pushFilters path), the bloom
-    # point-lookup twin, the compaction+vacuum maintenance round-trip,
-    # the cluster-then-prune semantic dedup, and the deterministic
-    # epoch-shuffle ordering
-    "avro_uri_manifest_write", "avro_stats_pruned_read",
-    "avro_bloom_pruned_lookup", "avro_compacted_roundtrip",
-    "semantic_dedup", "training_order_shuffle",
-    # the 10 names whose latest green row is round 3 (age 3 this
-    # round — the oldest anywhere), exactly as the r5 boundary
-    # comment + HANDOFF rotation math queued them
-    "dedup_clusters_star", "streaming_kmeans_refine",
-    "packing_efficiency", "customers_no_pending_orders",
-    "embedding_near_dup", "ngram_jaccard_adjacent",
-    "order_priority_counts", "daily_revenue_lag",
-    "supplier_balance_by_nation", "multi_stream_union",
-    # round-4-green names reaching age 2 this round, oldest-
-    # registration-first (34 of 49 fit; the 15 past the boundary are
-    # queued for round 7)
-    "doc_chunks", "streaming_upsert_orders",
-    "streaming_dedup_watermarked", "streaming_scd2_customer_dim",
-    "generated_orders_datasource", "user_retention_cohorts",
-    "diversity_sample", "near_dup_pairs", "near_dup_pairs_char",
-    "embedding_lsh_near_dup", "upsert_orders_partitioned",
-    "product_stats_snapshot", "purchase_avg_lookup",
-    "sql_api_events_hourly", "value_percentiles", "value_dispersion",
-    "customers_with_pending_orders", "order_display_lines",
-    "above_customer_avg_orders", "approx_distinct_users",
-    "benchmark_contamination", "bm25_top20", "boilerplate_grams",
-    "clicks_before_purchase", "corrupt_json_handling",
-    "curated_corpus_stats", "dataset_split_counts",
-    "deterministic_sample", "doc_length_histogram",
-    "doc_repetition_scores", "domain_mixture_sample",
-    "embedding_quantization_error", "explicit_grouping_sets",
-    "forecast_revenue_change",
-    # --- position 50 boundary: names below hold green rows at most
-    # 2 rounds old after this round.  First the 15 r4-green names
-    # displaced past the cap (they reach age 3 in round 7 — LEAD
-    # ROUND 7 WITH THESE, then fill with the 50 r5-green names
-    # oldest-registration-first; the r6 window's names are safe
-    # until round 8):
+    # -- round-7 window (exactly 50 names precede the boundary) --
+    # the 15 r4-green names the r6 boundary comment queued (their
+    # latest green row is round 4 — age 3 this round, the oldest
+    # anywhere), exactly as HANDOFF's rotation math computed
     "generated_orders", "ivf_probe_search",
     "ivf_recall_at_k", "large_quantity_orders",
     "multimodal_decoded_features",
@@ -4435,8 +4395,37 @@ _LEAD_ORDER = [
     "quality_filter_funnel", "scd2_customer_dim", "shipping_priority",
     "simhash_fingerprints", "source_overlap_grams",
     "streaming_dedup_exact", "streaming_interval_join",
-    # then everything else (r5-green, age 1 — safe until round 7)
-    # via the fallback append in _apply_order.
+    # round-5-green names reaching age 2 this round, oldest-
+    # registration-first (35 of 50 fit; the 15 past the boundary
+    # lead round 8)
+    "per_product_stats", "overall_stats", "running_avg",
+    "validated_orders", "rejected_orders", "error_classification",
+    "dlq_error_stats", "pricing_summary", "top_customers",
+    "revenue_by_region", "top3_events_per_type", "events_hourly",
+    "user_sessions", "doc_token_stats", "token_counts_top20",
+    "language_id", "quality_scores", "doc_fingerprints",
+    "dedup_exact", "embedding_topk", "multimodal_meta",
+    "streaming_product_stats", "streaming_product_stats_update",
+    "asof_purchase_click", "region_nation_rollup",
+    "priority_status_cube", "daily_event_type_pivot",
+    "events_sliding_30m", "churned_users", "ivf_cell_sizes",
+    "avro_ocf_roundtrip", "priority_line_revenue",
+    "streaming_running_avg_per_record", "streaming_user_sessions",
+    "tfidf_top_terms",
+    # --- position 50 boundary: names below hold green rows at most
+    # 2 rounds old after this round.  First the 15 r5-green names
+    # displaced past the cap (they reach age 3 in round 8 — LEAD
+    # ROUND 8 WITH THESE, then fill with the r6-window names
+    # oldest-registration-first; the r6 window's 50 names are safe
+    # until round 9):
+    "priority_code_extract", "orders_by_month",
+    "salted_product_stats", "streaming_watermarked_windows",
+    "value_distribution_ranks", "user_funnel", "value_bounds",
+    "dedup_clusters", "daily_events_unpivot", "sequence_packing",
+    "streaming_incremental_dedup", "streaming_static_enrich",
+    "upsert_orders", "runtime_filtered_join", "ivf_kmeans_refine",
+    # then everything else (the r6 window, age 1 — safe until
+    # round 9) via the fallback append in _apply_order.
 ]
 
 
