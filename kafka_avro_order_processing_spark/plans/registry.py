@@ -4371,6 +4371,151 @@ def q_training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "avro_stream_stats_filter",
+    f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {_dsum('value')} AS total_value
+    FROM events
+    WHERE value < 10.0
+    GROUP BY event_type
+    """,
+    tags=("source", "avro", "datasource", "streaming", "stats-pruning"),
+    doc="Static predicate FILE SKIPPING on the kaop_avro STREAM "
+        "reader (sources/avro_ocf.py statsFilter): Python stream "
+        "sources have no pushFilters hook, so a long-lived ingestion "
+        "query that only wants a slice of the landing data declares "
+        "it as a statsFilter option — each micro-batch drops newly "
+        "landed parts whose per-part stats prove no row matches, "
+        "before any byte of them is read (manifest stats on URI "
+        "dirs, ranged header probes locally; pruned names still "
+        "enter the offset so retention retires them).  The landing "
+        "data is laid down with write_avro_clustered — range-"
+        "clustered parts with in-part sort, the layout that makes "
+        "min/max pruning effective at 100 TB — and the drain is "
+        "BOOBY-TRAPPED like its batch twin: a planted part whose "
+        "stats claim a disjoint value range has a corrupt body, so "
+        "if the stream ever opens it the drain raises and this row "
+        "goes red.  The query re-applies the predicate row-level "
+        "(statsFilter is IO reduction, not row filtering — same "
+        "contract as Spark re-checking pushed filters above a scan).",
+)
+def q_avro_stream_stats_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.avro_ocf import (
+        _list_avro,
+        _stats_meta,
+        ocf_bytes,
+        parse_ocf,
+        write_avro_clustered,
+    )
+    from ..sources.avro_ocf import register as _reg_avro
+
+    _reg_avro(spark)
+    base = tempfile.mkdtemp(prefix="kaop_ocf_sfilter_")
+    land, chk, out = f"{base}/land", f"{base}/chk", f"{base}/out"
+    cols = ["event_id", "event_type", "value"]
+    write_avro_clustered(
+        load_table(spark, sf_dir, "events").select(*cols),
+        land, ["value"], num_parts=8,
+    )
+    # booby trap: stats disjoint from the statsFilter, corrupt body,
+    # name sorted past every real part
+    first = _list_avro(land)[0]
+    with open(first, "rb") as fh:
+        pschema, _ = parse_ocf(fh.read())
+    prec = [{"event_id": -1, "event_type": "poison", "value": 9.9e9}]
+    raw = ocf_bytes(prec, pschema, extra_meta=_stats_meta(prec, cols))
+    with open(f"{land}/part-zz-poison.avro", "wb") as f:
+        f.write(raw[:-16] + bytes(16))  # break the trailing sync marker
+    q = (
+        spark.readStream.format("kaop_avro")
+        .option("path", land)
+        .option("statsFilter", '[["value","<",10.0]]')
+        .load()
+        .filter(F.col("value") < 10.0)  # row-level re-check is ours
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dec_sum("value").alias("total_value"),
+        )
+    )
+
+
+@_register(
+    "stratified_sample",
+    """
+    WITH ranked AS (
+      SELECT source, lang, doc_id,
+             md5(CONCAT('strat7:', CAST(doc_id AS VARCHAR))) AS h,
+             ROW_NUMBER() OVER (
+               PARTITION BY source, lang
+               ORDER BY md5(CONCAT('strat7:', CAST(doc_id AS VARCHAR)))
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY source, lang) AS n_stratum
+      FROM documents)
+    SELECT source, lang,
+           MAX(n_stratum) AS n_docs,
+           COUNT(*) AS n_sampled,
+           SUM(doc_id) AS sampled_id_sum,
+           MIN_BY(doc_id, h) AS first_doc_id
+    FROM ranked
+    WHERE rn <= CAST(ceil(0.1 * n_stratum) AS BIGINT)
+    GROUP BY source, lang
+    """,
+    tags=("m5", "curation", "sampling"),
+    doc="EXACT-quota stratified sampling — the complement of the "
+        "rate-based domain_mixture_sample: every (source, lang) "
+        "stratum contributes EXACTLY ceil(10% of its size) documents "
+        "(rate sampling only hits the target in expectation; eval "
+        "splits and ablation subsets need exact counts), chosen "
+        "deterministically as the stratum's first documents in "
+        "md5(salt:doc_id) order — reproducible across engines, "
+        "reruns, and partitionings, no RNG state.  Scale shape: one "
+        "hash projection, one window over the stratum key (single "
+        "shuffle, skew bounded by the largest stratum — strata are "
+        "(source, lang) buckets, naturally bounded), no collect.  "
+        "The digest pins the exact membership: per stratum the "
+        "sampled count, sampled id-sum, and the hash-first document "
+        "must all match the oracle.",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "source", "lang", "doc_id",
+        F.md5(F.concat(F.lit("strat7:"), F.col("doc_id").cast("string"))).alias("h"),
+    )
+    w = Window.partitionBy("source", "lang")
+    ranked = h.select(
+        "*",
+        F.row_number().over(w.orderBy("h")).alias("rn"),
+        F.count("*").over(w).alias("n_stratum"),
+    )
+    return (
+        ranked.filter(F.col("rn") <= F.ceil(0.1 * F.col("n_stratum")))
+        .groupBy("source", "lang")
+        .agg(
+            F.max("n_stratum").alias("n_docs"),
+            F.count("*").alias("n_sampled"),
+            F.sum("doc_id").alias("sampled_id_sum"),
+            F.min_by("doc_id", "h").alias("first_doc_id"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness harness checks queries in
 # registration order and caps the run at 50 (measured in rounds 1-2).
@@ -4385,6 +4530,11 @@ def q_training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LEAD_ORDER = [
     # -- round-7 window (exactly 50 names precede the boundary) --
+    # new this round (a new name must displace into the window in the
+    # same round it is added): the stream reader's statsFilter
+    # file-skipping drain (via write_avro_clustered layout) and the
+    # exact-quota stratified sampler
+    "avro_stream_stats_filter", "stratified_sample",
     # the 15 r4-green names the r6 boundary comment queued (their
     # latest green row is round 4 — age 3 this round, the oldest
     # anywhere), exactly as HANDOFF's rotation math computed
@@ -4410,14 +4560,15 @@ _LEAD_ORDER = [
     "priority_status_cube", "daily_event_type_pivot",
     "events_sliding_30m", "churned_users", "ivf_cell_sizes",
     "avro_ocf_roundtrip", "priority_line_revenue",
-    "streaming_running_avg_per_record", "streaming_user_sessions",
-    "tfidf_top_terms",
+    "streaming_running_avg_per_record",
     # --- position 50 boundary: names below hold green rows at most
-    # 2 rounds old after this round.  First the 15 r5-green names
-    # displaced past the cap (they reach age 3 in round 8 — LEAD
-    # ROUND 8 WITH THESE, then fill with the r6-window names
-    # oldest-registration-first; the r6 window's 50 names are safe
-    # until round 9):
+    # 2 rounds old after this round.  First the 17 r5-green names
+    # displaced past the cap (15 queued by the r6 boundary plus the
+    # 2 displaced by this round's new names; they reach age 3 in
+    # round 8 — LEAD ROUND 8 WITH THESE, then fill with the
+    # r6-window names oldest-registration-first; the r6 window's 50
+    # names are safe until round 9):
+    "streaming_user_sessions", "tfidf_top_terms",
     "priority_code_extract", "orders_by_month",
     "salted_product_stats", "streaming_watermarked_windows",
     "value_distribution_ranks", "user_funnel", "value_bounds",

@@ -1430,6 +1430,83 @@ class AvroOcfPruningReader(AvroOcfReader):
         return [InputPartition(f) for f in files]
 
 
+#: statsFilter op name -> pyspark datasource Filter constructor (built
+#: lazily in _parse_stats_filter so the module imports without 4.1).
+_STATS_FILTER_OPS = frozenset(
+    {"=", "!=", ">", ">=", "<", "<=", "in", "is_null", "is_not_null",
+     "starts_with"}
+)
+
+
+def _parse_stats_filter(raw: str, names) -> list:
+    """Parse the ``statsFilter`` stream-read option — a JSON list of
+    ``[column, op]`` / ``[column, op, value]`` conditions ANDed
+    together (ops: ``= != > >= < <= in is_null is_not_null
+    starts_with``; ``in`` takes a JSON list value) — into the same
+    pyspark ``Filter`` objects the batch ``pushFilters`` path
+    receives, so ``_file_may_match`` serves both readers unchanged.
+
+    ``DataSourceStreamReader`` has no ``pushFilters`` hook (no engine
+    pushdown for Python stream sources as of pyspark 4.1), so a
+    long-lived ingestion query that only ever wants a slice of the
+    landing data declares the slice statically and the reader skips
+    parts whose stats prove them dead.  Validation is loud and
+    construction-time: unknown column or op raises before any batch
+    runs."""
+    if not _HAS_PUSHDOWN:  # pragma: no cover - pyspark>=4.1 guaranteed here
+        raise ValueError("statsFilter requires pyspark>=4.1 Filter classes")
+    try:
+        spec = json.loads(raw)
+    except json.JSONDecodeError as e:
+        raise ValueError(f"statsFilter is not valid JSON: {e}") from None
+    if not isinstance(spec, list) or not all(isinstance(c, list) for c in spec):
+        raise ValueError(
+            "statsFilter must be a JSON list of [column, op, value?] lists"
+        )
+    known = set(names)
+    out = []
+    for cond in spec:
+        if len(cond) not in (2, 3):
+            raise ValueError(f"statsFilter condition {cond!r} must have 2-3 items")
+        col, op = cond[0], cond[1]
+        val = cond[2] if len(cond) == 3 else None
+        if col not in known:
+            raise ValueError(f"statsFilter: no such column {col!r}")
+        if op not in _STATS_FILTER_OPS:
+            raise ValueError(
+                f"statsFilter: unknown op {op!r} (one of {sorted(_STATS_FILTER_OPS)})"
+            )
+        attr = (col,)
+        if op in ("is_null", "is_not_null"):
+            if len(cond) == 3:
+                raise ValueError(f"statsFilter: {op} takes no value: {cond!r}")
+            out.append(IsNull(attr) if op == "is_null" else IsNotNull(attr))
+            continue
+        if len(cond) != 3:
+            raise ValueError(f"statsFilter: {op} requires a value: {cond!r}")
+        if op == "in":
+            if not isinstance(val, list) or not val:
+                raise ValueError(f"statsFilter: 'in' needs a non-empty list: {cond!r}")
+            out.append(In(attr, tuple(val)))
+        elif op == "=":
+            out.append(EqualTo(attr, val))
+        elif op == "!=":
+            out.append(Not(EqualTo(attr, val)))
+        elif op == ">":
+            out.append(GreaterThan(attr, val))
+        elif op == ">=":
+            out.append(GreaterThanOrEqual(attr, val))
+        elif op == "<":
+            out.append(LessThan(attr, val))
+        elif op == "<=":
+            out.append(LessThanOrEqual(attr, val))
+        elif op == "starts_with":
+            if not isinstance(val, str):
+                raise ValueError(f"statsFilter: starts_with needs a string: {cond!r}")
+            out.append(StringStartsWith(attr, val))
+    return out
+
+
 class AvroOcfStreamReader(DataSourceStreamReader):
     """Landing-directory ingestion: the offset is the SET of file
     basenames already consumed (``{"files": [...]}``), so arrival
@@ -1475,6 +1552,7 @@ class AvroOcfStreamReader(DataSourceStreamReader):
         max_files_per_batch: int | None = None,
         clean_source: str = "off", archive_dir: str | None = None,
         json_fields: frozenset[str] = frozenset(),
+        stat_filters: list | None = None,
     ):
         if clean_source not in ("off", "delete", "archive"):
             raise ValueError(f"cleanSource must be off|delete|archive, got {clean_source!r}")
@@ -1488,6 +1566,11 @@ class AvroOcfStreamReader(DataSourceStreamReader):
         self.clean_source = clean_source
         self.archive_dir = archive_dir
         self.json_fields = json_fields
+        #: static statsFilter predicates (pyspark Filter objects) — a
+        #: new file whose stats prove no row matches is marked
+        #: consumed in the offset (so cleanSource still retires it)
+        #: but never opened or decoded
+        self.stat_filters = stat_filters or []
         #: basenames covered by the last offset this instance returned
         #: or learned from the engine; None = fresh instance, unknown
         self._known: set[str] | None = None
@@ -1546,9 +1629,27 @@ class AvroOcfStreamReader(DataSourceStreamReader):
         # names, and re-adding them would undo the pruning forever.
         self._known = (self._known or set()) | (end_names - self._cleaned)
         base = self.path.rstrip("/")
-        return [
-            InputPartition(f"{base}/{n}") for n in sorted(end_names - start_names)
-        ]
+        new_names = sorted(end_names - start_names)
+        if self.stat_filters and new_names:
+            # statsFilter file skipping: same conservative overlap test
+            # as the batch pruning reader — a part is dropped ONLY when
+            # its stats PROVE no row matches.  Stats come from one
+            # manifest read when the dir is manifest-managed, else a
+            # ranged header probe per NEW file (bounded by
+            # maxFilesPerBatch).  Dropped files stay in the offset:
+            # consumed-but-never-opened, so they never come back and
+            # cleanSource retires them like any committed file.
+            m = _read_manifest(self.path)
+            if m is not None:
+                by_name = m.get("stats", {})
+                stats = [by_name.get(n) for n in new_names]
+            else:
+                stats = [_header_stats(f"{base}/{n}") for n in new_names]
+            new_names = [
+                n for n, s in zip(new_names, stats)
+                if _file_may_match(s, self.stat_filters)
+            ]
+        return [InputPartition(f"{base}/{n}") for n in new_names]
 
     def read(self, partition):  # executor-side decode, one task per file
         yield from _file_rows(
@@ -1929,7 +2030,17 @@ class AvroOcfDataSource(DataSource):
     (stream
     read side: admit at most N new files per micro-batch — a landed
     backlog drains in ceil(N/cap) batches instead of one giant
-    epoch); ``cleanSource`` = ``delete``/``archive`` (+
+    epoch); ``statsFilter`` (stream read side: a STATIC predicate —
+    JSON list of ``[column, op, value?]`` conditions ANDed together,
+    ops ``= != > >= < <= in is_null is_not_null starts_with`` — that
+    skips landed parts whose stats prove no row matches; the stream
+    twin of ``statsPruning``, declared as an option because Python
+    stream sources have no ``pushFilters`` hook.  File-level IO
+    reduction ONLY: rows from surviving parts are NOT filtered, so the
+    query must still apply the predicate — exactly like Spark
+    re-evaluating pushed filters above a batch scan.  Incompatible
+    with ``readerSchema``, raises); ``cleanSource`` =
+    ``delete``/``archive`` (+
     ``sourceArchiveDir``) retires each committed batch's files from
     the landing directory — the retention knob that keeps the
     per-trigger listing AND the name-set offset bounded on a
@@ -1995,12 +2106,27 @@ class AvroOcfDataSource(DataSource):
             return self.options.get(key.lower(), self.options.get(key, default))
 
         cap = opt("maxFilesPerBatch")
+        raw_filter = opt("statsFilter")
+        stat_filters = None
+        if raw_filter:
+            if rs is not None:
+                # same reasoning as the batch statsPruning downgrade —
+                # alias resolution can remap reader names onto
+                # different writer fields and stats live under writer
+                # names — but statsFilter is an EXPLICIT user request,
+                # so failing loudly beats silently not pruning.
+                raise ValueError(
+                    "statsFilter cannot be combined with readerSchema: "
+                    "stats are recorded under writer field names"
+                )
+            stat_filters = _parse_stats_filter(str(raw_filter), names)
         return AvroOcfStreamReader(
             path, avsc, names, rs,
             max_files_per_batch=int(cap) if cap is not None else None,
             clean_source=str(opt("cleanSource", "off")).lower(),
             archive_dir=opt("sourceArchiveDir"),
             json_fields=self._json_fields(fields),
+            stat_filters=stat_filters,
         )
 
     def _write_target(self):
@@ -2129,12 +2255,62 @@ def _bloom_cols_of_dir(path: str, files: list[str]) -> frozenset[str]:
     )
 
 
+def write_avro_clustered(
+    df,
+    path: str,
+    cluster_by: list[str],
+    num_parts: int | None = None,
+    codec: str = "null",
+    bloom_columns: tuple[str, ...] = (),
+    max_records_per_part: int | None = None,
+    mode: str = "append",
+) -> None:
+    """Range-cluster ``df`` on ``cluster_by`` and write it as a
+    ``kaop_avro`` directory whose parts each cover a NARROW, mostly
+    disjoint slice of the clustering key — the data layout that makes
+    min/max ``statsPruning``/``statsFilter`` actually effective.
+
+    Why this exists: per-part min/max stats prune nothing on a
+    randomly laid-out table (every part spans the whole key range, so
+    every range predicate overlaps every part — the bloom option is
+    the point-lookup workaround, but range scans stay full-table).
+    Clustering is the standard lake fix (Delta/Iceberg ``OPTIMIZE …
+    CLUSTER BY``): ``repartitionByRange`` computes sampled range
+    boundaries (one shuffle, skew-tolerant — a heavy key simply owns
+    more parts) and ``sortWithinPartitions`` orders rows inside each
+    part executor-side (no extra shuffle), so a selective range filter
+    later plans only the handful of parts whose slice overlaps it.
+
+    The write itself goes through the source's normal commit protocol
+    (temp-then-rename locally, manifest PUT on URI paths) with stats,
+    ``bloom_columns``, and ``max_records_per_part`` riding the usual
+    write options."""
+    if not cluster_by:
+        raise ValueError("cluster_by must name at least one column")
+    missing = sorted(set(cluster_by) - set(df.columns))
+    if missing:
+        raise ValueError(f"cluster_by: no such columns {missing}")
+    register(df.sparkSession)
+    out = (
+        df.repartitionByRange(num_parts, *cluster_by)
+        if num_parts is not None
+        else df.repartitionByRange(*cluster_by)
+    ).sortWithinPartitions(*cluster_by)
+    wr = out.write.format("kaop_avro").option("path", path).option("codec", codec)
+    if bloom_columns:
+        wr = wr.option("bloomColumns", ",".join(bloom_columns))
+    if max_records_per_part is not None:
+        wr = wr.option("maxRecordsPerPart", str(max_records_per_part))
+    wr.mode(mode).save()
+
+
 def compact_avro_dir(
     spark,
     path: str,
     target_records: int = 100_000,
     codec: str = "null",
     reader_schema: dict | None = None,
+    cluster_by: list[str] | None = None,
 ) -> dict:
     """Rewrite a ``kaop_avro`` directory's committed rows into
     ``ceil(rows / target_records)`` parts, preserving per-part stats
@@ -2191,8 +2367,24 @@ def compact_avro_dir(
         rows = df.count()  # stats-less legacy parts: one counting pass
     bloom_cols = _bloom_cols_of_dir(path, files)
     target_parts = max(1, _math.ceil(rows / max(1, target_records)))
+    if cluster_by:
+        # compaction that also CLUSTERS — the OPTIMIZE…CLUSTER BY of
+        # this lake: the rewrite's shuffle range-partitions on the
+        # clustering key and sorts within parts, so the compacted
+        # directory's min/max stats become tight and disjoint (see
+        # write_avro_clustered for why that is what makes range
+        # pruning effective).  Same shuffle count as the plain
+        # rewrite — clustering here is free.
+        missing = sorted(set(cluster_by) - set(df.columns))
+        if missing:
+            raise ValueError(f"cluster_by: no such columns {missing}")
+        shuffled = df.repartitionByRange(
+            target_parts, *cluster_by
+        ).sortWithinPartitions(*cluster_by)
+    else:
+        shuffled = df.repartition(target_parts)
     wr = (
-        df.repartition(target_parts)
+        shuffled
         .write.format("kaop_avro")
         .option("path", path)
         .option("codec", codec)

@@ -2145,3 +2145,192 @@ def test_stats_survive_lost_publish_race(tmp_path, monkeypatch):
     assert final["stats"]["part-other.avro"] == other_stats  # kept!
     on_disk = _json.loads(open(f"{d}/_manifest.json").read())
     assert on_disk == final
+
+
+def test_parse_stats_filter_validation():
+    """statsFilter parses to the same Filter objects pushFilters gets,
+    and every malformed spec fails loudly at construction time."""
+    from pyspark.sql.datasource import EqualTo, In, IsNull, Not
+
+    mod = _stats_imports()
+    names = ["k", "v", "tag"]
+    fs = mod._parse_stats_filter(
+        '[["k","=",5],["v",">",1.5],["tag","in",["a","b"]],'
+        '["tag","is_null"],["k","!=",9],["tag","starts_with","u"]]',
+        names,
+    )
+    assert isinstance(fs[0], EqualTo) and fs[0].attribute == ("k",) and fs[0].value == 5
+    assert isinstance(fs[2], In) and fs[2].value == ("a", "b")
+    assert isinstance(fs[3], IsNull)
+    assert isinstance(fs[4], Not) and isinstance(fs[4].child, EqualTo)
+    for bad in (
+        "not json",
+        '{"k": 5}',                      # not a list of lists
+        '[["nope","=",1]]',              # unknown column
+        '[["k","~",1]]',                 # unknown op
+        '[["k","="]]',                   # missing value
+        '[["k","is_null",1]]',           # value where none allowed
+        '[["k","in",[]]]',               # empty in-list
+        '[["k","in",5]]',                # non-list in-list
+        '[["tag","starts_with",7]]',     # non-string prefix
+        '[["k","=",1,2]]',               # arity
+    ):
+        with pytest.raises(ValueError):
+            mod._parse_stats_filter(bad, names)
+
+
+def test_stream_stats_filter_reader_schema_conflict(spark):
+    mod = _stats_imports()
+    mod.register(spark)
+    d = tempfile.mkdtemp(prefix=f"ocfsfrs_{uuid.uuid4().hex[:8]}_")
+    spark.range(0, 5).selectExpr("id AS k").coalesce(1).write.format(
+        "kaop_avro"
+    ).option("path", d).mode("append").save()
+    rs = '{"type":"record","name":"R","fields":[{"name":"k","type":"long"}]}'
+    # streamReader construction is deferred to query start, so probe the
+    # DataSource directly (options arrive lowercased from Spark)
+    ds = mod.AvroOcfDataSource(
+        options={
+            "path": d,
+            "readerschema": rs,
+            "statsfilter": '[["k","=",1]]',
+        }
+    )
+    with pytest.raises(ValueError, match="statsFilter cannot be combined"):
+        ds.streamReader(None)
+
+
+def test_stream_stats_filter_skips_poison_part(spark):
+    """The stream twin of test_stats_pruning_e2e_poison: a landed part
+    whose stats are disjoint from the statsFilter has a CORRUPT body —
+    the filtered stream drains green (file never opened), the pruned
+    name is still CONSUMED (it never reappears in a later batch), and
+    a later matching file is picked up normally."""
+    mod = _stats_imports()
+    mod.register(spark)
+    base = tempfile.mkdtemp(prefix=f"ocfsf_{uuid.uuid4().hex[:8]}_")
+    land, chk, out = f"{base}/land", f"{base}/chk", f"{base}/out"
+    import os
+
+    os.makedirs(land)
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "k long, v double"
+    ).coalesce(1).write.format("kaop_avro").option("path", land).mode(
+        "append"
+    ).save()
+    # poison: stats claim v in [9e9, 9.9e9]; body corrupt
+    first = mod._list_avro(land)[0]
+    pschema, _ = parse_ocf(open(first, "rb").read())
+    prec = [{"k": 0, "v": 9.9e9}, {"k": 1, "v": 9.0e9}]
+    raw = mod.ocf_bytes(prec, pschema, extra_meta=mod._stats_meta(prec, ["k", "v"]))
+    with open(f"{land}/part-zz-poison.avro", "wb") as f:
+        f.write(raw[:-16] + bytes(16))
+
+    def drain():
+        q = (
+            spark.readStream.format("kaop_avro")
+            .option("path", land)
+            .option("statsFilter", '[["v","<",100.0]]')
+            .load()
+            .filter("v < 100.0")  # row-level re-check is the query's job
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert spark.read.parquet(out).count() == 10  # poison skipped
+    # second drain: only the NEW matching file lands; the poison name
+    # was consumed in batch 0 and must not resurface
+    spark.createDataFrame([(100, 50.0)], "k long, v double").coalesce(
+        1
+    ).write.format("kaop_avro").option("path", land).mode("append").save()
+    drain()
+    got = sorted(r.k for r in spark.read.parquet(out).collect())
+    assert got == sorted(list(range(10)) + [100])
+
+
+def test_stream_stats_filter_partitions_unit(spark):
+    """Offset bookkeeping with statsFilter: pruned names sit inside the
+    offset (consumed) while partitions() omits them."""
+    mod = _stats_imports()
+    d = tempfile.mkdtemp(prefix=f"ocfsfu_{uuid.uuid4().hex[:8]}_")
+    lo = [{"k": 1, "v": 1.0}, {"k": 2, "v": 2.0}]
+    hi = [{"k": 3, "v": 1000.0}, {"k": 4, "v": 2000.0}]
+    schema = {
+        "type": "record", "name": "R",
+        "fields": [{"name": "k", "type": "long"}, {"name": "v", "type": "double"}],
+    }
+    for name, recs in (("part-a.avro", lo), ("part-b.avro", hi)):
+        mod.write_avro_ocf(
+            f"{d}/{name}", recs, schema,
+            extra_meta=mod._stats_meta(recs, ["k", "v"]),
+        )
+    from pyspark.sql.datasource import LessThan
+
+    r = mod.AvroOcfStreamReader(
+        d, schema, ["k", "v"], stat_filters=[LessThan(("v",), 100.0)]
+    )
+    end = r.latestOffset()
+    assert sorted(end["files"]) == ["part-a.avro", "part-b.avro"]
+    parts = r.partitions({"files": []}, end)
+    assert [p.value.rsplit("/", 1)[-1] for p in parts] == ["part-a.avro"]
+
+
+def test_write_avro_clustered_layout_and_validation(spark):
+    """Clustered writes produce parts with tight, mostly disjoint
+    min/max ranges — the layout where range pruning plans only
+    overlapping parts — and validation is loud."""
+    mod = _stats_imports()
+    mod.register(spark)
+    d = tempfile.mkdtemp(prefix=f"ocfclw_{uuid.uuid4().hex[:8]}_")
+    df = spark.range(0, 1000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    mod.write_avro_clustered(df, d, ["v"], num_parts=8)
+    files = mod._list_avro(d)
+    assert len(files) == 8
+    stats = [mod._header_stats(f) for f in files]
+    spans = sorted((s["cols"]["v"]["min"], s["cols"]["v"]["max"]) for s in stats)
+    # each part spans a narrow slice; consecutive slices don't overlap
+    for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 < lo2
+        assert hi1 - lo1 < 1000 / 4  # tight, not whole-range
+    # the point: a selective range filter plans few parts
+    from pyspark.sql.datasource import LessThan
+
+    r = mod.AvroOcfPruningReader(d, None, ["k", "v"])
+    r.pushFilters([LessThan(("v",), 100.0)])
+    assert len(r.partitions()) <= 2
+    with pytest.raises(ValueError, match="no such columns"):
+        mod.write_avro_clustered(df, d, ["nope"])
+    with pytest.raises(ValueError, match="at least one column"):
+        mod.write_avro_clustered(df, d, [])
+
+
+def test_compact_avro_dir_cluster_by(spark):
+    """Compaction with cluster_by = OPTIMIZE…CLUSTER BY: many
+    randomly-laid-out parts rewrite into few range-clustered ones,
+    rows preserved exactly, and the compacted stats actually prune."""
+    mod = _stats_imports()
+    mod.register(spark)
+    d = tempfile.mkdtemp(prefix=f"ocfclc_{uuid.uuid4().hex[:8]}_")
+    df = spark.range(0, 900).selectExpr(
+        "id AS k", "CAST(pmod(id * 7919, 900) AS DOUBLE) AS v"
+    )
+    # random layout: parts span the whole v-range
+    df.repartition(6).write.format("kaop_avro").option("path", d).mode(
+        "append"
+    ).save()
+    res = mod.compact_avro_dir(spark, d, target_records=300, cluster_by=["v"])
+    assert res["rows"] == 900 and res["parts_after"] == 3
+    stats = [mod._header_stats(f) for f in mod._list_avro(d)]
+    spans = sorted((s["cols"]["v"]["min"], s["cols"]["v"]["max"]) for s in stats)
+    for (_, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 < lo2
+    back = spark.read.format("kaop_avro").option("path", d).load()
+    assert back.count() == 900
+    assert back.agg({"k": "sum"}).collect()[0][0] == sum(range(900))
+    with pytest.raises(ValueError, match="no such columns"):
+        mod.compact_avro_dir(spark, d, cluster_by=["nope"])
