@@ -525,13 +525,18 @@ def _bloom_hashes(canon: str) -> tuple[int, int]:
     return int.from_bytes(d[:8], "big"), int.from_bytes(d[8:], "big") | 1
 
 
-def _bloom_build(values) -> dict | None:
+def _bloom_build(values, bits_per_key: int = _BLOOM_BITS_PER_KEY) -> dict | None:
     """A per-part bloom filter over a column's distinct non-null
     values, JSON-serializable: ``{"t": "i"|"s", "m": bits, "k": n,
     "b64": bitset}``.  Only single-typed int or str columns qualify
     (floats have no canonical equality representation, bools are
     pointless); anything else returns None and equality pruning stays
-    min/max-only for the column."""
+    min/max-only for the column.  ``bits_per_key`` sizes the bitset
+    (default 10 ≈ 1% fpp at k=7; raise it for lower false-positive
+    rates — fewer wasted part opens — at the cost of larger
+    stats/manifest entries; the 8 KB per-column hard cap still
+    applies, so very-high-cardinality parts saturate and the filter
+    degrades gracefully toward keep-everything, never wrong)."""
     import base64
 
     vals = [v for v in values if v is not None]
@@ -545,7 +550,7 @@ def _bloom_build(values) -> dict | None:
         return None
     canon = {str(v) for v in vals}
     m = 64
-    while m < len(canon) * _BLOOM_BITS_PER_KEY and m < _BLOOM_MAX_BITS:
+    while m < len(canon) * bits_per_key and m < _BLOOM_MAX_BITS:
         m <<= 1
     bits = bytearray(m // 8)
     for s in canon:
@@ -578,7 +583,10 @@ def _bloom_may_contain(bloom: dict, value) -> bool:
     )
 
 
-def collect_stats(records: list[dict], names, bloom_cols=frozenset()) -> dict:
+def collect_stats(
+    records: list[dict], names, bloom_cols=frozenset(),
+    bloom_bits_per_key: int = _BLOOM_BITS_PER_KEY,
+) -> dict:
     """Per-part column stats for stats-based file skipping:
     ``{"rows": N, "cols": {name: {"nulls": K[, "min": lo, "max": hi]}}}``.
 
@@ -625,7 +633,7 @@ def collect_stats(records: list[dict], names, bloom_cols=frozenset()) -> dict:
         if orderable and lo is not None:
             ent["min"], ent["max"] = lo, hi
         if n in bloom_cols:
-            bloom = _bloom_build([r.get(n) for r in records])
+            bloom = _bloom_build([r.get(n) for r in records], bloom_bits_per_key)
             if bloom is not None:
                 ent["bloom"] = bloom
         cols[n] = ent
@@ -1820,6 +1828,7 @@ class AvroOcfWriter(DataSourceWriter):
         self, path: str, avro_schema: dict, names, overwrite: bool,
         codec: str = "null", bloom_cols: frozenset[str] = frozenset(),
         max_records_per_part: int | None = None,
+        bloom_bits_per_key: int = _BLOOM_BITS_PER_KEY,
     ):
         import uuid as _uuid
 
@@ -1828,6 +1837,7 @@ class AvroOcfWriter(DataSourceWriter):
         self.codec = codec
         self.bloom_cols = bloom_cols
         self.max_records_per_part = max_records_per_part
+        self.bloom_bits_per_key = bloom_bits_per_key
         self.job_id = _uuid.uuid4().hex[:12]
         self.uri_mode = "://" in path
 
@@ -1839,7 +1849,9 @@ class AvroOcfWriter(DataSourceWriter):
         for chunk in _chunked(records, self.max_records_per_part):
             if not chunk:
                 continue  # empty partition -> no file
-            stats = collect_stats(chunk, self.names, self.bloom_cols)
+            stats = collect_stats(
+                chunk, self.names, self.bloom_cols, self.bloom_bits_per_key
+            )
             meta = {STATS_META_KEY: json.dumps(stats, sort_keys=True).encode()}
             if self.uri_mode:  # final name now; published only via manifest
                 name = f"part-{self.job_id}-{_uuid.uuid4().hex[:8]}.avro"
@@ -1924,11 +1936,13 @@ class AvroOcfStreamWriter(DataSourceStreamWriter):
         self, path: str, avro_schema: dict, names, codec: str = "null",
         bloom_cols: frozenset[str] = frozenset(),
         max_records_per_part: int | None = None,
+        bloom_bits_per_key: int = _BLOOM_BITS_PER_KEY,
     ):
         self.path, self.avro_schema, self.names = path, avro_schema, names
         self.codec = codec
         self.bloom_cols = bloom_cols
         self.max_records_per_part = max_records_per_part
+        self.bloom_bits_per_key = bloom_bits_per_key
         self.uri_mode = "://" in path
 
     def write(self, iterator) -> _OcfCommit:
@@ -1939,7 +1953,9 @@ class AvroOcfStreamWriter(DataSourceStreamWriter):
         for chunk in _chunked(records, self.max_records_per_part):
             if not chunk:
                 continue
-            stats = collect_stats(chunk, self.names, self.bloom_cols)
+            stats = collect_stats(
+                chunk, self.names, self.bloom_cols, self.bloom_bits_per_key
+            )
             meta = {STATS_META_KEY: json.dumps(stats, sort_keys=True).encode()}
             if self.uri_mode:
                 name = f"part-{_uuid.uuid4().hex}.avro"
@@ -2021,7 +2037,10 @@ class AvroOcfDataSource(DataSource):
     ``bloomColumns`` (write side: comma-separated int/string columns
     that additionally get a per-part bloom filter in their stats — the
     point-lookup complement to min/max for hash-distributed keys,
-    consulted by ``statsPruning`` for ``=`` and ``IN``); ``codec``
+    consulted by ``statsPruning`` for ``=`` and ``IN``;
+    ``bloomBitsPerKey`` sizes the filters — default 10 ≈ 1% fpp,
+    raise for fewer false-positive part opens at larger stats size,
+    8 KB/column/part hard cap regardless); ``codec``
     (write side: ``null`` default or ``deflate``); ``maxRecordsPerPart``
     (write side, batch AND stream: split any task's rows into
     <=N-record container files — bounds the largest part a skewed or
@@ -2180,6 +2199,17 @@ class AvroOcfDataSource(DataSource):
                 )
         return cols
 
+    def _bloom_bits_per_key(self) -> int:
+        raw = self.options.get(
+            "bloombitsperkey", self.options.get("bloomBitsPerKey")
+        )
+        if raw is None:
+            return _BLOOM_BITS_PER_KEY
+        bits = int(raw)
+        if bits < 1:
+            raise ValueError(f"bloomBitsPerKey must be >= 1, got {bits}")
+        return bits
+
     def _max_records_per_part(self) -> int | None:
         raw = self.options.get(
             "maxrecordsperpart", self.options.get("maxRecordsPerPart")
@@ -2196,7 +2226,7 @@ class AvroOcfDataSource(DataSource):
         return AvroOcfWriter(
             path, _avro_schema_of(schema), [f.name for f in schema.fields],
             overwrite, codec, self._bloom_cols(schema),
-            self._max_records_per_part(),
+            self._max_records_per_part(), self._bloom_bits_per_key(),
         )
 
     def streamWriter(self, schema, overwrite: bool) -> AvroOcfStreamWriter:  # noqa: ARG002
@@ -2204,6 +2234,7 @@ class AvroOcfDataSource(DataSource):
         return AvroOcfStreamWriter(
             path, _avro_schema_of(schema), [f.name for f in schema.fields], codec,
             self._bloom_cols(schema), self._max_records_per_part(),
+            self._bloom_bits_per_key(),
         )
 
 

@@ -2334,3 +2334,41 @@ def test_compact_avro_dir_cluster_by(spark):
     assert back.agg({"k": "sum"}).collect()[0][0] == sum(range(900))
     with pytest.raises(ValueError, match="no such columns"):
         mod.compact_avro_dir(spark, d, cluster_by=["nope"])
+
+
+def test_bloom_bits_per_key_option(spark):
+    """bloomBitsPerKey sizes the per-part filters: more bits per key →
+    a strictly larger bitset and a lower measured false-positive rate;
+    invalid values fail at writer construction."""
+    mod = _stats_imports()
+    mod.register(spark)
+    vals = [f"key{i}" for i in range(500)]
+    small = mod._bloom_build(vals, bits_per_key=2)
+    big = mod._bloom_build(vals, bits_per_key=32)
+    assert big["m"] > small["m"]
+
+    def fp_rate(bloom):
+        probes = [f"absent{i}" for i in range(2000)]
+        return sum(mod._bloom_may_contain(bloom, p) for p in probes) / len(probes)
+
+    assert fp_rate(big) < fp_rate(small)
+    assert fp_rate(big) < 0.01
+    # zero false negatives at any sizing
+    assert all(mod._bloom_may_contain(small, v) for v in vals)
+    assert all(mod._bloom_may_contain(big, v) for v in vals)
+    # option plumbing: written parts carry the requested sizing
+    d = tempfile.mkdtemp(prefix=f"ocfbbk_{uuid.uuid4().hex[:8]}_")
+    df = spark.createDataFrame([(f"k{i}",) for i in range(200)], "k string")
+    df.coalesce(1).write.format("kaop_avro").option("path", f"{d}/big").option(
+        "bloomColumns", "k"
+    ).option("bloomBitsPerKey", "32").mode("append").save()
+    df.coalesce(1).write.format("kaop_avro").option("path", f"{d}/small").option(
+        "bloomColumns", "k"
+    ).option("bloomBitsPerKey", "2").mode("append").save()
+    mb = mod._header_stats(mod._list_avro(f"{d}/big")[0])["cols"]["k"]["bloom"]["m"]
+    ms = mod._header_stats(mod._list_avro(f"{d}/small")[0])["cols"]["k"]["bloom"]["m"]
+    assert mb > ms
+    with pytest.raises(Exception, match="bloomBitsPerKey"):
+        df.write.format("kaop_avro").option("path", f"{d}/bad").option(
+            "bloomColumns", "k"
+        ).option("bloomBitsPerKey", "0").mode("append").save()
