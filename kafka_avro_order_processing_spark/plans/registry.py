@@ -4516,6 +4516,116 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quality_sql(alias: str = "q") -> str:
+    """The quality_scores score expression as a reusable CTE body."""
+    return f"""
+    {alias} AS (
+      SELECT doc_id,
+             0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+               + 0.5 * (1.0 - CAST(len(list_filter(toks, x -> list_contains([{_STOP_ARR}], x))) AS DOUBLE)
+                              / CAST(len(toks) AS DOUBLE)) AS quality
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    )"""
+
+
+@_register(
+    "dedup_keep_best",
+    f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({_minhash_oracle()}) WHERE jaccard >= 0.5
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), canon AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS canonical_id
+      FROM reach GROUP BY a
+    ), {_quality_sql()}
+    , membership AS (
+      SELECT d.doc_id,
+             COALESCE(c.canonical_id, d.doc_id) AS cluster_id,
+             q.quality
+      FROM documents d
+      LEFT JOIN canon c ON d.doc_id = c.doc_id
+      JOIN q ON d.doc_id = q.doc_id
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY cluster_id ORDER BY quality DESC, doc_id
+      ) AS rn
+      FROM membership
+    )
+    SELECT cluster_id,
+           COUNT(*) AS n_members,
+           MAX(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc_id,
+           MAX(CASE WHEN rn = 1 THEN quality END) AS kept_quality,
+           CAST(COALESCE(SUM(CASE WHEN rn > 1 THEN doc_id END), 0) AS BIGINT)
+             AS dropped_id_sum
+    FROM ranked GROUP BY cluster_id
+    """,
+    tags=("m5", "dedup", "curation"),
+    doc="Canonical-document selection — the step AFTER near-dup "
+        "clustering in a real curation pipeline: within each near-dup "
+        "cluster keep the HIGHEST-QUALITY member (not the arbitrary "
+        "min-id one), drop the rest.  Composes three registered "
+        "operators end-to-end: MinHash-LSH verified pairs -> "
+        "connected components -> quality_scores ranking, with "
+        "singleton docs forming their own clusters.  Scale shape: the "
+        "pair graph is orders of magnitude smaller than the corpus, "
+        "so components run on pairs only and the doc->cluster label "
+        "map broadcasts back onto the corpus (no corpus-sized "
+        "shuffle for the join); canonical selection is one window "
+        "shuffle on cluster_id (skew bounded by the largest cluster) "
+        "— deterministic tie-break (quality DESC, doc_id ASC) keeps "
+        "the kept-set reproducible across engines and reruns.  The "
+        "digest pins exact membership AND the keep choice: per "
+        "cluster the member count, kept doc, its quality, and the "
+        "dropped-id sum must all match.",
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.graph import connected_components
+    from ..operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _dedup.near_dup_pairs(docs).filter(F.col("jaccard") >= 0.5)
+    comps = connected_components(pairs, src="doc_a", dst="doc_b")
+    labels = comps.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    membership = (
+        quality_score(docs)
+        .select("doc_id", "quality")
+        .join(F.broadcast(labels), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            "quality",
+        )
+    )
+    ranked = membership.select(
+        "*",
+        F.row_number()
+        .over(
+            Window.partitionBy("cluster_id").orderBy(
+                F.col("quality").desc(), F.col("doc_id")
+            )
+        )
+        .alias("rn"),
+    )
+    return ranked.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("kept_doc_id"),
+        F.max(F.when(F.col("rn") == 1, F.col("quality"))).alias("kept_quality"),
+        F.coalesce(
+            F.sum(F.when(F.col("rn") > 1, F.col("doc_id"))), F.lit(0)
+        ).cast("long").alias("dropped_id_sum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness harness checks queries in
 # registration order and caps the run at 50 (measured in rounds 1-2).
@@ -4533,8 +4643,8 @@ _LEAD_ORDER = [
     # new this round (a new name must displace into the window in the
     # same round it is added): the stream reader's statsFilter
     # file-skipping drain (via write_avro_clustered layout) and the
-    # exact-quota stratified sampler
-    "avro_stream_stats_filter", "stratified_sample",
+    # exact-quota stratified sampler, and the canonical-doc keeper
+    "avro_stream_stats_filter", "stratified_sample", "dedup_keep_best",
     # the 15 r4-green names the r6 boundary comment queued (their
     # latest green row is round 4 — age 3 this round, the oldest
     # anywhere), exactly as HANDOFF's rotation math computed
@@ -4560,14 +4670,14 @@ _LEAD_ORDER = [
     "priority_status_cube", "daily_event_type_pivot",
     "events_sliding_30m", "churned_users", "ivf_cell_sizes",
     "avro_ocf_roundtrip", "priority_line_revenue",
-    "streaming_running_avg_per_record",
     # --- position 50 boundary: names below hold green rows at most
-    # 2 rounds old after this round.  First the 17 r5-green names
+    # 2 rounds old after this round.  First the 18 r5-green names
     # displaced past the cap (15 queued by the r6 boundary plus the
-    # 2 displaced by this round's new names; they reach age 3 in
+    # 3 displaced by this round's new names; they reach age 3 in
     # round 8 — LEAD ROUND 8 WITH THESE, then fill with the
     # r6-window names oldest-registration-first; the r6 window's 50
     # names are safe until round 9):
+    "streaming_running_avg_per_record",
     "streaming_user_sessions", "tfidf_top_terms",
     "priority_code_extract", "orders_by_month",
     "salted_product_stats", "streaming_watermarked_windows",
