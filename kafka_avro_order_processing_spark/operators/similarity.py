@@ -354,6 +354,182 @@ def kmeans_refine(
     )
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al., "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011) — the memory-scale ANN path: vectors
+# compress to m code bytes (here 4 sub-spaces x 8 codes = 4 small ints
+# per 64-dim vector, a 64x compression), and search runs against the
+# codes via an Asymmetric Distance Computation lookup table, never
+# touching the raw corpus vectors.
+# ---------------------------------------------------------------------------
+
+PQ_SUBSPACES = 4
+PQ_CODES = 8
+
+
+def pq_subvectors(
+    vectors: DataFrame,
+    dim: int,
+    m: int = PQ_SUBSPACES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Split each vector into ``m`` contiguous sub-vectors (float64):
+    one row per (vector, sub-space).  dim must divide evenly by m."""
+    assert dim % m == 0, f"dim {dim} not divisible by m {m}"
+    sd = dim // m
+    subs = F.expr(
+        f"transform(sequence(0, {m - 1}),"
+        f" s -> transform(slice({vec_col}, s * {sd} + 1, {sd}),"
+        " x -> cast(x as double)))"
+    )
+    return vectors.select(
+        F.col(id_col), F.posexplode(subs).alias("sub", "svec")
+    )
+
+
+_SQDIST = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+    " 0D, (acc, v) -> acc + v)"
+)
+
+
+def _pq_assign(sub: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+    """Nearest code per (vector, sub-space) by L2 distance; the fold is
+    sequential in dim order (bit-matches the oracle's list_sum), ties
+    break on code id."""
+    scored = sub.join(F.broadcast(cents), "sub").select(
+        F.col(id_col),
+        "sub",
+        "code",
+        F.expr(_SQDIST.format(a="svec", b="cent")).alias("dist"),
+    )
+    w = Window.partitionBy(id_col, "sub").orderBy(F.asc("dist"), F.asc("code"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "sub", "code")
+    )
+
+
+def pq_codebooks(
+    sub: DataFrame,
+    k: int = PQ_CODES,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-sub-space codebooks: k seed centroids (the vec_id < k
+    sub-vectors — the same seeding convention as the IVF queries) and
+    ONE Lloyd refinement round.  Returns (sub, code, cent: array<double>).
+
+    The per-(sub, code, dim) member mean uses the 2^52-scaled
+    DECIMAL(38,0) partial-sum trick (see kmeans_refine's determinism
+    contract): order-free, O(1) aggregation state, and bit-identical
+    across engines."""
+    seeds = sub.filter(F.col(id_col) < k).select(
+        "sub", F.col(id_col).alias("code"), F.col("svec").alias("cent")
+    )
+    assigned = _pq_assign(sub, seeds, id_col)
+    elems = sub.select(
+        F.col(id_col), "sub", F.posexplode("svec").alias("dim", "val")
+    )
+    means = (
+        assigned.join(elems, [id_col, "sub"])
+        .groupBy("sub", "code", "dim")
+        .agg(
+            F.sum(
+                F.expr(f"CAST(val * {MEAN_SCALE}D AS DECIMAL(38,0))")
+            ).alias("ssum"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "sub",
+            "code",
+            "dim",
+            (
+                F.col("ssum").cast("double")
+                / (F.col("n").cast("double") * F.lit(float(MEAN_SCALE)))
+            ).alias("mean"),
+        )
+    )
+    return means.groupBy("sub", "code").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mean"))),
+            lambda s: s["mean"],
+        ).alias("cent")
+    )
+
+
+def pq_topk(
+    vectors: DataFrame,
+    dim: int,
+    m: int = PQ_SUBSPACES,
+    k: int = PQ_CODES,
+    n_queries: int = 5,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-compressed top-k search: train codebooks, encode the corpus
+    to (vec, sub) -> code, then answer the first ``n_queries`` vectors
+    by ADC — each query builds an m x k lookup table of exact
+    sub-distances to the codebook, and a candidate's distance is the
+    SUM of its codes' table entries (pivoted to fixed sub-space order
+    so the float adds are order-deterministic).
+
+    Scale shape: the corpus is touched exactly twice (train assign +
+    encode), both broadcast joins against m*k codebook rows with
+    map-side-partial aggregation; search itself never reads a corpus
+    vector — it joins the (tiny) per-query LUT against the code table,
+    shuffling only query_id for the final top-k window.  At 100 TB the
+    code table is ~1/64 the corpus size and the LUT is literally m*k
+    rows per query; this is why PQ is the in-memory ANN standard.
+    """
+    sub = pq_subvectors(vectors, dim, m, id_col, vec_col).persist()
+    cents = F.broadcast(pq_codebooks(sub, k, id_col).localCheckpoint(eager=True))
+    codes = _pq_assign(sub, cents, id_col)
+    q = sub.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), "sub", F.col("svec").alias("qvec")
+    )
+    lut = q.join(cents, "sub").select(
+        "query_id",
+        "sub",
+        "code",
+        F.expr(_SQDIST.format(a="qvec", b="cent")).alias("dist"),
+    )
+    per_sub = codes.join(
+        F.broadcast(lut.localCheckpoint(eager=True)), ["sub", "code"]
+    ).select(F.col(id_col).alias("neighbor_id"), "query_id", "sub", "dist")
+    # Pivot sub-space distances to columns and add in FIXED order:
+    # float addition is not associative, so a groupBy SUM would be
+    # partial-order-dependent; d0 + d1 + ... + d{m-1} is one
+    # deterministic expression in both engines.
+    pivoted = per_sub.groupBy("query_id", "neighbor_id").agg(
+        *[
+            F.max(F.when(F.col("sub") == s, F.col("dist"))).alias(f"d{s}")
+            for s in range(m)
+        ]
+    )
+    adc = pivoted.select(
+        "query_id",
+        "neighbor_id",
+        sum([F.col(f"d{s}") for s in range(1, m)], F.col("d0")).alias("adc_dist"),
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    out = (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_dist",
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sub.unpersist()
+    return out
+
+
 def semantic_dedup(
     vectors: DataFrame,
     k: int = 8,

@@ -2845,6 +2845,213 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comps.select(F.col("node").alias("doc_id"), F.col("component").alias("canonical_id"))
 
 
+def _pagerank_oracle(iters: int = 3) -> str:
+    # Fixed-point PageRank over the symmetrised customer<->supplier
+    # trade graph; integer arithmetic only (see operators/graph.py
+    # PAGERANK_SCALE), so each CTE round reproduces the Spark loop
+    # bit-for-bit.  Portable floor division: a - a%b is an exact
+    # multiple of b, and dividing two exact integers <= 2^53 is exact.
+    from ..operators.graph import PAGERANK_SCALE
+
+    base = (3 * PAGERANK_SCALE) // 20
+    ctes = [
+        """pairs AS (
+      SELECT DISTINCT o.o_custkey * 2 AS c_node,
+             l.l_suppkey * 2 + 1 AS s_node
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)""",
+        """edges AS (
+      SELECT c_node AS src, s_node AS dst FROM pairs
+      UNION ALL SELECT s_node, c_node FROM pairs)""",
+        """deg AS (
+      SELECT src AS node, COUNT(*) AS degree FROM edges GROUP BY src)""",
+        f"""r0 AS (
+      SELECT node, CAST({PAGERANK_SCALE} AS BIGINT) AS rank_scaled
+      FROM deg)""",
+    ]
+    for i in range(iters):
+        ctes.append(f"""c{i} AS (
+      SELECT e.dst AS node,
+             CAST((r.rank_scaled - (r.rank_scaled % d.degree)) / d.degree
+                  AS BIGINT) AS contrib
+      FROM edges e
+      JOIN r{i} r ON r.node = e.src
+      JOIN deg d ON d.node = e.src)""")
+        ctes.append(f"""s{i} AS (
+      SELECT node, CAST(SUM(contrib) AS BIGINT) AS s
+      FROM c{i} GROUP BY node)""")
+        ctes.append(f"""r{i + 1} AS (
+      SELECT d.node,
+             CAST({base} + CAST((17 * COALESCE(s.s, 0)
+                  - ((17 * COALESCE(s.s, 0)) % 20)) / 20 AS BIGINT)
+                  AS BIGINT) AS rank_scaled
+      FROM deg d LEFT JOIN s{i} s ON s.node = d.node)""")
+    return (
+        "\n    WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CASE WHEN r.node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS node_kind,
+           CAST((r.node - (r.node % 2)) / 2 AS BIGINT) AS entity_id,
+           d.degree AS degree,
+           r.rank_scaled AS rank_scaled
+    FROM r{iters} r JOIN deg d ON d.node = r.node
+    """
+    )
+
+
+@_register(
+    "trade_graph_pagerank",
+    _pagerank_oracle(),
+    tags=("m5", "graph", "iterative"),
+    doc="PageRank (damping 0.85, 3 power rounds) over the symmetrised "
+        "customer<->supplier trade graph from orders x lineitem — the "
+        "canonical iterative-graph workload beyond connected "
+        "components.  Ranks are exact integers (2^-30 fixed point, "
+        "operators/graph.py:PAGERANK_SCALE): integer sums are "
+        "associative, so the result is independent of shuffle order "
+        "AND bit-reproducible by the oracle's CTE rounds, where a "
+        "double PageRank is neither.  Per round: one edge-list join "
+        "on src (co-partitionable at scale) + one keyed sum with "
+        "map-side partials; lineage cut per round.",
+)
+def q_trade_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("s_node"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c_node").alias("src"), F.col("s_node").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
+    )
+    pr = pagerank(edges, iterations=3)
+    return pr.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_kind"),
+        F.expr("CAST((node - (node % 2)) / 2 AS BIGINT)").alias("entity_id"),
+        F.col("degree"),
+        F.col("rank_scaled"),
+    )
+
+
+def _pq_oracle(
+    dim: int = 64, m: int = 4, k: int = 8, nq: int = 5, topk: int = 10
+) -> str:
+    # Mirrors operators/similarity.pq_topk: every float op is either a
+    # sequential per-dim fold (list_sum over list_transform — the same
+    # order Spark's aggregate() folds in), an order-free 2^52-scaled
+    # decimal mean, or a fixed-order pivoted add — so ADC distances are
+    # bit-identical across engines.
+    from ..operators import similarity as _sim
+
+    sd = dim // m
+    ms = _sim.MEAN_SCALE
+    sq = (
+        "list_sum(list_transform(range(1, {n}), "
+        "j -> ({a}[j] - {b}[j]) * ({a}[j] - {b}[j])))"
+    )
+
+    def dist(a: str, b: str) -> str:
+        return sq.format(n=sd + 1, a=a, b=b)
+
+    piv = " + ".join(f"dd{s}" for s in range(m))
+    case = ",\n             ".join(
+        f"MAX(CASE WHEN sub = {s} THEN dist END) AS dd{s}" for s in range(m)
+    )
+    return f"""
+    WITH subs AS (
+      SELECT e.vec_id, s.sub,
+             list_transform(
+               list_slice(e.embedding, s.sub * {sd} + 1, s.sub * {sd} + {sd}),
+               x -> CAST(x AS DOUBLE)) AS svec
+      FROM embeddings e
+      CROSS JOIN (SELECT UNNEST(range({m})) AS sub) s),
+    seeds AS (
+      SELECT sub, vec_id AS code, svec AS cent FROM subs WHERE vec_id < {k}),
+    d0 AS (
+      SELECT su.vec_id, su.sub, c.code, {dist("su.svec", "c.cent")} AS dist
+      FROM subs su JOIN seeds c ON c.sub = su.sub),
+    a0 AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dist, code) AS rn
+        FROM d0) WHERE rn = 1),
+    m0 AS (
+      SELECT a.sub, a.code, j.dim,
+             CAST(SUM(CAST(su.svec[j.dim] * {ms} AS DECIMAL(38,0))) AS DOUBLE)
+               / (COUNT(*) * {ms}.0) AS mean
+      FROM a0 a
+      JOIN subs su ON su.vec_id = a.vec_id AND su.sub = a.sub
+      CROSS JOIN (SELECT UNNEST(range(1, {sd + 1})) AS dim) j
+      GROUP BY a.sub, a.code, j.dim),
+    cb AS (
+      SELECT sub, code, list(mean ORDER BY dim) AS cent
+      FROM m0 GROUP BY sub, code),
+    d1 AS (
+      SELECT su.vec_id, su.sub, c.code, {dist("su.svec", "c.cent")} AS dist
+      FROM subs su JOIN cb c ON c.sub = su.sub),
+    codes AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dist, code) AS rn
+        FROM d1) WHERE rn = 1),
+    q AS (
+      SELECT vec_id AS query_id, sub, svec AS qvec
+      FROM subs WHERE vec_id < {nq}),
+    lut AS (
+      SELECT q.query_id, q.sub, c.code, {dist("q.qvec", "c.cent")} AS dist
+      FROM q JOIN cb c ON c.sub = q.sub),
+    persub AS (
+      SELECT co.vec_id AS neighbor_id, l.query_id, l.sub, l.dist
+      FROM codes co JOIN lut l ON l.sub = co.sub AND l.code = co.code),
+    piv AS (
+      SELECT query_id, neighbor_id,
+             {case}
+      FROM persub GROUP BY query_id, neighbor_id),
+    adc AS (
+      SELECT query_id, neighbor_id, {piv} AS adc_dist
+      FROM piv WHERE neighbor_id <> query_id)
+    SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT query_id, neighbor_id, adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, neighbor_id) AS rank
+      FROM adc)
+    WHERE rank <= {topk}
+    """
+
+
+@_register(
+    "pq_adc_topk",
+    _pq_oracle(),
+    tags=("m5", "similarity", "quantization"),
+    doc="Product-quantization ANN (Jégou et al. 2011): 4 sub-space "
+        "codebooks of 8 codes (seeded vec_id<8, one exact Lloyd "
+        "round), corpus encoded to 4 code ids per vector (64x "
+        "compression), queries answered by Asymmetric Distance "
+        "Computation — per-query m x k lookup tables joined against "
+        "the code table, never the raw vectors.  Distances pivot to "
+        "fixed sub-space order before adding, so every float is "
+        "bit-reproducible by the oracle.  The memory-scale ANN "
+        "complement to the IVF partition-pruning queries.",
+)
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import pq_topk
+
+    return pq_topk(load_table(spark, sf_dir, "embeddings"), dim=64)
+
+
 @_register(
     "embedding_quantization_error",
     """
@@ -4642,9 +4849,11 @@ _LEAD_ORDER = [
     # -- round-7 window (exactly 50 names precede the boundary) --
     # new this round (a new name must displace into the window in the
     # same round it is added): the stream reader's statsFilter
-    # file-skipping drain (via write_avro_clustered layout) and the
-    # exact-quota stratified sampler, and the canonical-doc keeper
+    # file-skipping drain (via write_avro_clustered layout), the
+    # exact-quota stratified sampler, the canonical-doc keeper, the
+    # fixed-point PageRank, and the product-quantization ANN
     "avro_stream_stats_filter", "stratified_sample", "dedup_keep_best",
+    "trade_graph_pagerank", "pq_adc_topk",
     # the 15 r4-green names the r6 boundary comment queued (their
     # latest green row is round 4 — age 3 this round, the oldest
     # anywhere), exactly as HANDOFF's rotation math computed
@@ -4669,14 +4878,14 @@ _LEAD_ORDER = [
     "asof_purchase_click", "region_nation_rollup",
     "priority_status_cube", "daily_event_type_pivot",
     "events_sliding_30m", "churned_users", "ivf_cell_sizes",
-    "avro_ocf_roundtrip", "priority_line_revenue",
     # --- position 50 boundary: names below hold green rows at most
-    # 2 rounds old after this round.  First the 18 r5-green names
+    # 2 rounds old after this round.  First the 20 r5-green names
     # displaced past the cap (15 queued by the r6 boundary plus the
-    # 3 displaced by this round's new names; they reach age 3 in
+    # 5 displaced by this round's new names; they reach age 3 in
     # round 8 — LEAD ROUND 8 WITH THESE, then fill with the
     # r6-window names oldest-registration-first; the r6 window's 50
     # names are safe until round 9):
+    "avro_ocf_roundtrip", "priority_line_revenue",
     "streaming_running_avg_per_record",
     "streaming_user_sessions", "tfidf_top_terms",
     "priority_code_extract", "orders_by_month",

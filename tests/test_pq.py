@@ -1,0 +1,105 @@
+"""Product quantization: codebook/encode/ADC sanity plus the
+partitioning-independence contract (every cross-row float reduction is
+either decimal-exact or pivoted to fixed order, so the result cannot
+depend on how the input is split).
+
+Reference behavior target: none (the reference engine has no vector
+ops) — this is the M5 ANN-at-memory-scale path complementing the IVF
+partition-pruning queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_avro_order_processing_spark.operators.similarity import (
+    pq_codebooks,
+    pq_subvectors,
+    pq_topk,
+)
+from kafka_avro_order_processing_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_subvector_shapes(spark):
+    emb = load_table(spark, SF, "embeddings")
+    sub = pq_subvectors(emb, dim=64, m=4)
+    n = emb.count()
+    assert sub.count() == 4 * n
+    lens = sub.select(F.size("svec").alias("l")).distinct().collect()
+    assert [r["l"] for r in lens] == [16]
+
+
+def test_codebooks_cover_subspaces(spark):
+    emb = load_table(spark, SF, "embeddings")
+    cb = pq_codebooks(pq_subvectors(emb, dim=64, m=4)).collect()
+    by_sub: dict[int, int] = {}
+    for r in cb:
+        by_sub[r["sub"]] = by_sub.get(r["sub"], 0) + 1
+        assert len(r["cent"]) == 16
+    assert set(by_sub) == {0, 1, 2, 3}
+    assert all(1 <= n <= 8 for n in by_sub.values())
+
+
+def test_partitioning_independence(spark):
+    emb = load_table(spark, SF, "embeddings")
+    a = pq_topk(emb, dim=64)
+    b = pq_topk(emb.repartition(7, F.col("vec_id")), dim=64)
+    assert _rows(a) == _rows(b)
+
+
+def test_planted_duplicate_is_nearest(spark):
+    # A corpus with an exact clone of the query must rank the clone
+    # first: identical sub-vectors take identical codes, so the clone's
+    # ADC distance equals the query's own quantization error — the
+    # minimum possible.  Random fillers (seeded) sit far away.
+    import random
+
+    rnd = random.Random(3)
+    rows = []
+    base = [rnd.uniform(-1, 1) for _ in range(64)]
+    rows.append((0, [float(x) for x in base]))          # query
+    rows.append((50, [float(x) for x in base]))         # exact clone
+    for i in range(1, 40):
+        rows.append((50 + i, [rnd.uniform(-1, 1) for _ in range(64)]))
+    # seeds vec_id<8 must exist: add spread seed vectors 1..7
+    for i in range(1, 8):
+        rows.append((i, [rnd.uniform(-1, 1) for _ in range(64)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = pq_topk(emb, dim=64, n_queries=1, topk=3).collect()
+    best = min(out, key=lambda r: r["rank"])
+    assert best["neighbor_id"] == 50
+    assert all(best["adc_dist"] <= r["adc_dist"] for r in out)
+
+
+def test_adc_recall_floor(spark):
+    # ADC is approximate, but on the small corpus with 8x4 codes it
+    # must agree with exact L2 search on a healthy fraction of the
+    # top-10 (empirically ~0.5+; floor set far below noise).
+    from pyspark.sql import Window
+
+    emb = load_table(spark, SF, "embeddings")
+    approx = pq_topk(emb, dim=64, n_queries=5, topk=10)
+    d = (
+        "aggregate(zip_with(q_vec, c_vec, (x, y) ->"
+        " (cast(x as double) - cast(y as double))"
+        " * (cast(x as double) - cast(y as double))), 0D, (a, v) -> a + v)"
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.expr(d).alias("dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    exact = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+    hits = approx.join(exact, ["query_id", "neighbor_id"]).count()
+    assert hits >= 10  # >= 0.2 recall over 50 slots
