@@ -63,6 +63,11 @@ def get_oracles() -> dict[str, str]:
     return {q.name: q.oracle for q in QUERIES.values() if q.oracle is not None}
 
 
+def _hexval(expr: str, pos: int) -> str:
+    """SQL: value of hex digit `pos` (1-based) of md5 expr."""
+    return f"(strpos('0123456789abcdef', substr({expr}, {pos}, 1)) - 1)"
+
+
 # SQL fragment: exact decimal sum cast to double (see dec_sum).
 def _dsum(col: str) -> str:
     return f"CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE)"
@@ -2173,6 +2178,139 @@ def q_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cms_oracle(depth: int = 4) -> str:
+    # Mirrors operators/sketch.py exactly: bucket = first two hex
+    # digits of md5('cms<r>:'||key), cells are integer sums, estimate
+    # is an integer MIN over the key's cells — nothing floats.
+    def bucket(key: str) -> str:
+        h = f"md5('cms' || CAST(r.depth AS VARCHAR) || ':' || CAST({key} AS VARCHAR))"
+        return f"({_hexval(h, 1)} * 16 + {_hexval(h, 2)})"
+
+    return f"""
+    WITH depths AS (SELECT UNNEST(range({depth})) AS depth),
+    cells AS (
+      SELECT r.depth, {bucket('e.user_id')} AS bucket
+      FROM events e CROSS JOIN depths r),
+    sketch AS (
+      SELECT depth, bucket, COUNT(*) AS cnt
+      FROM cells GROUP BY depth, bucket),
+    exact AS (
+      SELECT user_id, COUNT(*) AS exact_count FROM events GROUP BY user_id),
+    probes AS (
+      SELECT x.user_id, r.depth, {bucket('x.user_id')} AS bucket
+      FROM exact x CROSS JOIN depths r),
+    est AS (
+      SELECT p.user_id, MIN(COALESCE(s.cnt, 0)) AS est
+      FROM probes p
+      LEFT JOIN sketch s ON s.depth = p.depth AND s.bucket = p.bucket
+      GROUP BY p.user_id)
+    SELECT e.user_id, e.exact_count,
+           CAST(t.est AS BIGINT) AS est_count,
+           CAST(t.est - e.exact_count AS BIGINT) AS overestimate
+    FROM exact e JOIN est t ON t.user_id = e.user_id
+    """
+
+
+@_register(
+    "cms_user_frequencies",
+    _cms_oracle(),
+    tags=("m5", "aggregate", "approx", "sketch"),
+    doc="Count-min sketch (Cormode & Muthukrishnan '05): per-user event "
+        "frequencies estimated from a FIXED 4 x 256 integer grid "
+        "instead of per-key state — the bounded-memory path when the "
+        "key cardinality no longer fits exact counters.  Cells are "
+        "plain sums (associative, map-side-combinable, mergeable "
+        "across streams); estimates are integer MINs over md5-derived "
+        "buckets, so unlike the HLL row (approx_distinct_users, "
+        "engine-specific sketch — rows-only) the whole sketch "
+        "hash-matches the oracle, and the output exposes the "
+        "one-sided guarantee directly (overestimate >= 0, also "
+        "suite-pinned).",
+)
+def q_cms_user_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import cms_build, cms_estimate
+
+    ev = load_table(spark, sf_dir, "events")
+    sketch = cms_build(ev, "user_id")
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_count"))
+    est = cms_estimate(sketch, exact.select("user_id"), "user_id")
+    return exact.join(est, "user_id").select(
+        "user_id",
+        "exact_count",
+        F.col("est").alias("est_count"),
+        (F.col("est") - F.col("exact_count")).cast("long").alias("overestimate"),
+    )
+
+
+@_register(
+    "streaming_cms_user_frequencies",
+    _cms_oracle(),
+    tags=("m5", "streaming", "aggregate", "approx", "sketch"),
+    doc="Streaming twin of cms_user_frequencies, SAME oracle: the 4x256 "
+        "sketch grid accumulates as update-mode streaming aggregation "
+        "state — integer cells are associative, so micro-batch "
+        "boundaries cannot change the drained grid — and point "
+        "estimates run in batch against it.  THE bounded-state "
+        "frequency summary for unbounded streams: O(d*w) state "
+        "regardless of key cardinality, where exact per-key streaming "
+        "counters grow without bound.",
+)
+def q_streaming_cms_user_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import cms_build, cms_estimate
+    from ..streaming.pipeline import drain_to_df, stream_table
+
+    sketch = drain_to_df(
+        cms_build(stream_table(spark, sf_dir, "events"), "user_id"),
+        "update",
+        key_cols=("depth", "bucket"),
+    )
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_count"))
+    est = cms_estimate(sketch, exact.select("user_id"), "user_id")
+    return exact.join(est, "user_id").select(
+        "user_id",
+        "exact_count",
+        F.col("est").alias("est_count"),
+        (F.col("est") - F.col("exact_count")).cast("long").alias("overestimate"),
+    )
+
+
+_IWS_H = "md5('iwsamp:' || CAST(doc_id AS VARCHAR))"
+
+
+@_register(
+    "importance_weighted_sample",
+    f"""
+    SELECT doc_id, source, n_chars
+    FROM documents
+    WHERE ({_hexval(_IWS_H, 1)} * 4096 + {_hexval(_IWS_H, 2)} * 256
+         + {_hexval(_IWS_H, 3)} * 16 + {_hexval(_IWS_H, 4)}) < n_chars * 16
+    """,
+    tags=("m5", "sampling"),
+    doc="Importance-weighted Bernoulli sampling: inclusion probability "
+        "proportional to an integer weight (p = 16 * n_chars / 65536, "
+        "longer docs oversampled — the curation move that reweights a "
+        "mixture without materializing it), decided by a pure per-row "
+        "integer test on md5 digits.  Like the other samplers: no "
+        "rand(), no global sort, partition-layout-independent, and "
+        "incrementally stable — the same doc is in or out forever, so "
+        "re-runs over a grown corpus only add rows.  Weights >= 4096 "
+        "chars saturate at p = 1 (documented cap).",
+)
+def q_importance_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("iwsamp:"), F.col("doc_id").cast("string"))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("long")
+    return docs.filter(bucket < F.col("n_chars") * 16).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
 @_register(
     "salted_product_stats",
     QUERIES["per_product_stats"].oracle,
@@ -2589,11 +2727,6 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(disc).cast("double").alias("revenue")
     ).select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
     return agg.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10)
-
-
-def _hexval(expr: str, pos: int) -> str:
-    """SQL: value of hex digit `pos` (1-based) of md5 expr."""
-    return f"(strpos('0123456789abcdef', substr({expr}, {pos}, 1)) - 1)"
 
 
 @_register(
@@ -4846,57 +4979,62 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _LEAD_ORDER = [
-    # -- round-7 window (exactly 50 names precede the boundary) --
-    # new this round (a new name must displace into the window in the
-    # same round it is added): the stream reader's statsFilter
-    # file-skipping drain (via write_avro_clustered layout), the
-    # exact-quota stratified sampler, the canonical-doc keeper, the
-    # fixed-point PageRank, and the product-quantization ANN
+    # -- ROUND-6 window (exactly 50 names precede the boundary).
+    # Rotation audit (this session, against CORRECTNESS_r01..r05
+    # unions): an earlier commit had rotated this list one round
+    # ahead (to the round-7 plan) before the round-6 driver check
+    # ever ran, which would have left every name below unchecked.
+    # Rebuilt by priority: (1) the 12 never-driver-checked names —
+    # this round's new queries; (2) the 10 names whose latest green
+    # row is round 3 (age 3 — the set the r5 verdict ordered round 6
+    # to lead with); (3) r4-green names oldest-registration-first
+    # (28 of 49 fit).
+    # (1) never checked:
+    "avro_uri_manifest_write", "avro_stats_pruned_read",
+    "avro_compacted_roundtrip", "avro_bloom_pruned_lookup",
+    "cms_user_frequencies", "streaming_cms_user_frequencies",
+    "trade_graph_pagerank", "pq_adc_topk", "importance_weighted_sample",
+    "semantic_dedup", "training_order_shuffle",
     "avro_stream_stats_filter", "stratified_sample", "dedup_keep_best",
-    "trade_graph_pagerank", "pq_adc_topk",
-    # the 15 r4-green names the r6 boundary comment queued (their
-    # latest green row is round 4 — age 3 this round, the oldest
-    # anywhere), exactly as HANDOFF's rotation math computed
-    "generated_orders", "ivf_probe_search",
-    "ivf_recall_at_k", "large_quantity_orders",
-    "multimodal_decoded_features",
-    "per_source_quality", "pii_detection", "props_json_extraction",
-    "quality_filter_funnel", "scd2_customer_dim", "shipping_priority",
-    "simhash_fingerprints", "source_overlap_grams",
-    "streaming_dedup_exact", "streaming_interval_join",
-    # round-5-green names reaching age 2 this round, oldest-
-    # registration-first (35 of 50 fit; the 15 past the boundary
-    # lead round 8)
-    "per_product_stats", "overall_stats", "running_avg",
-    "validated_orders", "rejected_orders", "error_classification",
-    "dlq_error_stats", "pricing_summary", "top_customers",
-    "revenue_by_region", "top3_events_per_type", "events_hourly",
-    "user_sessions", "doc_token_stats", "token_counts_top20",
-    "language_id", "quality_scores", "doc_fingerprints",
-    "dedup_exact", "embedding_topk", "multimodal_meta",
-    "streaming_product_stats", "streaming_product_stats_update",
-    "asof_purchase_click", "region_nation_rollup",
-    "priority_status_cube", "daily_event_type_pivot",
-    "events_sliding_30m", "churned_users", "ivf_cell_sizes",
-    # --- position 50 boundary: names below hold green rows at most
-    # 2 rounds old after this round.  First the 20 r5-green names
-    # displaced past the cap (15 queued by the r6 boundary plus the
-    # 5 displaced by this round's new names; they reach age 3 in
-    # round 8 — LEAD ROUND 8 WITH THESE, then fill with the
-    # r6-window names oldest-registration-first; the r6 window's 50
-    # names are safe until round 9):
-    "avro_ocf_roundtrip", "priority_line_revenue",
-    "streaming_running_avg_per_record",
-    "streaming_user_sessions", "tfidf_top_terms",
-    "priority_code_extract", "orders_by_month",
-    "salted_product_stats", "streaming_watermarked_windows",
-    "value_distribution_ranks", "user_funnel", "value_bounds",
-    "dedup_clusters", "daily_events_unpivot", "sequence_packing",
-    "streaming_incremental_dedup", "streaming_static_enrich",
-    "upsert_orders", "runtime_filtered_join", "ivf_kmeans_refine",
-    # then everything else (the r6 window, age 1 — safe until
-    # round 9) via the fallback append in _apply_order.
+    # (2) r3-green, age 3:
+    "order_priority_counts", "supplier_balance_by_nation",
+    "embedding_near_dup", "daily_revenue_lag",
+    "customers_no_pending_orders", "ngram_jaccard_adjacent",
+    "multi_stream_union", "dedup_clusters_star", "packing_efficiency",
+    "streaming_kmeans_refine",
+    # (3) r4-green, oldest-registration-first:
+    "product_stats_snapshot", "near_dup_pairs", "near_dup_pairs_char",
+    "simhash_fingerprints", "diversity_sample", "purchase_avg_lookup",
+    "generated_orders", "generated_orders_datasource",
+    "sql_api_events_hourly", "value_percentiles", "value_dispersion",
+    "user_retention_cohorts", "customers_with_pending_orders",
+    "order_display_lines", "props_json_extraction",
+    "above_customer_avg_orders", "approx_distinct_users",
+    "ivf_probe_search", "ivf_recall_at_k", "clicks_before_purchase",
+    "explicit_grouping_sets", "curated_corpus_stats",
+    "shipping_priority", "multimodal_decoded_features",
+    "corrupt_json_handling", "forecast_revenue_change",
+    # --- position 50 boundary ---------------------------------------
+    # ROUND-7 MATH: the 23 r4-green names below are the ones this
+    # window could not fit; after the r6 check they are the oldest
+    # rows anywhere (age 2, reaching age 3 in round 7) — LEAD ROUND 7
+    # WITH THESE 23, then fill with r5-green names
+    # oldest-registration-first (27 fit; the remaining 23 r5-greens
+    # lead round 8, and the r6 window is safe until round 9).
+    "large_quantity_orders", "streaming_interval_join",
+    "embedding_quantization_error", "dataset_split_counts",
+    "deterministic_sample", "doc_repetition_scores",
+    "benchmark_contamination", "pii_detection", "doc_chunks",
+    "per_source_quality", "domain_mixture_sample", "boilerplate_grams",
+    "quality_filter_funnel", "source_overlap_grams",
+    "streaming_dedup_exact", "streaming_dedup_watermarked",
+    "upsert_orders_partitioned", "streaming_upsert_orders",
+    "scd2_customer_dim", "streaming_scd2_customer_dim",
+    "doc_length_histogram", "bm25_top20", "embedding_lsh_near_dup",
+    # then the 50 r5-green names (age 1 after this round) via the
+    # fallback append in _apply_order.
 ]
+
 
 
 def _apply_order() -> None:

@@ -1,0 +1,61 @@
+"""Count-min sketch: the one-sided guarantee (est >= exact, always),
+fixed sketch size, and mergeability (the property that makes it a
+distributed/streaming summary).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_avro_order_processing_spark.operators.sketch import (
+    CMS_DEPTH,
+    CMS_WIDTH,
+    cms_build,
+    cms_estimate,
+)
+from kafka_avro_order_processing_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_one_sided_guarantee_and_size(spark):
+    ev = load_table(spark, SF, "events")
+    sketch = cms_build(ev, "user_id")
+    assert sketch.count() <= CMS_DEPTH * CMS_WIDTH
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact"))
+    est = cms_estimate(sketch, exact.select("user_id"), "user_id")
+    rows = exact.join(est, "user_id").collect()
+    assert rows
+    assert all(r["est"] >= r["exact"] for r in rows)
+
+
+def test_merge_equals_whole(spark):
+    # CMS(A ++ B) == cellwise-sum(CMS(A), CMS(B)): the property that
+    # lets executors sketch partitions independently and merge.
+    ev = load_table(spark, SF, "events")
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    merged = (
+        cms_build(a, "user_id")
+        .unionByName(cms_build(b, "user_id"))
+        .groupBy("depth", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = cms_build(ev, "user_id")
+    as_set = lambda df: {  # noqa: E731
+        (r["depth"], r["bucket"], r["cnt"]) for r in df.collect()
+    }
+    assert as_set(merged) == as_set(whole)
+
+
+def test_unseen_keys_bounded_by_collisions(spark):
+    ev = load_table(spark, SF, "events")
+    sketch = cms_build(ev, "user_id")
+    n = ev.count()
+    probes = spark.createDataFrame(
+        [(10_000 + i,) for i in range(20)], "user_id long"
+    )
+    rows = cms_estimate(sketch, probes, "user_id").collect()
+    # unseen keys may collide but never exceed total mass; with 4
+    # independent rows over 256 buckets the min is far below N
+    assert all(0 <= r["est"] <= n for r in rows)
