@@ -208,6 +208,82 @@ def pagerank(
     return deg.join(ranks, "node").select("node", "degree", "rank_scaled")
 
 
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts via degree-ordered orientation (the
+    MapReduce-clique pattern of Suri & Vassilvitskii, WWW'11): orient
+    every undirected edge from its (degree, id)-smaller endpoint to the
+    larger, enumerate wedges u->v, u->w only from each node's oriented
+    out-list, and close them against the oriented edge set — each
+    triangle is produced exactly once, at its smallest-degree vertex.
+
+    Why this is the at-scale shape: a naive wedge join explodes on hub
+    nodes (a degree-10^6 node yields 10^12 wedges); orientation bounds
+    every out-degree by O(sqrt(m)), so total wedge volume is O(m^1.5)
+    worst case — the optimal bound — and both the wedge self-join and
+    the closing join are plain shuffle joins on node keys (AQE handles
+    residual skew).  All counts are integers: exact, associative,
+    hash-oracle-able.
+
+    Returns (node, n_triangles) for EVERY node in the input, zeros
+    included.
+    """
+    und = (
+        edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+        .filter(F.col("x") != F.col("y"))
+        .select(F.least("x", "y").alias("lo"), F.greatest("x", "y").alias("hi"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = und.select(F.col("lo").alias("n"), F.col("hi").alias("m")).unionByName(
+        und.select(F.col("hi").alias("n"), F.col("lo").alias("m"))
+    )
+    deg = sym.groupBy("n").agg(F.count("*").alias("d"))
+    # Orient: (d, node) lexicographic — a total order, so exactly one
+    # direction per edge.
+    oriented = (
+        und.join(deg.select(F.col("n").alias("lo"), F.col("d").alias("dlo")), "lo")
+        .join(deg.select(F.col("n").alias("hi"), F.col("d").alias("dhi")), "hi")
+        .select(
+            F.when(
+                (F.col("dlo") < F.col("dhi"))
+                | ((F.col("dlo") == F.col("dhi")) & (F.col("lo") < F.col("hi"))),
+                F.struct(F.col("lo").alias("a"), F.col("hi").alias("b")),
+            )
+            .otherwise(F.struct(F.col("hi").alias("a"), F.col("lo").alias("b")))
+            .alias("e")
+        )
+        .select("e.a", "e.b")
+        .localCheckpoint(eager=True)
+    )
+    e1 = oriented.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    e2 = oriented.select(F.col("a").alias("u"), F.col("b").alias("w"))
+    # v < w by node id dedups the two wedge permutations; the closing
+    # edge is re-canonicalized to the same id order so the close is a
+    # plain EQUI-join (an OR of flipped equality pairs would force a
+    # nested-loop plan).
+    wedges = e1.join(e2, "u").filter(F.col("v") < F.col("w"))
+    closing = oriented.select(
+        F.least("a", "b").alias("v"), F.greatest("a", "b").alias("w")
+    )
+    tris = wedges.join(closing, ["v", "w"]).select("u", "v", "w")
+    per_node = (
+        tris.select(F.col("u").alias("node"))
+        .unionByName(tris.select(F.col("v").alias("node")))
+        .unionByName(tris.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    nodes = sym.select(F.col("n").alias("node")).distinct()
+    return nodes.join(per_node, "node", "left").select(
+        "node",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias("n_triangles"),
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",

@@ -3185,6 +3185,79 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(load_table(spark, sf_dir, "embeddings"), dim=64)
 
 
+_TRIANGLE_ORACLE = """
+    WITH os AS (
+      SELECT DISTINCT CAST(floor(epoch(ts) / 600) AS BIGINT) AS bk,
+             user_id
+      FROM events),
+    und AS (
+      SELECT DISTINCT a.user_id AS lo, b.user_id AS hi
+      FROM os a JOIN os b
+        ON a.bk = b.bk AND a.user_id < b.user_id),
+    sym AS (SELECT lo AS n, hi AS m FROM und
+            UNION ALL SELECT hi, lo FROM und),
+    deg AS (SELECT n, COUNT(*) AS d FROM sym GROUP BY n),
+    oriented AS (
+      SELECT CASE WHEN (dl.d < dh.d) OR (dl.d = dh.d AND u.lo < u.hi)
+                  THEN u.lo ELSE u.hi END AS a,
+             CASE WHEN (dl.d < dh.d) OR (dl.d = dh.d AND u.lo < u.hi)
+                  THEN u.hi ELSE u.lo END AS b
+      FROM und u
+      JOIN deg dl ON dl.n = u.lo
+      JOIN deg dh ON dh.n = u.hi),
+    wedges AS (
+      SELECT e1.a AS u, e1.b AS v, e2.b AS w
+      FROM oriented e1 JOIN oriented e2
+        ON e1.a = e2.a AND e1.b < e2.b),
+    closing AS (SELECT LEAST(a, b) AS v, GREATEST(a, b) AS w FROM oriented),
+    tris AS (SELECT u, v, w FROM wedges JOIN closing USING (v, w)),
+    per AS (
+      SELECT node, COUNT(*) AS c FROM (
+        SELECT u AS node FROM tris
+        UNION ALL SELECT v FROM tris
+        UNION ALL SELECT w FROM tris)
+      GROUP BY node)
+    SELECT s.n AS user_id, CAST(COALESCE(p.c, 0) AS BIGINT) AS n_triangles
+    FROM (SELECT DISTINCT n FROM sym) s
+    LEFT JOIN per p ON p.node = s.n
+    """
+
+
+@_register(
+    "co_activity_triangles",
+    _TRIANGLE_ORACLE,
+    tags=("m5", "graph", "join"),
+    doc="Per-user triangle counts over the co-activity graph (two "
+        "users connected when both are active in the same 10-minute "
+        "epoch bucket) via degree-ordered orientation (Suri & "
+        "Vassilvitskii WWW'11): orientation bounds every out-degree "
+        "by O(sqrt(m)), so the wedge self-join is O(m^1.5) worst case "
+        "instead of exploding on hub nodes, and the close is a plain "
+        "equi-join — the pattern that makes clustering-coefficient / "
+        "cohesion metrics runnable on a 100 TB edge list.  Integer "
+        "counts, exact oracle.",
+)
+def q_co_activity_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import triangle_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    bk = F.floor(
+        F.unix_timestamp(F.col("ts").cast("timestamp")) / F.lit(600)
+    ).cast("long")
+    os_ = ev.select(bk.alias("bk"), "user_id").distinct()
+    a = os_.select("bk", F.col("user_id").alias("src"))
+    b = os_.select("bk", F.col("user_id").alias("dst"))
+    pairs = (
+        a.join(b, "bk")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return triangle_counts(pairs).select(
+        F.col("node").alias("user_id"), "n_triangles"
+    )
+
+
 @_register(
     "embedding_quantization_error",
     """
@@ -4993,7 +5066,8 @@ _LEAD_ORDER = [
     "avro_uri_manifest_write", "avro_stats_pruned_read",
     "avro_compacted_roundtrip", "avro_bloom_pruned_lookup",
     "cms_user_frequencies", "streaming_cms_user_frequencies",
-    "trade_graph_pagerank", "pq_adc_topk", "importance_weighted_sample",
+    "trade_graph_pagerank", "co_activity_triangles", "pq_adc_topk",
+    "importance_weighted_sample",
     "semantic_dedup", "training_order_shuffle",
     "avro_stream_stats_filter", "stratified_sample", "dedup_keep_best",
     # (2) r3-green, age 3:
@@ -5013,14 +5087,15 @@ _LEAD_ORDER = [
     "ivf_probe_search", "ivf_recall_at_k", "clicks_before_purchase",
     "explicit_grouping_sets", "curated_corpus_stats",
     "shipping_priority", "multimodal_decoded_features",
-    "corrupt_json_handling", "forecast_revenue_change",
+    "corrupt_json_handling",
     # --- position 50 boundary ---------------------------------------
-    # ROUND-7 MATH: the 23 r4-green names below are the ones this
+    # ROUND-7 MATH: the 24 r4-green names below are the ones this
     # window could not fit; after the r6 check they are the oldest
     # rows anywhere (age 2, reaching age 3 in round 7) — LEAD ROUND 7
-    # WITH THESE 23, then fill with r5-green names
-    # oldest-registration-first (27 fit; the remaining 23 r5-greens
+    # WITH THESE 24, then fill with r5-green names
+    # oldest-registration-first (26 fit; the remaining 24 r5-greens
     # lead round 8, and the r6 window is safe until round 9).
+    "forecast_revenue_change",
     "large_quantity_orders", "streaming_interval_join",
     "embedding_quantization_error", "dataset_split_counts",
     "deterministic_sample", "doc_repetition_scores",
