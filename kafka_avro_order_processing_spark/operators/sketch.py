@@ -54,6 +54,72 @@ def _bucket(key_col: str, depth: int):
     )
 
 
+# ---------------------------------------------------------------------------
+# HyperLogLog from first principles (Flajolet et al. '07) — the
+# transparent twin of approx_count_distinct: Spark's HLL++ sketch bytes
+# are engine-opaque (its driver row is rows-only by necessity), but the
+# algorithm itself is pure integer/bit arithmetic on a deterministic
+# hash, so a from-scratch HLL is fully hash-oracle-able.
+# ---------------------------------------------------------------------------
+
+HLL_BUCKETS = 256  # b = 8 bucket bits; rse ~ 1.04/sqrt(256) ~ 6.5%
+# alpha_m * m^2 as ONE literal (both engines parse the same decimal
+# string to the same double, and E = AM2 / S is then a single division)
+HLL_ALPHA_M2 = 47072.71267120224  # 0.7213/(1+1.079/256) * 256^2
+
+
+def hll_registers(df: DataFrame, key_col: str) -> DataFrame:
+    """(bucket, M) rows for non-empty registers: bucket = first two md5
+    hex digits, M = max over keys of rho(32-bit hash suffix) where rho
+    is the 1-based position of the leftmost 1-bit (33 for a zero
+    suffix).  MAX is idempotent AND associative — the register table
+    merges across partitions, streams, and days, and re-adding the
+    same key is a no-op (the property countDistinct lacks)."""
+    h = F.md5(F.concat(F.lit("hll:"), F.col(key_col).cast("string")))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    v = F.conv(F.substring(h, 3, 8), 16, 10).cast("long")
+    # length(bin(v)) = floor(log2(v)) + 1 exactly (no leading zeros in
+    # either engine) — integer-exact leading-zero count, no libm log2.
+    rho = F.when(v == 0, F.lit(33)).otherwise(
+        F.lit(33) - F.length(F.bin(v))
+    )
+    return (
+        df.select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").cast("int").alias("M"))
+    )
+
+
+def hll_estimate(registers: DataFrame) -> DataFrame:
+    """One-row raw HLL estimate from a register table.  The harmonic
+    sum's terms are all exact powers of two spanning < 53 bits, so
+    every partial sum is exactly representable and the float SUM is
+    order-independent — the rare float aggregation that is safe under
+    any shuffle order.  The raw estimate is emitted WITHOUT the
+    small-range linear-counting correction (it needs ln(), whose
+    libm bits differ across engines); zero_registers is exposed so a
+    consumer can apply it, and the accuracy test does exactly that."""
+    return registers.agg(
+        F.count("*").alias("n_nonempty"),
+        F.sum(
+            F.lit(1.0) / F.expr("CAST(shiftleft(CAST(1 AS BIGINT), M) AS DOUBLE)")
+        ).alias("s_nonempty"),
+        F.sum("M").cast("long").alias("register_sum"),
+        F.max("M").cast("int").alias("max_register"),
+    ).select(
+        (F.lit(HLL_BUCKETS) - F.col("n_nonempty")).cast("int").alias("zero_registers"),
+        (
+            F.lit(HLL_ALPHA_M2)
+            / (
+                (F.lit(HLL_BUCKETS) - F.col("n_nonempty")).cast("double")
+                + F.col("s_nonempty")
+            )
+        ).alias("hll_raw_estimate"),
+        "register_sum",
+        "max_register",
+    )
+
+
 def cms_build(df: DataFrame, key_col: str, depth: int = CMS_DEPTH) -> DataFrame:
     """Fold a column into a count-min sketch: (depth, bucket, cnt) rows,
     at most depth * CMS_WIDTH of them regardless of input size.

@@ -2242,6 +2242,62 @@ def q_cms_user_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hll_oracle() -> str:
+    from ..operators.sketch import HLL_ALPHA_M2, HLL_BUCKETS
+
+    h = "md5('hll:' || CAST(user_id AS VARCHAR))"
+    v = " + ".join(
+        f"{_hexval(h, i + 3)} * {16 ** (7 - i)}" for i in range(8)
+    )
+    return f"""
+    WITH hashed AS (
+      SELECT ({_hexval(h, 1)} * 16 + {_hexval(h, 2)}) AS bucket,
+             CAST({v} AS BIGINT) AS v
+      FROM events),
+    regs AS (
+      SELECT bucket,
+             MAX(CASE WHEN v = 0 THEN 33
+                      ELSE 33 - length(bin(v)) END) AS M
+      FROM hashed GROUP BY bucket)
+    SELECT CAST({HLL_BUCKETS} - COUNT(*) AS INTEGER) AS zero_registers,
+           {HLL_ALPHA_M2!r} / (({HLL_BUCKETS} - COUNT(*))
+             + SUM(1.0 / CAST(CAST(1 AS BIGINT) << M AS DOUBLE)))
+             AS hll_raw_estimate,
+           CAST(SUM(M) AS BIGINT) AS register_sum,
+           CAST(MAX(M) AS INTEGER) AS max_register,
+           (SELECT COUNT(DISTINCT user_id) FROM events) AS n_exact_users
+    FROM regs
+    """
+
+
+@_register(
+    "hll_distinct_users",
+    _hll_oracle(),
+    tags=("m5", "aggregate", "approx", "sketch"),
+    doc="HyperLogLog from first principles (Flajolet et al. '07) — the "
+        "TRANSPARENT twin of approx_distinct_users: Spark's HLL++ "
+        "sketch bytes are engine-opaque (that row is rows-only by "
+        "necessity), but the algorithm is integer/bit arithmetic on a "
+        "deterministic hash, so this 256-register implementation "
+        "hash-matches the oracle exactly — bucket and rank from md5 "
+        "digits, leading-zero count via length(bin(v)) (no libm), "
+        "registers merged with MAX (idempotent + associative: "
+        "re-ingesting a key is a no-op, partitioning cannot matter), "
+        "and a harmonic sum whose power-of-two terms make even the "
+        "float SUM order-independent.  Raw estimate only — the "
+        "small-range ln() correction is libm-specific; "
+        "zero_registers is exposed for consumers to apply it "
+        "(tests/test_sketch.py does, and pins accuracy vs exact).",
+)
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import hll_estimate, hll_registers
+
+    ev = load_table(spark, sf_dir, "events")
+    est = hll_estimate(hll_registers(ev, "user_id"))
+    exact = ev.agg(F.countDistinct("user_id").alias("n_exact_users"))
+    return est.crossJoin(exact)
+
+
 @_register(
     "streaming_cms_user_frequencies",
     _cms_oracle(),
@@ -5066,7 +5122,8 @@ _LEAD_ORDER = [
     "avro_uri_manifest_write", "avro_stats_pruned_read",
     "avro_compacted_roundtrip", "avro_bloom_pruned_lookup",
     "cms_user_frequencies", "streaming_cms_user_frequencies",
-    "trade_graph_pagerank", "co_activity_triangles", "pq_adc_topk",
+    "hll_distinct_users", "trade_graph_pagerank",
+    "co_activity_triangles", "pq_adc_topk",
     "importance_weighted_sample",
     "semantic_dedup", "training_order_shuffle",
     "avro_stream_stats_filter", "stratified_sample", "dedup_keep_best",
@@ -5087,15 +5144,14 @@ _LEAD_ORDER = [
     "ivf_probe_search", "ivf_recall_at_k", "clicks_before_purchase",
     "explicit_grouping_sets", "curated_corpus_stats",
     "shipping_priority", "multimodal_decoded_features",
-    "corrupt_json_handling",
     # --- position 50 boundary ---------------------------------------
-    # ROUND-7 MATH: the 24 r4-green names below are the ones this
+    # ROUND-7 MATH: the 25 r4-green names below are the ones this
     # window could not fit; after the r6 check they are the oldest
     # rows anywhere (age 2, reaching age 3 in round 7) — LEAD ROUND 7
-    # WITH THESE 24, then fill with r5-green names
-    # oldest-registration-first (26 fit; the remaining 24 r5-greens
+    # WITH THESE 25, then fill with r5-green names
+    # oldest-registration-first (25 fit; the remaining 25 r5-greens
     # lead round 8, and the r6 window is safe until round 9).
-    "forecast_revenue_change",
+    "corrupt_json_handling", "forecast_revenue_change",
     "large_quantity_orders", "streaming_interval_join",
     "embedding_quantization_error", "dataset_split_counts",
     "deterministic_sample", "doc_repetition_scores",

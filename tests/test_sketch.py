@@ -59,3 +59,47 @@ def test_unseen_keys_bounded_by_collisions(spark):
     # unseen keys may collide but never exceed total mass; with 4
     # independent rows over 256 buckets the min is far below N
     assert all(0 <= r["est"] <= n for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+def test_hll_registers_idempotent_and_mergeable(spark):
+    from pyspark.sql import functions as F2
+    from kafka_avro_order_processing_spark.operators.sketch import hll_registers
+
+    ev = load_table(spark, SF, "events")
+    whole = hll_registers(ev, "user_id")
+    # duplicating every row must not move a single register (MAX)
+    doubled = hll_registers(ev.unionByName(ev), "user_id")
+    as_set = lambda df: {(r["bucket"], r["M"]) for r in df.collect()}  # noqa: E731
+    assert as_set(whole) == as_set(doubled)
+    # merge of split sketches == whole sketch (cellwise MAX)
+    a = hll_registers(ev.filter(F2.col("event_id") % 2 == 0), "user_id")
+    b = hll_registers(ev.filter(F2.col("event_id") % 2 == 1), "user_id")
+    merged = (
+        a.unionByName(b).groupBy("bucket").agg(F2.max("M").cast("int").alias("M"))
+    )
+    assert as_set(whole) == as_set(merged)
+
+
+def test_hll_corrected_estimate_accuracy(spark):
+    import math
+
+    from kafka_avro_order_processing_spark.operators.sketch import (
+        HLL_BUCKETS,
+        hll_estimate,
+        hll_registers,
+    )
+    from pyspark.sql import functions as F2
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    row = hll_estimate(hll_registers(ev, "user_id")).collect()[0]
+    exact = ev.agg(F2.countDistinct("user_id")).collect()[0][0]
+    est = row["hll_raw_estimate"]
+    # linear-counting correction (engine-independent here: plain Python)
+    if est <= 2.5 * HLL_BUCKETS and row["zero_registers"] > 0:
+        est = HLL_BUCKETS * math.log(HLL_BUCKETS / row["zero_registers"])
+    rse = 1.04 / math.sqrt(HLL_BUCKETS)
+    assert abs(est - exact) <= 4 * rse * exact, (est, exact)
