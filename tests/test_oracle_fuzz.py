@@ -330,3 +330,81 @@ def test_fuzz_hyperplane_lsh_matches_duckdb(spark, vecs):
         ).fetchall()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Sketches: for ANY generated keyset, the md5-derived CMS grid and HLL
+# registers must match a DuckDB replica bit-for-bit, and the CMS
+# one-sided guarantee must hold.
+# ---------------------------------------------------------------------------
+
+keys_strategy = st.lists(
+    st.tuples(st.integers(0, 50_000), st.integers(-5, 40)),
+    min_size=1,
+    max_size=150,
+    unique_by=lambda r: r[0],
+)
+
+
+def _hexval(expr: str, pos: int) -> str:
+    return f"(strpos('0123456789abcdef', substr({expr}, {pos}, 1)) - 1)"
+
+
+@given(rows=keys_strategy)
+@SETTINGS
+def test_fuzz_cms_matches_duckdb_and_guarantee(spark, rows):
+    from kafka_avro_order_processing_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+
+    df = spark.createDataFrame(rows, "seq long, user_id long")
+    path = os.path.join(tempfile.mkdtemp(), "fuzz.parquet")
+    df.coalesce(1).write.parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM read_parquet('{path}/*.parquet')")
+    sdf = spark.read.parquet(path)
+    sketch = cms_build(sdf, "user_id")
+    got = sorted(tuple(r) for r in sketch.collect())
+    h = "md5('cms' || CAST(r.depth AS VARCHAR) || ':' || CAST(user_id AS VARCHAR))"
+    want = sorted(
+        tuple(r)
+        for r in con.execute(f"""
+        SELECT r.depth, ({_hexval(h, 1)} * 16 + {_hexval(h, 2)}) AS bucket,
+               COUNT(*) AS cnt
+        FROM t CROSS JOIN (SELECT UNNEST(range(4)) AS depth) r
+        GROUP BY 1, 2""").fetchall()
+    )
+    assert got == want
+    exact = sdf.groupBy("user_id").count()
+    est = cms_estimate(sketch, exact.select("user_id"), "user_id")
+    joined = exact.join(est, "user_id").collect()
+    assert all(r["est"] >= r["count"] for r in joined)
+
+
+@given(rows=keys_strategy)
+@SETTINGS
+def test_fuzz_hll_registers_match_duckdb(spark, rows):
+    from kafka_avro_order_processing_spark.operators.sketch import hll_registers
+
+    df = spark.createDataFrame(rows, "seq long, user_id long")
+    path = os.path.join(tempfile.mkdtemp(), "fuzz.parquet")
+    df.coalesce(1).write.parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM read_parquet('{path}/*.parquet')")
+    got = sorted(tuple(r) for r in hll_registers(spark.read.parquet(path), "user_id").collect())
+    h = "md5('hll:' || CAST(user_id AS VARCHAR))"
+    v = " + ".join(f"{_hexval(h, i + 3)} * {16 ** (7 - i)}" for i in range(8))
+    want = sorted(
+        tuple(r)
+        for r in con.execute(f"""
+        WITH hashed AS (
+          SELECT ({_hexval(h, 1)} * 16 + {_hexval(h, 2)}) AS bucket,
+                 CAST({v} AS BIGINT) AS v
+          FROM t)
+        SELECT bucket,
+               CAST(MAX(CASE WHEN v = 0 THEN 33
+                             ELSE 33 - length(bin(v)) END) AS INTEGER) AS M
+        FROM hashed GROUP BY bucket""").fetchall()
+    )
+    assert got == want

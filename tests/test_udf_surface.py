@@ -52,3 +52,79 @@ def test_grouped_map_apply_in_pandas(spark):
     )
     got = {(r["key"], r["price"]): r["centered"] for r in out.collect()}
     assert got == {("a", 1.0): -1.0, ("a", 3.0): 1.0, ("b", 10.0): 0.0}
+
+
+def test_map_in_arrow(spark):
+    # mapInArrow: the zero-copy batch surface (RecordBatch in/out, no
+    # pandas conversion) — compute L2 norms with pyarrow compute and
+    # match the codegen'd expression form exactly.
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from kafka_avro_order_processing_spark.operators.similarity import with_norm
+    from kafka_avro_order_processing_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+    def norms(batches):
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            vals = tbl.column("embedding").combine_chunks()
+            out = []
+            for i in range(len(vals)):
+                v = vals[i].as_py()
+                acc = 0.0
+                for x in v:  # same sequential fold as the expression
+                    acc += float(x) * float(x)
+                out.append(acc ** 0.5)
+            yield pa.RecordBatch.from_arrays(
+                [tbl.column("vec_id").combine_chunks(), pa.array(out, pa.float64())],
+                names=["vec_id", "norm"],
+            )
+
+    got = {
+        r["vec_id"]: r["norm"]
+        for r in emb.mapInArrow(norms, "vec_id long, norm double").collect()
+    }
+    want = {r["vec_id"]: r["norm"] for r in with_norm(emb).select("vec_id", "norm").collect()}
+    assert got == want  # bit-exact: identical fold order
+
+
+def test_apply_in_arrow(spark):
+    # applyInArrow: grouped Arrow-native aggregation; integer sums so
+    # the comparison with the expression form is exact.
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark.sql import functions as F
+
+    from kafka_avro_order_processing_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_type", "event_id"
+    )
+
+    def per_group(key, tbl):
+        return pa.Table.from_pydict(
+            {
+                "event_type": [key[0].as_py()],
+                "n": [tbl.num_rows],
+                "id_sum": [pc.sum(tbl.column("event_id")).as_py()],
+            },
+            schema=pa.schema(
+                [("event_type", pa.string()), ("n", pa.int64()), ("id_sum", pa.int64())]
+            ),
+        )
+
+    got = sorted(
+        tuple(r)
+        for r in ev.groupBy("event_type")
+        .applyInArrow(per_group, "event_type string, n long, id_sum long")
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("event_id").alias("id_sum"))
+        .collect()
+    )
+    assert got == want
