@@ -55,6 +55,94 @@ def _bucket(key_col: str, depth: int):
 
 
 # ---------------------------------------------------------------------------
+# Fixed-width histogram quantiles — the transparent mergeable quantile
+# sketch: where percentile_approx's KLL sketch bytes are engine-opaque
+# (rows-only check), an integer-cents histogram is a plain keyed count
+# — associative, map-side-combinable, mergeable across streams/days,
+# O(value_range / width) state — and its interpolated quantile
+# estimates are deterministic double arithmetic both engines reproduce
+# bit-for-bit.  Error bound: an estimate is within one bucket width of
+# the exact quantile by construction.
+# ---------------------------------------------------------------------------
+
+HIST_WIDTH_CENTS = 100  # $1 buckets
+
+
+def histogram_build(
+    df: DataFrame, value_col: str, width_cents: int = HIST_WIDTH_CENTS
+) -> DataFrame:
+    """(bucket, cnt) histogram over NON-NEGATIVE 2-dp money values:
+    cents via exact DECIMAL(18,2) (the repo-wide money convention),
+    bucket = cents div width.  A plain count aggregation — the whole
+    point: the sketch IS a groupBy, so it inherits every scale
+    property aggregation has (partial combine, streaming state,
+    mergeability)."""
+    cents = F.expr(
+        f"CAST(CAST({value_col} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    )
+    bucket = F.expr(
+        f"CAST((CAST(CAST({value_col} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        f" - (CAST(CAST({value_col} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        f" % {width_cents})) / {width_cents} AS BIGINT)"
+    )
+    return (
+        df.filter(cents >= 0)
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    width_cents: int = HIST_WIDTH_CENTS,
+) -> DataFrame:
+    """Interpolated quantile estimates from a histogram: rank
+    r = ceil(q*N); the answering bucket is the first whose cumulative
+    count reaches r; the estimate interpolates linearly inside it.
+    The histogram is tiny (bounded by value range / width), so the
+    global cumulative window is a single-task pass over sketch rows —
+    never over data rows."""
+    from pyspark.sql import Window
+
+    spark = hist.sparkSession
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n_total"),
+    )
+    qs = spark.createDataFrame([(q,) for q in quantiles], "quantile double")
+    hit = (
+        cum.crossJoin(F.broadcast(qs))
+        .withColumn("r", F.ceil(F.col("quantile") * F.col("n_total")).cast("long"))
+        .filter(F.col("cum") >= F.col("r"))
+    )
+    first = Window.partitionBy("quantile").orderBy("bucket")
+    return (
+        hit.withColumn("rn", F.row_number().over(first))
+        .filter(F.col("rn") == 1)
+        .select(
+            "quantile",
+            (
+                (
+                    (F.col("bucket") * width_cents).cast("double")
+                    + (
+                        (F.col("r") - (F.col("cum") - F.col("cnt")))
+                        * width_cents
+                    ).cast("double")
+                    / F.col("cnt").cast("double")
+                )
+                / F.lit(100.0)
+            ).alias("est_value"),
+            F.col("n_total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # HyperLogLog from first principles (Flajolet et al. '07) — the
 # transparent twin of approx_count_distinct: Spark's HLL++ sketch bytes
 # are engine-opaque (its driver row is rows-only by necessity), but the

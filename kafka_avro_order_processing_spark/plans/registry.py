@@ -2299,6 +2299,56 @@ def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "value_histogram_quantiles",
+    """
+    WITH cents AS (
+      SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      FROM events),
+    hist AS (
+      SELECT CAST((c - (c % 100)) / 100 AS BIGINT) AS bucket,
+             COUNT(*) AS cnt
+      FROM cents WHERE c >= 0 GROUP BY 1),
+    cum AS (
+      SELECT bucket, cnt,
+             SUM(cnt) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER () AS n_total
+      FROM hist),
+    qs AS (SELECT UNNEST(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS quantile),
+    hit AS (
+      SELECT q.quantile, c.bucket, c.cnt, c.cum, c.n_total,
+             CAST(ceil(q.quantile * c.n_total) AS BIGINT) AS r
+      FROM cum c CROSS JOIN qs q
+      WHERE c.cum >= CAST(ceil(q.quantile * c.n_total) AS BIGINT)),
+    first AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY quantile ORDER BY bucket) AS rn
+      FROM hit)
+    SELECT quantile,
+           (CAST(bucket * 100 AS DOUBLE)
+             + CAST((r - (cum - cnt)) * 100 AS DOUBLE) / CAST(cnt AS DOUBLE))
+             / 100.0 AS est_value,
+           CAST(n_total AS BIGINT) AS n_total
+    FROM first WHERE rn = 1
+    """,
+    tags=("m5", "aggregate", "approx", "sketch"),
+    doc="Fixed-width histogram quantiles — the transparent mergeable "
+        "quantile sketch (percentile_approx's KLL bytes are "
+        "engine-opaque; an integer-cents histogram is a plain keyed "
+        "count: associative, map-side-combinable, mergeable across "
+        "streams and days, streaming-state-compatible, O(range/width) "
+        "state).  Estimates interpolate inside the answering bucket "
+        "with deterministic double arithmetic, so unlike KLL the whole "
+        "sketch AND its estimates hash-match the oracle; error is "
+        "bounded by one bucket width by construction (pinned in tests "
+        "against exact percentiles).",
+)
+def q_value_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import histogram_build, histogram_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    return histogram_quantiles(histogram_build(ev, "value"))
+
+
+@_register(
     "streaming_cms_user_frequencies",
     _cms_oracle(),
     tags=("m5", "streaming", "aggregate", "approx", "sketch"),
@@ -5122,7 +5172,8 @@ _LEAD_ORDER = [
     "avro_uri_manifest_write", "avro_stats_pruned_read",
     "avro_compacted_roundtrip", "avro_bloom_pruned_lookup",
     "cms_user_frequencies", "streaming_cms_user_frequencies",
-    "hll_distinct_users", "trade_graph_pagerank",
+    "hll_distinct_users", "value_histogram_quantiles",
+    "trade_graph_pagerank",
     "co_activity_triangles", "pq_adc_topk",
     "importance_weighted_sample",
     "semantic_dedup", "training_order_shuffle",
@@ -5142,15 +5193,16 @@ _LEAD_ORDER = [
     "order_display_lines", "props_json_extraction",
     "above_customer_avg_orders", "approx_distinct_users",
     "ivf_probe_search", "ivf_recall_at_k", "clicks_before_purchase",
-    "explicit_grouping_sets", "curated_corpus_stats",
+    "curated_corpus_stats",
     "shipping_priority", "multimodal_decoded_features",
     # --- position 50 boundary ---------------------------------------
-    # ROUND-7 MATH: the 25 r4-green names below are the ones this
+    # ROUND-7 MATH: the 26 r4-green names below are the ones this
     # window could not fit; after the r6 check they are the oldest
     # rows anywhere (age 2, reaching age 3 in round 7) — LEAD ROUND 7
-    # WITH THESE 25, then fill with r5-green names
-    # oldest-registration-first (25 fit; the remaining 25 r5-greens
+    # WITH THESE 26, then fill with r5-green names
+    # oldest-registration-first (24 fit; the remaining 26 r5-greens
     # lead round 8, and the r6 window is safe until round 9).
+    "explicit_grouping_sets",
     "corrupt_json_handling", "forecast_revenue_change",
     "large_quantity_orders", "streaming_interval_join",
     "embedding_quantization_error", "dataset_split_counts",

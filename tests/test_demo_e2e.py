@@ -62,3 +62,29 @@ def test_lake_maintenance_demo_end_to_end(spark, tmp_path):
     assert 0 < c["point_parts_planned"] < c["range_parts_planned"]
     assert c["orphans_deleted"] == 1
     assert c["answers_stable"] is True
+
+
+def test_analytics_demo_end_to_end(spark):
+    """Graph + sketch composition: sketches obey their guarantees
+    (CMS one-sided, HLL registers non-degenerate, quantiles ordered)
+    and the graph ranks are consistent with the sketch of the same
+    stream."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
+    from analytics_demo import main
+
+    out = main("/root/testdata/sf0.001", spark=spark)
+    assert out["n_events"] > 0 and out["n_edges"] > 0
+    # CMS one-sided guarantee on the top users
+    assert all(est >= exact for exact, est in out["cms_top"].values())
+    # quantile estimates must be monotone in q
+    qs = out["quantiles"]
+    assert qs[0.5] <= qs[0.9] <= qs[0.99]
+    # hll raw estimate positive, registers not saturated
+    assert out["hll_raw"] > 0 and 0 <= out["zero_registers"] < 256
+    # pagerank top list is sorted desc and triangle counts non-negative
+    ranks = [r for _, r, _ in out["pagerank_top"]]
+    assert ranks == sorted(ranks, reverse=True)
+    assert all(t >= 0 for _, _, t in out["pagerank_top"])

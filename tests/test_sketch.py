@@ -103,3 +103,41 @@ def test_hll_corrected_estimate_accuracy(spark):
         est = HLL_BUCKETS * math.log(HLL_BUCKETS / row["zero_registers"])
     rse = 1.04 / math.sqrt(HLL_BUCKETS)
     assert abs(est - exact) <= 4 * rse * exact, (est, exact)
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantiles
+# ---------------------------------------------------------------------------
+
+def test_histogram_quantiles_within_one_bucket_of_exact(spark):
+    from kafka_avro_order_processing_spark.operators.sketch import (
+        HIST_WIDTH_CENTS,
+        histogram_build,
+        histogram_quantiles,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    got = {
+        r["quantile"]: r["est_value"]
+        for r in histogram_quantiles(histogram_build(ev, "value")).collect()
+    }
+    exact = ev.selectExpr(
+        "percentile(value, array(0.5, 0.9, 0.99)) AS p"
+    ).collect()[0]["p"]
+    width = HIST_WIDTH_CENTS / 100.0
+    for q, ex in zip((0.5, 0.9, 0.99), exact):
+        assert abs(got[q] - ex) <= width, (q, got[q], ex)
+
+
+def test_histogram_merge_equals_whole(spark):
+    from kafka_avro_order_processing_spark.operators.sketch import histogram_build
+
+    ev = load_table(spark, SF, "events")
+    a = histogram_build(ev.filter(F.col("event_id") % 2 == 0), "value")
+    b = histogram_build(ev.filter(F.col("event_id") % 2 == 1), "value")
+    merged = (
+        a.unionByName(b).groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = histogram_build(ev, "value")
+    as_set = lambda df: {(r["bucket"], r["cnt"]) for r in df.collect()}  # noqa: E731
+    assert as_set(merged) == as_set(whole)
