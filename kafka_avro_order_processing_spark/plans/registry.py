@@ -1467,6 +1467,73 @@ def q_avro_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "avro_zorder_pruned_read",
+    f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           {_dsum('o_totalprice')} AS total_price
+    FROM orders
+    WHERE o_totalprice < 20000.0
+    GROUP BY o_orderpriority
+    """,
+    tags=("source", "avro", "datasource", "stats-pruning", "zorder"),
+    doc="Z-ORDER clustered layout (write_avro_zordered — the Delta "
+        "OPTIMIZE…ZORDER BY story): lexicographic range clustering "
+        "gives tight per-part min/max on the LEADING key only, so a "
+        "filter on the second column overlaps every part; the Morton "
+        "bit-interleave makes each part a small hyper-rectangle in "
+        "the full column space, and this row filters on the SECOND "
+        "zorder column (o_totalprice, after o_custkey) — exactly the "
+        "predicate 1-D clustering cannot prune — through the "
+        "statsPruning reader.  Booby-trapped like its siblings: a "
+        "planted part with disjoint price stats has a corrupt body, "
+        "so the green row pins that second-column pruning actually "
+        "happens (head-to-head layout comparison in "
+        "tests/test_zorder.py).",
+)
+def q_avro_zorder_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.avro_ocf import (
+        _list_avro,
+        _stats_meta,
+        ocf_bytes,
+        parse_ocf,
+        write_avro_zordered,
+    )
+    from ..sources.avro_ocf import register as _reg_avro
+
+    _reg_avro(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    out = tempfile.mkdtemp(prefix="kaop_ocf_zorder_") + "/orders"
+    cols = ["o_orderkey", "o_orderpriority", "o_custkey", "o_totalprice"]
+    write_avro_zordered(
+        load_table(spark, sf_dir, "orders").select(*cols),
+        out,
+        zorder_by=["o_custkey", "o_totalprice"],
+        num_parts=8,
+    )
+    first = _list_avro(out)[0]
+    pschema, _ = parse_ocf(open(first, "rb").read())
+    prec = [{"o_orderkey": -1, "o_orderpriority": "X-POISON",
+             "o_custkey": -1, "o_totalprice": 9.9e9}]
+    raw = ocf_bytes(prec, pschema, extra_meta=_stats_meta(prec, cols))
+    with open(f"{out}/part-zz-poison.avro", "wb") as f:
+        f.write(raw[:-16] + bytes(16))  # break the trailing sync marker
+    back = (
+        spark.read.format("kaop_avro")
+        .option("path", out)
+        .option("statsPruning", "true")
+        .load()
+        .filter(F.col("o_totalprice") < 20000.0)
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        dec_sum("o_totalprice").alias("total_price"),
+    )
+
+
+@_register(
     "avro_compacted_roundtrip",
     f"""
     SELECT o_orderstatus,
@@ -2415,6 +2482,31 @@ def q_importance_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(bucket < F.col("n_chars") * 16).select(
         "doc_id", "source", "n_chars"
     )
+
+
+@_register(
+    "streaming_hll_distinct_users",
+    _hll_oracle(),
+    tags=("m5", "streaming", "aggregate", "approx", "sketch"),
+    doc="Streaming twin of hll_distinct_users, SAME oracle: registers "
+        "accumulate as update-mode MAX aggregation state — MAX is "
+        "idempotent AND associative, so neither micro-batch boundaries "
+        "nor at-least-once replays can move a register (the property "
+        "that makes HLL the standard streaming-distinct sketch) — and "
+        "the estimate folds the drained register table in batch.",
+)
+def q_streaming_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import hll_estimate, hll_registers
+    from ..streaming.pipeline import drain_to_df, stream_table
+
+    regs = drain_to_df(
+        hll_registers(stream_table(spark, sf_dir, "events"), "user_id"),
+        "update",
+        key_cols=("bucket",),
+    )
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.agg(F.countDistinct("user_id").alias("n_exact_users"))
+    return hll_estimate(regs).crossJoin(exact)
 
 
 @_register(
@@ -5172,7 +5264,8 @@ _LEAD_ORDER = [
     "avro_uri_manifest_write", "avro_stats_pruned_read",
     "avro_compacted_roundtrip", "avro_bloom_pruned_lookup",
     "cms_user_frequencies", "streaming_cms_user_frequencies",
-    "hll_distinct_users", "value_histogram_quantiles",
+    "hll_distinct_users", "streaming_hll_distinct_users",
+    "value_histogram_quantiles", "avro_zorder_pruned_read",
     "trade_graph_pagerank",
     "co_activity_triangles", "pq_adc_topk",
     "importance_weighted_sample",
@@ -5194,14 +5287,14 @@ _LEAD_ORDER = [
     "above_customer_avg_orders", "approx_distinct_users",
     "ivf_probe_search", "ivf_recall_at_k", "clicks_before_purchase",
     "curated_corpus_stats",
-    "shipping_priority", "multimodal_decoded_features",
     # --- position 50 boundary ---------------------------------------
-    # ROUND-7 MATH: the 26 r4-green names below are the ones this
+    # ROUND-7 MATH: the 28 r4-green names below are the ones this
     # window could not fit; after the r6 check they are the oldest
     # rows anywhere (age 2, reaching age 3 in round 7) — LEAD ROUND 7
-    # WITH THESE 26, then fill with r5-green names
-    # oldest-registration-first (24 fit; the remaining 26 r5-greens
+    # WITH THESE 28, then fill with r5-green names
+    # oldest-registration-first (22 fit; the remaining 28 r5-greens
     # lead round 8, and the r6 window is safe until round 9).
+    "shipping_priority", "multimodal_decoded_features",
     "explicit_grouping_sets",
     "corrupt_json_handling", "forecast_revenue_change",
     "large_quantity_orders", "streaming_interval_join",

@@ -2335,6 +2335,89 @@ def write_avro_clustered(
     wr.mode(mode).save()
 
 
+def zorder_expr(df, zorder_by: list[str], bits: int = 8):
+    """Bit-interleaved Z-value (Morton code) over 2+ numeric columns.
+
+    Each column is bucketed into 2^bits equal-width levels between its
+    own min and max (ONE tiny driver-collected aggregate — 2 scalars
+    per column, the same bounded-metadata class as repartitionByRange's
+    sampled boundaries), then the level bits interleave:
+    bit (i * ncols + c) of z = bit i of column c's level.  Sorting by z
+    walks the space-filling curve, so any contiguous z-range is a small
+    hyper-rectangle in the column space — which is exactly what makes
+    EVERY zorder column's per-part min/max tight, not just the first
+    one as with lexicographic clustering.
+
+    The z-value affects file LAYOUT only, never query results, so the
+    float bucket math needs no cross-engine determinism contract."""
+    from pyspark.sql import functions as F
+
+    if len(zorder_by) < 2:
+        raise ValueError("zorder_by needs >= 2 columns (use cluster_by for 1)")
+    aggs = []
+    for c in zorder_by:
+        aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+    bounds = df.agg(*aggs).collect()[0]
+    n = len(zorder_by)
+    levels = []
+    for c in zorder_by:
+        mn, mx = float(bounds[f"mn_{c}"]), float(bounds[f"mx_{c}"])
+        if mx <= mn:
+            levels.append("CAST(0 AS BIGINT)")
+            continue
+        levels.append(
+            f"LEAST(CAST({(1 << bits) - 1} AS BIGINT), GREATEST(CAST(0 AS BIGINT), "
+            f"CAST(floor((COALESCE(CAST(`{c}` AS DOUBLE), {mn!r}) - {mn!r})"
+            f" / {mx - mn!r} * {1 << bits}) AS BIGINT)))"
+        )
+    terms = []
+    for ci, lvl in enumerate(levels):
+        for i in range(bits):
+            terms.append(
+                f"shiftleft(shiftright({lvl}, {i}) & CAST(1 AS BIGINT), {i * n + ci})"
+            )
+    return F.expr(" + ".join(terms))
+
+
+def write_avro_zordered(
+    df,
+    path: str,
+    zorder_by: list[str],
+    bits: int = 8,
+    num_parts: int | None = None,
+    codec: str = "null",
+    bloom_columns: tuple[str, ...] = (),
+    max_records_per_part: int | None = None,
+    mode: str = "append",
+) -> None:
+    """Z-order-cluster ``df`` on 2+ columns and write it as a
+    ``kaop_avro`` directory — the multi-column upgrade of
+    ``write_avro_clustered``: lexicographic range clustering gives
+    tight per-part min/max on the LEADING key only (a filter on the
+    second column overlaps every part), while the Morton interleave
+    makes each part a small hyper-rectangle in the full column space,
+    so ``statsPruning``/``statsFilter`` range predicates on ANY of the
+    zorder columns skip files (the Delta ``OPTIMIZE … ZORDER BY``
+    story).  Same single write-time shuffle as the 1-D form."""
+    missing = sorted(set(zorder_by) - set(df.columns))
+    if missing:
+        raise ValueError(f"zorder_by: no such columns {missing}")
+    register(df.sparkSession)
+    z = zorder_expr(df, zorder_by, bits)
+    tagged = df.withColumn("__kaop_z", z)
+    out = (
+        tagged.repartitionByRange(num_parts, "__kaop_z")
+        if num_parts is not None
+        else tagged.repartitionByRange("__kaop_z")
+    ).sortWithinPartitions("__kaop_z").drop("__kaop_z")
+    wr = out.write.format("kaop_avro").option("path", path).option("codec", codec)
+    if bloom_columns:
+        wr = wr.option("bloomColumns", ",".join(bloom_columns))
+    if max_records_per_part is not None:
+        wr = wr.option("maxRecordsPerPart", str(max_records_per_part))
+    wr.mode(mode).save()
+
+
 def compact_avro_dir(
     spark,
     path: str,
