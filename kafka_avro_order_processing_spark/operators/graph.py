@@ -208,6 +208,62 @@ def pagerank(
     return deg.join(ranks, "node").select("node", "degree", "rank_scaled")
 
 
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. '07): every node starts as its own label; each round every
+    node adopts the most frequent label among its neighbors, ties
+    broken by the smallest label — a TOTAL order, which makes the
+    rounds deterministic (classic LPA breaks ties randomly and is
+    famously irreproducible; the deterministic variant is what a
+    verifiable pipeline wants).  Fixed round count: LPA's fixed point
+    can oscillate under synchronous update, so the contract is "the
+    label state after N rounds", which the oracle reproduces exactly.
+
+    Scale shape per round: one shuffle join of the (static, symmetric)
+    edge list with the label table on the neighbor key + one keyed
+    count + one per-node window on the vote table (rows = distinct
+    labels per node, bounded by degree); lineage cut per round.  The
+    edge table is reused every round — at production scale persist it
+    partitioned on the join key once.
+
+    Returns (node, community) for every node in the input.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+            .filter(F.col("a") != F.col("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    from pyspark.sql import Window
+
+    for _ in range(iterations):
+        votes = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy(F.col("a"), F.col("label"))
+            .agg(F.count("*").alias("cnt"))
+        )
+        w = Window.partitionBy("a").orderBy(F.desc("cnt"), F.asc("label"))
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("a").alias("node"), "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("label").alias("community"))
+
+
 def triangle_counts(
     edges: DataFrame,
     src: str = "src",

@@ -3421,6 +3421,82 @@ _TRIANGLE_ORACLE = """
     """
 
 
+def _lpa_oracle(iters: int = 3) -> str:
+    ctes = [
+        """os AS (
+      SELECT DISTINCT CAST(floor(epoch(ts) / 120) AS BIGINT) AS bk,
+             event_type, user_id
+      FROM events)""",
+        """und AS (
+      SELECT DISTINCT a.user_id AS lo, b.user_id AS hi
+      FROM os a JOIN os b
+        ON a.bk = b.bk AND a.event_type = b.event_type
+       AND a.user_id < b.user_id)""",
+        """sym AS (SELECT lo AS n, hi AS m FROM und
+            UNION ALL SELECT hi, lo FROM und)""",
+        """l0 AS (SELECT DISTINCT n AS node, n AS label FROM sym)""",
+    ]
+    for i in range(iters):
+        ctes.append(f"""v{i} AS (
+      SELECT s.n AS node, l.label, COUNT(*) AS cnt
+      FROM sym s JOIN l{i} l ON l.node = s.m
+      GROUP BY 1, 2)""")
+        ctes.append(f"""l{i + 1} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, label) AS rn
+        FROM v{i}) WHERE rn = 1)""")
+    return (
+        "\n    WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node AS user_id, label AS community FROM l{iters}
+    """
+    )
+
+
+@_register(
+    "user_communities",
+    _lpa_oracle(),
+    tags=("m5", "graph", "iterative"),
+    doc="Community detection by synchronous label propagation "
+        "(Raghavan et al. '07) over the user co-activity graph, made "
+        "DETERMINISTIC: ties in the neighbor-label vote break on the "
+        "smallest label (a total order — classic random-tie LPA is "
+        "irreproducible) and the contract is the label state after 3 "
+        "fixed rounds, which the oracle's CTE chain reproduces "
+        "exactly.  The graph connects users active in the same "
+        "2-minute bucket on the SAME event type (the plain 10-min "
+        "co-activity graph is dense enough that LPA collapses to one "
+        "community — measured; edge semantics matter).  Per round: "
+        "one edge⋈label join + keyed count + bounded per-node vote "
+        "window; lineage cut per round — the third Pregel-style "
+        "iterative shape alongside connected components and PageRank.",
+)
+def q_user_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import label_propagation
+
+    ev = load_table(spark, sf_dir, "events")
+    bk = F.floor(
+        F.unix_timestamp(F.col("ts").cast("timestamp")) / F.lit(120)
+    ).cast("long")
+    os_ = ev.select(bk.alias("bk"), "event_type", "user_id").distinct()
+    pairs = (
+        os_.select("bk", "event_type", F.col("user_id").alias("src"))
+        .join(
+            os_.select("bk", "event_type", F.col("user_id").alias("dst")),
+            ["bk", "event_type"],
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return label_propagation(pairs, iterations=3).select(
+        F.col("node").alias("user_id"), "community"
+    )
+
+
 @_register(
     "co_activity_triangles",
     _TRIANGLE_ORACLE,
@@ -5267,7 +5343,7 @@ _LEAD_ORDER = [
     "hll_distinct_users", "streaming_hll_distinct_users",
     "value_histogram_quantiles", "avro_zorder_pruned_read",
     "trade_graph_pagerank",
-    "co_activity_triangles", "pq_adc_topk",
+    "co_activity_triangles", "user_communities", "pq_adc_topk",
     "importance_weighted_sample",
     "semantic_dedup", "training_order_shuffle",
     "avro_stream_stats_filter", "stratified_sample", "dedup_keep_best",
@@ -5286,14 +5362,14 @@ _LEAD_ORDER = [
     "order_display_lines", "props_json_extraction",
     "above_customer_avg_orders", "approx_distinct_users",
     "ivf_probe_search", "ivf_recall_at_k", "clicks_before_purchase",
-    "curated_corpus_stats",
     # --- position 50 boundary ---------------------------------------
-    # ROUND-7 MATH: the 28 r4-green names below are the ones this
+    # ROUND-7 MATH: the 29 r4-green names below are the ones this
     # window could not fit; after the r6 check they are the oldest
     # rows anywhere (age 2, reaching age 3 in round 7) — LEAD ROUND 7
-    # WITH THESE 28, then fill with r5-green names
-    # oldest-registration-first (22 fit; the remaining 28 r5-greens
+    # WITH THESE 29, then fill with r5-green names
+    # oldest-registration-first (21 fit; the remaining 29 r5-greens
     # lead round 8, and the r6 window is safe until round 9).
+    "curated_corpus_stats",
     "shipping_priority", "multimodal_decoded_features",
     "explicit_grouping_sets",
     "corrupt_json_handling", "forecast_revenue_change",
