@@ -2416,6 +2416,32 @@ def q_value_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "streaming_value_histogram_quantiles",
+    QUERIES["value_histogram_quantiles"].oracle,
+    tags=("m5", "streaming", "aggregate", "approx", "sketch"),
+    doc="Streaming twin of value_histogram_quantiles, SAME oracle: the "
+        "bucket counts accumulate as update-mode streaming aggregation "
+        "state (integer sums — associative, so micro-batch boundaries "
+        "cannot move a cell) and the interpolation folds the drained "
+        "histogram in batch — completing the streaming-sketch trio "
+        "(count-min / HLL / histogram), each a bounded-state summary "
+        "an unbounded stream can maintain forever.",
+)
+def q_streaming_value_histogram_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.sketch import histogram_build, histogram_quantiles
+    from ..streaming.pipeline import drain_to_df, stream_table
+
+    hist = drain_to_df(
+        histogram_build(stream_table(spark, sf_dir, "events"), "value"),
+        "update",
+        key_cols=("bucket",),
+    )
+    return histogram_quantiles(hist)
+
+
+@_register(
     "streaming_cms_user_frequencies",
     _cms_oracle(),
     tags=("m5", "streaming", "aggregate", "approx", "sketch"),
@@ -5341,7 +5367,8 @@ _LEAD_ORDER = [
     "avro_compacted_roundtrip", "avro_bloom_pruned_lookup",
     "cms_user_frequencies", "streaming_cms_user_frequencies",
     "hll_distinct_users", "streaming_hll_distinct_users",
-    "value_histogram_quantiles", "avro_zorder_pruned_read",
+    "value_histogram_quantiles", "streaming_value_histogram_quantiles",
+    "avro_zorder_pruned_read",
     "trade_graph_pagerank",
     "co_activity_triangles", "user_communities", "pq_adc_topk",
     "importance_weighted_sample",
@@ -5361,14 +5388,15 @@ _LEAD_ORDER = [
     "user_retention_cohorts", "customers_with_pending_orders",
     "order_display_lines", "props_json_extraction",
     "above_customer_avg_orders", "approx_distinct_users",
-    "ivf_probe_search", "ivf_recall_at_k", "clicks_before_purchase",
+    "ivf_probe_search", "ivf_recall_at_k",
     # --- position 50 boundary ---------------------------------------
-    # ROUND-7 MATH: the 29 r4-green names below are the ones this
+    # ROUND-7 MATH: the 30 r4-green names below are the ones this
     # window could not fit; after the r6 check they are the oldest
     # rows anywhere (age 2, reaching age 3 in round 7) — LEAD ROUND 7
-    # WITH THESE 29, then fill with r5-green names
-    # oldest-registration-first (21 fit; the remaining 29 r5-greens
+    # WITH THESE 30, then fill with r5-green names
+    # oldest-registration-first (20 fit; the remaining 30 r5-greens
     # lead round 8, and the r6 window is safe until round 9).
+    "clicks_before_purchase",
     "curated_corpus_stats",
     "shipping_priority", "multimodal_decoded_features",
     "explicit_grouping_sets",
