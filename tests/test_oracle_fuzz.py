@@ -408,3 +408,41 @@ def test_fuzz_hll_registers_match_duckdb(spark, rows):
         FROM hashed GROUP BY bucket""").fetchall()
     )
     assert got == want
+
+
+money_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 50_000),
+        st.decimals(min_value=0, max_value=500, places=2).map(float),
+    ),
+    min_size=1,
+    max_size=200,
+    unique_by=lambda r: r[0],
+)
+
+
+@given(rows=money_strategy)
+@SETTINGS
+def test_fuzz_histogram_quantile_error_bound(spark, rows):
+    # For ANY non-negative 2-dp money data, each interpolated estimate
+    # must land within one bucket width of the exact ceil-rank
+    # quantile: the answering bucket contains the rank-r value by
+    # construction, and the estimate never leaves that bucket.
+    import math
+
+    from kafka_avro_order_processing_spark.operators.sketch import (
+        HIST_WIDTH_CENTS,
+        histogram_build,
+        histogram_quantiles,
+    )
+
+    df = spark.createDataFrame(rows, "seq long, value double")
+    got = {
+        r["quantile"]: r["est_value"]
+        for r in histogram_quantiles(histogram_build(df, "value")).collect()
+    }
+    vals = sorted(v for _, v in rows)
+    width = HIST_WIDTH_CENTS / 100.0
+    for q in (0.5, 0.9, 0.99):
+        exact = vals[math.ceil(q * len(vals)) - 1]
+        assert abs(got[q] - exact) <= width, (q, got[q], exact)
