@@ -70,3 +70,48 @@ def test_selective_filters_reach_the_scan(spark, name):
     assert any(
         col in s.split("PushedFilters", 1)[1].split("\n", 1)[0] for s in scans
     ), f"{name}: filter on {col} not pushed to the scan\n{plan}"
+
+
+#: queries whose design REQUIRES a broadcast join of a tiny side
+#: (codebooks, lookup tables, sketch grids) — if these ever plan as a
+#: shuffle join, the big side starts moving and the operator's 100 TB
+#: story is gone.
+BROADCAST_CASES = [
+    "cms_user_frequencies",   # d*w sketch grid joined to probes
+    "hll_distinct_users",     # 1-row estimate x 1-row exact count
+]
+
+
+@pytest.mark.parametrize("name", BROADCAST_CASES)
+def test_small_side_joins_are_broadcast(spark, name):
+    plan = _plan_of(spark, name)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, (
+        f"{name}: expected the tiny side to broadcast\n{plan}"
+    )
+    assert "SortMergeJoin" not in plan, (
+        f"{name}: a sort-merge join appeared where only broadcast joins "
+        f"of tiny sides are designed\n{plan}"
+    )
+
+
+def test_pq_encode_join_is_broadcast(spark):
+    # pq_topk returns an eagerly-checkpointed result (its plan is a
+    # scan), so pin the shape on the internal stage: the corpus-wide
+    # encode join against the m*k codebook must broadcast the codebook
+    # — a shuffle there moves the corpus and kills the design.
+    from kafka_avro_order_processing_spark.operators.similarity import (
+        _pq_assign,
+        pq_codebooks,
+        pq_subvectors,
+    )
+    from kafka_avro_order_processing_spark.sources.tables import load_table
+
+    sub = pq_subvectors(load_table(spark, SF_DIR, "embeddings"), dim=64)
+    cents = pq_codebooks(sub).localCheckpoint(eager=True)
+    codes = _pq_assign(sub, cents, "vec_id")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        codes.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
