@@ -208,6 +208,71 @@ def pagerank(
     return deg.join(ranks, "node").select("node", "degree", "rank_scaled")
 
 
+# Weighted PageRank scale: rank * edge-weight must stay exactly
+# representable in the portable floor division (< 2^53), so the
+# weighted variant runs at a coarser 2^20 fixed point.  Envelope:
+# total mass n * 2^20, times max edge weight w — safe while
+# n * w < 2^29 (e.g. 2^17 nodes with weights < 2^12); beyond that,
+# DECIMAL(38,0) (same algebra).
+PAGERANK_W_SCALE = 1 << 20
+
+
+def pagerank_weighted(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+) -> DataFrame:
+    """Weighted fixed-point PageRank: mass flows along each out-edge in
+    proportion to its integer weight —
+    rank_{i+1}(v) = floor(0.15*S) + floor(17 * sum_{u->v}
+        floor(rank_i(u) * w(u,v) / W(u)) / 20),
+    W(u) the sum of u's outgoing weights.  Same exact-integer contract
+    as ``pagerank`` (shuffle-order independent, oracle-reproducible);
+    weights must be positive integers.  Returns
+    (node, total_weight, rank_scaled)."""
+    base = (3 * PAGERANK_W_SCALE) // 20
+    wsum = (
+        edges.groupBy(F.col(src).alias("node"))
+        .agg(F.sum(F.col(weight)).cast("long").alias("total_weight"))
+        .localCheckpoint(eager=True)
+    )
+    ranks = wsum.select(
+        "node", F.lit(PAGERANK_W_SCALE).cast("long").alias("rank_scaled")
+    )
+    e = edges.select(
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst"),
+        F.col(weight).cast("long").alias("w"),
+    )
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks, e.e_src == ranks.node)
+            .join(
+                wsum.select(F.col("node").alias("d_node"), "total_weight"),
+                F.col("e_src") == F.col("d_node"),
+            )
+            .select(
+                F.col("e_dst").alias("node"),
+                _idiv("(rank_scaled * w)", "total_weight").alias("contrib"),
+            )
+        )
+        sums = contrib.groupBy("node").agg(F.sum("contrib").alias("s"))
+        ranks = (
+            wsum.select("node")
+            .join(sums, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + _idiv("(17 * coalesce(s, 0L))", "20")
+                ).alias("rank_scaled"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return wsum.join(ranks, "node").select("node", "total_weight", "rank_scaled")
+
+
 def label_propagation(
     edges: DataFrame,
     iterations: int = 3,
