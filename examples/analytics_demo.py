@@ -24,6 +24,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from pyspark.sql import functions as F  # noqa: E402
 
 from kafka_avro_order_processing_spark.operators.graph import (  # noqa: E402
+    label_propagation,
+    modularity,
     pagerank,
     triangle_counts,
 )
@@ -87,7 +89,32 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
         .collect()
     )
 
+    # --- communities: the SPARSER 2-minute same-event-type graph (the
+    # 10-min graph is dense enough that LPA collapses to one block —
+    # see q_user_communities), scored with exact-integer modularity.
+    bk2 = F.floor(
+        F.unix_timestamp(F.col("ts").cast("timestamp")) / F.lit(120)
+    ).cast("long")
+    os2 = ev.select(bk2.alias("bk"), "event_type", "user_id").distinct()
+    cpairs = (
+        os2.select("bk", "event_type", F.col("user_id").alias("src"))
+        .join(
+            os2.select("bk", "event_type", F.col("user_id").alias("dst")),
+            ["bk", "event_type"],
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    comm = label_propagation(cpairs, iterations=3)
+    mod_rows = modularity(cpairs, comm).collect()
+    q_num = sum(r["contrib_num"] for r in mod_rows)
+    q_den = mod_rows[0]["denom"] if mod_rows else 1
+
     print(f"events: {ev.count()}, co-activity edges: {pairs.count()}")
+    print(f"communities: {len(mod_rows)}, modularity Q = {q_num}/{q_den}"
+          f" = {q_num / q_den:.4f}")
     print(f"HLL distinct users: raw={hll_row['hll_raw_estimate']:.1f} "
           f"(exact={hll_row.asDict().get('n_exact_users', 'n/a')}, "
           f"zero_regs={hll_row['zero_registers']})")
@@ -107,6 +134,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
         "quantiles": quantile_rows,
         "cms_top": cms_rows,
         "pagerank_top": [(r["node"], r["rank_scaled"], r["n_triangles"]) for r in top_users],
+        "n_communities": len(mod_rows),
+        "modularity_num": q_num,
+        "modularity_den": q_den,
     }
 
 

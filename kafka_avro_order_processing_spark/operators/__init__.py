@@ -6,7 +6,9 @@ from .graph import (  # noqa: F401
     connected_components,
     connected_components_star,
     label_propagation,
+    modularity,
     pagerank,
+    pagerank_weighted,
     triangle_counts,
 )
 from .sketch import (  # noqa: F401

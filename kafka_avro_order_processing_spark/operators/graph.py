@@ -329,6 +329,81 @@ def label_propagation(
     return labels.select("node", F.col("label").alias("community"))
 
 
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    community: str = "community",
+) -> DataFrame:
+    """Per-community Newman modularity decomposition of a partition —
+    the standard "is this community structure real?" score for the
+    output of :func:`label_propagation`.
+
+    Q = sum_c [ L_c / m  -  (d_c / 2m)^2 ]   (Newman & Girvan 2004),
+    with m undirected edges, L_c intra-community edges and d_c the sum
+    of member degrees.  Every output column is an exact integer so the
+    score is shuffle-order independent and oracle-reproducible:
+    ``contrib_num = 4*m*L_c - d_c^2`` and ``denom = 4*m^2``, giving
+    Q = sum(contrib_num) / denom exactly (same rationale as the
+    fixed-point PageRank — float modularity depends on summation
+    order).  Envelope: d_c <= 2m, so d_c^2 <= 4m^2 must fit a BIGINT —
+    safe to m ~ 2^30 edges; beyond that swap the products for
+    DECIMAL(38,0) (same algebra).
+
+    `labels` must cover every node appearing in `edges` (the
+    :func:`label_propagation` contract); edges are undirected,
+    self-loops dropped.  The single driver-side scalar is m (one
+    count — the sanctioned literal-for-iterative-algebra pattern, like
+    the k-means centroid literals); everything else is two shuffle
+    joins of the edge list with the (node, community) table plus keyed
+    integer aggregates — no per-community state beyond one row.
+    """
+    und = (
+        edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+        .filter(F.col("x") != F.col("y"))
+        .select(F.least("x", "y").alias("lo"), F.greatest("x", "y").alias("hi"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    m = und.count()  # driver scalar: the exact-integer algebra needs m as a literal
+    sym = und.select(F.col("lo").alias("n")).unionByName(
+        und.select(F.col("hi").alias("n"))
+    )
+    deg = sym.groupBy("n").agg(F.count("*").alias("d"))
+    memb = labels.select(F.col(node).alias("n"), F.col(community).alias("c"))
+    intra = (
+        und.join(
+            memb.select(F.col("n").alias("lo"), F.col("c").alias("c_lo")), "lo"
+        )
+        .join(memb.select(F.col("n").alias("hi"), F.col("c").alias("c_hi")), "hi")
+        .filter(F.col("c_lo") == F.col("c_hi"))
+        .groupBy(F.col("c_lo").alias("community"))
+        .agg(F.count("*").alias("intra_edges"))
+    )
+    degsum = (
+        memb.join(deg, "n")
+        .groupBy(F.col("c").alias("community"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("d").cast("long").alias("degree_sum"),
+        )
+    )
+    return degsum.join(intra, "community", "left").select(
+        "community",
+        "n_members",
+        F.coalesce(F.col("intra_edges"), F.lit(0)).cast("long").alias("intra_edges"),
+        "degree_sum",
+        (
+            F.lit(4 * m).cast("long")
+            * F.coalesce(F.col("intra_edges"), F.lit(0)).cast("long")
+            - F.col("degree_sum") * F.col("degree_sum")
+        ).alias("contrib_num"),
+        F.lit(4 * m * m).cast("long").alias("denom"),
+    )
+
+
 def triangle_counts(
     edges: DataFrame,
     src: str = "src",

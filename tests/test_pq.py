@@ -103,3 +103,18 @@ def test_adc_recall_floor(spark):
     exact = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
     hits = approx.join(exact, ["query_id", "neighbor_id"]).count()
     assert hits >= 10  # >= 0.2 recall over 50 slots
+
+
+def test_registered_recall_query_matches_floor(spark):
+    # The registered pq_recall_at_k row is the metric form of the
+    # floor test above: 5 queries, each recall a multiple of 1/10 in
+    # [0, 1], and the total must clear the same 0.2 floor.
+    from kafka_avro_order_processing_spark.plans.registry import QUERIES
+
+    rows = QUERIES["pq_recall_at_k"].fn(spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        v = r["recall_at_10"]
+        assert 0.0 <= v <= 1.0
+        assert abs(v * 10 - round(v * 10)) < 1e-12
+    assert sum(r["recall_at_10"] for r in rows) >= 0.2 * 5
