@@ -3036,6 +3036,180 @@ def q_value_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "quantity_price_correlation",
+    """
+    WITH xy AS (
+      SELECT l_returnflag,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      FROM lineitem),
+    mo AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             SUM(CAST(y * y AS DECIMAL(38,0))) AS syy
+      FROM xy GROUP BY l_returnflag)
+    SELECT l_returnflag,
+           n AS n_items,
+           sx AS sum_qty,
+           sy AS sum_price_cents,
+           CAST(CAST(n AS DECIMAL(10,0)) * CAST(sxy AS DECIMAL(28,0))
+                - CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0)) AS DOUBLE)
+             / sqrt(
+                 CAST(CAST(n AS DECIMAL(10,0)) * CAST(sxx AS DECIMAL(28,0))
+                      - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0)) AS DOUBLE)
+                 * CAST(CAST(n AS DECIMAL(10,0)) * CAST(syy AS DECIMAL(28,0))
+                      - CAST(sy AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0)) AS DOUBLE))
+             AS corr_qty_price
+    FROM mo
+    """,
+    tags=("olap", "aggregate", "statistics"),
+    doc="Exact-moment Pearson correlation (quantity vs price per "
+        "return flag) — the engine's column-statistics shape: Spark's "
+        "corr() is a float running aggregate whose result depends on "
+        "partial-aggregation order, so instead the five moments are "
+        "accumulated as EXACT integers (quantity, price-cents, their "
+        "squares and cross product; the y^2 sum in DECIMAL(38,0) — "
+        "cents^2 overflows a BIGINT at ~9e18) and r = (n*Sxy - Sx*Sy) "
+        "/ sqrt((n*Sxx - Sx^2)(n*Syy - Sy^2)) is assembled from them "
+        "in one fixed expression: integer->double casts and sqrt are "
+        "IEEE correctly-rounded, so the double is bit-identical "
+        "across engines — the same associativity argument as the "
+        "fixed-point PageRank, applied to second-order statistics.  "
+        "Shape: one map-side-combinable keyed aggregate over the "
+        "scan, integer partials only, O(groups) state.",
+)
+def q_quantity_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    mo = li.select(
+        "l_returnflag", x.alias("x"), y.alias("y")
+    ).groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+    )
+    dn = F.col("n").cast("decimal(10,0)")
+    num = dn * F.col("sxy").cast("decimal(28,0)") - F.col("sx").cast(
+        "decimal(19,0)"
+    ) * F.col("sy").cast("decimal(19,0)")
+    varx = dn * F.col("sxx").cast("decimal(28,0)") - F.col("sx").cast(
+        "decimal(19,0)"
+    ) * F.col("sx").cast("decimal(19,0)")
+    vary = dn * F.col("syy").cast("decimal(28,0)") - F.col("sy").cast(
+        "decimal(19,0)"
+    ) * F.col("sy").cast("decimal(19,0)")
+    return mo.select(
+        "l_returnflag",
+        F.col("n").alias("n_items"),
+        F.col("sx").alias("sum_qty"),
+        F.col("sy").alias("sum_price_cents"),
+        (
+            num.cast("double")
+            / F.sqrt(varx.cast("double") * vary.cast("double"))
+        ).alias("corr_qty_price"),
+    )
+
+
+@_register(
+    "daily_revenue_trend",
+    """
+    WITH daily AS (
+      SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM orders GROUP BY 1),
+    mo AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(day) AS BIGINT) AS sx,
+             CAST(SUM(rev_cents) AS BIGINT) AS sy,
+             SUM(CAST(day * day AS DECIMAL(38,0))) AS sxx,
+             SUM(CAST(day * rev_cents AS DECIMAL(38,0))) AS sxy
+      FROM daily),
+    fit AS (
+      SELECT n, sx, sy,
+             CAST(CAST(n AS DECIMAL(10,0)) * CAST(sxy AS DECIMAL(28,0))
+                  - CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))
+                  AS DOUBLE)
+             / CAST(CAST(n AS DECIMAL(10,0)) * CAST(sxx AS DECIMAL(28,0))
+                  - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0))
+                  AS DOUBLE) AS slope
+      FROM mo)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           slope AS slope_cents_per_day,
+           (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+             AS intercept_cents
+    FROM fit
+    """,
+    tags=("olap", "aggregate", "statistics"),
+    doc="Ordinary-least-squares trend of daily revenue — the forecast "
+        "primitive behind 'is revenue growing and how fast': slope = "
+        "(n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) over (epoch-day, daily "
+        "revenue-cents) points, every moment an EXACT integer "
+        "(day*cents sums in DECIMAL(38,0) — they clear a BIGINT at "
+        "scale) so the fitted line is bit-identical across engines "
+        "and partitionings, same contract as "
+        "quantity_price_correlation.  Shape: daily rollup (one keyed "
+        "integer aggregate) then a 1-row moment combine — two "
+        "map-side-combinable aggregations, no window, no sort.",
+)
+def q_daily_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.floor(
+                F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+                / F.lit(86400)
+            )
+            .cast("long")
+            .alias("day"),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").cast("long").alias("rev_cents"))
+    )
+    mo = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("day").cast("long").alias("sx"),
+        F.sum("rev_cents").cast("long").alias("sy"),
+        F.sum((F.col("day") * F.col("day")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("day") * F.col("rev_cents")).cast("decimal(38,0)")).alias(
+            "sxy"
+        ),
+    )
+    dn = F.col("n").cast("decimal(10,0)")
+    num = dn * F.col("sxy").cast("decimal(28,0)") - F.col("sx").cast(
+        "decimal(19,0)"
+    ) * F.col("sy").cast("decimal(19,0)")
+    den = dn * F.col("sxx").cast("decimal(28,0)") - F.col("sx").cast(
+        "decimal(19,0)"
+    ) * F.col("sx").cast("decimal(19,0)")
+    fit = mo.select(
+        "n",
+        "sx",
+        "sy",
+        (num.cast("double") / den.cast("double")).alias("slope"),
+    )
+    return fit.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("slope").alias("slope_cents_per_day"),
+        (
+            (F.col("sy").cast("double") - F.col("slope") * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("intercept_cents"),
+    )
+
+
+@_register(
     "forecast_revenue_change",
     """
     SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -5638,12 +5812,12 @@ _LEAD_ORDER = [
     # ahead (to the round-7 plan) before the round-6 driver check
     # ever ran, which would have left every name below unchecked.
     # Rebuilt by priority: (1) the never-driver-checked names —
-    # this round's new queries (24 after the third session added
-    # weighted_trade_pagerank + community_modularity +
-    # pq_recall_at_k); (2) the 10 names whose latest green row is
-    # round 3 (age 3 — the set the r5 verdict ordered round 6 to lead
-    # with); (3) r4-green names oldest-registration-first (16 of 49
-    # fit).
+    # this round's new queries (25 after the third session added
+    # weighted_trade_pagerank + community_modularity + pq_recall_at_k
+    # + quantity_price_correlation + daily_revenue_trend, 26 total);
+    # (2) the 10 names whose latest green row is round 3 (age 3 — the
+    # set the r5 verdict ordered round 6 to lead with); (3) r4-green
+    # names oldest-registration-first (14 of 49 fit).
     # (1) never checked:
     "avro_uri_manifest_write", "avro_stats_pruned_read",
     "avro_compacted_roundtrip", "avro_bloom_pruned_lookup",
@@ -5655,6 +5829,7 @@ _LEAD_ORDER = [
     "co_activity_triangles", "user_communities", "pq_adc_topk",
     "importance_weighted_sample",
     "weighted_trade_pagerank", "community_modularity", "pq_recall_at_k",
+    "quantity_price_correlation", "daily_revenue_trend",
     "semantic_dedup", "training_order_shuffle",
     "avro_stream_stats_filter", "stratified_sample", "dedup_keep_best",
     # (2) r3-green, age 3:
@@ -5669,15 +5844,16 @@ _LEAD_ORDER = [
     "generated_orders", "generated_orders_datasource",
     "sql_api_events_hourly", "value_percentiles", "value_dispersion",
     "user_retention_cohorts", "customers_with_pending_orders",
-    "order_display_lines", "props_json_extraction",
-    "above_customer_avg_orders",
+    "order_display_lines",
     # --- position 50 boundary ---------------------------------------
-    # ROUND-7 MATH: the 33 r4-green names below are the ones this
+    # ROUND-7 MATH: the 35 r4-green names below are the ones this
     # window could not fit; after the r6 check they are the oldest
     # rows anywhere (age 2, reaching age 3 in round 7) — LEAD ROUND 7
-    # WITH THESE 33, then fill with r5-green names
-    # oldest-registration-first (17 fit; the remaining 33 r5-greens
+    # WITH THESE 35, then fill with r5-green names
+    # oldest-registration-first (15 fit; the remaining 35 r5-greens
     # lead round 8, and the r6 window is safe until round 9).
+    "props_json_extraction",
+    "above_customer_avg_orders",
     "approx_distinct_users",
     "ivf_probe_search", "ivf_recall_at_k",
     "clicks_before_purchase",

@@ -1,0 +1,120 @@
+"""Exact-moment Pearson correlation (quantity_price_correlation): the
+integer-moment assembly must agree with numpy's float corrcoef to
+float tolerance (same statistic), and — the operator's actual contract
+— be BIT-identical under any repartitioning (integer partials are
+associative; a float running corr is not).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from kafka_avro_order_processing_spark.plans.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(spark, sf=SF):
+    return {
+        r["l_returnflag"]: r
+        for r in QUERIES["quantity_price_correlation"].fn(spark, sf).collect()
+    }
+
+
+def test_agrees_with_numpy_corrcoef(spark):
+    got = _rows(spark)
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    ).collect()
+    by_flag: dict[str, tuple[list, list]] = {}
+    for r in li:
+        xs, ys = by_flag.setdefault(r["l_returnflag"], ([], []))
+        xs.append(r["l_quantity"])
+        ys.append(round(r["l_extendedprice"] * 100))
+    assert set(got) == set(by_flag)
+    for flag, (xs, ys) in by_flag.items():
+        ref = float(np.corrcoef(xs, ys)[0, 1])
+        assert math.isclose(got[flag]["corr_qty_price"], ref, rel_tol=1e-9), flag
+        assert got[flag]["n_items"] == len(xs)
+        assert got[flag]["sum_qty"] == int(sum(xs))
+        assert got[flag]["sum_price_cents"] == int(sum(ys))
+
+
+def test_bit_identical_under_repartitioning(spark):
+    # The whole point of integer moments: the float output is one fixed
+    # expression over exact sums, so partitioning cannot move a bit.
+    base = _rows(spark)
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    for parts in (1, 7, 32):
+        shuffled = li.repartition(parts, "l_orderkey")
+        view = f"lineitem_rp{parts}"
+        shuffled.createOrReplaceTempView(view)
+        # Re-run the same plan over the repartitioned table by swapping
+        # the loader: easiest faithful route is a temp dir-free rerun
+        # via DataFrame surgery on the registered fn's building blocks.
+        from pyspark.sql import functions as F
+
+        x = F.col("l_quantity").cast("long")
+        y = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+        mo = shuffled.select(
+            "l_returnflag", x.alias("x"), y.alias("y")
+        ).groupBy("l_returnflag").agg(
+            F.count("*").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+        )
+        dn = F.col("n").cast("decimal(10,0)")
+        num = dn * F.col("sxy").cast("decimal(28,0)") - F.col("sx").cast(
+            "decimal(19,0)"
+        ) * F.col("sy").cast("decimal(19,0)")
+        varx = dn * F.col("sxx").cast("decimal(28,0)") - F.col("sx").cast(
+            "decimal(19,0)"
+        ) * F.col("sx").cast("decimal(19,0)")
+        vary = dn * F.col("syy").cast("decimal(28,0)") - F.col("sy").cast(
+            "decimal(19,0)"
+        ) * F.col("sy").cast("decimal(19,0)")
+        rerun = {
+            r["l_returnflag"]: r
+            for r in mo.select(
+                "l_returnflag",
+                (
+                    num.cast("double")
+                    / F.sqrt(varx.cast("double") * vary.cast("double"))
+                ).alias("corr_qty_price"),
+            ).collect()
+        }
+        for flag, r in base.items():
+            # exact float equality — the contract, not a tolerance
+            assert rerun[flag]["corr_qty_price"] == r["corr_qty_price"], (
+                flag,
+                parts,
+            )
+
+
+def test_trend_agrees_with_numpy_polyfit(spark):
+    row = QUERIES["daily_revenue_trend"].fn(spark, SF).collect()[0]
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderdate", "o_totalprice"
+    ).collect()
+    daily: dict[int, int] = {}
+    for r in orders:
+        day = int(r["o_orderdate"].timestamp() // 86400)
+        daily[day] = daily.get(day, 0) + round(r["o_totalprice"] * 100)
+    xs = np.array(sorted(daily), dtype=float)
+    ys = np.array([daily[d] for d in sorted(daily)], dtype=float)
+    slope, intercept = np.polyfit(xs, ys, 1)
+    assert row["n_days"] == len(xs)
+    assert math.isclose(row["slope_cents_per_day"], float(slope), rel_tol=1e-9)
+    assert math.isclose(row["intercept_cents"], float(intercept), rel_tol=1e-9)
+
+
+def test_trend_is_deterministic_across_runs(spark):
+    a = QUERIES["daily_revenue_trend"].fn(spark, SF).collect()[0]
+    b = QUERIES["daily_revenue_trend"].fn(spark, SF).collect()[0]
+    assert a["slope_cents_per_day"] == b["slope_cents_per_day"]
+    assert a["intercept_cents"] == b["intercept_cents"]
