@@ -3035,9 +3035,7 @@ def q_value_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "quantity_price_correlation",
-    """
+_QPC_ORACLE = """
     WITH xy AS (
       SELECT l_returnflag,
              CAST(l_quantity AS BIGINT) AS x,
@@ -3065,7 +3063,59 @@ def q_value_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
                       - CAST(sy AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0)) AS DOUBLE))
              AS corr_qty_price
     FROM mo
-    """,
+    """
+
+
+def _qpc_moments(li: DataFrame) -> DataFrame:
+    """The five exact integer moments per return flag (see
+    quantity_price_correlation's doc): associative sums only, so the
+    same aggregation runs identically as a batch groupBy or as
+    update-mode streaming aggregation state."""
+    x = F.col("l_quantity").cast("long")
+    y = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    return (
+        li.select("l_returnflag", x.alias("x"), y.alias("y"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+        )
+    )
+
+
+def _qpc_assemble(mo: DataFrame) -> DataFrame:
+    """Pearson r from the exact moments in one fixed expression
+    (correctly-rounded casts / sqrt / division — bit-identical across
+    engines)."""
+    dn = F.col("n").cast("decimal(10,0)")
+    num = dn * F.col("sxy").cast("decimal(28,0)") - F.col("sx").cast(
+        "decimal(19,0)"
+    ) * F.col("sy").cast("decimal(19,0)")
+    varx = dn * F.col("sxx").cast("decimal(28,0)") - F.col("sx").cast(
+        "decimal(19,0)"
+    ) * F.col("sx").cast("decimal(19,0)")
+    vary = dn * F.col("syy").cast("decimal(28,0)") - F.col("sy").cast(
+        "decimal(19,0)"
+    ) * F.col("sy").cast("decimal(19,0)")
+    return mo.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_items"),
+        F.col("sx").alias("sum_qty"),
+        F.col("sy").alias("sum_price_cents"),
+        (
+            num.cast("double")
+            / F.sqrt(varx.cast("double") * vary.cast("double"))
+        ).alias("corr_qty_price"),
+    )
+
+
+@_register(
+    "quantity_price_correlation",
+    _QPC_ORACLE,
     tags=("olap", "aggregate", "statistics"),
     doc="Exact-moment Pearson correlation (quantity vs price per "
         "return flag) — the engine's column-statistics shape: Spark's "
@@ -3083,39 +3133,34 @@ def q_value_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scan, integer partials only, O(groups) state.",
 )
 def q_quantity_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    x = F.col("l_quantity").cast("long")
-    y = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
-    mo = li.select(
-        "l_returnflag", x.alias("x"), y.alias("y")
-    ).groupBy("l_returnflag").agg(
-        F.count("*").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+    return _qpc_assemble(_qpc_moments(load_table(spark, sf_dir, "lineitem")))
+
+
+@_register(
+    "streaming_quantity_price_correlation",
+    _QPC_ORACLE,
+    tags=("m5", "streaming", "aggregate", "statistics"),
+    doc="Streaming twin of quantity_price_correlation, SAME oracle: "
+        "the five exact integer moments accumulate as update-mode "
+        "streaming aggregation state (associative sums — micro-batch "
+        "boundaries provably cannot move them, the same argument as "
+        "the sketch twins), and Pearson r assembles in batch over the "
+        "drained O(groups) moment table.  Second-order statistics an "
+        "unbounded stream can maintain forever in bounded state — "
+        "where a float running corr would both grow nothing and "
+        "drift with batch boundaries.",
+)
+def q_streaming_quantity_price_correlation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..streaming.pipeline import drain_to_df, stream_table
+
+    mo = drain_to_df(
+        _qpc_moments(stream_table(spark, sf_dir, "lineitem")),
+        "update",
+        key_cols=("l_returnflag",),
     )
-    dn = F.col("n").cast("decimal(10,0)")
-    num = dn * F.col("sxy").cast("decimal(28,0)") - F.col("sx").cast(
-        "decimal(19,0)"
-    ) * F.col("sy").cast("decimal(19,0)")
-    varx = dn * F.col("sxx").cast("decimal(28,0)") - F.col("sx").cast(
-        "decimal(19,0)"
-    ) * F.col("sx").cast("decimal(19,0)")
-    vary = dn * F.col("syy").cast("decimal(28,0)") - F.col("sy").cast(
-        "decimal(19,0)"
-    ) * F.col("sy").cast("decimal(19,0)")
-    return mo.select(
-        "l_returnflag",
-        F.col("n").alias("n_items"),
-        F.col("sx").alias("sum_qty"),
-        F.col("sy").alias("sum_price_cents"),
-        (
-            num.cast("double")
-            / F.sqrt(varx.cast("double") * vary.cast("double"))
-        ).alias("corr_qty_price"),
-    )
+    return _qpc_assemble(mo)
 
 
 @_register(
@@ -5814,10 +5859,11 @@ _LEAD_ORDER = [
     # Rebuilt by priority: (1) the never-driver-checked names —
     # this round's new queries (25 after the third session added
     # weighted_trade_pagerank + community_modularity + pq_recall_at_k
-    # + quantity_price_correlation + daily_revenue_trend, 26 total);
-    # (2) the 10 names whose latest green row is round 3 (age 3 — the
-    # set the r5 verdict ordered round 6 to lead with); (3) r4-green
-    # names oldest-registration-first (14 of 49 fit).
+    # + quantity_price_correlation + its streaming twin +
+    # daily_revenue_trend, 27 total); (2) the 10 names whose latest
+    # green row is round 3 (age 3 — the set the r5 verdict ordered
+    # round 6 to lead with); (3) r4-green names
+    # oldest-registration-first (13 of 49 fit).
     # (1) never checked:
     "avro_uri_manifest_write", "avro_stats_pruned_read",
     "avro_compacted_roundtrip", "avro_bloom_pruned_lookup",
@@ -5829,7 +5875,8 @@ _LEAD_ORDER = [
     "co_activity_triangles", "user_communities", "pq_adc_topk",
     "importance_weighted_sample",
     "weighted_trade_pagerank", "community_modularity", "pq_recall_at_k",
-    "quantity_price_correlation", "daily_revenue_trend",
+    "quantity_price_correlation", "streaming_quantity_price_correlation",
+    "daily_revenue_trend",
     "semantic_dedup", "training_order_shuffle",
     "avro_stream_stats_filter", "stratified_sample", "dedup_keep_best",
     # (2) r3-green, age 3:
@@ -5844,14 +5891,14 @@ _LEAD_ORDER = [
     "generated_orders", "generated_orders_datasource",
     "sql_api_events_hourly", "value_percentiles", "value_dispersion",
     "user_retention_cohorts", "customers_with_pending_orders",
-    "order_display_lines",
     # --- position 50 boundary ---------------------------------------
-    # ROUND-7 MATH: the 35 r4-green names below are the ones this
+    # ROUND-7 MATH: the 36 r4-green names below are the ones this
     # window could not fit; after the r6 check they are the oldest
     # rows anywhere (age 2, reaching age 3 in round 7) — LEAD ROUND 7
-    # WITH THESE 35, then fill with r5-green names
-    # oldest-registration-first (15 fit; the remaining 35 r5-greens
+    # WITH THESE 36, then fill with r5-green names
+    # oldest-registration-first (14 fit; the remaining 36 r5-greens
     # lead round 8, and the r6 window is safe until round 9).
+    "order_display_lines",
     "props_json_extraction",
     "above_customer_avg_orders",
     "approx_distinct_users",

@@ -118,3 +118,30 @@ def test_trend_is_deterministic_across_runs(spark):
     b = QUERIES["daily_revenue_trend"].fn(spark, SF).collect()[0]
     assert a["slope_cents_per_day"] == b["slope_cents_per_day"]
     assert a["intercept_cents"] == b["intercept_cents"]
+
+
+def test_streaming_twin_equals_batch_bit_for_bit(spark):
+    # Moments are associative integer sums: draining them as
+    # update-mode streaming state must reproduce the batch result
+    # EXACTLY (same contract as the sketch twins).
+    batch = _rows(spark)
+    stream = {
+        r["l_returnflag"]: r
+        for r in QUERIES["streaming_quantity_price_correlation"]
+        .fn(spark, SF)
+        .collect()
+    }
+    assert set(stream) == set(batch)
+    for flag, r in batch.items():
+        s = stream[flag]
+        assert (
+            s["n_items"],
+            s["sum_qty"],
+            s["sum_price_cents"],
+            s["corr_qty_price"],
+        ) == (
+            r["n_items"],
+            r["sum_qty"],
+            r["sum_price_cents"],
+            r["corr_qty_price"],
+        ), flag
