@@ -3255,6 +3255,153 @@ def q_daily_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "daily_revenue_filled",
+    """
+    WITH daily AS (
+      SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM orders GROUP BY 1),
+    bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+    spine AS (
+      SELECT UNNEST(range(lo, hi + 1)) AS day FROM bounds),
+    joined AS (
+      SELECT s.day, d.rev_cents,
+             COUNT(d.rev_cents) OVER (ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM spine s LEFT JOIN daily d ON d.day = s.day)
+    SELECT day,
+           CAST(MAX(rev_cents) OVER (PARTITION BY grp) AS BIGINT)
+             AS rev_cents_filled,
+           rev_cents IS NULL AS was_missing
+    FROM joined
+    """,
+    tags=("olap", "window", "timeseries"),
+    doc="Date-spine gap filling with last-observation-carried-forward "
+        "— the resample step every revenue/metric time series needs "
+        "before trend or anomaly work (a day with no orders must "
+        "appear as a row, not silently vanish): a dense day spine "
+        "from sequence+explode, left join of the daily rollup, and "
+        "LOCF via the portable count-over/max-partition idiom (a "
+        "running COUNT of non-null observations names the fill group; "
+        "MAX over that group is the carried value — no IGNORE NULLS "
+        "dependence, identical semantics in both engines).  The "
+        "ordered window runs over the DAILY ROLLUP — O(calendar "
+        "days) rows bounded by the date span, never by fact volume — "
+        "so the single-partition sort is a few thousand rows at ANY "
+        "corpus scale; the fact-sized work is the one keyed rollup "
+        "aggregate before it.",
+)
+def q_daily_revenue_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.floor(
+                F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+                / F.lit(86400)
+            )
+            .cast("long")
+            .alias("day"),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").cast("long").alias("rev_cents"))
+    )
+    spine = daily.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    ).select(F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day"))
+    w_run = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    joined = spine.join(daily, "day", "left").withColumn(
+        "grp", F.count("rev_cents").over(w_run)
+    )
+    return joined.select(
+        "day",
+        F.max("rev_cents").over(Window.partitionBy("grp")).alias(
+            "rev_cents_filled"
+        ),
+        F.col("rev_cents").isNull().alias("was_missing"),
+    )
+
+
+@_register(
+    "revenue_anomaly_days",
+    """
+    WITH daily AS (
+      SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM orders GROUP BY 1),
+    mo AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(rev_cents) AS BIGINT) AS sy,
+             SUM(CAST(rev_cents * rev_cents AS DECIMAL(38,0))) AS syy
+      FROM daily)
+    SELECT d.day, d.rev_cents,
+           (CAST(CAST(mo.n AS DECIMAL(10,0)) * CAST(d.rev_cents AS DECIMAL(19,0))
+                 - CAST(mo.sy AS DECIMAL(28,0)) AS DECIMAL(19,0))
+            * CAST(CAST(mo.n AS DECIMAL(10,0)) * CAST(d.rev_cents AS DECIMAL(19,0))
+                 - CAST(mo.sy AS DECIMAL(28,0)) AS DECIMAL(19,0)))
+           > 4 * (CAST(mo.n AS DECIMAL(10,0)) * CAST(mo.syy AS DECIMAL(28,0))
+                  - CAST(mo.sy AS DECIMAL(19,0)) * CAST(mo.sy AS DECIMAL(19,0)))
+             AS is_anomaly
+    FROM daily d CROSS JOIN mo
+    """,
+    tags=("olap", "aggregate", "statistics", "timeseries"),
+    doc="Z-score outlier days WITHOUT A SINGLE FLOAT: |x - mean| > "
+        "2*sigma rearranged to the pure-integer inequality "
+        "(n*x - Sy)^2 > 4*(n*Syy - Sy^2) — both sides exact "
+        "DECIMAL(38,0) quantities from the daily-revenue moments, so "
+        "the anomaly set is EXACT: no engine, partitioning, or "
+        "rounding can flip a flag on the boundary (a float z-score "
+        "pipeline can and does).  Shape: one keyed rollup, a 1-row "
+        "moment aggregate broadcast back over the O(days) table — "
+        "the same two map-side-combinable aggregations as the trend "
+        "query, plus a constant-width decimal comparison per row.",
+)
+def q_revenue_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.floor(
+                F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+                / F.lit(86400)
+            )
+            .cast("long")
+            .alias("day"),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").cast("long").alias("rev_cents"))
+    )
+    mo = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("rev_cents").cast("long").alias("sy"),
+        F.sum(
+            (F.col("rev_cents") * F.col("rev_cents")).cast("decimal(38,0)")
+        ).alias("syy"),
+    )
+    dev = (
+        F.col("n").cast("decimal(10,0)") * F.col("rev_cents").cast("decimal(19,0)")
+        - F.col("sy").cast("decimal(28,0)")
+    ).cast("decimal(19,0)")
+    var4 = 4 * (
+        F.col("n").cast("decimal(10,0)") * F.col("syy").cast("decimal(28,0)")
+        - F.col("sy").cast("decimal(19,0)") * F.col("sy").cast("decimal(19,0)")
+    )
+    return daily.crossJoin(F.broadcast(mo)).select(
+        "day",
+        "rev_cents",
+        ((dev * dev) > var4).alias("is_anomaly"),
+    )
+
+
+@_register(
     "forecast_revenue_change",
     """
     SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -5860,10 +6007,11 @@ _LEAD_ORDER = [
     # this round's new queries (25 after the third session added
     # weighted_trade_pagerank + community_modularity + pq_recall_at_k
     # + quantity_price_correlation + its streaming twin +
-    # daily_revenue_trend, 27 total); (2) the 10 names whose latest
+    # daily_revenue_trend + daily_revenue_filled +
+    # revenue_anomaly_days, 29 total); (2) the 10 names whose latest
     # green row is round 3 (age 3 — the set the r5 verdict ordered
     # round 6 to lead with); (3) r4-green names
-    # oldest-registration-first (13 of 49 fit).
+    # oldest-registration-first (11 of 49 fit).
     # (1) never checked:
     "avro_uri_manifest_write", "avro_stats_pruned_read",
     "avro_compacted_roundtrip", "avro_bloom_pruned_lookup",
@@ -5876,7 +6024,7 @@ _LEAD_ORDER = [
     "importance_weighted_sample",
     "weighted_trade_pagerank", "community_modularity", "pq_recall_at_k",
     "quantity_price_correlation", "streaming_quantity_price_correlation",
-    "daily_revenue_trend",
+    "daily_revenue_trend", "daily_revenue_filled", "revenue_anomaly_days",
     "semantic_dedup", "training_order_shuffle",
     "avro_stream_stats_filter", "stratified_sample", "dedup_keep_best",
     # (2) r3-green, age 3:
@@ -5890,14 +6038,14 @@ _LEAD_ORDER = [
     "simhash_fingerprints", "diversity_sample", "purchase_avg_lookup",
     "generated_orders", "generated_orders_datasource",
     "sql_api_events_hourly", "value_percentiles", "value_dispersion",
-    "user_retention_cohorts", "customers_with_pending_orders",
     # --- position 50 boundary ---------------------------------------
-    # ROUND-7 MATH: the 36 r4-green names below are the ones this
+    # ROUND-7 MATH: the 38 r4-green names below are the ones this
     # window could not fit; after the r6 check they are the oldest
     # rows anywhere (age 2, reaching age 3 in round 7) — LEAD ROUND 7
-    # WITH THESE 36, then fill with r5-green names
-    # oldest-registration-first (14 fit; the remaining 36 r5-greens
+    # WITH THESE 38, then fill with r5-green names
+    # oldest-registration-first (12 fit; the remaining 38 r5-greens
     # lead round 8, and the r6 window is safe until round 9).
+    "user_retention_cohorts", "customers_with_pending_orders",
     "order_display_lines",
     "props_json_extraction",
     "above_customer_avg_orders",
