@@ -79,6 +79,7 @@ def test_selective_filters_reach_the_scan(spark, name):
 BROADCAST_CASES = [
     "cms_user_frequencies",   # d*w sketch grid joined to probes
     "hll_distinct_users",     # 1-row estimate x 1-row exact count
+    "revenue_anomaly_days",   # 1-row moment table x O(days) rollup
 ]
 
 
