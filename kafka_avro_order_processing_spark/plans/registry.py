@@ -3775,6 +3775,73 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(load_table(spark, sf_dir, "embeddings"), dim=64)
 
 
+@_register(
+    "pq_rerank_topk",
+    """
+    WITH adc AS ({adc50}),
+    v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      FROM embeddings),
+    resc AS (
+      SELECT a.query_id, a.neighbor_id,
+             list_sum(list_transform(range(1, 65),
+               j -> (q.ve[j] - n.ve[j]) * (q.ve[j] - n.ve[j]))) AS dist
+      FROM adc a
+      JOIN v q ON q.vec_id = a.query_id
+      JOIN v n ON n.vec_id = a.neighbor_id)
+    SELECT query_id, neighbor_id, dist, CAST(rnk AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY dist, neighbor_id) AS rnk FROM resc)
+    WHERE rnk <= 10
+    """,
+    tags=("m5", "similarity", "quantization"),
+    doc="Two-stage ANN — the production retrieval pattern: the "
+        "compressed ADC index shortlists 50 candidates per query "
+        "(never touching raw vectors), then ONLY those 250 rows are "
+        "exactly re-scored against the full corpus vectors and "
+        "re-ranked to top-10.  Re-ranking converts shortlist "
+        "membership into exact ordering, so quality becomes 'did the "
+        "true neighbor make the shortlist' rather than 'did ADC "
+        "rank it right' — measurably above plain ADC "
+        "(suite-pinned vs pq_adc_topk's hits in tests/test_pq.py).  "
+        "At 100 TB the exact stage reads O(queries x shortlist) "
+        "vectors via a broadcast semi-join of the tiny candidate "
+        "set — the corpus-wide scan stays compressed.",
+)
+def q_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import _SQDIST, pq_topk
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    shortlist = pq_topk(emb, dim=64, topk=50).select("query_id", "neighbor_id")
+    v = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("ve"),
+    )
+    cand = v.join(
+        F.broadcast(shortlist), v.vec_id == F.col("neighbor_id")
+    ).select("query_id", "neighbor_id", F.col("ve").alias("ne"))
+    q = v.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("ve").alias("qe")
+    )
+    resc = cand.join(F.broadcast(q), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        F.expr(_SQDIST.format(a="qe", b="ne")).alias("dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return (
+        resc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+QUERIES["pq_rerank_topk"].oracle = QUERIES["pq_rerank_topk"].oracle.format(
+    adc50=_pq_oracle(topk=50)
+)
+
+
 _PQ_BRUTE_L2_ORACLE = """
     WITH v AS (
       SELECT vec_id,
@@ -6008,10 +6075,10 @@ _LEAD_ORDER = [
     # weighted_trade_pagerank + community_modularity + pq_recall_at_k
     # + quantity_price_correlation + its streaming twin +
     # daily_revenue_trend + daily_revenue_filled +
-    # revenue_anomaly_days, 29 total); (2) the 10 names whose latest
-    # green row is round 3 (age 3 — the set the r5 verdict ordered
-    # round 6 to lead with); (3) r4-green names
-    # oldest-registration-first (11 of 49 fit).
+    # revenue_anomaly_days + pq_rerank_topk, 30 total); (2) the 10
+    # names whose latest green row is round 3 (age 3 — the set the r5
+    # verdict ordered round 6 to lead with); (3) r4-green names
+    # oldest-registration-first (10 of 49 fit).
     # (1) never checked:
     "avro_uri_manifest_write", "avro_stats_pruned_read",
     "avro_compacted_roundtrip", "avro_bloom_pruned_lookup",
@@ -6023,6 +6090,7 @@ _LEAD_ORDER = [
     "co_activity_triangles", "user_communities", "pq_adc_topk",
     "importance_weighted_sample",
     "weighted_trade_pagerank", "community_modularity", "pq_recall_at_k",
+    "pq_rerank_topk",
     "quantity_price_correlation", "streaming_quantity_price_correlation",
     "daily_revenue_trend", "daily_revenue_filled", "revenue_anomaly_days",
     "semantic_dedup", "training_order_shuffle",
@@ -6037,14 +6105,15 @@ _LEAD_ORDER = [
     "product_stats_snapshot", "near_dup_pairs", "near_dup_pairs_char",
     "simhash_fingerprints", "diversity_sample", "purchase_avg_lookup",
     "generated_orders", "generated_orders_datasource",
-    "sql_api_events_hourly", "value_percentiles", "value_dispersion",
+    "sql_api_events_hourly", "value_percentiles",
     # --- position 50 boundary ---------------------------------------
-    # ROUND-7 MATH: the 38 r4-green names below are the ones this
+    # ROUND-7 MATH: the 39 r4-green names below are the ones this
     # window could not fit; after the r6 check they are the oldest
     # rows anywhere (age 2, reaching age 3 in round 7) — LEAD ROUND 7
-    # WITH THESE 38, then fill with r5-green names
-    # oldest-registration-first (12 fit; the remaining 38 r5-greens
+    # WITH THESE 39, then fill with r5-green names
+    # oldest-registration-first (11 fit; the remaining 39 r5-greens
     # lead round 8, and the r6 window is safe until round 9).
+    "value_dispersion",
     "user_retention_cohorts", "customers_with_pending_orders",
     "order_display_lines",
     "props_json_extraction",

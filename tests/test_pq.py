@@ -118,3 +118,41 @@ def test_registered_recall_query_matches_floor(spark):
         assert 0.0 <= v <= 1.0
         assert abs(v * 10 - round(v * 10)) < 1e-12
     assert sum(r["recall_at_10"] for r in rows) >= 0.2 * 5
+
+
+def test_rerank_beats_or_ties_plain_adc(spark):
+    # Two-stage retrieval: exact rescoring of the 50-candidate ADC
+    # shortlist must agree with exact search at least as often as the
+    # plain ADC top-10 does (re-ranking can only fix orderings, never
+    # lose a shortlist member), and every rerank distance is an exact
+    # distance, so overlapping pairs carry identical ranks source.
+    from pyspark.sql import Window
+
+    emb = load_table(spark, SF, "embeddings")
+    d = (
+        "aggregate(zip_with(q_vec, c_vec, (x, y) ->"
+        " (cast(x as double) - cast(y as double))"
+        " * (cast(x as double) - cast(y as double))), 0D, (a, v) -> a + v)"
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.expr(d).alias("dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    exact = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 10
+    ).select("query_id", "neighbor_id")
+
+    from kafka_avro_order_processing_spark.plans.registry import QUERIES
+
+    adc = QUERIES["pq_adc_topk"].fn(spark, SF).select("query_id", "neighbor_id")
+    rerank = QUERIES["pq_rerank_topk"].fn(spark, SF).select("query_id", "neighbor_id")
+    adc_hits = adc.join(exact, ["query_id", "neighbor_id"]).count()
+    rr_hits = rerank.join(exact, ["query_id", "neighbor_id"]).count()
+    assert rr_hits >= adc_hits
+    assert rr_hits >= 10  # same floor as the ADC test, trivially cleared
