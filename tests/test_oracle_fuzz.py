@@ -446,3 +446,76 @@ def test_fuzz_histogram_quantile_error_bound(spark, rows):
     for q in (0.5, 0.9, 0.99):
         exact = vals[math.ceil(q * len(vals)) - 1]
         assert abs(got[q] - exact) <= width, (q, got[q], exact)
+
+
+# ---------------------------------------------------------------------------
+# Modularity: the all-integer decomposition must match a DuckDB SQL
+# replica bit-for-bit on ANY random graph + partition (the driver row
+# pins one fixed graph; this pins the algebra itself).
+# ---------------------------------------------------------------------------
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 25), st.integers(0, 25)),
+    min_size=1,
+    max_size=80,
+).filter(lambda es: any(a != b for a, b in es))
+
+labels_seed = st.integers(0, 2**31 - 1)
+
+
+@given(edges=edges_strategy, seed=labels_seed)
+@SETTINGS
+def test_fuzz_modularity_matches_duckdb(spark, edges, seed):
+    from kafka_avro_order_processing_spark.operators.graph import modularity
+
+    nodes = sorted({n for e in edges for n in e})
+    labels = [(n, (n * seed) % 5) for n in nodes]
+    e_df = spark.createDataFrame(edges, "src long, dst long")
+    l_df = spark.createDataFrame(labels, "node long, community long")
+    got = sorted(
+        (
+            r["community"],
+            r["n_members"],
+            r["intra_edges"],
+            r["degree_sum"],
+            r["contrib_num"],
+            r["denom"],
+        )
+        for r in modularity(e_df, l_df).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE e (src BIGINT, dst BIGINT); "
+        "CREATE TABLE l (node BIGINT, community BIGINT)"
+    )
+    con.executemany("INSERT INTO e VALUES (?, ?)", edges)
+    con.executemany("INSERT INTO l VALUES (?, ?)", labels)
+    want = sorted(
+        tuple(r)
+        for r in con.execute("""
+            WITH und AS (
+              SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi
+              FROM e WHERE src <> dst),
+            m AS (SELECT COUNT(*) AS m FROM und),
+            sym AS (SELECT lo AS n FROM und UNION ALL SELECT hi FROM und),
+            deg AS (SELECT n, COUNT(*) AS d FROM sym GROUP BY n),
+            intra AS (
+              SELECT la.community, COUNT(*) AS c
+              FROM und u
+              JOIN l la ON la.node = u.lo
+              JOIN l lb ON lb.node = u.hi
+              WHERE la.community = lb.community GROUP BY 1),
+            degsum AS (
+              SELECT l.community, COUNT(*) AS nm,
+                     CAST(SUM(d.d) AS BIGINT) AS ds
+              FROM l JOIN deg d ON d.n = l.node GROUP BY 1)
+            SELECT ds.community, ds.nm,
+                   CAST(COALESCE(i.c, 0) AS BIGINT),
+                   ds.ds,
+                   CAST(4 * m.m * COALESCE(i.c, 0) - ds.ds * ds.ds AS BIGINT),
+                   CAST(4 * m.m * m.m AS BIGINT)
+            FROM degsum ds CROSS JOIN m
+            LEFT JOIN intra i ON i.community = ds.community
+        """).fetchall()
+    )
+    assert got == want
