@@ -329,6 +329,61 @@ def label_propagation(
     return labels.select("node", F.col("label").alias("community"))
 
 
+def k_core(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core membership by synchronous peeling (Seidman '83): each
+    round recomputes degrees over the surviving induced subgraph and
+    drops every node with degree < k — the standard graph-cohesion
+    filter (a node in the 3-core has 3 neighbors that THEMSELVES are
+    well-connected, which a raw degree threshold cannot express).
+
+    Like the deterministic LPA, the contract is the state after
+    ``rounds`` FIXED peel rounds (full peeling runs until no node
+    drops; a fixed count makes the result oracle-reproducible and
+    bounds the job — shallow graphs converge in a handful of rounds,
+    and the suite pins convergence on its test topologies).  Returns
+    (node, in_core) for EVERY node with at least one non-self edge.
+
+    Scale shape per round: one degree aggregate over the symmetric
+    view + two semi-joins inducing the surviving edge set — all keyed
+    shuffles on node ids, lineage cut per round; no per-node state
+    beyond the current edge list.
+    """
+    und = (
+        edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+        .filter(F.col("x") != F.col("y"))
+        .select(F.least("x", "y").alias("lo"), F.greatest("x", "y").alias("hi"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = und.select(F.col("lo").alias("node")).unionByName(
+        und.select(F.col("hi").alias("node"))
+    ).distinct()
+    cur = und
+    keep = nodes.select(F.col("node").alias("n"))
+    for _ in range(rounds):
+        sym = cur.select(F.col("lo").alias("n")).unionByName(
+            cur.select(F.col("hi").alias("n"))
+        )
+        deg = sym.groupBy("n").agg(F.count("*").alias("d"))
+        keep = deg.filter(F.col("d") >= k).select("n").localCheckpoint(eager=True)
+        cur = (
+            cur.join(keep.select(F.col("n").alias("lo")), "lo", "leftsemi")
+            .join(keep.select(F.col("n").alias("hi")), "hi", "leftsemi")
+            .localCheckpoint(eager=True)
+        )
+    return nodes.join(
+        keep.select(F.col("n").alias("node"), F.lit(True).alias("in_core")),
+        "node",
+        "left",
+    ).select("node", F.coalesce(F.col("in_core"), F.lit(False)).alias("in_core"))
+
+
 def modularity(
     edges: DataFrame,
     labels: DataFrame,

@@ -4125,6 +4125,82 @@ def q_co_activity_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kcore_oracle(k: int = 3, rounds: int = 5) -> str:
+    # Fixed-round synchronous peeling over the 10-minute co-activity
+    # graph (same und CTE as the triangle oracle); each CTE round
+    # recomputes degrees on the induced subgraph and keeps deg >= k.
+    # The per-round edge sets are MATERIALIZED: each e_{i+1} references
+    # e_i three times, so letting the optimizer inline the chain
+    # re-expands the base self-join 3^rounds times (measured: 70 s at
+    # sf0.001 inlined, milliseconds materialized).
+    ctes = [
+        """os AS MATERIALIZED (
+      SELECT DISTINCT CAST(floor(epoch(ts) / 600) AS BIGINT) AS bk,
+             user_id
+      FROM events)""",
+        """und AS MATERIALIZED (
+      SELECT DISTINCT a.user_id AS lo, b.user_id AS hi
+      FROM os a JOIN os b
+        ON a.bk = b.bk AND a.user_id < b.user_id)""",
+        """e0 AS MATERIALIZED (SELECT lo, hi FROM und)""",
+    ]
+    for i in range(rounds):
+        ctes.append(f"""d{i} AS MATERIALIZED (
+      SELECT n, COUNT(*) AS d FROM (
+        SELECT lo AS n FROM e{i} UNION ALL SELECT hi FROM e{i})
+      GROUP BY n)""")
+        ctes.append(f"""k{i} AS MATERIALIZED (SELECT n FROM d{i} WHERE d >= {k})""")
+        ctes.append(f"""e{i + 1} AS MATERIALIZED (
+      SELECT e.lo, e.hi FROM e{i} e
+      JOIN k{i} a ON a.n = e.lo
+      JOIN k{i} b ON b.n = e.hi)""")
+    return (
+        "\n    WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT s.n AS user_id, kk.n IS NOT NULL AS in_core
+    FROM (SELECT lo AS n FROM und UNION SELECT hi FROM und) s
+    LEFT JOIN k{rounds - 1} kk ON kk.n = s.n
+    """
+    )
+
+
+@_register(
+    "user_kcore",
+    _kcore_oracle(),
+    tags=("m5", "graph", "iterative"),
+    doc="3-core membership over the user co-activity graph by "
+        "synchronous peeling (Seidman '83) — the graph-cohesion "
+        "filter between raw degree thresholds and full community "
+        "detection: surviving the 3-core means having 3 neighbors "
+        "that are themselves well-connected, the standard spam/bot "
+        "pruning and dense-region extraction primitive.  Contract is "
+        "the state after 5 FIXED peel rounds (deterministic, "
+        "oracle-reproducible — the same fixed-round convention as "
+        "LPA; suite pins actual convergence on test topologies).  "
+        "Per round: one degree aggregate + two semi-joins inducing "
+        "the surviving edge set, lineage cut per round.",
+)
+def q_user_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import k_core
+
+    ev = load_table(spark, sf_dir, "events")
+    bk = F.floor(
+        F.unix_timestamp(F.col("ts").cast("timestamp")) / F.lit(600)
+    ).cast("long")
+    os_ = ev.select(bk.alias("bk"), "user_id").distinct()
+    pairs = (
+        os_.select("bk", F.col("user_id").alias("src"))
+        .join(os_.select("bk", F.col("user_id").alias("dst")), "bk")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return k_core(pairs, k=3, rounds=5).select(
+        F.col("node").alias("user_id"), "in_core"
+    )
+
+
 @_register(
     "community_modularity",
     _modularity_oracle(),
@@ -6075,10 +6151,10 @@ _LEAD_ORDER = [
     # weighted_trade_pagerank + community_modularity + pq_recall_at_k
     # + quantity_price_correlation + its streaming twin +
     # daily_revenue_trend + daily_revenue_filled +
-    # revenue_anomaly_days + pq_rerank_topk, 30 total); (2) the 10
-    # names whose latest green row is round 3 (age 3 — the set the r5
-    # verdict ordered round 6 to lead with); (3) r4-green names
-    # oldest-registration-first (10 of 49 fit).
+    # revenue_anomaly_days + pq_rerank_topk + user_kcore, 31 total);
+    # (2) the 10 names whose latest green row is round 3 (age 3 — the
+    # set the r5 verdict ordered round 6 to lead with); (3) r4-green
+    # names oldest-registration-first (9 of 49 fit).
     # (1) never checked:
     "avro_uri_manifest_write", "avro_stats_pruned_read",
     "avro_compacted_roundtrip", "avro_bloom_pruned_lookup",
@@ -6089,8 +6165,8 @@ _LEAD_ORDER = [
     "trade_graph_pagerank",
     "co_activity_triangles", "user_communities", "pq_adc_topk",
     "importance_weighted_sample",
-    "weighted_trade_pagerank", "community_modularity", "pq_recall_at_k",
-    "pq_rerank_topk",
+    "weighted_trade_pagerank", "community_modularity", "user_kcore",
+    "pq_recall_at_k", "pq_rerank_topk",
     "quantity_price_correlation", "streaming_quantity_price_correlation",
     "daily_revenue_trend", "daily_revenue_filled", "revenue_anomaly_days",
     "semantic_dedup", "training_order_shuffle",
@@ -6105,14 +6181,15 @@ _LEAD_ORDER = [
     "product_stats_snapshot", "near_dup_pairs", "near_dup_pairs_char",
     "simhash_fingerprints", "diversity_sample", "purchase_avg_lookup",
     "generated_orders", "generated_orders_datasource",
-    "sql_api_events_hourly", "value_percentiles",
+    "sql_api_events_hourly",
     # --- position 50 boundary ---------------------------------------
-    # ROUND-7 MATH: the 39 r4-green names below are the ones this
+    # ROUND-7 MATH: the 40 r4-green names below are the ones this
     # window could not fit; after the r6 check they are the oldest
     # rows anywhere (age 2, reaching age 3 in round 7) — LEAD ROUND 7
-    # WITH THESE 39, then fill with r5-green names
-    # oldest-registration-first (11 fit; the remaining 39 r5-greens
+    # WITH THESE 40, then fill with r5-green names
+    # oldest-registration-first (10 fit; the remaining 40 r5-greens
     # lead round 8, and the r6 window is safe until round 9).
+    "value_percentiles",
     "value_dispersion",
     "user_retention_cohorts", "customers_with_pending_orders",
     "order_display_lines",
