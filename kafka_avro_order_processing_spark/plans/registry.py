@@ -3049,20 +3049,25 @@ _QPC_ORACLE = """
              CAST(SUM(x * x) AS BIGINT) AS sxx,
              CAST(SUM(x * y) AS BIGINT) AS sxy,
              SUM(CAST(y * y AS DECIMAL(38,0))) AS syy
-      FROM xy GROUP BY l_returnflag)
+      FROM xy GROUP BY l_returnflag),
+    d AS (
+      SELECT l_returnflag, n, sx, sy,
+             CAST(n AS DECIMAL(10,0)) * CAST(sxy AS DECIMAL(28,0))
+               - CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0)) AS num,
+             CAST(n AS DECIMAL(10,0)) * CAST(sxx AS DECIMAL(28,0))
+               - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0)) AS vx,
+             CAST(n AS DECIMAL(10,0)) * CAST(syy AS DECIMAL(28,0))
+               - CAST(sy AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0)) AS vy
+      FROM mo)
     SELECT l_returnflag,
            n AS n_items,
            sx AS sum_qty,
            sy AS sum_price_cents,
-           CAST(CAST(n AS DECIMAL(10,0)) * CAST(sxy AS DECIMAL(28,0))
-                - CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0)) AS DOUBLE)
-             / sqrt(
-                 CAST(CAST(n AS DECIMAL(10,0)) * CAST(sxx AS DECIMAL(28,0))
-                      - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0)) AS DOUBLE)
-                 * CAST(CAST(n AS DECIMAL(10,0)) * CAST(syy AS DECIMAL(28,0))
-                      - CAST(sy AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0)) AS DOUBLE))
+           CASE WHEN vx = 0 OR vy = 0 THEN NULL
+                ELSE CAST(num AS DOUBLE)
+                     / sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)) END
              AS corr_qty_price
-    FROM mo
+    FROM d
     """
 
 
@@ -3090,7 +3095,10 @@ def _qpc_moments(li: DataFrame) -> DataFrame:
 def _qpc_assemble(mo: DataFrame) -> DataFrame:
     """Pearson r from the exact moments in one fixed expression
     (correctly-rounded casts / sqrt / division — bit-identical across
-    engines)."""
+    engines).  Zero-variance groups yield NULL (the SQL corr()
+    convention, and the only TOTAL cross-engine contract: Spark's
+    double 0/0 is IEEE NaN while DuckDB's is NULL — found by the
+    generative fuzz, tests/test_oracle_fuzz.py)."""
     dn = F.col("n").cast("decimal(10,0)")
     num = dn * F.col("sxy").cast("decimal(28,0)") - F.col("sx").cast(
         "decimal(19,0)"
@@ -3106,9 +3114,10 @@ def _qpc_assemble(mo: DataFrame) -> DataFrame:
         F.col("n").cast("long").alias("n_items"),
         F.col("sx").alias("sum_qty"),
         F.col("sy").alias("sum_price_cents"),
-        (
+        F.when(
+            (varx != 0) & (vary != 0),
             num.cast("double")
-            / F.sqrt(varx.cast("double") * vary.cast("double"))
+            / F.sqrt(varx.cast("double") * vary.cast("double")),
         ).alias("corr_qty_price"),
     )
 
@@ -3180,18 +3189,22 @@ def q_streaming_quantity_price_correlation(
       FROM daily),
     fit AS (
       SELECT n, sx, sy,
-             CAST(CAST(n AS DECIMAL(10,0)) * CAST(sxy AS DECIMAL(28,0))
-                  - CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))
-                  AS DOUBLE)
-             / CAST(CAST(n AS DECIMAL(10,0)) * CAST(sxx AS DECIMAL(28,0))
-                  - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0))
-                  AS DOUBLE) AS slope
-      FROM mo)
+             CAST(n AS DECIMAL(10,0)) * CAST(sxy AS DECIMAL(28,0))
+               - CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0)) AS num,
+             CAST(n AS DECIMAL(10,0)) * CAST(sxx AS DECIMAL(28,0))
+               - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0)) AS den
+      FROM mo),
+    sl AS (
+      SELECT n, sx, sy,
+             CASE WHEN den = 0 THEN NULL
+                  ELSE CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS slope
+      FROM fit)
     SELECT CAST(n AS BIGINT) AS n_days,
            slope AS slope_cents_per_day,
-           (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
-             AS intercept_cents
-    FROM fit
+           CASE WHEN slope IS NULL THEN NULL
+                ELSE (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+                     / CAST(n AS DOUBLE) END AS intercept_cents
+    FROM sl
     """,
     tags=("olap", "aggregate", "statistics"),
     doc="Ordinary-least-squares trend of daily revenue — the forecast "
@@ -3238,18 +3251,25 @@ def q_daily_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = dn * F.col("sxx").cast("decimal(28,0)") - F.col("sx").cast(
         "decimal(19,0)"
     ) * F.col("sx").cast("decimal(19,0)")
+    # A single-day rollup has den = 0: the fit is undefined, so the
+    # contract is NULL (Spark's double 0/0 is NaN, DuckDB's NULL —
+    # the totalized CASE keeps the engines agreeing; see _qpc_assemble).
     fit = mo.select(
         "n",
         "sx",
         "sy",
-        (num.cast("double") / den.cast("double")).alias("slope"),
+        F.when(den != 0, num.cast("double") / den.cast("double")).alias("slope"),
     )
     return fit.select(
         F.col("n").cast("long").alias("n_days"),
         F.col("slope").alias("slope_cents_per_day"),
-        (
-            (F.col("sy").cast("double") - F.col("slope") * F.col("sx").cast("double"))
-            / F.col("n").cast("double")
+        F.when(
+            F.col("slope").isNotNull(),
+            (
+                F.col("sy").cast("double")
+                - F.col("slope") * F.col("sx").cast("double")
+            )
+            / F.col("n").cast("double"),
         ).alias("intercept_cents"),
     )
 

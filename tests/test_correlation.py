@@ -145,3 +145,22 @@ def test_streaming_twin_equals_batch_bit_for_bit(spark):
             r["sum_price_cents"],
             r["corr_qty_price"],
         ), flag
+
+
+def test_zero_variance_group_yields_null(spark):
+    # All-identical x AND y in a group: variance is zero, r undefined.
+    # The contract is NULL (SQL corr() convention) — NOT NaN: Spark's
+    # double 0/0 is IEEE NaN while DuckDB's is NULL, so a non-total
+    # expression diverges cross-engine (found by the generative fuzz).
+    from kafka_avro_order_processing_spark.plans.registry import (
+        _qpc_assemble,
+        _qpc_moments,
+    )
+
+    df = spark.createDataFrame(
+        [("Z", 1, 1.0)] * 4 + [("W", 1, 2.0), ("W", 2, 9.0), ("W", 3, 4.0)],
+        "l_returnflag string, l_quantity long, l_extendedprice double",
+    )
+    rows = {r["l_returnflag"]: r for r in _qpc_assemble(_qpc_moments(df)).collect()}
+    assert rows["Z"]["corr_qty_price"] is None
+    assert rows["W"]["corr_qty_price"] is not None

@@ -519,3 +519,75 @@ def test_fuzz_modularity_matches_duckdb(spark, edges, seed):
         """).fetchall()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Exact-moment Pearson r: bit-identical to a DuckDB replica on ANY
+# (group, small-int, 2-dp money) data — the strongest claim the
+# statistics family makes, pinned beyond the fixed driver tables.
+# ---------------------------------------------------------------------------
+
+corr_rows_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.integers(1, 50),
+        st.decimals(min_value=1, max_value=100_000, places=2).map(float),
+    ),
+    min_size=4,
+    max_size=150,
+)
+
+
+@given(rows=corr_rows_strategy)
+@SETTINGS
+def test_fuzz_exact_moment_corr_matches_duckdb(spark, rows):
+    df = spark.createDataFrame(
+        rows, "l_returnflag string, l_quantity long, l_extendedprice double"
+    )
+    from kafka_avro_order_processing_spark.plans.registry import (
+        _qpc_assemble,
+        _qpc_moments,
+    )
+
+    got = sorted(
+        (r["l_returnflag"], r["n_items"], r["sum_qty"],
+         r["sum_price_cents"], repr(r["corr_qty_price"]))
+        for r in _qpc_assemble(_qpc_moments(df)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (l_returnflag VARCHAR, l_quantity BIGINT,"
+        " l_extendedprice DOUBLE)"
+    )
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = sorted(
+        (f, n, sx, sy, repr(c))
+        for f, n, sx, sy, c in con.execute("""
+            WITH xy AS (
+              SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+                     CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS y
+              FROM t),
+            mo AS (
+              SELECT l_returnflag, COUNT(*) AS n,
+                     CAST(SUM(x) AS BIGINT) AS sx,
+                     CAST(SUM(y) AS BIGINT) AS sy,
+                     CAST(SUM(x * x) AS BIGINT) AS sxx,
+                     CAST(SUM(x * y) AS BIGINT) AS sxy,
+                     SUM(CAST(y * y AS DECIMAL(38,0))) AS syy
+              FROM xy GROUP BY l_returnflag)
+            SELECT l_returnflag, n, sx, sy,
+                   CAST(CAST(n AS DECIMAL(10,0)) * CAST(sxy AS DECIMAL(28,0))
+                        - CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))
+                        AS DOUBLE)
+                   / sqrt(
+                       CAST(CAST(n AS DECIMAL(10,0)) * CAST(sxx AS DECIMAL(28,0))
+                            - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0))
+                            AS DOUBLE)
+                       * CAST(CAST(n AS DECIMAL(10,0)) * CAST(syy AS DECIMAL(28,0))
+                            - CAST(sy AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))
+                            AS DOUBLE))
+            FROM mo
+        """).fetchall()
+    )
+    assert got == want
