@@ -3172,14 +3172,40 @@ def q_streaming_quantity_price_correlation(
     return _qpc_assemble(mo)
 
 
-@_register(
-    "daily_revenue_trend",
-    """
-    WITH daily AS (
+#: Shared daily-revenue rollup: the SQL CTE and the DataFrame helper
+#: below MUST stay in lockstep — three time-series queries (trend,
+#: gap-fill, anomaly) build on this exact (day, rev_cents) contract.
+_DAILY_CTE = """daily AS (
       SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
              CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
                            AS BIGINT)) AS BIGINT) AS rev_cents
-      FROM orders GROUP BY 1),
+      FROM orders GROUP BY 1)"""
+
+
+def _daily_cents(orders: DataFrame) -> DataFrame:
+    """(day, rev_cents): epoch-day index and exact integer revenue
+    cents per day — the DataFrame twin of ``_DAILY_CTE``."""
+    return (
+        orders.select(
+            F.floor(
+                F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+                / F.lit(86400)
+            )
+            .cast("long")
+            .alias("day"),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").cast("long").alias("rev_cents"))
+    )
+
+
+@_register(
+    "daily_revenue_trend",
+    f"""
+    WITH {_DAILY_CTE},
     mo AS (
       SELECT COUNT(*) AS n,
              CAST(SUM(day) AS BIGINT) AS sx,
@@ -3219,22 +3245,7 @@ def q_streaming_quantity_price_correlation(
         "map-side-combinable aggregations, no window, no sort.",
 )
 def q_daily_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    daily = (
-        orders.select(
-            F.floor(
-                F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
-                / F.lit(86400)
-            )
-            .cast("long")
-            .alias("day"),
-            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
-            .cast("long")
-            .alias("cents"),
-        )
-        .groupBy("day")
-        .agg(F.sum("cents").cast("long").alias("rev_cents"))
-    )
+    daily = _daily_cents(load_table(spark, sf_dir, "orders"))
     mo = daily.agg(
         F.count("*").alias("n"),
         F.sum("day").cast("long").alias("sx"),
@@ -3276,12 +3287,8 @@ def q_daily_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "daily_revenue_filled",
-    """
-    WITH daily AS (
-      SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
-             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
-                           AS BIGINT)) AS BIGINT) AS rev_cents
-      FROM orders GROUP BY 1),
+    f"""
+    WITH {_DAILY_CTE},
     bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
     spine AS (
       SELECT UNNEST(range(lo, hi + 1)) AS day FROM bounds),
@@ -3315,22 +3322,7 @@ def q_daily_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_daily_revenue_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    orders = load_table(spark, sf_dir, "orders")
-    daily = (
-        orders.select(
-            F.floor(
-                F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
-                / F.lit(86400)
-            )
-            .cast("long")
-            .alias("day"),
-            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
-            .cast("long")
-            .alias("cents"),
-        )
-        .groupBy("day")
-        .agg(F.sum("cents").cast("long").alias("rev_cents"))
-    )
+    daily = _daily_cents(load_table(spark, sf_dir, "orders"))
     spine = daily.agg(
         F.min("day").alias("lo"), F.max("day").alias("hi")
     ).select(F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day"))
@@ -3349,12 +3341,8 @@ def q_daily_revenue_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "revenue_anomaly_days",
-    """
-    WITH daily AS (
-      SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
-             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
-                           AS BIGINT)) AS BIGINT) AS rev_cents
-      FROM orders GROUP BY 1),
+    f"""
+    WITH {_DAILY_CTE},
     mo AS (
       SELECT COUNT(*) AS n,
              CAST(SUM(rev_cents) AS BIGINT) AS sy,
@@ -3383,22 +3371,7 @@ def q_daily_revenue_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query, plus a constant-width decimal comparison per row.",
 )
 def q_revenue_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    daily = (
-        orders.select(
-            F.floor(
-                F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
-                / F.lit(86400)
-            )
-            .cast("long")
-            .alias("day"),
-            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
-            .cast("long")
-            .alias("cents"),
-        )
-        .groupBy("day")
-        .agg(F.sum("cents").cast("long").alias("rev_cents"))
-    )
+    daily = _daily_cents(load_table(spark, sf_dir, "orders"))
     mo = daily.agg(
         F.count("*").alias("n"),
         F.sum("rev_cents").cast("long").alias("sy"),
