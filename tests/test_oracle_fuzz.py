@@ -591,3 +591,107 @@ def test_fuzz_exact_moment_corr_matches_duckdb(spark, rows):
         """).fetchall()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# The LOCF count-over/max idiom (daily_revenue_filled) and the
+# zero-float anomaly inequality (revenue_anomaly_days): both must
+# agree with DuckDB replicas on ARBITRARY sparse integer series, not
+# just the driver's orders table.
+# ---------------------------------------------------------------------------
+
+series_strategy = st.dictionaries(
+    st.integers(0, 60),        # day index
+    st.integers(0, 10**9),     # cents
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(series=series_strategy)
+@SETTINGS
+def test_fuzz_locf_idiom_matches_duckdb(spark, series):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = sorted(series.items())
+    daily = spark.createDataFrame(rows, "day long, rev_cents long")
+    spine = daily.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    ).select(F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day"))
+    w_run = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    joined = spine.join(daily, "day", "left").withColumn(
+        "grp", F.count("rev_cents").over(w_run)
+    )
+    got = sorted(
+        (r["day"], r["filled"], r["was_missing"])
+        for r in joined.select(
+            "day",
+            F.max("rev_cents").over(Window.partitionBy("grp")).alias("filled"),
+            F.col("rev_cents").isNull().alias("was_missing"),
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (day BIGINT, rev_cents BIGINT)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute("""
+            WITH bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d),
+            spine AS (SELECT UNNEST(range(lo, hi + 1)) AS day FROM bounds),
+            joined AS (
+              SELECT s.day, d.rev_cents,
+                     COUNT(d.rev_cents) OVER (ORDER BY s.day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+              FROM spine s LEFT JOIN d ON d.day = s.day)
+            SELECT day,
+                   CAST(MAX(rev_cents) OVER (PARTITION BY grp) AS BIGINT),
+                   rev_cents IS NULL
+            FROM joined
+        """).fetchall()
+    )
+    assert got == want
+    # LOCF semantics directly: python reference over the same series
+    lo, hi = min(series), max(series)
+    carried = None
+    ref = []
+    for day in range(lo, hi + 1):
+        if day in series:
+            carried = series[day]
+        ref.append((day, carried, day not in series))
+    assert got == ref
+
+
+@given(series=series_strategy)
+@SETTINGS
+def test_fuzz_anomaly_inequality_matches_python_ints(spark, series):
+    from pyspark.sql import functions as F
+
+    rows = sorted(series.items())
+    daily = spark.createDataFrame(rows, "day long, rev_cents long")
+    mo = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("rev_cents").cast("long").alias("sy"),
+        F.sum(
+            (F.col("rev_cents") * F.col("rev_cents")).cast("decimal(38,0)")
+        ).alias("syy"),
+    )
+    dev = (
+        F.col("n").cast("decimal(10,0)") * F.col("rev_cents").cast("decimal(19,0)")
+        - F.col("sy").cast("decimal(28,0)")
+    ).cast("decimal(19,0)")
+    var4 = 4 * (
+        F.col("n").cast("decimal(10,0)") * F.col("syy").cast("decimal(28,0)")
+        - F.col("sy").cast("decimal(19,0)") * F.col("sy").cast("decimal(19,0)")
+    )
+    got = {
+        r["day"]: r["flag"]
+        for r in daily.crossJoin(F.broadcast(mo))
+        .select("day", ((dev * dev) > var4).alias("flag"))
+        .collect()
+    }
+    n = len(series)
+    sy = sum(series.values())
+    syy = sum(v * v for v in series.values())
+    for day, v in series.items():
+        assert got[day] == ((n * v - sy) ** 2 > 4 * (n * syy - sy * sy)), day
