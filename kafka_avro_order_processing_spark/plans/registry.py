@@ -3339,6 +3339,32 @@ def q_daily_revenue_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _anomaly_assemble(daily: DataFrame) -> DataFrame:
+    """The zero-float anomaly flags from a (day, rev_cents) table —
+    shared by the batch and streaming registrations so the two forms
+    cannot drift (see revenue_anomaly_days' doc for the algebra)."""
+    mo = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("rev_cents").cast("long").alias("sy"),
+        F.sum(
+            (F.col("rev_cents") * F.col("rev_cents")).cast("decimal(38,0)")
+        ).alias("syy"),
+    )
+    dev = (
+        F.col("n").cast("decimal(10,0)") * F.col("rev_cents").cast("decimal(19,0)")
+        - F.col("sy").cast("decimal(28,0)")
+    ).cast("decimal(19,0)")
+    var4 = 4 * (
+        F.col("n").cast("decimal(10,0)") * F.col("syy").cast("decimal(28,0)")
+        - F.col("sy").cast("decimal(19,0)") * F.col("sy").cast("decimal(19,0)")
+    )
+    return daily.crossJoin(F.broadcast(mo)).select(
+        "day",
+        "rev_cents",
+        ((dev * dev) > var4).alias("is_anomaly"),
+    )
+
+
 @_register(
     "revenue_anomaly_days",
     f"""
@@ -3371,26 +3397,110 @@ def q_daily_revenue_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query, plus a constant-width decimal comparison per row.",
 )
 def q_revenue_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
-    daily = _daily_cents(load_table(spark, sf_dir, "orders"))
-    mo = daily.agg(
+    return _anomaly_assemble(_daily_cents(load_table(spark, sf_dir, "orders")))
+
+
+@_register(
+    "streaming_revenue_anomaly",
+    QUERIES["revenue_anomaly_days"].oracle,
+    tags=("m5", "streaming", "aggregate", "statistics", "timeseries"),
+    doc="Streaming twin of revenue_anomaly_days, SAME oracle: the "
+        "daily revenue rollup accumulates as update-mode streaming "
+        "aggregation state (keyed integer sums — associative, so "
+        "micro-batch boundaries cannot move a day's total), and the "
+        "zero-float anomaly inequality folds the drained O(days) "
+        "table in batch.  Bounded-state outlier detection an "
+        "unbounded order stream maintains forever — and because the "
+        "flags are exact integer comparisons, a replayed epoch "
+        "provably cannot flip one.",
+)
+def q_streaming_revenue_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipeline import drain_to_df, stream_table
+
+    daily = drain_to_df(
+        _daily_cents(stream_table(spark, sf_dir, "orders")),
+        "update",
+        key_cols=("day",),
+    )
+    return _anomaly_assemble(daily)
+
+
+@_register(
+    "event_type_daily_trend",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    mo AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(day) AS BIGINT) AS sx,
+             CAST(SUM(cnt) AS BIGINT) AS sy,
+             SUM(CAST(day * day AS DECIMAL(38,0))) AS sxx,
+             SUM(CAST(day * cnt AS DECIMAL(38,0))) AS sxy
+      FROM daily GROUP BY event_type),
+    fit AS (
+      SELECT event_type, n, sy,
+             CAST(n AS DECIMAL(10,0)) * CAST(sxy AS DECIMAL(28,0))
+               - CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0)) AS num,
+             CAST(n AS DECIMAL(10,0)) * CAST(sxx AS DECIMAL(28,0))
+               - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0)) AS den
+      FROM mo)
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_days,
+           sy AS total_events,
+           CASE WHEN den = 0 THEN NULL
+                ELSE CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END
+             AS slope_events_per_day
+    FROM fit
+    """,
+    tags=("m5", "aggregate", "statistics", "timeseries"),
+    doc="GROUPED least-squares trend — per-segment growth monitoring "
+        "(is each event type's daily volume rising or falling, and "
+        "how fast): the same exact-moment OLS as daily_revenue_trend "
+        "but keyed by event_type, showing the per-key statistics "
+        "shape at scale — ONE keyed rollup plus ONE keyed moment "
+        "aggregate (both map-side-combinable, O(segments x days) and "
+        "O(segments) state), no window, no per-segment scan.  "
+        "Zero-variance segments (a single active day) yield NULL "
+        "slope — the totalized cross-engine contract.",
+)
+def q_event_type_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.floor(
+                F.unix_timestamp(F.col("ts").cast("timestamp")) / F.lit(86400)
+            )
+            .cast("long")
+            .alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("cnt"))
+    )
+    mo = daily.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.sum("rev_cents").cast("long").alias("sy"),
-        F.sum(
-            (F.col("rev_cents") * F.col("rev_cents")).cast("decimal(38,0)")
-        ).alias("syy"),
+        F.sum("day").cast("long").alias("sx"),
+        F.sum("cnt").cast("long").alias("sy"),
+        F.sum((F.col("day") * F.col("day")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("day") * F.col("cnt")).cast("decimal(38,0)")).alias("sxy"),
     )
-    dev = (
-        F.col("n").cast("decimal(10,0)") * F.col("rev_cents").cast("decimal(19,0)")
-        - F.col("sy").cast("decimal(28,0)")
-    ).cast("decimal(19,0)")
-    var4 = 4 * (
-        F.col("n").cast("decimal(10,0)") * F.col("syy").cast("decimal(28,0)")
-        - F.col("sy").cast("decimal(19,0)") * F.col("sy").cast("decimal(19,0)")
-    )
-    return daily.crossJoin(F.broadcast(mo)).select(
-        "day",
-        "rev_cents",
-        ((dev * dev) > var4).alias("is_anomaly"),
+    dn = F.col("n").cast("decimal(10,0)")
+    num = dn * F.col("sxy").cast("decimal(28,0)") - F.col("sx").cast(
+        "decimal(19,0)"
+    ) * F.col("sy").cast("decimal(19,0)")
+    den = dn * F.col("sxx").cast("decimal(28,0)") - F.col("sx").cast(
+        "decimal(19,0)"
+    ) * F.col("sx").cast("decimal(19,0)")
+    return mo.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("sy").alias("total_events"),
+        F.when(den != 0, num.cast("double") / den.cast("double")).alias(
+            "slope_events_per_day"
+        ),
     )
 
 
@@ -6144,10 +6254,11 @@ _LEAD_ORDER = [
     # weighted_trade_pagerank + community_modularity + pq_recall_at_k
     # + quantity_price_correlation + its streaming twin +
     # daily_revenue_trend + daily_revenue_filled +
-    # revenue_anomaly_days + pq_rerank_topk + user_kcore, 31 total);
-    # (2) the 10 names whose latest green row is round 3 (age 3 — the
-    # set the r5 verdict ordered round 6 to lead with); (3) r4-green
-    # names oldest-registration-first (9 of 49 fit).
+    # revenue_anomaly_days + its streaming twin + pq_rerank_topk +
+    # user_kcore + event_type_daily_trend, 33 total); (2) the 10
+    # names whose latest green row is round 3 (age 3 — the set the r5
+    # verdict ordered round 6 to lead with); (3) r4-green names
+    # oldest-registration-first (7 of 49 fit).
     # (1) never checked:
     "avro_uri_manifest_write", "avro_stats_pruned_read",
     "avro_compacted_roundtrip", "avro_bloom_pruned_lookup",
@@ -6162,6 +6273,7 @@ _LEAD_ORDER = [
     "pq_recall_at_k", "pq_rerank_topk",
     "quantity_price_correlation", "streaming_quantity_price_correlation",
     "daily_revenue_trend", "daily_revenue_filled", "revenue_anomaly_days",
+    "streaming_revenue_anomaly", "event_type_daily_trend",
     "semantic_dedup", "training_order_shuffle",
     "avro_stream_stats_filter", "stratified_sample", "dedup_keep_best",
     # (2) r3-green, age 3:
@@ -6173,15 +6285,16 @@ _LEAD_ORDER = [
     # (3) r4-green, oldest-registration-first:
     "product_stats_snapshot", "near_dup_pairs", "near_dup_pairs_char",
     "simhash_fingerprints", "diversity_sample", "purchase_avg_lookup",
-    "generated_orders", "generated_orders_datasource",
-    "sql_api_events_hourly",
+    "generated_orders",
     # --- position 50 boundary ---------------------------------------
-    # ROUND-7 MATH: the 40 r4-green names below are the ones this
+    # ROUND-7 MATH: the 42 r4-green names below are the ones this
     # window could not fit; after the r6 check they are the oldest
     # rows anywhere (age 2, reaching age 3 in round 7) — LEAD ROUND 7
-    # WITH THESE 40, then fill with r5-green names
-    # oldest-registration-first (10 fit; the remaining 40 r5-greens
+    # WITH THESE 42, then fill with r5-green names
+    # oldest-registration-first (8 fit; the remaining 42 r5-greens
     # lead round 8, and the r6 window is safe until round 9).
+    "generated_orders_datasource",
+    "sql_api_events_hourly",
     "value_percentiles",
     "value_dispersion",
     "user_retention_cohorts", "customers_with_pending_orders",

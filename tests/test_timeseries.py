@@ -59,3 +59,47 @@ def test_anomaly_flags_match_exact_integer_reference(spark):
         n_flagged += expect
     # sanity: some but not most days flag on real data
     assert 0 < n_flagged < n // 2
+
+
+def test_streaming_anomaly_equals_batch_bit_for_bit(spark):
+    batch = {
+        r["day"]: (r["rev_cents"], r["is_anomaly"])
+        for r in QUERIES["revenue_anomaly_days"].fn(spark, SF).collect()
+    }
+    stream = {
+        r["day"]: (r["rev_cents"], r["is_anomaly"])
+        for r in QUERIES["streaming_revenue_anomaly"].fn(spark, SF).collect()
+    }
+    assert stream == batch
+
+
+def test_grouped_trend_matches_numpy_per_group(spark):
+    import math
+
+    import numpy as np
+
+    rows = {
+        r["event_type"]: r
+        for r in QUERIES["event_type_daily_trend"].fn(spark, SF).collect()
+    }
+    from kafka_avro_order_processing_spark.sources.tables import load_table
+
+    evn = load_table(spark, SF, "events").select("event_type", "ts").collect()
+    daily: dict[tuple[str, int], int] = {}
+    for r in evn:
+        day = int(r["ts"].timestamp() // 86400)
+        daily[(r["event_type"], day)] = daily.get((r["event_type"], day), 0) + 1
+    by_type: dict[str, dict[int, int]] = {}
+    for (et, day), c in daily.items():
+        by_type.setdefault(et, {})[day] = c
+    assert set(rows) == set(by_type)
+    for et, series in by_type.items():
+        xs = np.array(sorted(series), dtype=float)
+        ys = np.array([series[d] for d in sorted(series)], dtype=float)
+        assert rows[et]["n_days"] == len(xs)
+        assert rows[et]["total_events"] == int(ys.sum())
+        if len(xs) > 1:
+            slope = np.polyfit(xs, ys, 1)[0]
+            assert math.isclose(
+                rows[et]["slope_events_per_day"], float(slope), rel_tol=1e-9
+            ), et
