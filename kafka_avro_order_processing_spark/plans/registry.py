@@ -5899,7 +5899,7 @@ def q_streaming_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT m.cell_id,
            COUNT(*) AS n_members,
            COALESCE(MAX(d.n_dropped), 0) AS n_dropped,
-           COALESCE(MAX(d.dropped_id_sum), 0) AS dropped_id_sum
+           CAST(COALESCE(MAX(d.dropped_id_sum), 0) AS BIGINT) AS dropped_id_sum
     FROM assigned m
     LEFT JOIN (SELECT cell_id, COUNT(*) AS n_dropped,
                       SUM(ib) AS dropped_id_sum
@@ -5936,7 +5936,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents)
     SELECT substring(shuffle_key, 1, 2) AS bucket,
            COUNT(*) AS n_docs,
-           SUM(doc_id) AS doc_id_sum,
+           CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum,
            MIN_BY(doc_id, shuffle_key) AS first_doc_id,
            MIN(shuffle_key) AS first_key
     FROM h
@@ -6073,7 +6073,7 @@ def q_avro_stream_stats_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source, lang,
            MAX(n_stratum) AS n_docs,
            COUNT(*) AS n_sampled,
-           SUM(doc_id) AS sampled_id_sum,
+           CAST(SUM(doc_id) AS BIGINT) AS sampled_id_sum,
            MIN_BY(doc_id, h) AS first_doc_id
     FROM ranked
     WHERE rn <= CAST(ceil(0.1 * n_stratum) AS BIGINT)

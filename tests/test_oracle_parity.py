@@ -11,9 +11,19 @@ import math
 import os
 
 import duckdb
+import pyarrow as pa
 import pytest
 
 from kafka_avro_order_processing_spark.plans.registry import QUERIES
+
+# Spark integral type names — oracle columns matching these by name must
+# come back integer-typed from DuckDB's arrow path.  DuckDB types a bare
+# SUM(BIGINT) as HUGEINT (decimal128 in arrow), which pandas canonicalizes
+# to float64, so the driver's string-hash sees "20079.0" vs Spark's
+# "20079" even though fetchall() (used below for the value compare) maps
+# HUGEINT to Python int and hides the difference.  The repo convention is
+# CAST(SUM(x) AS BIGINT) in the oracle's top-level projection.
+_SPARK_INTEGRAL = ("byte", "short", "integer", "long")
 
 SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
 
@@ -60,6 +70,28 @@ def test_query_matches_oracle(spark, name):
     con = _duck(SF_DIR)
     orows = con.execute(q.oracle).fetchall()
     ocols = [d[0] for d in con.description]
+
+    # Dtype gate (the driver canonicalizes through pandas, fetchall()
+    # does not): wherever the Spark schema says integral, the oracle's
+    # arrow schema must be integer too — HUGEINT/DECIMAL there renders
+    # as float64 in the driver's hash and red-rows the query.
+    spark_integral = {
+        f.name for f in sdf.schema.fields
+        if f.dataType.typeName() in _SPARK_INTEGRAL
+    }
+    arrow_schema = con.execute(q.oracle).fetch_arrow_table().schema
+    bad_dtypes = [
+        (c, str(arrow_schema.field(c).type))
+        for c in spark_integral
+        if c in arrow_schema.names
+        and not pa.types.is_integer(arrow_schema.field(c).type)
+    ]
+    assert not bad_dtypes, (
+        f"{name}: oracle columns typed non-integer where Spark is integral "
+        f"(driver's pandas hash renders these as float64 — add "
+        f"CAST(... AS BIGINT) to the oracle's top-level projection): "
+        f"{bad_dtypes}"
+    )
 
     s_cols, s_data = _canon(scols, [tuple(r) for r in srows])
     o_cols, o_data = _canon(ocols, orows)
