@@ -6244,55 +6244,17 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _LEAD_ORDER = [
-    # -- ROUND-6 window (exactly 50 names precede the boundary).
-    # Rotation audit (this session, against CORRECTNESS_r01..r05
-    # unions): an earlier commit had rotated this list one round
-    # ahead (to the round-7 plan) before the round-6 driver check
-    # ever ran, which would have left every name below unchecked.
-    # Rebuilt by priority: (1) the never-driver-checked names —
-    # this round's new queries (25 after the third session added
-    # weighted_trade_pagerank + community_modularity + pq_recall_at_k
-    # + quantity_price_correlation + its streaming twin +
-    # daily_revenue_trend + daily_revenue_filled +
-    # revenue_anomaly_days + its streaming twin + pq_rerank_topk +
-    # user_kcore + event_type_daily_trend, 33 total); (2) the 10
-    # names whose latest green row is round 3 (age 3 — the set the r5
-    # verdict ordered round 6 to lead with); (3) r4-green names
-    # oldest-registration-first (7 of 49 fit).
-    # (1) never checked:
-    "avro_uri_manifest_write", "avro_stats_pruned_read",
-    "avro_compacted_roundtrip", "avro_bloom_pruned_lookup",
-    "cms_user_frequencies", "streaming_cms_user_frequencies",
-    "hll_distinct_users", "streaming_hll_distinct_users",
-    "value_histogram_quantiles", "streaming_value_histogram_quantiles",
-    "avro_zorder_pruned_read",
-    "trade_graph_pagerank",
-    "co_activity_triangles", "user_communities", "pq_adc_topk",
-    "importance_weighted_sample",
-    "weighted_trade_pagerank", "community_modularity", "user_kcore",
-    "pq_recall_at_k", "pq_rerank_topk",
-    "quantity_price_correlation", "streaming_quantity_price_correlation",
-    "daily_revenue_trend", "daily_revenue_filled", "revenue_anomaly_days",
-    "streaming_revenue_anomaly", "event_type_daily_trend",
-    "semantic_dedup", "training_order_shuffle",
-    "avro_stream_stats_filter", "stratified_sample", "dedup_keep_best",
-    # (2) r3-green, age 3:
-    "order_priority_counts", "supplier_balance_by_nation",
-    "embedding_near_dup", "daily_revenue_lag",
-    "customers_no_pending_orders", "ngram_jaccard_adjacent",
-    "multi_stream_union", "dedup_clusters_star", "packing_efficiency",
-    "streaming_kmeans_refine",
-    # (3) r4-green, oldest-registration-first:
-    "product_stats_snapshot", "near_dup_pairs", "near_dup_pairs_char",
-    "simhash_fingerprints", "diversity_sample", "purchase_avg_lookup",
-    "generated_orders",
-    # --- position 50 boundary ---------------------------------------
-    # ROUND-7 MATH: the 42 r4-green names below are the ones this
-    # window could not fit; after the r6 check they are the oldest
-    # rows anywhere (age 2, reaching age 3 in round 7) — LEAD ROUND 7
-    # WITH THESE 42, then fill with r5-green names
-    # oldest-registration-first (8 fit; the remaining 42 r5-greens
-    # lead round 8, and the r6 window is safe until round 9).
+    # -- ROUND-7 window (exactly 50 names precede the boundary).
+    # Built per the r6 verdict's task 3 and the CORRECTNESS_r01..r06
+    # union: (1) the three r6 RED names, fixed this round (oracle
+    # HUGEINT typing — CAST(... AS BIGINT) applied; values verified
+    # identical at sf0.01); (2) the 42 r4-green names the r6 window
+    # could not fit — after the r6 check they are the oldest rows
+    # anywhere (age 2, reaching their age-3 deadline THIS round);
+    # (3) r5-green names oldest-registration-first (5 fit).
+    # (1) r6 reds, re-queued after the oracle cast fix:
+    "semantic_dedup", "training_order_shuffle", "stratified_sample",
+    # (2) r4-green, age-3 deadline this round:
     "generated_orders_datasource",
     "sql_api_events_hourly",
     "value_percentiles",
@@ -6318,8 +6280,23 @@ _LEAD_ORDER = [
     "upsert_orders_partitioned", "streaming_upsert_orders",
     "scd2_customer_dim", "streaming_scd2_customer_dim",
     "doc_length_histogram", "bm25_top20", "embedding_lsh_near_dup",
-    # then the 50 r5-green names (age 1 after this round) via the
-    # fallback append in _apply_order.
+    # (3) r5-green, oldest-registration-first (deadline round 8):
+    "per_product_stats", "overall_stats", "running_avg",
+    "validated_orders", "rejected_orders",
+    # --- position 50 boundary ---------------------------------------
+    # ROUND-8 MATH: after the r7 check the oldest rows anywhere are
+    # the 45 remaining r5-green names (checked r5, age 2 during
+    # round 8 — their deadline).  LEAD ROUND 8 WITH THOSE 45 (the 50
+    # r5 names minus the five in group (3) above), then fill 5 from
+    # the 47 r6-green names oldest-registration-first.  Round 9 then
+    # takes the remaining 42 r6-greens (deadline r9) + 8 r7-window
+    # names.  Headroom for NEW names this round is 5: a new name may
+    # displace only a group-(3) r5-green (pushing it into round 8's
+    # lead, which then needs 45+displaced <= 50), NEVER a group-(2)
+    # r4-green (its deadline is this round).
+    # r6-green names (age 1 during round 7, safe until round 9) and
+    # the remaining r5-greens follow via the fallback append in
+    # _apply_order.
 ]
 
 
