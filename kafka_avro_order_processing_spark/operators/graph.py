@@ -592,3 +592,63 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+# All-pairs cap per co-activity bucket; hot buckets emit a star instead.
+# Sized above the densest bucket observed at the test SFs (42 users at
+# sf0.1) so small-scale semantics are unchanged, while a production
+# bucket with 10^5 co-active users emits O(n) star edges, never O(n^2).
+MAX_COACTIVITY_BUCKET = 128
+
+
+def co_activity_edges(
+    occupancy: DataFrame,
+    bucket_cols: tuple[str, ...] | list[str],
+    id_col: str = "user_id",
+    max_bucket_size: int = MAX_COACTIVITY_BUCKET,
+) -> DataFrame:
+    """Undirected co-activity edge list (src < dst): two ids become an
+    edge when they share a bucket (e.g. the same 10-minute window, or
+    the same 2-minute window AND event type).
+
+    `occupancy` must be DISTINCT on (*bucket_cols, id_col) — the
+    bucket membership relation, not raw events.
+
+    Hot-bucket cap (the same guard lsh_candidate_pairs applies to LSH
+    buckets, operators/dedup.py): the naive per-bucket self-join is
+    quadratic in bucket occupancy, so a single bucket with 10^5
+    co-active users would emit ~5*10^9 pairs.  Buckets larger than
+    `max_bucket_size` instead emit a STAR — every member paired with
+    the bucket's minimum id — O(bucket) edges that keep the bucket's
+    members transitively connected (diameter 2, so connected
+    components / label propagation still see one cohesive group);
+    triangle counts and k-core degrees within capped buckets become a
+    documented under-count, the standard price of candidate capping.
+    The rule is deterministic (count + min), so the DuckDB oracles
+    mirror it exactly.
+
+    Shape: one partial-aggregated groupBy for bucket stats, a
+    join-back reusing the bucket-key partitioning (AQE broadcasts the
+    stats side when small), then the bounded self-join on small
+    buckets plus the linear star branch.
+    """
+    keys = list(bucket_cols)
+    stats = occupancy.groupBy(*keys).agg(
+        F.count("*").alias("bucket_n"), F.min(id_col).alias("min_id")
+    )
+    sized = occupancy.join(stats, keys)
+    small = sized.filter(F.col("bucket_n") <= max_bucket_size)
+    all_pairs = (
+        small.select(*keys, F.col(id_col).alias("src"))
+        .join(small.select(*keys, F.col(id_col).alias("dst")), keys)
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+    )
+    starred = (
+        sized.filter(
+            (F.col("bucket_n") > max_bucket_size)
+            & (F.col(id_col) != F.col("min_id"))
+        )
+        .select(F.col("min_id").alias("src"), F.col(id_col).alias("dst"))
+    )
+    return all_pairs.unionByName(starred).distinct()

@@ -33,6 +33,7 @@ from ..operators.validate import dlq_envelope, split_valid_invalid
 from ..operators.windows import running_average, sessionize, tumbling_window_stats
 from ..operators.ranking import top_k_global, top_k_per_group
 from ..functions.scalar import classify_error, dec_sum, RETRYABLE_PATTERN
+from ..operators.graph import MAX_COACTIVITY_BUCKET
 
 
 @dataclass
@@ -4032,15 +4033,26 @@ QUERIES["pq_recall_at_k"].oracle = QUERIES["pq_recall_at_k"].oracle.format(
 )
 
 
-_TRIANGLE_ORACLE = """
+_TRIANGLE_ORACLE = f"""
     WITH os AS (
       SELECT DISTINCT CAST(floor(epoch(ts) / 600) AS BIGINT) AS bk,
              user_id
       FROM events),
+    bs AS (
+      SELECT bk, COUNT(*) AS bucket_n, MIN(user_id) AS min_id
+      FROM os GROUP BY bk),
     und AS (
-      SELECT DISTINCT a.user_id AS lo, b.user_id AS hi
-      FROM os a JOIN os b
-        ON a.bk = b.bk AND a.user_id < b.user_id),
+      SELECT DISTINCT lo, hi FROM (
+        SELECT a.user_id AS lo, b.user_id AS hi
+        FROM os a
+        JOIN os b ON a.bk = b.bk AND a.user_id < b.user_id
+        JOIN bs ON bs.bk = a.bk
+               AND bs.bucket_n <= {MAX_COACTIVITY_BUCKET}
+        UNION ALL
+        SELECT s.min_id AS lo, o.user_id AS hi
+        FROM os o JOIN bs s ON s.bk = o.bk
+        WHERE s.bucket_n > {MAX_COACTIVITY_BUCKET}
+          AND o.user_id <> s.min_id)),
     sym AS (SELECT lo AS n, hi AS m FROM und
             UNION ALL SELECT hi, lo FROM und),
     deg AS (SELECT n, COUNT(*) AS d FROM sym GROUP BY n),
@@ -4080,11 +4092,24 @@ def _lpa_ctes(iters: int = 3) -> list[str]:
       SELECT DISTINCT CAST(floor(epoch(ts) / 120) AS BIGINT) AS bk,
              event_type, user_id
       FROM events)""",
-        """und AS (
-      SELECT DISTINCT a.user_id AS lo, b.user_id AS hi
-      FROM os a JOIN os b
-        ON a.bk = b.bk AND a.event_type = b.event_type
-       AND a.user_id < b.user_id)""",
+        f"""bs AS (
+      SELECT bk, event_type, COUNT(*) AS bucket_n,
+             MIN(user_id) AS min_id
+      FROM os GROUP BY bk, event_type)""",
+        f"""und AS (
+      SELECT DISTINCT lo, hi FROM (
+        SELECT a.user_id AS lo, b.user_id AS hi
+        FROM os a
+        JOIN os b ON a.bk = b.bk AND a.event_type = b.event_type
+                 AND a.user_id < b.user_id
+        JOIN bs ON bs.bk = a.bk AND bs.event_type = a.event_type
+               AND bs.bucket_n <= {MAX_COACTIVITY_BUCKET}
+        UNION ALL
+        SELECT s.min_id AS lo, o.user_id AS hi
+        FROM os o
+        JOIN bs s ON s.bk = o.bk AND s.event_type = o.event_type
+        WHERE s.bucket_n > {MAX_COACTIVITY_BUCKET}
+          AND o.user_id <> s.min_id))""",
         """sym AS (SELECT lo AS n, hi AS m FROM und
             UNION ALL SELECT hi, lo FROM und)""",
         """l0 AS (SELECT DISTINCT n AS node, n AS label FROM sym)""",
@@ -4165,29 +4190,22 @@ def _modularity_oracle(iters: int = 3) -> str:
         "exactly.  The graph connects users active in the same "
         "2-minute bucket on the SAME event type (the plain 10-min "
         "co-activity graph is dense enough that LPA collapses to one "
-        "community — measured; edge semantics matter).  Per round: "
+        "community — measured; edge semantics matter).  Edge "
+        "construction is hot-bucket capped (star fallback past 128 "
+        "users, oracle-mirrored).  Per round: "
         "one edge⋈label join + keyed count + bounded per-node vote "
         "window; lineage cut per round — the third Pregel-style "
         "iterative shape alongside connected components and PageRank.",
 )
 def q_user_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.graph import label_propagation
+    from ..operators.graph import co_activity_edges, label_propagation
 
     ev = load_table(spark, sf_dir, "events")
     bk = F.floor(
         F.unix_timestamp(F.col("ts").cast("timestamp")) / F.lit(120)
     ).cast("long")
     os_ = ev.select(bk.alias("bk"), "event_type", "user_id").distinct()
-    pairs = (
-        os_.select("bk", "event_type", F.col("user_id").alias("src"))
-        .join(
-            os_.select("bk", "event_type", F.col("user_id").alias("dst")),
-            ["bk", "event_type"],
-        )
-        .filter(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-    )
+    pairs = co_activity_edges(os_, ("bk", "event_type"))
     return label_propagation(pairs, iterations=3).select(
         F.col("node").alias("user_id"), "community"
     )
@@ -4204,25 +4222,21 @@ def q_user_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         "by O(sqrt(m)), so the wedge self-join is O(m^1.5) worst case "
         "instead of exploding on hub nodes, and the close is a plain "
         "equi-join — the pattern that makes clustering-coefficient / "
-        "cohesion metrics runnable on a 100 TB edge list.  Integer "
-        "counts, exact oracle.",
+        "cohesion metrics runnable on a 100 TB edge list.  Edge "
+        "construction itself is hot-bucket capped (co_activity_edges: "
+        "buckets past 128 users emit a min-id star, not all pairs — "
+        "mirrored in the oracle), so no single dense window can go "
+        "quadratic.  Integer counts, exact oracle.",
 )
 def q_co_activity_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.graph import triangle_counts
+    from ..operators.graph import co_activity_edges, triangle_counts
 
     ev = load_table(spark, sf_dir, "events")
     bk = F.floor(
         F.unix_timestamp(F.col("ts").cast("timestamp")) / F.lit(600)
     ).cast("long")
     os_ = ev.select(bk.alias("bk"), "user_id").distinct()
-    a = os_.select("bk", F.col("user_id").alias("src"))
-    b = os_.select("bk", F.col("user_id").alias("dst"))
-    pairs = (
-        a.join(b, "bk")
-        .filter(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-    )
+    pairs = co_activity_edges(os_, ("bk",))
     return triangle_counts(pairs).select(
         F.col("node").alias("user_id"), "n_triangles"
     )
@@ -4241,10 +4255,21 @@ def _kcore_oracle(k: int = 3, rounds: int = 5) -> str:
       SELECT DISTINCT CAST(floor(epoch(ts) / 600) AS BIGINT) AS bk,
              user_id
       FROM events)""",
-        """und AS MATERIALIZED (
-      SELECT DISTINCT a.user_id AS lo, b.user_id AS hi
-      FROM os a JOIN os b
-        ON a.bk = b.bk AND a.user_id < b.user_id)""",
+        f"""bs AS MATERIALIZED (
+      SELECT bk, COUNT(*) AS bucket_n, MIN(user_id) AS min_id
+      FROM os GROUP BY bk)""",
+        f"""und AS MATERIALIZED (
+      SELECT DISTINCT lo, hi FROM (
+        SELECT a.user_id AS lo, b.user_id AS hi
+        FROM os a
+        JOIN os b ON a.bk = b.bk AND a.user_id < b.user_id
+        JOIN bs ON bs.bk = a.bk
+               AND bs.bucket_n <= {MAX_COACTIVITY_BUCKET}
+        UNION ALL
+        SELECT s.min_id AS lo, o.user_id AS hi
+        FROM os o JOIN bs s ON s.bk = o.bk
+        WHERE s.bucket_n > {MAX_COACTIVITY_BUCKET}
+          AND o.user_id <> s.min_id))""",
         """e0 AS MATERIALIZED (SELECT lo, hi FROM und)""",
     ]
     for i in range(rounds):
@@ -4285,20 +4310,14 @@ def _kcore_oracle(k: int = 3, rounds: int = 5) -> str:
         "the surviving edge set, lineage cut per round.",
 )
 def q_user_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.graph import k_core
+    from ..operators.graph import co_activity_edges, k_core
 
     ev = load_table(spark, sf_dir, "events")
     bk = F.floor(
         F.unix_timestamp(F.col("ts").cast("timestamp")) / F.lit(600)
     ).cast("long")
     os_ = ev.select(bk.alias("bk"), "user_id").distinct()
-    pairs = (
-        os_.select("bk", F.col("user_id").alias("src"))
-        .join(os_.select("bk", F.col("user_id").alias("dst")), "bk")
-        .filter(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-    )
+    pairs = co_activity_edges(os_, ("bk",))
     return k_core(pairs, k=3, rounds=5).select(
         F.col("node").alias("user_id"), "in_core"
     )
@@ -4322,23 +4341,14 @@ def q_user_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sanctioned literal-for-exact-algebra pattern).",
 )
 def q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.graph import label_propagation, modularity
+    from ..operators.graph import co_activity_edges, label_propagation, modularity
 
     ev = load_table(spark, sf_dir, "events")
     bk = F.floor(
         F.unix_timestamp(F.col("ts").cast("timestamp")) / F.lit(120)
     ).cast("long")
     os_ = ev.select(bk.alias("bk"), "event_type", "user_id").distinct()
-    pairs = (
-        os_.select("bk", "event_type", F.col("user_id").alias("src"))
-        .join(
-            os_.select("bk", "event_type", F.col("user_id").alias("dst")),
-            ["bk", "event_type"],
-        )
-        .filter(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-    )
+    pairs = co_activity_edges(os_, ("bk", "event_type"))
     labels = label_propagation(pairs, iterations=3)
     return modularity(pairs, labels)
 
