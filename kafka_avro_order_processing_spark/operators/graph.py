@@ -437,12 +437,16 @@ def modularity(
         .groupBy(F.col("c_lo").alias("community"))
         .agg(F.count("*").alias("intra_edges"))
     )
+    # Left join: a label table wider than the edge list (isolated nodes)
+    # still counts those members, with zero degree — keeping n_members
+    # the per-community member count, not the per-community
+    # edge-touching-member count.
     degsum = (
-        memb.join(deg, "n")
+        memb.join(deg, "n", "left")
         .groupBy(F.col("c").alias("community"))
         .agg(
             F.count("*").alias("n_members"),
-            F.sum("d").cast("long").alias("degree_sum"),
+            F.sum(F.coalesce(F.col("d"), F.lit(0))).cast("long").alias("degree_sum"),
         )
     )
     return degsum.join(intra, "community", "left").select(

@@ -365,6 +365,11 @@ def kmeans_refine(
 
 PQ_SUBSPACES = 4
 PQ_CODES = 8
+# Query-set size shared by every PQ/brute-force ANN query and oracle:
+# the "first N vectors are the queries" convention.  Registry plans and
+# their SQL oracles derive the vec_id predicate from THIS constant, so
+# shortlist and exact-rescore query sets cannot silently diverge.
+PQ_N_QUERIES = 5
 
 
 def pq_subvectors(
@@ -464,7 +469,7 @@ def pq_topk(
     dim: int,
     m: int = PQ_SUBSPACES,
     k: int = PQ_CODES,
-    n_queries: int = 5,
+    n_queries: int = PQ_N_QUERIES,
     topk: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",

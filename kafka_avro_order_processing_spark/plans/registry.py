@@ -34,6 +34,7 @@ from ..operators.windows import running_average, sessionize, tumbling_window_sta
 from ..operators.ranking import top_k_global, top_k_per_group
 from ..functions.scalar import classify_error, dec_sum, RETRYABLE_PATTERN
 from ..operators.graph import MAX_COACTIVITY_BUCKET
+from ..operators.similarity import PQ_N_QUERIES
 
 
 @dataclass
@@ -3771,7 +3772,7 @@ def q_trade_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_oracle(
-    dim: int = 64, m: int = 4, k: int = 8, nq: int = 5, topk: int = 10
+    dim: int = 64, m: int = 4, k: int = 8, nq: int = PQ_N_QUERIES, topk: int = 10
 ) -> str:
     # Mirrors operators/similarity.pq_topk: every float op is either a
     # sequential per-dim fold (list_sum over list_transform — the same
@@ -3926,7 +3927,7 @@ def q_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = v.join(
         F.broadcast(shortlist), v.vec_id == F.col("neighbor_id")
     ).select("query_id", "neighbor_id", F.col("ve").alias("ne"))
-    q = v.filter(F.col("vec_id") < 5).select(
+    q = v.filter(F.col("vec_id") < PQ_N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("ve").alias("qe")
     )
     resc = cand.join(F.broadcast(q), "query_id").select(
@@ -3946,7 +3947,7 @@ QUERIES["pq_rerank_topk"].oracle = QUERIES["pq_rerank_topk"].oracle.format(
 )
 
 
-_PQ_BRUTE_L2_ORACLE = """
+_PQ_BRUTE_L2_ORACLE = f"""
     WITH v AS (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
@@ -3958,7 +3959,7 @@ _PQ_BRUTE_L2_ORACLE = """
                  j -> (q.ve[j] - n.ve[j]) * (q.ve[j] - n.ve[j]))),
                n.vec_id) AS rn
       FROM v q JOIN v n ON n.vec_id <> q.vec_id
-      WHERE q.vec_id < 5) WHERE rn <= 10
+      WHERE q.vec_id < {PQ_N_QUERIES}) WHERE rn <= 10
 """
 
 
@@ -3994,7 +3995,7 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.expr("transform(embedding, x -> cast(x as double))").alias("ve"),
     )
-    q = v.filter(F.col("vec_id") < 5).select(
+    q = v.filter(F.col("vec_id") < PQ_N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("ve").alias("qe")
     )
     scored = (
@@ -4156,8 +4157,8 @@ def _modularity_oracle(iters: int = 3) -> str:
       GROUP BY 1)""",
         """degsum AS (
       SELECT mb.label AS community, COUNT(*) AS n_members,
-             CAST(SUM(d.d) AS BIGINT) AS degree_sum
-      FROM memb mb JOIN deg d ON d.n = mb.node
+             CAST(SUM(COALESCE(d.d, 0)) AS BIGINT) AS degree_sum
+      FROM memb mb LEFT JOIN deg d ON d.n = mb.node
       GROUP BY 1)""",
     ]
     return (

@@ -45,48 +45,21 @@ def test_agrees_with_numpy_corrcoef(spark):
 def test_bit_identical_under_repartitioning(spark):
     # The whole point of integer moments: the float output is one fixed
     # expression over exact sums, so partitioning cannot move a bit.
+    # Runs the REGISTERED plan's own building blocks (_qpc_moments /
+    # _qpc_assemble) over the repartitioned table, so expression drift
+    # in the plan cannot silently diverge from this test.
+    from kafka_avro_order_processing_spark.plans.registry import (
+        _qpc_assemble,
+        _qpc_moments,
+    )
+
     base = _rows(spark)
     li = spark.read.parquet(f"{SF}/lineitem.parquet")
     for parts in (1, 7, 32):
         shuffled = li.repartition(parts, "l_orderkey")
-        view = f"lineitem_rp{parts}"
-        shuffled.createOrReplaceTempView(view)
-        # Re-run the same plan over the repartitioned table by swapping
-        # the loader: easiest faithful route is a temp dir-free rerun
-        # via DataFrame surgery on the registered fn's building blocks.
-        from pyspark.sql import functions as F
-
-        x = F.col("l_quantity").cast("long")
-        y = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
-        mo = shuffled.select(
-            "l_returnflag", x.alias("x"), y.alias("y")
-        ).groupBy("l_returnflag").agg(
-            F.count("*").alias("n"),
-            F.sum("x").cast("long").alias("sx"),
-            F.sum("y").cast("long").alias("sy"),
-            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-            F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
-        )
-        dn = F.col("n").cast("decimal(10,0)")
-        num = dn * F.col("sxy").cast("decimal(28,0)") - F.col("sx").cast(
-            "decimal(19,0)"
-        ) * F.col("sy").cast("decimal(19,0)")
-        varx = dn * F.col("sxx").cast("decimal(28,0)") - F.col("sx").cast(
-            "decimal(19,0)"
-        ) * F.col("sx").cast("decimal(19,0)")
-        vary = dn * F.col("syy").cast("decimal(28,0)") - F.col("sy").cast(
-            "decimal(19,0)"
-        ) * F.col("sy").cast("decimal(19,0)")
         rerun = {
             r["l_returnflag"]: r
-            for r in mo.select(
-                "l_returnflag",
-                (
-                    num.cast("double")
-                    / F.sqrt(varx.cast("double") * vary.cast("double"))
-                ).alias("corr_qty_price"),
-            ).collect()
+            for r in _qpc_assemble(_qpc_moments(shuffled)).collect()
         }
         for flag, r in base.items():
             # exact float equality — the contract, not a tolerance
@@ -101,9 +74,14 @@ def test_trend_agrees_with_numpy_polyfit(spark):
     orders = spark.read.parquet(f"{SF}/orders.parquet").select(
         "o_orderdate", "o_totalprice"
     ).collect()
+    import calendar
+
     daily: dict[int, int] = {}
     for r in orders:
-        day = int(r["o_orderdate"].timestamp() // 86400)
+        # timegm, not .timestamp(): naive-datetime .timestamp() applies
+        # the HOST timezone while the Spark session pins UTC — on a
+        # non-UTC host the day bucketing would shift.
+        day = calendar.timegm(r["o_orderdate"].timetuple()) // 86400
         daily[day] = daily.get(day, 0) + round(r["o_totalprice"] * 100)
     xs = np.array(sorted(daily), dtype=float)
     ys = np.array([daily[d] for d in sorted(daily)], dtype=float)

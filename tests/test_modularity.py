@@ -117,3 +117,17 @@ def test_scores_label_propagation_partition(spark):
     assert sum(r["n_members"] for r in rows) == 10
     assert sum(r["degree_sum"] for r in rows) == 2 * len(edges)
     assert sum(r["contrib_num"] for r in rows) > 0
+
+
+def test_labels_wider_than_edge_list_count_isolated_members(spark):
+    # A label table covering nodes absent from the edge list (isolated
+    # nodes) must still count them in n_members with zero degree — the
+    # Python reference's deg.get(n, 0) semantics.  Before the left-join
+    # fix the operator inner-joined labels with the degree table and
+    # silently dropped them.
+    edges = [(1, 2), (2, 3), (1, 3)]
+    labels = {1: 1, 2: 1, 3: 1, 99: 1, 100: 7}
+    got = _run(spark, edges, labels)
+    assert got == _py_modularity(edges, labels)
+    assert got[1][0] == 4          # 99 counted as a member
+    assert got[7] == (1, 0, 0, 0, 4 * 3 * 3)  # all-isolated community

@@ -7,6 +7,8 @@ flag (the operator's contract — no float z-score boundary drift).
 
 from __future__ import annotations
 
+import calendar
+
 from kafka_avro_order_processing_spark.plans.registry import QUERIES
 
 SF = "/root/testdata/sf0.001"
@@ -18,7 +20,9 @@ def _daily(spark) -> dict[int, int]:
     ).collect()
     daily: dict[int, int] = {}
     for r in orders:
-        day = int(r["o_orderdate"].timestamp() // 86400)
+        # timegm, not .timestamp(): naive-datetime .timestamp() applies
+        # the HOST timezone while the Spark session pins UTC.
+        day = calendar.timegm(r["o_orderdate"].timetuple()) // 86400
         daily[day] = daily.get(day, 0) + round(r["o_totalprice"] * 100)
     return daily
 
@@ -87,7 +91,7 @@ def test_grouped_trend_matches_numpy_per_group(spark):
     evn = load_table(spark, SF, "events").select("event_type", "ts").collect()
     daily: dict[tuple[str, int], int] = {}
     for r in evn:
-        day = int(r["ts"].timestamp() // 86400)
+        day = calendar.timegm(r["ts"].timetuple()) // 86400
         daily[(r["event_type"], day)] = daily.get((r["event_type"], day), 0) + 1
     by_type: dict[str, dict[int, int]] = {}
     for (et, day), c in daily.items():
