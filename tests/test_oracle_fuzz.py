@@ -695,3 +695,110 @@ def test_fuzz_anomaly_inequality_matches_python_ints(spark, series):
     syy = sum(v * v for v in series.values())
     for day, v in series.items():
         assert got[day] == ((n * v - sy) ** 2 > 4 * (n * syy - sy * sy)), day
+
+
+# ---------------------------------------------------------------------------
+# The md5-ordering idiom family (training_order_shuffle /
+# stratified_sample / deterministic_sample): a pseudo-random but
+# engine-reproducible order comes from sorting on md5(seed:id).  That
+# only works if BOTH engines produce identical hex digests AND order
+# them identically (byte-wise, no collation drift) AND break the
+# (astronomically unlikely, but also planted-duplicate) ties the same
+# way.  Fuzz the idiom itself over arbitrary id sets and seeds.
+# ---------------------------------------------------------------------------
+
+ids_strategy = st.lists(
+    st.integers(0, 2**40), min_size=1, max_size=120, unique=True
+)
+seed_strategy = st.integers(0, 10**6)
+
+
+@given(ids=ids_strategy, seed=seed_strategy)
+@SETTINGS
+def test_fuzz_md5_shuffle_order_matches_duckdb(spark, ids, seed):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    key = F.md5(F.concat(F.lit(f"epoch{seed}:"), F.col("doc_id").cast("string")))
+    w = Window.orderBy("shuffle_key", "doc_id")
+    got = [
+        (r["doc_id"], r["shuffle_key"], r["pos"], r["bucket"])
+        for r in df.select("doc_id", key.alias("shuffle_key"))
+        .select(
+            "doc_id",
+            "shuffle_key",
+            F.row_number().over(w).alias("pos"),
+            F.substring("shuffle_key", 1, 2).alias("bucket"),
+        )
+        .collect()
+    ]
+    got.sort(key=lambda t: t[2])
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT)")
+    con.executemany("INSERT INTO d VALUES (?)", [(i,) for i in ids])
+    want = con.execute(f"""
+        SELECT doc_id, shuffle_key,
+               ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) AS pos,
+               substring(shuffle_key, 1, 2) AS bucket
+        FROM (SELECT doc_id,
+                     md5('epoch{seed}:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+              FROM d)
+        ORDER BY pos
+    """).fetchall()
+    assert got == [tuple(r) for r in want]
+
+
+strata_strategy = st.lists(
+    st.tuples(st.sampled_from(["news", "web", "code", "books"]),
+              st.integers(0, 2**40)),
+    min_size=1,
+    max_size=120,
+    unique_by=lambda r: r[1],
+)
+
+
+@given(rows=strata_strategy, seed=seed_strategy)
+@SETTINGS
+def test_fuzz_stratified_md5_quota_matches_duckdb(spark, rows, seed):
+    """Exact-quota stratified sampling: one rank window per stratum
+    ordered by the md5 draw — the sampled SET (not just counts) must be
+    identical across engines for any data and seed."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    QUOTA = 3
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    key = F.md5(
+        F.concat(F.lit(f"s{seed}:"), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("source").orderBy("draw", "doc_id")
+    got = sorted(
+        (r["source"], r["doc_id"], r["rk"])
+        for r in df.select("source", "doc_id", key.alias("draw"))
+        .select("source", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= QUOTA)
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (source VARCHAR, doc_id BIGINT)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(f"""
+            SELECT source, doc_id, rk FROM (
+              SELECT source, doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY md5('s{seed}:' || CAST(doc_id AS VARCHAR)),
+                                doc_id) AS rk
+              FROM d)
+            WHERE rk <= {QUOTA}
+        """).fetchall()
+    )
+    assert got == want
+    # quota exactness: per-stratum count = min(QUOTA, stratum size)
+    from collections import Counter
+
+    sizes = Counter(s for s, _ in rows)
+    picked = Counter(s for s, _, _ in got)
+    assert picked == {s: min(QUOTA, n) for s, n in sizes.items()}
