@@ -656,3 +656,129 @@ def co_activity_edges(
         .select(F.col("min_id").alias("src"), F.col(id_col).alias("dst"))
     )
     return all_pairs.unionByName(starred).distinct()
+
+
+def label_propagation_auto(
+    edges: DataFrame,
+    max_iterations: int = 10,
+    patience: int = 1,
+    src: str = "src",
+    dst: str = "dst",
+):
+    """Label propagation with modularity-guided round selection: run
+    synchronous deterministic LPA rounds (same vote/tie rules as
+    :func:`label_propagation`) and stop when Newman modularity Q of
+    the partition stops improving for `patience` consecutive rounds,
+    returning the best round's labels.
+
+    Q is compared EXACTLY: with m fixed across rounds, Q ranks as the
+    integer S = sum_c(4*m*L_c - d_c^2) over the constant denominator
+    4*m^2 — so "stopped improving" is integer comparison, never a
+    float-epsilon judgement call (the same rationale as the all-integer
+    :func:`modularity` contract).  One driver scalar per round (S),
+    the sanctioned pattern connected_components uses for its
+    convergence count.
+
+    The static per-graph tables (symmetric edges, canonical edges,
+    degrees, m) are computed ONCE and checkpointed; each round adds
+    only the LPA vote join plus two label⋈edge joins for S.
+
+    Returns (labels, best_round, history): labels is the best round's
+    (node, community) DataFrame, best_round its 1-based round index,
+    history the list of S values per round.
+    """
+    from pyspark.sql import Window
+
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+            .filter(F.col("a") != F.col("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    und = (
+        sym.filter(F.col("a") < F.col("b"))
+        .select(F.col("a").alias("lo"), F.col("b").alias("hi"))
+        .localCheckpoint(eager=True)
+    )
+    m = und.count()
+    deg = (
+        sym.groupBy(F.col("a").alias("n"))
+        .agg(F.count("*").alias("d"))
+        .localCheckpoint(eager=True)
+    )
+
+    def _q_numerator(lab: DataFrame) -> int:
+        memb = lab.select(F.col("node").alias("n"), F.col("label").alias("c"))
+        intra = (
+            und.join(
+                memb.select(F.col("n").alias("lo"), F.col("c").alias("c_lo")),
+                "lo",
+            )
+            .join(
+                memb.select(F.col("n").alias("hi"), F.col("c").alias("c_hi")),
+                "hi",
+            )
+            .filter(F.col("c_lo") == F.col("c_hi"))
+            .groupBy(F.col("c_lo").alias("c"))
+            .agg(F.count("*").alias("lc"))
+        )
+        degsum = (
+            memb.join(deg, "n", "left")
+            .groupBy("c")
+            .agg(
+                F.sum(F.coalesce(F.col("d"), F.lit(0)))
+                .cast("long")
+                .alias("dc")
+            )
+        )
+        row = (
+            degsum.join(intra, "c", "left")
+            .select(
+                (
+                    F.lit(4 * m).cast("long")
+                    * F.coalesce(F.col("lc"), F.lit(0)).cast("long")
+                    - F.col("dc") * F.col("dc")
+                ).alias("num")
+            )
+            .agg(F.sum("num").cast("long").alias("s"))
+            .collect()[0]
+        )
+        return int(row["s"] or 0)
+
+    labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    best_labels, best_s, best_round = None, None, 0
+    history: list[int] = []
+    stale = 0
+    for i in range(1, max_iterations + 1):
+        votes = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy(F.col("a"), F.col("label"))
+            .agg(F.count("*").alias("cnt"))
+        )
+        w = Window.partitionBy("a").orderBy(F.desc("cnt"), F.asc("label"))
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("a").alias("node"), "label")
+            .localCheckpoint(eager=True)
+        )
+        s = _q_numerator(labels)
+        history.append(s)
+        if best_s is None or s > best_s:
+            best_labels, best_s, best_round = labels, s, i
+            stale = 0
+        else:
+            stale += 1
+            if stale >= patience:
+                break
+    return (
+        best_labels.select("node", F.col("label").alias("community")),
+        best_round,
+        history,
+    )

@@ -66,3 +66,65 @@ def test_two_cliques_resolve_to_two_communities(spark):
     assert {got[i] for i in range(6)} != {got[i] for i in range(10, 16)}
     assert len({got[i] for i in range(6)}) == 1
     assert len({got[i] for i in range(10, 16)}) == 1
+
+
+def test_auto_round_selection_matches_fixed_rounds(spark):
+    # Two 4-cliques joined by a single bridge: Q improves as the
+    # cliques collapse to one label each, then plateaus.
+    from kafka_avro_order_processing_spark.operators.graph import (
+        label_propagation,
+        label_propagation_auto,
+        modularity,
+    )
+    from pyspark.sql import functions as F
+
+    clique_a = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    clique_b = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    edges = spark.createDataFrame(
+        clique_a + clique_b + [(3, 10)], "src long, dst long"
+    )
+    labels, best_round, history = label_propagation_auto(
+        edges, max_iterations=8, patience=2
+    )
+    # Selection picks the argmax of the integer Q numerator.
+    assert history[best_round - 1] == max(history)
+    # The chosen labels are EXACTLY label_propagation at that round —
+    # auto mode changes when to stop, never the round semantics.
+    fixed = {
+        (r["node"], r["community"])
+        for r in label_propagation(edges, iterations=best_round).collect()
+    }
+    got = {(r["node"], r["community"]) for r in labels.collect()}
+    assert got == fixed
+    # The internal Q numerator agrees with the public modularity()
+    # decomposition of the same partition.
+    s = (
+        modularity(edges, labels)
+        .agg(F.sum("contrib_num").cast("long").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert s == history[best_round - 1]
+    # And the partition itself is the two cliques.
+    comms = {}
+    for n, c in got:
+        comms.setdefault(c, set()).add(n)
+    assert sorted(map(sorted, comms.values())) == [
+        [0, 1, 2, 3], [10, 11, 12, 13]
+    ]
+
+
+def test_auto_stops_early_on_plateau(spark):
+    from kafka_avro_order_processing_spark.operators.graph import (
+        label_propagation_auto,
+    )
+
+    # A triangle converges in one round; with patience=1 the loop must
+    # stop well before max_iterations.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src long, dst long"
+    )
+    _, best_round, history = label_propagation_auto(
+        edges, max_iterations=10, patience=1
+    )
+    assert len(history) < 10
+    assert best_round <= len(history)
