@@ -2372,3 +2372,48 @@ def test_bloom_bits_per_key_option(spark):
         df.write.format("kaop_avro").option("path", f"{d}/bad").option(
             "bloomColumns", "k"
         ).option("bloomBitsPerKey", "0").mode("append").save()
+
+
+def test_stream_reader_thousand_file_backlog_capped(spark):
+    """maxFilesPerBatch at file-count scale: a 1000-file backlog with
+    cap=100 drains in exactly-once fashion across >= 10 capped
+    micro-batches, the cap is honored in EVERY batch, and the name-set
+    offset keeps growing monotonically (the restart-safety invariant)
+    rather than resetting between batches."""
+    from kafka_avro_order_processing_spark.sources.avro_ocf import register
+
+    n_files, cap = 1000, 100
+    base = tempfile.mkdtemp(prefix=f"ocfstress_{uuid.uuid4().hex[:8]}_")
+    land, chk = f"{base}/land", f"{base}/chk"
+    for i in range(n_files):
+        write_avro_ocf(
+            f"{land}/part-{i:05d}.avro",
+            [{**ROWS[0], "doc_id": 10_000 + i}],
+            SCHEMA,
+        )
+    register(spark)
+    batches: list[list[int]] = []
+
+    def body(df, _eid):
+        ids = [r["doc_id"] for r in df.collect()]
+        if ids:
+            batches.append(sorted(ids))
+
+    q = (
+        spark.readStream.format("kaop_avro")
+        .option("path", land)
+        .option("maxFilesPerBatch", str(cap))
+        .load()
+        .writeStream.foreachBatch(body)
+        .option("checkpointLocation", chk)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    flat = sorted(x for b in batches for x in b)
+    assert flat == list(range(10_000, 10_000 + n_files))  # exactly once
+    assert all(len(b) <= cap for b in batches)            # cap per batch
+    assert len(batches) >= n_files // cap                 # really capped
