@@ -1175,10 +1175,16 @@ def _move_file(src: str, dst: str) -> None:
 # writer token, PUTs, then READS BACK; if another writer's PUT won
 # the race the token mismatch is detected and the merge retries
 # against the new state, and after bounded retries it raises instead
-# of silently dropping the other writer's parts.  This is
-# detect-and-repair, not true CAS — a store that reorders or delays
-# read-after-write visibility can still interleave two PUTs
-# undetected, so heavy multi-writer workloads should serialize
+# of silently dropping the other writer's parts.
+#
+# On LOCAL filesystems (plain paths and file:// URIs) the publish
+# additionally runs under a real O_EXCL lock file (_manifest_lock),
+# which POSIX guarantees atomic — cooperating writers on one mount
+# are truly serialized, with mtime-expiry repair for crashed holders.
+# For OBJECT stores no such primitive exists, so there the protocol
+# is detect-and-repair, not true CAS — a store that reorders or
+# delays read-after-write visibility can still interleave two PUTs
+# undetected, and heavy multi-writer workloads should serialize
 # commits externally; what can no longer happen silently is the
 # last-writer-wins part loss.
 # --------------------------------------------------------------------------
@@ -1221,25 +1227,105 @@ def _write_manifest(path: str, manifest: dict) -> None:
         f.write(data)
 
 
+def _local_lock_path(path: str) -> str | None:
+    """Lock-file path when the manifest lives on a filesystem with an
+    atomic exclusive create (plain local paths and file:// URIs);
+    None for object stores, which have no primitive to build a real
+    mutex from."""
+    mp = _manifest_path(path)
+    if "://" not in mp:
+        return mp + ".lock"
+    if mp.startswith("file://"):
+        return mp[len("file://"):] + ".lock"
+    return None
+
+
+class _manifest_lock:
+    """True mutual exclusion for local-filesystem manifest commits via
+    O_CREAT|O_EXCL (POSIX-atomic even over NFSv3+).  A crashed holder
+    is repaired by mtime expiry: a lock older than `stale_after` is
+    broken and re-contended.  Object-store paths yield without locking
+    — there the versioned read-back protocol below remains the only
+    (detect-and-repair) guard, as the module comment documents."""
+
+    def __init__(self, path: str, timeout: float = 30.0,
+                 stale_after: float = 120.0):
+        self.lock_path = _local_lock_path(path)
+        self.timeout = timeout
+        self.stale_after = stale_after
+
+    def __enter__(self):
+        if self.lock_path is None:
+            return False
+        import random as _random
+        import time as _time
+
+        deadline = _time.monotonic() + self.timeout
+        while True:
+            try:
+                fd = os.open(
+                    self.lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                )
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return True
+            except FileExistsError:
+                try:
+                    age = _time.time() - os.path.getmtime(self.lock_path)
+                except OSError:
+                    continue  # holder released between open and stat
+                if age > self.stale_after:
+                    # crashed holder: break the lock; the O_EXCL retry
+                    # decides the winner among simultaneous breakers
+                    try:
+                        os.unlink(self.lock_path)
+                    except FileNotFoundError:
+                        pass
+                    continue
+                if _time.monotonic() > deadline:
+                    raise RuntimeError(
+                        f"manifest lock {self.lock_path!r} held for over "
+                        f"{self.timeout}s by a live writer; serialize "
+                        f"commits or raise the timeout"
+                    )
+                _time.sleep(0.005 + _random.random() * 0.02)
+
+    def __exit__(self, *exc):
+        if self.lock_path is not None:
+            try:
+                os.unlink(self.lock_path)
+            except FileNotFoundError:
+                pass
+        return False
+
+
 def _publish_manifest(path: str, mutate, max_retries: int = 5) -> dict:
     """Versioned read-mutate-write of the manifest with lost-race
     detection (see the protocol comment above).  ``mutate(current)``
     returns the new manifest body computed from the CURRENT committed
     state — it is re-invoked on every retry so concurrent commits
-    fold in rather than being overwritten."""
+    fold in rather than being overwritten.
+
+    On local filesystems the read-modify-write additionally runs under
+    a real O_EXCL lock (``_manifest_lock``), so cooperating writers on
+    one mount are serialized outright — the read-back check then only
+    guards against NON-cooperating writers (processes mutating the
+    manifest without taking the lock).  On object stores the lock is a
+    no-op and detect-and-repair is the whole story."""
     import uuid as _uuid
 
     last_seen = None
-    for _ in range(max_retries):
-        cur = _read_manifest(path) or {}
-        new = mutate(dict(cur))
-        new["version"] = int(cur.get("version", 0)) + 1
-        new["writer"] = _uuid.uuid4().hex  # one-shot token: detects lost PUT races
-        _write_manifest(path, new)
-        check = _read_manifest(path)
-        if check == new:
-            return new
-        last_seen = check
+    with _manifest_lock(path):
+        for _ in range(max_retries):
+            cur = _read_manifest(path) or {}
+            new = mutate(dict(cur))
+            new["version"] = int(cur.get("version", 0)) + 1
+            new["writer"] = _uuid.uuid4().hex  # one-shot token: detects lost PUT races
+            _write_manifest(path, new)
+            check = _read_manifest(path)
+            if check == new:
+                return new
+            last_seen = check
     raise RuntimeError(
         f"manifest publish for {path!r} kept losing to a concurrent writer "
         f"(last observed: {last_seen!r}); serialize writers to this directory"

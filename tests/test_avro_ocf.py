@@ -3,6 +3,7 @@ round-trips and the jar-less Spark read path."""
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
@@ -2417,3 +2418,72 @@ def test_stream_reader_thousand_file_backlog_capped(spark):
     assert flat == list(range(10_000, 10_000 + n_files))  # exactly once
     assert all(len(b) <= cap for b in batches)            # cap per batch
     assert len(batches) >= n_files // cap                 # really capped
+
+
+def test_manifest_lock_serializes_cooperating_writers(tmp_path):
+    """Local-FS commits run under a real O_EXCL lock: 8 threads
+    publishing concurrently must each land their part with NO retries
+    exhausted, and the version must count every commit exactly once
+    (true serialization, not detect-and-repair luck)."""
+    import threading
+
+    from kafka_avro_order_processing_spark.sources import avro_ocf as mod
+
+    path = str(tmp_path / "lake")
+    os.makedirs(path)
+    errors: list[Exception] = []
+
+    def commit(i: int) -> None:
+        try:
+            mod._publish_manifest(
+                path,
+                lambda cur: {**cur, "parts": sorted(
+                    set(cur.get("parts", [])) | {f"part-{i:02d}.avro"})},
+            )
+        except Exception as e:  # pragma: no cover - failure reporting
+            errors.append(e)
+
+    threads = [threading.Thread(target=commit, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    final = mod._read_manifest(path)
+    assert final["parts"] == [f"part-{i:02d}.avro" for i in range(8)]
+    assert final["version"] == 8  # one increment per commit, none lost
+    assert not os.path.exists(mod._local_lock_path(path))  # released
+
+
+def test_manifest_lock_breaks_stale_holder(tmp_path):
+    """A lock file left by a crashed writer (old mtime) is broken and
+    the commit proceeds instead of timing out."""
+    import time
+
+    from kafka_avro_order_processing_spark.sources import avro_ocf as mod
+
+    path = str(tmp_path / "lake")
+    os.makedirs(path)
+    lp = mod._local_lock_path(path)
+    with open(lp, "w") as f:
+        f.write("99999")
+    old = time.time() - 3600
+    os.utime(lp, (old, old))
+    out = mod._publish_manifest(path, lambda cur: {**cur, "parts": ["p.avro"]})
+    assert out["parts"] == ["p.avro"]
+    assert not os.path.exists(lp)
+
+
+def test_manifest_lock_times_out_on_live_holder(tmp_path):
+    """A FRESH lock held by a live writer makes the publish raise the
+    documented RuntimeError after the bounded wait — no silent
+    lock-break of an active commit."""
+    from kafka_avro_order_processing_spark.sources import avro_ocf as mod
+
+    path = str(tmp_path / "lake")
+    os.makedirs(path)
+    with open(mod._local_lock_path(path), "w") as f:
+        f.write("1")
+    with pytest.raises(RuntimeError, match="manifest lock"):
+        with mod._manifest_lock(path, timeout=0.2):
+            pass
