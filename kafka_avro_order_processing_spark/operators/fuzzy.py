@@ -1,0 +1,89 @@
+"""Record linkage / fuzzy matching: edit-distance joins with blocking.
+
+The classic data-cleaning operator the reference's order pipeline has no
+analogue for but any large-scale catalog/dedup workload needs: find,
+for every record, its nearest other record by Levenshtein distance —
+WITHOUT the corpus-quadratic all-pairs comparison.  Blocking is the
+standard record-linkage answer (Fellegi & Sunter '69 lineage; see also
+the survey literature on blocking/indexing, e.g. Christen's "A Survey
+of Indexing Techniques for Scalable Record Linkage"): only records
+sharing a cheap deterministic key (here: a category token + brand) are
+compared, so the comparison count is sum over blocks of n_b^2 instead
+of N^2.  The blocking key's granularity is the scale knob — at 100 TB
+you pick keys that keep every block in the low thousands.
+
+Engine notes: Spark's `levenshtein` and DuckDB's agree exactly on
+ASCII strings (verified by the fuzz suite) but diverge on non-ASCII
+(Spark counts codepoints, DuckDB bytes) — the contract here is
+byte/codepoint-agnostic ASCII input, which the fuzz generator and the
+catalog data both satisfy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Blocks larger than this are skipped outright (deterministic, mirrored
+# by the SQL oracles): a degenerate blocking key that funnels 10^6
+# records into one block would otherwise go quadratic.  Unlike the
+# co-activity star fallback there is no useful "connectivity" to
+# preserve for fuzzy matching — an oversized block means the blocking
+# key is wrong for the data, and silently comparing a sample would
+# report false non-matches; skipping is the honest bound.
+MAX_FUZZY_BLOCK = 1000
+
+
+def fuzzy_best_match(
+    df: DataFrame,
+    block: Column,
+    id_col: str = "id",
+    text_col: str = "text",
+    max_distance: int = 4,
+    max_block_size: int = MAX_FUZZY_BLOCK,
+) -> DataFrame:
+    """For every record, the nearest OTHER record in its block by
+    Levenshtein distance on `text_col`, keeping only matches within
+    `max_distance`.  Ties break on the smallest candidate id (total
+    order — deterministic and oracle-reproducible).
+
+    Returns (id, match_id, match_text, distance) with exactly one row
+    per record that has a qualifying match; records in oversized
+    blocks (> max_block_size members) or with no candidate within the
+    threshold produce no row.
+
+    Shape: one partial-aggregated groupBy for block sizes, a join-back
+    on the block key, the blocked self-join (bounded by
+    max_block_size^2 per block), a JVM-side levenshtein filter — no
+    Python in the hot path — and one per-record rank window whose
+    partition is bounded by the block size.
+    """
+    b = df.select(
+        F.col(id_col).alias("rid"),
+        F.col(text_col).alias("rtext"),
+        block.alias("blk"),
+    )
+    sizes = b.groupBy("blk").agg(F.count("*").alias("block_n"))
+    ok = b.join(
+        sizes.filter(F.col("block_n") <= max_block_size), "blk"
+    ).drop("block_n")
+    cand = (
+        ok.select("blk", F.col("rid").alias("cid"), F.col("rtext").alias("ctext"))
+    )
+    scored = (
+        ok.join(cand, "blk")
+        .filter(F.col("rid") != F.col("cid"))
+        .withColumn("distance", F.levenshtein("rtext", "ctext"))
+        .filter(F.col("distance") <= max_distance)
+    )
+    w = Window.partitionBy("rid").orderBy(F.asc("distance"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("rid").alias(id_col),
+            F.col("cid").alias("match_id"),
+            F.col("ctext").alias("match_text"),
+            F.col("distance").cast("int").alias("distance"),
+        )
+    )

@@ -35,6 +35,7 @@ from ..operators.ranking import top_k_global, top_k_per_group
 from ..functions.scalar import classify_error, dec_sum, RETRYABLE_PATTERN
 from ..operators.graph import MAX_COACTIVITY_BUCKET
 from ..operators.similarity import PQ_N_QUERIES
+from ..operators.fuzzy import MAX_FUZZY_BLOCK as MAX_FUZZY_BLOCK_SQL
 
 
 @dataclass
@@ -6242,6 +6243,55 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "fuzzy_part_links",
+    f"""
+    WITH b AS (
+      SELECT p_partkey AS rid, p_name AS rtext,
+             split_part(p_name, ' ', 2) || '|' || p_brand AS blk
+      FROM part),
+    sizes AS (SELECT blk, COUNT(*) AS n FROM b GROUP BY blk),
+    ok AS (SELECT b.* FROM b JOIN sizes s
+           ON s.blk = b.blk AND s.n <= {MAX_FUZZY_BLOCK_SQL}),
+    scored AS (
+      SELECT a.rid, c.rid AS cid, c.rtext AS ctext,
+             levenshtein(a.rtext, c.rtext) AS distance
+      FROM ok a JOIN ok c ON a.blk = c.blk AND a.rid <> c.rid
+      WHERE levenshtein(a.rtext, c.rtext) <= 4)
+    SELECT rid AS p_partkey, cid AS match_id, ctext AS match_text,
+           CAST(distance AS INTEGER) AS distance
+    FROM (SELECT rid, cid, ctext, distance,
+                 ROW_NUMBER() OVER (PARTITION BY rid
+                                    ORDER BY distance, cid) AS rn
+          FROM scored)
+    WHERE rn = 1
+    """,
+    tags=("m5", "linkage", "fuzzy"),
+    doc="Record linkage by blocked edit-distance matching "
+        "(operators/fuzzy.py): every part's nearest other part by "
+        "Levenshtein distance within its (category-token, brand) "
+        "block, threshold 4, ties on the smallest candidate id — the "
+        "catalog-dedup / entity-resolution primitive the LLM-corpus "
+        "dedup family lacks (MinHash and SimHash find token-overlap "
+        "duplicates; edit distance finds TYPO-class near-identity).  "
+        "Blocking keeps the comparison count sum-of-block-squares "
+        "instead of corpus-squared, oversized blocks (> "
+        "1000 members) are skipped deterministically on both engines, "
+        "and the levenshtein filter runs JVM-side.  The blocking-key "
+        "granularity is the 100 TB scale knob.",
+)
+def q_fuzzy_part_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.fuzzy import fuzzy_best_match
+
+    part = load_table(spark, sf_dir, "part")
+    blk = F.concat(
+        F.split(F.col("p_name"), " ").getItem(1), F.lit("|"), F.col("p_brand")
+    )
+    return fuzzy_best_match(
+        part, blk, id_col="p_partkey", text_col="p_name", max_distance=4
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness harness checks queries in
 # registration order and caps the run at 50 (measured in rounds 1-2).
@@ -6291,16 +6341,20 @@ _LEAD_ORDER = [
     "upsert_orders_partitioned", "streaming_upsert_orders",
     "scd2_customer_dim", "streaming_scd2_customer_dim",
     "doc_length_histogram", "bm25_top20", "embedding_lsh_near_dup",
-    # (3) r5-green, oldest-registration-first (deadline round 8):
+    # (3) r5-green, oldest-registration-first (deadline round 8), plus
+    # this round's one NEW name (fuzzy_part_links), which displaced
+    # "rejected_orders" below the boundary per the headroom rule:
     "per_product_stats", "overall_stats", "running_avg",
-    "validated_orders", "rejected_orders",
+    "validated_orders", "fuzzy_part_links",
     # --- position 50 boundary ---------------------------------------
     # ROUND-8 MATH: after the r7 check the oldest rows anywhere are
-    # the 45 remaining r5-green names (checked r5, age 2 during
-    # round 8 — their deadline).  LEAD ROUND 8 WITH THOSE 45 (the 50
-    # r5 names minus the five in group (3) above), then fill 5 from
-    # the 47 r6-green names oldest-registration-first.  Round 9 then
-    # takes the remaining 42 r6-greens (deadline r9) + 8 r7-window
+    # the 46 remaining r5-green names (checked r5, age 2 during
+    # round 8 — their deadline): the 50 r5 names minus the four
+    # checked in group (3) above ("rejected_orders" was displaced by
+    # fuzzy_part_links and so stays due).  LEAD ROUND 8 WITH THOSE
+    # 46, then fill 4 from the 47 r6-green names
+    # oldest-registration-first.  Round 9 then
+    # takes the remaining 43 r6-greens (deadline r9) + 7 r7-window
     # names.  Headroom for NEW names this round is 5: a new name may
     # displace only a group-(3) r5-green (pushing it into round 8's
     # lead, which then needs 45+displaced <= 50), NEVER a group-(2)

@@ -1,0 +1,137 @@
+"""Blocked edit-distance record linkage (operators/fuzzy.py): exact
+agreement with a pure-Python reference, the deterministic oversize-skip
+bound, tie-break totality, and a cross-engine ASCII fuzz (Spark and
+DuckDB levenshtein agree on ASCII; non-ASCII diverges by design —
+codepoints vs bytes — which the operator contract excludes).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from kafka_avro_order_processing_spark.operators.fuzzy import (
+    MAX_FUZZY_BLOCK,
+    fuzzy_best_match,
+)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _py_best(rows, max_distance=4, max_block=MAX_FUZZY_BLOCK):
+    from collections import Counter
+
+    sizes = Counter(blk for _, _, blk in rows)
+    out = {}
+    for rid, text, blk in rows:
+        if sizes[blk] > max_block:
+            continue
+        cands = [
+            (_lev(text, ct), cid, ct)
+            for cid, ct, cb in rows
+            if cb == blk and cid != rid and sizes[cb] <= max_block
+        ]
+        cands = [c for c in cands if c[0] <= max_distance]
+        if cands:
+            d, cid, ct = min(cands)
+            out[rid] = (cid, ct, d)
+    return out
+
+
+def _run(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "id long, text string, blk string")
+    return {
+        r["id"]: (r["match_id"], r["match_text"], r["distance"])
+        for r in fuzzy_best_match(df, F.col("blk"), **kw).collect()
+    }
+
+
+def test_matches_python_reference(spark):
+    rows = [
+        (1, "large ring", "ring"),
+        (2, "small ring", "ring"),
+        (3, "large wing", "ring"),      # same block, dist 1 to #1
+        (4, "totally different name", "ring"),
+        (5, "large ring", "bolt"),      # other block: never matches #1
+        (6, "larg ring", "bolt"),
+    ]
+    got = _run(spark, rows)
+    assert got == _py_best(rows)
+    assert got[1] == (3, "large wing", 1)     # nearest, not just any
+    assert 4 not in got                        # beyond threshold: no row
+
+
+def test_oversized_block_is_skipped(spark):
+    rows = [(i, f"name {i:04d}", "hot") for i in range(30)] + [
+        (100, "abc", "cool"),
+        (101, "abd", "cool"),
+    ]
+    got = _run(spark, rows, max_block_size=10)
+    # hot block (30 > 10) contributes nothing; cool block matches.
+    assert got == {100: (101, "abd", 1), 101: (100, "abc", 1)}
+
+
+def test_tie_breaks_on_smallest_candidate_id(spark):
+    rows = [
+        (10, "aaaa", "b"),
+        (7, "aaab", "b"),
+        (8, "aaac", "b"),   # same distance 1 from #10 as #7
+    ]
+    got = _run(spark, rows)
+    assert got[10] == (7, "aaab", 1)  # smallest cid wins the tie
+
+
+ascii_rows = st.lists(
+    st.tuples(
+        st.integers(0, 10_000),
+        st.text(alphabet="abcdef ", min_size=0, max_size=8),
+        st.sampled_from(["p", "q"]),
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda r: r[0],
+)
+
+
+@given(rows=ascii_rows)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_matches_duckdb_on_ascii(spark, rows):
+    got = sorted((k, *v) for k, v in _run(spark, rows).items())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, text VARCHAR, blk VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(f"""
+            WITH sizes AS (SELECT blk, COUNT(*) n FROM t GROUP BY blk),
+            ok AS (SELECT t.* FROM t JOIN sizes s
+                   ON s.blk = t.blk AND s.n <= {MAX_FUZZY_BLOCK}),
+            scored AS (
+              SELECT a.id, c.id AS cid, c.text AS ctext,
+                     levenshtein(a.text, c.text) AS d
+              FROM ok a JOIN ok c ON a.blk = c.blk AND a.id <> c.id
+              WHERE levenshtein(a.text, c.text) <= 4)
+            SELECT id, cid, ctext, CAST(d AS INTEGER)
+            FROM (SELECT id, cid, ctext, d,
+                         ROW_NUMBER() OVER (PARTITION BY id
+                                            ORDER BY d, cid) rn
+                  FROM scored)
+            WHERE rn = 1
+        """).fetchall()
+    )
+    assert got == want
