@@ -506,9 +506,12 @@ def test_fuzz_modularity_matches_duckdb(spark, edges, seed):
               JOIN l lb ON lb.node = u.hi
               WHERE la.community = lb.community GROUP BY 1),
             degsum AS (
+              -- LEFT join: nodes labeled but absent from the canonical
+              -- edge list (e.g. self-loop-only nodes) count as members
+              -- with zero degree, mirroring operators/graph.modularity
               SELECT l.community, COUNT(*) AS nm,
-                     CAST(SUM(d.d) AS BIGINT) AS ds
-              FROM l JOIN deg d ON d.n = l.node GROUP BY 1)
+                     CAST(SUM(COALESCE(d.d, 0)) AS BIGINT) AS ds
+              FROM l LEFT JOIN deg d ON d.n = l.node GROUP BY 1)
             SELECT ds.community, ds.nm,
                    CAST(COALESCE(i.c, 0) AS BIGINT),
                    ds.ds,
