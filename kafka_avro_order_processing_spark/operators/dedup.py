@@ -399,3 +399,95 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
         bit = F.when(F.col(f"s{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
         fp = bit if fp is None else fp + bit
     return agg.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+def set_similarity_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sim_num: int = 1,
+    sim_den: int = 2,
+    shingler=shingle_rows,
+) -> DataFrame:
+    """EXACT Jaccard similarity self-join via prefix filtering — the
+    AllPairs/SSJoin family (Bayardo, Ma & Srikant, "Scaling Up All
+    Pairs Similarity Search", WWW'07; Chaudhuri et al., ICDE'06) — the
+    exact complement to the MinHash-LSH path: LSH trades false
+    negatives for speed, prefix filtering keeps EVERY pair with
+    Jaccard >= sim_num/sim_den while still never comparing all pairs.
+
+    Principle: order each doc's shingle set by ascending global
+    document frequency (rarest first, ties on the shingle string — a
+    total order both engines reproduce).  If two sets overlap enough
+    to pass the threshold, they MUST share a token within each other's
+    first ``sz - ceil(t*sz) + 1`` tokens (the prefix), so candidate
+    generation joins only on prefix tokens — rare by construction,
+    which is the entire scale argument.  Candidates are then verified
+    with the all-integer inequality
+    ``(num+den) * |intersection| >= num * (|a|+|b|)``
+    (equivalent to Jaccard >= num/den, zero floats to drift).
+
+    Degenerate corpora (thousands of byte-identical docs) make every
+    prefix token hot; run exact dedup first — the standard pipeline
+    order.  Position-enhanced filtering (the extra "P" in PPJoin)
+    prunes further at production scale; the plain prefix filter keeps
+    the oracle mirror simple and is already sub-quadratic.
+
+    Returns (doc_a, doc_b, n_common, size_a, size_b), doc_a < doc_b.
+    """
+    from pyspark.sql import Window
+
+    sh = shingler(df, id_col, text_col)  # (id, shingle), set semantics
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("f"))
+    sized = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    ordered = (
+        sh.join(freq, "shingle")
+        .join(sized, id_col)
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("f", "shingle")
+            ),
+        )
+    )
+    # prefix length L = sz - ceil(t*sz) + 1, all-integer:
+    # ceil(num*sz/den) via the portable exact floor-division idiom.
+    x = F.col("sz") * sim_num + (sim_den - 1)
+    ceil_t_sz = ((x - x % sim_den) / sim_den).cast("long")
+    prefix = ordered.filter(
+        F.col("pos") <= F.col("sz") - ceil_t_sz + F.lit(1)
+    ).select(F.col(id_col), "shingle")
+    cand = (
+        prefix.select(F.col(id_col).alias("doc_a"), "shingle")
+        .join(prefix.select(F.col(id_col).alias("doc_b"), "shingle"), "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ta = sh.select(F.col(id_col).alias("doc_a"), F.col("shingle").alias("s_a"))
+    tb = sh.select(F.col(id_col).alias("db"), F.col("shingle").alias("s_b"))
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(
+            tb,
+            (F.col("doc_b") == F.col("db")) & (F.col("s_a") == F.col("s_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sized.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("size_a"))
+    sb = sized.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.lit(sim_num + sim_den) * F.col("n_common")
+            >= F.lit(sim_num) * (F.col("size_a") + F.col("size_b"))
+        )
+        .select(
+            "doc_a", "doc_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("size_a").cast("long").alias("size_a"),
+            F.col("size_b").cast("long").alias("size_b"),
+        )
+    )

@@ -6292,6 +6292,70 @@ def q_fuzzy_part_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "setsim_doc_pairs",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 3
+        THEN list_transform(range(1, len(t) - 1),
+            i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+        ELSE [] END)) AS shingle
+      FROM toks),
+    freq AS (SELECT shingle, COUNT(*) AS f FROM sh GROUP BY shingle),
+    sized AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    ordered AS (
+      SELECT s.doc_id, s.shingle, z.sz,
+             ROW_NUMBER() OVER (PARTITION BY s.doc_id
+                                ORDER BY q.f, s.shingle) AS pos
+      FROM sh s JOIN freq q ON q.shingle = s.shingle
+      JOIN sized z ON z.doc_id = s.doc_id),
+    prefix AS (
+      -- L = sz - ceil(sz/2) + 1 via the portable exact floor-division
+      -- idiom on (sz + 1)
+      SELECT doc_id, shingle FROM ordered
+      WHERE pos <= sz
+                   - CAST(((sz + 1) - (sz + 1) % 2) / 2 AS BIGINT)
+                   + 1),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM prefix a JOIN prefix b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh ta ON ta.doc_id = c.doc_a
+      JOIN sh tb ON tb.doc_id = c.doc_b AND tb.shingle = ta.shingle
+      GROUP BY c.doc_a, c.doc_b)
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_common AS BIGINT) AS n_common,
+           CAST(sa.sz AS BIGINT) AS size_a,
+           CAST(sb.sz AS BIGINT) AS size_b
+    FROM inter i
+    JOIN sized sa ON sa.doc_id = i.doc_a
+    JOIN sized sb ON sb.doc_id = i.doc_b
+    WHERE 3 * i.n_common >= sa.sz + sb.sz
+    """,
+    tags=("m5", "dedup", "similarity"),
+    doc="EXACT Jaccard >= 1/2 shingle-set self-join via prefix "
+        "filtering (operators/dedup.set_similarity_join — the "
+        "AllPairs/SSJoin family, Bayardo et al. WWW'07): docs order "
+        "their 3-gram shingles rarest-global-df-first, and a "
+        "qualifying pair must share a token inside each other's "
+        "(sz - ceil(t*sz) + 1)-length prefix, so candidates join only "
+        "on rare tokens instead of all pairs — the exact complement "
+        "to the MinHash-LSH path, which buys speed with false "
+        "negatives.  Verification is the all-integer inequality "
+        "3*|intersection| >= |a| + |b| (Jaccard >= 1/2, zero "
+        "floats).  Same shingle semantics as near_dup_pairs, so the "
+        "two paths are directly comparable on recall.",
+)
+def q_setsim_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import set_similarity_join
+
+    return set_similarity_join(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness harness checks queries in
 # registration order and caps the run at 50 (measured in rounds 1-2).
@@ -6342,19 +6406,20 @@ _LEAD_ORDER = [
     "scd2_customer_dim", "streaming_scd2_customer_dim",
     "doc_length_histogram", "bm25_top20", "embedding_lsh_near_dup",
     # (3) r5-green, oldest-registration-first (deadline round 8), plus
-    # this round's one NEW name (fuzzy_part_links), which displaced
-    # "rejected_orders" below the boundary per the headroom rule:
+    # this round's two NEW names (fuzzy_part_links, setsim_doc_pairs),
+    # which displaced "rejected_orders" and "validated_orders" below
+    # the boundary per the headroom rule:
     "per_product_stats", "overall_stats", "running_avg",
-    "validated_orders", "fuzzy_part_links",
+    "fuzzy_part_links", "setsim_doc_pairs",
     # --- position 50 boundary ---------------------------------------
     # ROUND-8 MATH: after the r7 check the oldest rows anywhere are
-    # the 46 remaining r5-green names (checked r5, age 2 during
-    # round 8 — their deadline): the 50 r5 names minus the four
-    # checked in group (3) above ("rejected_orders" was displaced by
-    # fuzzy_part_links and so stays due).  LEAD ROUND 8 WITH THOSE
-    # 46, then fill 4 from the 47 r6-green names
-    # oldest-registration-first.  Round 9 then
-    # takes the remaining 43 r6-greens (deadline r9) + 7 r7-window
+    # the 47 remaining r5-green names (checked r5, age 2 during
+    # round 8 — their deadline): the 50 r5 names minus the three
+    # checked in group (3) above ("rejected_orders" and
+    # "validated_orders" were displaced by the two new names and so
+    # stay due).  LEAD ROUND 8 WITH THOSE 47, then fill 3 from the
+    # 47 r6-green names oldest-registration-first.  Round 9 then
+    # takes the remaining 44 r6-greens (deadline r9) + 6 r7-window
     # names.  Headroom for NEW names this round is 5: a new name may
     # displace only a group-(3) r5-green (pushing it into round 8's
     # lead, which then needs 45+displaced <= 50), NEVER a group-(2)

@@ -805,3 +805,43 @@ def test_fuzz_stratified_md5_quota_matches_duckdb(spark, rows, seed):
     sizes = Counter(s for s, _ in rows)
     picked = Counter(s for s, _, _ in got)
     assert picked == {s: min(QUOTA, n) for s, n in sizes.items()}
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity join (prefix filtering / AllPairs): the filter
+# is an OPTIMIZATION, so the result must equal the brute-force
+# all-pairs Jaccard computation on ANY corpus — the no-false-negatives
+# property that separates it from MinHash-LSH.  Tiny vocabularies force
+# heavy shingle sharing, the adversarial regime for prefix rarity.
+# ---------------------------------------------------------------------------
+
+
+def _shingles3(text: str) -> set[str]:
+    t = text.split(" ")
+    return {
+        " ".join(t[i:i + 3]) for i in range(len(t) - 2)
+    } if len(t) >= 3 else set()
+
+
+@given(texts=corpus_strategy)
+@SETTINGS
+def test_fuzz_setsim_join_equals_brute_force(spark, texts):
+    from kafka_avro_order_processing_spark.operators.dedup import (
+        set_similarity_join,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["n_common"], r["size_a"], r["size_b"])
+        for r in set_similarity_join(df).collect()
+    )
+    sets = {i: _shingles3(t) for i, t in rows}
+    want = sorted(
+        (a, b, len(sets[a] & sets[b]), len(sets[a]), len(sets[b]))
+        for a in sets
+        for b in sets
+        if a < b and sets[a] and sets[b]
+        and 3 * len(sets[a] & sets[b]) >= len(sets[a]) + len(sets[b])
+    )
+    assert got == want
