@@ -30,6 +30,7 @@ from kafka_avro_order_processing_spark import get_spark
 from kafka_avro_order_processing_spark.operators.dedup import (
     exact_dedup,
     near_dup_pairs,
+    set_similarity_join,
 )
 from kafka_avro_order_processing_spark.operators.graph import connected_components
 from kafka_avro_order_processing_spark.operators.text import (
@@ -70,6 +71,15 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None, out_dir: str | None
 
     # 3. near-dup prune: LSH pairs -> clusters -> keep cluster minimum.
     pairs = near_dup_pairs(kept).filter(F.col("jaccard") >= 0.5)
+
+    # 3b. recall audit: the exact prefix-filter join (AllPairs) at the
+    # SAME Jaccard >= 1/2 threshold has no false negatives, so the LSH
+    # path's measured recall is simply |lsh_pairs| / |exact_pairs|
+    # (LSH verifies exact Jaccard, so its pairs are a subset).
+    n_lsh_pairs = pairs.count()
+    n_exact_pairs = set_similarity_join(kept).count()
+    lsh_recall = (n_lsh_pairs / n_exact_pairs) if n_exact_pairs else 1.0
+
     clusters = connected_components(pairs, "doc_a", "doc_b")
     losers = clusters.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
@@ -106,6 +116,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None, out_dir: str | None
         "after_quality": n_quality,
         "after_exact_dedup": n_exact,
         "after_near_dedup": n_near,
+        "lsh_pairs": n_lsh_pairs,
+        "exact_pairs": n_exact_pairs,
+        "lsh_recall": lsh_recall,
         "shards": n_shards,
         "bins": n_bins,
         "out": str(out),

@@ -29,6 +29,10 @@ def test_curation_demo_end_to_end(spark, tmp_path):
     assert c["after_quality"] < c["raw"]          # quality gate filtered
     assert c["after_near_dedup"] < c["after_exact_dedup"]  # near-dups pruned
     assert c["shards"] == 8
+    # recall audit: LSH verifies exact Jaccard so its pairs are a
+    # subset of the exact prefix-filter join's at the same threshold
+    assert c["lsh_pairs"] <= c["exact_pairs"]
+    assert 0.0 <= c["lsh_recall"] <= 1.0
     shards = spark.read.parquet(str(tmp_path / "shards"))
     assert shards.count() == c["after_near_dedup"]
     assert set(shards.columns) == {"doc_id", "text", "shard", "n_tokens", "bin_id"}
