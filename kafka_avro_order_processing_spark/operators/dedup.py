@@ -427,11 +427,20 @@ def set_similarity_join(
     ``(num+den) * |intersection| >= num * (|a|+|b|)``
     (equivalent to Jaccard >= num/den, zero floats to drift).
 
+    Candidate generation additionally applies the SIZE filter
+    (``(num+den)*min(|a|,|b|) >= num*(|a|+|b|)`` — overlap can never
+    exceed the smaller set) and the POSITIONAL filter (PPJoin, Xiao et
+    al. WWW'08: at the globally-first shared token, overlap <=
+    1 + min(|a|-pos_a, |b|-pos_b), a valid upper bound because every
+    other shared token is rarer and therefore later in both prefixes).
+    Both are upper-bound prunes evaluated per candidate row before the
+    distinct, so they change WORK, never RESULTS — the oracle mirrors
+    only the plain prefix pipeline and the outputs are identical (the
+    fuzz suite pins equality with brute force).
+
     Degenerate corpora (thousands of byte-identical docs) make every
     prefix token hot; run exact dedup first — the standard pipeline
-    order.  Position-enhanced filtering (the extra "P" in PPJoin)
-    prunes further at production scale; the plain prefix filter keeps
-    the oracle mirror simple and is already sub-quadratic.
+    order.
 
     Returns (doc_a, doc_b, n_common, size_a, size_b), doc_a < doc_b.
     """
@@ -456,11 +465,34 @@ def set_similarity_join(
     ceil_t_sz = ((x - x % sim_den) / sim_den).cast("long")
     prefix = ordered.filter(
         F.col("pos") <= F.col("sz") - ceil_t_sz + F.lit(1)
-    ).select(F.col(id_col), "shingle")
+    ).select(F.col(id_col), "shingle", "pos", "sz")
+    pa = prefix.select(
+        F.col(id_col).alias("doc_a"),
+        "shingle",
+        F.col("pos").alias("pos_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    pb = prefix.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("shingle").alias("shingle_b"),
+        F.col("pos").alias("pos_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    t_sum = F.lit(sim_num) * (F.col("sz_a") + F.col("sz_b"))
+    ubound_pos = F.lit(1) + F.least(
+        F.col("sz_a") - F.col("pos_a"), F.col("sz_b") - F.col("pos_b")
+    )
     cand = (
-        prefix.select(F.col(id_col).alias("doc_a"), "shingle")
-        .join(prefix.select(F.col(id_col).alias("doc_b"), "shingle"), "shingle")
+        pa.join(pb, pa.shingle == pb.shingle_b)
         .filter(F.col("doc_a") < F.col("doc_b"))
+        # size filter: overlap <= min(|a|,|b|)
+        .filter(
+            F.lit(sim_num + sim_den) * F.least(F.col("sz_a"), F.col("sz_b"))
+            >= t_sum
+        )
+        # positional filter: valid at the globally-first shared token;
+        # a pair survives if ANY of its shared prefix-token rows passes
+        .filter(F.lit(sim_num + sim_den) * ubound_pos >= t_sum)
         .select("doc_a", "doc_b")
         .distinct()
     )
