@@ -446,7 +446,11 @@ def set_similarity_join(
     """
     from pyspark.sql import Window
 
-    sh = shingler(df, id_col, text_col)  # (id, shingle), set semantics
+    # Five consumers read the shingle table (freq, sizes, ordering,
+    # both verify sides); without a persist each recomputes the
+    # corpus-wide shingling — at 100 TB that is 5x the dominant scan
+    # cost (same rationale as the LSH path's cached signature table).
+    sh = shingler(df, id_col, text_col).persist()
     freq = sh.groupBy("shingle").agg(F.count("*").alias("f"))
     sized = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     ordered = (
