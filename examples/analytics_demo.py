@@ -25,6 +25,8 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from kafka_avro_order_processing_spark.operators.graph import (  # noqa: E402
     label_propagation,
+    co_activity_edges,
+    label_propagation_auto,
     modularity,
     pagerank,
     triangle_counts,
@@ -96,25 +98,25 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
         F.unix_timestamp(F.col("ts").cast("timestamp")) / F.lit(120)
     ).cast("long")
     os2 = ev.select(bk2.alias("bk"), "event_type", "user_id").distinct()
-    cpairs = (
-        os2.select("bk", "event_type", F.col("user_id").alias("src"))
-        .join(
-            os2.select("bk", "event_type", F.col("user_id").alias("dst")),
-            ["bk", "event_type"],
-        )
-        .filter(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-        .localCheckpoint(eager=True)
+    cpairs = co_activity_edges(os2, ("bk", "event_type")).localCheckpoint(
+        eager=True
     )
     comm = label_propagation(cpairs, iterations=3)
     mod_rows = modularity(cpairs, comm).collect()
     q_num = sum(r["contrib_num"] for r in mod_rows)
     q_den = mod_rows[0]["denom"] if mod_rows else 1
 
+    # modularity-guided round selection: let Q pick the round instead
+    # of pinning 3 — reports which round the integer Q numerator peaks
+    _, auto_round, q_history = label_propagation_auto(
+        cpairs, max_iterations=6, patience=2
+    )
+
     print(f"events: {ev.count()}, co-activity edges: {pairs.count()}")
     print(f"communities: {len(mod_rows)}, modularity Q = {q_num}/{q_den}"
           f" = {q_num / q_den:.4f}")
+    print(f"LPA auto-rounds: best round {auto_round} of {len(q_history)} run "
+          f"(Q numerators: {q_history})")
     print(f"HLL distinct users: raw={hll_row['hll_raw_estimate']:.1f} "
           f"(exact={hll_row.asDict().get('n_exact_users', 'n/a')}, "
           f"zero_regs={hll_row['zero_registers']})")
@@ -137,6 +139,8 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
         "n_communities": len(mod_rows),
         "modularity_num": q_num,
         "modularity_den": q_den,
+        "lpa_auto_round": auto_round,
+        "lpa_q_history": q_history,
     }
 
 
