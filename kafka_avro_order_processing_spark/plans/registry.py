@@ -6293,6 +6293,131 @@ def q_fuzzy_part_links(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "qty_price_rank_corr",
+    """
+    WITH xy AS (
+      SELECT l_returnflag,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT) AS y
+      FROM lineitem),
+    ranked AS (
+      SELECT l_returnflag,
+             2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY x)
+               + COUNT(*) OVER (PARTITION BY l_returnflag, x) - 1 AS rx,
+             2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY y)
+               + COUNT(*) OVER (PARTITION BY l_returnflag, y) - 1 AS ry
+      FROM xy),
+    mo AS (
+      -- squared-rank sums accumulate in DECIMAL (4n^3 passes a BIGINT
+      -- only to ~1.3e6-row groups; the widen-then-narrow pattern of
+      -- _qpc_moments holds to ~1.3e9 rows per group)
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(rx) AS BIGINT) AS sx,
+             CAST(SUM(ry) AS BIGINT) AS sy,
+             CAST(SUM(CAST(rx AS DECIMAL(19,0)) * CAST(rx AS DECIMAL(19,0)))
+                  AS DECIMAL(28,0)) AS sxx,
+             CAST(SUM(CAST(rx AS DECIMAL(19,0)) * CAST(ry AS DECIMAL(19,0)))
+                  AS DECIMAL(28,0)) AS sxy,
+             CAST(SUM(CAST(ry AS DECIMAL(19,0)) * CAST(ry AS DECIMAL(19,0)))
+                  AS DECIMAL(28,0)) AS syy
+      FROM ranked GROUP BY l_returnflag)
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_items,
+           CASE WHEN CAST(n AS DECIMAL(10,0)) * CAST(sxx AS DECIMAL(28,0))
+                     - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0)) <> 0
+                 AND CAST(n AS DECIMAL(10,0)) * CAST(syy AS DECIMAL(28,0))
+                     - CAST(sy AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0)) <> 0
+                THEN CAST(CAST(n AS DECIMAL(10,0)) * CAST(sxy AS DECIMAL(28,0))
+                          - CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))
+                          AS DOUBLE)
+                     / sqrt(
+                         CAST(CAST(n AS DECIMAL(10,0)) * CAST(sxx AS DECIMAL(28,0))
+                              - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0))
+                              AS DOUBLE)
+                         * CAST(CAST(n AS DECIMAL(10,0)) * CAST(syy AS DECIMAL(28,0))
+                              - CAST(sy AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))
+                              AS DOUBLE))
+                ELSE NULL
+           END AS spearman_rho
+    FROM mo
+    """,
+    tags=("m5", "statistics", "window"),
+    doc="Grouped Spearman rank correlation — the NONPARAMETRIC twin of "
+        "quantity_price_correlation (Pearson measures linear "
+        "association; Spearman measures monotone association and is "
+        "robust to the heavy-tailed price outliers a real revenue "
+        "column has).  Ties carry AVERAGE ranks (the statistically "
+        "standard treatment), DOUBLED so every rank stays an exact "
+        "integer: R = 2*RANK() + tie_count - 1 depends only on the "
+        "value multiset — deterministic in both engines with NO "
+        "unique-key assumption (the synthetic lineitem has duplicate "
+        "(orderkey, linenumber) pairs, so a row-number tiebreak would "
+        "NOT be a total order; found by the three-SF parity drive).  "
+        "rho is then Pearson over the integer rank pairs via the same "
+        "exact-moment decimal algebra as _qpc_assemble (scaling both "
+        "ranks by 2 cancels), NULL on zero-variance groups.  Shape: "
+        "two sort windows partitioned by the group key + one keyed "
+        "integer aggregate; no global sort anywhere.",
+)
+def q_qty_price_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    xy = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("y"),
+    )
+    rx = (
+        F.lit(2) * F.rank().over(Window.partitionBy("l_returnflag").orderBy("x"))
+        + F.count("*").over(Window.partitionBy("l_returnflag", "x"))
+        - F.lit(1)
+    ).cast("long")
+    ry = (
+        F.lit(2) * F.rank().over(Window.partitionBy("l_returnflag").orderBy("y"))
+        + F.count("*").over(Window.partitionBy("l_returnflag", "y"))
+        - F.lit(1)
+    ).cast("long")
+    ranked = xy.select("l_returnflag", rx.alias("rx"), ry.alias("ry"))
+    rxd = F.col("rx").cast("decimal(19,0)")
+    ryd = F.col("ry").cast("decimal(19,0)")
+    # squared-rank sums in DECIMAL: a BIGINT holds 4n^3 only to
+    # ~1.3e6-row groups; decimal accumulation (the _qpc_moments
+    # widen-then-narrow pattern) extends the envelope to ~1.3e9.
+    mo = ranked.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("rx").cast("long").alias("sx"),
+        F.sum("ry").cast("long").alias("sy"),
+        F.sum(rxd * rxd).cast("decimal(28,0)").alias("sxx"),
+        F.sum(rxd * ryd).cast("decimal(28,0)").alias("sxy"),
+        F.sum(ryd * ryd).cast("decimal(28,0)").alias("syy"),
+    )
+    dn = F.col("n").cast("decimal(10,0)")
+    num = dn * F.col("sxy").cast("decimal(28,0)") - F.col("sx").cast(
+        "decimal(19,0)"
+    ) * F.col("sy").cast("decimal(19,0)")
+    varx = dn * F.col("sxx").cast("decimal(28,0)") - F.col("sx").cast(
+        "decimal(19,0)"
+    ) * F.col("sx").cast("decimal(19,0)")
+    vary = dn * F.col("syy").cast("decimal(28,0)") - F.col("sy").cast(
+        "decimal(19,0)"
+    ) * F.col("sy").cast("decimal(19,0)")
+    return mo.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_items"),
+        F.when(
+            (varx != 0) & (vary != 0),
+            num.cast("double")
+            / F.sqrt(varx.cast("double") * vary.cast("double")),
+        ).alias("spearman_rho"),
+    )
+
+
+@_register(
     "setsim_doc_pairs",
     """
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -6406,20 +6531,21 @@ _LEAD_ORDER = [
     "scd2_customer_dim", "streaming_scd2_customer_dim",
     "doc_length_histogram", "bm25_top20", "embedding_lsh_near_dup",
     # (3) r5-green, oldest-registration-first (deadline round 8), plus
-    # this round's two NEW names (fuzzy_part_links, setsim_doc_pairs),
-    # which displaced "rejected_orders" and "validated_orders" below
-    # the boundary per the headroom rule:
-    "per_product_stats", "overall_stats", "running_avg",
-    "fuzzy_part_links", "setsim_doc_pairs",
+    # this round's three NEW names (fuzzy_part_links, setsim_doc_pairs,
+    # qty_price_rank_corr), which displaced "rejected_orders",
+    # "validated_orders" and "running_avg" below the boundary per the
+    # headroom rule:
+    "per_product_stats", "overall_stats",
+    "fuzzy_part_links", "setsim_doc_pairs", "qty_price_rank_corr",
     # --- position 50 boundary ---------------------------------------
     # ROUND-8 MATH: after the r7 check the oldest rows anywhere are
-    # the 47 remaining r5-green names (checked r5, age 2 during
-    # round 8 — their deadline): the 50 r5 names minus the three
-    # checked in group (3) above ("rejected_orders" and
-    # "validated_orders" were displaced by the two new names and so
-    # stay due).  LEAD ROUND 8 WITH THOSE 47, then fill 3 from the
+    # the 48 remaining r5-green names (checked r5, age 2 during
+    # round 8 — their deadline): the 50 r5 names minus the two checked
+    # in group (3) above ("rejected_orders", "validated_orders" and
+    # "running_avg" were displaced by the three new names and so stay
+    # due).  LEAD ROUND 8 WITH THOSE 48, then fill 2 from the
     # 47 r6-green names oldest-registration-first.  Round 9 then
-    # takes the remaining 44 r6-greens (deadline r9) + 6 r7-window
+    # takes the remaining 45 r6-greens (deadline r9) + 5 r7-window
     # names.  Headroom for NEW names this round is 5: a new name may
     # displace only a group-(3) r5-green (pushing it into round 8's
     # lead, which then needs 45+displaced <= 50), NEVER a group-(2)

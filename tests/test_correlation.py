@@ -142,3 +142,64 @@ def test_zero_variance_group_yields_null(spark):
     rows = {r["l_returnflag"]: r for r in _qpc_assemble(_qpc_moments(df)).collect()}
     assert rows["Z"]["corr_qty_price"] is None
     assert rows["W"]["corr_qty_price"] is not None
+
+
+def test_spearman_agrees_with_python_average_ranks(spark):
+    """qty_price_rank_corr: the doubled-average-rank Pearson must agree
+    with an independent Python implementation of tie-corrected Spearman
+    (average ranks + np.corrcoef) to float tolerance, and the doubling
+    must cancel exactly."""
+    rows = {
+        r["l_returnflag"]: r
+        for r in QUERIES["qty_price_rank_corr"].fn(spark, SF).collect()
+    }
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    ).collect()
+    by_flag: dict[str, tuple[list, list]] = {}
+    for r in li:
+        xs, ys = by_flag.setdefault(r["l_returnflag"], ([], []))
+        xs.append(r["l_quantity"])
+        ys.append(round(r["l_extendedprice"] * 100))
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and vals[order[j + 1]] == vals[order[i]]:
+                j += 1
+            avg = (i + j) / 2 + 1
+            for k in range(i, j + 1):
+                ranks[order[k]] = avg
+            i = j + 1
+        return ranks
+
+    assert set(rows) == set(by_flag)
+    for flag, (xs, ys) in by_flag.items():
+        ref = float(np.corrcoef(avg_ranks(xs), avg_ranks(ys))[0, 1])
+        assert math.isclose(
+            rows[flag]["spearman_rho"], ref, rel_tol=1e-9
+        ), flag
+        assert rows[flag]["n_items"] == len(xs)
+
+
+def test_spearman_null_on_constant_group(spark):
+    """Zero-variance groups (every x tied) must yield NULL, the same
+    total contract as the Pearson row."""
+    from kafka_avro_order_processing_spark.plans.registry import QUERIES as Q
+    import tempfile
+
+    df = spark.createDataFrame(
+        [("Z", 5.0, float(p)) for p in range(4)] + [("W", 1.0, 2.0), ("W", 2.0, 1.0)],
+        "l_returnflag string, l_quantity double, l_extendedprice double",
+    )
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    out = {
+        r["l_returnflag"]: r["spearman_rho"]
+        for r in Q["qty_price_rank_corr"].fn(spark, d).collect()
+    }
+    assert out["Z"] is None          # constant quantity: no rank variance
+    assert out["W"] == -1.0          # perfectly anti-monotone
