@@ -335,3 +335,66 @@ def test_semantic_dedup_cluster_then_prune(spark):
     assert out[0].n_dropped == 2 and out[0].dropped_id_sum == 21
     # 20 is cosine ~0.71 from seed 1 -> below 0.9, survives
     assert out[1].n_dropped == 0 and out[1].dropped_id_sum == 0
+
+
+def test_setsim_positional_filter_prunes_candidates(spark):
+    """The PPJoin size/positional filters are work reduction: on a
+    corpus where a tiny doc shares RARE shingles with much larger docs
+    (whose own filler is common, so the shared shingle lands in both
+    prefixes), plain prefix joining emits (tiny, big) candidates that
+    can never pass Jaccard >= 1/2 — the size filter must kill them
+    before verification, while the final result stays correct (the
+    fuzz suite pins result equality; this pins that pruning engages)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kafka_avro_order_processing_spark.operators.dedup import (
+        set_similarity_join,
+        shingle_rows,
+    )
+
+    a = [f"a{i}" for i in range(6)]          # doc 0: 6 tokens, 4 shingles
+    filler = " ".join(f"f{j}" for j in range(40))  # common to all big docs
+    rows = [(0, " ".join(a))] + [
+        # big doc i starts with doc 0's i-th shingle window, then the
+        # shared filler: the shared shingle has f=2 (rare), the filler
+        # shingles have f=4 (common), so the shared one sorts into the
+        # big doc's prefix.
+        (i + 1, " ".join(a[i:i + 3]) + " " + filler)
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sh = shingle_rows(df)
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("f"))
+    sized = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    ordered = (
+        sh.join(freq, "shingle")
+        .join(sized, "doc_id")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("f", "shingle")
+            ),
+        )
+    )
+    x = F.col("sz") * 1 + 1
+    prefix = ordered.filter(
+        F.col("pos") <= F.col("sz") - ((x - x % 2) / 2).cast("long") + 1
+    )
+    plain_doc0 = (
+        prefix.select(F.col("doc_id").alias("a"), "shingle")
+        .join(prefix.select(F.col("doc_id").alias("b"), "shingle"), "shingle")
+        .filter((F.col("a") == 0) & (F.col("b") > 0))
+        .select("a", "b")
+        .distinct()
+        .count()
+    )
+    # plain prefix joining DID generate (tiny, big) candidates...
+    assert plain_doc0 >= 3
+    # ...and the operator's size filter prunes them all before the
+    # verify join: no doc-0 pair can reach Jaccard 1/2 at sizes 4 vs ~43
+    out = set_similarity_join(df).collect()
+    assert all(r["doc_a"] != 0 and r["doc_b"] != 0 for r in out)
+    # the big docs legitimately match each other (shared filler)
+    assert len(out) > 0
