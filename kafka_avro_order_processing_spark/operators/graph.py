@@ -782,3 +782,74 @@ def label_propagation_auto(
         best_round,
         history,
     )
+
+
+def k_core_converged(
+    edges: DataFrame,
+    k: int = 3,
+    max_rounds: int = 50,
+    src: str = "src",
+    dst: str = "dst",
+):
+    """k-core by peeling to the FIXED POINT: rounds continue until the
+    surviving edge set stops changing (full Seidman peeling), bounded
+    by `max_rounds`.  The registered query keeps :func:`k_core`'s
+    fixed-round contract (oracle-reproducible); this variant is for
+    callers who need the true core — e.g. a chain of length L hanging
+    off a clique peels one link per round, so any fixed count
+    under-peels some topology.
+
+    Convergence is detected with the connected_components_star
+    fingerprint (count + order-independent hash sum — one aggregate
+    per round, no set-difference join), one driver scalar per round.
+
+    Returns (labels, rounds_used): labels is (node, in_core) for every
+    node with a non-self edge; rounds_used counts executed peel rounds
+    including the final no-change confirmation round.
+    """
+    und = (
+        edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+        .filter(F.col("x") != F.col("y"))
+        .select(F.least("x", "y").alias("lo"), F.greatest("x", "y").alias("hi"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = und.select(F.col("lo").alias("node")).unionByName(
+        und.select(F.col("hi").alias("node"))
+    ).distinct()
+
+    def _fp(e: DataFrame) -> tuple[int, int]:
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("hi", "lo").cast("decimal(38,0)")), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return row["n"], int(row["h"])
+
+    cur = und
+    keep = nodes.select(F.col("node").alias("n"))
+    fp = _fp(cur)
+    rounds_used = 0
+    for _ in range(max_rounds):
+        rounds_used += 1
+        sym = cur.select(F.col("lo").alias("n")).unionByName(
+            cur.select(F.col("hi").alias("n"))
+        )
+        deg = sym.groupBy("n").agg(F.count("*").alias("d"))
+        keep = deg.filter(F.col("d") >= k).select("n").localCheckpoint(eager=True)
+        cur = (
+            cur.join(keep.select(F.col("n").alias("lo")), "lo", "leftsemi")
+            .join(keep.select(F.col("n").alias("hi")), "hi", "leftsemi")
+            .localCheckpoint(eager=True)
+        )
+        nfp = _fp(cur)
+        if nfp == fp:
+            break
+        fp = nfp
+    labels = nodes.join(
+        keep.select(F.col("n").alias("node"), F.lit(True).alias("in_core")),
+        "node",
+        "left",
+    ).select("node", F.coalesce(F.col("in_core"), F.lit(False)).alias("in_core"))
+    return labels, rounds_used

@@ -71,3 +71,51 @@ def test_matches_python_mirror_exactly(spark, seed):
     # Fixed-round contract check: 5 rounds reached the true fixpoint
     # on this topology (one more round changes nothing).
     assert ref == _py_kcore(edges, 3, 6)
+
+
+def test_converged_variant_peels_chains_fixed_rounds_miss(spark):
+    """A length-10 chain hanging off a 4-clique peels ONE link per
+    round at k=2: the fixed-5-round contract intentionally under-peels
+    it, while k_core_converged reaches the true core (the clique) and
+    reports the rounds it took."""
+    from kafka_avro_order_processing_spark.operators.graph import (
+        k_core,
+        k_core_converged,
+    )
+
+    clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    # chain ATTACHED at clique node 3 (3-4-5-...-13): only the far end
+    # ever has degree 1, so peeling removes exactly one link per round
+    chain = [(3 + i, 4 + i) for i in range(10)]
+    edges = spark.createDataFrame(clique + chain, "src long, dst long")
+
+    fixed = {
+        r["node"]: r["in_core"]
+        for r in k_core(edges, k=2, rounds=5).collect()
+    }
+    labels, rounds_used = k_core_converged(edges, k=2)
+    conv = {r["node"]: r["in_core"] for r in labels.collect()}
+
+    # converged: exactly the clique survives
+    assert {n for n, v in conv.items() if v} == {0, 1, 2, 3}
+    # fixed-5 under-peels the chain (documented contract difference)
+    assert sum(fixed.values()) > 4
+    # one link per round + confirmation round
+    assert 10 <= rounds_used <= 12
+
+
+def test_converged_matches_fixed_rounds_when_already_converged(spark):
+    from kafka_avro_order_processing_spark.operators.graph import (
+        k_core,
+        k_core_converged,
+    )
+
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+    )
+    fixed = {
+        (r["node"], r["in_core"]) for r in k_core(tri, k=2, rounds=5).collect()
+    }
+    labels, rounds_used = k_core_converged(tri, k=2)
+    assert {(r["node"], r["in_core"]) for r in labels.collect()} == fixed
+    assert rounds_used <= 3

@@ -398,3 +398,21 @@ def test_setsim_positional_filter_prunes_candidates(spark):
     assert all(r["doc_a"] != 0 and r["doc_b"] != 0 for r in out)
     # the big docs legitimately match each other (shared filler)
     assert len(out) > 0
+
+
+def test_setsim_shingle_table_is_cached_in_plan(spark):
+    """The shingle table persist is load-bearing (5 consumers, 2x at
+    sf0.1): the physical plan must read it through InMemoryTableScan,
+    so removing the persist fails here instead of silently doubling
+    the corpus scan cost."""
+    from kafka_avro_order_processing_spark.operators.dedup import (
+        set_similarity_join,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i+2} tok{i+3}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    out = set_similarity_join(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
