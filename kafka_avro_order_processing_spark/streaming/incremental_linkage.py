@@ -86,6 +86,10 @@ def start_incremental_linkage(
     links afterwards with :func:`read_links`."""
     rec_store = f"{index_path}/records"
     link_store = f"{index_path}/links"
+    if "://" not in index_path:
+        # heal a crashed compaction BEFORE any epoch can mistake a
+        # mid-swap missing store for "first epoch"
+        recover_linkage_index(index_path)
 
     def body(df: DataFrame, epoch_id: int) -> None:
         spark = df.sparkSession
@@ -155,3 +159,96 @@ def read_links(spark: SparkSession, index_path: str, id_col: str = "id") -> Data
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+_STORE_NAMES = ("records", "links")
+
+
+def recover_linkage_index(index_path: str) -> list[str]:
+    """Crash recovery for :func:`compact_linkage_index`'s store swaps
+    (run automatically at ingest start and compaction start) — same
+    protocol and hazard as incremental_dedup.recover_index: a crash
+    between the two swap renames leaves no live store, and the next
+    drain would mistake that for "first epoch" and silently link
+    without the index.  A ``_bak`` with no live sibling rolls back; a
+    ``_bak`` beside a live store is a post-swap leftover and drops;
+    ``compacting.*`` scratch is removed."""
+    import shutil
+
+    actions: list[str] = []
+    for name in _STORE_NAMES:
+        live = f"{index_path}/{name}"
+        bak, tmp = live + "_bak", f"{index_path}/compacting.{name}"
+        if os.path.exists(bak):
+            if os.path.exists(live):
+                shutil.rmtree(bak)
+                actions.append(f"dropped post-swap leftover {name}_bak")
+            else:
+                os.rename(bak, live)
+                actions.append(f"restored {name} from {name}_bak")
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+            actions.append(f"removed stale compacting.{name}")
+    return actions
+
+
+def compact_linkage_index(spark: SparkSession, index_path: str) -> dict:
+    """Maintenance compaction between drains (single-writer window):
+
+    - ``records`` rewrites to one file per ``blk_bucket`` partition
+      (hash-repartition on the partition key — the pruning layout is
+      preserved exactly), deduplicated (at-least-once replays may have
+      double-appended rows);
+    - ``links`` rewrites to the CURRENT per-record best rows only
+      (the read-time re-rank of :func:`read_links`, materialized) —
+      over thousands of epochs the raw append log grows with every
+      re-link while the useful content stays one row per record.
+
+    Results are unchanged: read_links before == read_links after
+    (suite-pinned).  Swap protocol and crash recovery are shared with
+    the dedup index (old->bak / fresh->live / drop bak;
+    :func:`recover_linkage_index` heals a mid-swap crash).  Local
+    paths only; returns per-store {files_before, files_after}."""
+    import glob as _glob
+    import shutil
+
+    recover_linkage_index(index_path)
+
+    def _nfiles(d: str) -> int:
+        return len(_glob.glob(f"{d}/**/*.parquet", recursive=True))
+
+    def _swap(live: str, fresh: str) -> None:
+        bak = live + "_bak"
+        os.rename(live, bak)
+        os.rename(fresh, live)
+        shutil.rmtree(bak)
+
+    stats: dict[str, dict] = {}
+    rec_store = f"{index_path}/records"
+    if os.path.exists(rec_store):
+        tmp = f"{index_path}/compacting.records"
+        before = _nfiles(rec_store)
+        df = spark.read.parquet(rec_store).distinct()
+        n = max(df.select("blk_bucket").distinct().count(), 1)
+        (
+            df.repartition(n, F.col("blk_bucket"))
+            .write.mode("overwrite")
+            .partitionBy("blk_bucket")
+            .parquet(tmp)
+        )
+        _swap(rec_store, tmp)
+        stats["records"] = {"files_before": before, "files_after": _nfiles(rec_store)}
+    link_store = f"{index_path}/links"
+    if os.path.exists(link_store):
+        tmp = f"{index_path}/compacting.links"
+        before = _nfiles(link_store)
+        # materialize the read-time re-rank: id_col is whatever the
+        # ingest wrote — every column except the three fixed ones
+        cols = spark.read.parquet(link_store).columns
+        (idc,) = [c for c in cols if c not in ("match_id", "match_text", "distance")]
+        read_links(spark, index_path, id_col=idc).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        _swap(link_store, tmp)
+        stats["links"] = {"files_before": before, "files_after": _nfiles(link_store)}
+    return stats

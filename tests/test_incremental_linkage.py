@@ -123,3 +123,55 @@ def test_hot_block_emits_nothing(spark):
     q.awaitTermination()
     links = {r["id"]: r["match_id"] for r in read_links(spark, index).collect()}
     assert links == {100: 101, 101: 100}
+
+
+def test_compaction_shrinks_files_preserves_links(spark):
+    from kafka_avro_order_processing_spark.streaming.incremental_linkage import (
+        compact_linkage_index,
+    )
+
+    land, index, chk = _dirs()
+    _land(spark, land, WAVE1, "w1")
+    _drain(spark, land, index, chk)
+    _land(spark, land, WAVE2, "w2")
+    _drain(spark, land, index, chk)
+    before = {
+        tuple(r) for r in read_links(spark, index).collect()
+    }
+    recs_before = {tuple(r) for r in spark.read.parquet(f"{index}/records").collect()}
+    stats = compact_linkage_index(spark, index)
+    assert {tuple(r) for r in read_links(spark, index).collect()} == before
+    assert {
+        tuple(r) for r in spark.read.parquet(f"{index}/records").collect()
+    } == recs_before
+    assert stats["records"]["files_after"] <= stats["records"]["files_before"]
+    assert stats["links"]["files_after"] <= stats["links"]["files_before"]
+    # compacted links hold exactly one row per linked record on disk
+    raw = spark.read.parquet(f"{index}/links")
+    assert raw.count() == raw.select("id").distinct().count()
+
+
+def test_recovery_heals_mid_swap_crash(spark):
+    import os
+    import shutil
+
+    from kafka_avro_order_processing_spark.streaming.incremental_linkage import (
+        recover_linkage_index,
+    )
+
+    land, index, chk = _dirs()
+    _land(spark, land, WAVE1, "w1")
+    _drain(spark, land, index, chk)
+    before = {tuple(r) for r in read_links(spark, index).collect()}
+    # simulate a crash between the two swap renames: live store moved
+    # to _bak, fresh layout never landed
+    os.rename(f"{index}/records", f"{index}/records_bak")
+    actions = recover_linkage_index(index)
+    assert any("restored records" in a for a in actions)
+    # drains keep working against the restored index
+    _land(spark, land, WAVE2, "w2")
+    _drain(spark, land, index, chk)
+    after = read_links(spark, index).collect()
+    links = {r["id"]: r["match_id"] for r in after}
+    assert links[4] == 1  # matched against the RESTORED wave-1 index
+    assert before <= {tuple(r) for r in after}  # wave-1 links survived
