@@ -613,3 +613,164 @@ def semantic_dedup(
             F.coalesce(F.col("dropped_id_sum"), F.lit(0)).cast("long").alias("dropped_id_sum"),
         )
     )
+
+
+def _cosine_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-cosine verification of a candidate pair table — the
+    shared tail of the LSH near-dup variants: only candidates pay the
+    full-vector join."""
+    emb = with_norm(df, vec_col)
+    a = emb.select(
+        F.col(id_col).alias("doc_a"),
+        F.col(vec_col).alias("ea"),
+        F.col("norm").alias("na"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("doc_b"),
+        F.col(vec_col).alias("eb"),
+        F.col("norm").alias("nb"),
+    )
+    cos = _dot("ea", "eb") / (F.col("na") * F.col("nb"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            F.col("doc_a").alias("vec_a"),
+            F.col("doc_b").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def hyperplane_probe_rows(
+    df: DataFrame,
+    dim: int,
+    bits: int = HYPERPLANE_BITS,
+    band_rows: int = HYPERPLANE_BAND_ROWS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe band rows (Lv et al., "Multi-Probe LSH", VLDB'07):
+    per band, the exact bucket PLUS one probe bucket with the band's
+    minimum-|projection| bit flipped — the bit most likely to be on
+    the wrong side of its hyperplane for a true near neighbor.  Probes
+    multiply each vector's bucket LOOKUPS (not the index size: probes
+    carry kind='p' and only ever join against exact rows), which is
+    the technique's point — recall of extra hash tables at the memory
+    cost of none.
+
+    Returns (id, band_id, band_val, kind) with kind 'e' (exact) or
+    'p' (probe); ties in the margin argmin break on the lowest bit
+    index (deterministic).
+    """
+    R = hyperplane_matrix(bits, dim)
+    projs = []
+    for j in range(bits):
+        lits = ", ".join(f"{v}D" for v in R[j])
+        projs.append(
+            F.expr(
+                f"aggregate(zip_with({vec_col}, array({lits}), "
+                "(x, y) -> cast(x as double) * y), 0D, (acc, v) -> acc + v)"
+            ).alias(f"p{j}")
+        )
+    base = df.select(F.col(id_col), *projs)
+    n_bands = bits // band_rows
+    entries = []
+    for b in range(n_bands):
+        js = list(range(b * band_rows, (b + 1) * band_rows))
+        bit = {
+            j: F.when(F.col(f"p{j}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for j in js
+        }
+        margins = F.array(*[
+            F.struct(F.abs(F.col(f"p{j}")).alias("m"), F.lit(i).alias("i"))
+            for i, j in enumerate(js)
+        ])
+        jmin = F.array_min(margins)["i"]
+        exact = F.concat(*[bit[j] for j in js])
+        flipped = [
+            F.when(
+                F.lit(i) == jmin,
+                F.when(bit[j] == "1", F.lit("0")).otherwise(F.lit("1")),
+            ).otherwise(bit[j])
+            for i, j in enumerate(js)
+        ]
+        probe = F.concat(*flipped)
+        entries.append(
+            F.struct(F.lit(b).alias("band_id"), exact.alias("band_val"), F.lit("e").alias("kind"))
+        )
+        entries.append(
+            F.struct(F.lit(b).alias("band_id"), probe.alias("band_val"), F.lit("p").alias("kind"))
+        )
+    return base.select(
+        F.col(id_col), F.explode(F.array(*entries)).alias("r")
+    ).select(id_col, "r.band_id", "r.band_val", "r.kind")
+
+
+def embedding_lsh_near_dup_multiprobe(
+    df: DataFrame,
+    dim: int = 64,
+    bits: int = HYPERPLANE_BITS,
+    band_rows: int = HYPERPLANE_BAND_ROWS,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int = 64,
+) -> DataFrame:
+    """Multi-probe variant of :func:`embedding_lsh_near_dup`: the
+    candidate set additionally includes pairs where one vector's PROBE
+    bucket (nearest-margin bit flipped) meets the other's exact
+    bucket.  Since verification is the same exact cosine join, the
+    result is a SUPERSET of the single-probe variant's at identical
+    index size — recall improves for free minus the extra probe
+    lookups (suite-pinned: superset always, strictly more true pairs
+    on the driver embeddings).
+
+    Hot-bucket discipline matches lsh_candidate_pairs: bucket stats
+    count EXACT members only, sane buckets take the (exact+probe) x
+    exact join, oversized buckets emit the linear min-id star.
+    """
+    df = with_norm(df, vec_col).filter(F.col("norm") > 0).drop("norm")
+    rows = hyperplane_probe_rows(
+        df, dim, bits, band_rows, id_col, vec_col
+    ).persist()
+    ex = rows.filter(F.col("kind") == "e").drop("kind")
+    stats = ex.groupBy("band_id", "band_val").agg(
+        F.count("*").alias("bucket_n"), F.min(id_col).alias("min_id")
+    )
+    ok = stats.filter(F.col("bucket_n") <= max_bucket_size).select(
+        "band_id", "band_val"
+    )
+    probe_side = rows.drop("kind").join(ok, ["band_id", "band_val"])
+    exact_side = ex.join(ok, ["band_id", "band_val"])
+    a, b = probe_side.alias("a"), exact_side.alias("b")
+    all_pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_b"),
+        )
+    )
+    starred = (
+        ex.join(stats.filter(F.col("bucket_n") > max_bucket_size), ["band_id", "band_val"])
+        .filter(F.col(id_col) != F.col("min_id"))
+        .select(F.col("min_id").alias("doc_a"), F.col(id_col).alias("doc_b"))
+    )
+    pairs = all_pairs.unionByName(starred).distinct().localCheckpoint(eager=True)
+    out = _cosine_verify(df, pairs, threshold, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
+    rows.unpersist()
+    return out
