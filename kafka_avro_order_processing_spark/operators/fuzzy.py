@@ -87,3 +87,59 @@ def fuzzy_best_match(
             F.col("distance").cast("int").alias("distance"),
         )
     )
+
+
+def fuzzy_join_between(
+    left: DataFrame,
+    right: DataFrame,
+    left_block: Column,
+    right_block: Column,
+    left_id: str = "id",
+    right_id: str = "id",
+    left_text: str = "text",
+    right_text: str = "text",
+    max_distance: int = 4,
+    max_block_size: int = MAX_FUZZY_BLOCK,
+) -> DataFrame:
+    """Two-table record linkage: for every LEFT record, the nearest
+    RIGHT record (Levenshtein on the text columns) within its block —
+    the textbook linkage shape (new records vs a master table, two
+    catalogs to reconcile), as opposed to :func:`fuzzy_best_match`'s
+    self-linkage.
+
+    The cap bounds the per-block comparison count by the RIGHT side's
+    block occupancy (the side that multiplies): blocks whose right
+    membership exceeds `max_block_size` emit nothing, deterministically.
+    Ties break on the smallest right id.  Returns
+    (left_id, match_id, match_text, distance), one row per left record
+    with a qualifying match.
+    """
+    l = left.select(
+        F.col(left_id).alias("rid"),
+        F.col(left_text).alias("rtext"),
+        left_block.alias("blk"),
+    )
+    r = right.select(
+        F.col(right_id).alias("cid"),
+        F.col(right_text).alias("ctext"),
+        right_block.alias("blk"),
+    )
+    sizes = r.groupBy("blk").agg(F.count("*").alias("block_n"))
+    ok = sizes.filter(F.col("block_n") <= max_block_size).select("blk")
+    scored = (
+        l.join(ok, "blk", "leftsemi")
+        .join(r, "blk")
+        .withColumn("distance", F.levenshtein("rtext", "ctext"))
+        .filter(F.col("distance") <= max_distance)
+    )
+    w = Window.partitionBy("rid").orderBy(F.asc("distance"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("rid").alias(left_id),
+            F.col("cid").alias("match_id"),
+            F.col("ctext").alias("match_text"),
+            F.col("distance").cast("int").alias("distance"),
+        )
+    )

@@ -135,3 +135,48 @@ def test_fuzz_matches_duckdb_on_ascii(spark, rows):
         """).fetchall()
     )
     assert got == want
+
+
+def test_two_table_join_matches_python_reference(spark):
+    from kafka_avro_order_processing_spark.operators.fuzzy import (
+        fuzzy_join_between,
+    )
+
+    master = [(100, "large ring", "ring"), (101, "small bolt", "bolt"),
+              (102, "large ringo", "ring")]
+    incoming = [(1, "large ring", "ring"),     # exact: 100 (dist 0)
+                (2, "small bolts", "bolt"),    # 101 (dist 1)
+                (3, "no such thing", "ring"),  # nothing within 4
+                (4, "large ring", "bolt")]     # wrong block: no match
+    lf = spark.createDataFrame(incoming, "id long, text string, blk string")
+    rf = spark.createDataFrame(master, "id long, text string, blk string")
+    got = {
+        r["id"]: (r["match_id"], r["distance"])
+        for r in fuzzy_join_between(
+            lf, rf, F.col("blk"), F.col("blk")
+        ).collect()
+    }
+    assert got == {1: (100, 0), 2: (101, 1)}
+
+
+def test_two_table_join_caps_on_right_block(spark):
+    from kafka_avro_order_processing_spark.operators.fuzzy import (
+        fuzzy_join_between,
+    )
+
+    rf = spark.createDataFrame(
+        [(i, f"name {i:03d}", "hot") for i in range(30)]
+        + [(99, "abc", "ok")],
+        "id long, text string, blk string",
+    )
+    lf = spark.createDataFrame(
+        [(1, "name 000", "hot"), (2, "abd", "ok")],
+        "id long, text string, blk string",
+    )
+    got = {
+        r["id"]: r["match_id"]
+        for r in fuzzy_join_between(
+            lf, rf, F.col("blk"), F.col("blk"), max_block_size=10
+        ).collect()
+    }
+    assert got == {2: 99}  # hot right block skipped entirely
