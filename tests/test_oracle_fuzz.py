@@ -845,3 +845,70 @@ def test_fuzz_setsim_join_equals_brute_force(spark, texts):
         and 3 * len(sets[a] & sets[b]) >= len(sets[a]) + len(sets[b])
     )
     assert got == want
+
+
+@given(texts=corpus_strategy)
+@SETTINGS
+def test_fuzz_setsim_join_general_threshold(spark, texts):
+    """The prefix-length and verification algebra must hold for ANY
+    rational threshold, not just the registered 1/2 — run t = 2/3
+    against brute force (different prefix lengths, different integer
+    inequality: 5*|∩| >= 2*(|a|+|b|))."""
+    from kafka_avro_order_processing_spark.operators.dedup import (
+        set_similarity_join,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["n_common"])
+        for r in set_similarity_join(df, sim_num=2, sim_den=3).collect()
+    )
+    sets = {i: _shingles3(t) for i, t in rows}
+    want = sorted(
+        (a, b, len(sets[a] & sets[b]))
+        for a in sets
+        for b in sets
+        if a < b and sets[a] and sets[b]
+        and 5 * len(sets[a] & sets[b]) >= 2 * (len(sets[a]) + len(sets[b]))
+    )
+    assert got == want
+
+
+occupancy_strategy = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 30)),   # (bucket, user)
+    min_size=1,
+    max_size=120,
+).map(lambda xs: sorted(set(xs)))
+
+
+@given(occ=occupancy_strategy)
+@SETTINGS
+def test_fuzz_co_activity_cap_matches_python(spark, occ):
+    """The capped co-activity edge construction vs a direct Python
+    reference of the count+min rule, with the cap forced low (4) so
+    arbitrary occupancies cross it both ways."""
+    from kafka_avro_order_processing_spark.operators.graph import (
+        co_activity_edges,
+    )
+
+    CAP = 4
+    df = spark.createDataFrame(occ, "bk long, user_id long")
+    got = {
+        (r["src"], r["dst"])
+        for r in co_activity_edges(df, ("bk",), max_bucket_size=CAP).collect()
+    }
+    from collections import defaultdict
+
+    members = defaultdict(set)
+    for bk, u in occ:
+        members[bk].add(u)
+    want = set()
+    for us in members.values():
+        if len(us) <= CAP:
+            us = sorted(us)
+            want |= {(a, b) for i, a in enumerate(us) for b in us[i + 1:]}
+        else:
+            m = min(us)
+            want |= {(m, u) for u in us if u != m}
+    assert got == want
