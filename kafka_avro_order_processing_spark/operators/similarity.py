@@ -774,3 +774,114 @@ def embedding_lsh_near_dup_multiprobe(
     )
     rows.unpersist()
     return out
+
+
+def ivfpq_topk(
+    vectors: DataFrame,
+    dim: int,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = PQ_SUBSPACES,
+    k: int = PQ_CODES,
+    n_queries: int = PQ_N_QUERIES,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ composite ANN (the FAISS ``IVFx,PQy`` index shape, Jégou
+    et al. TPAMI'11 §V): the corpus is partitioned into ``n_cells`` IVF
+    cells at write time, PQ-encoded once, and a query scans the ADC
+    code table ONLY inside its ``n_probe`` nearest cells — composing
+    the two pruning axes this module already has separately
+    (``ivf_probe_search``'s partition pruning, ``pq_topk``'s
+    memory-scale code compression).
+
+    Scale shape: at 100 TB the code table is written partitioned by
+    ``centroid_id``, so the per-query scan is partition-pruned to
+    n_probe/n_cells of a table that is itself ~1/64 the corpus size —
+    the raw vectors are never read at search time.  Training and
+    encoding touch the corpus exactly twice (both broadcast joins, as
+    in ``pq_topk``); the probe ranking is a broadcast cross of
+    n_queries x n_cells rows.  This file uses global (non-residual)
+    codebooks — the residual variant (encode v - centroid) needs the
+    same plan plus one subtract and is a quality, not scale, choice.
+
+    Determinism contract shared with ``pq_topk``: codebook means are
+    2^52-scaled DECIMAL partial sums (order-free), ADC per-candidate
+    distance is a FIXED-ORDER pivot sum d0 + ... + d{m-1}, every rank
+    window ties on an id.  Returns
+    (query_id, neighbor_id, adc_dist, rank) with rank <= topk over the
+    probed candidates only.
+    """
+    cents = vectors.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("centroid_id"), vec_col
+    )
+    assign = ivf_assign(vectors, cents, id_col=id_col, vec_col=vec_col)
+
+    sub = pq_subvectors(vectors, dim, m, id_col, vec_col).persist()
+    books = F.broadcast(pq_codebooks(sub, k, id_col).localCheckpoint(eager=True))
+    codes = _pq_assign(sub, books, id_col).join(assign, id_col)
+
+    cn = with_norm(cents, vec_col).select(
+        "centroid_id", F.col(vec_col).alias("ce"), F.col("norm").alias("cnorm")
+    )
+    qn = with_norm(vectors.filter(F.col(id_col) < n_queries), vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qe"),
+        F.col("norm").alias("qnorm"),
+    )
+    qscore = qn.crossJoin(F.broadcast(cn)).select(
+        "query_id",
+        "centroid_id",
+        (_dot("qe", "ce") / (F.col("qnorm") * F.col("cnorm"))).alias("sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
+    qprobe = (
+        qscore.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "centroid_id")
+        .localCheckpoint(eager=True)
+    )
+
+    q = sub.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), "sub", F.col("svec").alias("qvec")
+    )
+    lut = q.join(books, "sub").select(
+        "query_id",
+        "sub",
+        "code",
+        F.expr(_SQDIST.format(a="qvec", b="cent")).alias("dist"),
+    )
+    # Prune to probed cells BEFORE any distance work: at scale this
+    # broadcast join is the read-side partition filter.
+    cand = codes.join(F.broadcast(qprobe), "centroid_id").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    per_sub = cand.join(
+        F.broadcast(lut.localCheckpoint(eager=True)), ["query_id", "sub", "code"]
+    ).select(F.col(id_col).alias("neighbor_id"), "query_id", "sub", "dist")
+    pivoted = per_sub.groupBy("query_id", "neighbor_id").agg(
+        *[
+            F.max(F.when(F.col("sub") == s, F.col("dist"))).alias(f"d{s}")
+            for s in range(m)
+        ]
+    )
+    adc = pivoted.select(
+        "query_id",
+        "neighbor_id",
+        sum([F.col(f"d{s}") for s in range(1, m)], F.col("d0")).alias("adc_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    out = (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_dist",
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sub.unpersist()
+    return out

@@ -180,3 +180,112 @@ def test_two_table_join_caps_on_right_block(spark):
         ).collect()
     }
     assert got == {2: 99}  # hot right block skipped entirely
+
+
+# ---------------------------------------------------------------------------
+# Jaro-Winkler variant: pure-Python metric vs DuckDB's builtin, and the
+# blocked best-match plan vs a Python reference.
+# ---------------------------------------------------------------------------
+
+
+def _py_best_jw(rows, min_similarity=0.85, max_block=MAX_FUZZY_BLOCK):
+    from collections import Counter
+
+    from kafka_avro_order_processing_spark.operators.fuzzy import (
+        _jaro_winkler_py,
+    )
+
+    sizes = Counter(blk for _, _, blk in rows)
+    out = {}
+    for rid, text, blk in rows:
+        if sizes[blk] > max_block:
+            continue
+        cands = [
+            (-_jaro_winkler_py(text, ct), cid, ct)
+            for cid, ct, cb in rows
+            if cb == blk and cid != rid
+        ]
+        cands = [c for c in cands if -c[0] >= min_similarity]
+        if cands:
+            negs, cid, ct = min(cands)
+            out[rid] = (cid, ct, -negs)
+    return out
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(
+                alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                max_size=12,
+            ),
+            st.text(
+                alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                max_size=12,
+            ),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_jaro_winkler_matches_duckdb(pairs):
+    # The Python metric must agree with DuckDB's jaro_winkler_similarity
+    # on printable ASCII to float-noise tolerance (same definition:
+    # boost threshold 0.7, prefix cap 4, p = 0.1).
+    from kafka_avro_order_processing_spark.operators.fuzzy import (
+        _jaro_winkler_py,
+    )
+
+    con = duckdb.connect()
+    for a, b in pairs:
+        d = con.execute(
+            "select jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        p = _jaro_winkler_py(a, b)
+        assert abs(d - p) < 1e-12, (a, b, d, p)
+    con.close()
+
+
+def test_fuzzy_best_match_jw_agrees_with_reference(spark):
+    from kafka_avro_order_processing_spark.operators.fuzzy import (
+        fuzzy_best_match_jw,
+    )
+
+    rows = [
+        (1, "acme turbo widget", "w"),
+        (2, "acme turbo widget x", "w"),
+        (3, "acme turbo gadget", "w"),
+        (4, "zephyr drive", "w"),
+        (5, "unrelated thing", "q"),
+        (6, "unrelated thang", "q"),
+        (7, "lonely", "z"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string, blk string")
+    got = {
+        r["id"]: (r["match_id"], r["match_text"], r["similarity"])
+        for r in fuzzy_best_match_jw(
+            df, F.col("blk"), min_similarity=0.85
+        ).collect()
+    }
+    want = _py_best_jw([(i, t, b) for i, t, b in rows], 0.85)
+    assert set(got) == set(want)
+    for rid in want:
+        assert got[rid][0] == want[rid][0]
+        assert got[rid][1] == want[rid][1]
+        assert abs(got[rid][2] - want[rid][2]) < 1e-12
+
+
+def test_fuzzy_jw_oversized_block_skipped(spark):
+    from kafka_avro_order_processing_spark.operators.fuzzy import (
+        fuzzy_best_match_jw,
+    )
+
+    rows = [(i, "same text", "big") for i in range(30)]
+    rows += [(1000, "pair a", "ok"), (1001, "pair b", "ok")]
+    df = spark.createDataFrame(rows, "id long, text string, blk string")
+    out = fuzzy_best_match_jw(
+        df, F.col("blk"), min_similarity=0.5, max_block_size=10
+    ).collect()
+    ids = {r["id"] for r in out}
+    assert ids == {1000, 1001}

@@ -156,3 +156,103 @@ def test_rerank_beats_or_ties_plain_adc(spark):
     rr_hits = rerank.join(exact, ["query_id", "neighbor_id"]).count()
     assert rr_hits >= adc_hits
     assert rr_hits >= 10  # same floor as the ADC test, trivially cleared
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composite (ivfpq_topk): cell pruning + ADC in one index.
+# ---------------------------------------------------------------------------
+
+
+def _py_cells_and_probes(rows, n_cells=8, n_probe=2, n_queries=5):
+    """Independent pure-Python IVF reference: assignment = argmax cosine
+    (tie -> smallest centroid id), probes = top-n_probe cells per query.
+    Sequential left-fold sums in array order match Spark's aggregate()."""
+    import math
+
+    cents = {i: v for i, v in rows if i < n_cells}
+
+    def cos(a, b):
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return dot / (na * nb)
+
+    def ranked(v):
+        return sorted(((-cos(v, c), cid) for cid, c in cents.items()))
+
+    assign = {i: ranked(v)[0][1] for i, v in rows}
+    probes = {
+        i: {cid for _, cid in ranked(v)[:n_probe]}
+        for i, v in rows
+        if i < n_queries
+    }
+    return assign, probes
+
+
+def test_ivfpq_candidates_within_probed_cells(spark):
+    # The defining property of the composite index: no neighbor outside
+    # the query's probed cells, ever — checked against an independent
+    # Python IVF reference, not the operator's own assignment.
+    from kafka_avro_order_processing_spark.operators.similarity import ivfpq_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    rows = [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in emb.collect()]
+    assign, probes = _py_cells_and_probes(rows)
+    out = ivfpq_topk(emb, dim=64).collect()
+    assert out, "ivfpq returned nothing"
+    for r in out:
+        assert assign[r["neighbor_id"]] in probes[r["query_id"]], (
+            r["query_id"],
+            r["neighbor_id"],
+        )
+
+
+def test_ivfpq_adc_distances_match_global_pq(spark):
+    # Same codebooks, same encoding, same fixed-order ADC sum: every
+    # (query, neighbor) pair ivfpq emits must carry bit-identical
+    # adc_dist in the unpruned pq_topk ranking.
+    from kafka_avro_order_processing_spark.operators.similarity import ivfpq_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    pruned = ivfpq_topk(emb, dim=64, topk=10)
+    full = pq_topk(emb, dim=64, topk=500)
+    j = pruned.alias("p").join(
+        full.alias("f"), ["query_id", "neighbor_id"]
+    ).select(
+        F.col("p.adc_dist").alias("pa"), F.col("f.adc_dist").alias("fa")
+    )
+    n = pruned.count()
+    assert j.count() == n  # every pruned pair exists globally
+    assert j.filter(F.col("pa") != F.col("fa")).count() == 0
+
+
+def test_ivfpq_planted_duplicate_is_nearest(spark):
+    # The clone shares the query's cell (identical vector -> identical
+    # assignment), the query's own cell is its top probe, and identical
+    # codes give the minimum possible ADC distance.
+    import random
+
+    from kafka_avro_order_processing_spark.operators.similarity import ivfpq_topk
+
+    rnd = random.Random(11)
+    base = [rnd.uniform(-1, 1) for _ in range(64)]
+    rows = [(0, [float(x) for x in base]), (50, [float(x) for x in base])]
+    for i in range(1, 40):
+        rows.append((50 + i, [rnd.uniform(-1, 1) for _ in range(64)]))
+    for i in range(1, 8):
+        rows.append((i, [rnd.uniform(-1, 1) for _ in range(64)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = ivfpq_topk(emb, dim=64, n_queries=1, topk=3).collect()
+    best = min(out, key=lambda r: r["rank"])
+    assert best["neighbor_id"] == 50
+
+
+def test_ivfpq_partitioning_independence(spark):
+    from kafka_avro_order_processing_spark.operators.similarity import ivfpq_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    a = ivfpq_topk(emb, dim=64)
+    b = ivfpq_topk(emb.repartition(7, F.col("vec_id")), dim=64)
+    assert _rows(a) == _rows(b)
