@@ -421,17 +421,24 @@ def pq_codebooks(
     sub: DataFrame,
     k: int = PQ_CODES,
     id_col: str = "vec_id",
+    seed_lo: int = 0,
 ) -> DataFrame:
-    """Per-sub-space codebooks: k seed centroids (the vec_id < k
-    sub-vectors — the same seeding convention as the IVF queries) and
-    ONE Lloyd refinement round.  Returns (sub, code, cent: array<double>).
+    """Per-sub-space codebooks: k seed centroids (the sub-vectors with
+    seed_lo <= id < seed_lo + k — same seeding convention as the IVF
+    queries, with `seed_lo` for callers whose low ids are degenerate:
+    residual encoding's ids < n_cells ARE the IVF centroids, so their
+    residuals are identically zero and would collapse the codebook to
+    one code) and ONE Lloyd refinement round.  Returns
+    (sub, code, cent: array<double>).
 
     The per-(sub, code, dim) member mean uses the 2^52-scaled
     DECIMAL(38,0) partial-sum trick (see kmeans_refine's determinism
     contract): order-free, O(1) aggregation state, and bit-identical
     across engines."""
-    seeds = sub.filter(F.col(id_col) < k).select(
-        "sub", F.col(id_col).alias("code"), F.col("svec").alias("cent")
+    seeds = sub.filter(
+        (F.col(id_col) >= seed_lo) & (F.col(id_col) < seed_lo + k)
+    ).select(
+        "sub", (F.col(id_col) - seed_lo).alias("code"), F.col("svec").alias("cent")
     )
     assigned = _pq_assign(sub, seeds, id_col)
     elems = sub.select(
@@ -787,6 +794,7 @@ def ivfpq_topk(
     topk: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ composite ANN (the FAISS ``IVFx,PQy`` index shape, Jégou
     et al. TPAMI'11 §V): the corpus is partitioned into ``n_cells`` IVF
@@ -802,9 +810,13 @@ def ivfpq_topk(
     the raw vectors are never read at search time.  Training and
     encoding touch the corpus exactly twice (both broadcast joins, as
     in ``pq_topk``); the probe ranking is a broadcast cross of
-    n_queries x n_cells rows.  This file uses global (non-residual)
-    codebooks — the residual variant (encode v - centroid) needs the
-    same plan plus one subtract and is a quality, not scale, choice.
+    n_queries x n_cells rows.  ``residual=False`` trains GLOBAL
+    codebooks on raw vectors; ``residual=True`` is the paper's actual
+    IVFADC: codebooks are trained on v - centroid(cell(v)), so codes
+    spend their bits on within-cell detail instead of re-describing
+    which cell a vector sits in, and the query builds one LUT per
+    PROBED CELL from its own residual q - centroid — same scan shape,
+    LUT rows multiply by n_probe only (still m*k per (query, cell)).
 
     Determinism contract shared with ``pq_topk``: codebook means are
     2^52-scaled DECIMAL partial sums (order-free), ADC per-candidate
@@ -818,8 +830,28 @@ def ivfpq_topk(
     )
     assign = ivf_assign(vectors, cents, id_col=id_col, vec_col=vec_col)
 
-    sub = pq_subvectors(vectors, dim, m, id_col, vec_col).persist()
-    books = F.broadcast(pq_codebooks(sub, k, id_col).localCheckpoint(eager=True))
+    cvec = cents.select("centroid_id", F.col(vec_col).alias("cent_vec"))
+    diff = (
+        "zip_with({v}, cent_vec,"
+        " (x, y) -> cast(x as double) - cast(y as double))"
+    ).format(v=vec_col)
+    if residual:
+        enc_input = (
+            vectors.join(assign, id_col)
+            .join(F.broadcast(cvec), "centroid_id")
+            .select(F.col(id_col), F.expr(diff).alias(vec_col))
+        )
+    else:
+        enc_input = vectors
+    sub = pq_subvectors(enc_input, dim, m, id_col, vec_col).persist()
+    # Residual seeds skip ids < n_cells: those rows ARE the centroids,
+    # so their residuals are exactly zero — seeding from them would
+    # collapse every codebook to a single code.
+    books = F.broadcast(
+        pq_codebooks(
+            sub, k, id_col, seed_lo=n_cells if residual else 0
+        ).localCheckpoint(eager=True)
+    )
     codes = _pq_assign(sub, books, id_col).join(assign, id_col)
 
     cn = with_norm(cents, vec_col).select(
@@ -843,22 +875,48 @@ def ivfpq_topk(
         .localCheckpoint(eager=True)
     )
 
-    q = sub.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), "sub", F.col("svec").alias("qvec")
-    )
-    lut = q.join(books, "sub").select(
-        "query_id",
-        "sub",
-        "code",
-        F.expr(_SQDIST.format(a="qvec", b="cent")).alias("dist"),
-    )
+    if residual:
+        sd = dim // m
+        qsubs = F.expr(
+            f"transform(sequence(0, {m - 1}),"
+            f" s -> transform(slice(rvec, s * {sd} + 1, {sd}), x -> x))"
+        )
+        qres = (
+            vectors.filter(F.col(id_col) < n_queries)
+            .select(F.col(id_col).alias("query_id"), vec_col)
+            .join(qprobe, "query_id")
+            .join(F.broadcast(cvec), "centroid_id")
+            .select("query_id", "centroid_id", F.expr(diff).alias("rvec"))
+        )
+        q = qres.select(
+            "query_id", "centroid_id", F.posexplode(qsubs).alias("sub", "qvec")
+        )
+        lut = q.join(books, "sub").select(
+            "query_id",
+            "centroid_id",
+            "sub",
+            "code",
+            F.expr(_SQDIST.format(a="qvec", b="cent")).alias("dist"),
+        )
+        lut_keys = ["query_id", "centroid_id", "sub", "code"]
+    else:
+        q = sub.filter(F.col(id_col) < n_queries).select(
+            F.col(id_col).alias("query_id"), "sub", F.col("svec").alias("qvec")
+        )
+        lut = q.join(books, "sub").select(
+            "query_id",
+            "sub",
+            "code",
+            F.expr(_SQDIST.format(a="qvec", b="cent")).alias("dist"),
+        )
+        lut_keys = ["query_id", "sub", "code"]
     # Prune to probed cells BEFORE any distance work: at scale this
     # broadcast join is the read-side partition filter.
     cand = codes.join(F.broadcast(qprobe), "centroid_id").filter(
         F.col(id_col) != F.col("query_id")
     )
     per_sub = cand.join(
-        F.broadcast(lut.localCheckpoint(eager=True)), ["query_id", "sub", "code"]
+        F.broadcast(lut.localCheckpoint(eager=True)), lut_keys
     ).select(F.col(id_col).alias("neighbor_id"), "query_id", "sub", "dist")
     pivoted = per_sub.groupBy("query_id", "neighbor_id").agg(
         *[

@@ -256,3 +256,129 @@ def test_ivfpq_partitioning_independence(spark):
     a = ivfpq_topk(emb, dim=64)
     b = ivfpq_topk(emb.repartition(7, F.col("vec_id")), dim=64)
     assert _rows(a) == _rows(b)
+
+
+def _clustered_corpus(seed, n_clusters=8, per=12, dim=64, noise_dims=2, amp=4.0):
+    """The regime where residual (IVFADC) encoding provably wins:
+    #clusters == #codes, so GLOBAL codebooks get ~one code per cluster
+    and zero within-cluster resolution, while RESIDUAL codebooks see
+    only the pooled within-cluster variation — which is deliberately
+    LOW-dimensional (noise in `noise_dims` dims), the structure real
+    embedding manifolds have and isotropic noise lacks.  Ids are
+    round-robin across clusters so the IVF seeds (ids < n_cells) span
+    clusters; one IVF cell per cluster."""
+    import random
+
+    rnd = random.Random(seed)
+    centers = [
+        [rnd.uniform(-10, 10) for _ in range(dim)] for _ in range(n_clusters)
+    ]
+    pts = []
+    for c in range(n_clusters):
+        for _ in range(per):
+            v = list(centers[c])
+            for d in range(noise_dims):
+                v[d] += rnd.uniform(-amp, amp)
+            pts.append([float(x) for x in v])
+    order = [pts[c * per + r] for r in range(per) for c in range(n_clusters)]
+    return [(i, v) for i, v in enumerate(order)]
+
+
+def test_ivfpq_residual_beats_global_on_clustered_data(spark):
+    # True IVFADC (residual=True) must both (a) approximate true
+    # distances better and (b) recall more true neighbors than global
+    # codebooks on the clustered corpus — pinned on two seeds.
+    from kafka_avro_order_processing_spark.operators.similarity import ivfpq_topk
+
+    def sq(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    for seed in (2, 5):
+        rows = _clustered_corpus(seed)
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        vecs = dict(rows)
+        n_q, kk = 4, 5
+        exact = {
+            qid: [
+                nid
+                for _, nid in sorted(
+                    (sq(vecs[qid], v), i) for i, v in vecs.items() if i != qid
+                )[:kk]
+            ]
+            for qid in range(n_q)
+        }
+        err, rec = {}, {}
+        for residual in (False, True):
+            out = ivfpq_topk(
+                emb,
+                dim=64,
+                n_cells=8,
+                n_probe=1,
+                n_queries=n_q,
+                topk=100,
+                residual=residual,
+            ).collect()
+            err[residual] = sum(
+                abs(r["adc_dist"] - sq(vecs[r["query_id"]], vecs[r["neighbor_id"]]))
+                for r in out
+            ) / len(out)
+            top = [r for r in out if r["rank"] <= kk]
+            rec[residual] = sum(
+                1 for r in top if r["neighbor_id"] in exact[r["query_id"]]
+            ) / (n_q * kk)
+        assert err[True] < err[False], (seed, err)
+        assert rec[True] > rec[False], (seed, rec)
+        assert rec[True] >= 0.6
+
+
+def test_residual_codebooks_are_not_degenerate(spark):
+    # Regression: residual PQ seeds must skip ids < n_cells (those ARE
+    # the centroids — zero residuals would collapse every codebook to
+    # one code).  Every sub-space must end with > 1 distinct code used.
+    from kafka_avro_order_processing_spark.operators.similarity import (
+        _pq_assign,
+        ivf_assign,
+        pq_codebooks,
+        pq_subvectors,
+    )
+
+    # isotropic noise (all 64 dims) so every sub-space has real
+    # residual structure for the codebook to spread over
+    rows = _clustered_corpus(1, noise_dims=64, amp=1.0)
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assign = ivf_assign(emb, cents)
+    cvec = cents.select("centroid_id", F.col("embedding").alias("cent_vec"))
+    res = (
+        emb.join(assign, "vec_id")
+        .join(F.broadcast(cvec), "centroid_id")
+        .select(
+            "vec_id",
+            F.expr(
+                "zip_with(embedding, cent_vec,"
+                " (x, y) -> cast(x as double) - cast(y as double))"
+            ).alias("embedding"),
+        )
+    )
+    sub = pq_subvectors(res, 64, 4)
+    books = pq_codebooks(sub, 8, seed_lo=8)
+    codes = _pq_assign(sub, F.broadcast(books), "vec_id")
+    used = {
+        r["sub"]: r["n"]
+        for r in codes.groupBy("sub")
+        .agg(F.countDistinct("code").alias("n"))
+        .collect()
+    }
+    assert set(used) == {0, 1, 2, 3}
+    assert all(n > 1 for n in used.values()), used
+
+
+def test_ivfpq_residual_partitioning_independence(spark):
+    from kafka_avro_order_processing_spark.operators.similarity import ivfpq_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    a = ivfpq_topk(emb, dim=64, residual=True)
+    b = ivfpq_topk(emb.repartition(7, F.col("vec_id")), dim=64, residual=True)
+    assert _rows(a) == _rows(b)
