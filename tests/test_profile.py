@@ -1,0 +1,141 @@
+"""One-pass table profiling (operators/profile.py): exact agreement
+with DuckDB per column (counts, nulls, min/max, exact distinct), the
+approx-distinct error envelope, the single-aggregation plan shape, and
+the partial-top-k correctness of column_topk.
+"""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from kafka_avro_order_processing_spark.operators.profile import (
+    column_topk,
+    profile_table,
+)
+from kafka_avro_order_processing_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_profile_matches_duckdb_exactly(spark):
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    orders = load_table(spark, SF, "orders")
+    prof = {
+        r["column"]: r
+        for r in profile_table(orders, cols, exact=True).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM"
+        f" read_parquet('{SF}/orders.parquet')"
+    )
+    for c in cols:
+        n, nn, nd, mn, mx = con.execute(
+            f"SELECT count(*), count({c}), count(distinct {c}),"
+            f" min({c}), max({c}) FROM orders"
+        ).fetchone()
+        r = prof[c]
+        assert r["n_rows"] == n
+        assert r["n_nulls"] == n - nn
+        assert r["n_distinct"] == nd
+        # min/max compare on the NATIVE order then stringify; DuckDB's
+        # values stringify the same way for ints and strings.  Decimals
+        # keep their scale in Spark ('904.20'), so compare numerically
+        # when the column is numeric.
+        if isinstance(mn, str):
+            assert r["min_value"] == mn and r["max_value"] == mx
+        else:
+            assert float(r["min_value"]) == float(mn)
+            assert float(r["max_value"]) == float(mx)
+    con.close()
+
+
+def test_profile_null_and_type_handling(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a", {"k": 1}),
+            (2, None, None),
+            (3, "b", {"j": 2}),
+            (4, None, None),
+        ],
+        "id long, s string, m map<string,int>",
+    )
+    prof = {r["column"]: r for r in profile_table(df, exact=True).collect()}
+    assert prof["s"]["n_nulls"] == 2
+    assert abs(prof["s"]["null_frac"] - 0.5) < 1e-15
+    assert prof["s"]["min_value"] == "a" and prof["s"]["max_value"] == "b"
+    assert prof["s"]["n_distinct"] == 2
+    # maps are unorderable: profiled (counts, distinct via hash) but
+    # min/max stay NULL rather than failing the whole profile
+    assert prof["m"]["min_value"] is None and prof["m"]["max_value"] is None
+    assert prof["m"]["n_nulls"] == 2
+    assert prof["m"]["data_type"].startswith("map<")
+    assert prof["id"]["null_frac"] == 0.0
+    assert prof["id"]["min_value"] == "1" and prof["id"]["max_value"] == "4"
+
+
+def test_profile_is_one_aggregation(spark):
+    # The whole profile must be ONE global aggregate: no row shuffle
+    # (Exchange carries only partial aggregation state: a SinglePartition
+    # exchange), no join, no BatchEvalPython, regardless of column count.
+    orders = load_table(spark, SF, "orders")
+    plan = profile_table(
+        orders, ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange") == 1
+    assert "SinglePartition" in plan
+
+
+def test_profile_approx_distinct_envelope(spark):
+    # HLL++ at rsd=0.05 on ~30k distinct keys must land within 3*rsd.
+    orders = load_table(spark, SF, "orders")
+    r = {
+        x["column"]: x
+        for x in profile_table(orders, ["o_orderkey"], exact=False).collect()
+    }["o_orderkey"]
+    exact = orders.select("o_orderkey").distinct().count()
+    assert abs(r["n_distinct"] - exact) <= 0.15 * exact
+
+
+def test_column_topk_matches_duckdb(spark):
+    orders = load_table(spark, SF, "orders")
+    got = [
+        (r["value"], r["n"], r["rank"])
+        for r in column_topk(orders, "o_orderpriority", k=3)
+        .orderBy("rank")
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM"
+        f" read_parquet('{SF}/orders.parquet')"
+    )
+    want = con.execute(
+        "SELECT CAST(o_orderpriority AS VARCHAR) v, count(*) n,"
+        " CAST(row_number() OVER (ORDER BY count(*) DESC, v ASC) AS INT) r"
+        " FROM orders WHERE o_orderpriority IS NOT NULL"
+        " GROUP BY v ORDER BY r LIMIT 3"
+    ).fetchall()
+    con.close()
+    assert got == [tuple(w) for w in want]
+
+
+def test_column_topk_partial_topk_is_lossless(spark):
+    # The per-partition pre-filter must never drop a global top-k value:
+    # compare against the unbounded ranking on a skewed synthetic.
+    rows = [(i, f"v{i % 7}") for i in range(500)] + [(9999, None)]
+    df = spark.createDataFrame(rows, "id long, s string").repartition(8)
+    got = sorted(
+        (r["value"], r["n"]) for r in column_topk(df, "s", k=5).collect()
+    )
+    from collections import Counter
+
+    cnt = Counter(s for _, s in rows if s is not None)
+    want = sorted(
+        (v, n)
+        for v, n in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    )
+    assert got == want
