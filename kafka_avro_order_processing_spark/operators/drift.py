@@ -1,0 +1,213 @@
+"""Distribution-drift detection between a reference table and a new
+batch — the monitoring step that decides whether yesterday's model/
+pipeline assumptions still hold for today's data.  Implements the
+Population Stability Index (PSI), the standard credit-scoring drift
+metric (Siddiqi, "Credit Risk Scorecards", 2006): for bucketed
+fractions p (reference) and q (current),
+
+    PSI = sum over buckets of (q_b - p_b) * ln(q_b / p_b)
+
+with epsilon-smoothing for empty buckets.  Rule-of-thumb thresholds:
+< 0.1 stable, 0.1-0.25 moderate, > 0.25 major drift.
+
+Scale shape: each side is ONE partial+final groupBy on the bucket key
+(numeric rows never shuffle raw values — the bucket id is computed
+map-side), the two bucket tables (<= n_bins or max_categories + 1
+rows) join tiny-vs-tiny, and totals come from the same aggregation —
+no collect, no per-row Python, no second pass over the data.
+Categorical domains can be unbounded, so the categorical variant caps
+the bucket set at the reference's top `max_categories` values
+(deterministic: count desc, value asc) and rolls everything else into
+an OTHER bucket — bounded output regardless of cardinality, and the
+rollup is itself drift-sensitive (new unseen categories inflate
+OTHER's current fraction).
+
+ln() is IEEE-unrounded in both Spark and DuckDB (see SCALE.md), so
+cross-engine checks compare to 1e-12 tolerance, not bit-exact — which
+is why these are suite-tested operators rather than hash-oracled
+registry rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PSI_EPSILON = 1e-6
+
+
+def _bucket_fracs(df: DataFrame, bucket: F.Column, side: str) -> DataFrame:
+    counts = df.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias(f"{side}_n")
+    )
+    return _fracs_from_counts(counts, side)
+
+
+def _fracs_from_counts(counts: DataFrame, side: str) -> DataFrame:
+    """Attach the side's total to a (bucket, {side}_n) count table —
+    the entry point for callers that already HAVE bucket counts (the
+    streaming twin accumulates them as its aggregation state)."""
+    total = counts.agg(F.sum(f"{side}_n").alias(f"{side}_total"))
+    return counts.crossJoin(F.broadcast(total))
+
+
+def _psi_detail(ref_b: DataFrame, cur_b: DataFrame) -> DataFrame:
+    """Full-outer join of the two bucket tables -> per-bucket fractions
+    and PSI contribution, epsilon-smoothed.  Missing totals (one side
+    empty) are treated as 0 counts over a total of 1."""
+    joined = ref_b.join(cur_b, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("ref_n", F.lit(0)).alias("ref_n"),
+        F.coalesce("cur_n", F.lit(0)).alias("cur_n"),
+        F.coalesce(
+            F.max("ref_total").over(_all_rows()), F.lit(1)
+        ).alias("ref_total"),
+        F.coalesce(
+            F.max("cur_total").over(_all_rows()), F.lit(1)
+        ).alias("cur_total"),
+    )
+    p = F.greatest(
+        F.col("ref_n").cast("double") / F.col("ref_total").cast("double"),
+        F.lit(PSI_EPSILON),
+    )
+    q = F.greatest(
+        F.col("cur_n").cast("double") / F.col("cur_total").cast("double"),
+        F.lit(PSI_EPSILON),
+    )
+    return joined.select(
+        "bucket",
+        "ref_n",
+        "cur_n",
+        p.alias("ref_frac"),
+        q.alias("cur_frac"),
+        ((q - p) * F.log(q / p)).alias("psi_contrib"),
+    )
+
+
+def _all_rows():
+    from pyspark.sql import Window
+
+    # Window over the (tiny, <= bins+1 rows) joined bucket table only —
+    # never over raw data.  Propagates each side's total to rows the
+    # OTHER side contributed alone in the full-outer join.
+    return Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+
+
+def numeric_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    column: str,
+    n_bins: int = 16,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Per-bin PSI detail for a numeric column.  Bin edges are fixed
+    and equal-width over [lo, hi]; when not given they come from the
+    REFERENCE side's min/max (one 2-value driver scalar — the
+    sanctioned bounded collect), because the reference frame is the
+    stable yardstick and current-side outliers belong in the edge bins
+    rather than reshaping the histogram.  Values below lo clamp to bin
+    0, above hi to bin n_bins-1; NULLs take bucket -1 (their drift is
+    tracked too — a null storm IS drift).
+
+    Returns (bucket, ref_n, cur_n, ref_frac, cur_frac, psi_contrib);
+    ``agg(sum(psi_contrib))`` is the PSI.  Fraction floors at 1e-6 keep
+    ln() finite on empty bins (standard PSI practice).
+    """
+    lo, hi = _ref_bounds(ref, column, lo, hi)
+    bucket = _numeric_bucket(column, lo, hi, n_bins)
+    return _psi_detail(
+        _bucket_fracs(ref, bucket, "ref"),
+        _bucket_fracs(cur, bucket, "cur"),
+    )
+
+
+def _ref_bounds(
+    ref: DataFrame, column: str, lo: float | None, hi: float | None
+) -> tuple[float, float]:
+    """Resolve missing bin bounds from the reference side's min/max
+    (one 2-value driver scalar); degenerate references (empty or
+    constant column) widen to a single usable bucket."""
+    if lo is None or hi is None:
+        row = ref.agg(
+            F.min(F.col(column).cast("double")).alias("lo"),
+            F.max(F.col(column).cast("double")).alias("hi"),
+        ).collect()[0]
+        lo = row["lo"] if lo is None else lo
+        hi = row["hi"] if hi is None else hi
+    if lo is None or hi is None or not (hi > lo):
+        lo, hi = (lo or 0.0), (lo or 0.0) + 1.0
+    return lo, hi
+
+
+def _numeric_bucket(column: str, lo: float, hi: float, n_bins: int) -> F.Column:
+    """Map-side bin id: clamp-to-edges, NULL -> bucket -1.  Shared
+    verbatim by the batch operator and the streaming twin so their
+    bucket semantics cannot drift apart."""
+    width = (hi - lo) / n_bins
+    x = F.col(column).cast("double")
+    b = F.floor((x - F.lit(lo)) / F.lit(width)).cast("long")
+    return (
+        F.when(x.isNull(), F.lit(-1))
+        .when(b < 0, F.lit(0))
+        .when(b >= n_bins, F.lit(n_bins - 1))
+        .otherwise(b)
+    )
+
+
+def categorical_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    column: str,
+    max_categories: int = 64,
+) -> DataFrame:
+    """Per-category PSI detail for a categorical column, with the
+    bucket set capped at the reference's top `max_categories` values
+    (count desc, value asc — deterministic) and everything else —
+    including categories the reference has never seen — rolled into
+    the '__OTHER__' bucket.  NULL maps to '__NULL__'.  Same output
+    shape as :func:`numeric_drift`."""
+    from pyspark.sql import Window
+
+    norm = F.coalesce(F.col(column).cast("string"), F.lit("__NULL__"))
+    ref_counts = ref.select(norm.alias("v")).groupBy("v").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy(F.spark_partition_id()).orderBy(
+        F.desc("n"), F.asc("v")
+    )
+    wg = Window.orderBy(F.desc("n"), F.asc("v"))
+    keep = (
+        ref_counts.withColumn("pr", F.row_number().over(w))
+        .filter(F.col("pr") <= max_categories)
+        .withColumn("r", F.row_number().over(wg))
+        .filter(F.col("r") <= max_categories)
+        .select("v")
+        .localCheckpoint(eager=True)
+    )
+
+    def bucket(df):
+        return (
+            df.select(norm.alias("v"))
+            .join(F.broadcast(keep.withColumn("keep", F.lit(True))), "v", "left")
+            .select(
+                F.when(F.col("keep"), F.col("v"))
+                .otherwise(F.lit("__OTHER__"))
+                .alias("bucket")
+            )
+        )
+
+    return _psi_detail(
+        _bucket_fracs(bucket(ref), F.col("bucket"), "ref"),
+        _bucket_fracs(bucket(cur), F.col("bucket"), "cur"),
+    )
+
+
+def psi(detail: DataFrame) -> float:
+    """Collapse a drift detail frame to its scalar PSI (driver-side
+    1-row collect — the monitoring value a pipeline alerts on)."""
+    return float(
+        detail.agg(F.sum("psi_contrib").alias("psi")).collect()[0]["psi"]
+    )

@@ -1,0 +1,219 @@
+"""Distribution drift / PSI (operators/drift.py): agreement with a
+pure-Python PSI reference, a DuckDB cross-check (1e-12 — ln is not
+IEEE-rounded, see SCALE.md), null-storm and unseen-category
+sensitivity, clamping, and the bounded-bucket contract.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+from pyspark.sql import functions as F
+
+from kafka_avro_order_processing_spark.operators.drift import (
+    PSI_EPSILON,
+    categorical_drift,
+    numeric_drift,
+    psi,
+)
+from kafka_avro_order_processing_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def _py_psi_numeric(ref, cur, n_bins, lo, hi):
+    width = (hi - lo) / n_bins
+
+    def bucket(x):
+        if x is None:
+            return -1
+        b = math.floor((x - lo) / width)
+        return max(0, min(n_bins - 1, b))
+
+    def fracs(vals):
+        counts = {}
+        for v in vals:
+            b = bucket(v)
+            counts[b] = counts.get(b, 0) + 1
+        total = max(len(vals), 1)
+        return counts, total
+
+    rc, rt = fracs(ref)
+    cc, ct = fracs(cur)
+    out = 0.0
+    for b in set(rc) | set(cc):
+        p = max(rc.get(b, 0) / rt, PSI_EPSILON)
+        q = max(cc.get(b, 0) / ct, PSI_EPSILON)
+        out += (q - p) * math.log(q / p)
+    return out
+
+
+def test_numeric_psi_matches_python_reference(spark):
+    import random
+
+    rnd = random.Random(5)
+    ref_vals = [rnd.gauss(10, 2) for _ in range(400)] + [None] * 10
+    cur_vals = [rnd.gauss(12, 3) for _ in range(300)] + [None] * 40
+    ref = spark.createDataFrame([(v,) for v in ref_vals], "x double")
+    cur = spark.createDataFrame([(v,) for v in cur_vals], "x double")
+    lo = min(v for v in ref_vals if v is not None)
+    hi = max(v for v in ref_vals if v is not None)
+    got = psi(numeric_drift(ref, cur, "x", n_bins=8))
+    want = _py_psi_numeric(ref_vals, cur_vals, 8, lo, hi)
+    assert abs(got - want) < 1e-9
+    assert got > 0.1  # the shifted distribution reads as drift
+
+
+def test_identical_distributions_have_zero_psi(spark):
+    orders = load_table(spark, SF, "orders")
+    d = numeric_drift(orders, orders, "o_totalprice", n_bins=12)
+    assert abs(psi(d)) < 1e-12
+    r = d.agg(
+        F.sum(F.when(F.col("ref_n") != F.col("cur_n"), 1).otherwise(0)).alias("m")
+    ).collect()[0]["m"]
+    assert r == 0
+
+
+def test_null_storm_is_drift(spark):
+    ref = spark.createDataFrame([(float(i % 50),) for i in range(500)], "x double")
+    cur = spark.createDataFrame(
+        [(float(i % 50) if i % 2 else None,) for i in range(500)], "x double"
+    )
+    d = numeric_drift(ref, cur, "x", n_bins=8)
+    null_row = [r for r in d.collect() if r["bucket"] == -1]
+    assert null_row and null_row[0]["cur_n"] == 250 and null_row[0]["ref_n"] == 0
+    assert psi(d) > 0.25
+
+
+def test_outliers_clamp_to_edge_bins(spark):
+    ref = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
+    cur = spark.createDataFrame([(-1000.0,), (1000.0,)], "x double")
+    rows = {r["bucket"]: r for r in numeric_drift(ref, cur, "x", n_bins=4).collect()}
+    assert rows[0]["cur_n"] == 1 and rows[3]["cur_n"] == 1
+    assert set(rows) == {0, 1, 2, 3}
+
+
+def test_categorical_unseen_category_lands_in_other(spark):
+    ref = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 20, "v string"
+    )
+    cur = spark.createDataFrame(
+        [("a",)] * 40 + [("b",)] * 30 + [("z",)] * 30, "v string"
+    )
+    d = {r["bucket"]: r for r in categorical_drift(ref, cur, "v").collect()}
+    assert d["__OTHER__"]["cur_n"] == 30 and d["__OTHER__"]["ref_n"] == 0
+    assert d["c"]["cur_n"] == 0
+    assert psi(categorical_drift(ref, cur, "v")) > 0.1
+
+
+def test_categorical_cap_bounds_buckets_deterministically(spark):
+    ref = spark.createDataFrame(
+        [(f"v{i:03d}",) for i in range(200) for _ in range(200 - i)], "v string"
+    )
+    cur = ref
+    d = categorical_drift(ref, cur, "v", max_categories=10).collect()
+    buckets = {r["bucket"] for r in d}
+    # top-10 by count desc (v000 most frequent) + OTHER; no NULL bucket
+    assert buckets == {f"v{i:03d}" for i in range(10)} | {"__OTHER__"}
+    assert abs(sum(r["psi_contrib"] for r in d)) < 1e-12
+
+
+def test_categorical_matches_duckdb(spark):
+    orders = load_table(spark, SF, "orders")
+    half_a = orders.filter(F.col("o_orderkey") % 2 == 0)
+    half_b = orders.filter(F.col("o_orderkey") % 2 == 1)
+    got = psi(categorical_drift(half_a, half_b, "o_orderpriority"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM"
+        f" read_parquet('{SF}/orders.parquet')"
+    )
+    want = con.execute(
+        """
+        WITH r AS (SELECT coalesce(o_orderpriority,'__NULL__') v, count(*) n
+                   FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1),
+             c AS (SELECT coalesce(o_orderpriority,'__NULL__') v, count(*) n
+                   FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1),
+             j AS (SELECT coalesce(r.v, c.v) v,
+                          coalesce(r.n, 0) rn, coalesce(c.n, 0) cn
+                   FROM r FULL OUTER JOIN c ON r.v = c.v)
+        SELECT sum((greatest(cn * 1.0 / (SELECT sum(cn) FROM j), 1e-6)
+                  - greatest(rn * 1.0 / (SELECT sum(rn) FROM j), 1e-6))
+                 * ln(greatest(cn * 1.0 / (SELECT sum(cn) FROM j), 1e-6)
+                    / greatest(rn * 1.0 / (SELECT sum(rn) FROM j), 1e-6)))
+        FROM j
+        """
+    ).fetchone()[0]
+    con.close()
+    # o_orderpriority has < 64 categories, so no OTHER rollup: the
+    # DuckDB expression is the exact same algebra.  ln() tolerance.
+    assert abs(got - want) < 1e-12
+
+
+def test_drift_plan_is_python_free(spark):
+    orders = load_table(spark, SF, "orders")
+    plan = (
+        numeric_drift(orders, orders, "o_totalprice")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+
+
+def test_streaming_numeric_drift_bit_matches_batch(spark):
+    # The streaming twin's only state is integer bucket counts —
+    # associative, so the drained PSI detail must BIT-match the batch
+    # operator on the same rows regardless of micro-batching.
+    from kafka_avro_order_processing_spark.operators.drift import (
+        numeric_drift,
+    )
+    from kafka_avro_order_processing_spark.streaming.drift import (
+        streaming_numeric_drift,
+    )
+    from kafka_avro_order_processing_spark.streaming.pipeline import (
+        stream_table,
+    )
+
+    ref = load_table(spark, SF, "orders").filter(F.col("o_orderkey") % 3 == 0)
+    cur_batch = load_table(spark, SF, "orders")
+    cur_stream = stream_table(spark, SF, "orders")
+
+    want = sorted(
+        tuple(r) for r in numeric_drift(ref, cur_batch, "o_totalprice").collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in streaming_numeric_drift(ref, cur_stream, "o_totalprice").collect()
+    )
+    assert got == want
+
+
+def test_streaming_drift_multi_epoch_equals_single(spark, tmp_path):
+    # Chop the same rows into 3 files (3 micro-batches under
+    # maxFilesPerTrigger=1): the drained detail must still bit-match.
+    from kafka_avro_order_processing_spark.operators.drift import (
+        numeric_drift,
+    )
+    from kafka_avro_order_processing_spark.streaming.drift import (
+        streaming_numeric_drift,
+    )
+
+    ref = spark.createDataFrame(
+        [(float(i % 40),) for i in range(400)], "x double"
+    )
+    cur_rows = [(float((i * 7) % 53),) for i in range(300)]
+    cur = spark.createDataFrame(cur_rows, "x double")
+    d = str(tmp_path / "cur")
+    cur.repartition(3).write.parquet(d)
+    stream = (
+        spark.readStream.schema("x double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    want = sorted(tuple(r) for r in numeric_drift(ref, cur, "x").collect())
+    got = sorted(
+        tuple(r) for r in streaming_numeric_drift(ref, stream, "x").collect()
+    )
+    assert got == want
