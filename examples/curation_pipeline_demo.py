@@ -2,12 +2,17 @@
 engine exists for, composed from the registered operators and run as
 ONE job from raw documents to packed training shards:
 
+  0. profile           one-pass per-column stats (look before you cook)
   1. quality gate      quality_score + repetition filter (pure exprs)
   2. exact dedup       md5 fingerprint, keep smallest doc_id
   3. near-dup prune    MinHash-LSH pairs -> connected components ->
                        keep each cluster's min id
+  3c. drift audit      PSI of the token-length distribution, curated
+                       vs raw (how much did curation reshape the data?)
   4. shard + pack      hash shards, 256-token bins (sequence_packing
                        shape), written out partitioned by shard
+  5. tokenizer         BPE merges trained on the curated corpus, then
+                       the shards tokenized map-side
 
 Every stage is a declarative plan over the previous stage's DataFrame —
 Catalyst pipelines the non-shuffling parts; the written shard layout is
@@ -32,7 +37,10 @@ from kafka_avro_order_processing_spark.operators.dedup import (
     near_dup_pairs,
     set_similarity_join,
 )
+from kafka_avro_order_processing_spark.operators.bpe import bpe_encode, bpe_train
+from kafka_avro_order_processing_spark.operators.drift import numeric_drift, psi
 from kafka_avro_order_processing_spark.operators.graph import connected_components
+from kafka_avro_order_processing_spark.operators.profile import profile_table
 from kafka_avro_order_processing_spark.operators.text import (
     quality_score,
     repetition_stats,
@@ -54,6 +62,12 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None, out_dir: str | None
 
     docs = load_table(spark, sf_dir, "documents").persist()
     n_raw = docs.count()
+
+    # 0. profile: the one-pass look a real run takes before cooking —
+    # a column with a null storm or cardinality blowup stops the job
+    # here, not three stages in.
+    prof = {r["column"]: r for r in profile_table(docs).collect()}
+    n_null_text = prof["text"]["n_nulls"]
 
     # 1. quality gate: drop the low-quality tail and repetitive docs
     # (thresholds sit inside this corpus's observed score range —
@@ -87,6 +101,14 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None, out_dir: str | None
     kept = kept.join(losers, "doc_id", "left_anti")
     n_near = kept.count()
 
+    # 3c. drift audit: how much did curation reshape the corpus?  PSI
+    # of the whitespace-token length distribution, curated vs raw (the
+    # raw side is the reference — its min/max fix the bins).
+    with_len = lambda d: d.select(  # noqa: E731
+        F.size(tokens("text")).cast("long").alias("len")
+    )
+    length_psi = psi(numeric_drift(with_len(docs), with_len(kept), "len", n_bins=12))
+
     # 4. shard + pack and WRITE: the trainer-facing layout.
     w_cols = kept.select(
         "doc_id",
@@ -110,9 +132,22 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None, out_dir: str | None
     n_shards = shards.select("shard").distinct().count()
     n_bins = shards.select("shard", "bin_id").distinct().count()
 
+    # 5. tokenizer: train BPE merges on the curated corpus and encode
+    # the shards map-side — what a trainer actually consumes.
+    merges = bpe_train(kept, n_merges=12)
+    n_merges = merges.count()
+    tokenized = bpe_encode(kept, merges)
+    n_bpe_tokens = tokenized.select(
+        F.sum(F.size("tokens")).alias("s")
+    ).collect()[0]["s"]
+
     docs.unpersist()
     counters = {
         "raw": n_raw,
+        "text_nulls": int(n_null_text),
+        "length_psi": length_psi,
+        "bpe_merges": int(n_merges),
+        "bpe_tokens": int(n_bpe_tokens),
         "after_quality": n_quality,
         "after_exact_dedup": n_exact,
         "after_near_dedup": n_near,

@@ -36,6 +36,15 @@ def test_curation_demo_end_to_end(spark, tmp_path):
     shards = spark.read.parquet(str(tmp_path / "shards"))
     assert shards.count() == c["after_near_dedup"]
     assert set(shards.columns) == {"doc_id", "text", "shard", "n_tokens", "bin_id"}
+    # profile stage: the synthetic documents table has no null text
+    assert c["text_nulls"] == 0
+    # drift audit: curation reshapes the length distribution some, but
+    # not into a different corpus (sane PSI, not epsilon-dominated)
+    assert 0.0 <= c["length_psi"] < 1.0
+    # tokenizer stage: all requested merges learned, and BPE compresses
+    # vs raw symbol count (chars + end-of-word markers)
+    assert c["bpe_merges"] == 12
+    assert c["bpe_tokens"] > 0
 
 
 def test_streaming_ingest_demo_end_to_end(spark):
