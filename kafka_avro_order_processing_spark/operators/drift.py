@@ -169,6 +169,19 @@ def categorical_drift(
     including categories the reference has never seen — rolled into
     the '__OTHER__' bucket.  NULL maps to '__NULL__'.  Same output
     shape as :func:`numeric_drift`."""
+    keep = _category_keep(ref, column, max_categories)
+    return _psi_detail(
+        _bucket_fracs(_category_bucket(ref, column, keep), F.col("bucket"), "ref"),
+        _bucket_fracs(_category_bucket(cur, column, keep), F.col("bucket"), "cur"),
+    )
+
+
+def _category_keep(ref: DataFrame, column: str, max_categories: int) -> DataFrame:
+    """The reference's top `max_categories` category values (count
+    desc, value asc — deterministic), checkpointed so both sides — and
+    the streaming twin — bucket against the identical frozen set.
+    Partial top-k per partition first: the global ranking window never
+    sees more than max_categories * n_partitions rows."""
     from pyspark.sql import Window
 
     norm = F.coalesce(F.col(column).cast("string"), F.lit("__NULL__"))
@@ -179,7 +192,7 @@ def categorical_drift(
         F.desc("n"), F.asc("v")
     )
     wg = Window.orderBy(F.desc("n"), F.asc("v"))
-    keep = (
+    return (
         ref_counts.withColumn("pr", F.row_number().over(w))
         .filter(F.col("pr") <= max_categories)
         .withColumn("r", F.row_number().over(wg))
@@ -188,20 +201,20 @@ def categorical_drift(
         .localCheckpoint(eager=True)
     )
 
-    def bucket(df):
-        return (
-            df.select(norm.alias("v"))
-            .join(F.broadcast(keep.withColumn("keep", F.lit(True))), "v", "left")
-            .select(
-                F.when(F.col("keep"), F.col("v"))
-                .otherwise(F.lit("__OTHER__"))
-                .alias("bucket")
-            )
-        )
 
-    return _psi_detail(
-        _bucket_fracs(bucket(ref), F.col("bucket"), "ref"),
-        _bucket_fracs(bucket(cur), F.col("bucket"), "cur"),
+def _category_bucket(df: DataFrame, column: str, keep: DataFrame) -> DataFrame:
+    """Map each row to its category bucket: kept value, '__OTHER__'
+    for everything outside the keep set, '__NULL__' for NULL.  A
+    broadcast left join against the (tiny) keep set — streaming-safe."""
+    norm = F.coalesce(F.col(column).cast("string"), F.lit("__NULL__"))
+    return (
+        df.select(norm.alias("v"))
+        .join(F.broadcast(keep.withColumn("keep", F.lit(True))), "v", "left")
+        .select(
+            F.when(F.col("keep"), F.col("v"))
+            .otherwise(F.lit("__OTHER__"))
+            .alias("bucket")
+        )
     )
 
 
@@ -211,3 +224,55 @@ def psi(detail: DataFrame) -> float:
     return float(
         detail.agg(F.sum("psi_contrib").alias("psi")).collect()[0]["psi"]
     )
+
+
+def quantile_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    column: str,
+    n_bins: int = 10,
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """PSI over EQUAL-FREQUENCY bins — the canonical scorecard
+    formulation (reference deciles for n_bins=10): bin edges are the
+    reference's interior quantiles, so every reference bin holds ~1/n
+    of the mass and the metric is scale-free (a heavy-tailed column
+    does not pile 99% of both frames into one equal-width bin and hide
+    the shift).  Edges come from `approx_percentile` (the GK sketch:
+    one pass, bounded state, mergeable) and land in the plan as an
+    n_bins-1 literal array; bucketing is a map-side count of edges at
+    or below the value.  Duplicate edges (heavy ties in the reference)
+    are collapsed, so degenerate references yield fewer, wider bins
+    instead of spurious empty ones — with the documented limit that a
+    CONSTANT reference collapses to one "≥ edge" bucket and cannot see
+    shifts above it (use :func:`numeric_drift` for near-constant
+    columns; its equal-width fallback handles them).  NULL -> bucket
+    -1, same as :func:`numeric_drift`.  Output schema is identical."""
+    qs = [i / n_bins for i in range(1, n_bins)]
+    edges_row = ref.agg(
+        F.percentile_approx(
+            F.col(column).cast("double"),
+            F.array(*[F.lit(q) for q in qs]),
+            F.lit(int(1.0 / relative_error)),
+        ).alias("e")
+    ).collect()[0]["e"]
+    edges = sorted(set(edges_row or []))
+    bucket = _edges_bucket(column, edges)
+    return _psi_detail(
+        _bucket_fracs(ref, bucket, "ref"),
+        _bucket_fracs(cur, bucket, "cur"),
+    )
+
+
+def _edges_bucket(column: str, edges: list[float]) -> F.Column:
+    """Bucket id = number of interior edges <= x (map-side fold over a
+    literal edge array; n_bins is small so the fold is O(n_bins) per
+    row with no join, no shuffle).  NULL -> -1."""
+    x = F.col(column).cast("double")
+    if not edges:
+        return F.when(x.isNull(), F.lit(-1)).otherwise(F.lit(0))
+    arr = ", ".join(repr(float(e)) + "D" for e in edges)
+    b = F.expr(
+        f"size(filter(array({arr}), e -> e <= cast({column} as double)))"
+    ).cast("long")
+    return F.when(x.isNull(), F.lit(-1)).otherwise(b)

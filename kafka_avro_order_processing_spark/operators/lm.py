@@ -1,0 +1,126 @@
+"""N-gram language-model quality scoring — the CCNet-style filter
+(Wenzek et al., LREC'20 "CCNet: Extracting High Quality Monolingual
+Datasets from Web Crawl Data"): train a small LM on a trusted
+reference corpus, score every candidate document by its per-token
+log-probability, and keep the head of the distribution.  The LM here
+is an add-alpha-smoothed bigram model — the cheapest model that still
+separates fluent text from shuffled or gibberish tokens, and every
+training statistic is an integer count, so training is exact and
+mergeable.
+
+Scale shape:
+- training is ONE partial+final groupBy over the reference corpus's
+  exploded bigrams (plus one over unigrams) — associative integer
+  counts, so the LM can be unioned across corpus shards or refreshed
+  incrementally;
+- scoring joins each candidate's exploded bigrams against the LM
+  tables on their natural keys (w1, w2)/(w1,) and averages log-probs
+  per document: two hash joins and one groupBy on doc_id, no Python,
+  no per-row UDF.  A trusted-corpus LM is usually small enough to
+  broadcast; the code leaves the strategy to AQE because "small" is a
+  deployment fact, not an operator invariant.
+
+Probability model (alpha > 0, V = reference vocab size + 1 for the
+unseen type):
+
+    P(w2 | w1) = (c(w1, w2) + alpha) / (c(w1) + alpha * V)
+
+Documents are scored over bigrams (BOS, w1), (w1, w2) ... — the BOS
+marker makes one-token documents scorable.  ln() is not IEEE-rounded
+across engines, so this family is suite-tested against a Python
+reference (1e-9), not hash-oracled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BOS = "<s>"
+
+
+def _doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2) rows: BOS-prefixed adjacent whitespace-token pairs,
+    empty tokens dropped; documents with no tokens emit nothing."""
+    seq = F.expr(
+        f"concat(array('{BOS}'),"
+        f" filter(split({text_col}, '\\\\s+'), t -> t != ''))"
+    )
+    pairs = F.expr(
+        "CASE WHEN size(seq) < 2 THEN"
+        " cast(array() as array<struct<w1: string, w2: string>>)"
+        " ELSE transform(sequence(1, size(seq) - 1),"
+        " i -> struct(element_at(seq, i) as w1,"
+        "             element_at(seq, i + 1) as w2)) END"
+    )
+    return (
+        df.select(F.col(id_col), seq.alias("seq"))
+        .select(F.col(id_col), F.explode(pairs).alias("p"))
+        .select(F.col(id_col), "p.w1", "p.w2")
+    )
+
+
+def train_bigram_lm(
+    ref: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame, int]:
+    """Train on the reference corpus.  Returns
+    (bigrams: (w1, w2, c2), unigram_context: (w1, c1), vocab_size)
+    where c1 counts w1 AS A BIGRAM CONTEXT (so BOS is included and the
+    model is properly normalized: sum_w2 P(w2|w1) = 1) and vocab_size
+    is the distinct token count + 1 unseen type."""
+    bg = _doc_bigrams(ref, id_col, text_col)
+    bigrams = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    contexts = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab_size = (
+        bg.select(F.col("w2").alias("w")).distinct().count() + 1
+    )
+    return bigrams, contexts, vocab_size
+
+
+def lm_score(
+    docs: DataFrame,
+    bigrams: DataFrame,
+    contexts: DataFrame,
+    vocab_size: int,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score candidate documents under the trained LM.  Returns
+    (id_col, n_bigrams, avg_logprob) — higher is more reference-like;
+    empty documents emit no row (nothing to score).  Unseen contexts
+    coalesce to c1 = 0 (the model backs off to the uniform
+    alpha / (alpha * V) = 1/V mass)."""
+    bg = _doc_bigrams(docs, id_col, text_col)
+    scored = (
+        bg.join(bigrams, ["w1", "w2"], "left")
+        .join(contexts, ["w1"], "left")
+        .select(
+            F.col(id_col),
+            F.log(
+                (F.coalesce(F.col("c2"), F.lit(0)).cast("double") + F.lit(alpha))
+                / (
+                    F.coalesce(F.col("c1"), F.lit(0)).cast("double")
+                    + F.lit(alpha) * F.lit(float(vocab_size))
+                )
+            ).alias("lp"),
+        )
+    )
+    # Order-free mean: float addition is not associative, so a plain
+    # avg() would depend on partitioning; the 2^52-scaled DECIMAL(38,0)
+    # partial sum (the kmeans_refine idiom) is exact-integer mergeable
+    # and bit-deterministic under any shuffle order, at ~1e-16 rounding
+    # on each term — far inside the model's own alpha-smoothing slack.
+    from .similarity import MEAN_SCALE
+
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (
+            F.sum(
+                F.expr(f"CAST(lp * {MEAN_SCALE}D AS DECIMAL(38,0))")
+            ).cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(float(MEAN_SCALE)))
+        ).alias("avg_logprob"),
+    )

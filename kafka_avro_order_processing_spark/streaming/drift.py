@@ -61,3 +61,31 @@ def streaming_numeric_drift(
         _bucket_fracs(ref, bucket, "ref"),
         _fracs_from_counts(drained, "cur"),
     )
+
+
+def streaming_categorical_drift(
+    ref: DataFrame,
+    stream_df: DataFrame,
+    column: str,
+    max_categories: int = 64,
+) -> DataFrame:
+    """Categorical PSI with the CURRENT side accumulated from a
+    stream.  The reference's frozen keep-set (checkpointed batch
+    table) broadcasts into the stream as a static-side join — the
+    standard stream-static pattern, so arriving rows bucket to a kept
+    value, '__OTHER__', or '__NULL__' map-side and only <= cap + 2
+    integer counters ever live in state.  Output schema matches
+    :func:`operators.drift.categorical_drift`."""
+    from ..operators.drift import _category_bucket, _category_keep
+
+    keep = _category_keep(ref, column, max_categories)
+    scounts = (
+        _category_bucket(stream_df, column, keep)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cur_n"))
+    )
+    drained = drain_to_df(scounts, "update", key_cols=("bucket",))
+    return _psi_detail(
+        _bucket_fracs(_category_bucket(ref, column, keep), F.col("bucket"), "ref"),
+        _fracs_from_counts(drained, "cur"),
+    )

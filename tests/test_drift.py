@@ -217,3 +217,93 @@ def test_streaming_drift_multi_epoch_equals_single(spark, tmp_path):
         tuple(r) for r in streaming_numeric_drift(ref, stream, "x").collect()
     )
     assert got == want
+
+
+def test_streaming_categorical_drift_bit_matches_batch(spark):
+    from kafka_avro_order_processing_spark.streaming.drift import (
+        streaming_categorical_drift,
+    )
+    from kafka_avro_order_processing_spark.streaming.pipeline import (
+        stream_table,
+    )
+
+    ref = load_table(spark, SF, "orders").filter(F.col("o_orderkey") % 3 == 0)
+    cur_batch = load_table(spark, SF, "orders")
+    cur_stream = stream_table(spark, SF, "orders")
+    want = sorted(
+        tuple(r)
+        for r in categorical_drift(ref, cur_batch, "o_orderpriority").collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in streaming_categorical_drift(
+            ref, cur_stream, "o_orderpriority"
+        ).collect()
+    )
+    assert got == want
+
+
+def test_quantile_drift_equal_frequency_reference(spark):
+    # Decile bins: on the reference itself every bin holds ~10% of the
+    # mass (exact up to quantile-sketch placement of ties), PSI ~ 0,
+    # and a genuinely shifted current side scores higher than the
+    # equal-width metric gives a heavy-tailed column.
+    from kafka_avro_order_processing_spark.operators.drift import (
+        quantile_drift,
+    )
+
+    import random
+
+    rnd = random.Random(9)
+    # heavy tail: 95% of mass in [0, 1), outliers to 10^6
+    ref_vals = [rnd.random() for _ in range(950)] + [
+        rnd.random() * 1e6 for _ in range(50)
+    ]
+    cur_vals = [rnd.random() * 2 for _ in range(950)] + [
+        rnd.random() * 1e6 for _ in range(50)
+    ]
+    ref = spark.createDataFrame([(v,) for v in ref_vals], "x double")
+    cur = spark.createDataFrame([(v,) for v in cur_vals], "x double")
+    dq = quantile_drift(ref, cur, "x", n_bins=10)
+    rows = dq.collect()
+    fracs = [r["ref_frac"] for r in rows if r["bucket"] >= 0]
+    assert len(fracs) == 10
+    assert all(abs(f - 0.1) < 0.03 for f in fracs), fracs
+    # the doubled-scale shift is visible in quantile bins but hidden
+    # from equal-width bins stretched to the 1e6 outlier
+    q_psi = psi(dq)
+    w_psi = psi(numeric_drift(ref, cur, "x", n_bins=10))
+    assert q_psi > 0.25
+    assert q_psi > w_psi
+
+
+def test_quantile_drift_self_is_near_zero(spark):
+    from kafka_avro_order_processing_spark.operators.drift import (
+        quantile_drift,
+    )
+
+    orders = load_table(spark, SF, "orders")
+    assert abs(psi(quantile_drift(orders, orders, "o_totalprice"))) < 1e-12
+
+
+def test_quantile_drift_constant_reference_collapses_bins(spark):
+    from kafka_avro_order_processing_spark.operators.drift import (
+        quantile_drift,
+    )
+
+    ref = spark.createDataFrame([(1.0,)] * 100, "x double")
+    cur = spark.createDataFrame([(1.0,)] * 50 + [(2.0,)] * 50, "x double")
+    rows = quantile_drift(ref, cur, "x", n_bins=10).collect()
+    # all edges duplicate -> collapse to <= 2 buckets, no crash
+    assert 1 <= len([r for r in rows if r["bucket"] >= 0]) <= 2
+    # documented limitation: a CONSTANT reference has no quantile
+    # structure — every value >= the single collapsed edge shares one
+    # bucket, so this shift is invisible to equal-frequency bins (PSI
+    # 0) while equal-width bins see it.  Degenerate references belong
+    # to numeric_drift.
+    assert psi(quantile_drift(ref, cur, "x")) == 0.0
+    from kafka_avro_order_processing_spark.operators.drift import (
+        numeric_drift as nd,
+    )
+
+    assert psi(nd(ref, cur, "x")) > 0.1

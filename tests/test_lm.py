@@ -1,0 +1,173 @@
+"""Bigram-LM quality scoring (operators/lm.py): exact agreement with a
+Python reference (counts integer-exact, log-probs to 1e-9), proper
+normalization, fluency discrimination on real documents, partitioning
+independence of the decimal-mean, and a Python-free plan.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from kafka_avro_order_processing_spark.operators.lm import (
+    BOS,
+    lm_score,
+    train_bigram_lm,
+)
+from kafka_avro_order_processing_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _py_bigrams(text):
+    toks = [t for t in text.split() if t]
+    seq = [BOS] + toks
+    return list(zip(seq, seq[1:]))
+
+
+def _py_train(texts):
+    c2, c1, vocab = Counter(), Counter(), set()
+    for t in texts:
+        for w1, w2 in _py_bigrams(t):
+            c2[(w1, w2)] += 1
+            c1[w1] += 1
+            vocab.add(w2)
+    return c2, c1, len(vocab) + 1
+
+
+def _py_score(text, c2, c1, V, alpha=0.5):
+    lps = [
+        math.log((c2.get((w1, w2), 0) + alpha) / (c1.get(w1, 0) + alpha * V))
+        for w1, w2 in _py_bigrams(text)
+    ]
+    return (len(lps), sum(lps) / len(lps)) if lps else None
+
+
+REF = [
+    "the quick brown fox jumps over the lazy dog",
+    "the lazy dog sleeps in the sun",
+    "a quick fox runs over the hill",
+    "the sun rises over the hill",
+]
+CAND = [
+    "the quick fox sleeps in the sun",      # fluent, in-domain
+    "dog the over quick hill a the runs",   # same words, shuffled
+    "zyx wvu tsr qpo nml",                  # gibberish vocab
+    "",                                     # empty: no row
+]
+
+
+def _frames(spark):
+    ref = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(REF)], "doc_id long, text string"
+    )
+    cand = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CAND)], "doc_id long, text string"
+    )
+    return ref, cand
+
+
+def test_lm_train_matches_reference(spark):
+    ref, _ = _frames(spark)
+    bigrams, contexts, V = train_bigram_lm(ref)
+    c2, c1, pyV = _py_train(REF)
+    assert V == pyV
+    got2 = {(r["w1"], r["w2"]): r["c2"] for r in bigrams.collect()}
+    assert got2 == dict(c2)
+    got1 = {r["w1"]: r["c1"] for r in contexts.collect()}
+    assert got1 == dict(c1)
+
+
+def test_lm_score_matches_reference(spark):
+    ref, cand = _frames(spark)
+    bigrams, contexts, V = train_bigram_lm(ref)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in lm_score(cand, bigrams, contexts, V).collect()
+    }
+    c2, c1, pyV = _py_train(REF)
+    for i, t in enumerate(CAND):
+        want = _py_score(t, c2, c1, pyV)
+        if want is None:
+            assert i not in got
+        else:
+            assert got[i][0] == want[0]
+            assert abs(got[i][1] - want[1]) < 1e-9
+
+
+def test_lm_is_normalized(spark):
+    # For a context seen in training, summing P(w2|w1) over the whole
+    # vocab (+ the unseen type) must give exactly 1 — the c1-counts-
+    # contexts convention is what makes this hold with BOS included.
+    ref, _ = _frames(spark)
+    _, _, V = train_bigram_lm(ref)
+    c2, c1, pyV = _py_train(REF)
+    alpha = 0.5
+    vocab = {w2 for (_, w2) in c2}
+    for w1 in ["the", BOS, "fox"]:
+        mass = sum(
+            (c2.get((w1, w2), 0) + alpha) / (c1[w1] + alpha * pyV)
+            for w2 in vocab
+        )
+        mass += alpha / (c1[w1] + alpha * pyV)  # the one unseen type
+        assert abs(mass - 1.0) < 1e-9, (w1, mass)
+    assert V == pyV
+
+
+def test_lm_separates_fluent_from_shuffled_and_gibberish(spark):
+    ref, cand = _frames(spark)
+    bigrams, contexts, V = train_bigram_lm(ref)
+    s = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in lm_score(cand, bigrams, contexts, V).collect()
+    }
+    # Fluent text beats both degradations.  (No ordering claim between
+    # shuffled and gibberish: add-alpha gives a SEEN context with an
+    # unseen continuation LESS mass than a fully-unknown context's
+    # uniform 1/V backoff — correct model behavior, not a bug.)
+    assert s[0] > s[1] and s[0] > s[2]
+
+
+def test_lm_on_documents_table_discriminates(spark):
+    # Train on half the real corpus, score a held-out natural doc vs
+    # the same doc with its words reversed: natural must win.
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    held = docs.filter(F.col("doc_id") == 1).collect()[0]["text"]
+    probe = spark.createDataFrame(
+        [(0, held), (1, " ".join(reversed(held.split())))],
+        "doc_id long, text string",
+    )
+    bigrams, contexts, V = train_bigram_lm(ref)
+    s = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in lm_score(probe, bigrams, contexts, V).collect()
+    }
+    assert s[0] > s[1]
+
+
+def test_lm_score_partitioning_independence(spark):
+    ref, cand = _frames(spark)
+    bigrams, contexts, V = train_bigram_lm(ref)
+    a = sorted(tuple(r) for r in lm_score(cand, bigrams, contexts, V).collect())
+    b = sorted(
+        tuple(r)
+        for r in lm_score(
+            cand.repartition(7, F.col("doc_id")), bigrams, contexts, V
+        ).collect()
+    )
+    assert a == b
+
+
+def test_lm_plan_is_python_free(spark):
+    ref, cand = _frames(spark)
+    bigrams, contexts, V = train_bigram_lm(ref)
+    plan = (
+        lm_score(cand, bigrams, contexts, V)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
