@@ -56,6 +56,14 @@ def profile_table(
     """
     cols = list(columns) if columns is not None else list(df.columns)
     dtypes = {f.name: f.dataType for f in df.schema.fields if f.name in cols}
+    one = df.agg(*_profile_aggs(cols, dtypes, exact, approx_rsd))
+    return _unpivot_profile(one, cols, dtypes)
+
+
+def _profile_aggs(cols, dtypes, exact: bool, approx_rsd: float) -> list:
+    """The wide aggregate list — shared by the batch operator and the
+    streaming twin (which forces exact=False: countDistinct is not a
+    streaming aggregate; HLL++ state is)."""
     aggs = [F.count(F.lit(1)).alias("__n_rows")]
     for c in cols:
         col = F.col(c)
@@ -72,9 +80,11 @@ def profile_table(
             aggs.append(
                 F.approx_count_distinct(col, rsd=approx_rsd).alias(f"__nd__{c}")
             )
-    one = df.agg(*aggs)
+    return aggs
 
-    # Unpivot the one wide row into one row per column, JVM-side.
+
+def _unpivot_profile(one: DataFrame, cols, dtypes) -> DataFrame:
+    """Unpivot the one wide row into one row per column, JVM-side."""
     parts = []
     for c in cols:
         parts.append(

@@ -163,12 +163,20 @@ def test_rerank_beats_or_ties_plain_adc(spark):
 # ---------------------------------------------------------------------------
 
 
-def _py_cells_and_probes(rows, n_cells=8, n_probe=2, n_queries=5):
+def _py_cells_and_probes(rows, n_cells=8, n_probe=2, n_queries=None):
     """Independent pure-Python IVF reference: assignment = argmax cosine
     (tie -> smallest centroid id), probes = top-n_probe cells per query.
     Sequential left-fold sums in array order match Spark's aggregate()."""
     import math
 
+    if n_queries is None:
+        # derive from the operator's constant so the reference query
+        # set cannot silently diverge from ivfpq_topk's default
+        from kafka_avro_order_processing_spark.operators.similarity import (
+            PQ_N_QUERIES,
+        )
+
+        n_queries = PQ_N_QUERIES
     cents = {i: v for i, v in rows if i < n_cells}
 
     def cos(a, b):

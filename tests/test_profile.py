@@ -139,3 +139,47 @@ def test_column_topk_partial_topk_is_lossless(spark):
         for v, n in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
     )
     assert got == want
+
+
+def test_streaming_profile_matches_batch(spark):
+    from kafka_avro_order_processing_spark.streaming.pipeline import (
+        stream_table,
+    )
+    from kafka_avro_order_processing_spark.streaming.profile import (
+        streaming_profile,
+    )
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    want = sorted(
+        tuple(r)
+        for r in profile_table(
+            load_table(spark, SF, "orders"), cols, exact=False
+        ).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in streaming_profile(stream_table(spark, SF, "orders"), cols).collect()
+    )
+    assert got == want
+
+
+def test_streaming_profile_multi_epoch_equals_single(spark, tmp_path):
+    # Same rows in 3 files under maxFilesPerTrigger=1: counts/min/max
+    # are associative and HLL++ registers merge deterministically, so
+    # the drained profile must be identical to the one-shot batch.
+    from kafka_avro_order_processing_spark.streaming.profile import (
+        streaming_profile,
+    )
+
+    rows = [(i, f"v{i % 17}" if i % 5 else None) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    d = str(tmp_path / "cur")
+    df.repartition(3).write.parquet(d)
+    stream = (
+        spark.readStream.schema("id long, s string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    want = sorted(tuple(r) for r in profile_table(df, exact=False).collect())
+    got = sorted(tuple(r) for r in streaming_profile(stream).collect())
+    assert got == want
