@@ -248,6 +248,17 @@ def fuzzy_best_match_jw(
     the Levenshtein variant, times the Arrow batch constant).
 
     Returns (id, match_id, match_text, similarity: double).
+
+    A JVM-side length-ratio prune runs BEFORE the UDF: with
+    s = min(|a|, |b|), g = max(|a|, |b|), at most s characters can
+    match, so jaro <= (s/|a| + s/|b| + 1) / 3 <= (2 + s/g) / 3, and
+    the Winkler boost is bounded by JW <= 0.6 * jaro + 0.4 — hence
+    JW >= t requires s/g >= 3 * (t - 0.4) / 0.6 - 2 (e.g. >= 0.5 at
+    t = 0.9).  The filter is a necessary condition (fuzz-pinned), so
+    it never drops a qualifying pair; it exists because each surviving
+    pair costs a Python JW evaluation (~1e5 pairs/s/8 cores measured
+    at sf0.1 — see SCALE.md), making cheap pruning worth more here
+    than in the all-JVM Levenshtein variant.
     """
     jw = jaro_winkler_udf()
     b = df.select(
@@ -262,9 +273,15 @@ def fuzzy_best_match_jw(
     cand = ok.select(
         "blk", F.col("rid").alias("cid"), F.col("rtext").alias("ctext")
     )
+    min_ratio = 3.0 * (min_similarity - 0.4) / 0.6 - 2.0
+    ll, cl = F.length("rtext"), F.length("ctext")
     scored = (
         ok.join(cand, "blk")
         .filter(F.col("rid") != F.col("cid"))
+        .filter(
+            F.least(ll, cl).cast("double")
+            >= F.lit(min_ratio) * F.greatest(ll, cl).cast("double")
+        )
         .withColumn("similarity", jw(F.col("rtext"), F.col("ctext")))
         .filter(F.col("similarity") >= min_similarity)
     )

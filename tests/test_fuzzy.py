@@ -289,3 +289,37 @@ def test_fuzzy_jw_oversized_block_skipped(spark):
     ).collect()
     ids = {r["id"] for r in out}
     assert ids == {1000, 1001}
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcde", max_size=14),
+            st.text(alphabet="abcde", max_size=14),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=80, deadline=None)
+def test_jw_length_ratio_prune_is_necessary_condition(pairs):
+    # The JVM-side prefilter in fuzzy_best_match_jw must never be able
+    # to drop a qualifying pair: JW >= t implies
+    # min_len / max_len >= 3 * (t - 0.4) / 0.6 - 2, for every t.
+    from kafka_avro_order_processing_spark.operators.fuzzy import (
+        _jaro_winkler_py,
+    )
+
+    for a, b in pairs:
+        jwv = _jaro_winkler_py(a, b)
+        if not a or not b:
+            continue
+        s, g = min(len(a), len(b)), max(len(a), len(b))
+        for t in (0.8, 0.85, 0.9, 0.95):
+            if jwv >= t:
+                assert s / g >= 3.0 * (t - 0.4) / 0.6 - 2.0 - 1e-12, (
+                    a,
+                    b,
+                    jwv,
+                    t,
+                )
