@@ -943,7 +943,12 @@ def _spark_fields_of(schema) -> list[tuple[str, str, bool]]:
     return out
 
 
-def read_avro_ocf(spark, path: str, reader_schema: dict | None = None):
+def read_avro_ocf(
+    spark,
+    path: str,
+    reader_schema: dict | None = None,
+    version: int | None = None,
+):
     """``spark.read`` for `.avro` container files without the jar.
 
     The writer schema comes from ONE file's header (driver-side, a few
@@ -964,8 +969,18 @@ def read_avro_ocf(spark, path: str, reader_schema: dict | None = None):
     manifest-managed (URI-written) directory this function sees the
     COMMITTED part set, never uncommitted or aborted final-named
     parts, and the two batch read paths always agree.
+
+    ``version`` time-travels a manifest-managed directory: the part
+    set comes from that commit's immutable snapshot
+    (``_manifest.v{N}.json``, written by every successful publish)
+    instead of the current manifest.  Absent snapshot -> loud
+    ValueError; snapshot present but parts vacuumed -> the decode
+    fails at read, the Delta-style "vacuum bounds time travel"
+    contract (see ``vacuum_avro_dir``'s retention).
     """
-    files = [path] if path.endswith(".avro") else _list_avro(path)
+    if version is not None and path.endswith(".avro"):
+        raise ValueError("version= applies to directories, not single files")
+    files = [path] if path.endswith(".avro") else _list_avro(path, version)
     if not files:
         raise ValueError(f"no .avro files under {path}")
     if reader_schema is None:
@@ -1042,7 +1057,64 @@ except ImportError:  # pragma: no cover
     _HAS_PUSHDOWN = False
 
 
-def _list_avro(path: str) -> list[str]:
+def _manifest_at(path: str, version: int) -> dict:
+    """The immutable snapshot manifest for `version`, or a loud error:
+    absence means the version never committed, predates snapshots, or
+    its snapshot was vacuumed past the retention window."""
+    sp = _snapshot_path(path, version)
+    try:
+        raw = _read_bytes(sp)
+    except (FileNotFoundError, OSError) as e:
+        raise ValueError(
+            f"version {version} of {path!r} is not readable: no snapshot "
+            "manifest (never committed, written before snapshots existed, "
+            "or vacuumed past the retention window)"
+        ) from e
+    return json.loads(raw)
+
+
+def manifest_history(path: str) -> list[dict]:
+    """The retained commit history of a manifest-managed directory:
+    one dict per surviving snapshot, version-ascending —
+    (version, n_parts, parts).  Time travel is BOUNDED BY VACUUM: a
+    version whose parts were vacuumed lists here until its snapshot
+    ages out, but reading it fails at decode (the Delta-style
+    contract: vacuum trades history for space)."""
+    base = path.rstrip("/")
+    names: list[str]
+    if "://" in base:
+        import pyarrow.fs as pafs
+
+        fs, rel = pafs.FileSystem.from_uri(base)
+        sel = pafs.FileSelector(rel, allow_not_found=True)
+        names = [
+            fi.base_name
+            for fi in fs.get_file_info(sel)
+            if fi.is_file
+            and fi.base_name.startswith("_manifest.v")
+            and fi.base_name.endswith(".json")
+        ]
+    else:
+        import glob as _glob
+
+        names = [
+            os.path.basename(f)
+            for f in _glob.glob(os.path.join(base, "_manifest.v*.json"))
+        ]
+    out = []
+    for n in sorted(names):
+        v = int(n[len("_manifest.v"):-len(".json")])
+        m = _manifest_at(path, v)
+        parts = sorted(m.get("parts", []))
+        out.append({"version": v, "n_parts": len(parts), "parts": parts})
+    return out
+
+
+def _list_avro(path: str, version: int | None = None) -> list[str]:
+    if version is not None:
+        base = path.rstrip("/")
+        m = _manifest_at(path, version)
+        return [f"{base}/{p}" for p in sorted(m.get("parts", []))]
     # Manifest-managed directories (URI-mode writes) read the COMMITTED
     # part set, never the raw listing — that is what makes the
     # no-rename object-store commit safe.
@@ -1190,10 +1262,15 @@ def _move_file(src: str, dst: str) -> None:
 # --------------------------------------------------------------------------
 
 MANIFEST = "_manifest.json"
+_SNAPSHOT_FMT = "_manifest.v{version:012d}.json"
 
 
 def _manifest_path(path: str) -> str:
     return path.rstrip("/") + "/" + MANIFEST
+
+
+def _snapshot_path(path: str, version: int) -> str:
+    return path.rstrip("/") + "/" + _SNAPSHOT_FMT.format(version=int(version))
 
 
 def _read_manifest(path: str) -> dict | None:
@@ -1213,18 +1290,22 @@ def _read_manifest(path: str) -> dict | None:
     return json.loads(raw)
 
 
-def _write_manifest(path: str, manifest: dict) -> None:
-    data = json.dumps(manifest, sort_keys=True).encode()
-    mp = _manifest_path(path)
-    if "://" in mp:
+def _write_bytes_generic(full_path: str, data: bytes) -> None:
+    if "://" in full_path:
         import pyarrow.fs as pafs
 
-        fs, rel = pafs.FileSystem.from_uri(mp)
+        fs, rel = pafs.FileSystem.from_uri(full_path)
         with fs.open_output_stream(rel) as f:
             f.write(data)
         return
-    with open(mp, "wb") as f:
+    with open(full_path, "wb") as f:
         f.write(data)
+
+
+def _write_manifest(path: str, manifest: dict) -> None:
+    _write_bytes_generic(
+        _manifest_path(path), json.dumps(manifest, sort_keys=True).encode()
+    )
 
 
 def _local_lock_path(path: str) -> str | None:
@@ -1324,6 +1405,20 @@ def _publish_manifest(path: str, mutate, max_retries: int = 5) -> dict:
             _write_manifest(path, new)
             check = _read_manifest(path)
             if check == new:
+                # Immutable per-version snapshot — the time-travel
+                # ledger (read_avro_ocf(version=...)).  Written only
+                # after read-back confirms THIS put is the committed
+                # truth for this version.  Best-effort: a failed
+                # snapshot write costs exactly that version's time
+                # travel, detected loudly at read time ("no snapshot")
+                # — it must not fail a commit that is already durable.
+                try:
+                    _write_bytes_generic(
+                        _snapshot_path(path, new["version"]),
+                        json.dumps(new, sort_keys=True).encode(),
+                    )
+                except OSError:
+                    pass
                 return new
             last_seen = check
     raise RuntimeError(
@@ -1915,11 +2010,18 @@ class AvroOcfWriter(DataSourceWriter):
         codec: str = "null", bloom_cols: frozenset[str] = frozenset(),
         max_records_per_part: int | None = None,
         bloom_bits_per_key: int = _BLOOM_BITS_PER_KEY,
+        retain_history: bool = False,
     ):
         import uuid as _uuid
 
         self.path, self.avro_schema, self.names = path, avro_schema, names
         self.overwrite = overwrite
+        # Delta-style history retention (URI mode): overwrite leaves
+        # the replaced parts on disk as manifest-orphans, so
+        # read_avro_ocf(version=...) can still reach pre-overwrite
+        # snapshots until vacuum's grace expires.  Default False keeps
+        # the eager best-effort cleanup (no storage growth surprise).
+        self.retain_history = retain_history
         self.codec = codec
         self.bloom_cols = bloom_cols
         self.max_records_per_part = max_records_per_part
@@ -1977,11 +2079,12 @@ class AvroOcfWriter(DataSourceWriter):
 
             _publish_manifest(self.path, mutate)
             base = self.path.rstrip("/")
-            for name in replaced:  # best-effort cleanup of replaced parts
-                try:
-                    _delete_file(f"{base}/{name}")
-                except OSError:
-                    pass
+            if not self.retain_history:
+                for name in replaced:  # best-effort cleanup of replaced parts
+                    try:
+                        _delete_file(f"{base}/{name}")
+                    except OSError:
+                        pass
             return
         if self.overwrite:
             for f in _list_avro(self.path):  # committed parts only
@@ -2309,10 +2412,16 @@ class AvroOcfDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> AvroOcfWriter:
         path, codec = self._write_target()
+        retain = str(
+            self.options.get(
+                "retainhistory", self.options.get("retainHistory", "false")
+            )
+        ).lower() in ("true", "1", "yes")
         return AvroOcfWriter(
             path, _avro_schema_of(schema), [f.name for f in schema.fields],
             overwrite, codec, self._bloom_cols(schema),
             self._max_records_per_part(), self._bloom_bits_per_key(),
+            retain_history=retain,
         )
 
     def streamWriter(self, schema, overwrite: bool) -> AvroOcfStreamWriter:  # noqa: ARG002
@@ -2609,13 +2718,30 @@ def vacuum_avro_dir(path: str, grace_seconds: float = 86400.0) -> list[str]:
     final-named-but-unpublished for exactly the window between task
     write and driver commit, and the grace keeps vacuum from racing
     it.  Committed parts and the manifest itself are never touched.
+    Time-travel snapshots (``_manifest.v*.json``) age out under the
+    SAME grace — their parts become vacuumable orphans at exactly that
+    age, so a snapshot outliving its parts would only promise reads it
+    cannot deliver; the current version's snapshot is always kept.
     Returns the deleted basenames."""
     import time as _time
 
     m = _read_manifest(path)
     committed = set(m.get("parts", [])) if m is not None else None
+    keep_snapshot = (
+        _SNAPSHOT_FMT.format(version=int(m["version"]))
+        if m is not None and "version" in m
+        else None
+    )
     now = _time.time()
     deleted: list[str] = []
+
+    def _snapshot_expired(name: str, mtime: float) -> bool:
+        return (
+            name.startswith("_manifest.v")
+            and name.endswith(".json")
+            and name != keep_snapshot
+            and (now - mtime) >= grace_seconds
+        )
     if "://" in path:
         import pyarrow.fs as pafs
 
@@ -2626,13 +2752,22 @@ def vacuum_avro_dir(path: str, grace_seconds: float = 86400.0) -> list[str]:
             # file whose age we cannot prove would race an active job
             (fi.base_name, fi.mtime.timestamp() if fi.mtime else now, fi.path)
             for fi in fs.get_file_info(sel)
-            if fi.is_file and fi.base_name.endswith(".avro")
+            if fi.is_file
+            and (
+                fi.base_name.endswith(".avro")
+                or fi.base_name.startswith("_manifest.v")
+            )
         ]
         for name, mtime, full in sorted(infos):
             orphan = name.startswith("_tmp_") or (
-                committed is not None and name not in committed
+                name.endswith(".avro")
+                and committed is not None
+                and name not in committed
             )
-            if orphan and (now - mtime) >= grace_seconds:
+            expired = (orphan and (now - mtime) >= grace_seconds) or (
+                _snapshot_expired(name, mtime)
+            )
+            if expired:
                 try:
                     fs.delete_file(full)
                 except OSError:
@@ -2641,15 +2776,23 @@ def vacuum_avro_dir(path: str, grace_seconds: float = 86400.0) -> list[str]:
         return deleted
     import glob as _glob
 
-    for f in sorted(_glob.glob(os.path.join(path, "*.avro"))):  # incl. _tmp_*
+    candidates = sorted(
+        _glob.glob(os.path.join(path, "*.avro"))  # incl. _tmp_*
+        + _glob.glob(os.path.join(path, "_manifest.v*.json"))
+    )
+    for f in candidates:
         name = os.path.basename(f)
         orphan = name.startswith("_tmp_") or (
-            committed is not None and name not in committed
+            name.endswith(".avro")
+            and committed is not None
+            and name not in committed
         )
-        if not orphan:
-            continue
         try:
-            if (now - os.path.getmtime(f)) < grace_seconds:
+            mtime = os.path.getmtime(f)
+            expired = (orphan and (now - mtime) >= grace_seconds) or (
+                _snapshot_expired(name, mtime)
+            )
+            if not expired:
                 continue
             os.remove(f)
         except OSError:

@@ -2487,3 +2487,100 @@ def test_manifest_lock_times_out_on_live_holder(tmp_path):
     with pytest.raises(RuntimeError, match="manifest lock"):
         with mod._manifest_lock(path, timeout=0.2):
             pass
+
+
+# ---------------------------------------------------------------------------
+# Time travel: per-version snapshot manifests + read_avro_ocf(version=)
+# ---------------------------------------------------------------------------
+
+
+def test_time_travel_reads_each_committed_version(spark, tmp_path):
+    """Every successful publish writes an immutable _manifest.v{N}.json
+    snapshot; read_avro_ocf(version=N) sees exactly that commit's part
+    set — across appends AND an overwrite that replaced everything."""
+    from kafka_avro_order_processing_spark.sources.avro_ocf import (
+        manifest_history,
+        register,
+    )
+
+    register(spark)
+    uri = f"file://{tmp_path}/lake"
+
+    def latest():
+        return manifest_history(uri)[-1]["version"]
+
+    spark.createDataFrame([(1, "a")], "k long, s string").write.format(
+        "kaop_avro"
+    ).option("path", uri).mode("append").save()
+    v1 = latest()
+    spark.createDataFrame([(2, "b")], "k long, s string").write.format(
+        "kaop_avro"
+    ).option("path", uri).mode("append").save()
+    v2 = latest()
+    spark.createDataFrame([(9, "z")], "k long, s string").write.format(
+        "kaop_avro"
+    ).option("path", uri).option("retainHistory", "true").mode(
+        "overwrite"
+    ).save()
+    v3 = latest()
+
+    versions = [h["version"] for h in manifest_history(uri)]
+    assert versions == sorted(versions) and v1 < v2 < v3
+
+    def rows_at(v):
+        return sorted(
+            tuple(r) for r in read_avro_ocf(spark, uri, version=v).collect()
+        )
+
+    assert rows_at(v1) == [(1, "a")]
+    assert rows_at(v2) == [(1, "a"), (2, "b")]
+    assert rows_at(v3) == [(9, "z")]
+    # current read == latest version read
+    assert rows_at(v3) == sorted(
+        tuple(r) for r in read_avro_ocf(spark, uri).collect()
+    )
+    with pytest.raises(ValueError, match="no snapshot"):
+        read_avro_ocf(spark, uri, version=999999).collect()
+
+
+def test_vacuum_bounds_time_travel_but_keeps_current(spark, tmp_path):
+    """vacuum ages out old snapshots under the same grace as their
+    orphaned parts (a snapshot outliving its parts would promise reads
+    it cannot deliver); the CURRENT version's snapshot survives any
+    grace, so the live table stays time-travelable to itself."""
+    from kafka_avro_order_processing_spark.sources.avro_ocf import (
+        manifest_history,
+        register,
+        vacuum_avro_dir,
+    )
+
+    register(spark)
+    uri = f"file://{tmp_path}/lake"
+    spark.createDataFrame([(1, "a")], "k long, s string").write.format(
+        "kaop_avro"
+    ).option("path", uri).mode("append").save()
+    spark.createDataFrame([(9, "z")], "k long, s string").write.format(
+        "kaop_avro"
+    ).option("path", uri).option("retainHistory", "true").mode(
+        "overwrite"
+    ).save()
+    old_versions = [h["version"] for h in manifest_history(uri)][:-1]
+    assert old_versions
+
+    deleted = vacuum_avro_dir(uri, grace_seconds=0.0)
+    assert any(n.startswith("_manifest.v") for n in deleted)
+    hist = {h["version"] for h in manifest_history(uri)}
+    assert all(v not in hist for v in old_versions)
+    # current state: still readable, still time-travelable to itself
+    cur = sorted(tuple(r) for r in read_avro_ocf(spark, uri).collect())
+    assert cur == [(9, "z")]
+    latest = max(hist)
+    assert (
+        sorted(
+            tuple(r)
+            for r in read_avro_ocf(spark, uri, version=latest).collect()
+        )
+        == cur
+    )
+    with pytest.raises(ValueError, match="no snapshot"):
+        read_avro_ocf(spark, uri, version=old_versions[0]).collect()
