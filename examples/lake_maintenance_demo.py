@@ -19,6 +19,11 @@
      hiding.
   5. Both reads re-run post-compaction and must return the same
      answers — maintenance is invisible to consumers.
+  6. TIME TRAVEL: each landing commit left an immutable
+     ``_manifest.v{N}.json`` snapshot, so the table is read back AS OF
+     the second append (half the residues); after vacuum with zero
+     grace only the current version's snapshot survives — the
+     Delta-style "vacuum bounds history" contract, demonstrated.
 
 The reference has no lake tier at all (its state lives in one Python
 process, src/consumer/price_aggregator.py:35-51); this is the
@@ -42,6 +47,8 @@ from kafka_avro_order_processing_spark.sources.avro_ocf import (
     AvroOcfPruningReader,
     _list_avro,
     compact_avro_dir,
+    manifest_history,
+    read_avro_ocf,
     register,
     vacuum_avro_dir,
     write_avro_ocf,
@@ -106,6 +113,7 @@ def main(sf_dir: str = SF_DEFAULT, spark=None, out_dir: str | None = None) -> di
     rows_total = orders.count()
 
     # 1. land: four append jobs, range-clustered, bounded stats-bearing parts
+    landing_versions = []
     for residue in range(4):
         (
             orders.filter(F.col("o_orderkey") % 4 == residue)
@@ -117,6 +125,7 @@ def main(sf_dir: str = SF_DEFAULT, spark=None, out_dir: str | None = None) -> di
             .mode("append")
             .save()
         )
+        landing_versions.append(manifest_history(uri)[-1]["version"])
     parts_before = len(_list_avro(uri))
     # debris: a final-named part no commit published (invisible via manifest)
     write_avro_ocf(
@@ -130,12 +139,22 @@ def main(sf_dir: str = SF_DEFAULT, spark=None, out_dir: str | None = None) -> di
     point_planned = _planned_parts(uri, [EqualTo(("o_orderkey",), LOOKUP_KEY)])
     before = _answers(spark, uri)
 
+    # 6a. time travel while history is still retained: the table AS OF
+    # the second landing commit holds exactly residues {0, 1}
+    history_versions = len(manifest_history(uri))
+    rows_at_v2 = read_avro_ocf(spark, uri, version=landing_versions[1]).count()
+    rows_first_two = orders.filter(F.col("o_orderkey") % 4 < 2).count()
+
     # 4. maintenance
     stats = compact_avro_dir(spark, uri, target_records=500)
     orphans = vacuum_avro_dir(uri, grace_seconds=0.0)
 
     # 5. consumers see identical answers on the dense layout
     after = _answers(spark, uri)
+
+    # 6b. zero-grace vacuum pruned every snapshot but the current one:
+    # vacuum bounds time travel, by contract
+    history_after_vacuum = len(manifest_history(uri))
 
     counters = {
         "rows_total": rows_total,
@@ -144,8 +163,14 @@ def main(sf_dir: str = SF_DEFAULT, spark=None, out_dir: str | None = None) -> di
         "point_parts_planned": point_planned,
         "parts_after": stats["parts_after"],
         "compact_rows": stats["rows"],
-        "orphans_deleted": len(orphans),
+        "orphans_deleted": len([n for n in orphans if n.endswith(".avro")]),
+        "snapshots_pruned": len(
+            [n for n in orphans if n.startswith("_manifest.v")]
+        ),
         "answers_stable": before == after,
+        "history_versions": history_versions,
+        "time_travel_v2_exact": rows_at_v2 == rows_first_two,
+        "history_after_vacuum": history_after_vacuum,
     }
     if own_session:
         print(counters)

@@ -75,6 +75,13 @@ def test_lake_maintenance_demo_end_to_end(spark, tmp_path):
     assert 0 < c["point_parts_planned"] < c["range_parts_planned"]
     assert c["orphans_deleted"] == 1
     assert c["answers_stable"] is True
+    # time travel: >= 4 landing commits retained pre-vacuum, the AS-OF
+    # read of the second append was exact, and zero-grace vacuum left
+    # only the current version's snapshot
+    assert c["history_versions"] >= 4
+    assert c["time_travel_v2_exact"] is True
+    assert c["history_after_vacuum"] == 1
+    assert c["snapshots_pruned"] >= 3
 
 
 def test_analytics_demo_end_to_end(spark):
