@@ -1427,8 +1427,8 @@ def _publish_manifest(path: str, mutate, max_retries: int = 5) -> dict:
     )
 
 
-def _schema_of_dir(path: str):
-    files = _list_avro(path)
+def _schema_of_dir(path: str, version: int | None = None):
+    files = _list_avro(path, version)
     if not files:
         raise ValueError(f"no .avro files under {path}")
     schema, _ = parse_ocf(_read_bytes(files[0]))
@@ -1458,13 +1458,15 @@ class AvroOcfReader(DataSourceReader):
     def __init__(
         self, path: str, schema, names, reader_schema: dict | None = None,
         json_fields: frozenset[str] = frozenset(),
+        version: int | None = None,
     ):
         self.path, self.avro_schema, self.names = path, schema, names
         self.reader_schema = reader_schema
         self.json_fields = json_fields
+        self.version = version
 
     def partitions(self):  # one partition per container file
-        return [InputPartition(f) for f in _list_avro(self.path)]
+        return [InputPartition(f) for f in _list_avro(self.path, self.version)]
 
     def read(self, partition):
         yield from _file_rows(
@@ -2268,6 +2270,10 @@ class AvroOcfDataSource(DataSource):
         raw = self.options.get("readerschema") or self.options.get("readerSchema")
         return json.loads(raw) if raw else None
 
+    def _version_as_of(self) -> int | None:
+        raw = self.options.get("versionasof", self.options.get("versionAsOf"))
+        return int(raw) if raw is not None else None
+
     def _resolved(self):
         path = self.options.get("path")
         if not path:
@@ -2278,7 +2284,7 @@ class AvroOcfDataSource(DataSource):
             schema = None
             fields = _spark_fields_of(rs)
         else:
-            schema, fields = _schema_of_dir(path)
+            schema, fields = _schema_of_dir(path, self._version_as_of())
         return path, schema, [n for n, _, _ in fields], fields, rs
 
     def schema(self) -> str:
@@ -2301,13 +2307,25 @@ class AvroOcfDataSource(DataSource):
         # alias resolution can remap reader column names onto
         # different writer fields, and stats recorded under writer
         # names must not be trusted for renamed columns.
-        if prune and rs is None and _HAS_PUSHDOWN:
+        version = self._version_as_of()
+        # versionAsOf downgrades statsPruning like readerSchema does:
+        # the stats index lives in the CURRENT manifest and is not
+        # trustworthy for a historical part set.  Plain reader on the
+        # snapshot's parts is always correct.
+        if prune and rs is None and version is None and _HAS_PUSHDOWN:
             return AvroOcfPruningReader(
                 path, avsc, names, rs, self._json_fields(fields)
             )
-        return AvroOcfReader(path, avsc, names, rs, self._json_fields(fields))
+        return AvroOcfReader(
+            path, avsc, names, rs, self._json_fields(fields), version
+        )
 
     def streamReader(self, schema) -> AvroOcfStreamReader:  # noqa: ARG002
+        if self._version_as_of() is not None:
+            raise ValueError(
+                "versionAsOf applies to batch reads; a stream tails the "
+                "live landing directory, not a historical snapshot"
+            )
         path, avsc, names, fields, rs = self._resolved()
 
         def opt(key, default=None):

@@ -2584,3 +2584,66 @@ def test_vacuum_bounds_time_travel_but_keeps_current(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="no snapshot"):
         read_avro_ocf(spark, uri, version=old_versions[0]).collect()
+
+
+def test_datasource_version_as_of_option(spark, tmp_path):
+    """spark.read.format('kaop_avro').option('versionAsOf', N) is the
+    DataSource form of read_avro_ocf(version=N): same snapshot part
+    set, agreeing answers; statsPruning silently downgrades (the stats
+    index describes the CURRENT manifest); streams reject the option
+    loudly."""
+    from kafka_avro_order_processing_spark.sources.avro_ocf import (
+        manifest_history,
+        register,
+    )
+
+    register(spark)
+    uri = f"file://{tmp_path}/lake"
+    spark.createDataFrame([(1, "a")], "k long, s string").write.format(
+        "kaop_avro"
+    ).option("path", uri).mode("append").save()
+    v1 = manifest_history(uri)[-1]["version"]
+    spark.createDataFrame([(2, "b")], "k long, s string").write.format(
+        "kaop_avro"
+    ).option("path", uri).mode("append").save()
+
+    at_v1 = sorted(
+        tuple(r)
+        for r in spark.read.format("kaop_avro")
+        .option("path", uri)
+        .option("versionAsOf", str(v1))
+        .load()
+        .collect()
+    )
+    assert at_v1 == [(1, "a")]
+    assert at_v1 == sorted(
+        tuple(r) for r in read_avro_ocf(spark, uri, version=v1).collect()
+    )
+    # pruning option + versionAsOf: still correct (plain-reader path)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    pruned = sorted(
+        tuple(r)
+        for r in spark.read.format("kaop_avro")
+        .option("path", uri)
+        .option("versionAsOf", str(v1))
+        .option("statsPruning", "true")
+        .load()
+        .collect()
+    )
+    assert pruned == at_v1
+    # stream readers are built lazily — the rejection surfaces when the
+    # query actually starts, not at load()
+    sdf = (
+        spark.readStream.format("kaop_avro")
+        .option("path", uri)
+        .option("versionAsOf", str(v1))
+        .load()
+    )
+    with pytest.raises(Exception, match="versionAsOf"):
+        q = (
+            sdf.writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
