@@ -983,6 +983,16 @@ def read_avro_ocf(
     files = [path] if path.endswith(".avro") else _list_avro(path, version)
     if not files:
         raise ValueError(f"no .avro files under {path}")
+    return _read_avro_files(spark, files, reader_schema)
+
+
+def _read_avro_files(spark, files: list[str], reader_schema: dict | None = None):
+    """The distributed decode over an EXPLICIT file list —
+    ``read_avro_ocf``'s engine, also used by maintenance operations
+    (targeted delete) that must scan only the parts they will
+    rewrite."""
+    if not files:
+        raise ValueError("no .avro files to read")
     if reader_schema is None:
         schema, _ = parse_ocf(_read_bytes(files[0]))
         if _norm_schema(schema).get("type") != "record":
@@ -2723,6 +2733,316 @@ def compact_avro_dir(
         "parts_before": len(files),
         "parts_after": len(_list_avro(path)),
         "rows": rows,
+    }
+
+
+def delete_where_avro_dir(
+    spark,
+    path: str,
+    predicate: str,
+    prune_filter: str | list | None = None,
+    codec: str = "null",
+    retain_history: bool = False,
+) -> dict:
+    """Targeted row deletion — the GDPR/right-to-be-forgotten purge —
+    with DELETE's SQL semantics: rows where ``predicate`` evaluates
+    TRUE are removed; FALSE and NULL rows are kept.
+
+    The scale property is that only AFFECTED parts are rewritten:
+    ``prune_filter`` (the ``statsFilter`` mini-language — a JSON list
+    of ``[column, op, value]`` conditions ANDed together) selects the
+    parts whose min/max stats or blooms ADMIT a matching row, exactly
+    as the pruning readers do; every other part is untouched — not
+    read, not rewritten, not rewritten-identically.  On a lake where
+    the delete key is clustered or bloom-indexed, purging one user
+    touches a handful of parts out of millions.
+
+    CALLER CONTRACT: ``prune_filter`` must be IMPLIED by
+    ``predicate`` — every row the predicate matches must satisfy the
+    prune conditions (e.g. predicate ``o_orderkey = 7 AND
+    o_totalprice > 10`` with prune ``[["o_orderkey", "=", 7]]``).  A
+    prune filter the predicate does not imply can hide matching rows
+    inside skipped parts: deletion silently misses them.  Omit
+    ``prune_filter`` to rewrite every part (always correct).
+
+    Commit: manifest-managed (URI) directories swap affected parts
+    for their filtered rewrites in ONE manifest PUT (readers see
+    wholly-old or wholly-new; ``retain_history`` keeps the superseded
+    parts for time travel, else they are best-effort deleted and
+    ``vacuum_avro_dir`` collects stragglers).  Local classic
+    directories rename the rewrites into place and then remove the
+    originals — a crash between the two leaves recoverable DUPLICATE
+    rows, never lost ones.  Serialize with writers, same as
+    compaction.  Schema normalization also matches compaction
+    (enum->string, fixed->bytes, recursion->JSON strings).
+    """
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    register(spark)
+    files = _list_avro(path)
+    if not files:
+        return {"parts_total": 0, "parts_rewritten": 0,
+                "rows_deleted": 0, "rows_kept": 0}
+    dir_schema, dir_fields = _schema_of_dir(path)
+    names = [n for n, _, _ in dir_fields]
+    if any(is_json for _, _, is_json in dir_fields):
+        raise ValueError(
+            "delete_where_avro_dir cannot rewrite recursive-typed "
+            "(JSON-surfaced) columns part-for-part; compact the "
+            "directory first"
+        )
+
+    if prune_filter is not None:
+        raw = prune_filter if isinstance(prune_filter, str) else json.dumps(
+            prune_filter
+        )
+        filters = _parse_stats_filter(raw, names)
+        m = _read_manifest(path)
+        if m is not None and m.get("stats"):
+            by_name = m["stats"]
+            stats = [by_name.get(f.rsplit("/", 1)[-1]) for f in files]
+        else:
+            stats = [_header_stats(f) for f in files]
+        affected = [
+            f for f, s in zip(files, stats) if _file_may_match(s, filters)
+        ]
+    else:
+        affected = list(files)
+    if not affected:
+        return {"parts_total": len(files), "parts_rewritten": 0,
+                "rows_deleted": 0, "rows_kept": 0}
+
+    src = _read_avro_files(spark, affected)
+    # DELETE semantics: remove only rows where the predicate is TRUE.
+    keep = src.filter(~F.coalesce(F.expr(predicate), F.lit(False)))
+    n_before = _stats_rows_of_dir(path, affected)
+    if n_before is None:
+        n_before = src.count()
+
+    bloom_cols = _bloom_cols_of_dir(path, files)
+    bits = _BLOOM_BITS_PER_KEY
+    uri_mode = "://" in path
+    base = path.rstrip("/")
+    job = _uuid.uuid4().hex[:12]
+    # The rewrites must carry the directory's EXACT writer schema:
+    # untouched parts keep theirs, and a reader of the mixed set
+    # treats any difference (even DDL-round-trip nullability) as
+    # schema drift.  This is the structural difference from
+    # compaction, which rewrites EVERY part and may normalize.
+    avsc = dir_schema
+    new_parts = _write_rows_as_parts(
+        keep, avsc, bloom_cols, bits, uri_mode, base, job, codec
+    )
+    n_kept = sum(n for _, n, _ in new_parts)
+    _swap_parts(path, files, affected, new_parts, retain_history, job)
+
+    return {
+        "parts_total": len(files),
+        "parts_rewritten": len(affected),
+        "rows_deleted": int(n_before - n_kept),
+        "rows_kept": int(n_kept),
+    }
+
+
+def _write_rows_as_parts(
+    df, avsc, bloom_cols, bits, uri_mode, base, job, codec
+) -> list[tuple[str, int, str]]:
+    """Executor-side part writer for maintenance rewrites: one
+    final-named (URI) or temp (local) part per non-empty partition,
+    stats+blooms collected, (name, n_rows, stats_json) back to the
+    driver — the same per-task shape as AvroOcfWriter.write."""
+    out_names = list(df.columns)
+
+    def _write_part(it):
+        import uuid as _u
+
+        rows = [{n: r[n] for n in out_names} for r in it]
+        if not rows:
+            return iter([])
+        stats = collect_stats(rows, out_names, bloom_cols, bits)
+        meta = {STATS_META_KEY: json.dumps(stats, sort_keys=True).encode()}
+        if uri_mode:
+            name = f"part-{job}-{_u.uuid4().hex[:8]}.avro"
+            write_avro_ocf(f"{base}/{name}", rows, avsc, codec=codec,
+                           extra_meta=meta)
+            return iter([(name, len(rows), json.dumps(stats, sort_keys=True))])
+        tmp = os.path.join(base, f"_tmp_{_u.uuid4().hex}.avro")
+        write_avro_ocf(tmp, rows, avsc, codec=codec, extra_meta=meta)
+        return iter([(tmp, len(rows), json.dumps(stats, sort_keys=True))])
+
+    return df.rdd.mapPartitions(_write_part).collect()
+
+
+def _swap_parts(
+    path: str,
+    files: list[str],
+    affected: list[str],
+    new_parts: list[tuple[str, int, str]],
+    retain_history: bool,
+    job: str,
+) -> None:
+    """Replace `affected` parts with `new_parts` — ONE manifest PUT on
+    URI directories (readers see wholly-old or wholly-new;
+    retain_history leaves superseded parts for time travel/vacuum);
+    rename-then-remove on local classic directories (a crash between
+    the two duplicates rows, never loses them)."""
+    base = path.rstrip("/")
+    affected_names = [f.rsplit("/", 1)[-1] for f in affected]
+    if "://" in path:
+        def mutate(cur: dict) -> dict:
+            parts = [
+                p for p in cur.get("parts", []) if p not in set(affected_names)
+            ]
+            cur["parts"] = sorted(set(parts) | {n for n, _, _ in new_parts})
+            _set_manifest_stats(
+                cur, {n: json.loads(s) for n, _, s in new_parts}
+            )
+            return cur
+
+        _publish_manifest(path, mutate)
+        if not retain_history:
+            for name in affected_names:
+                try:
+                    _delete_file(f"{base}/{name}")
+                except OSError:
+                    pass
+        return
+    for i, (tmp, _, _) in enumerate(new_parts):
+        os.replace(tmp, os.path.join(base, f"part-{job}-{i:05d}.avro"))
+    for f in affected:
+        os.remove(f)
+
+
+def merge_into_avro_dir(
+    spark,
+    path: str,
+    updates,
+    key_cols: list[str],
+    prune_filter: str | list | None = None,
+    auto_prune_max_keys: int = 10_000,
+    codec: str = "null",
+    retain_history: bool = False,
+) -> dict:
+    """MERGE INTO for the lake: rows of ``updates`` whose ``key_cols``
+    match an existing row REPLACE it; unmatched keys are INSERTED —
+    whole-row upsert semantics (the ``operators/upsert`` batch shape,
+    realized as a part-level rewrite).
+
+    Like :func:`delete_where_avro_dir`, cost is proportional to the
+    AFFECTED parts: a part is rewritten only when its stats/bloom
+    ADMIT one of the update keys.  Pruning is automatic when the
+    update's distinct first-key values number at most
+    ``auto_prune_max_keys`` (one bounded driver collect builds an IN
+    admission test — conservative by construction, so it cannot skip
+    a part holding a matched key); larger updates fall back to
+    ``prune_filter`` (caller-provided, statsFilter mini-language, must
+    be implied by "row's key is in the update set") or to rewriting
+    every part.
+
+    Contracts: ``updates`` must carry exactly the directory's columns;
+    its keys must be UNIQUE (verified — MERGE with duplicate source
+    keys is non-deterministic in every engine, so it is an error
+    here); rewrites carry the directory's exact writer schema;
+    recursive-typed directories are rejected (compact first).  Commit
+    and crash semantics are :func:`delete_where_avro_dir`'s.
+    """
+    import uuid as _uuid
+
+    register(spark)
+    files = _list_avro(path)
+    if not files:
+        raise ValueError(f"no committed parts under {path}; use a plain write")
+    dir_schema, dir_fields = _schema_of_dir(path)
+    names = [n for n, _, _ in dir_fields]
+    if any(is_json for _, _, is_json in dir_fields):
+        raise ValueError(
+            "merge_into_avro_dir cannot rewrite recursive-typed "
+            "(JSON-surfaced) columns part-for-part; compact the "
+            "directory first"
+        )
+    if sorted(updates.columns) != sorted(names):
+        raise ValueError(
+            f"updates columns {sorted(updates.columns)} != directory "
+            f"columns {sorted(names)}"
+        )
+    missing = sorted(set(key_cols) - set(names))
+    if missing:
+        raise ValueError(f"key_cols not in directory schema: {missing}")
+    if updates.groupBy(*key_cols).count().filter("count > 1").limit(1).count():
+        raise ValueError(
+            "updates carry duplicate keys — MERGE with a non-unique "
+            "source is non-deterministic; deduplicate first"
+        )
+
+    filters = None
+    if prune_filter is not None:
+        raw = prune_filter if isinstance(prune_filter, str) else json.dumps(
+            prune_filter
+        )
+        filters = _parse_stats_filter(raw, names)
+    else:
+        k0 = key_cols[0]
+        vals = [
+            r[0]
+            for r in updates.select(k0)
+            .distinct()
+            .limit(auto_prune_max_keys + 1)
+            .collect()
+        ]
+        if len(vals) <= auto_prune_max_keys and all(
+            v is not None for v in vals
+        ):
+            filters = _parse_stats_filter(
+                json.dumps([[k0, "in", vals]]), names
+            )
+    if filters is not None:
+        m = _read_manifest(path)
+        if m is not None and m.get("stats"):
+            by_name = m["stats"]
+            stats = [by_name.get(f.rsplit("/", 1)[-1]) for f in files]
+        else:
+            stats = [_header_stats(f) for f in files]
+        affected = [
+            f for f, s in zip(files, stats) if _file_may_match(s, filters)
+        ]
+    else:
+        affected = list(files)
+
+    upd = updates.select(*names)
+    if affected:
+        src = _read_avro_files(spark, affected)
+        kept_old = src.join(
+            upd.select(*key_cols).distinct(), list(key_cols), "left_anti"
+        ).select(*names)
+        n_before = _stats_rows_of_dir(path, affected)
+        if n_before is None:
+            n_before = src.count()
+        out = kept_old.unionByName(upd)
+    else:
+        n_before = 0
+        out = upd
+
+    bloom_cols = _bloom_cols_of_dir(path, files)
+    uri_mode = "://" in path
+    base = path.rstrip("/")
+    job = _uuid.uuid4().hex[:12]
+    new_parts = _write_rows_as_parts(
+        out, dir_schema, bloom_cols, _BLOOM_BITS_PER_KEY, uri_mode, base,
+        job, codec,
+    )
+    n_out = sum(n for _, n, _ in new_parts)
+    _swap_parts(path, files, affected, new_parts, retain_history, job)
+    n_updates = upd.count()
+    return {
+        "parts_total": len(files),
+        "parts_rewritten": len(affected),
+        "rows_matched": int(n_before - (n_out - n_updates)),
+        "rows_inserted": int(n_out - n_before)
+        if n_out >= n_before
+        else 0,
+        "rows_written": int(n_out),
     }
 
 

@@ -2647,3 +2647,224 @@ def test_datasource_version_as_of_option(spark, tmp_path):
             .start()
         )
         q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# Targeted deletion (delete_where_avro_dir)
+# ---------------------------------------------------------------------------
+
+
+def _land_clustered_orders(spark, uri, n=600):
+    from pyspark.sql import functions as F
+
+    from kafka_avro_order_processing_spark.sources.avro_ocf import (
+        write_avro_clustered,
+    )
+
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).cast("long").alias("u"),
+        F.concat(F.lit("row"), F.col("id").cast("string")).alias("s"),
+    )
+    write_avro_clustered(
+        df, uri, cluster_by=["k"], num_parts=6,
+        bloom_columns=("u",), max_records_per_part=100,
+    )
+    return df
+
+
+def test_delete_where_removes_exactly_matching_rows(spark, tmp_path):
+    from kafka_avro_order_processing_spark.sources.avro_ocf import (
+        delete_where_avro_dir,
+    )
+    from pyspark.sql import functions as F2
+
+    uri = f"file://{tmp_path}/lake"
+    df = _land_clustered_orders(spark, uri)
+    stats = delete_where_avro_dir(
+        spark, uri, "u = 3", prune_filter=[["u", "=", 3]]
+    )
+    want = sorted(
+        (r["k"], r["u"], r["s"])
+        for r in df.filter(F2.col("u") != 3).collect()
+    )
+    got = sorted(
+        (r["k"], r["u"], r["s"]) for r in read_avro_ocf(spark, uri).collect()
+    )
+    assert got == want
+    assert stats["rows_deleted"] == df.filter(F2.col("u") == 3).count()
+    # kept + deleted == rows scanned across the affected parts
+    assert stats["rows_kept"] + stats["rows_deleted"] <= df.count()
+
+
+def test_delete_where_prunes_unaffected_parts(spark, tmp_path):
+    # k is range-clustered: a delete keyed on a narrow k range must
+    # rewrite only the parts whose min/max admit it.
+    from kafka_avro_order_processing_spark.sources.avro_ocf import (
+        delete_where_avro_dir,
+    )
+
+    uri = f"file://{tmp_path}/lake"
+    df = _land_clustered_orders(spark, uri)
+    stats = delete_where_avro_dir(
+        spark, uri, "k >= 10 AND k < 20",
+        prune_filter=[["k", ">=", 10], ["k", "<", 20]],
+    )
+    assert stats["rows_deleted"] == 10
+    assert 0 < stats["parts_rewritten"] < stats["parts_total"]
+    remaining = read_avro_ocf(spark, uri).count()
+    assert remaining == df.count() - 10
+
+
+def test_delete_where_null_predicate_rows_are_kept(spark, tmp_path):
+    # SQL DELETE semantics: NULL predicate -> row kept, not deleted.
+    from kafka_avro_order_processing_spark.sources.avro_ocf import (
+        delete_where_avro_dir,
+        register,
+    )
+
+    register(spark)
+    uri = f"file://{tmp_path}/lake"
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "k long, v long"
+    )
+    df.write.format("kaop_avro").option("path", uri).mode("append").save()
+    stats = delete_where_avro_dir(spark, uri, "v > 15")
+    got = sorted((r["k"], r["v"]) for r in read_avro_ocf(spark, uri).collect())
+    assert got == [(1, 10), (2, None)]
+    assert stats["rows_deleted"] == 1
+
+
+def test_delete_where_local_classic_dir(spark, tmp_path):
+    # plain local (non-manifest) directory: rename-then-remove path.
+    from kafka_avro_order_processing_spark.sources.avro_ocf import (
+        delete_where_avro_dir,
+        register,
+    )
+
+    register(spark)
+    base = str(tmp_path / "classic")
+    df = spark.createDataFrame([(i, i % 3) for i in range(90)], "k long, u long")
+    df.write.format("kaop_avro").option("path", base).mode("append").save()
+    stats = delete_where_avro_dir(spark, base, "u = 1")
+    got = sorted(r["k"] for r in read_avro_ocf(spark, base).collect())
+    assert got == [i for i in range(90) if i % 3 != 1]
+    assert stats["rows_deleted"] == 30
+
+
+def test_delete_where_retain_history_enables_time_travel(spark, tmp_path):
+    from kafka_avro_order_processing_spark.sources.avro_ocf import (
+        delete_where_avro_dir,
+        manifest_history,
+    )
+
+    uri = f"file://{tmp_path}/lake"
+    df = _land_clustered_orders(spark, uri)
+    v_before = manifest_history(uri)[-1]["version"]
+    delete_where_avro_dir(
+        spark, uri, "u = 0", prune_filter=[["u", "=", 0]],
+        retain_history=True,
+    )
+    # pre-delete version still fully readable
+    at_before = read_avro_ocf(spark, uri, version=v_before).count()
+    assert at_before == df.count()
+    # current state has the rows gone
+    assert read_avro_ocf(spark, uri).count() < at_before
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO (merge_into_avro_dir)
+# ---------------------------------------------------------------------------
+
+
+def test_merge_into_upserts_and_inserts(spark, tmp_path):
+    from kafka_avro_order_processing_spark.sources.avro_ocf import (
+        merge_into_avro_dir,
+    )
+
+    uri = f"file://{tmp_path}/lake"
+    df = _land_clustered_orders(spark, uri, n=200)
+    updates = spark.createDataFrame(
+        [(5, 99, "patched5"), (17, 99, "patched17"), (1000, 99, "new1000")],
+        "k long, u long, s string",
+    )
+    stats = merge_into_avro_dir(spark, uri, updates, ["k"])
+    got = {
+        r["k"]: (r["u"], r["s"]) for r in read_avro_ocf(spark, uri).collect()
+    }
+    assert got[5] == (99, "patched5") and got[17] == (99, "patched17")
+    assert got[1000] == (99, "new1000")
+    assert len(got) == 201  # 200 originals, 2 replaced in place, 1 new
+    assert got[6] == (6 % 7, "row6")  # untouched rows intact
+    assert stats["rows_matched"] == 2 and stats["rows_inserted"] == 1
+    # auto-prune: only the parts admitting keys {5, 17, 1000} rewrote
+    assert 0 < stats["parts_rewritten"] < stats["parts_total"]
+
+
+def test_merge_into_rejects_duplicate_update_keys(spark, tmp_path):
+    from kafka_avro_order_processing_spark.sources.avro_ocf import (
+        merge_into_avro_dir,
+    )
+
+    uri = f"file://{tmp_path}/lake"
+    _land_clustered_orders(spark, uri, n=50)
+    dup = spark.createDataFrame(
+        [(5, 1, "a"), (5, 2, "b")], "k long, u long, s string"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_into_avro_dir(spark, uri, dup, ["k"])
+
+
+def test_merge_into_rejects_schema_mismatch(spark, tmp_path):
+    from kafka_avro_order_processing_spark.sources.avro_ocf import (
+        merge_into_avro_dir,
+    )
+
+    uri = f"file://{tmp_path}/lake"
+    _land_clustered_orders(spark, uri, n=50)
+    wrong = spark.createDataFrame([(5, 1)], "k long, u long")
+    with pytest.raises(ValueError, match="columns"):
+        merge_into_avro_dir(spark, uri, wrong, ["k"])
+
+
+def test_merge_into_local_classic_dir(spark, tmp_path):
+    from kafka_avro_order_processing_spark.sources.avro_ocf import (
+        merge_into_avro_dir,
+        register,
+    )
+
+    register(spark)
+    base = str(tmp_path / "classic")
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(40)], "k long, s string"
+    ).write.format("kaop_avro").option("path", base).mode("append").save()
+    updates = spark.createDataFrame(
+        [(3, "patched"), (100, "new")], "k long, s string"
+    )
+    stats = merge_into_avro_dir(spark, base, updates, ["k"])
+    got = {r["k"]: r["s"] for r in read_avro_ocf(spark, base).collect()}
+    assert got[3] == "patched" and got[100] == "new" and got[0] == "v0"
+    assert len(got) == 41
+    assert stats["rows_matched"] == 1 and stats["rows_inserted"] == 1
+
+
+def test_merge_into_retain_history_time_travel(spark, tmp_path):
+    from kafka_avro_order_processing_spark.sources.avro_ocf import (
+        manifest_history,
+        merge_into_avro_dir,
+    )
+
+    uri = f"file://{tmp_path}/lake"
+    df = _land_clustered_orders(spark, uri, n=100)
+    v_before = manifest_history(uri)[-1]["version"]
+    updates = spark.createDataFrame(
+        [(0, 42, "patched")], "k long, u long, s string"
+    )
+    merge_into_avro_dir(spark, uri, updates, ["k"], retain_history=True)
+    old = {
+        r["k"]: r["s"]
+        for r in read_avro_ocf(spark, uri, version=v_before).collect()
+    }
+    assert old[0] == "row0" and len(old) == df.count()
+    new = {r["k"]: r["s"] for r in read_avro_ocf(spark, uri).collect()}
+    assert new[0] == "patched"
