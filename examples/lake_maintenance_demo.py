@@ -24,6 +24,9 @@
      the second append (half the residues); after vacuum with zero
      grace only the current version's snapshot survives — the
      Delta-style "vacuum bounds history" contract, demonstrated.
+  7. ROW-LEVEL OPS: a MERGE upserts one order and inserts a new one,
+     then a pruned DELETE purges a key range — both touch only the
+     parts whose stats admit the keys, each in one manifest swap.
 
 The reference has no lake tier at all (its state lives in one Python
 process, src/consumer/price_aggregator.py:35-51); this is the
@@ -47,7 +50,9 @@ from kafka_avro_order_processing_spark.sources.avro_ocf import (
     AvroOcfPruningReader,
     _list_avro,
     compact_avro_dir,
+    delete_where_avro_dir,
     manifest_history,
+    merge_into_avro_dir,
     read_avro_ocf,
     register,
     vacuum_avro_dir,
@@ -156,6 +161,29 @@ def main(sf_dir: str = SF_DEFAULT, spark=None, out_dir: str | None = None) -> di
     # vacuum bounds time travel, by contract
     history_after_vacuum = len(manifest_history(uri))
 
+    # 7. row-level ops on the compacted table: MERGE one patched order
+    # + one brand-new key, then DELETE a small key range.
+    rows_pre_ops = read_avro_ocf(spark, uri).count()
+    updates = spark.createDataFrame(
+        [(LOOKUP_KEY, "0-PATCHED", 1.0), (10_000_001, "5-NEW", 2.0)],
+        "o_orderkey long, o_orderpriority string, o_totalprice double",
+    )
+    mstats = merge_into_avro_dir(spark, uri, updates, ["o_orderkey"])
+    dstats = delete_where_avro_dir(
+        spark,
+        uri,
+        "o_orderkey >= 1 AND o_orderkey <= 8",
+        prune_filter=[["o_orderkey", ">=", 1], ["o_orderkey", "<=", 8]],
+    )
+    final = read_avro_ocf(spark, uri)
+    patched = final.filter(F.col("o_orderkey") == LOOKUP_KEY).collect()
+    row_ops_ok = (
+        len(patched) == 1
+        and patched[0]["o_orderpriority"] == "0-PATCHED"
+        and final.count()
+        == rows_pre_ops + mstats["rows_inserted"] - dstats["rows_deleted"]
+    )
+
     counters = {
         "rows_total": rows_total,
         "parts_before": parts_before,
@@ -171,6 +199,10 @@ def main(sf_dir: str = SF_DEFAULT, spark=None, out_dir: str | None = None) -> di
         "history_versions": history_versions,
         "time_travel_v2_exact": rows_at_v2 == rows_first_two,
         "history_after_vacuum": history_after_vacuum,
+        "merge_matched": mstats["rows_matched"],
+        "merge_inserted": mstats["rows_inserted"],
+        "deleted_rows": dstats["rows_deleted"],
+        "row_ops_ok": row_ops_ok,
     }
     if own_session:
         print(counters)

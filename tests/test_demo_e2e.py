@@ -82,6 +82,12 @@ def test_lake_maintenance_demo_end_to_end(spark, tmp_path):
     assert c["time_travel_v2_exact"] is True
     assert c["history_after_vacuum"] == 1
     assert c["snapshots_pruned"] >= 3
+    # row-level ops: the merge patched the lookup key and inserted one
+    # new order; the pruned delete purged keys 1..8; final row count
+    # reconciles exactly
+    assert c["merge_matched"] == 1 and c["merge_inserted"] == 1
+    assert c["deleted_rows"] == 8
+    assert c["row_ops_ok"] is True
 
 
 def test_analytics_demo_end_to_end(spark):
