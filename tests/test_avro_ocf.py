@@ -2868,3 +2868,60 @@ def test_merge_into_retain_history_time_travel(spark, tmp_path):
     assert old[0] == "row0" and len(old) == df.count()
     new = {r["k"]: r["s"] for r in read_avro_ocf(spark, uri).collect()}
     assert new[0] == "patched"
+
+
+def test_row_ops_stateful_fuzz_against_dict_model(spark, tmp_path):
+    """Stateful property check: a random interleaving of APPEND /
+    MERGE / DELETE ops against the lake must track a plain dict model
+    keyed by k — after every op the table's full contents equal the
+    model's, exactly."""
+    import random
+
+    from kafka_avro_order_processing_spark.sources.avro_ocf import (
+        delete_where_avro_dir,
+        merge_into_avro_dir,
+        register,
+    )
+
+    register(spark)
+    rnd = random.Random(23)
+    for trial in range(3):
+        uri = f"file://{tmp_path}/fuzz{trial}"
+        model: dict[int, str] = {}
+
+        def append(rows):
+            spark.createDataFrame(rows, "k long, s string").write.format(
+                "kaop_avro"
+            ).option("path", uri).mode("append").save()
+            model.update(dict(rows))
+
+        # seed: unique keys so append==upsert initially
+        seed = [(k, f"s{k}") for k in rnd.sample(range(100), 30)]
+        append(seed)
+        for _ in range(4):
+            op = rnd.choice(["merge", "delete"])
+            if op == "merge":
+                ks = rnd.sample(range(120), rnd.randint(1, 8))
+                ups = [(k, f"m{rnd.randint(0, 999)}") for k in ks]
+                merge_into_avro_dir(
+                    spark,
+                    uri,
+                    spark.createDataFrame(ups, "k long, s string"),
+                    ["k"],
+                )
+                model.update(dict(ups))
+            else:
+                lo = rnd.randint(0, 110)
+                hi = lo + rnd.randint(1, 25)
+                delete_where_avro_dir(
+                    spark,
+                    uri,
+                    f"k >= {lo} AND k < {hi}",
+                    prune_filter=[["k", ">=", lo], ["k", "<", hi]],
+                )
+                for k in [k for k in model if lo <= k < hi]:
+                    del model[k]
+            got = {
+                r["k"]: r["s"] for r in read_avro_ocf(spark, uri).collect()
+            }
+            assert got == model, (trial, op)
