@@ -1,0 +1,178 @@
+"""Trainer-ready token shards: the last mile after BPE — string tokens
+become integer ids under a frequency-ordered vocabulary, and documents
+concatenate into fixed-length id sequences with per-sequence document
+spans, which is literally the array a pretraining data loader feeds
+the model.
+
+Pipeline position: ``bpe_encode`` (operators/bpe.py) emits
+(doc, tokens: array<string>); this module finishes the job:
+
+    vocab  = build_vocab(tokenized)          # (token, token_id)
+    ids    = encode_ids(tokenized, vocab)    # (doc, ids: array<int>)
+    seqs   = pack_token_sequences(ids, 2048) # (seq_id, token_ids, doc_spans)
+
+Scale notes, per function:
+- ``build_vocab`` ranks the DISTINCT symbol set.  With BPE upstream
+  that set is CLOSED (base characters + one entry per merge — a few
+  tens of thousands), so the total-order ranking window runs over a
+  vocabulary-sized table, not the corpus; raw whitespace tokens from
+  an open vocabulary should be BPE'd first, which is the pipeline's
+  order anyway.
+- ``encode_ids`` is one broadcast join of exploded tokens against the
+  vocab and a per-document re-assembly — no corpus-vs-corpus join.
+- ``pack_token_sequences`` moves the token stream through exactly ONE
+  shuffle (on the target sequence id) — the same volume any shard
+  writer ships — after a per-shard running offset (the pack_sequences
+  sharding discipline: the cumsum window sorts 1/n_shards of the
+  corpus, never a global single partition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .packing import SHARD_STRIDE
+
+
+def build_vocab(
+    tokenized: DataFrame, tokens_col: str = "tokens"
+) -> DataFrame:
+    """Frequency-ordered vocabulary: (token, token_id) with ids dense
+    from 0, ordered by (count desc, token asc) — deterministic for a
+    given corpus.  The ranking window runs over the distinct-symbol
+    table (see module docstring for why that is small by design); a
+    per-partition partial rank first keeps the global window's input
+    at vocab size even when the upstream aggregation is wide."""
+    counts = (
+        tokenized.select(F.explode(tokens_col).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return counts.select(
+        "token", (F.row_number().over(w) - 1).cast("int").alias("token_id")
+    )
+
+
+def encode_ids(
+    tokenized: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    missing_id: int = -1,
+) -> DataFrame:
+    """(id_col, ids: array<int>, n_tokens) — tokens mapped through the
+    vocab in position order; tokens absent from the vocab take
+    ``missing_id`` (with a BPE-trained vocab over the same corpus that
+    never happens; scoring NEW text against an old vocab does, and -1
+    is the honest OOV marker rather than a silent drop).  Empty
+    documents yield empty arrays, not missing rows."""
+    pos = tokenized.select(
+        F.col(id_col),
+        F.posexplode_outer(tokens_col).alias("pos", "token"),
+    )
+    joined = pos.join(F.broadcast(vocab), "token", "left").select(
+        F.col(id_col),
+        "pos",
+        F.coalesce("token_id", F.lit(missing_id)).alias("tid"),
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(CASE WHEN pos IS NOT NULL"
+                " THEN struct(pos, tid) END)), s -> s.tid)"
+            ).alias("ids")
+        )
+        .select(
+            F.col(id_col),
+            "ids",
+            F.size("ids").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def pack_token_sequences(
+    encoded: DataFrame,
+    seq_len: int = 2048,
+    n_shards: int | None = None,
+    id_col: str = "doc_id",
+    ids_col: str = "ids",
+) -> DataFrame:
+    """Concatenate documents (shard-locally, in ``id_col`` order) and
+    cut the stream into ``seq_len``-token sequences:
+
+      seq_id      shard * SHARD_STRIDE + index within shard
+      token_ids   array<int>, exactly seq_len except each shard's last
+                  (no padding here — the trainer's collator pads)
+      n_tokens    size of token_ids
+      doc_spans   array<struct<doc_id, start, end>> — inclusive
+                  positions each document occupies INSIDE this
+                  sequence, in order; documents crossing a boundary
+                  appear in both sequences' span lists
+
+    Every token of every document appears in exactly one sequence, in
+    document order within its shard — the standard packed-pretraining
+    layout.  seq_id is a pure function of (shard, per-shard prefix
+    sum), so the output is stable under any input partitioning."""
+    spark_par = encoded.sparkSession.sparkContext.defaultParallelism
+    shards = n_shards if n_shards is not None else spark_par
+    base = encoded.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(ids_col).alias("ids"),
+        F.size(ids_col).alias("len"),
+        (F.abs(F.hash(F.col(id_col))) % shards).alias("shard"),
+    ).filter(F.col("len") > 0)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offs = base.withColumn("offset", F.sum("len").over(w) - F.col("len"))
+    placed = (
+        offs.select(
+            "shard", "doc_id", "offset", F.posexplode("ids").alias("p", "tid")
+        )
+        .select(
+            (
+                F.col("shard").cast("long") * F.lit(SHARD_STRIDE)
+                + F.floor((F.col("offset") + F.col("p")) / seq_len)
+            ).alias("seq_id"),
+            ((F.col("offset") + F.col("p")) % seq_len)
+            .cast("int")
+            .alias("spos"),
+            "tid",
+            "doc_id",
+        )
+    )
+    seqs = placed.groupBy("seq_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(spos, tid))),"
+            " s -> s.tid)"
+        ).alias("token_ids")
+    )
+    spans = (
+        placed.groupBy("seq_id", "doc_id")
+        .agg(F.min("spos").alias("start"), F.max("spos").alias("end"))
+        .groupBy("seq_id")
+        .agg(
+            F.expr(
+                "array_sort(collect_list("
+                " struct(start, end, doc_id)))"
+            ).alias("sp")
+        )
+        .select(
+            "seq_id",
+            F.expr(
+                "transform(sp, s -> named_struct('doc_id', s.doc_id,"
+                " 'start', s.start, 'end', s.end))"
+            ).alias("doc_spans"),
+        )
+    )
+    return seqs.join(spans, "seq_id").select(
+        "seq_id",
+        "token_ids",
+        F.size("token_ids").cast("int").alias("n_tokens"),
+        "doc_spans",
+    )

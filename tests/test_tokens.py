@@ -1,0 +1,160 @@
+"""Trainer-shard assembly (operators/tokens.py): vocabulary ranking,
+id encoding, and fixed-length sequence packing against Python
+references; global conservation invariants under multi-shard packing;
+the end-to-end BPE -> ids -> sequences path on real documents.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from kafka_avro_order_processing_spark.operators.tokens import (
+    build_vocab,
+    encode_ids,
+    pack_token_sequences,
+)
+
+TOKS = {
+    0: ["the", "cat", "sat", "on", "the", "mat", "</w>"],
+    1: ["the", "dog", "sat", "</w>"],
+    2: [],
+    3: ["mat", "mat", "mat", "the", "</w>"],
+}
+
+
+def _tokenized(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in TOKS.items()], "doc_id long, tokens array<string>"
+    )
+
+
+def _py_vocab():
+    c = Counter(t for ts in TOKS.values() for t in ts)
+    ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    return {t: i for i, (t, _) in enumerate(ranked)}
+
+
+def test_build_vocab_matches_reference(spark):
+    got = {
+        r["token"]: r["token_id"]
+        for r in build_vocab(_tokenized(spark)).collect()
+    }
+    assert got == _py_vocab()
+
+
+def test_encode_ids_matches_reference(spark):
+    v = _py_vocab()
+    vocab = build_vocab(_tokenized(spark))
+    got = {
+        r["doc_id"]: (list(r["ids"]), r["n_tokens"])
+        for r in encode_ids(_tokenized(spark), vocab).collect()
+    }
+    for d, ts in TOKS.items():
+        assert got[d] == ([v[t] for t in ts], len(ts)), d
+
+
+def test_encode_ids_oov_marker(spark):
+    vocab = build_vocab(_tokenized(spark))
+    new = spark.createDataFrame(
+        [(9, ["the", "zebra", "sat"])], "doc_id long, tokens array<string>"
+    )
+    r = encode_ids(new, vocab).collect()[0]
+    v = _py_vocab()
+    assert list(r["ids"]) == [v["the"], -1, v["sat"]]
+
+
+def test_pack_single_shard_matches_reference(spark):
+    # n_shards=1: shard-local concatenation IS total doc_id order, so
+    # the reference is a plain flatten + chunk.
+    vocab = build_vocab(_tokenized(spark))
+    enc = encode_ids(_tokenized(spark), vocab)
+    seq_len = 5
+    out = sorted(
+        (r["seq_id"], list(r["token_ids"]), r["n_tokens"],
+         [(s["doc_id"], s["start"], s["end"]) for s in r["doc_spans"]])
+        for r in pack_token_sequences(
+            enc, seq_len=seq_len, n_shards=1
+        ).collect()
+    )
+    v = _py_vocab()
+    stream, spans_ref = [], []
+    for d in sorted(k for k in TOKS if TOKS[k]):
+        start = len(stream)
+        stream.extend(v[t] for t in TOKS[d])
+        spans_ref.append((d, start, len(stream) - 1))
+    want = []
+    for i in range(0, len(stream), seq_len):
+        chunk = stream[i : i + seq_len]
+        spans = []
+        for d, s, e in spans_ref:
+            lo, hi = max(s, i), min(e, i + seq_len - 1)
+            if lo <= hi:
+                spans.append((d, lo - i, hi - i))
+        want.append((i // seq_len, chunk, len(chunk), sorted(spans, key=lambda x: x[1])))
+    assert out == want
+
+
+def test_pack_multi_shard_conserves_every_document(spark):
+    # 4 shards: reconstruct every document from its spans across
+    # sequences (ordered by seq_id) — must equal its encoded ids
+    # exactly; and the total token count must be conserved.
+    vocab = build_vocab(_tokenized(spark))
+    enc = encode_ids(_tokenized(spark), vocab)
+    rows = pack_token_sequences(enc, seq_len=4, n_shards=4).collect()
+    rebuilt: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: r["seq_id"]):
+        for s in r["doc_spans"]:
+            rebuilt.setdefault(s["doc_id"], []).extend(
+                r["token_ids"][s["start"] : s["end"] + 1]
+            )
+    v = _py_vocab()
+    for d, ts in TOKS.items():
+        if ts:
+            assert rebuilt[d] == [v[t] for t in ts], d
+    assert sum(r["n_tokens"] for r in rows) == sum(len(t) for t in TOKS.values())
+
+
+def test_pack_partitioning_independence(spark):
+    vocab = build_vocab(_tokenized(spark))
+    enc = encode_ids(_tokenized(spark), vocab)
+    norm = lambda rows: sorted(  # noqa: E731
+        (r["seq_id"], tuple(r["token_ids"]),
+         tuple((s["doc_id"], s["start"], s["end"]) for s in r["doc_spans"]))
+        for r in rows
+    )
+    a = norm(pack_token_sequences(enc, seq_len=4, n_shards=3).collect())
+    b = norm(
+        pack_token_sequences(
+            enc.repartition(7, F.col("doc_id")), seq_len=4, n_shards=3
+        ).collect()
+    )
+    assert a == b
+
+
+def test_bpe_to_sequences_end_to_end(spark):
+    # the full last mile on real documents: BPE train+encode -> vocab
+    # -> ids -> packed sequences; no OOV (vocab trained on the same
+    # corpus), token counts conserved end to end.
+    from kafka_avro_order_processing_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+    )
+    from kafka_avro_order_processing_spark.sources.tables import load_table
+
+    docs = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .filter(F.col("doc_id") < 30)
+        .select("doc_id", "text")
+    )
+    tokenized = bpe_encode(docs, bpe_train(docs, 8))
+    vocab = build_vocab(tokenized)
+    enc = encode_ids(tokenized, vocab)
+    assert enc.filter(F.array_contains("ids", -1)).count() == 0
+    total = enc.agg(F.sum("n_tokens")).collect()[0][0]
+    seqs = pack_token_sequences(enc, seq_len=64, n_shards=4)
+    assert seqs.agg(F.sum("n_tokens")).collect()[0][0] == total
+    # every full sequence is exactly seq_len; short ones are shard tails
+    lens = [r["n_tokens"] for r in seqs.collect()]
+    assert sum(1 for x in lens if x < 64) <= 4  # <= one tail per shard
