@@ -7,12 +7,16 @@ ONE job from raw documents to packed training shards:
   2. exact dedup       md5 fingerprint, keep smallest doc_id
   3. near-dup prune    MinHash-LSH pairs -> connected components ->
                        keep each cluster's min id
+  3b2. span dedup      corpus-wide duplicated n-gram spans cut out of
+                       surviving docs (ExactSubstr remediation)
   3c. drift audit      PSI of the token-length distribution, curated
                        vs raw (how much did curation reshape the data?)
   4. shard + pack      hash shards, 256-token bins (sequence_packing
                        shape), written out partitioned by shard
   5. tokenizer         BPE merges trained on the curated corpus, then
                        the shards tokenized map-side
+  5b. trainer shards   vocab ids + fixed-length packed id sequences
+                       with per-sequence document spans, written out
 
 Every stage is a declarative plan over the previous stage's DataFrame —
 Catalyst pipelines the non-shuffling parts; the written shard layout is
@@ -41,6 +45,15 @@ from kafka_avro_order_processing_spark.operators.bpe import bpe_encode, bpe_trai
 from kafka_avro_order_processing_spark.operators.drift import numeric_drift, psi
 from kafka_avro_order_processing_spark.operators.graph import connected_components
 from kafka_avro_order_processing_spark.operators.profile import profile_table
+from kafka_avro_order_processing_spark.operators.substr import (
+    duplicated_ngram_spans,
+    mask_duplicated_spans,
+)
+from kafka_avro_order_processing_spark.operators.tokens import (
+    build_vocab,
+    encode_ids,
+    pack_token_sequences,
+)
 from kafka_avro_order_processing_spark.operators.text import (
     quality_score,
     repetition_stats,
@@ -101,6 +114,19 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None, out_dir: str | None
     kept = kept.join(losers, "doc_id", "left_anti")
     n_near = kept.count()
 
+    # 3b2. span-level dedup: repeated passages INSIDE surviving docs
+    # (boilerplate doc-level dedup cannot see) are found corpus-wide
+    # and cut out — the ExactSubstr remediation at n-gram granularity.
+    # n=4 on this tiny-vocab synthetic corpus (cross-doc 8-gram
+    # carriers were already near-dup-pruned); production uses ~50.
+    spans = duplicated_ngram_spans(kept, n=4)
+    n_span_docs = spans.select("doc_id").distinct().count()
+    masked = mask_duplicated_spans(kept, spans)
+    n_tokens_masked = int(
+        masked.agg(F.sum("n_tokens_removed")).collect()[0][0] or 0
+    )
+    kept = masked.select("doc_id", "text").localCheckpoint(eager=True)
+
     # 3c. drift audit: how much did curation reshape the corpus?  PSI
     # of the whitespace-token length distribution, curated vs raw (the
     # raw side is the reference — its min/max fix the bins).
@@ -141,6 +167,19 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None, out_dir: str | None
         F.sum(F.size("tokens")).alias("s")
     ).collect()[0]["s"]
 
+    # 5b. trainer shards: vocab ids + fixed-length packed sequences
+    # with doc spans — the array a pretraining loader actually feeds.
+    vocab = build_vocab(tokenized)
+    n_vocab = vocab.count()
+    enc = encode_ids(tokenized, vocab)
+    seqs = pack_token_sequences(enc, seq_len=128, n_shards=8)
+    seqs.write.mode("overwrite").parquet(str(out / "token_seqs"))
+    seqs_back = spark.read.parquet(str(out / "token_seqs"))
+    n_seqs = seqs_back.count()
+    tokens_conserved = (
+        seqs_back.agg(F.sum("n_tokens")).collect()[0][0] == n_bpe_tokens
+    )
+
     docs.unpersist()
     counters = {
         "raw": n_raw,
@@ -148,6 +187,11 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None, out_dir: str | None
         "length_psi": length_psi,
         "bpe_merges": int(n_merges),
         "bpe_tokens": int(n_bpe_tokens),
+        "span_docs": int(n_span_docs),
+        "tokens_masked": n_tokens_masked,
+        "vocab_size": int(n_vocab),
+        "token_sequences": int(n_seqs),
+        "tokens_conserved": tokens_conserved,
         "after_quality": n_quality,
         "after_exact_dedup": n_exact,
         "after_near_dedup": n_near,

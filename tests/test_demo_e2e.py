@@ -45,6 +45,13 @@ def test_curation_demo_end_to_end(spark, tmp_path):
     # vs raw symbol count (chars + end-of-word markers)
     assert c["bpe_merges"] == 12
     assert c["bpe_tokens"] > 0
+    # span dedup ran on the synthetic corpus (tiny vocab -> repeats
+    # guaranteed) and actually removed tokens
+    assert c["span_docs"] > 0 and c["tokens_masked"] > 0
+    # trainer shards: a real vocab, >0 sequences, token conservation
+    # through ids -> packing -> parquet round trip
+    assert c["vocab_size"] > 0 and c["token_sequences"] > 0
+    assert c["tokens_conserved"] is True
 
 
 def test_streaming_ingest_demo_end_to_end(spark):
