@@ -982,7 +982,15 @@ def read_avro_ocf(
         raise ValueError("version= applies to directories, not single files")
     files = [path] if path.endswith(".avro") else _list_avro(path, version)
     if not files:
-        raise ValueError(f"no .avro files under {path}")
+        # empty manifest-managed table (e.g. after a full DELETE):
+        # return an empty frame — shaped by the reader schema when one
+        # was passed, else by the manifest's recorded writer schema
+        if reader_schema is not None:
+            fields = _spark_fields_of(reader_schema)
+        else:
+            _, fields = _schema_of_dir(path, version)  # raises if unknown
+        out_schema = ", ".join(f"{n} {t}" for n, t, _ in fields)
+        return spark.createDataFrame([], out_schema)
     return _read_avro_files(spark, files, reader_schema)
 
 
@@ -1440,6 +1448,16 @@ def _publish_manifest(path: str, mutate, max_retries: int = 5) -> dict:
 def _schema_of_dir(path: str, version: int | None = None):
     files = _list_avro(path, version)
     if not files:
+        # a manifest-managed directory whose every part was deleted
+        # (full DELETE) still knows its schema — the manifest carries
+        # it — so an empty table plans as empty, not as an error
+        m = (
+            _manifest_at(path, version)
+            if version is not None
+            else _read_manifest(path)
+        )
+        if m and m.get("schema"):
+            return m["schema"], _spark_fields_of(m["schema"])
         raise ValueError(f"no .avro files under {path}")
     schema, _ = parse_ocf(_read_bytes(files[0]))
     if _norm_schema(schema).get("type") != "record":
@@ -1479,6 +1497,8 @@ class AvroOcfReader(DataSourceReader):
         return [InputPartition(f) for f in _list_avro(self.path, self.version)]
 
     def read(self, partition):
+        if partition is None:  # empty table: partitions() returned []
+            return
         yield from _file_rows(
             partition.value, self.avro_schema, self.names, self.reader_schema,
             self.json_fields,
@@ -2086,6 +2106,10 @@ class AvroOcfWriter(DataSourceWriter):
                     cur["parts"] = sorted(set(new))
                 else:
                     cur["parts"] = sorted(set(cur.get("parts", [])) | set(new))
+                # the schema rides the manifest so a directory whose
+                # every part is later deleted (full DELETE) stays
+                # readable as an EMPTY table instead of erroring
+                cur["schema"] = self.avro_schema
                 _set_manifest_stats(cur, new_stats)
                 return cur
 
@@ -2187,6 +2211,7 @@ class AvroOcfStreamWriter(DataSourceStreamWriter):
                 parts = [p for p in cur.get("parts", []) if p not in replaced]
                 cur["epochs"] = epochs
                 cur["parts"] = sorted(set(parts) | set(new))
+                cur["schema"] = self.avro_schema  # see batch commit note
                 _set_manifest_stats(cur, new_stats)
                 return cur
 
@@ -2952,8 +2977,8 @@ def merge_into_avro_dir(
 
     register(spark)
     files = _list_avro(path)
-    if not files:
-        raise ValueError(f"no committed parts under {path}; use a plain write")
+    # an EMPTY manifest-managed table merges fine (everything inserts)
+    # as long as its schema is known; _schema_of_dir raises otherwise
     dir_schema, dir_fields = _schema_of_dir(path)
     names = [n for n, _, _ in dir_fields]
     if any(is_json for _, _, is_json in dir_fields):

@@ -2925,3 +2925,39 @@ def test_row_ops_stateful_fuzz_against_dict_model(spark, tmp_path):
                 r["k"]: r["s"] for r in read_avro_ocf(spark, uri).collect()
             }
             assert got == model, (trial, op)
+
+
+def test_full_delete_leaves_readable_empty_table(spark, tmp_path):
+    """The manifest carries the writer schema, so a table whose every
+    part a DELETE removed reads as an EMPTY frame with the right
+    columns — and a subsequent MERGE into the empty table inserts."""
+    from kafka_avro_order_processing_spark.sources.avro_ocf import (
+        delete_where_avro_dir,
+        merge_into_avro_dir,
+        register,
+    )
+
+    register(spark)
+    uri = f"file://{tmp_path}/lake"
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, s string"
+    ).write.format("kaop_avro").option("path", uri).mode("append").save()
+    stats = delete_where_avro_dir(spark, uri, "k >= 0")
+    assert stats["rows_deleted"] == 2 and stats["rows_kept"] == 0
+
+    empty = read_avro_ocf(spark, uri)
+    assert empty.columns == ["k", "s"]
+    assert empty.count() == 0
+    # DataSource path agrees
+    ds = spark.read.format("kaop_avro").option("path", uri).load()
+    assert ds.columns == ["k", "s"] and ds.count() == 0
+
+    merge_into_avro_dir(
+        spark,
+        uri,
+        spark.createDataFrame([(7, "z")], "k long, s string"),
+        ["k"],
+    )
+    assert [tuple(r) for r in read_avro_ocf(spark, uri).collect()] == [
+        (7, "z")
+    ]
