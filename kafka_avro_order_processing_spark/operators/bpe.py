@@ -36,7 +36,7 @@ merges to keep the expression tree bounded.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 END_OF_WORD = "</w>"
