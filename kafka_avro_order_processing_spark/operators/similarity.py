@@ -943,3 +943,70 @@ def ivfpq_topk(
     )
     sub.unpersist()
     return out
+
+
+def hard_negatives(
+    vectors: DataFrame,
+    queries: DataFrame,
+    positives: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Contrastive hard-negative mining — the embedding-training data
+    op: for every anchor in ``queries``, the ``k`` most cosine-similar
+    candidates that are NOT the anchor itself and NOT among its known
+    positives (``positives``: (query_id, neighbor_id) pairs — linked
+    duplicates, same-document chunks, labeled matches).  "Hard"
+    because they are ranked by similarity: the negatives closest to
+    the decision boundary, which is what contrastive losses learn
+    from (Robinson et al., ICLR'21 lineage).
+
+    Shape is :func:`cosine_topk` with the positive set anti-joined out
+    BEFORE the rank window, so the output always carries k true
+    negatives (not k minus however many positives landed in the
+    window).  The positives table is typically anchor-bounded small —
+    broadcast; everything else inherits cosine_topk's scaling
+    (brute-force baseline — swap the candidate generation for the IVF
+    or PQ path at corpus scale, the verify join stays the same).
+    Deterministic ties on neighbor id."""
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("norm").alias("q_norm"),
+    )
+    n_par = vectors.sparkSession.sparkContext.defaultParallelism
+    c = with_norm(vectors.repartition(n_par, F.col(id_col)), vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("norm").alias("c_norm"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(
+            F.broadcast(positives.select("query_id", "neighbor_id")),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

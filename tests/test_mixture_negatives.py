@@ -1,0 +1,141 @@
+"""Temperature mixing (operators/mixture.py) and hard-negative mining
+(similarity.hard_negatives): Python-reference parity, feasibility and
+clamping contracts, determinism, and positive-exclusion guarantees.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from kafka_avro_order_processing_spark.operators.mixture import (
+    apply_mixture_rates,
+    temperature_mixture_rates,
+)
+from kafka_avro_order_processing_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _py_rates(counts: dict, alpha: float, T=None):
+    w = {d: n**alpha for d, n in counts.items()}
+    s = sum(w.values())
+    p = {d: w[d] / s for d in w}
+    if T is None:
+        T = min(counts[d] / p[d] for d in counts)
+    return {d: min(1.0, T * p[d] / counts[d]) for d in counts}
+
+
+def test_temperature_rates_match_reference(spark):
+    docs = load_table(spark, SF, "documents")
+    counts = {
+        r["source"]: r["n"]
+        for r in docs.groupBy(F.col("source")).agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    got = {
+        r["domain"]: (r["n"], r["rate"], r["threshold"])
+        for r in temperature_mixture_rates(docs, "source", alpha=0.3).collect()
+    }
+    want = _py_rates(counts, 0.3)
+    for d, n in counts.items():
+        assert got[d][0] == n
+        assert abs(got[d][1] - want[d]) < 1e-12
+        assert got[d][2] == math.floor(want[d] * 256)
+    # feasibility default: the scarcest-relative-to-target domain is
+    # kept in full (rate exactly 1 for at least one domain)
+    assert any(abs(r - 1.0) < 1e-12 for _, r, _ in got.values())
+
+
+def test_temperature_alpha_flattens_the_mixture(spark):
+    # alpha -> 0 up-samples tails: the rate RATIO between the biggest
+    # and smallest domain must shrink as alpha drops.
+    docs = spark.createDataFrame(
+        [(i, "big" if i < 900 else "small") for i in range(1000)],
+        "doc_id long, domain string",
+    )
+
+    def ratio(alpha):
+        r = {
+            x["domain"]: x["rate"]
+            for x in temperature_mixture_rates(
+                docs, "domain", alpha=alpha
+            ).collect()
+        }
+        return r["big"] / r["small"]
+
+    assert ratio(0.2) < ratio(0.5) < ratio(0.9) <= 1.0 + 1e-12
+
+
+def test_oversized_target_clamps_at_one(spark):
+    docs = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(100)],
+        "doc_id long, domain string",
+    )
+    rates = temperature_mixture_rates(
+        docs, "domain", alpha=0.5, target_total=10**9
+    ).collect()
+    assert all(abs(r["rate"] - 1.0) < 1e-12 for r in rates)
+
+
+def test_apply_rates_is_deterministic_and_correct(spark):
+    docs = load_table(spark, SF, "documents")
+    rates = temperature_mixture_rates(docs, "source", alpha=0.3)
+    kept1 = sorted(
+        r["doc_id"]
+        for r in apply_mixture_rates(docs, rates, "source").collect()
+    )
+    kept2 = sorted(
+        r["doc_id"]
+        for r in apply_mixture_rates(
+            docs.repartition(7), rates, "source"
+        ).collect()
+    )
+    assert kept1 == kept2 and kept1
+    # python mirror of the salted bucket rule on a sample
+    thr = {
+        r["domain"]: r["threshold"]
+        for r in rates.collect()
+    }
+    for r in docs.limit(50).collect():
+        b = int(hashlib.md5(f"mix:{r['doc_id']}".encode()).hexdigest()[:2], 16)
+        assert (r["doc_id"] in kept1) == (b < thr[r["source"]])
+
+
+def test_hard_negatives_exclude_self_and_positives(spark):
+    import random
+
+    from kafka_avro_order_processing_spark.operators.similarity import (
+        cosine_topk,
+        hard_negatives,
+    )
+
+    rnd = random.Random(3)
+    rows = [
+        (i, [float(rnd.uniform(-1, 1)) for _ in range(16)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") < 4)
+    # declare each anchor's top-2 brute-force neighbors as positives
+    top2 = cosine_topk(emb, queries, k=2)
+    positives = top2.select("query_id", "neighbor_id")
+    neg = hard_negatives(emb, queries, positives, k=5)
+    pos_set = {
+        (r["query_id"], r["neighbor_id"]) for r in positives.collect()
+    }
+    got = [(r["query_id"], r["neighbor_id"], r["rank"]) for r in neg.collect()]
+    assert len(got) == 4 * 5
+    for qid, nid, _ in got:
+        assert nid != qid
+        assert (qid, nid) not in pos_set
+    # the negatives are exactly brute-force ranks 3..7 (positives were
+    # ranks 1..2): verify against the unfiltered top-7
+    top7 = {
+        (r["query_id"], r["neighbor_id"]): r["rank"]
+        for r in cosine_topk(emb, queries, k=7).collect()
+    }
+    for qid, nid, rank in got:
+        assert top7[(qid, nid)] == rank + 2
