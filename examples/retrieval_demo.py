@@ -1,0 +1,125 @@
+"""Embedding-retrieval demo — the ANN stack as one user journey:
+
+  1. truth        brute-force cosine top-10 for the query set
+  2. index        IVFADC (residual IVF-PQ): cell-pruned ADC scan
+                  produces a 50-candidate shortlist per query without
+                  ever reading a raw corpus vector at search time
+  3. re-rank      exact cosine re-scoring of the shortlist only — the
+                  two-stage production retrieval pattern
+  4. audit        recall@10 of the plain ADC ranking and the re-ranked
+                  one against the brute-force truth (re-ranking can
+                  only fix orderings inside the shortlist, never lose
+                  a member — so its recall is >= the plain one's)
+  5. negatives    contrastive hard negatives for the same anchors,
+                  with the truth's top-2 as declared positives
+
+Run: python examples/retrieval_demo.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from kafka_avro_order_processing_spark import get_spark
+from kafka_avro_order_processing_spark.operators.similarity import (
+    DOT,
+    cosine_topk,
+    hard_negatives,
+    ivfpq_topk,
+    with_norm,
+)
+from kafka_avro_order_processing_spark.sources.tables import load_table
+
+N_QUERIES, TOPK, SHORTLIST = 5, 10, 50
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
+    own_session = spark is None
+    if own_session:
+        spark = get_spark(
+            app_name="retrieval-demo", master="local[4]", shuffle_partitions=4
+        )
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+
+    # 1. truth
+    exact = cosine_topk(emb, queries, k=TOPK).localCheckpoint(eager=True)
+
+    # 2. index: IVFADC shortlist
+    shortlist = ivfpq_topk(
+        emb, dim=64, n_probe=2, topk=SHORTLIST, residual=True
+    )
+
+    # 3. exact re-rank of the shortlist only (corpus vectors touched
+    # for shortlist members alone — the scale point of two-stage)
+    qv = with_norm(queries, "embedding").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("norm").alias("qn"),
+    )
+    nv = with_norm(emb, "embedding").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+        F.col("norm").alias("nn"),
+    )
+    rescored = (
+        shortlist.select("query_id", "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.expr(DOT.format(a="qe", b="ne")) / (F.col("qn") * F.col("nn"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    reranked = (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+    )
+
+    # 4. recall audit
+    def recall(df):
+        hits = df.filter(F.col("rank") <= TOPK).join(
+            exact, ["query_id", "neighbor_id"], "leftsemi"
+        ).count()
+        return hits / (N_QUERIES * TOPK)
+
+    recall_adc = recall(shortlist)
+    recall_rerank = recall(reranked)
+
+    # 5. hard negatives: truth's top-2 are the declared positives
+    positives = exact.filter(F.col("rank") <= 2).select(
+        "query_id", "neighbor_id"
+    )
+    negs = hard_negatives(emb, queries, positives, k=5)
+    n_negs = negs.count()
+    neg_overlap = negs.join(
+        positives, ["query_id", "neighbor_id"], "leftsemi"
+    ).count()
+
+    counters = {
+        "queries": N_QUERIES,
+        "recall_adc_at_10": recall_adc,
+        "recall_reranked_at_10": recall_rerank,
+        "negatives": n_negs,
+        "negatives_overlapping_positives": neg_overlap,
+    }
+    if own_session:
+        print("retrieval:", counters)
+        spark.stop()
+    return counters
+
+
+if __name__ == "__main__":
+    main(*(sys.argv[1:2]))

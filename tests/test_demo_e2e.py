@@ -121,3 +121,22 @@ def test_analytics_demo_end_to_end(spark):
     ranks = [r for _, r, _ in out["pagerank_top"]]
     assert ranks == sorted(ranks, reverse=True)
     assert all(t >= 0 for _, _, t in out["pagerank_top"])
+
+
+def test_retrieval_demo_end_to_end(spark):
+    """IVFADC shortlist -> exact re-rank -> recall audit -> hard
+    negatives: re-ranking never loses recall vs plain ADC (same
+    shortlist, exact ordering), and negatives never overlap declared
+    positives."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
+    from retrieval_demo import main
+
+    c = main("/root/testdata/sf0.001", spark=spark)
+    assert 0.0 <= c["recall_adc_at_10"] <= 1.0
+    assert c["recall_reranked_at_10"] >= c["recall_adc_at_10"]
+    assert c["recall_reranked_at_10"] > 0.0
+    assert c["negatives"] == c["queries"] * 5
+    assert c["negatives_overlapping_positives"] == 0
