@@ -93,8 +93,21 @@ def lm_score(
     empty documents emit no row (nothing to score).  Unseen contexts
     coalesce to c1 = 0 (the model backs off to the uniform
     alpha / (alpha * V) = 1/V mass)."""
+    return _score_agg(
+        _logprob_rows(docs, bigrams, contexts, vocab_size, alpha, id_col, text_col),
+        id_col,
+    )
+
+
+def _logprob_rows(
+    docs, bigrams, contexts, vocab_size, alpha, id_col, text_col
+) -> DataFrame:
+    """(id, lp) — one smoothed bigram log-probability per position.
+    Pure joins + expressions, so the SAME plan runs on a batch frame
+    or a stream (the LM tables are the static side of a stream-static
+    join in the streaming twin)."""
     bg = _doc_bigrams(docs, id_col, text_col)
-    scored = (
+    return (
         bg.join(bigrams, ["w1", "w2"], "left")
         .join(contexts, ["w1"], "left")
         .select(
@@ -108,6 +121,9 @@ def lm_score(
             ).alias("lp"),
         )
     )
+
+
+def _score_agg(scored: DataFrame, id_col: str) -> DataFrame:
     # Order-free mean: float addition is not associative, so a plain
     # avg() would depend on partitioning; the 2^52-scaled DECIMAL(38,0)
     # partial sum (the kmeans_refine idiom) is exact-integer mergeable

@@ -171,3 +171,57 @@ def test_lm_plan_is_python_free(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan
+
+
+def test_streaming_lm_score_bit_matches_batch(spark):
+    from kafka_avro_order_processing_spark.streaming.lm import (
+        streaming_lm_score,
+    )
+    from kafka_avro_order_processing_spark.streaming.pipeline import (
+        stream_table,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    bigrams, contexts, V = train_bigram_lm(ref)
+    bigrams = bigrams.localCheckpoint(eager=True)
+    contexts = contexts.localCheckpoint(eager=True)
+    want = sorted(
+        tuple(r) for r in lm_score(docs, bigrams, contexts, V).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in streaming_lm_score(
+            stream_table(spark, SF, "documents").select("doc_id", "text"),
+            bigrams,
+            contexts,
+            V,
+        ).collect()
+    )
+    assert got == want
+
+
+def test_streaming_lm_multi_epoch_equals_single(spark, tmp_path):
+    from kafka_avro_order_processing_spark.streaming.lm import (
+        streaming_lm_score,
+    )
+
+    ref, cand = _frames(spark)
+    bigrams, contexts, V = train_bigram_lm(ref)
+    bigrams = bigrams.localCheckpoint(eager=True)
+    contexts = contexts.localCheckpoint(eager=True)
+    d = str(tmp_path / "docs")
+    cand.repartition(3).write.parquet(d)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    want = sorted(
+        tuple(r) for r in lm_score(cand, bigrams, contexts, V).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in streaming_lm_score(stream, bigrams, contexts, V).collect()
+    )
+    assert got == want
