@@ -15,6 +15,11 @@ custom pieces compose into, run end-to-end:
      so wave-2 near-dups of wave-1 docs are caught without ever
      re-scanning wave 1.
   4. Survivors = ids - dropped, read with one anti-join.
+  5. MONITORS: the landing stream is also watched by the streaming
+     twins — a live column profile (row/null counts as the data
+     lands), a PSI drift check of the length distribution against
+     wave 1 as the reference frame, and ingest-time LM fluency
+     scoring under a wave-1-trained bigram model.
 
 The reference's consumer loop ingests records one at a time into one
 process (src/consumer/avro_order_consumer.py:163-202); this is the
@@ -92,12 +97,54 @@ def main(spark=None, n_docs: int = 30) -> dict:
 
     survivors = {r["doc_id"] for r in read_survivors(spark, idx).collect()}
     ingested = len(wave1) + len(wave2)
+
+    # 5. monitors: profile + drift + LM scoring over the SAME landing
+    # stream (fresh bounded drains; continuous queries in production)
+    from pyspark.sql import functions as F
+
+    from kafka_avro_order_processing_spark.operators.drift import psi
+    from kafka_avro_order_processing_spark.operators.lm import train_bigram_lm
+    from kafka_avro_order_processing_spark.sources.avro_ocf import read_avro_ocf
+    from kafka_avro_order_processing_spark.streaming.drift import (
+        streaming_numeric_drift,
+    )
+    from kafka_avro_order_processing_spark.streaming.lm import streaming_lm_score
+    from kafka_avro_order_processing_spark.streaming.profile import (
+        streaming_profile,
+    )
+
+    def landing_stream():
+        return spark.readStream.format("kaop_avro").option("path", land).load()
+
+    prof = {
+        r["column"]: r for r in streaming_profile(landing_stream()).collect()
+    }
+    wave1_ref = read_avro_ocf(spark, f"{land}/part-0001.avro")
+    with_len = lambda d: d.select(  # noqa: E731
+        F.size(F.split("text", " ")).cast("long").alias("len")
+    )
+    length_psi = psi(
+        streaming_numeric_drift(
+            with_len(wave1_ref), with_len(landing_stream()), "len", n_bins=8
+        )
+    )
+    bigrams, contexts, V = train_bigram_lm(wave1_ref)
+    scores = streaming_lm_score(
+        landing_stream(),
+        bigrams.localCheckpoint(eager=True),
+        contexts.localCheckpoint(eager=True),
+        V,
+    )
     out = {
         "ingested": ingested,
         "survivors": len(survivors),
         "dropped": ingested - len(survivors),
         "late_dups_caught": sum(1 for i in dup_of if 1000 + i not in survivors),
         "planted_dups": len(dup_of),
+        "monitor_rows": int(prof["text"]["n_rows"]),
+        "monitor_text_nulls": int(prof["text"]["n_nulls"]),
+        "monitor_length_psi": length_psi,
+        "monitor_docs_scored": scores.count(),
     }
     if own_session:
         spark.stop()

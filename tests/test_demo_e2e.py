@@ -66,6 +66,15 @@ def test_streaming_ingest_demo_end_to_end(spark):
     assert c["late_dups_caught"] == c["planted_dups"]  # index caught all
     assert c["dropped"] == c["planted_dups"]           # nothing else dropped
     assert c["survivors"] == c["ingested"] - c["dropped"]
+    # monitors over the same landing stream: profile saw every landed
+    # row with no nulls, the drift monitor produced a finite PSI (a
+    # 15-doc reference is epsilon-noise-dominated — the e2e pins that
+    # the monitor RUNS; the metric's calibration is tests/test_drift),
+    # and every document got an LM score
+    assert c["monitor_rows"] == c["ingested"]
+    assert c["monitor_text_nulls"] == 0
+    assert c["monitor_length_psi"] >= 0.0
+    assert c["monitor_docs_scored"] == c["ingested"]
 
 
 def test_lake_maintenance_demo_end_to_end(spark, tmp_path):
