@@ -64,6 +64,10 @@ def start_incremental_spans(
     :func:`read_spans`."""
     gram_store = f"{index_path}/grams"
     span_store = f"{index_path}/spans"
+    if "://" not in index_path:
+        # heal a crashed compaction BEFORE any epoch can mistake a
+        # mid-swap missing store for "first epoch"
+        recover_spans_index(index_path)
 
     def body(df: DataFrame, epoch_id: int) -> None:
         spark = df.sparkSession
@@ -156,3 +160,94 @@ def read_spans(spark: SparkSession, index_path: str) -> DataFrame:
     return df.dropDuplicates(
         ["doc_id", "span_start", "span_end", "epoch"]
     )
+
+
+_SPAN_STORES = ("grams", "spans")
+
+
+def recover_spans_index(index_path: str) -> list[str]:
+    """Crash recovery for :func:`compact_spans_index`'s store swaps —
+    the incremental_dedup recover contract: a ``_bak`` with no live
+    sibling rolls back into place, a ``_bak`` beside a live store is a
+    post-swap leftover (dropped), ``compacting.*`` scratch is removed.
+    Run automatically at ingest start and compaction start."""
+    import os
+    import shutil
+
+    actions: list[str] = []
+    for name in _SPAN_STORES:
+        live = f"{index_path}/{name}"
+        bak, tmp = live + "_bak", f"{index_path}/compacting.{name}"
+        if os.path.exists(bak):
+            if os.path.exists(live):
+                shutil.rmtree(bak)
+                actions.append(f"dropped post-swap leftover {name}_bak")
+            else:
+                os.rename(bak, live)
+                actions.append(f"restored {name} from {name}_bak")
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+            actions.append(f"removed stale compacting.{name}")
+    return actions
+
+
+def compact_spans_index(spark: SparkSession, index_path: str) -> dict:
+    """Maintenance compaction (run BETWEEN drains, single-writer):
+    the count ledger grows one row per (gram, epoch) and one small
+    file per epoch — this collapses it to ONE row per gram, stamped
+    ``epoch = -1``: a batch id is never negative, so collapsed rows
+    can never be mistaken for a live epoch's own increments by the
+    replay-exclusion filter, and they survive every future
+    (gram, epoch) dedupe untouched.  The spans store rewrites
+    physically deduplicated.  Same old->bak / new->live / drop-bak
+    swap and :func:`recover_spans_index` healing as the dedup index;
+    local paths only.  Returns per-store file counts."""
+    import glob as _glob
+    import os
+    import shutil
+
+    recover_spans_index(index_path)
+
+    def _nfiles(d: str) -> int:
+        return len(_glob.glob(f"{d}/**/*.parquet", recursive=True))
+
+    def _swap(live: str, fresh: str) -> None:
+        bak = live + "_bak"
+        os.rename(live, bak)
+        os.rename(fresh, live)
+        shutil.rmtree(bak)
+
+    stats: dict[str, dict] = {}
+    gram_store = f"{index_path}/grams"
+    if os.path.exists(gram_store):
+        tmp = f"{index_path}/compacting.grams"
+        before = _nfiles(gram_store)
+        collapsed = (
+            spark.read.parquet(gram_store)
+            .dropDuplicates(["gram", "epoch"])
+            .groupBy("gram_bucket", "gram")
+            .agg(F.sum("occ").alias("occ"))
+            .select(
+                "gram_bucket", "gram", "occ",
+                F.lit(-1).cast("long").alias("epoch"),
+            )
+        )
+        n = max(collapsed.select("gram_bucket").distinct().count(), 1)
+        (
+            collapsed.repartition(n, F.col("gram_bucket"))
+            .write.mode("overwrite")
+            .partitionBy("gram_bucket")
+            .parquet(tmp)
+        )
+        _swap(gram_store, tmp)
+        stats["grams"] = {"files_before": before, "files_after": _nfiles(gram_store)}
+    span_store = f"{index_path}/spans"
+    if os.path.exists(span_store):
+        tmp = f"{index_path}/compacting.spans"
+        before = _nfiles(span_store)
+        spark.read.parquet(span_store).dropDuplicates(
+            ["doc_id", "span_start", "span_end", "epoch"]
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        _swap(span_store, tmp)
+        stats["spans"] = {"files_before": before, "files_after": _nfiles(span_store)}
+    return stats

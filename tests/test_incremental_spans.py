@@ -120,3 +120,50 @@ def test_replay_does_not_overcount(spark, tmp_path):
         .collect()
     )
     assert boiler_gram_occ and all(r["occ"] == 2 for r in boiler_gram_occ)
+
+
+def test_compaction_preserves_semantics_and_shrinks_files(spark, tmp_path):
+    import glob
+    import os
+
+    from kafka_avro_order_processing_spark.streaming.incremental_spans import (
+        compact_spans_index,
+        recover_spans_index,
+    )
+
+    land = str(tmp_path / "land")
+    idx = str(tmp_path / "idx")
+    chk = str(tmp_path / "chk")
+    w1 = spark.createDataFrame(
+        [(0, f"a {BOILER} b"), (1, "nothing here")], "doc_id long, text string"
+    )
+    w1.coalesce(1).write.parquet(land)
+    start_incremental_spans(_stream(spark, land), idx, chk, n=5).awaitTermination()
+    w2 = spark.createDataFrame(
+        [(10, f"c {BOILER} d")], "doc_id long, text string"
+    )
+    w2.coalesce(1).write.mode("append").parquet(land)
+    start_incremental_spans(_stream(spark, land), idx, chk, n=5).awaitTermination()
+    before = sorted(tuple(r) for r in read_spans(spark, idx).collect())
+
+    stats = compact_spans_index(spark, idx)
+    assert stats["grams"]["files_after"] <= stats["grams"]["files_before"]
+    # flags unchanged; ledger collapsed to one row per gram, epoch -1
+    assert sorted(tuple(r) for r in read_spans(spark, idx).collect()) == before
+    grams = spark.read.parquet(f"{idx}/grams")
+    assert grams.groupBy("gram").count().filter("count > 1").count() == 0
+    assert grams.select("epoch").distinct().collect()[0]["epoch"] == -1
+
+    # a post-compaction wave still flags against the collapsed counts
+    w3 = spark.createDataFrame(
+        [(20, f"e {BOILER} f")], "doc_id long, text string"
+    )
+    w3.coalesce(1).write.mode("append").parquet(land)
+    start_incremental_spans(_stream(spark, land), idx, chk, n=5).awaitTermination()
+    assert 20 in {r["doc_id"] for r in read_spans(spark, idx).collect()}
+
+    # crash recovery: a dangling _bak with no live store rolls back
+    os.rename(f"{idx}/grams", f"{idx}/grams_bak")
+    actions = recover_spans_index(idx)
+    assert any("restored grams" in a for a in actions)
+    assert glob.glob(f"{idx}/grams/**/*.parquet", recursive=True)
