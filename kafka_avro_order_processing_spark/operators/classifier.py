@@ -1,0 +1,128 @@
+"""Trainable quality classifier — the "fastText filter" shape of web
+curation (GPT-3/LLaMA data pipelines: label a small seed of
+known-good vs random documents, train a linear classifier on cheap
+features, score the whole corpus): logistic regression by full-batch
+gradient descent, run as Spark aggregations.
+
+Why hand-rolled rather than MLlib: the engine's determinism contract.
+Each GD round's gradient is a SUM over rows of
+(sigmoid(w·x) - y) * x_j — float addition is not associative, so a
+naive sum makes the learned weights depend on partitioning.  Here
+every per-round gradient component accumulates through the repo's
+2^52-scaled DECIMAL(38,0) partial sums (the kmeans/LM idiom):
+order-free, mergeable, bit-identical weights under any shuffle or
+repartitioning (suite-pinned).  The driver receives one
+(n_features+1)-vector per round — the sanctioned iterative-algorithm
+driver action, same budget class as k-means centroids.
+
+Scale shape: training is n_rounds passes of one partial+final
+aggregation over the (feature-projected) training frame — no shuffle
+of raw rows, no Python in the loop; scoring is a single map-side
+expression (the dot product is a fold over a literal weight array).
+Feature standardization (train-set mean/std, applied identically at
+scoring) is part of the model, not a caller chore.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import MEAN_SCALE
+
+
+def _dec_sum(name: str) -> F.Column:
+    """Order-free decimal partial sum of a named double column."""
+    return F.sum(
+        F.expr(f"CAST(`{name}` * {MEAN_SCALE}D AS DECIMAL(38,0))")
+    ).cast("double") / F.lit(float(MEAN_SCALE))
+
+
+def fit_logistic(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str = "label",
+    n_rounds: int = 50,
+    lr: float = 0.5,
+) -> dict:
+    """Fit w, b on standardized features.  Returns the model dict
+    {features, means, stds, weights, bias} that :func:`score_logistic`
+    consumes.  ``label_col`` must be 0/1.
+
+    One aggregation per round; weights are bit-deterministic under
+    any input partitioning (decimal gradient sums).  Degenerate
+    (constant) features standardize with std 1 — their weight then
+    stays at whatever the bias absorbs, instead of dividing by zero.
+    """
+    feats = [F.col(c).cast("double") for c in feature_cols]
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.avg(f).alias(f"m{i}") for i, f in enumerate(feats)],
+        *[F.stddev_pop(f).alias(f"s{i}") for i, f in enumerate(feats)],
+    ).collect()[0]
+    n = stats["n"]
+    means = [float(stats[f"m{i}"]) for i in range(len(feats))]
+    stds = [
+        float(stats[f"s{i}"]) if stats[f"s{i}"] else 1.0
+        for i in range(len(feats))
+    ]
+    z = df.select(
+        F.col(label_col).cast("double").alias("y"),
+        *[
+            ((F.col(c).cast("double") - F.lit(means[i])) / F.lit(stds[i])).alias(
+                f"x{i}"
+            )
+            for i, c in enumerate(feature_cols)
+        ],
+    ).localCheckpoint(eager=True)
+
+    k = len(feature_cols)
+    w = [0.0] * k
+    b = 0.0
+    for _ in range(n_rounds):
+        dot = " + ".join(f"({w[i]!r}D * x{i})" for i in range(k)) or "0D"
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.expr(dot) + F.lit(b))))
+        prods = z.select(
+            (p - F.col("y")).alias("err"),
+            *[
+                ((p - F.col("y")) * F.col(f"x{i}")).alias(f"e{i}")
+                for i in range(k)
+            ],
+        )
+        g = prods.agg(
+            _dec_sum("err").alias("gb"),
+            *[_dec_sum(f"e{i}").alias(f"g{i}") for i in range(k)],
+        ).collect()[0]
+        b -= lr * float(g["gb"]) / n
+        for i in range(k):
+            w[i] -= lr * float(g[f"g{i}"]) / n
+    return {
+        "features": list(feature_cols),
+        "means": means,
+        "stds": stds,
+        "weights": w,
+        "bias": b,
+    }
+
+
+def score_logistic(
+    df: DataFrame, model: dict, score_col: str = "quality_prob"
+) -> DataFrame:
+    """Append P(label=1) under the model — a single map-side
+    expression (standardization baked in), no join, no UDF."""
+    terms = []
+    for i, c in enumerate(model["features"]):
+        terms.append(
+            F.lit(model["weights"][i])
+            * (
+                (F.col(c).cast("double") - F.lit(model["means"][i]))
+                / F.lit(model["stds"][i])
+            )
+        )
+    dot = terms[0] if terms else F.lit(0.0)
+    for t in terms[1:]:
+        dot = dot + t
+    logit = dot + F.lit(model["bias"])
+    return df.withColumn(
+        score_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    )
