@@ -1,0 +1,248 @@
+"""Binary-classifier evaluation — exact, distributed, deterministic.
+
+The quality-filter loop (``operators/classifier.py``, ``operators/lm.py``)
+needs honest metrics at corpus scale: ROC-AUC, ROC/PR curves, confusion
+counts.  The naive formulations don't scale — AUC is a statement about
+all positive×negative pairs (O(n²)), and rank-based rewrites usually
+reach for a global ``ORDER BY`` window, which Spark plans as a SINGLE
+partition.  Neither survives 100 TB.
+
+This module computes EXACT tie-corrected ranks with a two-level prefix
+sum instead:
+
+1. group rows by distinct score (one shuffle — ties collapse to one row
+   with a count, so boilerplate scores are one hot key, not n rows);
+2. range-bucket the distinct scores by value against ~``n_buckets``
+   driver-literal edges (an ``approx_percentile`` probe — the edges only
+   BALANCE the buckets, the result never depends on where they fall,
+   so the sketch's approximation is invisible in the output);
+3. per-bucket totals (≤ ``n_buckets`` rows) are collected, prefix-summed
+   on the driver — the sanctioned O(buckets) scalar action — and
+   broadcast-joined back;
+4. within each bucket an ordered window finishes the cumulative counts
+   (parallel across buckets; no single-partition stage anywhere).
+
+Equal scores always share a bucket (assignment is strictly
+value-based), so tie groups are never split.  All counts are integers;
+the Mann-Whitney identity
+
+    AUC = (sum of doubled avg ranks of positives − n1·(n1+1)) / (2·n1·n0)
+
+is evaluated from exact BIGINT/DECIMAL sums with ONE float division at
+the end — bit-identical under any partitioning, shuffle order, or
+micro-batching (suite-pinned), the same doubled-rank idiom as
+``qty_price_rank_corr``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _cumulative_score_counts(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Per distinct score: its count ``c``, positive count ``p``, and
+    EXACT counts strictly below it (``c_lt``, ``p_lt``) over the whole
+    frame.  Rows with a NULL score or label are excluded.
+
+    The engine of every metric here.  One groupBy shuffle + one
+    bucket-local window; driver traffic is O(n_buckets).
+    """
+    base = df.select(
+        F.col(score_col).cast("double").alias("s"),
+        F.col(label_col).cast("bigint").alias("y"),
+    ).filter(F.col("s").isNotNull() & F.col("y").isNotNull())
+
+    g = base.groupBy("s").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("y").alias("p"),
+    )
+
+    # Balance-only probe: edges are interior approximate quantiles of
+    # the score.  Correctness never depends on them (ties can't split —
+    # assignment is by value), so approx error / edge duplication only
+    # skews bucket sizes.
+    n_buckets = max(1, int(n_buckets))
+    if n_buckets > 1:
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        row = base.agg(
+            F.percentile_approx("s", probs, 10000).alias("q")
+        ).collect()[0]
+        edges = sorted(set(row["q"] or []))
+    else:
+        edges = []
+    # Plain literal-comparison sum, not a higher-order F.aggregate:
+    # lambda expressions inside a broadcast-join key trip a Catalyst
+    # binding bug (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND) in Spark 4.1.
+    bucket = F.lit(0)
+    for e in edges:
+        bucket = bucket + F.when(
+            F.col("s") > F.lit(float(e)), 1
+        ).otherwise(0)
+    g = g.withColumn("bk", bucket)
+
+    totals = g.groupBy("bk").agg(
+        F.sum("c").alias("tc"), F.sum("p").alias("tp")
+    ).collect()
+    off_c, off_p, rows = {}, {}, sorted(totals, key=lambda r: r["bk"])
+    run_c = run_p = 0
+    for r in rows:
+        off_c[r["bk"]] = run_c
+        off_p[r["bk"]] = run_p
+        run_c += r["tc"]
+        run_p += r["tp"]
+    spark = df.sparkSession
+    offsets = spark.createDataFrame(
+        [(bk, off_c[bk], off_p[bk]) for bk in off_c],
+        "bk int, off_c bigint, off_p bigint",
+    )
+
+    w = (
+        Window.partitionBy("bk")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = g.select(
+        "bk",
+        "s",
+        "c",
+        "p",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("w_c"),
+        F.coalesce(F.sum("p").over(w), F.lit(0)).alias("w_p"),
+    )
+    return within.join(F.broadcast(offsets), "bk").select(
+        "s",
+        "c",
+        "p",
+        (F.col("w_c") + F.col("off_c")).alias("c_lt"),
+        (F.col("w_p") + F.col("off_p")).alias("p_lt"),
+    )
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str = "quality_prob",
+    label_col: str = "label",
+    n_buckets: int = 64,
+) -> float:
+    """Exact tie-corrected ROC-AUC (Mann-Whitney).  Raises ValueError
+    when either class is empty — a 'metric' there would be a lie."""
+    cum = _cumulative_score_counts(df, score_col, label_col, n_buckets)
+    # Doubled average rank of a tie group: 2*c_lt + c + 1 (integer).
+    # Positives in the group contribute p * that; values reach ~2n² so
+    # the sum accumulates in DECIMAL(38,0) — order-free, exact.
+    agg = cum.agg(
+        F.sum(
+            F.col("p").cast("decimal(38,0)")
+            * (2 * F.col("c_lt") + F.col("c") + 1).cast("decimal(38,0)")
+        ).alias("r2_sum"),
+        F.sum("c").alias("n"),
+        F.sum("p").alias("n1"),
+    ).collect()[0]
+    n1 = int(agg["n1"] or 0)
+    n0 = int(agg["n"] or 0) - n1
+    if n1 == 0 or n0 == 0:
+        raise ValueError("roc_auc needs both classes present")
+    return float(int(agg["r2_sum"]) - n1 * (n1 + 1)) / float(2 * n1 * n0)
+
+
+def roc_points(
+    df: DataFrame,
+    score_col: str = "quality_prob",
+    label_col: str = "label",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """The exact ROC/PR operating points: one row per distinct score
+    (the rule 'predict positive when score >= threshold'), with integer
+    confusion counts and the derived rates.
+
+    Columns: threshold, tp, fp, fn, tn, tpr, fpr, precision.
+    """
+    cum = _cumulative_score_counts(df, score_col, label_col, n_buckets)
+    tot = cum.agg(
+        F.sum("c").alias("n"), F.sum("p").alias("n1")
+    ).collect()[0]
+    n = int(tot["n"] or 0)
+    n1 = int(tot["n1"] or 0)
+    n0 = n - n1
+    tp = F.lit(n1) - F.col("p_lt")
+    fp = F.lit(n0) - (F.col("c_lt") - F.col("p_lt"))
+    return cum.select(
+        F.col("s").alias("threshold"),
+        tp.alias("tp"),
+        fp.alias("fp"),
+        (F.lit(n1) - tp).alias("fn"),
+        (F.lit(n0) - fp).alias("tn"),
+        (tp.cast("double") / F.lit(float(n1))).alias("tpr")
+        if n1
+        else F.lit(None).cast("double").alias("tpr"),
+        (fp.cast("double") / F.lit(float(n0))).alias("fpr")
+        if n0
+        else F.lit(None).cast("double").alias("fpr"),
+        F.when(tp + fp > 0, tp.cast("double") / (tp + fp).cast("double"))
+        .alias("precision"),
+    )
+
+
+def ks_statistic(
+    df: DataFrame,
+    score_col: str = "quality_prob",
+    label_col: str = "label",
+    n_buckets: int = 64,
+) -> float:
+    """Kolmogorov-Smirnov separation: max |TPR - FPR| over the exact
+    ROC points.  0 = classes indistinguishable by the score."""
+    pts = roc_points(df, score_col, label_col, n_buckets)
+    row = pts.agg(
+        F.max(F.abs(F.col("tpr") - F.col("fpr"))).alias("ks")
+    ).collect()[0]
+    return float(row["ks"] or 0.0)
+
+
+def confusion_at_threshold(
+    df: DataFrame,
+    threshold: float,
+    score_col: str = "quality_prob",
+    label_col: str = "label",
+) -> dict:
+    """Exact confusion counts + derived metrics at one threshold
+    ('predict positive when score >= threshold').  One aggregation,
+    no window.  NULL score/label rows are excluded, like roc_auc."""
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("bigint")
+    pred = (s >= F.lit(float(threshold))).cast("bigint")
+    row = (
+        df.filter(s.isNotNull() & y.isNotNull())
+        .agg(
+            F.sum(pred * y).alias("tp"),
+            F.sum(pred * (1 - y)).alias("fp"),
+            F.sum((1 - pred) * y).alias("fn"),
+            F.sum((1 - pred) * (1 - y)).alias("tn"),
+        )
+        .collect()[0]
+    )
+    tp, fp = int(row["tp"] or 0), int(row["fp"] or 0)
+    fn, tn = int(row["fn"] or 0), int(row["tn"] or 0)
+    n = tp + fp + fn + tn
+    prec = tp / (tp + fp) if tp + fp else None
+    rec = tp / (tp + fn) if tp + fn else None
+    f1 = (
+        2 * prec * rec / (prec + rec)
+        if prec is not None and rec is not None and (prec + rec)
+        else None
+    )
+    return {
+        "tp": tp,
+        "fp": fp,
+        "fn": fn,
+        "tn": tn,
+        "accuracy": (tp + tn) / n if n else None,
+        "precision": prec,
+        "recall": rec,
+        "f1": f1,
+    }

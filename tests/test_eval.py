@@ -1,0 +1,194 @@
+"""Exact binary-classifier evaluation (operators/eval.py): AUC against
+a brute-force pair-count reference (the O(n²) definition the operator
+must never compute but must always equal), tie correction, ROC-point
+parity with a Python sweep, partitioning/bucketing invariance (the
+determinism contract), degenerate inputs, and the end-to-end journey
+with the trained classifier.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_avro_order_processing_spark.operators.eval import (
+    confusion_at_threshold,
+    ks_statistic,
+    roc_auc,
+    roc_points,
+)
+
+
+def _pairs_auc(rows):
+    """The definition: P(s_pos > s_neg) + 0.5 P(s_pos = s_neg)."""
+    pos = [s for s, y in rows if y == 1]
+    neg = [s for s, y in rows if y == 0]
+    num = 0.0
+    for p in pos:
+        for q in neg:
+            if p > q:
+                num += 1.0
+            elif p == q:
+                num += 0.5
+    return num / (len(pos) * len(neg))
+
+
+def _toy(seed=3, n=400, quant=None):
+    rnd = random.Random(seed)
+    rows = []
+    for _ in range(n):
+        y = 1 if rnd.random() < 0.4 else 0
+        s = rnd.gauss(1.0 if y else 0.0, 1.0)
+        if quant:
+            s = round(s * quant) / quant  # force heavy ties
+        rows.append((s, y))
+    return rows
+
+
+@pytest.mark.parametrize("quant", [None, 4])
+def test_auc_matches_brute_force(spark, quant):
+    rows = _toy(quant=quant)
+    df = spark.createDataFrame(rows, "score double, label int")
+    got = roc_auc(df, "score", "label")
+    want = _pairs_auc(rows)
+    assert abs(got - want) < 1e-12
+
+
+def test_auc_partitioning_and_bucketing_invariant(spark):
+    rows = _toy(seed=11, quant=8)
+    df = spark.createDataFrame(rows, "score double, label int")
+    a = roc_auc(df, "score", "label", n_buckets=64)
+    b = roc_auc(df.repartition(13), "score", "label", n_buckets=64)
+    c = roc_auc(df, "score", "label", n_buckets=1)
+    d = roc_auc(df, "score", "label", n_buckets=7)
+    assert a == b == c == d  # bit-exact, not approx
+
+
+def test_roc_points_match_python_sweep(spark):
+    rows = _toy(seed=7, n=150, quant=3)
+    df = spark.createDataFrame(rows, "score double, label int")
+    pts = {
+        r["threshold"]: r
+        for r in roc_points(df, "score", "label").collect()
+    }
+    n1 = sum(y for _, y in rows)
+    n0 = len(rows) - n1
+    for t in sorted({s for s, _ in rows}):
+        tp = sum(1 for s, y in rows if y == 1 and s >= t)
+        fp = sum(1 for s, y in rows if y == 0 and s >= t)
+        r = pts[t]
+        assert (r["tp"], r["fp"]) == (tp, fp)
+        assert (r["fn"], r["tn"]) == (n1 - tp, n0 - fp)
+        assert abs(r["tpr"] - tp / n1) < 1e-15
+        assert abs(r["fpr"] - fp / n0) < 1e-15
+        want_prec = tp / (tp + fp) if tp + fp else None
+        if want_prec is None:
+            assert r["precision"] is None
+        else:
+            assert abs(r["precision"] - want_prec) < 1e-15
+    assert len(pts) == len({s for s, _ in rows})
+
+
+def test_ks_matches_python(spark):
+    rows = _toy(seed=19, n=200, quant=2)
+    df = spark.createDataFrame(rows, "score double, label int")
+    n1 = sum(y for _, y in rows)
+    n0 = len(rows) - n1
+    want = max(
+        abs(
+            sum(1 for s, y in rows if y == 1 and s >= t) / n1
+            - sum(1 for s, y in rows if y == 0 and s >= t) / n0
+        )
+        for t in {s for s, _ in rows}
+    )
+    assert abs(ks_statistic(df, "score", "label") - want) < 1e-12
+
+
+def test_confusion_at_threshold(spark):
+    rows = _toy(seed=23, n=120)
+    df = spark.createDataFrame(rows, "score double, label int")
+    m = confusion_at_threshold(df, 0.5, "score", "label")
+    tp = sum(1 for s, y in rows if y == 1 and s >= 0.5)
+    fp = sum(1 for s, y in rows if y == 0 and s >= 0.5)
+    fn = sum(1 for s, y in rows if y == 1 and s < 0.5)
+    tn = sum(1 for s, y in rows if y == 0 and s < 0.5)
+    assert (m["tp"], m["fp"], m["fn"], m["tn"]) == (tp, fp, fn, tn)
+    assert abs(m["precision"] - tp / (tp + fp)) < 1e-15
+    assert abs(m["recall"] - tp / (tp + fn)) < 1e-15
+    prec, rec = tp / (tp + fp), tp / (tp + fn)
+    assert abs(m["f1"] - 2 * prec * rec / (prec + rec)) < 1e-15
+    assert abs(m["accuracy"] - (tp + tn) / len(rows)) < 1e-15
+
+
+def test_single_class_raises(spark):
+    df = spark.createDataFrame(
+        [(0.3, 1), (0.7, 1)], "score double, label int"
+    )
+    with pytest.raises(ValueError):
+        roc_auc(df, "score", "label")
+
+
+def test_null_rows_excluded(spark):
+    rows = _toy(seed=31, n=80)
+    df = spark.createDataFrame(rows, "score double, label int")
+    noisy = df.unionByName(
+        spark.createDataFrame(
+            [(None, 1), (0.4, None), (None, None)],
+            "score double, label int",
+        )
+    )
+    assert roc_auc(noisy, "score", "label") == roc_auc(
+        df, "score", "label"
+    )
+    m_a = confusion_at_threshold(noisy, 0.2, "score", "label")
+    m_b = confusion_at_threshold(df, 0.2, "score", "label")
+    assert m_a == m_b
+
+
+def test_perfect_and_random_separation(spark):
+    perfect = spark.createDataFrame(
+        [(float(i), 1 if i >= 50 else 0) for i in range(100)],
+        "score double, label int",
+    )
+    assert roc_auc(perfect, "score", "label") == 1.0
+    constant = spark.createDataFrame(
+        [(0.5, i % 2) for i in range(100)], "score double, label int"
+    )
+    assert roc_auc(constant, "score", "label") == 0.5  # all ties -> 0.5
+    assert ks_statistic(constant, "score", "label") == 0.0
+
+
+def test_classifier_journey_auc(spark):
+    # trained classifier scored on held-out rows must clear AUC 0.9 on
+    # the separable toy -- the metric and the model agree end to end.
+    from kafka_avro_order_processing_spark.operators.classifier import (
+        fit_logistic,
+        score_logistic,
+    )
+
+    rnd = random.Random(41)
+    rows = []
+    for i in range(300):
+        y = 1 if rnd.random() < 0.5 else 0
+        rows.append(
+            (
+                i,
+                rnd.gauss(2.0 if y else -1.0, 1.0),
+                rnd.gauss(-1.0 if y else 1.5, 1.5),
+                y,
+            )
+        )
+    df = spark.createDataFrame(rows, "i int, f0 double, f1 double, label int")
+    train = df.filter(F.col("i") % 3 != 0)
+    test = df.filter(F.col("i") % 3 == 0)
+    model = fit_logistic(train, ["f0", "f1"], n_rounds=30)
+    scored = score_logistic(test, model)
+    auc = roc_auc(scored, "quality_prob", "label")
+    assert auc > 0.9
+    # threshold sweep must contain the 0.5 operating point's counts
+    m = confusion_at_threshold(scored, 0.5, "quality_prob", "label")
+    assert m["tp"] + m["fp"] + m["fn"] + m["tn"] == test.count()
+    assert math.isfinite(auc)
