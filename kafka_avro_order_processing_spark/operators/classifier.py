@@ -105,6 +105,53 @@ def fit_logistic(
     }
 
 
+def crossval_logistic(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str = "label",
+    k: int = 5,
+    by: str | None = None,
+    n_rounds: int = 50,
+    lr: float = 0.5,
+    salt: str = "fold",
+) -> list[dict]:
+    """k-fold cross-validation of the logistic quality filter: fit on
+    k-1 folds, score the held-out fold, report its exact ROC-AUC
+    (:func:`operators.eval.roc_auc`).  Folds are md5-hash groups of
+    ``by`` (default: the first feature row's identity is NOT usable —
+    pass the id/group column; leakage-safe when ``by`` is a dedup
+    cluster or source key, per ``operators/splits.py``).
+
+    Returns one dict per fold: {fold, model, auc, n_test}.  Driver
+    cost is k sequential fits — each fit is the sanctioned
+    one-aggregation-per-round loop; nothing per-row ever reaches the
+    driver.
+    """
+    from .eval import roc_auc
+    from .splits import kfold_assign
+
+    if by is None:
+        raise ValueError("crossval_logistic needs an id/group column 'by'")
+    folded = kfold_assign(df, by, k, salt=salt).localCheckpoint(eager=True)
+    out = []
+    for fold in range(k):
+        train = folded.filter(F.col("fold") != fold)
+        test = folded.filter(F.col("fold") == fold)
+        model = fit_logistic(
+            train, feature_cols, label_col, n_rounds=n_rounds, lr=lr
+        )
+        scored = score_logistic(test, model)
+        out.append(
+            {
+                "fold": fold,
+                "model": model,
+                "auc": roc_auc(scored, "quality_prob", label_col),
+                "n_test": test.count(),
+            }
+        )
+    return out
+
+
 def score_logistic(
     df: DataFrame, model: dict, score_col: str = "quality_prob"
 ) -> DataFrame:
