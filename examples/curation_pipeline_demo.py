@@ -3,7 +3,14 @@ engine exists for, composed from the registered operators and run as
 ONE job from raw documents to packed training shards:
 
   0. profile           one-pass per-column stats (look before you cook)
+  0b. clean            control/format-char strip + whitespace collapse
+                       (JVM regex) — counted, a no-op on clean corpora
   1. quality gate      quality_score + repetition filter (pure exprs)
+  1b. learned filter   train the logistic quality classifier on
+                       real-vs-scrambled seed docs (LM fluency +
+                       compressibility features), audit held-out AUC —
+                       the fastText-filter shape, with leakage-safe
+                       md5 splits and the exact AUC metric
   2. exact dedup       md5 fingerprint, keep smallest doc_id
   3. near-dup prune    MinHash-LSH pairs -> connected components ->
                        keep each cluster's min id
@@ -42,6 +49,16 @@ from kafka_avro_order_processing_spark.operators.dedup import (
     set_similarity_join,
 )
 from kafka_avro_order_processing_spark.operators.bpe import bpe_encode, bpe_train
+from kafka_avro_order_processing_spark.operators.classifier import (
+    fit_logistic,
+    score_logistic,
+)
+from kafka_avro_order_processing_spark.operators.clean import (
+    clean_text,
+    compression_ratio,
+)
+from kafka_avro_order_processing_spark.operators.eval import roc_auc
+from kafka_avro_order_processing_spark.operators.splits import assign_split
 from kafka_avro_order_processing_spark.operators.drift import numeric_drift, psi
 from kafka_avro_order_processing_spark.operators.graph import connected_components
 from kafka_avro_order_processing_spark.operators.profile import profile_table
@@ -82,14 +99,77 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None, out_dir: str | None
     prof = {r["column"]: r for r in profile_table(docs).collect()}
     n_null_text = prof["text"]["n_nulls"]
 
+    # 0b. clean: strip control/format chars, collapse whitespace (pure
+    # JVM regex).  The synthetic corpus is already clean — the counter
+    # proves the stage ran and is the hook a web corpus would need.
+    cleaned = clean_text(docs, out_col="text_clean")
+    n_texts_cleaned = cleaned.filter(
+        F.col("text_clean") != F.col("text")
+    ).count()
+    docs_clean = cleaned.select(
+        "doc_id", F.col("text_clean").alias("text"), "n_chars", "lang", "source"
+    ).persist()
+
     # 1. quality gate: drop the low-quality tail and repetitive docs
     # (thresholds sit inside this corpus's observed score range —
     # quality 0.59..0.97, repetition 0..0.04 — so every stage of the
     # funnel visibly filters).
-    q = quality_score(docs).filter(F.col("quality") >= 0.62).select("doc_id")
-    rep = repetition_stats(docs).filter(F.col("repetition_ratio") <= 0.03).select("doc_id")
-    kept = docs.join(q, "doc_id").join(rep, "doc_id")
+    q = quality_score(docs_clean).filter(F.col("quality") >= 0.62).select("doc_id")
+    rep = repetition_stats(docs_clean).filter(F.col("repetition_ratio") <= 0.03).select("doc_id")
+    kept = docs_clean.join(q, "doc_id").join(rep, "doc_id")
     n_quality = kept.count()
+
+    # 1b. learned quality filter (audit): label a seed — real docs
+    # positive, their word-scrambled twins negative (deterministic
+    # alphabetical scramble: same tokens, destroyed fluency) — train
+    # the logistic filter on LM fluency + compressibility, and report
+    # exact held-out ROC-AUC.  The split is GROUP-aware (a doc and its
+    # twin share a group, so the twin can never leak into eval).
+    from kafka_avro_order_processing_spark.operators.lm import (
+        lm_score,
+        train_bigram_lm,
+    )
+
+    pos = docs_clean.select("doc_id", "text")
+    neg = pos.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(F.array_sort(F.split("text", " ")), " ").alias("text"),
+    )
+    labeled = pos.withColumn("label", F.lit(1)).unionByName(
+        neg.withColumn("label", F.lit(0))
+    )
+    bigrams, contexts, vocab_v = train_bigram_lm(
+        pos.filter(F.col("doc_id") % 2 == 0)  # trusted seed corpus
+    )
+    feats = (
+        lm_score(
+            labeled,
+            bigrams.localCheckpoint(eager=True),
+            contexts.localCheckpoint(eager=True),
+            vocab_v,
+        )
+        .select("doc_id", "avg_logprob")
+        .join(
+            compression_ratio(labeled).select(
+                "doc_id", "compression_ratio", "label"
+            ),
+            "doc_id",
+        )
+        .withColumn("src_doc", F.col("doc_id") % 1000000)
+    )
+    feats = assign_split(
+        feats, "src_doc", {"train": 0.7, "test": 0.3}, salt="filter"
+    ).localCheckpoint(eager=True)
+    model = fit_logistic(
+        feats.filter(F.col("split") == "train"),
+        ["avg_logprob", "compression_ratio"],
+        n_rounds=25,
+    )
+    filter_auc = roc_auc(
+        score_logistic(feats.filter(F.col("split") == "test"), model),
+        "quality_prob",
+        "label",
+    )
 
     # 2. exact dedup: canonical doc per content hash.
     canon = exact_dedup(kept).select(F.col("canonical_doc_id").alias("doc_id"))
@@ -181,9 +261,12 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None, out_dir: str | None
     )
 
     docs.unpersist()
+    docs_clean.unpersist()
     counters = {
         "raw": n_raw,
         "text_nulls": int(n_null_text),
+        "texts_cleaned": int(n_texts_cleaned),
+        "filter_auc": float(filter_auc),
         "length_psi": length_psi,
         "bpe_merges": int(n_merges),
         "bpe_tokens": int(n_bpe_tokens),

@@ -38,6 +38,11 @@ def test_curation_demo_end_to_end(spark, tmp_path):
     assert set(shards.columns) == {"doc_id", "text", "shard", "n_tokens", "bin_id"}
     # profile stage: the synthetic documents table has no null text
     assert c["text_nulls"] == 0
+    # clean stage ran; the synthetic corpus is already clean
+    assert c["texts_cleaned"] == 0
+    # learned filter audit: the classifier separates real docs from
+    # their scrambled twins on held-out groups (fluency is learnable)
+    assert 0.7 < c["filter_auc"] <= 1.0
     # drift audit: curation reshapes the length distribution some, but
     # not into a different corpus (sane PSI, not epsilon-dominated)
     assert 0.0 <= c["length_psi"] < 1.0
