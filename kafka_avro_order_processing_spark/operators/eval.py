@@ -204,6 +204,90 @@ def ks_statistic(
     return float(row["ks"] or 0.0)
 
 
+def calibration_bins(
+    df: DataFrame,
+    score_col: str = "quality_prob",
+    label_col: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram data: scores in [0,1] bucketed into
+    ``n_bins`` equal-width bins (score 1.0 clamps into the top bin),
+    with exact counts and the mean score per bin (order-free decimal
+    sum).  A calibrated classifier has pos_rate ≈ mean_score per bin.
+    One groupBy; NULL rows excluded.
+
+    Columns: bin, n, n_pos, mean_score, pos_rate.
+    """
+    from .similarity import MEAN_SCALE
+
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("bigint")
+    b = F.least(
+        F.floor(s * n_bins).cast("int"), F.lit(int(n_bins) - 1)
+    )
+    return (
+        df.filter(s.isNotNull() & y.isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(y).alias("n_pos"),
+            (
+                F.sum(
+                    F.expr(
+                        f"CAST(CAST(`{score_col}` AS DOUBLE) * {MEAN_SCALE}D"
+                        " AS DECIMAL(38,0))"
+                    )
+                ).cast("double")
+                / (F.count(F.lit(1)) * F.lit(float(MEAN_SCALE)))
+            ).alias("mean_score"),
+            (F.sum(y).cast("double") / F.count(F.lit(1))).alias("pos_rate"),
+        )
+    )
+
+
+def threshold_for_keep_rate(
+    df: DataFrame,
+    keep_rate: float,
+    score_col: str = "quality_prob",
+    n_buckets: int = 64,
+) -> tuple[float, int]:
+    """The exact filter calibration a curation run needs: the LARGEST
+    threshold t (a distinct score) such that 'keep rows with score >= t'
+    keeps at least ``ceil(keep_rate * n)`` rows.  Returns (t, kept).
+
+    Built on the same two-level cumulative counts as roc_auc — exact
+    and deterministic, no approx-quantile in the answer.  ``keep_rate``
+    of 1.0 returns the minimum score (everything kept).
+    """
+    import math
+
+    if not (0.0 < keep_rate <= 1.0):
+        raise ValueError("keep_rate must be in (0, 1]")
+    # label is irrelevant here; reuse the machinery with a constant
+    cum = _cumulative_score_counts(
+        df.withColumn("__one", F.lit(1)), score_col, "__one", n_buckets
+    )
+    tot = cum.agg(F.sum("c").alias("n")).collect()[0]
+    n = int(tot["n"] or 0)
+    if n == 0:
+        raise ValueError("no non-null scores")
+    target = math.ceil(keep_rate * n)
+    row = (
+        cum.filter(F.lit(n) - F.col("c_lt") >= target)
+        .agg(F.max("s").alias("t"))
+        .collect()[0]
+    )
+    t = float(row["t"])
+    kept = (
+        cum.filter(F.col("s") >= t)
+        .agg(F.sum("c").alias("k"))
+        .collect()[0]["k"]
+    )
+    return t, int(kept)
+
+
 def confusion_at_threshold(
     df: DataFrame,
     threshold: float,

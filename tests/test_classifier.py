@@ -105,6 +105,33 @@ def test_constant_feature_does_not_crash(spark):
     assert all(math.isfinite(x) for x in m["weights"] + [m["bias"]])
 
 
+def test_streaming_scoring_bit_matches_batch(spark, tmp_path):
+    # scoring is a stateless literal expression, so the drained stream
+    # must BIT-match batch on the same rows — across micro-batches too.
+    from kafka_avro_order_processing_spark.streaming.classifier import (
+        streaming_score_logistic,
+    )
+
+    rows = _toy(seed=21, n=150)
+    df = spark.createDataFrame(
+        [(i, r[0], r[1], y) for i, (r, y) in enumerate(rows)],
+        "i int, f0 double, f1 double, label int",
+    )
+    model = fit_logistic(df, ["f0", "f1"], n_rounds=15)
+    want = sorted(tuple(r) for r in score_logistic(df, model).collect())
+    d = str(tmp_path / "feats")
+    df.repartition(4).write.parquet(d)  # several files -> several epochs
+    stream = (
+        spark.readStream.schema("i int, f0 double, f1 double, label int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    got = sorted(
+        tuple(r) for r in streaming_score_logistic(stream, model).collect()
+    )
+    assert got == want
+
+
 def test_quality_filter_journey_on_documents(spark):
     # the fastText-filter shape end-to-end: "good" = real documents,
     # "bad" = the same docs with shuffled words; features are the

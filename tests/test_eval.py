@@ -161,6 +161,61 @@ def test_perfect_and_random_separation(spark):
     assert ks_statistic(constant, "score", "label") == 0.0
 
 
+def test_calibration_bins_match_python(spark):
+    rnd = random.Random(13)
+    rows = [
+        (min(max(rnd.random(), 0.0), 1.0), rnd.randint(0, 1))
+        for _ in range(500)
+    ] + [(0.0, 0), (1.0, 1)]  # boundary scores
+    from kafka_avro_order_processing_spark.operators.eval import (
+        calibration_bins,
+    )
+
+    df = spark.createDataFrame(rows, "score double, label int")
+    got = {
+        r["bin"]: r
+        for r in calibration_bins(df, "score", "label", n_bins=10).collect()
+    }
+    import collections
+
+    want_n = collections.Counter()
+    want_p = collections.Counter()
+    want_s = collections.defaultdict(float)
+    for s, y in rows:
+        b = min(int(s * 10), 9)
+        want_n[b] += 1
+        want_p[b] += y
+        want_s[b] += s
+    for b in want_n:
+        r = got[b]
+        assert r["n"] == want_n[b]
+        assert r["n_pos"] == want_p[b]
+        assert abs(r["mean_score"] - want_s[b] / want_n[b]) < 1e-9
+        assert abs(r["pos_rate"] - want_p[b] / want_n[b]) < 1e-15
+    assert set(got) == set(want_n)
+
+
+def test_threshold_for_keep_rate_exact(spark):
+    from kafka_avro_order_processing_spark.operators.eval import (
+        threshold_for_keep_rate,
+    )
+
+    rnd = random.Random(29)
+    vals = [round(rnd.random() * 20) / 20 for _ in range(400)]  # ties
+    df = spark.createDataFrame([(v,) for v in vals], "score double")
+    for rate in (0.1, 0.25, 0.5, 0.9, 1.0):
+        t, kept = threshold_for_keep_rate(df, rate, "score")
+        target = math.ceil(rate * len(vals))
+        assert kept == sum(1 for v in vals if v >= t)
+        assert kept >= target
+        # t is the LARGEST distinct score keeping >= target rows
+        above = sorted({v for v in vals if v > t})
+        if above:
+            assert sum(1 for v in vals if v >= above[0]) < target
+    with pytest.raises(ValueError):
+        threshold_for_keep_rate(df, 0.0, "score")
+
+
 def test_classifier_journey_auc(spark):
     # trained classifier scored on held-out rows must clear AUC 0.9 on
     # the separable toy -- the metric and the model agree end to end.
