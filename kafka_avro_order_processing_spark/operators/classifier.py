@@ -66,15 +66,24 @@ def fit_logistic(
         float(stats[f"s{i}"]) if stats[f"s{i}"] else 1.0
         for i in range(len(feats))
     ]
-    z = df.select(
-        F.col(label_col).cast("double").alias("y"),
-        *[
-            ((F.col(c).cast("double") - F.lit(means[i])) / F.lit(stds[i])).alias(
-                f"x{i}"
-            )
-            for i, c in enumerate(feature_cols)
-        ],
-    ).localCheckpoint(eager=True)
+    # Spread the standardized frame over the cluster before the GD
+    # rounds: every round scans it, and inheriting a narrow input
+    # layout (e.g. a 3-file read) would serialize all n_rounds passes.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    z = (
+        df.select(
+            F.col(label_col).cast("double").alias("y"),
+            *[
+                (
+                    (F.col(c).cast("double") - F.lit(means[i]))
+                    / F.lit(stds[i])
+                ).alias(f"x{i}")
+                for i, c in enumerate(feature_cols)
+            ],
+        )
+        .repartition(par)
+        .localCheckpoint(eager=True)
+    )
 
     k = len(feature_cols)
     w = [0.0] * k

@@ -161,6 +161,28 @@ def test_perfect_and_random_separation(spark):
     assert ks_statistic(constant, "score", "label") == 0.0
 
 
+def test_roc_plan_has_no_single_partition_stage(spark):
+    # the whole point of the two-level prefix sum: the exact global
+    # ranks must never plan a single-partition ORDER BY window or any
+    # Python. (The scalar .agg() in roc_auc is partial+final — this
+    # pins the row-producing roc_points plan.)
+    import contextlib
+    import io
+
+    df = spark.range(10000).select(
+        (F.col("id") % 97 / 97.0).alias("score"),
+        (F.col("id") % 2).alias("label"),
+    )
+    pts = roc_points(df, "score", "label")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pts.explain("formatted")
+    plan = buf.getvalue()
+    assert "SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" in plan  # the within-bucket prefix window is there
+
+
 def test_calibration_bins_match_python(spark):
     rnd = random.Random(13)
     rows = [
