@@ -45,28 +45,39 @@ def _cumulative_score_counts(
     score_col: str,
     label_col: str,
     n_buckets: int = 64,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Per distinct score: its count ``c``, positive count ``p``, and
-    EXACT counts strictly below it (``c_lt``, ``p_lt``) over the whole
-    frame.  Rows with a NULL score or label are excluded.
+    """Per distinct score (within each group, if ``group_cols``): its
+    count ``c``, positive count ``p``, and EXACT counts strictly below
+    it in the same group (``c_lt``, ``p_lt``).  Rows with a NULL score
+    or label are excluded.
 
     The engine of every metric here.  One groupBy shuffle + one
-    bucket-local window; driver traffic is O(n_buckets).
+    bucket-local window; driver traffic is O(groups × n_buckets) offset
+    rows — the bounded-collect contract assumes group cardinality is
+    segment-like (languages, sources), not key-like.  Bucket edges are
+    GLOBAL approximate quantiles either way: they only balance work,
+    the counts never depend on where they fall (ties can't split — the
+    bucket is a pure function of the score value).
     """
+    group_cols = list(group_cols or [])
+    gsel = [F.col(c) for c in group_cols]
+    cond = F.col("s").isNotNull() & F.col("y").isNotNull()
+    for c in group_cols:
+        # NULL groups are excluded like NULL scores (the offsets join
+        # is null-unsafe; a NULL segment is a data bug upstream).
+        cond = cond & F.col(c).isNotNull()
     base = df.select(
+        *gsel,
         F.col(score_col).cast("double").alias("s"),
         F.col(label_col).cast("bigint").alias("y"),
-    ).filter(F.col("s").isNotNull() & F.col("y").isNotNull())
+    ).filter(cond)
 
-    g = base.groupBy("s").agg(
+    g = base.groupBy(*group_cols, "s").agg(
         F.count(F.lit(1)).alias("c"),
         F.sum("y").alias("p"),
     )
 
-    # Balance-only probe: edges are interior approximate quantiles of
-    # the score.  Correctness never depends on them (ties can't split —
-    # assignment is by value), so approx error / edge duplication only
-    # skews bucket sizes.
     n_buckets = max(1, int(n_buckets))
     if n_buckets > 1:
         probs = [i / n_buckets for i in range(1, n_buckets)]
@@ -86,28 +97,47 @@ def _cumulative_score_counts(
         ).otherwise(0)
     g = g.withColumn("bk", bucket)
 
-    totals = g.groupBy("bk").agg(
-        F.sum("c").alias("tc"), F.sum("p").alias("tp")
-    ).collect()
-    off_c, off_p, rows = {}, {}, sorted(totals, key=lambda r: r["bk"])
-    run_c = run_p = 0
+    totals = (
+        g.groupBy(*group_cols, "bk")
+        .agg(F.sum("c").alias("tc"), F.sum("p").alias("tp"))
+        .collect()
+    )
+    # Prefix-sum per group over ascending bucket id.
+    rows = sorted(
+        totals, key=lambda r: (tuple(r[c] for c in group_cols), r["bk"])
+    )
+    off_rows, run = [], {}
     for r in rows:
-        off_c[r["bk"]] = run_c
-        off_p[r["bk"]] = run_p
-        run_c += r["tc"]
-        run_p += r["tp"]
+        key = tuple(r[c] for c in group_cols)
+        rc, rp = run.get(key, (0, 0))
+        off_rows.append(tuple(r[c] for c in group_cols) + (r["bk"], rc, rp))
+        run[key] = (rc + r["tc"], rp + r["tp"])
     spark = df.sparkSession
-    offsets = spark.createDataFrame(
-        [(bk, off_c[bk], off_p[bk]) for bk in off_c],
-        "bk int, off_c bigint, off_p bigint",
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
     )
 
+    gfields = [g.schema[c] for c in group_cols]
+    off_schema = StructType(
+        list(gfields)
+        + [
+            StructField("bk", IntegerType(), False),
+            StructField("off_c", LongType(), False),
+            StructField("off_p", LongType(), False),
+        ]
+    )
+    offsets = spark.createDataFrame(off_rows, off_schema)
+
     w = (
-        Window.partitionBy("bk")
+        Window.partitionBy(*group_cols, "bk")
         .orderBy("s")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     within = g.select(
+        *group_cols,
         "bk",
         "s",
         "c",
@@ -115,7 +145,9 @@ def _cumulative_score_counts(
         F.coalesce(F.sum("c").over(w), F.lit(0)).alias("w_c"),
         F.coalesce(F.sum("p").over(w), F.lit(0)).alias("w_p"),
     )
-    return within.join(F.broadcast(offsets), "bk").select(
+    join_keys = group_cols + ["bk"]
+    return within.join(F.broadcast(offsets), join_keys).select(
+        *group_cols,
         "s",
         "c",
         "p",
@@ -149,6 +181,53 @@ def roc_auc(
     if n1 == 0 or n0 == 0:
         raise ValueError("roc_auc needs both classes present")
     return float(int(agg["r2_sum"]) - n1 * (n1 + 1)) / float(2 * n1 * n0)
+
+
+def grouped_roc_auc(
+    df: DataFrame,
+    group_col: str,
+    score_col: str = "quality_prob",
+    label_col: str = "label",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Exact tie-corrected ROC-AUC per segment (language, source,
+    domain) in ONE distributed plan — the per-group twin of
+    :func:`roc_auc`, bit-identical to calling it per group
+    (suite-pinned).  Ranks are computed within each group by the same
+    two-level prefix sum; single-class groups report NULL auc instead
+    of raising (a monitoring sweep must not die on a degenerate
+    segment).  Driver traffic: O(groups × n_buckets) offset rows.
+
+    Columns: <group_col>, n, n_pos, n_neg, auc.  Exactness envelope:
+    group sizes up to ~9·10⁷ keep 2n² below 2^53 for the final
+    decimal→double division operands.
+    """
+    cum = _cumulative_score_counts(
+        df, score_col, label_col, n_buckets, group_cols=[group_col]
+    )
+    agg = cum.groupBy(group_col).agg(
+        F.sum(
+            F.col("p").cast("decimal(38,0)")
+            * (2 * F.col("c_lt") + F.col("c") + 1).cast("decimal(38,0)")
+        ).alias("r2_sum"),
+        F.sum("c").alias("n"),
+        F.sum("p").alias("n1"),
+    )
+    n1 = F.col("n1")
+    n0 = F.col("n") - n1
+    num = F.col("r2_sum") - (
+        n1.cast("decimal(38,0)") * (n1 + 1).cast("decimal(38,0)")
+    )
+    return agg.select(
+        group_col,
+        F.col("n"),
+        n1.alias("n_pos"),
+        n0.alias("n_neg"),
+        F.when(
+            (n1 > 0) & (n0 > 0),
+            num.cast("double") / (2 * n1 * n0).cast("double"),
+        ).alias("auc"),
+    )
 
 
 def roc_points(

@@ -183,6 +183,46 @@ def test_roc_plan_has_no_single_partition_stage(spark):
     assert "Window" in plan  # the within-bucket prefix window is there
 
 
+def test_grouped_auc_bit_matches_per_group_roc_auc(spark):
+    from kafka_avro_order_processing_spark.operators.eval import (
+        grouped_roc_auc,
+    )
+
+    rnd = random.Random(37)
+    rows = []
+    for g in ("en", "de", "fr"):
+        sep = {"en": 1.2, "de": 0.4, "fr": 0.0}[g]
+        for _ in range(120):
+            y = rnd.randint(0, 1)
+            s = round(rnd.gauss(sep if y else 0.0, 1.0) * 4) / 4  # ties
+            rows.append((g, s, y))
+    rows.append(("single", 0.7, 1))  # one-class group
+    rows.append((None, 0.5, 1))      # NULL group: excluded
+    df = spark.createDataFrame(rows, "lang string, score double, label int")
+    got = {
+        r["lang"]: r
+        for r in grouped_roc_auc(df, "lang", "score", "label").collect()
+    }
+    assert set(got) == {"en", "de", "fr", "single"}
+    for g in ("en", "de", "fr"):
+        want = roc_auc(
+            df.filter(F.col("lang") == g), "score", "label"
+        )
+        assert got[g]["auc"] == want  # bit-equal, not approx
+        assert got[g]["n"] == 120
+        assert got[g]["n_pos"] + got[g]["n_neg"] == 120
+    assert got["single"]["auc"] is None
+    assert got["en"]["auc"] > got["de"]["auc"] > 0.4
+    # invariance under partitioning and bucket count, like roc_auc
+    again = {
+        r["lang"]: r["auc"]
+        for r in grouped_roc_auc(
+            df.repartition(9), "lang", "score", "label", n_buckets=5
+        ).collect()
+    }
+    assert {k: v["auc"] for k, v in got.items()} == again
+
+
 def test_calibration_bins_match_python(spark):
     rnd = random.Random(13)
     rows = [
