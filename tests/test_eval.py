@@ -183,6 +183,42 @@ def test_roc_plan_has_no_single_partition_stage(spark):
     assert "Window" in plan  # the within-bucket prefix window is there
 
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_score = st.one_of(
+    st.sampled_from([0.0, -0.0, 1.0, -1.0, 1e300, -1e300, 1e-300, 0.5]),
+    st.floats(
+        min_value=-100, max_value=100, allow_nan=False, allow_infinity=False
+    ),
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(_score, st.integers(min_value=0, max_value=1)),
+        min_size=2,
+        max_size=40,
+    ).filter(
+        lambda rs: any(y for _, y in rs) and any(1 - y for _, y in rs)
+    ),
+    n_buckets=st.sampled_from([1, 3, 64]),
+)
+def test_auc_fuzz_vs_pair_definition(spark, rows, n_buckets):
+    # arbitrary tie patterns, ±0.0, extreme magnitudes, any bucket
+    # count: the rank machinery must equal the O(n²) definition.
+    # (NaN scores are out of contract — exclude-like-NULL behavior is
+    # not defined for them.)
+    df = spark.createDataFrame(rows, "score double, label int")
+    got = roc_auc(df, "score", "label", n_buckets=n_buckets)
+    assert abs(got - _pairs_auc(rows)) < 1e-12
+
+
 def test_grouped_auc_bit_matches_per_group_roc_auc(spark):
     from kafka_avro_order_processing_spark.operators.eval import (
         grouped_roc_auc,
