@@ -314,6 +314,32 @@ def test_threshold_for_keep_rate_exact(spark):
         threshold_for_keep_rate(df, 0.0, "score")
 
 
+def test_streaming_confusion_bit_matches_batch(spark, tmp_path):
+    from kafka_avro_order_processing_spark.streaming.eval import (
+        streaming_confusion,
+    )
+
+    rows = _toy(seed=43, n=200, quant=4) + [(None, 1), (0.3, None)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    want = confusion_at_threshold(df, 0.25, "score", "label")
+    d = str(tmp_path / "scores")
+    df.repartition(5).write.parquet(d)  # several files -> several epochs
+    stream = (
+        spark.readStream.schema("score double, label int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    got = streaming_confusion(stream, 0.25, "score", "label").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (
+        want["tp"],
+        want["fp"],
+        want["fn"],
+        want["tn"],
+    )
+
+
 def test_classifier_journey_auc(spark):
     # trained classifier scored on held-out rows must clear AUC 0.9 on
     # the separable toy -- the metric and the model agree end to end.
