@@ -183,6 +183,48 @@ def roc_auc(
     return float(int(agg["r2_sum"]) - n1 * (n1 + 1)) / float(2 * n1 * n0)
 
 
+def pr_auc(
+    df: DataFrame,
+    score_col: str = "quality_prob",
+    label_col: str = "label",
+    n_buckets: int = 64,
+) -> float:
+    """Average precision — the step-interpolated area under the exact
+    precision-recall curve: AP = Σ_t (R_t − R_{t−1}) · P_t over distinct
+    thresholds descending (the standard AP definition; ties handled by
+    the group counts, no trapezoid optimism).
+
+    Falls straight out of the cumulative-count frame row-locally:
+    at threshold s, ΔR = p(s)/n1 and P = (n1 − p_lt)/(n − c_lt), so
+    AP = Σ_s p(s)·tp(s)/(n − c_lt) / n1 — ONE aggregation, no ordered
+    traversal.  Each term's double is deterministic; the sum
+    accumulates through the 2^52-scaled decimal idiom so the result is
+    bit-identical under any partitioning.  Raises ValueError when
+    either class is empty.
+    """
+    from .similarity import MEAN_SCALE
+
+    cum = _cumulative_score_counts(df, score_col, label_col, n_buckets)
+    tot = cum.agg(
+        F.sum("c").alias("n"), F.sum("p").alias("n1")
+    ).collect()[0]
+    n = int(tot["n"] or 0)
+    n1 = int(tot["n1"] or 0)
+    if n1 == 0 or n1 == n:
+        raise ValueError("pr_auc needs both classes present")
+    term = (
+        F.col("p").cast("double")
+        * (F.lit(n1) - F.col("p_lt")).cast("double")
+        / (F.lit(n) - F.col("c_lt")).cast("double")
+    )
+    row = cum.agg(
+        F.sum(
+            (term * F.lit(float(MEAN_SCALE))).cast("decimal(38,0)")
+        ).alias("ap_scaled")
+    ).collect()[0]
+    return float(int(row["ap_scaled"])) / float(MEAN_SCALE) / n1
+
+
 def grouped_roc_auc(
     df: DataFrame,
     group_col: str,

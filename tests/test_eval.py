@@ -183,6 +183,45 @@ def test_roc_plan_has_no_single_partition_stage(spark):
     assert "Window" in plan  # the within-bucket prefix window is there
 
 
+def _py_ap(rows):
+    """Step AP over distinct thresholds descending (ties grouped)."""
+    n1 = sum(y for _, y in rows)
+    ap = 0.0
+    tp = fp = 0
+    for t in sorted({s for s, _ in rows}, reverse=True):
+        p_here = sum(1 for s, y in rows if s == t and y == 1)
+        c_here = sum(1 for s, _ in rows if s == t)
+        tp += p_here
+        fp += c_here - p_here
+        ap += (p_here / n1) * (tp / (tp + fp))
+    return ap
+
+
+@pytest.mark.parametrize("quant", [None, 4])
+def test_pr_auc_matches_python_step_definition(spark, quant):
+    from kafka_avro_order_processing_spark.operators.eval import pr_auc
+
+    rows = _toy(seed=47, n=300, quant=quant)
+    df = spark.createDataFrame(rows, "score double, label int")
+    got = pr_auc(df, "score", "label")
+    assert abs(got - _py_ap(rows)) < 1e-9  # 2^-52-scaled decimal sum
+    # partitioning/bucketing invariance is BIT-exact
+    assert got == pr_auc(df.repartition(11), "score", "label")
+    assert got == pr_auc(df, "score", "label", n_buckets=3)
+    # perfect ranking -> AP 1.0
+    perfect = spark.createDataFrame(
+        [(float(i), 1 if i >= 30 else 0) for i in range(60)],
+        "score double, label int",
+    )
+    assert pr_auc(perfect, "score", "label") == 1.0
+    with pytest.raises(ValueError):
+        pr_auc(
+            spark.createDataFrame([(0.1, 1)], "score double, label int"),
+            "score",
+            "label",
+        )
+
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
