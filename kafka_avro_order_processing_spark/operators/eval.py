@@ -325,6 +325,72 @@ def ks_statistic(
     return float(row["ks"] or 0.0)
 
 
+def rank_correlation(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    n_buckets: int = 64,
+) -> float:
+    """Exact tie-corrected Spearman rank correlation between two score
+    columns — the 'do these two quality signals agree?' check when
+    comparing filters (LM score vs classifier vs compressibility).
+
+    Both columns get exact global doubled average ranks from the same
+    two-level prefix sum as roc_auc (doubling keeps tie-averaged ranks
+    integer); Pearson on those ranks is assembled from DECIMAL(38,0)
+    integer moments — exact, so the result is bit-identical under any
+    partitioning.  Rows with a NULL in either column are excluded
+    (pairwise-complete).  sqrt is IEEE-correctly-rounded, so the one
+    float step is reproducible.  Raises ValueError when either column
+    is constant (undefined correlation).  Envelope: moment sums reach
+    4n³ — exact to n ≈ 10¹¹ rows in DECIMAL(38,0).
+    """
+    base = (
+        df.select(
+            F.col(col_a).cast("double").alias("a"),
+            F.col(col_b).cast("double").alias("b"),
+        )
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .withColumn("__one", F.lit(1))
+        .localCheckpoint(eager=True)
+    )
+
+    def ranks(col: str) -> DataFrame:
+        cum = _cumulative_score_counts(base, col, "__one", n_buckets)
+        return cum.select(
+            F.col("s").alias(col),
+            (2 * F.col("c_lt") + F.col("c") + 1).alias(f"r_{col}"),
+        )
+
+    joined = base.join(ranks("a"), "a").join(ranks("b"), "b")
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    ra, rb = F.col("r_a"), F.col("r_b")
+    m = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d(ra)).alias("sa"),
+        F.sum(d(rb)).alias("sb"),
+        F.sum(d(ra) * d(rb)).alias("sab"),
+        F.sum(d(ra) * d(ra)).alias("saa"),
+        F.sum(d(rb) * d(rb)).alias("sbb"),
+    ).collect()[0]
+    n = int(m["n"] or 0)
+    if n < 2:
+        raise ValueError("rank_correlation needs >= 2 complete rows")
+    sa, sb = int(m["sa"]), int(m["sb"])
+    num = n * int(m["sab"]) - sa * sb
+    va = n * int(m["saa"]) - sa * sa
+    vb = n * int(m["sbb"]) - sb * sb
+    if va == 0 or vb == 0:
+        raise ValueError("rank_correlation undefined for a constant column")
+    # Perfect monotone agreement is an INTEGER identity (Cauchy-Schwarz
+    # equality): report exactly ±1.0 instead of a sqrt-rounded 0.99…9.
+    if num * num == va * vb:
+        return 1.0 if num > 0 else -1.0
+    import math
+
+    return num / math.sqrt(va * vb)
+
+
 def calibration_bins(
     df: DataFrame,
     score_col: str = "quality_prob",

@@ -183,6 +183,71 @@ def test_roc_plan_has_no_single_partition_stage(spark):
     assert "Window" in plan  # the within-bucket prefix window is there
 
 
+def _py_spearman(pairs):
+    """Tie-corrected Spearman: Pearson on average ranks."""
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and vals[order[j + 1]] == vals[order[i]]:
+                j += 1
+            r = (i + j) / 2 + 1
+            for k in range(i, j + 1):
+                ranks[order[k]] = r
+            i = j + 1
+        return ranks
+
+    ra = avg_ranks([a for a, _ in pairs])
+    rb = avg_ranks([b for _, b in pairs])
+    n = len(pairs)
+    ma, mb = sum(ra) / n, sum(rb) / n
+    num = sum((x - ma) * (y - mb) for x, y in zip(ra, rb))
+    va = sum((x - ma) ** 2 for x in ra)
+    vb = sum((y - mb) ** 2 for y in rb)
+    return num / math.sqrt(va * vb)
+
+
+def test_rank_correlation_matches_python(spark):
+    from kafka_avro_order_processing_spark.operators.eval import (
+        rank_correlation,
+    )
+
+    rnd = random.Random(53)
+    pairs = []
+    for _ in range(250):
+        a = round(rnd.gauss(0, 1) * 3) / 3  # ties in both columns
+        b = round((a + rnd.gauss(0, 0.8)) * 3) / 3
+        pairs.append((a, b))
+    df = spark.createDataFrame(pairs, "a double, b double")
+    got = rank_correlation(df, "a", "b")
+    assert abs(got - _py_spearman(pairs)) < 1e-12
+    assert 0.3 < got < 0.95  # correlated but noisy, by construction
+    # bit-exact invariance
+    assert got == rank_correlation(df.repartition(13), "a", "b")
+    assert got == rank_correlation(df, "a", "b", n_buckets=3)
+    # perfect monotone (nonlinear) relation -> exactly 1.0
+    mono = spark.createDataFrame(
+        [(float(i), float(i * i)) for i in range(50)], "a double, b double"
+    )
+    assert rank_correlation(mono, "a", "b") == 1.0
+    # nulls excluded pairwise
+    noisy = df.unionByName(
+        spark.createDataFrame(
+            [(None, 1.0), (1.0, None)], "a double, b double"
+        )
+    )
+    assert rank_correlation(noisy, "a", "b") == got
+    with pytest.raises(ValueError):
+        rank_correlation(
+            spark.createDataFrame([(1.0, 2.0)] * 5, "a double, b double"),
+            "a",
+            "b",
+        )
+
+
 def _py_ap(rows):
     """Step AP over distinct thresholds descending (ties grouped)."""
     n1 = sum(y for _, y in rows)
