@@ -276,3 +276,53 @@ def _edges_bucket(column: str, edges: list[float]) -> F.Column:
         f"size(filter(array({arr}), e -> e <= cast({column} as double)))"
     ).cast("long")
     return F.when(x.isNull(), F.lit(-1)).otherwise(b)
+
+
+def ks_2sample(
+    ref: DataFrame,
+    cur: DataFrame,
+    column: str,
+    n_buckets: int = 64,
+) -> float:
+    """EXACT two-sample Kolmogorov-Smirnov statistic between the
+    reference and current distributions of a numeric column — the
+    unbinned complement to the PSI family: D = max |F_ref(x) − F_cur(x)|
+    over every distinct value, no bins to hide a shift in.
+
+    Runs on the same two-level prefix-sum engine as the eval metrics
+    (``operators/eval._cumulative_score_counts``): the union of both
+    sides, tagged 0/1, collapses to distinct values with per-side
+    cumulative counts — one groupBy + one bucket-local window, no
+    single-partition ORDER BY.  Each |ΔCDF| is one deterministic double
+    per distinct value and max is order-free, so the result is
+    bit-identical under any partitioning.  NULL rows are excluded on
+    both sides.  Raises ValueError if either side is empty.
+    """
+    from .eval import _cumulative_score_counts
+
+    tagged = ref.select(
+        F.col(column).cast("double").alias("v"), F.lit(0).alias("side")
+    ).unionByName(
+        cur.select(
+            F.col(column).cast("double").alias("v"), F.lit(1).alias("side")
+        )
+    )
+    cum = _cumulative_score_counts(tagged, "v", "side", n_buckets)
+    tot = cum.agg(
+        F.sum("c").alias("n"), F.sum("p").alias("n_cur")
+    ).collect()[0]
+    n_cur = int(tot["n_cur"] or 0)
+    n_ref = int(tot["n"] or 0) - n_cur
+    if n_ref == 0 or n_cur == 0:
+        raise ValueError("ks_2sample needs non-empty ref and cur")
+    # CDF at v (inclusive): ref side uses (c_lt - p_lt) + (c - p).
+    cdf_ref = (
+        (F.col("c_lt") - F.col("p_lt") + F.col("c") - F.col("p"))
+        .cast("double")
+        / F.lit(float(n_ref))
+    )
+    cdf_cur = (F.col("p_lt") + F.col("p")).cast("double") / F.lit(
+        float(n_cur)
+    )
+    row = cum.agg(F.max(F.abs(cdf_ref - cdf_cur)).alias("d")).collect()[0]
+    return float(row["d"])

@@ -307,3 +307,46 @@ def test_quantile_drift_constant_reference_collapses_bins(spark):
     )
 
     assert psi(nd(ref, cur, "x")) > 0.1
+
+
+def test_ks_2sample_matches_python_exact(spark):
+    import random
+
+    from kafka_avro_order_processing_spark.operators.drift import ks_2sample
+
+    rnd = random.Random(61)
+    a = [round(rnd.gauss(0, 1) * 4) / 4 for _ in range(300)]   # ties
+    b = [round(rnd.gauss(0.4, 1.2) * 4) / 4 for _ in range(200)]
+    ref = spark.createDataFrame([(v,) for v in a], "x double")
+    cur = spark.createDataFrame([(v,) for v in b], "x double")
+
+    def py_ks(xs, ys):
+        vals = sorted(set(xs) | set(ys))
+        return max(
+            abs(
+                sum(1 for x in xs if x <= v) / len(xs)
+                - sum(1 for y in ys if y <= v) / len(ys)
+            )
+            for v in vals
+        )
+
+    got = ks_2sample(ref, cur, "x")
+    assert abs(got - py_ks(a, b)) < 1e-15
+    # bit-exact under partitioning and bucket count
+    assert got == ks_2sample(ref.repartition(7), cur, "x", n_buckets=3)
+    # identical samples -> exactly 0; disjoint ranges -> exactly 1
+    assert ks_2sample(ref, ref, "x") == 0.0
+    lo = spark.createDataFrame([(float(i),) for i in range(50)], "x double")
+    hi = spark.createDataFrame(
+        [(float(i + 1000),) for i in range(50)], "x double"
+    )
+    assert ks_2sample(lo, hi, "x") == 1.0
+    # NULLs excluded
+    noisy = cur.unionByName(
+        spark.createDataFrame([(None,)], "x double")
+    )
+    assert ks_2sample(ref, noisy, "x") == got
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ks_2sample(ref, spark.createDataFrame([], "x double"), "x")
