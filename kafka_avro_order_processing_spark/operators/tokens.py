@@ -176,3 +176,51 @@ def pack_token_sequences(
         F.size("token_ids").cast("int").alias("n_tokens"),
         "doc_spans",
     )
+
+
+def oov_stats(
+    encoded: DataFrame,
+    id_col: str = "doc_id",
+    ids_col: str = "ids",
+    missing_id: int = -1,
+) -> tuple[DataFrame, dict]:
+    """Tokenizer-coverage QA over :func:`encode_ids` output: per-doc
+    OOV counts/rate plus the corpus totals — the check a vocab shipped
+    to production needs against NEW text (a rate creeping up means the
+    corpus drifted away from the tokenizer's training set).
+
+    Returns (per_doc, totals): per_doc adds ``n_oov``/``oov_rate`` to
+    (id_col, n_tokens); totals is {'n_docs', 'n_tokens', 'n_oov',
+    'oov_rate', 'n_docs_with_oov'} from exact integer sums.  Map-side
+    array fold + one aggregation — no explode, no shuffle beyond the
+    final partial+final agg.
+    """
+    n_oov = F.expr(
+        f"size(filter({ids_col}, t -> t = {int(missing_id)}))"
+    ).cast("long")
+    per_doc = encoded.select(
+        F.col(id_col),
+        F.size(ids_col).cast("long").alias("n_tokens"),
+        n_oov.alias("n_oov"),
+    ).withColumn(
+        "oov_rate",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"),
+        ),
+    )
+    row = per_doc.agg(
+        F.count(F.lit(1)).alias("d"),
+        F.sum("n_tokens").alias("t"),
+        F.sum("n_oov").alias("o"),
+        F.sum((F.col("n_oov") > 0).cast("bigint")).alias("dw"),
+    ).collect()[0]
+    t, o = int(row["t"] or 0), int(row["o"] or 0)
+    totals = {
+        "n_docs": int(row["d"]),
+        "n_tokens": t,
+        "n_oov": o,
+        "oov_rate": (o / t) if t else None,
+        "n_docs_with_oov": int(row["dw"] or 0),
+    }
+    return per_doc, totals

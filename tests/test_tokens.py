@@ -158,3 +158,37 @@ def test_bpe_to_sequences_end_to_end(spark):
     # every full sequence is exactly seq_len; short ones are shard tails
     lens = [r["n_tokens"] for r in seqs.collect()]
     assert sum(1 for x in lens if x < 64) <= 4  # <= one tail per shard
+
+
+def test_oov_stats_exact(spark):
+    from kafka_avro_order_processing_spark.operators.tokens import (
+        encode_ids,
+        oov_stats,
+    )
+
+    vocab = spark.createDataFrame(
+        [("a", 0), ("b", 1), ("c", 2)], "token string, token_id int"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, ["a", "b", "zz", "c"]),   # 1 OOV of 4
+            (2, ["a", "a"]),              # clean
+            (3, ["q", "r", "s"]),         # all OOV
+            (4, []),                      # empty doc -> NULL rate
+        ],
+        "doc_id int, tokens array<string>",
+    )
+    enc = encode_ids(docs, vocab)
+    per_doc, totals = oov_stats(enc)
+    got = {r["doc_id"]: r for r in per_doc.collect()}
+    assert (got[1]["n_oov"], got[1]["n_tokens"]) == (1, 4)
+    assert abs(got[1]["oov_rate"] - 0.25) < 1e-15
+    assert got[2]["n_oov"] == 0 and got[3]["n_oov"] == 3
+    assert got[4]["n_tokens"] == 0 and got[4]["oov_rate"] is None
+    assert totals == {
+        "n_docs": 4,
+        "n_tokens": 9,
+        "n_oov": 4,
+        "oov_rate": 4 / 9,
+        "n_docs_with_oov": 2,
+    }
