@@ -44,28 +44,53 @@ def fit_logistic(
     label_col: str = "label",
     n_rounds: int = 50,
     lr: float = 0.5,
+    pos_weight: float = 1.0,
+    tol: float = 0.0,
 ) -> dict:
     """Fit w, b on standardized features.  Returns the model dict
-    {features, means, stds, weights, bias} that :func:`score_logistic`
-    consumes.  ``label_col`` must be 0/1.
+    {features, means, stds, weights, bias, rounds_run} that
+    :func:`score_logistic` consumes.  ``label_col`` must be 0/1.
 
     One aggregation per round; weights are bit-deterministic under
     any input partitioning (decimal gradient sums).  Degenerate
     (constant) features standardize with std 1 — their weight then
     stays at whatever the bias absorbs, instead of dividing by zero.
+
+    ``pos_weight`` multiplies the positive class's gradient (and loss)
+    contribution — the imbalanced-filter knob (rare good docs in a sea
+    of junk: upweight them instead of oversampling).  ``tol`` > 0
+    enables early stopping: the same per-round aggregation also
+    accumulates the weighted log-loss (decimal sum — deterministic, so
+    the stopping round is too), and the loop exits once the mean loss
+    improves by less than ``tol``.  Defaults keep the exact historical
+    behavior (every round runs, uniform weights).
     """
-    feats = [F.col(c).cast("double") for c in feature_cols]
-    stats = df.agg(
+    # Standardization moments through the SAME order-free decimal sums
+    # as the gradients: float avg/stddev are partition-order dependent
+    # in the last ulp, and 50+ GD rounds amplify that into visibly
+    # different weights (caught by the repartitioning test).  Envelope:
+    # |feature| below ~1e22 keeps x·2^52 inside DECIMAL(38,0); beyond
+    # that the sum nulls out and the fit fails loudly, not wrongly.
+    k = len(feature_cols)
+    proj = df.select(
+        *[F.col(c).cast("double").alias(f"v{i}") for i, c in enumerate(feature_cols)],
+        *[
+            (F.col(c).cast("double") * F.col(c).cast("double")).alias(f"q{i}")
+            for i, c in enumerate(feature_cols)
+        ],
+    )
+    stats = proj.agg(
         F.count(F.lit(1)).alias("n"),
-        *[F.avg(f).alias(f"m{i}") for i, f in enumerate(feats)],
-        *[F.stddev_pop(f).alias(f"s{i}") for i, f in enumerate(feats)],
+        *[_dec_sum(f"v{i}").alias(f"m{i}") for i in range(k)],
+        *[_dec_sum(f"q{i}").alias(f"s{i}") for i in range(k)],
     ).collect()[0]
     n = stats["n"]
-    means = [float(stats[f"m{i}"]) for i in range(len(feats))]
-    stds = [
-        float(stats[f"s{i}"]) if stats[f"s{i}"] else 1.0
-        for i in range(len(feats))
-    ]
+    means, stds = [], []
+    for i in range(k):
+        mean = float(stats[f"m{i}"]) / n
+        var = float(stats[f"s{i}"]) / n - mean * mean
+        means.append(mean)
+        stds.append(var**0.5 if var > 0 else 1.0)
     # Spread the standardized frame over the cluster before the GD
     # rounds: every round scans it, and inheriting a narrow input
     # layout (e.g. a 3-file read) would serialize all n_rounds passes.
@@ -85,32 +110,57 @@ def fit_logistic(
         .localCheckpoint(eager=True)
     )
 
-    k = len(feature_cols)
     w = [0.0] * k
     b = 0.0
+    # per-row gradient weight: pos_weight for y=1, 1 for y=0
+    rw = F.lit(1.0) + F.col("y") * F.lit(float(pos_weight) - 1.0)
+    prev_loss = None
+    rounds_run = 0
     for _ in range(n_rounds):
         dot = " + ".join(f"({w[i]!r}D * x{i})" for i in range(k)) or "0D"
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.expr(dot) + F.lit(b))))
-        prods = z.select(
-            (p - F.col("y")).alias("err"),
-            *[
-                ((p - F.col("y")) * F.col(f"x{i}")).alias(f"e{i}")
-                for i in range(k)
-            ],
-        )
-        g = prods.agg(
+        err = rw * (p - F.col("y"))
+        cols = [
+            err.alias("err"),
+            *[(err * F.col(f"x{i}")).alias(f"e{i}") for i in range(k)],
+        ]
+        aggs = [
             _dec_sum("err").alias("gb"),
             *[_dec_sum(f"e{i}").alias(f"g{i}") for i in range(k)],
-        ).collect()[0]
+        ]
+        if tol > 0.0:
+            # weighted log-loss from the SAME pass (clamped away from
+            # log(0); Spark-side ln is deterministic within the engine)
+            pc = F.greatest(
+                F.least(p, F.lit(1.0 - 1e-15)), F.lit(1e-15)
+            )
+            cols.append(
+                (
+                    -rw
+                    * (
+                        F.col("y") * F.log(pc)
+                        + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - pc)
+                    )
+                ).alias("ls")
+            )
+            aggs.append(_dec_sum("ls").alias("loss"))
+        g = z.select(*cols).agg(*aggs).collect()[0]
         b -= lr * float(g["gb"]) / n
         for i in range(k):
             w[i] -= lr * float(g[f"g{i}"]) / n
+        rounds_run += 1
+        if tol > 0.0:
+            loss = float(g["loss"]) / n
+            if prev_loss is not None and prev_loss - loss < tol:
+                break
+            prev_loss = loss
     return {
         "features": list(feature_cols),
         "means": means,
         "stds": stds,
         "weights": w,
         "bias": b,
+        "rounds_run": rounds_run,
     }
 
 

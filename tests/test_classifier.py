@@ -105,6 +105,66 @@ def test_constant_feature_does_not_crash(spark):
     assert all(math.isfinite(x) for x in m["weights"] + [m["bias"]])
 
 
+def test_pos_weight_matches_python_reference(spark):
+    rows = _toy(seed=57, n=150)
+    df = spark.createDataFrame(
+        [(r[0], r[1], y) for r, y in rows], "f0 double, f1 double, label int"
+    )
+    pw = 3.0
+    m = fit_logistic(df, ["f0", "f1"], n_rounds=20, pos_weight=pw)
+
+    # weighted python reference
+    k, n = 2, len(rows)
+    means = [sum(r[i] for r, _ in rows) / n for i in range(k)]
+    stds = []
+    for i in range(k):
+        v = sum((r[i] - means[i]) ** 2 for r, _ in rows) / n
+        stds.append(math.sqrt(v) if v > 0 else 1.0)
+    z = [([(r[i] - means[i]) / stds[i] for i in range(k)], y) for r, y in rows]
+    w, b = [0.0] * k, 0.0
+    for _ in range(20):
+        gb, gw = 0.0, [0.0] * k
+        for x, y in z:
+            p = 1.0 / (1.0 + math.exp(-(sum(w[i] * x[i] for i in range(k)) + b)))
+            e = (pw if y == 1 else 1.0) * (p - y)
+            gb += e
+            for i in range(k):
+                gw[i] += e * x[i]
+        b -= 0.5 * gb / n
+        for i in range(k):
+            w[i] -= 0.5 * gw[i] / n
+    for i in range(k):
+        assert abs(m["weights"][i] - w[i]) < 1e-6
+    assert abs(m["bias"] - b) < 1e-6
+    # upweighting positives raises predicted positive rates
+    m0 = fit_logistic(df, ["f0", "f1"], n_rounds=20)
+    s_pw = score_logistic(df, m).agg(F.avg("quality_prob")).collect()[0][0]
+    s_0 = score_logistic(df, m0).agg(F.avg("quality_prob")).collect()[0][0]
+    assert s_pw > s_0
+
+
+def test_early_stopping_is_deterministic(spark):
+    rows = _toy(seed=63, n=200)
+    df = spark.createDataFrame(
+        [(r[0], r[1], y) for r, y in rows], "f0 double, f1 double, label int"
+    )
+    m = fit_logistic(df, ["f0", "f1"], n_rounds=200, tol=1e-4)
+    assert m["rounds_run"] < 200  # converged early
+    # the stopping round and weights are partitioning-independent
+    m2 = fit_logistic(
+        df.repartition(9), ["f0", "f1"], n_rounds=200, tol=1e-4
+    )
+    assert m["rounds_run"] == m2["rounds_run"]
+    assert m["weights"] == m2["weights"] and m["bias"] == m2["bias"]
+    # the early-stopped model still separates
+    scored = score_logistic(df, m)
+    acc = scored.filter(
+        ((F.col("quality_prob") >= 0.5) & (F.col("label") == 1))
+        | ((F.col("quality_prob") < 0.5) & (F.col("label") == 0))
+    ).count() / len(rows)
+    assert acc >= 0.9
+
+
 def test_streaming_scoring_bit_matches_batch(spark, tmp_path):
     # scoring is a stateless literal expression, so the drained stream
     # must BIT-match batch on the same rows — across micro-batches too.
