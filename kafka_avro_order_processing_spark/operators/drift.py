@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .similarity import MEAN_SCALE as _EMB_SCALE
+
 PSI_EPSILON = 1e-6
 
 
@@ -326,3 +328,77 @@ def ks_2sample(
     )
     row = cum.agg(F.max(F.abs(cdf_ref - cdf_cur)).alias("d")).collect()[0]
     return float(row["d"])
+
+
+def embedding_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    vec_col: str = "embedding",
+) -> dict:
+    """Embedding-space drift: cosine distance between the EXACT mean
+    vectors of the reference and current corpora — did the centroid of
+    the embedding cloud move?  (The embedding analogue of numeric PSI:
+    a retrained encoder, a new content mix, or a corrupted pipeline all
+    shift the mean long before any single neighbor query notices.)
+
+    Per-dim means come from the kmeans idiom (2^52-scaled
+    DECIMAL(38,0) partial sums — exact for float32-derived doubles, so
+    the means are bit-identical under any partitioning); the final
+    cosine runs once on the driver over 2·dims exact means.  Vectors
+    must share dimensionality per side (posexplode pairs by dim);
+    mismatched dims across sides raise.  Returns {'cosine_distance',
+    'l2_distance', 'n_ref', 'n_cur', 'dims'}.
+    """
+    import math
+
+    def mean_vec(df: DataFrame, side: str) -> tuple[dict, int]:
+        exploded = df.select(
+            F.posexplode(F.col(vec_col)).alias("dim", "val")
+        )
+        rows = (
+            exploded.groupBy("dim")
+            .agg(
+                F.sum(
+                    F.expr(
+                        f"CAST(CAST(val AS DOUBLE) * {_EMB_SCALE}D"
+                        " AS DECIMAL(38,0))"
+                    )
+                ).alias("ssum"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        if not rows:
+            raise ValueError(f"embedding_drift: empty {side} side")
+        n = {r["dim"]: int(r["n"]) for r in rows}
+        if len(set(n.values())) != 1:
+            raise ValueError(
+                f"embedding_drift: ragged vector lengths on {side} side"
+            )
+        means = {
+            r["dim"]: int(r["ssum"]) / (n[r["dim"]] * _EMB_SCALE)
+            for r in rows
+        }
+        return means, next(iter(n.values()))
+
+    m_ref, n_ref = mean_vec(ref, "ref")
+    m_cur, n_cur = mean_vec(cur, "cur")
+    if set(m_ref) != set(m_cur):
+        raise ValueError("embedding_drift: ref and cur dims differ")
+    dims = sorted(m_ref)
+    a = [m_ref[d] for d in dims]
+    b = [m_cur[d] for d in dims]
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(y * y for y in b))
+    l2 = math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+    # clamp: float rounding can push dot/(na·nb) past 1 for identical
+    # means — self-drift must read exactly 0, not -2e-16
+    cos_d = max(0.0, 1.0 - dot / (na * nb)) if na > 0 and nb > 0 else None
+    return {
+        "cosine_distance": cos_d,
+        "l2_distance": l2,
+        "n_ref": n_ref,
+        "n_cur": n_cur,
+        "dims": len(dims),
+    }

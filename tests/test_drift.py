@@ -350,3 +350,64 @@ def test_ks_2sample_matches_python_exact(spark):
 
     with _pytest.raises(ValueError):
         ks_2sample(ref, spark.createDataFrame([], "x double"), "x")
+
+
+def test_embedding_drift_matches_numpy_and_detects_shift(spark):
+    import random
+
+    from kafka_avro_order_processing_spark.operators.drift import (
+        embedding_drift,
+    )
+
+    rnd = random.Random(67)
+    dims = 8
+
+    def corpus(axis, n):
+        return [
+            ([rnd.gauss(2.0 if d == axis else 0.0, 1.0) for d in range(dims)],)
+            for _ in range(n)
+        ]
+
+    a = corpus(0, 300)
+    b = corpus(0, 200)   # same direction -> tiny cosine distance
+    c = corpus(1, 200)   # rotated mean -> large cosine distance
+    ref = spark.createDataFrame(a, "embedding array<double>")
+    same = spark.createDataFrame(b, "embedding array<double>")
+    moved = spark.createDataFrame(c, "embedding array<double>")
+
+    d_same = embedding_drift(ref, same)
+    d_moved = embedding_drift(ref, moved)
+    assert d_same["dims"] == dims and d_same["n_ref"] == 300
+    assert d_moved["cosine_distance"] > 5 * d_same["cosine_distance"]
+    assert d_moved["l2_distance"] > d_same["l2_distance"]
+
+    # exact python parity (the decimal sums round per row at most; the
+    # test vectors are float32-representable scale so means are exact)
+    def pymean(rows):
+        n = len(rows)
+        return [sum(r[0][d] for r in rows) / n for d in range(dims)]
+
+    import math
+
+    ma, mb = pymean(a), pymean(b)
+    dot = sum(x * y for x, y in zip(ma, mb))
+    na = math.sqrt(sum(x * x for x in ma))
+    nb = math.sqrt(sum(y * y for y in mb))
+    assert abs(d_same["cosine_distance"] - (1 - dot / (na * nb))) < 1e-9
+
+    # drift of a corpus against itself is exactly zero
+    d_self = embedding_drift(ref, ref)
+    assert d_self["cosine_distance"] == 0.0 and d_self["l2_distance"] == 0.0
+
+    # ragged / mismatched shapes fail loudly
+    import pytest as _pytest
+
+    ragged = spark.createDataFrame(
+        [([1.0, 2.0],), ([1.0, 2.0, 3.0],)], "embedding array<double>"
+    )
+    with _pytest.raises(ValueError):
+        embedding_drift(ref, ragged)
+    with _pytest.raises(ValueError):
+        embedding_drift(
+            ref, spark.createDataFrame([], "embedding array<double>")
+        )
