@@ -1128,6 +1128,52 @@ def manifest_history(path: str) -> list[dict]:
     return out
 
 
+def diff_versions(path: str, v_from: int, v_to: int) -> dict:
+    """Part-level diff between two retained commits of a
+    manifest-managed directory — the 'what changed between yesterday's
+    table and today's?' audit a lakehouse operator runs before blaming
+    a downstream job.
+
+    Returns {v_from, v_to, parts_added, parts_removed, parts_kept,
+    rows_added, rows_removed, rows_from, rows_to, row_delta}: the part
+    name lists plus exact row totals from the snapshots' own per-part
+    stats (each row figure is None when any involved part predates
+    stats collection — absence is reported, never guessed).  Reads two
+    snapshot JSONs; no data files are touched, so the diff costs the
+    same for a 10-part table and a 10⁶-part one.  Raises like
+    :func:`read_avro_ocf` (version=...) when either snapshot is gone
+    (vacuum trades history for space)."""
+    a = _manifest_at(path, int(v_from))
+    b = _manifest_at(path, int(v_to))
+    pa, pb = set(a.get("parts", [])), set(b.get("parts", []))
+    added, removed = sorted(pb - pa), sorted(pa - pb)
+    kept = sorted(pa & pb)
+    sa, sb = a.get("stats", {}) or {}, b.get("stats", {}) or {}
+
+    def _rows(stats: dict, names) -> int | None:
+        vals = [(stats.get(n) or {}).get("rows") for n in names]
+        return None if any(v is None for v in vals) else sum(vals)
+
+    rows_from = _rows(sa, sorted(pa))
+    rows_to = _rows(sb, sorted(pb))
+    return {
+        "v_from": int(v_from),
+        "v_to": int(v_to),
+        "parts_added": added,
+        "parts_removed": removed,
+        "parts_kept": kept,
+        "rows_added": _rows(sb, added),
+        "rows_removed": _rows(sa, removed),
+        "rows_from": rows_from,
+        "rows_to": rows_to,
+        "row_delta": (
+            rows_to - rows_from
+            if rows_from is not None and rows_to is not None
+            else None
+        ),
+    }
+
+
 def _list_avro(path: str, version: int | None = None) -> list[str]:
     if version is not None:
         base = path.rstrip("/")

@@ -2961,3 +2961,65 @@ def test_full_delete_leaves_readable_empty_table(spark, tmp_path):
     assert [tuple(r) for r in read_avro_ocf(spark, uri).collect()] == [
         (7, "z")
     ]
+
+
+def test_diff_versions_reports_parts_and_exact_rows(spark, tmp_path):
+    """The commit-diff audit: appends add parts, overwrite replaces
+    them; row totals come from the snapshots' own stats, exactly."""
+    import pytest as _pytest
+
+    from kafka_avro_order_processing_spark.sources.avro_ocf import (
+        diff_versions,
+        manifest_history,
+        register,
+    )
+
+    register(spark)
+    uri = f"file://{tmp_path}/difflake"
+
+    def latest():
+        return manifest_history(uri)[-1]["version"]
+
+    spark.createDataFrame(
+        [(i, "a") for i in range(4)], "k long, s string"
+    ).coalesce(1).write.format("kaop_avro").option("path", uri).mode(
+        "append"
+    ).save()
+    v1 = latest()
+    spark.createDataFrame(
+        [(i, "b") for i in range(3)], "k long, s string"
+    ).coalesce(1).write.format("kaop_avro").option("path", uri).mode(
+        "append"
+    ).save()
+    v2 = latest()
+    spark.createDataFrame([(99, "z")], "k long, s string").coalesce(
+        1
+    ).write.format("kaop_avro").option("path", uri).option(
+        "retainHistory", "true"
+    ).mode("overwrite").save()
+    v3 = latest()
+
+    d12 = diff_versions(uri, v1, v2)
+    assert d12["parts_removed"] == []
+    assert len(d12["parts_added"]) >= 1
+    assert d12["rows_added"] == 3 and d12["rows_removed"] == 0
+    assert (d12["rows_from"], d12["rows_to"]) == (4, 7)
+    assert d12["row_delta"] == 3
+    assert set(d12["parts_kept"]) <= set(
+        d12["parts_kept"] + d12["parts_added"]
+    )
+
+    d23 = diff_versions(uri, v2, v3)
+    assert d23["parts_kept"] == []          # overwrite replaced everything
+    assert d23["rows_removed"] == 7 and d23["rows_to"] == 1
+    assert d23["row_delta"] == -6
+
+    # reverse direction just flips the sets
+    d21 = diff_versions(uri, v2, v1)
+    assert d21["parts_added"] == d12["parts_removed"]
+    assert d21["parts_removed"] == d12["parts_added"]
+    assert d21["row_delta"] == -3
+
+    # a never-committed version fails loudly, like version reads
+    with _pytest.raises(ValueError):
+        diff_versions(uri, v1, 10**9)
