@@ -272,6 +272,97 @@ def grouped_roc_auc(
     )
 
 
+def grouped_threshold_for_keep_rate(
+    df: DataFrame,
+    group_col: str,
+    keep_rate: float,
+    score_col: str = "quality_prob",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Per-segment filter calibration — the per-domain quality bar of a
+    curation run: for every group, the LARGEST threshold keeping at
+    least ``ceil(keep_rate · n_group)`` rows, exactly (the grouped twin
+    of :func:`threshold_for_keep_rate`, suite-pinned equal to it per
+    group).  A uniform global bar over-prunes weak domains and
+    under-prunes strong ones; this is the fix.
+
+    Columns: <group_col>, n, threshold, kept.  ceil runs on the same
+    IEEE double product in the JVM as the scalar version does in
+    Python, so the two agree bit-for-bit.
+    """
+    if not (0.0 < keep_rate <= 1.0):
+        raise ValueError("keep_rate must be in (0, 1]")
+    cum = _cumulative_score_counts(
+        df.withColumn("__one", F.lit(1)),
+        score_col,
+        "__one",
+        n_buckets,
+        group_cols=[group_col],
+    )
+    tot = cum.groupBy(group_col).agg(F.sum("c").alias("n"))
+    target = F.ceil(F.lit(float(keep_rate)) * F.col("n").cast("double"))
+    thr = (
+        cum.join(tot, group_col)
+        .filter(F.col("n") - F.col("c_lt") >= target)
+        .groupBy(group_col, "n")
+        .agg(F.max("s").alias("threshold"))
+    )
+    kept = (
+        cum.join(thr.select(group_col, "threshold"), group_col)
+        .filter(F.col("s") >= F.col("threshold"))
+        .groupBy(group_col)
+        .agg(F.sum("c").alias("kept"))
+    )
+    return thr.join(kept, group_col).select(
+        group_col, "n", "threshold", "kept"
+    )
+
+
+def grouped_pr_auc(
+    df: DataFrame,
+    group_col: str,
+    score_col: str = "quality_prob",
+    label_col: str = "label",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Per-segment average precision in ONE plan — the grouped twin of
+    :func:`pr_auc` (suite-pinned equal to it per group).  Groups with a
+    single class report NULL instead of raising.
+
+    Columns: <group_col>, n, n_pos, ap.
+    """
+    from .similarity import MEAN_SCALE
+
+    cum = _cumulative_score_counts(
+        df, score_col, label_col, n_buckets, group_cols=[group_col]
+    )
+    tot = cum.groupBy(group_col).agg(
+        F.sum("c").alias("n"), F.sum("p").alias("n1")
+    )
+    j = cum.join(tot, group_col)
+    term = (
+        F.col("p").cast("double")
+        * (F.col("n1") - F.col("p_lt")).cast("double")
+        / (F.col("n") - F.col("c_lt")).cast("double")
+    )
+    agg = j.groupBy(group_col, "n", "n1").agg(
+        F.sum(
+            (term * F.lit(float(MEAN_SCALE))).cast("decimal(38,0)")
+        ).alias("ap_scaled")
+    )
+    return agg.select(
+        group_col,
+        F.col("n"),
+        F.col("n1").alias("n_pos"),
+        F.when(
+            (F.col("n1") > 0) & (F.col("n1") < F.col("n")),
+            F.col("ap_scaled").cast("double")
+            / F.lit(float(MEAN_SCALE))
+            / F.col("n1").cast("double"),
+        ).alias("ap"),
+    )
+
+
 def roc_points(
     df: DataFrame,
     score_col: str = "quality_prob",

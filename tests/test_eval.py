@@ -363,6 +363,46 @@ def test_grouped_auc_bit_matches_per_group_roc_auc(spark):
     assert {k: v["auc"] for k, v in got.items()} == again
 
 
+def test_grouped_pr_auc_and_threshold_match_scalar_twins(spark):
+    from kafka_avro_order_processing_spark.operators.eval import (
+        grouped_pr_auc,
+        grouped_threshold_for_keep_rate,
+        pr_auc,
+        threshold_for_keep_rate,
+    )
+
+    rnd = random.Random(71)
+    rows = []
+    for g in ("web", "code", "papers"):
+        sep = {"web": 0.8, "code": 1.6, "papers": 0.2}[g]
+        for _ in range(140):
+            y = rnd.randint(0, 1)
+            s = round(rnd.gauss(sep if y else 0.0, 1.0) * 4) / 4
+            rows.append((g, s, y))
+    rows.append(("onlypos", 0.9, 1))
+    df = spark.createDataFrame(rows, "src string, score double, label int")
+
+    ap = {r["src"]: r for r in grouped_pr_auc(df, "src", "score", "label").collect()}
+    for g in ("web", "code", "papers"):
+        want = pr_auc(df.filter(F.col("src") == g), "score", "label")
+        assert ap[g]["ap"] == want  # bit-equal
+        assert ap[g]["n"] == 140
+    assert ap["onlypos"]["ap"] is None
+
+    th = {
+        r["src"]: r
+        for r in grouped_threshold_for_keep_rate(
+            df, "src", 0.3, "score"
+        ).collect()
+    }
+    for g in ("web", "code", "papers"):
+        t, kept = threshold_for_keep_rate(
+            df.filter(F.col("src") == g), 0.3, "score"
+        )
+        assert th[g]["threshold"] == t and th[g]["kept"] == kept
+    assert th["onlypos"]["kept"] == 1  # tiny group keeps its one row
+
+
 def test_calibration_bins_match_python(spark):
     rnd = random.Random(13)
     rows = [
