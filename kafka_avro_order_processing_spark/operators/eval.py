@@ -363,6 +363,57 @@ def grouped_pr_auc(
     )
 
 
+def percentile_normalize(
+    df: DataFrame,
+    score_col: str,
+    group_col: str | None = None,
+    out_col: str = "pct",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Midrank percentile of a score within its group, appended as
+    ``out_col`` in (0, 1) — the CCNet normalization: raw quality/LM
+    scores are NOT comparable across languages or domains (every
+    language has its own perplexity scale), so curation buckets by
+    PER-GROUP percentile (head/middle/tail) instead of raw value.
+
+    pct = (c_lt + (c+1)/2) / n over the group's distinct-score counts —
+    exact tie-averaged midrank from the same two-level prefix sum as
+    roc_auc, joined back by (group, score) value.  Deterministic under
+    any partitioning; rows with a NULL score (or group) keep a NULL
+    percentile.  Range is (0, 1]: a group's minimum maps to
+    (c_min+1)/(2n) > 0, but a UNIQUE maximum maps to exactly 1.0 (the
+    midrank definition) — bucket with `pct >= edge`, not `pct > edge`.
+    """
+    gcols = [group_col] if group_col else []
+    cum = _cumulative_score_counts(
+        df.withColumn("__one", F.lit(1)),
+        score_col,
+        "__one",
+        n_buckets,
+        group_cols=gcols,
+    )
+    if gcols:
+        tot = cum.groupBy(*gcols).agg(F.sum("c").alias("__n"))
+        pcts = cum.join(tot, gcols)
+    else:
+        tot = cum.agg(F.sum("c").alias("__n"))
+        pcts = cum.crossJoin(F.broadcast(tot))
+    pcts = pcts.select(
+        *gcols,
+        F.col("s").alias(score_col + "__s"),
+        (
+            (2 * F.col("c_lt") + F.col("c") + 1).cast("double")
+            / (2 * F.col("__n")).cast("double")
+        ).alias(out_col),
+    )
+    keys = gcols + [score_col + "__s"]
+    return (
+        df.withColumn(score_col + "__s", F.col(score_col).cast("double"))
+        .join(pcts, keys, "left")
+        .drop(score_col + "__s")
+    )
+
+
 def roc_points(
     df: DataFrame,
     score_col: str = "quality_prob",

@@ -403,6 +403,65 @@ def test_grouped_pr_auc_and_threshold_match_scalar_twins(spark):
     assert th["onlypos"]["kept"] == 1  # tiny group keeps its one row
 
 
+def test_percentile_normalize_matches_python_midrank(spark):
+    from kafka_avro_order_processing_spark.operators.eval import (
+        percentile_normalize,
+    )
+
+    rnd = random.Random(73)
+    rows = []
+    for i, g in enumerate(["en"] * 90 + ["de"] * 60):
+        rows.append((i, g, round(rnd.gauss(0, 1) * 3) / 3))  # ties
+    rows.append((999, "en", None))  # NULL score keeps NULL pct
+    df = spark.createDataFrame(rows, "id int, lang string, score double")
+    out = {
+        r["id"]: r["pct"]
+        for r in percentile_normalize(df, "score", "lang").collect()
+    }
+
+    def midrank(vals, v):
+        lt = sum(1 for x in vals if x < v)
+        eq = sum(1 for x in vals if x == v)
+        return (lt + (eq + 1) / 2) / len(vals)
+
+    by_g = {}
+    for _, g, s in rows:
+        if s is not None:
+            by_g.setdefault(g, []).append(s)
+    for i, g, s in rows:
+        if s is None:
+            assert out[i] is None
+        else:
+            assert abs(out[i] - midrank(by_g[g], s)) < 1e-12
+            assert 0.0 < out[i] <= 1.0  # (0, 1]: unique max hits 1.0
+    # deterministic under partitioning
+    again = {
+        r["id"]: r["pct"]
+        for r in percentile_normalize(
+            df.repartition(7), "score", "lang", n_buckets=3
+        ).collect()
+    }
+    assert out == again
+    # ungrouped variant: global midranks
+    glob = {
+        r["id"]: r["pct"]
+        for r in percentile_normalize(df, "score").collect()
+    }
+    all_vals = [s for _, _, s in rows if s is not None]
+    for i, _, s in rows:
+        if s is not None:
+            assert abs(glob[i] - midrank(all_vals, s)) < 1e-12
+    # the CCNet shape: per-group head/middle/tail buckets are exact
+    # row partitions (no row lost, no row doubled)
+    bucketed = percentile_normalize(df, "score", "lang").withColumn(
+        "tier",
+        F.when(F.col("pct") >= 2 / 3, "head")
+        .when(F.col("pct") >= 1 / 3, "middle")
+        .otherwise(F.lit("tail")),
+    )
+    assert bucketed.count() == len(rows)
+
+
 def test_calibration_bins_match_python(spark):
     rnd = random.Random(13)
     rows = [
