@@ -172,3 +172,137 @@ def c4_line_filters(
         (F.size(lines) - F.size(kept)).cast("long").alias("n_lines_dropped"),
     )
     return out.filter(F.col("n_lines_kept") >= int(min_lines))
+
+
+def gopher_repetition_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dup_line_frac: float = 0.30,
+    max_dup_para_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_dup_para_char_frac: float = 0.20,
+    max_top_ngram_char_frac: dict | None = None,
+) -> DataFrame:
+    """The Gopher repetition rules (Rae et al. 2021, table A1's other
+    half): duplicate line / paragraph fractions by count AND by
+    character mass, plus the fraction of characters inside the single
+    most frequent word {2,3,4}-gram.  A doc can pass every quality
+    flag and still be a templated spam page — these catch that.
+
+    Count fractions (1 − distinct/total) are pure array expressions;
+    character fractions and top-n-grams group by (doc, unit) — one
+    shuffle whose keys are per-document, so a 100 TB corpus spreads
+    evenly no matter how hot any single document is.  Fractions of
+    empty denominators are NULL and their flags fail (NULL text too).
+
+    Columns: id_col, dup_line_frac, dup_para_frac, dup_line_char_frac,
+    dup_para_char_frac, top_{2,3,4}gram_char_frac, per-rule ok_*
+    booleans, keep.
+    """
+    top_caps = {2: 0.20, 3: 0.18, 4: 0.16}
+    if max_top_ngram_char_frac:
+        top_caps.update(max_top_ngram_char_frac)
+
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    lines = F.filter(F.split(text, "\n", -1), lambda l: F.trim(l) != "")
+    paras = F.filter(
+        F.split(text, r"\n\s*\n", -1), lambda p: F.trim(p) != ""
+    )
+
+    def dup_count_frac(arr) -> Column:
+        n = F.size(arr)
+        return F.when(
+            n > 0,
+            (n - F.size(F.array_distinct(arr))).cast("double")
+            / n.cast("double"),
+        )
+
+    base = df.select(
+        F.col(id_col),
+        text.alias("__t"),
+        n_chars.alias("__nc"),
+        lines.alias("__lines"),
+        paras.alias("__paras"),
+        F.filter(F.split(text, r"\s+"), lambda w: w != "").alias("__w"),
+        dup_count_frac(lines).alias("dup_line_frac"),
+        dup_count_frac(paras).alias("dup_para_frac"),
+    )
+
+    # character mass of duplicated units: explode -> (doc, unit) counts
+    # -> chars in units whose count > 1, over total unit chars
+    def dup_char_frac(col: str, out: str) -> DataFrame:
+        u = base.select(id_col, F.explode(col).alias("u"))
+        per = u.groupBy(id_col, "u").agg(F.count(F.lit(1)).alias("k"))
+        return per.groupBy(id_col).agg(
+            (
+                F.sum(
+                    F.when(F.col("k") > 1, F.length("u") * F.col("k"))
+                    .otherwise(F.lit(0))
+                ).cast("double")
+                / F.sum(F.length("u") * F.col("k")).cast("double")
+            ).alias(out)
+        )
+
+    # top word-n-gram character fraction: (occurrences x gram chars) of
+    # the heaviest n-gram over the doc's total chars
+    def top_ngram_frac(n: int, out: str) -> DataFrame:
+        grams = base.select(
+            id_col,
+            "__nc",
+            F.explode(
+                F.when(
+                    F.size("__w") >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("__w") - (n - 1)),
+                        lambda i: F.concat_ws(
+                            " ", F.slice("__w", i, n)
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("g"),
+        )
+        per = grams.groupBy(id_col, "__nc", "g").agg(
+            F.count(F.lit(1)).alias("k")
+        )
+        return per.groupBy(id_col).agg(
+            (
+                F.max(F.length("g") * F.col("k")).cast("double")
+                / F.max("__nc").cast("double")
+            ).alias(out)
+        )
+
+    out = (
+        base.select(
+            id_col, "dup_line_frac", "dup_para_frac"
+        )
+        .join(dup_char_frac("__lines", "dup_line_char_frac"), id_col, "left")
+        .join(dup_char_frac("__paras", "dup_para_char_frac"), id_col, "left")
+    )
+    for n in (2, 3, 4):
+        out = out.join(
+            top_ngram_frac(n, f"top_{n}gram_char_frac"), id_col, "left"
+        )
+
+    flags = {
+        "ok_dup_lines": F.col("dup_line_frac") <= max_dup_line_frac,
+        "ok_dup_paras": F.col("dup_para_frac") <= max_dup_para_frac,
+        "ok_dup_line_chars": F.col("dup_line_char_frac")
+        <= max_dup_line_char_frac,
+        "ok_dup_para_chars": F.col("dup_para_char_frac")
+        <= max_dup_para_char_frac,
+        **{
+            f"ok_top_{n}gram": F.col(f"top_{n}gram_char_frac")
+            <= top_caps[n]
+            for n in (2, 3, 4)
+        },
+    }
+    keep = F.lit(True)
+    cols = [F.col(c) for c in out.columns]
+    for name, cond in flags.items():
+        safe = F.coalesce(cond, F.lit(False))
+        cols.append(safe.alias(name))
+        keep = keep & safe
+    cols.append(keep.alias("keep"))
+    return out.select(*cols)

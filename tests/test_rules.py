@@ -143,3 +143,96 @@ def test_gopher_funnel_on_documents_table(spark):
     ).collect()[0]
     assert agg["n"] == n      # one flag row per doc, no loss
     assert 0 < agg["kept"] <= n
+
+
+def test_gopher_repetition_flags_match_python(spark):
+    from kafka_avro_order_processing_spark.operators.rules import (
+        gopher_repetition_flags,
+    )
+
+    # fully distinct words per line: no repeated n-gram anywhere, and
+    # long enough that a single unique 4-gram stays under its char cap
+    # (the published caps presume web-scale docs, not snippets)
+    clean = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india.\n"
+        "juliet kilo lima mike november oscar papa quebec romeo.\n\n"
+        "sierra tango uniform victor whiskey xray yankee zulu one.\n"
+        "two three four five six seven eight nine ten eleven.\n\n"
+        "twelve thirteen fourteen fifteen sixteen seventeen eighteen.\n"
+        "nineteen twenty blue green yellow purple orange silver gold."
+    )
+    spam_lines = "Buy cheap widgets now online.\n" * 10 + "One unique line."
+    spam_phrase = ("free offer " * 40).strip()
+    docs = [(1, clean), (2, spam_lines), (3, spam_phrase), (4, None)]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in gopher_repetition_flags(df).collect()}
+
+    def py_fracs(text):
+        lines = [l for l in text.split("\n") if l.strip()]
+        import re
+
+        paras = [p for p in re.split(r"\n\s*\n", text) if p.strip()]
+        words = [w for w in re.split(r"\s+", text) if w]
+
+        def dup_frac(units):
+            return (
+                (len(units) - len(set(units))) / len(units) if units else None
+            )
+
+        def dup_char(units):
+            from collections import Counter
+
+            c = Counter(units)
+            tot = sum(len(u) * k for u, k in c.items())
+            dup = sum(len(u) * k for u, k in c.items() if k > 1)
+            return dup / tot if tot else None
+
+        def top_ngram(n):
+            from collections import Counter
+
+            grams = [
+                " ".join(words[i : i + n])
+                for i in range(len(words) - n + 1)
+            ]
+            if not grams:
+                return None
+            c = Counter(grams)
+            best = max(len(g) * k for g, k in c.items())
+            return best / len(text)
+
+        return (
+            dup_frac(lines),
+            dup_frac(paras),
+            dup_char(lines),
+            dup_char(paras),
+            top_ngram(2),
+            top_ngram(3),
+            top_ngram(4),
+        )
+
+    for i, text in docs:
+        if text is None:
+            continue
+        want = py_fracs(text)
+        got = out[i]
+        keys = (
+            "dup_line_frac",
+            "dup_para_frac",
+            "dup_line_char_frac",
+            "dup_para_char_frac",
+            "top_2gram_char_frac",
+            "top_3gram_char_frac",
+            "top_4gram_char_frac",
+        )
+        for k, w in zip(keys, want):
+            if w is None:
+                assert got[k] is None, (i, k)
+            else:
+                assert abs(got[k] - w) < 1e-12, (i, k, got[k], w)
+
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False and out[2]["ok_dup_lines"] is False
+    assert out[3]["keep"] is False and out[3]["ok_top_2gram"] is False
+    assert out[4]["keep"] is False  # NULL text fails
+    # one row per input doc, none lost to the joins
+    assert set(out) == {1, 2, 3, 4}
