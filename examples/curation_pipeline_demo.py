@@ -119,6 +119,19 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None, out_dir: str | None
     kept = docs_clean.join(q, "doc_id").join(rep, "doc_id")
     n_quality = kept.count()
 
+    # 1a. published-rule audit: the Gopher battery's keep rate over the
+    # raw corpus (per-rule flags make the funnel auditable; thresholds
+    # tuned down to this synthetic corpus's short docs).
+    from kafka_avro_order_processing_spark.operators.rules import (
+        gopher_quality_flags,
+    )
+
+    gopher_kept = (
+        gopher_quality_flags(docs_clean, min_words=10, min_mean_word_len=2.0)
+        .filter(F.col("keep"))
+        .count()
+    )
+
     # 1b. learned quality filter (audit): label a seed — real docs
     # positive, their word-scrambled twins negative (deterministic
     # alphabetical scramble: same tokens, destroyed fluency) — train
@@ -267,6 +280,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None, out_dir: str | None
         "text_nulls": int(n_null_text),
         "texts_cleaned": int(n_texts_cleaned),
         "filter_auc": float(filter_auc),
+        "gopher_kept": int(gopher_kept),
         "length_psi": length_psi,
         "bpe_merges": int(n_merges),
         "bpe_tokens": int(n_bpe_tokens),

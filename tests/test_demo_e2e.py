@@ -43,6 +43,8 @@ def test_curation_demo_end_to_end(spark, tmp_path):
     # learned filter audit: the classifier separates real docs from
     # their scrambled twins on held-out groups (fluency is learnable)
     assert 0.7 < c["filter_auc"] <= 1.0
+    # published-rule audit ran and kept a sane majority
+    assert 0 < c["gopher_kept"] <= c["raw"]
     # drift audit: curation reshapes the length distribution some, but
     # not into a different corpus (sane PSI, not epsilon-dominated)
     assert 0.0 <= c["length_psi"] < 1.0
