@@ -14,10 +14,16 @@ complement to ``text.quality_score``'s composite and
   words, drop lines with "lorem ipsum"/curly braces/"javascript";
   then drop documents left with < 3 surviving lines.
 
-Everything is arrays + regex inside whole-stage codegen: zero Python,
-zero shuffles, trivially linear at 100 TB (plan-pinned by the suite).
-Thresholds are keyword arguments with the published defaults — a
-corpus with a different register tunes them without forking the rule.
+* :func:`gopher_repetition_flags` — the battery's repetition half:
+  duplicate line/paragraph fractions and top-n-gram character mass.
+
+The quality and C4 batteries are arrays + regex inside whole-stage
+codegen: zero Python, zero shuffles (plan-pinned by the suite).  The
+repetition battery's character fractions group by (doc, unit) — one
+shuffle whose keys are per-document, so it stays skew-proof and
+linear.  Thresholds are keyword arguments with the published
+defaults — a corpus with a different register tunes them without
+forking the rule.
 """
 
 from __future__ import annotations
