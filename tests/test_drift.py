@@ -411,3 +411,39 @@ def test_embedding_drift_matches_numpy_and_detects_shift(spark):
         embedding_drift(
             ref, spark.createDataFrame([], "embedding array<double>")
         )
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_v = st.one_of(
+    st.sampled_from([0.0, -0.0, 1.0, -1e300, 1e-300]),
+    st.floats(min_value=-50, max_value=50, allow_nan=False, allow_infinity=False),
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    xs=st.lists(_v, min_size=1, max_size=30),
+    ys=st.lists(_v, min_size=1, max_size=30),
+    n_buckets=st.sampled_from([1, 4, 64]),
+)
+def test_ks_2sample_fuzz_vs_python(spark, xs, ys, n_buckets):
+    from kafka_avro_order_processing_spark.operators.drift import ks_2sample
+
+    ref = spark.createDataFrame([(v,) for v in xs], "x double")
+    cur = spark.createDataFrame([(v,) for v in ys], "x double")
+    got = ks_2sample(ref, cur, "x", n_buckets=n_buckets)
+    vals = sorted(set(xs) | set(ys))
+    want = max(
+        abs(
+            sum(1 for x in xs if x <= v) / len(xs)
+            - sum(1 for y in ys if y <= v) / len(ys)
+        )
+        for v in vals
+    )
+    assert abs(got - want) < 1e-12

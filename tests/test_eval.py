@@ -574,3 +574,34 @@ def test_classifier_journey_auc(spark):
     m = confusion_at_threshold(scored, 0.5, "quality_prob", "label")
     assert m["tp"] + m["fp"] + m["fn"] + m["tn"] == test.count()
     assert math.isfinite(auc)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=-6, max_value=6),
+            st.integers(min_value=-6, max_value=6),
+        ),
+        min_size=2,
+        max_size=30,
+    ).filter(
+        lambda ps: len({a for a, _ in ps}) > 1 and len({b for _, b in ps}) > 1
+    ),
+    n_buckets=st.sampled_from([1, 5, 64]),
+)
+def test_rank_correlation_fuzz_vs_python(spark, pairs, n_buckets):
+    # small integer grids maximize tie pressure — the hard case for
+    # tie-corrected ranks
+    from kafka_avro_order_processing_spark.operators.eval import (
+        rank_correlation,
+    )
+
+    fp = [(float(a), float(b)) for a, b in pairs]
+    df = spark.createDataFrame(fp, "a double, b double")
+    got = rank_correlation(df, "a", "b", n_buckets=n_buckets)
+    assert abs(got - _py_spearman(fp)) < 1e-9
