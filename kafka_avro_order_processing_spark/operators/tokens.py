@@ -224,3 +224,107 @@ def oov_stats(
         "n_docs_with_oov": int(row["dw"] or 0),
     }
     return per_doc, totals
+
+
+def span_corruption(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    mask_rate: float = 0.15,
+    salt: str = "t5",
+) -> DataFrame:
+    """T5-style span corruption (Raffel et al. 2020's denoising
+    objective), built DETERMINISTICALLY: each token's mask decision is
+    an md5 draw on (salt, doc, position) — the engine's substitute for
+    rand(seed), so the corrupted dataset is bit-reproducible under any
+    partitioning, replay, or engine (suite-pinned against a Python
+    replica of the same draws).  Contiguous masked runs collapse to
+    one sentinel: ``inputs`` keeps unmasked tokens with
+    ``<extra_id_k>`` standing in for the k-th masked run (numbered
+    left-to-right from 0 per document); ``targets`` is each sentinel
+    followed by the tokens it hides.  No trailing EOS sentinel —
+    loaders differ; append your own.
+
+    One (doc, pos) explode + gaps-and-islands run detection (the
+    substr.py idiom) + per-doc array reassembly — every shuffle keys
+    on the document, linear at scale.  Empty docs yield empty arrays;
+    a doc with nothing masked yields targets=[].
+
+    Columns: id_col, inputs array<string>, targets array<string>,
+    n_masked (long).
+    """
+    from pyspark.sql import Window
+
+    if not (0.0 <= mask_rate < 1.0):
+        raise ValueError("mask_rate must be in [0, 1)")
+    edge = int(mask_rate * (1 << 32))
+    pos = df.select(
+        F.col(id_col),
+        F.posexplode_outer(tokens_col).alias("pos", "tok"),
+    )
+    draw = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(salt),
+                    F.col(id_col).cast("string"),
+                    F.col("pos").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    pos = pos.withColumn(
+        "m",
+        F.when(F.col("pos").isNotNull(), draw < edge).otherwise(
+            F.lit(False)
+        ),
+    )
+    # gaps-and-islands over the masked subset: island_key = pos - rn is
+    # constant within a contiguous run and strictly increasing across
+    # runs, so dense_rank(island_key) numbers runs left-to-right
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    masked = pos.filter(F.col("m")).withColumn(
+        "island", F.col("pos") - F.row_number().over(w_doc)
+    )
+    w_isl = Window.partitionBy(id_col).orderBy("island")
+    masked = masked.withColumn(
+        "k", F.dense_rank().over(w_isl) - 1
+    ).withColumn(
+        "first",
+        F.col("pos")
+        == F.min("pos").over(Window.partitionBy(id_col, "island")),
+    )
+    sent = F.concat(F.lit("<extra_id_"), F.col("k"), F.lit(">"))
+    unmasked = pos.filter(~F.col("m")).select(
+        id_col,
+        "pos",
+        F.col("tok").alias("in_tok"),
+        F.lit(None).cast("array<string>").alias("tgt"),
+        F.lit(0).alias("hidden"),
+    )
+    masked_rows = masked.select(
+        id_col,
+        "pos",
+        F.when(F.col("first"), sent).alias("in_tok"),  # NULL mid-run
+        F.when(F.col("first"), F.array(sent, F.col("tok")))
+        .otherwise(F.array(F.col("tok")))
+        .alias("tgt"),
+        F.lit(1).alias("hidden"),
+    )
+    allrows = unmasked.unionByName(masked_rows)
+    return allrows.groupBy(id_col).agg(
+        F.expr(
+            "transform(array_sort(collect_list(CASE WHEN in_tok IS NOT"
+            " NULL THEN struct(pos, in_tok) END)), s -> s.in_tok)"
+        ).alias("inputs"),
+        F.expr(
+            "flatten(transform(array_sort(collect_list(CASE WHEN tgt IS"
+            " NOT NULL THEN struct(pos, tgt) END)), s -> s.tgt))"
+        ).alias("targets"),
+        F.sum("hidden").cast("long").alias("n_masked"),
+    )

@@ -192,3 +192,88 @@ def test_oov_stats_exact(spark):
         "oov_rate": 4 / 9,
         "n_docs_with_oov": 2,
     }
+
+
+def _py_span_corruption(doc_id, toks, mask_rate=0.15, salt="t5"):
+    import hashlib
+
+    edge = int(mask_rate * (1 << 32))
+
+    def masked(pos):
+        h = hashlib.md5(f"{salt}:{doc_id}:{pos}".encode()).hexdigest()
+        return int(h[:8], 16) < edge
+
+    inputs, targets = [], []
+    k = -1
+    in_run = False
+    n_masked = 0
+    for i, t in enumerate(toks):
+        if masked(i):
+            n_masked += 1
+            if not in_run:
+                k += 1
+                in_run = True
+                inputs.append(f"<extra_id_{k}>")
+                targets.append(f"<extra_id_{k}>")
+            targets.append(t)
+        else:
+            in_run = False
+            inputs.append(t)
+    return inputs, targets, n_masked
+
+
+def test_span_corruption_matches_python_replica(spark):
+    import random
+
+    from kafka_avro_order_processing_spark.operators.tokens import (
+        span_corruption,
+    )
+
+    rnd = random.Random(79)
+    docs = [
+        (i, [f"w{rnd.randint(0, 30)}" for _ in range(rnd.randint(0, 60))])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, tokens array<string>")
+    out = {
+        r["doc_id"]: r
+        for r in span_corruption(df, mask_rate=0.3).collect()
+    }
+    assert set(out) == set(range(40))  # empty docs keep a row
+    any_masked = False
+    for i, toks in docs:
+        want_in, want_tgt, want_n = _py_span_corruption(i, toks, 0.3)
+        r = out[i]
+        assert r["inputs"] == want_in, i
+        assert r["targets"] == want_tgt, i
+        assert r["n_masked"] == want_n, i
+        any_masked = any_masked or want_n > 0
+        # conservation: unmasked tokens + hidden tokens = all tokens
+        n_sent_in = sum(1 for t in r["inputs"] if t.startswith("<extra_id_"))
+        assert len(r["inputs"]) - n_sent_in + r["n_masked"] == len(toks)
+    assert any_masked
+
+    # deterministic under partitioning; salt changes the corruption
+    again = {
+        r["doc_id"]: (r["inputs"], r["targets"])
+        for r in span_corruption(df.repartition(7), mask_rate=0.3).collect()
+    }
+    assert again == {i: (out[i]["inputs"], out[i]["targets"]) for i in out}
+    other = {
+        r["doc_id"]: r["inputs"]
+        for r in span_corruption(df, mask_rate=0.3, salt="other").collect()
+    }
+    assert any(other[i] != out[i]["inputs"] for i in out)
+
+    # rate 0: nothing masked, inputs = tokens
+    zero = {
+        r["doc_id"]: r
+        for r in span_corruption(df, mask_rate=0.0).collect()
+    }
+    for i, toks in docs:
+        assert zero[i]["inputs"] == toks and zero[i]["targets"] == []
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        span_corruption(df, mask_rate=1.0)
