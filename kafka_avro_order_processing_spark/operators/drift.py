@@ -402,3 +402,58 @@ def embedding_drift(
         "n_cur": n_cur,
         "dims": len(dims),
     }
+
+
+def grouped_ks_2sample(
+    ref: DataFrame,
+    cur: DataFrame,
+    column: str,
+    group_col: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Per-segment exact two-sample KS in ONE plan — the grouped twin
+    of :func:`ks_2sample` (suite-pinned equal to it per group): one D
+    statistic per language/source/domain, the sweep a drift monitor
+    actually runs.  Groups present on only one side report NULL (no
+    distribution to compare against — absence is itself the finding,
+    surfaced via the n_ref/n_cur columns, never silently dropped).
+
+    Columns: <group_col>, n_ref, n_cur, ks.
+    """
+    from .eval import _cumulative_score_counts
+
+    tagged = ref.select(
+        F.col(group_col),
+        F.col(column).cast("double").alias("v"),
+        F.lit(0).alias("side"),
+    ).unionByName(
+        cur.select(
+            F.col(group_col),
+            F.col(column).cast("double").alias("v"),
+            F.lit(1).alias("side"),
+        )
+    )
+    cum = _cumulative_score_counts(
+        tagged, "v", "side", n_buckets, group_cols=[group_col]
+    )
+    tot = cum.groupBy(group_col).agg(
+        F.sum("c").alias("__n"), F.sum("p").alias("n_cur")
+    )
+    j = cum.join(tot, group_col)
+    n_ref = F.col("__n") - F.col("n_cur")
+    cdf_ref = (
+        (F.col("c_lt") - F.col("p_lt") + F.col("c") - F.col("p"))
+        .cast("double")
+        / n_ref.cast("double")
+    )
+    cdf_cur = (F.col("p_lt") + F.col("p")).cast("double") / F.col(
+        "n_cur"
+    ).cast("double")
+    d = F.when(
+        (n_ref > 0) & (F.col("n_cur") > 0), F.abs(cdf_ref - cdf_cur)
+    )
+    return j.groupBy(group_col).agg(
+        F.max(n_ref).alias("n_ref"),
+        F.max("n_cur").alias("n_cur"),
+        F.max(d).alias("ks"),
+    )

@@ -447,3 +447,47 @@ def test_ks_2sample_fuzz_vs_python(spark, xs, ys, n_buckets):
         for v in vals
     )
     assert abs(got - want) < 1e-12
+
+
+def test_grouped_ks_matches_scalar_twin(spark):
+    import random
+
+    from kafka_avro_order_processing_spark.operators.drift import (
+        grouped_ks_2sample,
+        ks_2sample,
+    )
+
+    rnd = random.Random(83)
+    refs, curs = [], []
+    for g, shift in (("en", 0.0), ("de", 0.8), ("fr", 2.0)):
+        refs += [(g, round(rnd.gauss(0, 1) * 4) / 4) for _ in range(150)]
+        curs += [(g, round(rnd.gauss(shift, 1) * 4) / 4) for _ in range(120)]
+    refs.append(("ref_only", 1.0))
+    curs.append(("cur_only", 1.0))
+    ref = spark.createDataFrame(refs, "lang string, x double")
+    cur = spark.createDataFrame(curs, "lang string, x double")
+    got = {
+        r["lang"]: r
+        for r in grouped_ks_2sample(ref, cur, "x", "lang").collect()
+    }
+    for g in ("en", "de", "fr"):
+        want = ks_2sample(
+            ref.filter(F.col("lang") == g),
+            cur.filter(F.col("lang") == g),
+            "x",
+        )
+        assert got[g]["ks"] == want  # bit-equal
+        assert got[g]["n_ref"] == 150 and got[g]["n_cur"] == 120
+    # the shift ordering shows through
+    assert got["fr"]["ks"] > got["de"]["ks"] > got["en"]["ks"]
+    # one-sided groups are reported, not dropped; their D is NULL
+    assert got["ref_only"]["ks"] is None and got["ref_only"]["n_cur"] == 0
+    assert got["cur_only"]["ks"] is None and got["cur_only"]["n_ref"] == 0
+    # partitioning/bucket invariance, bit-exact
+    again = {
+        r["lang"]: r["ks"]
+        for r in grouped_ks_2sample(
+            ref.repartition(9), cur, "x", "lang", n_buckets=3
+        ).collect()
+    }
+    assert again == {k: v["ks"] for k, v in got.items()}
