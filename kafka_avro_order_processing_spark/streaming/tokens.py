@@ -1,0 +1,60 @@
+"""Streaming tokenizer-coverage monitoring — operators/tokens.py's
+twin: the shipped vocab is the STATIC side of a stream-static join,
+so the OOV rate of landing documents is watched at ingest (a creeping
+rate means the corpus drifted away from the tokenizer's training set —
+the moment to retrain, not three stages later when loss curves
+wobble).
+
+Same shape as the LM twin: a document's tokens travel in its own row,
+explode + vocab join + ONE keyed streaming aggregation back to the
+document (Spark supports a single stateful aggregation per stream —
+corpus totals are a plain batch fold over the drained per-doc frame).
+Counts are integers, so the drained rows BIT-match
+:func:`operators.tokens.oov_stats`'s per-doc output on the same rows
+under any micro-batching (suite-pinned, one epoch and many).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .pipeline import drain_to_df
+
+
+def streaming_oov_stats(
+    stream_tokenized: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Drain a tokenized document stream into per-doc OOV stats under
+    a batch-trained vocab.  Output schema matches
+    :func:`operators.tokens.oov_stats`'s per_doc frame:
+    (id_col, n_tokens, n_oov, oov_rate).  State is O(documents-in-
+    flight); totals are a batch aggregation over the result."""
+    pos = stream_tokenized.select(
+        F.col(id_col),
+        F.posexplode_outer(tokens_col).alias("pos", "token"),
+    )
+    joined = pos.join(F.broadcast(vocab), "token", "left")
+    per_doc = joined.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("pos").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("n_tokens"),
+        F.sum(
+            F.when(
+                F.col("pos").isNotNull() & F.col("token_id").isNull(), 1
+            ).otherwise(0)
+        ).cast("long").alias("n_oov"),
+    )
+    out = drain_to_df(per_doc, "update", key_cols=(id_col,))
+    return out.select(
+        id_col,
+        "n_tokens",
+        "n_oov",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"),
+        ).alias("oov_rate"),
+    )

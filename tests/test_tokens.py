@@ -277,3 +277,55 @@ def test_span_corruption_matches_python_replica(spark):
 
     with _pytest.raises(ValueError):
         span_corruption(df, mask_rate=1.0)
+
+
+def test_streaming_oov_stats_bit_matches_batch(spark, tmp_path):
+    from kafka_avro_order_processing_spark.operators.tokens import (
+        encode_ids,
+        oov_stats,
+    )
+    from kafka_avro_order_processing_spark.streaming.tokens import (
+        streaming_oov_stats,
+    )
+
+    vocab = spark.createDataFrame(
+        [("a", 0), ("b", 1), ("c", 2)], "token string, token_id int"
+    )
+    docs = [
+        (1, ["a", "b", "zz", "c"]),
+        (2, ["a", "a"]),
+        (3, ["q", "r", "s"]),
+        (4, []),
+        (5, ["b", "zz", "zz"]),
+        (6, ["c"]),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, tokens array<string>")
+    per_doc, totals = oov_stats(encode_ids(df, vocab))
+    want = sorted(tuple(r) for r in per_doc.collect())
+
+    d = str(tmp_path / "docs")
+    df.repartition(3).write.parquet(d)  # 3 files -> 3 micro-batches
+    stream = (
+        spark.readStream.schema("doc_id int, tokens array<string>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    drained = streaming_oov_stats(stream, vocab)
+    got = sorted(tuple(r) for r in drained.collect())
+    assert got == want
+    # batch fold over the drained frame reproduces the exact totals
+    from pyspark.sql import functions as F2
+
+    agg = drained.agg(
+        F2.count(F2.lit(1)).alias("d"),
+        F2.sum("n_tokens").alias("t"),
+        F2.sum("n_oov").alias("o"),
+        F2.sum((F2.col("n_oov") > 0).cast("bigint")).alias("dw"),
+    ).collect()[0]
+    assert {
+        "n_docs": agg["d"],
+        "n_tokens": int(agg["t"]),
+        "n_oov": int(agg["o"]),
+        "oov_rate": int(agg["o"]) / int(agg["t"]),
+        "n_docs_with_oov": int(agg["dw"]),
+    } == totals
