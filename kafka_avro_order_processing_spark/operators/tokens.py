@@ -328,3 +328,111 @@ def span_corruption(
         ).alias("targets"),
         F.sum("hidden").cast("long").alias("n_masked"),
     )
+
+
+def mlm_masking(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    mask_rate: float = 0.15,
+    salt: str = "mlm",
+    mask_token: str = "[MASK]",
+) -> DataFrame:
+    """BERT-style masked-LM corruption (Devlin et al. 2019) with the
+    80/10/10 rule — of the selected ``mask_rate`` positions, 80%
+    become ``mask_token``, 10% a random vocab token, 10% stay
+    unchanged (so the model cannot learn 'masked ⇒ wrong') — built
+    DETERMINISTICALLY like :func:`span_corruption`: selection, branch,
+    and replacement draws are all md5 hashes of (salt, doc, position),
+    so the corrupted dataset is bit-reproducible under any
+    partitioning or replay (suite-pinned against a Python replica).
+
+    ``vocab`` must be the (token, token_id) frame of
+    :func:`build_vocab` with DENSE ids 0..V-1 — the random branch
+    draws an id uniformly and broadcast-joins the token back.  Labels
+    align position-for-position with the corrupted tokens: the
+    ORIGINAL token at selected positions, NULL elsewhere (the -100
+    convention, string-typed).
+
+    Columns: id_col, input_tokens array<string>, labels array<string>,
+    n_selected (long).  One explode + one broadcast join + one per-doc
+    reassembly; V comes from one driver count scalar.
+    """
+    if not (0.0 <= mask_rate < 1.0):
+        raise ValueError("mask_rate must be in [0, 1)")
+    v_size = vocab.count()
+    if v_size == 0:
+        raise ValueError("mlm_masking needs a non-empty vocab")
+    edge = int(mask_rate * (1 << 32))
+
+    def draw(tag: str):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit(f"{salt}.{tag}"),
+                        F.col(id_col).cast("string"),
+                        F.col("pos").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    pos = df.select(
+        F.col(id_col),
+        F.posexplode_outer(tokens_col).alias("pos", "tok"),
+    )
+    sel = F.when(F.col("pos").isNotNull(), draw("sel") < edge).otherwise(
+        F.lit(False)
+    )
+    branch = draw("branch") % 10  # 0-7 mask, 8 random, 9 keep
+    rand_id = (draw("repl") % v_size).cast(
+        dict(vocab.dtypes)["token_id"]
+    )
+    tagged = pos.select(
+        id_col,
+        "pos",
+        "tok",
+        sel.alias("sel"),
+        F.when(sel, branch).alias("branch"),
+        F.when(sel & (branch == 8), rand_id).alias("token_id"),
+    )
+    joined = tagged.join(
+        F.broadcast(vocab.withColumnRenamed("token", "rand_tok")),
+        "token_id",
+        "left",
+    )
+    input_tok = (
+        F.when(~F.col("sel"), F.col("tok"))
+        .when(F.col("branch") <= 7, F.lit(mask_token))
+        .when(F.col("branch") == 8, F.col("rand_tok"))
+        .otherwise(F.col("tok"))
+    )
+    return (
+
+        joined.select(
+            id_col,
+            "pos",
+            "sel",
+            input_tok.alias("__in"),
+            F.when(F.col("sel"), F.col("tok")).alias("__lab"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(CASE WHEN pos IS NOT NULL"
+                " THEN struct(pos, __in) END)), s -> s.__in)"
+            ).alias("input_tokens"),
+            F.expr(
+                "transform(array_sort(collect_list(CASE WHEN pos IS NOT NULL"
+                " THEN struct(pos, __lab) END)), s -> s.__lab)"
+            ).alias("labels"),
+            F.sum(F.col("sel").cast("long")).alias("n_selected"),
+        )
+    )

@@ -329,3 +329,87 @@ def test_streaming_oov_stats_bit_matches_batch(spark, tmp_path):
         "oov_rate": int(agg["o"]) / int(agg["t"]),
         "n_docs_with_oov": int(agg["dw"]),
     } == totals
+
+
+def _py_mlm(doc_id, toks, vocab_tokens, mask_rate=0.15, salt="mlm"):
+    import hashlib
+
+    edge = int(mask_rate * (1 << 32))
+    v = len(vocab_tokens)
+
+    def draw(tag, pos):
+        h = hashlib.md5(f"{salt}.{tag}:{doc_id}:{pos}".encode()).hexdigest()
+        return int(h[:8], 16)
+
+    inputs, labels, n_sel = [], [], 0
+    for i, t in enumerate(toks):
+        if draw("sel", i) < edge:
+            n_sel += 1
+            labels.append(t)
+            b = draw("branch", i) % 10
+            if b <= 7:
+                inputs.append("[MASK]")
+            elif b == 8:
+                inputs.append(vocab_tokens[draw("repl", i) % v])
+            else:
+                inputs.append(t)
+        else:
+            inputs.append(t)
+            labels.append(None)
+    return inputs, labels, n_sel
+
+
+def test_mlm_masking_matches_python_replica(spark):
+    import random
+
+    from kafka_avro_order_processing_spark.operators.tokens import (
+        build_vocab,
+        mlm_masking,
+    )
+
+    rnd = random.Random(89)
+    docs = [
+        (i, [f"w{rnd.randint(0, 20)}" for _ in range(rnd.randint(0, 50))])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, tokens array<string>")
+    vocab = build_vocab(df).localCheckpoint(eager=True)
+    # dense-id token list in id order, as the operator's random branch sees it
+    vt = [
+        r["token"]
+        for r in vocab.orderBy("token_id").collect()
+    ]
+    out = {
+        r["doc_id"]: r for r in mlm_masking(df, vocab, mask_rate=0.3).collect()
+    }
+    assert set(out) == set(range(30))
+    branches = set()
+    for i, toks in docs:
+        want_in, want_lab, want_n = _py_mlm(i, toks, vt, 0.3)
+        r = out[i]
+        assert r["input_tokens"] == want_in, i
+        assert list(r["labels"]) == want_lab, i
+        assert r["n_selected"] == want_n, i
+        assert len(r["input_tokens"]) == len(toks)  # length preserved
+        for a, b, lab in zip(r["input_tokens"], toks, r["labels"]):
+            if lab is None:
+                assert a == b  # unselected positions untouched
+            else:
+                branches.add(
+                    "mask" if a == "[MASK]" else ("keep" if a == b else "rand")
+                )
+    assert branches == {"mask", "keep", "rand"}  # all three 80/10/10 arms hit
+
+    # deterministic under partitioning
+    again = {
+        r["doc_id"]: r["input_tokens"]
+        for r in mlm_masking(df.repartition(7), vocab, mask_rate=0.3).collect()
+    }
+    assert again == {i: out[i]["input_tokens"] for i in out}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mlm_masking(df, vocab, mask_rate=1.0)
+    with _pytest.raises(ValueError):
+        mlm_masking(df, vocab.filter("token_id < 0"))
