@@ -22,6 +22,8 @@ ONE job from raw documents to packed training shards:
                        shape), written out partitioned by shard
   5. tokenizer         BPE merges trained on the curated corpus, then
                        the shards tokenized map-side
+  5a. denoising        deterministic T5 span corruption over the
+                       tokenized corpus (conservation asserted)
   5b. trainer shards   vocab ids + fixed-length packed id sequences
                        with per-sequence document spans, written out
 
@@ -260,6 +262,30 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None, out_dir: str | None
         F.sum(F.size("tokens")).alias("s")
     ).collect()[0]["s"]
 
+    # 5a. denoising objective: deterministic T5 span corruption over
+    # the tokenized corpus (md5 draws — the corrupted dataset is
+    # reproducible across reruns and partitionings).  Conservation:
+    # every original token is either visible in inputs or hidden
+    # behind a sentinel, never both, never lost.
+    from kafka_avro_order_processing_spark.operators.tokens import (
+        span_corruption,
+    )
+
+    corr = span_corruption(tokenized, mask_rate=0.15)
+    crow = corr.agg(
+        F.sum("n_masked").alias("m"),
+        F.sum(
+            F.size("inputs")
+            - F.size(
+                F.filter(F.col("targets"), lambda t: t.startswith("<extra_id_"))
+            )
+        ).alias("visible"),
+    ).collect()[0]
+    n_denoise_masked = int(crow["m"] or 0)
+    denoise_conserved = (
+        int(crow["visible"] or 0) + n_denoise_masked == int(n_bpe_tokens)
+    )
+
     # 5b. trainer shards: vocab ids + fixed-length packed sequences
     # with doc spans — the array a pretraining loader actually feeds.
     vocab = build_vocab(tokenized)
@@ -281,6 +307,8 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None, out_dir: str | None
         "texts_cleaned": int(n_texts_cleaned),
         "filter_auc": float(filter_auc),
         "gopher_kept": int(gopher_kept),
+        "denoise_masked": n_denoise_masked,
+        "denoise_conserved": denoise_conserved,
         "length_psi": length_psi,
         "bpe_merges": int(n_merges),
         "bpe_tokens": int(n_bpe_tokens),

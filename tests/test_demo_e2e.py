@@ -45,6 +45,9 @@ def test_curation_demo_end_to_end(spark, tmp_path):
     assert 0.7 < c["filter_auc"] <= 1.0
     # published-rule audit ran and kept a sane majority
     assert 0 < c["gopher_kept"] <= c["raw"]
+    # denoising objective: ~15% of BPE tokens masked, none lost
+    assert 0 < c["denoise_masked"] < c["bpe_tokens"]
+    assert c["denoise_conserved"] is True
     # drift audit: curation reshapes the length distribution some, but
     # not into a different corpus (sane PSI, not epsilon-dominated)
     assert 0.0 <= c["length_psi"] < 1.0
