@@ -1,0 +1,152 @@
+"""URL normalization, domain extraction, and domain filtering.
+
+Reference scope: not in the reference pipeline; part of the engine's
+training-data layer (web-corpus curation dedups by canonical URL and
+filters by domain blocklists — C4/RefinedWeb practice).
+
+All plan work is JVM-side (``try_parse_url`` + regex + array ops inside
+codegen; plan-asserted).  The normalization contract (pinned by a
+Python-reference parity suite, tests/test_urls.py):
+
+1. surrounding whitespace trimmed;
+2. scheme and host lowercased;
+3. userinfo DROPPED (it is PII — ``user:pw@host`` never survives);
+4. default ports stripped (``http:80``, ``https:443``), other ports kept;
+5. fragment removed;
+6. tracking parameters removed (``utm_*``, ``gclid``, ``fbclid``,
+   ``msclkid``), remaining parameters kept in original order
+   (re-sorting would merge URLs that real servers may distinguish);
+7. empty path becomes ``/``; an all-tracking query drops its ``?``.
+
+Malformed URLs (no scheme/host per the JVM parser) normalize to NULL —
+loud, filterable, never silently passed through.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: Query parameters stripped by normalization (lowercase comparison).
+TRACKING_PARAMS_REGEX = r"(?i)^(utm_[a-z0-9_]*|gclid|fbclid|msclkid)="
+
+#: Two-level public suffixes for the registered-domain heuristic.  The
+#: mechanism is what the engine provides — production swaps in the full
+#: Mozilla public-suffix list as a broadcast table.
+TWO_LEVEL_SUFFIXES: tuple[str, ...] = (
+    "co.uk", "org.uk", "gov.uk", "ac.uk", "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "ne.jp", "co.nz", "com.br", "com.mx", "co.in",
+    "com.cn", "com.sg", "co.za", "com.ar", "com.tr",
+)
+
+
+def _purl(url: Column, part) -> Column:
+    """try_parse_url: NULL on malformed input (plain parse_url THROWS
+    under Spark 4 ANSI mode — a poisoned row would kill a 100 TB scan).
+    No pyspark wrapper in this build; call the SQL function by name."""
+    return F.call_function("try_parse_url", url, part)
+
+
+def _host(url: Column) -> Column:
+    return F.lower(_purl(url, F.lit("HOST")))
+
+
+def normalize_url(
+    df: DataFrame, url_col: str = "url", out_col: str = "url_norm"
+) -> DataFrame:
+    """Canonical URL per the module contract; NULL for unparseable
+    input.  Pure expression work — no shuffle, no Python."""
+    raw = F.trim(F.col(url_col))
+    scheme = F.lower(_purl(raw, F.lit("PROTOCOL")))
+    host = _host(raw)
+    auth = _purl(raw, F.lit("AUTHORITY"))
+    # port: authority after stripping userinfo, then a :NNN suffix
+    hostport = F.regexp_replace(auth, r"^[^@]*@", "")
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
+    )
+    path = _purl(raw, F.lit("PATH"))
+    path = F.when(F.coalesce(path, F.lit("")) == "", F.lit("/")).otherwise(path)
+    query = _purl(raw, F.lit("QUERY"))
+    kept = F.filter(
+        F.split(F.coalesce(query, F.lit("")), "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAMS_REGEX),
+    )
+    qpart = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    norm = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        qpart,
+    )
+    valid = scheme.isNotNull() & host.isNotNull() & (host != "")
+    return df.withColumn(out_col, F.when(valid, norm))
+
+
+def registered_domain(host: Column) -> Column:
+    """eTLD+1 heuristic: last two labels, or last three when the last
+    two form a known two-level public suffix.  NULL host -> NULL."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.array_join(F.slice(parts, F.greatest(n - 1, F.lit(1)), 2), ".")
+    is2 = last2.isin(*TWO_LEVEL_SUFFIXES)
+    take = F.when(is2, F.lit(3)).otherwise(F.lit(2))
+    return F.when(
+        n <= take, F.array_join(parts, ".")
+    ).otherwise(F.array_join(F.slice(parts, n - take + 1, take), "."))
+
+
+def url_domains(
+    df: DataFrame, url_col: str = "url", out_col: str = "domain"
+) -> DataFrame:
+    """Adds ``host`` and the registered ``domain`` column for the URL."""
+    h = _host(F.trim(F.col(url_col)))
+    return df.withColumn("host", h).withColumn(out_col, registered_domain(h))
+
+
+def domain_filter(
+    df: DataFrame,
+    domains: DataFrame,
+    url_col: str = "url",
+    mode: str = "block",
+) -> DataFrame:
+    """Filter rows by the registered domain of ``url_col`` against a
+    one-column ``domains`` frame (column ``domain``, lowercase).
+
+    ``mode='block'`` keeps rows whose domain is NOT listed (left-anti),
+    ``mode='allow'`` keeps only listed ones (left-semi).  The domain
+    list is broadcast — blocklists are MB-scale next to a 100 TB
+    corpus, and anti/semi joins build on the broadcast side without
+    shuffling the corpus.  Rows whose URL fails to parse keep NULL
+    domains: NULL never equals a list entry, so block-mode KEEPS them
+    and allow-mode DROPS them — filter on ``normalize_url`` validity
+    first if a stricter gate is wanted.
+    """
+    if mode not in ("block", "allow"):
+        raise ValueError(f"mode must be block|allow, got {mode!r}")
+    tagged = df.withColumn(
+        "__dom", registered_domain(_host(F.trim(F.col(url_col))))
+    )
+    dset = F.broadcast(domains.select(F.lower("domain").alias("__dom")).distinct())
+    how = "left_anti" if mode == "block" else "left_semi"
+    return tagged.join(dset, "__dom", how).drop("__dom")
+
+
+def url_dedup(
+    df: DataFrame, id_col: str = "doc_id", url_col: str = "url"
+) -> DataFrame:
+    """Exact dedup by normalized URL keeping the smallest id per group
+    (deterministic winner); unparseable URLs (NULL canonical form) are
+    kept as singletons rather than merged into one NULL group."""
+    normed = normalize_url(df, url_col, "__u")
+    good = normed.filter(F.col("__u").isNotNull())
+    winners = good.groupBy("__u").agg(F.min(id_col).alias(id_col))
+    kept = good.join(winners, ["__u", id_col], "left_semi").drop("__u")
+    bad = normed.filter(F.col("__u").isNull()).drop("__u")
+    return kept.unionByName(bad)

@@ -1,0 +1,178 @@
+"""URL layer (operators/urls.py): normalization parity with a Python
+urllib replica of the module contract, registered-domain heuristic,
+broadcast domain filtering with NULL semantics, dedup winners, and a
+structured URL fuzz.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+from urllib.parse import urlsplit
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from kafka_avro_order_processing_spark.operators.urls import (
+    TRACKING_PARAMS_REGEX,
+    domain_filter,
+    normalize_url,
+    url_dedup,
+    url_domains,
+)
+
+
+def _py_normalize(url):
+    """Python replica of the documented contract (urlsplit-based)."""
+    if url is None:
+        return None
+    u = url.strip()
+    try:
+        s = urlsplit(u)
+    except ValueError:
+        return None
+    if not s.scheme or not s.hostname:
+        return None
+    scheme = s.scheme.lower()
+    host = s.hostname.lower()
+    port = ""
+    try:
+        p = s.port
+    except ValueError:
+        p = None
+    if p is not None and not (
+        (scheme == "http" and p == 80) or (scheme == "https" and p == 443)
+    ):
+        port = f":{p}"
+    path = s.path or "/"
+    kept = [
+        q
+        for q in (s.query.split("&") if s.query else [])
+        if q and not re.match(TRACKING_PARAMS_REGEX, q)
+    ]
+    qpart = "?" + "&".join(kept) if kept else ""
+    return f"{scheme}://{host}{port}{path}{qpart}"
+
+
+CASES = [
+    "HTTP://Example.COM:80/Path/Here?a=1&utm_source=x&b=2#frag",
+    "https://a.b.co.uk:443/",
+    "https://a.b.co.uk:8443/x?utm_campaign=z",
+    "http://user:pw@Host.org/secret",
+    "http://h.com",
+    "http://h.com/?utm_source=1&UTM_MEDIUM=2",
+    "  http://pad.io/p  ",
+    "http://site.io/a?gclid=g&keep=1&fbclid=f&z=9",
+    "http://num.net:8080/q?x=1&x=1",
+]
+
+
+def test_normalize_matches_python_contract(spark):
+    rows = [(i, u) for i, u in enumerate(CASES)]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {r["id"]: r["url_norm"] for r in normalize_url(df).collect()}
+    for i, u in rows:
+        assert got[i] == _py_normalize(u), u
+
+
+def test_normalize_invalid_is_null(spark):
+    df = spark.createDataFrame(
+        [(1, "not a url"), (2, "/relative/only"), (3, None)], "id long, url string"
+    )
+    got = {r["id"]: r["url_norm"] for r in normalize_url(df).collect()}
+    assert got == {1: None, 2: None, 3: None}
+
+
+def test_registered_domain(spark):
+    hosts = [
+        ("http://www.example.com/x", "example.com"),
+        ("http://a.b.co.uk/x", "b.co.uk"),
+        ("http://co.uk/x", "co.uk"),
+        ("http://deep.sub.site.org/x", "site.org"),
+        ("http://localhost/x", "localhost"),
+        ("http://x.com.au/", "x.com.au"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(hosts)], "id long, url string"
+    )
+    got = {r["id"]: r["domain"] for r in url_domains(df).collect()}
+    for i, (_, want) in enumerate(hosts):
+        assert got[i] == want, hosts[i]
+
+
+def test_domain_filter_modes_and_nulls(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "http://spam.example.com/a"),
+            (2, "http://good.org/b"),
+            (3, "garbage"),  # NULL domain
+        ],
+        "id long, url string",
+    )
+    bl = spark.createDataFrame([("example.com",)], "domain string")
+    blocked = sorted(r["id"] for r in domain_filter(df, bl, mode="block").collect())
+    assert blocked == [2, 3]  # NULL-domain row survives block mode
+    allowed = sorted(r["id"] for r in domain_filter(df, bl, mode="allow").collect())
+    assert allowed == [1]  # NULL-domain row dropped in allow mode
+    with pytest.raises(ValueError):
+        domain_filter(df, bl, mode="deny")
+
+
+def test_domain_filter_broadcasts(spark):
+    df = spark.createDataFrame([(1, "http://a.com/")], "id long, url string")
+    bl = spark.createDataFrame([("a.com",)], "domain string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        domain_filter(df, bl).explain("formatted")
+    assert "BroadcastHashJoin" in buf.getvalue()
+
+
+def test_url_dedup_keeps_min_id_and_singleton_nulls(spark):
+    df = spark.createDataFrame(
+        [
+            (5, "http://H.com:80/x?utm_source=a"),
+            (3, "http://h.com/x"),          # same canonical as 5 -> 3 wins
+            (7, "http://h.com/y"),
+            (9, "bad url"),
+            (11, "also bad"),
+        ],
+        "doc_id long, url string",
+    )
+    got = sorted(r["doc_id"] for r in url_dedup(df).collect())
+    assert got == [3, 7, 9, 11]
+
+
+def test_plan_is_jvm_only(spark):
+    df = spark.createDataFrame([(1, "http://a.com/")], "id long, url string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        normalize_url(df).explain("formatted")
+    plan = buf.getvalue()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+SCHEMES = st.sampled_from(["http", "HTTP", "https", "HtTpS"])
+HOSTS = st.sampled_from(
+    ["Example.com", "a.b.co.uk", "x.io", "deep.sub.site.org", "h.com.au"]
+)
+PORTS = st.sampled_from(["", ":80", ":443", ":8080"])
+PATHS = st.sampled_from(["", "/", "/A/b", "/x%20y"])
+QUERIES = st.lists(
+    st.sampled_from(["a=1", "utm_source=x", "b=2", "gclid=9", "UTM_x=1", "keep=yes"]),
+    min_size=0,
+    max_size=4,
+)
+FRAGS = st.sampled_from(["", "#f", "#sec-2"])
+
+
+@settings(max_examples=40, deadline=None)
+@given(SCHEMES, HOSTS, PORTS, PATHS, QUERIES, FRAGS)
+def test_fuzz_structured_urls(spark, scheme, host, port, path, qs, frag):
+    url = f"{scheme}://{host}{port}{path}"
+    if qs:
+        url += "?" + "&".join(qs)
+    url += frag
+    df = spark.createDataFrame([(1, url)], "id long, url string")
+    got = normalize_url(df).collect()[0]["url_norm"]
+    assert got == _py_normalize(url), url
