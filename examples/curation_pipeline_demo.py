@@ -11,9 +11,13 @@ ONE job from raw documents to packed training shards:
                        compressibility features), audit held-out AUC —
                        the fastText-filter shape, with leakage-safe
                        md5 splits and the exact AUC metric
+  0c. PII hygiene      audit counts + typed-placeholder redaction
+                       (JVM regex) — a counted no-op on this corpus
   2. exact dedup       md5 fingerprint, keep smallest doc_id
   3. near-dup prune    MinHash-LSH pairs -> connected components ->
                        keep each cluster's min id
+  3b1. decontaminate   published n-gram overlap rule against the
+                       benchmark eval set (synthesized corpus slice)
   3b2. span dedup      corpus-wide duplicated n-gram spans cut out of
                        surviving docs (ExactSubstr remediation)
   3c. drift audit      PSI of the token-length distribution, curated
@@ -108,9 +112,22 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None, out_dir: str | None
     n_texts_cleaned = cleaned.filter(
         F.col("text_clean") != F.col("text")
     ).count()
-    docs_clean = cleaned.select(
+
+    # 0c. PII hygiene: audit counts on the cleaned text, then
+    # typed-placeholder redaction of the text every later stage
+    # consumes (the synthetic corpus is PII-free, so the audit counter
+    # proves the gate ran — on a web corpus this is where emails/IPs
+    # stop propagating).
+    from kafka_avro_order_processing_spark.operators.pii import (
+        pii_summary,
+        redact_pii,
+    )
+
+    pre_redact = cleaned.select(
         "doc_id", F.col("text_clean").alias("text"), "n_chars", "lang", "source"
-    ).persist()
+    )
+    n_pii_docs = int(pii_summary(pre_redact).collect()[0]["n_docs_with_pii"])
+    docs_clean = redact_pii(pre_redact).persist()
 
     # 1. quality gate: drop the low-quality tail and repetitive docs
     # (thresholds sit inside this corpus's observed score range —
@@ -208,6 +225,23 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None, out_dir: str | None
     )
     kept = kept.join(losers, "doc_id", "left_anti")
     n_near = kept.count()
+
+    # 3b1. benchmark decontamination: the published n-gram overlap rule
+    # (n scaled down to this corpus's ~20-token docs; GPT-3 uses 13)
+    # against the eval set a training run must never see — synthesized
+    # here as a deterministic slice of the RAW corpus, so surviving
+    # copies and near-copies in `kept` are exactly what the stage must
+    # remove.  Runs before span surgery: decontaminating early is also
+    # the cheap order (fewer docs reach every later stage).
+    from kafka_avro_order_processing_spark.operators.decontam import (
+        decontaminate,
+    )
+
+    evalset = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    kept = decontaminate(kept, evalset, n=6)
+    n_decontam = kept.count()
 
     # 3b2. span-level dedup: repeated passages INSIDE surviving docs
     # (boilerplate doc-level dedup cannot see) are found corpus-wide
@@ -317,9 +351,11 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None, out_dir: str | None
         "vocab_size": int(n_vocab),
         "token_sequences": int(n_seqs),
         "tokens_conserved": tokens_conserved,
+        "pii_docs": n_pii_docs,
         "after_quality": n_quality,
         "after_exact_dedup": n_exact,
         "after_near_dedup": n_near,
+        "after_decontam": n_decontam,
         "lsh_pairs": n_lsh_pairs,
         "exact_pairs": n_exact_pairs,
         "lsh_recall": lsh_recall,

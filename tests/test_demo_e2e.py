@@ -25,16 +25,27 @@ def test_curation_demo_end_to_end(spark, tmp_path):
     from curation_pipeline_demo import main
 
     c = main("/root/testdata/sf0.001", spark=spark, out_dir=str(tmp_path))
-    assert c["raw"] >= c["after_quality"] >= c["after_exact_dedup"] >= c["after_near_dedup"] > 0
+    assert (
+        c["raw"]
+        >= c["after_quality"]
+        >= c["after_exact_dedup"]
+        >= c["after_near_dedup"]
+        >= c["after_decontam"]
+        > 0
+    )
     assert c["after_quality"] < c["raw"]          # quality gate filtered
     assert c["after_near_dedup"] < c["after_exact_dedup"]  # near-dups pruned
+    # decontamination: eval-set copies surviving the dedups are removed
+    assert c["after_decontam"] < c["after_near_dedup"]
+    # PII audit ran; the synthetic corpus is PII-free
+    assert c["pii_docs"] == 0
     assert c["shards"] == 8
     # recall audit: LSH verifies exact Jaccard so its pairs are a
     # subset of the exact prefix-filter join's at the same threshold
     assert c["lsh_pairs"] <= c["exact_pairs"]
     assert 0.0 <= c["lsh_recall"] <= 1.0
     shards = spark.read.parquet(str(tmp_path / "shards"))
-    assert shards.count() == c["after_near_dedup"]
+    assert shards.count() == c["after_decontam"]
     assert set(shards.columns) == {"doc_id", "text", "shard", "n_tokens", "bin_id"}
     # profile stage: the synthetic documents table has no null text
     assert c["text_nulls"] == 0
