@@ -6494,65 +6494,51 @@ def q_setsim_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _LEAD_ORDER = [
-    # -- ROUND-7 window (exactly 50 names precede the boundary).
-    # Built per the r6 verdict's task 3 and the CORRECTNESS_r01..r06
-    # union: (1) the three r6 RED names, fixed this round (oracle
-    # HUGEINT typing — CAST(... AS BIGINT) applied; values verified
-    # identical at sf0.01); (2) the 42 r4-green names the r6 window
-    # could not fit — after the r6 check they are the oldest rows
-    # anywhere (age 2, reaching their age-3 deadline THIS round);
-    # (3) r5-green names oldest-registration-first (5 fit).
-    # (1) r6 reds, re-queued after the oracle cast fix:
-    "semantic_dedup", "training_order_shuffle", "stratified_sample",
-    # (2) r4-green, age-3 deadline this round:
-    "generated_orders_datasource",
-    "sql_api_events_hourly",
-    "value_percentiles",
-    "value_dispersion",
-    "user_retention_cohorts", "customers_with_pending_orders",
-    "order_display_lines",
-    "props_json_extraction",
-    "above_customer_avg_orders",
-    "approx_distinct_users",
-    "ivf_probe_search", "ivf_recall_at_k",
-    "clicks_before_purchase",
-    "curated_corpus_stats",
-    "shipping_priority", "multimodal_decoded_features",
-    "explicit_grouping_sets",
-    "corrupt_json_handling", "forecast_revenue_change",
-    "large_quantity_orders", "streaming_interval_join",
-    "embedding_quantization_error", "dataset_split_counts",
-    "deterministic_sample", "doc_repetition_scores",
-    "benchmark_contamination", "pii_detection", "doc_chunks",
-    "per_source_quality", "domain_mixture_sample", "boilerplate_grams",
-    "quality_filter_funnel", "source_overlap_grams",
-    "streaming_dedup_exact", "streaming_dedup_watermarked",
-    "upsert_orders_partitioned", "streaming_upsert_orders",
-    "scd2_customer_dim", "streaming_scd2_customer_dim",
-    "doc_length_histogram", "bm25_top20", "embedding_lsh_near_dup",
-    # (3) r5-green, oldest-registration-first (deadline round 8), plus
-    # this round's three NEW names (fuzzy_part_links, setsim_doc_pairs,
-    # qty_price_rank_corr), which displaced "rejected_orders",
-    # "validated_orders" and "running_avg" below the boundary per the
-    # headroom rule:
-    "per_product_stats", "overall_stats",
-    "fuzzy_part_links", "setsim_doc_pairs", "qty_price_rank_corr",
+    # -- ROUND-8 window (exactly 50 names precede the boundary).
+    # Built per the r7 verdict's task 1 and the CORRECTNESS_r01..r07
+    # union: (1) the 48 r5-green names NOT re-checked in round 7 —
+    # after the r7 check they are the oldest rows anywhere (checked
+    # r5, age 2 during round 8: their age-3 deadline is THIS round).
+    # That is the 50 r5 names minus "per_product_stats" and
+    # "overall_stats" (checked r7); the three names the r7 window
+    # displaced ("rejected_orders", "validated_orders", "running_avg")
+    # lead.  (2) fill 2 from the 47 r6-green names,
+    # oldest-registration-first.  NO new registry names this round —
+    # round-9 headroom is zero (see the boundary comment).
+    # (1) the 48 r5-greens at their deadline, registration order:
+    "running_avg", "validated_orders", "rejected_orders",
+    "error_classification", "dlq_error_stats", "pricing_summary",
+    "top_customers", "revenue_by_region", "top3_events_per_type",
+    "events_hourly", "user_sessions", "doc_token_stats",
+    "token_counts_top20", "language_id", "quality_scores",
+    "doc_fingerprints", "dedup_exact", "embedding_topk",
+    "multimodal_meta", "streaming_product_stats",
+    "streaming_product_stats_update", "asof_purchase_click",
+    "region_nation_rollup", "priority_status_cube",
+    "daily_event_type_pivot", "events_sliding_30m", "churned_users",
+    "ivf_cell_sizes", "avro_ocf_roundtrip", "priority_line_revenue",
+    "streaming_running_avg_per_record", "streaming_user_sessions",
+    "tfidf_top_terms", "priority_code_extract", "orders_by_month",
+    "salted_product_stats", "streaming_watermarked_windows",
+    "value_distribution_ranks", "user_funnel", "value_bounds",
+    "dedup_clusters", "daily_events_unpivot", "sequence_packing",
+    "streaming_incremental_dedup", "streaming_static_enrich",
+    "upsert_orders", "runtime_filtered_join", "ivf_kmeans_refine",
+    # (2) r6-green fills, oldest-registration-first:
+    "product_stats_snapshot", "order_priority_counts",
     # --- position 50 boundary ---------------------------------------
-    # ROUND-8 MATH: after the r7 check the oldest rows anywhere are
-    # the 48 remaining r5-green names (checked r5, age 2 during
-    # round 8 — their deadline): the 50 r5 names minus the two checked
-    # in group (3) above ("rejected_orders", "validated_orders" and
-    # "running_avg" were displaced by the three new names and so stay
-    # due).  LEAD ROUND 8 WITH THOSE 48, then fill 2 from the
-    # 47 r6-green names oldest-registration-first.  Round 9 then
-    # takes the remaining 45 r6-greens (deadline r9) + 5 r7-window
-    # names.  Headroom for NEW names this round is 5: a new name may
-    # displace only a group-(3) r5-green (pushing it into round 8's
-    # lead, which then needs 45+displaced <= 50), NEVER a group-(2)
-    # r4-green (its deadline is this round).
-    # r6-green names (age 1 during round 7, safe until round 9) and
-    # the remaining r5-greens follow via the fallback append in
-    # _apply_order.
+    # ROUND-9 MATH: after the r8 check the oldest rows anywhere are
+    # the 45 remaining r6-green names (checked r6, age 2 during
+    # round 9 — their deadline): the 50 r6 names minus the 3 r6-reds
+    # re-checked in r7 ("semantic_dedup", "training_order_shuffle",
+    # "stratified_sample") and the 2 fills checked here.  LEAD ROUND 9
+    # WITH THOSE 45, then fill 5 from the 50 r7-window names
+    # oldest-registration-first (they are age 2 during round 10, so
+    # any 5 works; oldest-first keeps round 10's lead small).
+    # 45 + 5 = EXACTLY 50: round-9 headroom for NEW names is zero
+    # unless a new name displaces a fill (never a deadline name).
+    # The r7-window names and the remaining r8-window names follow
+    # via the fallback append in _apply_order.
 ]
 
 
