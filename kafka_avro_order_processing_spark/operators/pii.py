@@ -20,8 +20,10 @@ Design:
   for redaction (over-redact, never leak).
 - Counts are per-pattern over the ORIGINAL text and independent of
   each other; redaction applies patterns sequentially in
-  ``PII_PATTERNS`` order (pinned — e.g. emails are masked before
-  phone-shaped runs can eat their digits).
+  ``PII_PATTERNS`` order (pinned — emails are masked before
+  phone-shaped runs can eat their digits, and card runs before
+  phone: a 13-19 digit run whose prefix is phone-shaped must mask
+  as ONE ``<CARD>``, not a ``<PHONE>`` plus 8 leaked digits).
 """
 
 from __future__ import annotations
@@ -39,13 +41,17 @@ PII_PATTERNS: dict[str, str] = {
     ),
     # US SSN shape 3-2-4 with dashes
     "ssn": r"(?<![0-9])[0-9]{3}-[0-9]{2}-[0-9]{4}(?![0-9-])",
+    # 13-19 digit run with optional single space/dash separators.
+    # MUST precede phone: a card run whose first 10 digits are
+    # phone-shaped ('123-456-7890 1234 5678') would otherwise be
+    # split by the phone pass, leaking the remaining raw digits —
+    # violating the "masks every 13-19 digit run" redact contract.
+    "ccnum": r"(?<![0-9])(?:[0-9][ -]?){12,18}[0-9](?![0-9])",
     # phone: optional +CC, then 3-3-4 with separators or (area)
     "phone": (
         r"(?<![0-9A-Za-z])(?:\+[0-9]{1,3}[-. ])?"
         r"(?:\([0-9]{3}\)[-. ]?|[0-9]{3}[-. ])[0-9]{3}[-. ]?[0-9]{4}(?![0-9])"
     ),
-    # 13-19 digit run with optional single space/dash separators
-    "ccnum": r"(?<![0-9])(?:[0-9][ -]?){12,18}[0-9](?![0-9])",
 }
 
 #: Redaction placeholders per type.
@@ -128,11 +134,16 @@ def pii_summary(
 ) -> DataFrame:
     """Corpus-level rollup of the flag frame: one row of exact totals
     (docs, docs with PII, per-type match totals) — the audit counter a
-    curation run reports."""
+    curation run reports.  NULL-text docs (``has_pii`` NULL = unknown,
+    per ``pii_flags``) are counted in ``n_docs`` and reported
+    separately as ``n_docs_null_text`` — never folded into the clean
+    bucket, so ``n_docs - n_docs_with_pii - n_docs_null_text`` is the
+    count of docs POSITIVELY known clean."""
     flags = pii_flags(df, id_col, text_col)
     return flags.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum(F.when(F.col("has_pii"), 1).otherwise(0)).cast("long").alias("n_docs_with_pii"),
+        F.sum(F.when(F.col("has_pii").isNull(), 1).otherwise(0)).cast("long").alias("n_docs_null_text"),
         F.sum(F.coalesce("n_email", F.lit(0))).cast("long").alias("total_email"),
         F.sum(F.coalesce("n_ipv4", F.lit(0))).cast("long").alias("total_ipv4"),
         F.sum(F.coalesce("n_ssn", F.lit(0))).cast("long").alias("total_ssn"),

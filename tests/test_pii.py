@@ -32,6 +32,9 @@ CASES = [
     (8, None),
     (9, "edge 1.2.3.4.5 run 12345678901234567890123 x"),
     (10, "mail@sub.domain.org, ip 10.0.0.256 (invalid octet), 0.0.0.0 ok"),
+    # card run with a phone-shaped prefix: must mask as ONE <CARD>,
+    # not <PHONE> + 8 leaked digits (ccnum ordered before phone)
+    (11, "card 123-456-7890 1234 5678 end"),
 ]
 
 
@@ -108,6 +111,17 @@ def test_redaction_matches_python_composition(spark):
         assert got[did] == _py_redact(text), did
 
 
+def test_card_run_with_phone_prefix_masks_whole_run(spark):
+    """ADVICE r7: phone-before-ccnum leaked the 8 digits after the
+    phone-shaped prefix of an 18-digit run.  ccnum now precedes phone
+    in PII_PATTERNS, so the whole run masks as one <CARD>."""
+    df = spark.createDataFrame([CASES[10]], "doc_id long, text string")
+    out = redact_pii(df).collect()[0]["text"]
+    assert out == "card <CARD> end"
+    assert not re.search("[0-9]{4}", out), f"digits leaked: {out!r}"
+    assert list(PII_PATTERNS).index("ccnum") < list(PII_PATTERNS).index("phone")
+
+
 def test_redaction_subset_and_out_col(spark):
     df = spark.createDataFrame([CASES[0]], "doc_id long, text string")
     out = redact_pii(df, types=("email",), out_col="clean").collect()[0]
@@ -142,6 +156,16 @@ def test_summary_totals(spark):
         if (w["n_email"] + w["n_ipv4"] + w["n_ssn"] + w["n_phone"] + w["n_ccnum_luhn"]) > 0
     )
     assert s["n_docs_with_pii"] == n_with
+    # NULL-text docs are reported explicitly, never counted as clean
+    assert s["n_docs_null_text"] == sum(1 for _, t in CASES if t is None)
+    assert (
+        s["n_docs"] - s["n_docs_with_pii"] - s["n_docs_null_text"]
+        == sum(
+            1
+            for w in want
+            if (w["n_email"] + w["n_ipv4"] + w["n_ssn"] + w["n_phone"] + w["n_ccnum_luhn"]) == 0
+        )
+    )
 
 
 PII_ALPHABET = "0123456789 .-@()+aex"  # digit/separator-dense: hits every pattern arm
