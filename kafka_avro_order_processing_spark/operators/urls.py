@@ -11,7 +11,10 @@ Python-reference parity suite, tests/test_urls.py):
 1. surrounding whitespace trimmed;
 2. scheme and host lowercased;
 3. userinfo DROPPED (it is PII — ``user:pw@host`` never survives);
-4. default ports stripped (``http:80``, ``https:443``), other ports kept;
+4. ports compared as INTEGERS (urlsplit ``.port`` semantics): default
+   ports stripped (``http:80``, ``https:443``, including zero-padded
+   spellings like ``:0080``), out-of-range ports (>65535 or unparseable)
+   dropped, kept ports rendered canonically without leading zeros;
 5. fragment removed;
 6. tracking parameters removed (``utm_*``, ``gclid``, ``fbclid``,
    ``msclkid``), remaining parameters kept in original order
@@ -19,7 +22,10 @@ Python-reference parity suite, tests/test_urls.py):
 7. empty path becomes ``/``; an all-tracking query drops its ``?``.
 
 Malformed URLs (no scheme/host per the JVM parser) normalize to NULL —
-loud, filterable, never silently passed through.
+loud, filterable, never silently passed through.  One parser-boundary
+consequence, pinned in tests: java.net.URI holds the port in an int,
+so a port overflowing 2^31-1 makes the WHOLE URL malformed (NULL),
+where urlsplit would still parse it and drop the port.
 """
 
 from __future__ import annotations
@@ -34,9 +40,10 @@ TRACKING_PARAMS_REGEX = r"(?i)^(utm_[a-z0-9_]*|gclid|fbclid|msclkid)="
 #: at the start or a '&', with its value, replaced by the anchor.
 _TRACKING_PARAM_STRIP = r"(?i)(^|&)(?:utm_[a-z0-9_]*|gclid|fbclid|msclkid)=[^&]*"
 
-#: Two-level public suffixes for the registered-domain heuristic.  The
-#: mechanism is what the engine provides — production swaps in the full
-#: Mozilla public-suffix list as a broadcast table.
+#: Two-level public suffixes for the registered-domain heuristic.
+#: Production feeds the FULL Mozilla public-suffix list through
+#: :func:`domains_from_suffix_table` (exact/wildcard/exception rule
+#: semantics); this literal tuple is the dependency-free fallback.
 TWO_LEVEL_SUFFIXES: tuple[str, ...] = (
     "co.uk", "org.uk", "gov.uk", "ac.uk", "com.au", "net.au", "org.au",
     "co.jp", "or.jp", "ne.jp", "co.nz", "com.br", "com.mx", "co.in",
@@ -74,11 +81,18 @@ def normalize_url(
     auth = _purl(raw, F.lit("AUTHORITY"))
     # port: the :NNN suffix of the authority.  End-anchored, so any
     # userinfo (before '@', and a host never contains '@') can't match.
-    port = F.regexp_extract(auth, r":([0-9]+)$", 1)
+    # Compare the port as an INT (ADVICE r7): string comparison kept
+    # ':0080' (zero-padded default) and out-of-range ':99999', where
+    # the documented urlsplit-replica contract strips both.  try_cast
+    # returns NULL for '' / overflow; the 0-65535 range check mirrors
+    # urllib's ValueError -> dropped.  Kept ports render from the int,
+    # so ':08080' canonicalizes to ':8080' and equal URLs merge.
+    pint = F.regexp_extract(auth, r":([0-9]+)$", 1).try_cast("int")
+    pvalid = pint.isNotNull() & (pint <= 65535)
     keep_port = (
-        (port != "")
-        & ~((scheme == "http") & (port == "80"))
-        & ~((scheme == "https") & (port == "443"))
+        pvalid
+        & ~((scheme == "http") & (pint == 80))
+        & ~((scheme == "https") & (pint == 443))
     )
     file = F.coalesce(_purl(raw, F.lit("FILE")), F.lit(""))
     qpos = F.instr(file, "?")
@@ -98,7 +112,7 @@ def normalize_url(
         scheme,
         F.lit("://"),
         host,
-        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        F.when(keep_port, F.concat(F.lit(":"), pint.cast("string"))).otherwise(F.lit("")),
         path,
         qpart,
     )
@@ -117,6 +131,104 @@ def registered_domain(host: Column) -> Column:
     return F.when(
         n <= take, F.array_join(parts, ".")
     ).otherwise(F.array_join(F.slice(parts, n - take + 1, take), "."))
+
+
+#: Hard cap on public-suffix rules accepted by the table-driven
+#: variant.  The full Mozilla list is ~9.5k rules; the rules become
+#: driver-side hash sets compiled into InSet expressions, so the cap
+#: keeps the plan a bounded constant, loudly.
+MAX_PSL_RULES = 100_000
+
+
+def domains_from_suffix_table(
+    df: DataFrame,
+    psl: DataFrame,
+    host_col: str = "host",
+    out_col: str = "domain",
+) -> DataFrame:
+    """Registered-domain (eTLD+1) extraction driven by a public-suffix
+    TABLE — the production swap-in the :func:`registered_domain`
+    heuristic's docstring promises.  ``psl`` is a one-column frame
+    (``suffix``, lowercase) of publicsuffix.org rules, supporting the
+    three published rule forms:
+
+    - exact rules (``co.uk``): the suffix is public;
+    - wildcard rules (``*.ck``): ANY single label plus the remainder
+      is public;
+    - exception rules (``!www.ck``): carve-outs that beat wildcards —
+      the public suffix is the rule MINUS its leftmost label.
+
+    Matching follows the publicsuffix.org algorithm: exceptions win,
+    else the longest (most labels) matching rule prevails, else the
+    implicit ``*`` default (the bare TLD is public).  The registered
+    domain is the prevailing suffix plus one more label; a host that
+    IS a public suffix (or has no extra label) yields NULL — callers
+    deciding "keep unattributable hosts" should coalesce explicitly.
+
+    Scale shape: the rule list is collected ONCE at plan-build time
+    (bounded by ``MAX_PSL_RULES``, loud past it) and compiled into
+    per-label-depth InSet hash lookups — pure map-side expression
+    work, zero shuffle, zero Python, no explode-and-regroup of the
+    corpus.  A broadcast JOIN would also work but costs a join per
+    candidate depth; InSet keeps the 100 TB side untouched.
+    """
+    rows = [r[0] for r in psl.select("suffix").limit(MAX_PSL_RULES + 1).collect()]
+    if len(rows) > MAX_PSL_RULES:
+        raise ValueError(
+            f"suffix table exceeds MAX_PSL_RULES={MAX_PSL_RULES}; "
+            "this is far beyond the public-suffix list — check the input"
+        )
+    exact: dict[int, set[str]] = {}
+    wild: dict[int, set[str]] = {}   # labels AFTER '*.', keyed by FULL rule depth
+    exc: dict[int, set[str]] = {}    # full exception string (sans '!')
+    for s in rows:
+        if s is None:
+            continue
+        s = s.strip().lower().strip(".")
+        if not s:
+            continue
+        if s.startswith("!"):
+            body = s[1:]
+            exc.setdefault(body.count(".") + 1, set()).add(body)
+        elif s.startswith("*."):
+            body = s[2:]
+            wild.setdefault(body.count(".") + 2, set()).add(body)
+        else:
+            exact.setdefault(s.count(".") + 1, set()).add(s)
+
+    parts = F.split(F.lower(F.col(host_col)), r"\.")
+    n = F.size(parts)
+
+    def last(j: int) -> Column:
+        return F.array_join(F.slice(parts, n - j + 1, j), ".")
+
+    # Public-suffix label count for this host, deepest rules first.
+    # An exception rule of depth j makes the suffix j-1 labels and, per
+    # the spec, beats every wildcard; otherwise longest match wins, so
+    # a single descending when-chain implements the algorithm.
+    suf_len: Column = F.lit(1)  # implicit '*' default rule
+    # Build shallow -> deep: each new when() wraps the previous chain,
+    # so the DEEPEST matching rule is evaluated first = longest wins.
+    for j in sorted(set(exact) | set(wild)):
+        branch = None
+        if j in exact:
+            branch = last(j).isin(*sorted(exact[j]))
+        if j in wild:
+            w = last(j - 1).isin(*sorted(wild[j]))
+            branch = w if branch is None else (branch | w)
+        suf_len = F.when((n >= j) & branch, F.lit(j)).otherwise(suf_len)
+    # Exception rules beat every exact/wildcard match regardless of
+    # depth (publicsuffix.org algorithm step 2), so they wrap last:
+    # the public suffix is the rule minus its leftmost label.
+    for j in sorted(exc):
+        suf_len = F.when(
+            (n >= j) & last(j).isin(*sorted(exc[j])), F.lit(j - 1)
+        ).otherwise(suf_len)
+
+    reg = F.when(n >= suf_len + 1, F.array_join(F.slice(parts, n - suf_len, suf_len + 1), "."))
+    return df.withColumn(
+        out_col, F.when(F.col(host_col).isNotNull() & (F.col(host_col) != ""), reg)
+    )
 
 
 def url_domains(

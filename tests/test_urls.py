@@ -37,10 +37,16 @@ def _py_normalize(url):
     scheme = s.scheme.lower()
     host = s.hostname.lower()
     port = ""
+    m = re.search(r":([0-9]+)$", s.netloc)
+    if m and int(m.group(1)) > 2**31 - 1:
+        # JVM-parser validity gate (module contract): java.net.URI
+        # holds the port in an int, so an overflowing port makes the
+        # whole URL malformed -> NULL.  urlsplit would parse it.
+        return None
     try:
         p = s.port
     except ValueError:
-        p = None
+        p = None  # out of range 0-65535 -> dropped
     if p is not None and not (
         (scheme == "http" and p == 80) or (scheme == "https" and p == 443)
     ):
@@ -65,6 +71,13 @@ CASES = [
     "  http://pad.io/p  ",
     "http://site.io/a?gclid=g&keep=1&fbclid=f&z=9",
     "http://num.net:8080/q?x=1&x=1",
+    # ADVICE r7: ports compare as INTs, not strings
+    "http://h.com:0080/x",        # zero-padded default -> stripped
+    "https://h.com:000443/x",     # zero-padded default -> stripped
+    "http://h.com:08080/x",       # zero-padded non-default -> ':8080'
+    "http://h.com:99999/x",       # out of range -> dropped (urllib ValueError)
+    "http://h.com:123456789012345/x",  # int overflow -> dropped
+    "http://h.com:0/x",           # port 0 is in range -> kept as ':0'
 ]
 
 
@@ -156,7 +169,7 @@ SCHEMES = st.sampled_from(["http", "HTTP", "https", "HtTpS"])
 HOSTS = st.sampled_from(
     ["Example.com", "a.b.co.uk", "x.io", "deep.sub.site.org", "h.com.au"]
 )
-PORTS = st.sampled_from(["", ":80", ":443", ":8080"])
+PORTS = st.sampled_from(["", ":80", ":443", ":8080", ":0080", ":00443", ":99999", ":0"])
 PATHS = st.sampled_from(["", "/", "/A/b", "/x%20y"])
 QUERIES = st.lists(
     st.sampled_from(["a=1", "utm_source=x", "b=2", "gclid=9", "UTM_x=1", "keep=yes"]),
@@ -176,3 +189,107 @@ def test_fuzz_structured_urls(spark, scheme, host, port, path, qs, frag):
     df = spark.createDataFrame([(1, url)], "id long, url string")
     got = normalize_url(df).collect()[0]["url_norm"]
     assert got == _py_normalize(url), url
+
+
+# ---------------------------------------------------------------------------
+# Table-driven registered domain (publicsuffix.org rule semantics)
+# ---------------------------------------------------------------------------
+
+PSL_RULES = [
+    "com", "uk", "co.uk", "org.uk", "au", "com.au",
+    "jp", "co.jp",
+    "ck", "*.ck", "!www.ck",          # the spec's canonical wildcard+exception
+    "kobe.jp", "*.kobe.jp", "!city.kobe.jp",
+]
+
+
+def _py_registered_domain(host):
+    """Python replica of the publicsuffix.org algorithm over PSL_RULES."""
+    if not host:
+        return None
+    labels = host.lower().split(".")
+    best = 1  # implicit '*' rule
+    exception = None
+    for rule in PSL_RULES:
+        if rule.startswith("!"):
+            body = rule[1:].split(".")
+            if labels[-len(body):] == body:
+                exception = len(body) - 1
+        elif rule.startswith("*."):
+            body = rule[2:].split(".")
+            depth = len(body) + 1
+            if len(labels) >= depth and labels[-len(body):] == body:
+                best = max(best, depth)
+        else:
+            body = rule.split(".")
+            if len(labels) >= len(body) and labels[-len(body):] == body:
+                best = max(best, len(body))
+    suf = exception if exception is not None else best
+    if len(labels) < suf + 1:
+        return None
+    return ".".join(labels[-(suf + 1):])
+
+
+PSL_HOSTS = [
+    "www.example.com",        # exact 'com' -> example.com
+    "a.b.co.uk",              # multi-level suffix -> b.co.uk
+    "x.com.au",               # multi-level suffix -> x.com.au (host IS reg dom)
+    "deep.sub.x.com.au",      # -> x.com.au
+    "co.uk",                  # host IS a public suffix -> NULL
+    "uk",                     # bare TLD -> NULL
+    "foo.ck",                 # wildcard '*.ck': foo.ck is public -> NULL
+    "bar.foo.ck",             # -> bar.foo.ck
+    "baz.bar.foo.ck",         # -> bar.foo.ck
+    "www.ck",                 # exception '!www.ck' -> www.ck
+    "sub.www.ck",             # exception still prevails -> www.ck
+    "a.b.kobe.jp",            # wildcard '*.kobe.jp' -> a.b.kobe.jp
+    "city.kobe.jp",           # exception -> city.kobe.jp
+    "x.city.kobe.jp",         # -> city.kobe.jp
+    "unknownTLD-host.zz",     # implicit '*' -> unknowntld-host.zz
+    "single",                 # one label, no extra label -> NULL
+    "localhost",              # NULL (no label past the implicit suffix)
+]
+
+
+def test_domains_from_suffix_table_matches_psl_algorithm(spark):
+    from kafka_avro_order_processing_spark.operators.urls import (
+        domains_from_suffix_table,
+    )
+
+    psl = spark.createDataFrame([(s,) for s in PSL_RULES], "suffix string")
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(PSL_HOSTS)], "id long, host string"
+    )
+    got = {r["id"]: r["domain"] for r in domains_from_suffix_table(df, psl).collect()}
+    for i, h in enumerate(PSL_HOSTS):
+        assert got[i] == _py_registered_domain(h), (h, got[i], _py_registered_domain(h))
+
+
+def test_domains_from_suffix_table_null_host_and_cap(spark, monkeypatch):
+    import pytest
+
+    from kafka_avro_order_processing_spark.operators import urls as U
+
+    psl = spark.createDataFrame([(s,) for s in PSL_RULES], "suffix string")
+    df = spark.createDataFrame([(1, None), (2, "")], "id long, host string")
+    got = {r["id"]: r["domain"] for r in U.domains_from_suffix_table(df, psl).collect()}
+    assert got == {1: None, 2: None}
+
+    monkeypatch.setattr(U, "MAX_PSL_RULES", 3)
+    with pytest.raises(ValueError, match="MAX_PSL_RULES"):
+        U.domains_from_suffix_table(df, psl)
+
+
+def test_domains_from_suffix_table_is_jvm_only_no_shuffle(spark):
+    from kafka_avro_order_processing_spark.operators.urls import (
+        domains_from_suffix_table,
+    )
+
+    psl = spark.createDataFrame([(s,) for s in PSL_RULES], "suffix string")
+    df = spark.createDataFrame([(1, "a.b.co.uk")], "id long, host string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        domains_from_suffix_table(df, psl).explain("formatted")
+    plan = buf.getvalue()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan  # pure map-side expression work
