@@ -229,15 +229,19 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None, out_dir: str | None
     # 3b1. benchmark decontamination: the published n-gram overlap rule
     # (n scaled down to this corpus's ~20-token docs; GPT-3 uses 13)
     # against the eval set a training run must never see — synthesized
-    # here as a deterministic slice of the RAW corpus, so surviving
-    # copies and near-copies in `kept` are exactly what the stage must
-    # remove.  Runs before span surgery: decontaminating early is also
-    # the cheap order (fewer docs reach every later stage).
+    # here as a deterministic slice of the corpus, so surviving copies
+    # and near-copies in `kept` are exactly what the stage must remove.
+    # The slice comes from docs_clean (ADVICE r7): `kept` carries text
+    # already cleaned (0b) and PII-redacted (0c), so the eval side must
+    # live in the SAME text space — slicing raw `docs` would miss any
+    # doc those stages altered (a no-op only on this synthetic corpus).
+    # Runs before span surgery: decontaminating early is also the
+    # cheap order (fewer docs reach every later stage).
     from kafka_avro_order_processing_spark.operators.decontam import (
         decontaminate,
     )
 
-    evalset = docs.filter(F.col("doc_id") % 7 == 0).select(
+    evalset = docs_clean.filter(F.col("doc_id") % 7 == 0).select(
         F.col("doc_id").alias("eval_id"), "text"
     )
     kept = decontaminate(kept, evalset, n=6)

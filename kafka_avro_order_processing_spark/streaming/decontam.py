@@ -25,6 +25,12 @@ from ..operators.decontam import DEFAULT_N, eval_gram_table
 from ..operators.text import tokens
 from .pipeline import drain_to_df
 
+#: Hard cap on the number of short (< n-token) eval sequences inlined
+#: as literal expressions.  Benchmark eval sets carry at most a few
+#: hundred sub-n-gram items; past this the literal when-tree stops
+#: being "a broadcast-sized constant" and becomes a pathological plan.
+MAX_INLINE_SHORT_SEQS = 1000
+
 
 def _gram_array(text_col: str, n: int):
     """Doc-local DISTINCT word n-grams as one array per row — the
@@ -51,12 +57,28 @@ def streaming_contamination_tags(
     """Tag a document stream against a batch eval set (bounded drain;
     in production the same plan runs continuously in front of the
     lake writer).  Output schema matches
-    :func:`operators.decontam.contamination_tags`."""
+    :func:`operators.decontam.contamination_tags`.
+
+    Raises ``ValueError`` when the eval set carries more than
+    ``MAX_INLINE_SHORT_SEQS`` short (< n-token) sequences: those are
+    inlined as literal expressions, which is only sane at benchmark
+    scale.  Oversized short sets belong on the batch path
+    (:func:`operators.decontam.contamination_tags`), whose short arm
+    is a broadcast join, not an expression tree."""
     grams, short_seqs = eval_gram_table(evaldf, eval_id, eval_text, n)
     # The short list is eval-set-derived and < n-token sequences only —
     # bounded like any broadcast side; inlined so the stream needs no
-    # second join-aggregate branch.
-    shorts = [r["seq"] for r in short_seqs.collect()]
+    # second join-aggregate branch.  collect() one row past the cap so
+    # an oversized set fails loudly without materializing all of it.
+    shorts = [r["seq"] for r in short_seqs.limit(MAX_INLINE_SHORT_SEQS + 1).collect()]
+    if len(shorts) > MAX_INLINE_SHORT_SEQS:
+        raise ValueError(
+            f"eval set has more than {MAX_INLINE_SHORT_SEQS} short "
+            f"(< {n}-token) sequences; the streaming twin inlines these "
+            "as literals and would build a pathological expression tree. "
+            "Use the batch operators.decontam.contamination_tags (its "
+            "short arm is a bounded broadcast join), or raise n."
+        )
 
     body = F.concat(F.lit(" "), F.concat_ws(" ", tokens(doc_text)), F.lit(" "))
     if shorts:

@@ -74,3 +74,25 @@ def test_no_short_evals_branch(spark, tmp_path):
     stream = spark.readStream.schema("doc_id long, text string").parquet(d)
     got = _rows(streaming_contamination_tags(stream, evals, n=N))
     assert got == want
+
+
+def test_oversized_short_eval_set_fails_loudly(spark, tmp_path, monkeypatch):
+    """VERDICT r7 quality note: the inlined short-sequence literals are
+    only sane at benchmark scale — past MAX_INLINE_SHORT_SEQS the twin
+    must raise with guidance, not build a pathological expression tree.
+    The cap is monkeypatched down so the test stays O(10)."""
+    import pytest
+
+    from kafka_avro_order_processing_spark.streaming import decontam as sd
+
+    monkeypatch.setattr(sd, "MAX_INLINE_SHORT_SEQS", 5)
+    # 6 distinct 1-token eval texts -> 6 short (< N-token) sequences
+    evals = spark.createDataFrame(
+        [(i, f"tok{i}") for i in range(6)], "eval_id long, text string"
+    )
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    d = str(tmp_path / "docs")
+    docs.write.parquet(d)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(d)
+    with pytest.raises(ValueError, match="short"):
+        sd.streaming_contamination_tags(stream, evals, n=N)
