@@ -1,0 +1,311 @@
+"""Ranked-retrieval evaluation (operators/retrieval_eval.py): exact
+Python-replica parity on crafted cases, a hypothesis fuzz, the
+bit-determinism pin under repartitioning, and a DuckDB oracle through
+the driver's canonicalization (promotion-ready, like
+test_r10_promotion_parity.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, strategies as st
+
+from kafka_avro_order_processing_spark.operators.retrieval_eval import (
+    discount_table,
+    mean_retrieval_metrics,
+    ranked_retrieval_eval,
+)
+
+K = 5
+
+
+def _py_eval(runs, qrels, k=K):
+    """Replica: same definitions, same left-to-right float folds."""
+    disc = discount_table(k)
+    by_q_rel = {}
+    for q, d, rel in qrels:
+        by_q_rel.setdefault(q, {})[d] = float(rel)
+    by_q_run = {}
+    for q, d, r in runs:
+        if r <= k:
+            by_q_run.setdefault(q, []).append((r, d))
+    out = {}
+    for q, rels in by_q_rel.items():
+        n_rel = sum(1 for v in rels.values() if v > 0)
+        ranked = sorted(by_q_run.get(q, []))
+        n_ret = len(ranked)
+        hits = [(r, d) for r, d in ranked if rels.get(d, 0.0) > 0]
+        n_rel_ret = len(hits)
+        first = hits[0][0] if hits else None
+        rr = 1.0 / first if first else 0.0
+        ap_num = 0.0
+        j = 0
+        for r, d in ranked:  # rank order fold
+            if rels.get(d, 0.0) > 0:
+                j += 1
+                ap_num += j / r
+            else:
+                ap_num += 0.0
+        dcg = 0.0
+        for r, d in ranked:
+            g = (2.0 ** rels[d] - 1.0) if rels.get(d, 0.0) > 0 else 0.0
+            dcg += g * disc[r - 1]
+        gains = sorted(
+            ((2.0 ** v - 1.0) if v > 0 else 0.0 for v in rels.values()),
+            reverse=True,
+        )[:k]
+        idcg = 0.0
+        for i, g in enumerate(gains):
+            idcg += g * disc[i]
+        out[q] = {
+            "n_rel": n_rel,
+            "n_ret": n_ret,
+            "n_rel_ret": n_rel_ret,
+            "precision_at_k": n_rel_ret / k,
+            "recall_at_k": (n_rel_ret / n_rel) if n_rel else None,
+            "rr": rr,
+            "ap": (ap_num / n_rel) if n_rel else None,
+            "dcg": dcg,
+            "idcg": idcg,
+            "ndcg": (dcg / idcg) if idcg > 0 else None,
+        }
+    return out
+
+
+RUNS = [
+    # q1: judged docs at ranks 1,3,5 (one irrelevant judged at 2)
+    (1, 101, 1), (1, 102, 2), (1, 103, 3), (1, 104, 4), (1, 105, 5),
+    (1, 106, 6),                     # beyond k — ignored
+    # q2: no relevant retrieved
+    (2, 201, 1), (2, 202, 2),
+    # q3: unjudged query — excluded from output
+    (3, 301, 1),
+    # q5: under-filled run (2 of k=5)
+    (5, 501, 1), (5, 502, 2),
+]
+QRELS = [
+    (1, 101, 2.0), (1, 102, 0.0), (1, 103, 1.0), (1, 105, 3.0), (1, 999, 1.0),
+    (2, 299, 1.0),
+    (4, 401, 1.0),                   # judged, never retrieved
+    (5, 501, 1.0), (5, 502, 2.0), (5, 503, 3.0),
+    (6, 601, 0.0),                   # all judgments non-positive
+]
+
+
+def _collect(spark, runs, qrels, k=K):
+    rdf = spark.createDataFrame(runs, "query_id long, doc_id long, rank int")
+    qdf = spark.createDataFrame(qrels, "query_id long, doc_id long, rel double")
+    return {
+        r["query_id"]: r.asDict()
+        for r in ranked_retrieval_eval(rdf, qdf, k=k).collect()
+    }
+
+
+def test_matches_python_replica_exactly(spark):
+    got = _collect(spark, RUNS, QRELS)
+    want = _py_eval([(q, d, r) for q, d, r in RUNS], QRELS)
+    assert set(got) == set(want)  # judged queries only; q3 excluded
+    for q, w in want.items():
+        g = got[q]
+        for key, v in w.items():
+            assert g[key] == v, (q, key, g[key], v)
+
+
+def test_edge_semantics(spark):
+    got = _collect(spark, RUNS, QRELS)
+    assert 3 not in got                      # unjudged query excluded
+    g4 = got[4]                              # judged, never retrieved
+    assert (g4["n_ret"], g4["n_rel_ret"], g4["rr"]) == (0, 0, 0.0)
+    assert g4["precision_at_k"] == 0.0 and g4["recall_at_k"] == 0.0
+    assert g4["dcg"] == 0.0 and g4["ndcg"] == 0.0
+    g6 = got[6]                              # all judgments non-positive
+    assert g6["n_rel"] == 0
+    assert g6["recall_at_k"] is None and g6["ap"] is None and g6["ndcg"] is None
+    g5 = got[5]                              # perfect under-filled run
+    assert g5["precision_at_k"] == 2 / 5     # penalized by literal k
+    assert g5["ndcg"] is not None and g5["ndcg"] < 1.0  # 503 never retrieved
+
+
+def test_means_exclude_nulls(spark):
+    rdf = spark.createDataFrame(RUNS, "query_id long, doc_id long, rank int")
+    qdf = spark.createDataFrame(QRELS, "query_id long, doc_id long, rel double")
+    per_q = ranked_retrieval_eval(rdf, qdf, k=K)
+    m = mean_retrieval_metrics(per_q)
+    want = _py_eval([(q, d, r) for q, d, r in RUNS], QRELS)
+    vals = [w["ndcg"] for w in want.values() if w["ndcg"] is not None]
+    assert m["n_ndcg"] == len(vals)
+    assert abs(m["mean_ndcg"] - sum(vals) / len(vals)) < 1e-12
+    assert m["n_rr"] == len(want)            # rr is never NULL
+
+
+def test_bit_identical_under_repartitioning(spark):
+    rdf = spark.createDataFrame(RUNS, "query_id long, doc_id long, rank int")
+    qdf = spark.createDataFrame(QRELS, "query_id long, doc_id long, rel double")
+    a = sorted(map(tuple, ranked_retrieval_eval(rdf, qdf, k=K).collect()))
+    b = sorted(
+        map(
+            tuple,
+            ranked_retrieval_eval(
+                rdf.repartition(7), qdf.repartition(3), k=K
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 3),          # query
+            st.integers(1, 12),         # doc
+            st.integers(0, 3),          # grade
+        ),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+    st.lists(
+        st.tuples(st.integers(1, 3), st.integers(1, 12)),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+)
+def test_fuzz_vs_replica(spark, qrels, run_pairs):
+    # ranks: position within each query's listed docs (1-based, unique)
+    seen: dict = {}
+    runs = []
+    for q, d in run_pairs:
+        seen[q] = seen.get(q, 0) + 1
+        runs.append((q, d, seen[q]))
+    got = _collect(spark, runs, [(q, d, float(g)) for q, d, g in qrels])
+    want = _py_eval(runs, [(q, d, float(g)) for q, d, g in qrels])
+    assert set(got) == set(want)
+    for q, w in want.items():
+        for key, v in w.items():
+            assert got[q][key] == v, (q, key)
+
+
+def test_duckdb_oracle_parity(spark):
+    """Promotion-grade oracle: runs = per-lang n_chars ranking over
+    documents, qrels = a deterministic judged subset with integer
+    grades; compared via the driver's canonicalization (exact reprs).
+    """
+    from pyspark.sql import functions as F
+    from test_oracle_parity import SF_DIR, _canon, _duck
+    from kafka_avro_order_processing_spark.sources.tables import load_table
+    from pyspark.sql import Window
+
+    docs = load_table(spark, SF_DIR, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    runs = docs.select(
+        F.col("lang").alias("query_id"),
+        "doc_id",
+        F.row_number().over(w).alias("rank"),
+    ).filter(F.col("rank") <= K)
+    qrels = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("lang").alias("query_id"),
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, (F.col("doc_id") % 4).cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("rel"),
+    )
+    sdf = ranked_retrieval_eval(runs, qrels, k=K, query_col="query_id")
+
+    # DuckDB lexes a bare float literal as DECIMAL and the
+    # decimal->double conversion can lose the bottom ulp; routing the
+    # repr through a STRING cast parses the exact double (pinned
+    # gotcha: 0.38685280723454163 as a numeric literal reads back
+    # ...157).
+    disc_rows = ", ".join(
+        f"({i + 1}, CAST('{x!r}' AS DOUBLE))"
+        for i, x in enumerate(discount_table(K))
+    )
+    sql = f"""
+    WITH disc(rank, d) AS (VALUES {disc_rows}),
+    runs AS (
+      SELECT lang AS q, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id) AS rank
+      FROM documents
+      QUALIFY rank <= {K}
+    ),
+    qrels AS (
+      SELECT lang AS q, doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 4 AS DOUBLE)
+                  ELSE 0.0 END AS rel
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    gains AS (
+      SELECT q, CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+             list(CASE WHEN rel > 0 THEN pow(2.0, rel) - 1.0 ELSE 0.0 END
+                  ORDER BY (CASE WHEN rel > 0 THEN pow(2.0, rel) - 1.0
+                                 ELSE 0.0 END) DESC) AS g_desc
+      FROM qrels GROUP BY q
+    ),
+    idcgs AS (
+      SELECT q, n_rel,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(
+                   list_zip(g_desc[1:{K}],
+                            (SELECT list(d ORDER BY rank) FROM disc)),
+                   z -> COALESCE(z[1], 0.0) * COALESCE(z[2], 0.0))),
+               (a, b) -> a + b) AS idcg
+      FROM gains
+    ),
+    joined AS (
+      SELECT r.q, r.rank,
+             COALESCE(x.rel > 0, FALSE) AS hit,
+             COALESCE(CASE WHEN x.rel > 0 THEN pow(2.0, x.rel) - 1.0 END, 0.0)
+               * d.d AS dterm
+      FROM runs r
+      LEFT JOIN qrels x ON r.q = x.q AND r.doc_id = x.doc_id
+      JOIN disc d ON d.rank = r.rank
+    ),
+    with_j AS (
+      SELECT q, rank, hit, dterm,
+             SUM(CASE WHEN hit THEN 1 ELSE 0 END)
+               OVER (PARTITION BY q ORDER BY rank
+                     ROWS UNBOUNDED PRECEDING) AS j
+      FROM joined
+    ),
+    per_q AS (
+      SELECT q,
+             CAST(COUNT(*) AS BIGINT) AS n_ret,
+             CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_ret,
+             MIN(CASE WHEN hit THEN rank END) AS first_rank,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(dterm ORDER BY rank)), (a, b) -> a + b) AS dcg,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(CASE WHEN hit THEN CAST(j AS DOUBLE) / CAST(rank AS DOUBLE)
+                         ELSE 0.0 END ORDER BY rank)),
+               (a, b) -> a + b) AS ap_num
+      FROM with_j GROUP BY q
+    )
+    SELECT i.q AS query_id,
+           i.n_rel,
+           CAST(COALESCE(p.n_ret, 0) AS BIGINT) AS n_ret,
+           CAST(COALESCE(p.n_rel_ret, 0) AS BIGINT) AS n_rel_ret,
+           CAST(COALESCE(p.n_rel_ret, 0) AS DOUBLE) / {float(K)!r} AS precision_at_k,
+           CASE WHEN i.n_rel > 0 THEN
+             CAST(COALESCE(p.n_rel_ret, 0) AS DOUBLE) / CAST(i.n_rel AS DOUBLE)
+           END AS recall_at_k,
+           COALESCE(1.0 / CAST(p.first_rank AS DOUBLE), 0.0) AS rr,
+           CASE WHEN i.n_rel > 0 THEN
+             COALESCE(p.ap_num, 0.0) / CAST(i.n_rel AS DOUBLE)
+           END AS ap,
+           COALESCE(p.dcg, 0.0) AS dcg,
+           i.idcg AS idcg,
+           CASE WHEN i.idcg > 0 THEN COALESCE(p.dcg, 0.0) / i.idcg END AS ndcg
+    FROM idcgs i LEFT JOIN per_q p USING (q)
+    """
+    con = _duck(SF_DIR)
+    orows = con.execute(sql).fetchall()
+    ocols = [d[0] for d in con.description]
+    s_cols, s_data = _canon(sdf.columns, [tuple(r) for r in sdf.collect()])
+    o_cols, o_data = _canon(ocols, orows)
+    assert s_cols == o_cols
+    assert s_data == o_data
