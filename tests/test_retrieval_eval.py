@@ -7,8 +7,6 @@ test_r10_promotion_parity.py).
 
 from __future__ import annotations
 
-import math
-
 from hypothesis import given, settings, strategies as st
 
 from kafka_avro_order_processing_spark.operators.retrieval_eval import (
