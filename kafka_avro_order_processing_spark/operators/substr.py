@@ -143,3 +143,69 @@ def mask_duplicated_spans(
         F.expr("array_join(transform(kept, s -> s.t), ' ')").alias("text"),
         (F.size("toks") - F.size("kept")).cast("int").alias("n_tokens_removed"),
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 5,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 "Winnowing: Local Algorithms for Document
+    Fingerprinting" — the MOSS scheme): hash every token ``k``-gram,
+    slide a ``window`` over consecutive hashes, and select each
+    window's minimum hash, ties broken RIGHTMOST (the paper's rule:
+    overlapping windows then mostly re-select the same position, so
+    the fingerprint density is ~2/(window+1) instead of one per
+    window).  The guarantee: any shared run of at least
+    ``window + k - 1`` tokens between two documents shares at least
+    one selected fingerprint — the local property that makes the
+    scheme robust to position shifts, unlike every-i-th sampling.
+
+    Returns (id_col, pos, hash): distinct selected positions (0-based
+    k-gram start) with their 32-bit hash (first 8 md5 hex digits —
+    the engine's cross-engine-stable hash).  Documents with fewer
+    than ``window`` k-grams (but at least one) contribute the
+    rightmost minimum over all their hashes — one fingerprint, the
+    practical short-doc convention.  NULL/short texts (< k tokens)
+    contribute nothing.
+
+    Scale shape: one map-side n-gram pass, then per-DOCUMENT windows
+    only (keys are doc ids — skew-safe, no corpus-wide shuffle, no
+    doc-pair joins).  Downstream near-dup candidate generation joins
+    on ``hash`` exactly like the MinHash band join, with the same
+    capped-bucket discipline.
+    """
+    if k < 1 or window < 1:
+        raise ValueError("k and window must be >= 1")
+    grams = _positioned_ngrams(docs, k, id_col, text_col)
+    h = F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("bigint")
+    hashed = grams.select(F.col(id_col), F.col("pos"), h.alias("__h"))
+    w_count = Window.partitionBy(id_col)
+    trail = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    # rightmost-min via lexicographic struct min: (hash asc, -pos asc)
+    sel = F.min(
+        F.struct(F.col("__h").alias("h"), (-F.col("pos")).alias("np"))
+    ).over(trail)
+    out = (
+        hashed.withColumn("__n", F.count(F.lit(1)).over(w_count))
+        .withColumn("__sel", sel)
+        # full windows only — except the last position of a short doc,
+        # whose trailing window covers the whole document
+        .filter(
+            F.col("pos") >= F.least(F.lit(window), F.col("__n")) - 1
+        )
+        .select(
+            F.col(id_col),
+            (-F.col("__sel.np")).cast("int").alias("pos"),
+            F.col("__sel.h").alias("hash"),
+        )
+        .distinct()
+    )
+    return out
