@@ -576,3 +576,37 @@ def test_diff_versions_oracle(spark, tmp_path):
         FROM sums
         """,
     )
+
+
+def test_profile_table_exact_oracle(spark):
+    """profile_table(exact=True) over orders — the promotion queue's
+    'exact mode' candidate.  data_type strings are Spark
+    simpleStrings (constants of the known schema); min/max compare as
+    the engines' native->string casts, which agree for bigint,
+    non-extreme doubles, strings, and second-precision timestamps."""
+    from kafka_avro_order_processing_spark.operators.profile import profile_table
+    from kafka_avro_order_processing_spark.sources.tables import load_table
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]
+    sdf = profile_table(load_table(spark, SF_DIR, "orders"), columns=cols, exact=True)
+    types = {
+        "o_orderkey": "bigint",
+        "o_orderstatus": "string",
+        "o_totalprice": "double",
+        "o_orderdate": "timestamp_ntz",
+        "o_orderpriority": "string",
+    }
+    parts = []
+    for c in cols:
+        parts.append(f"""
+        SELECT '{c}' AS "column", '{types[c]}' AS data_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+               CASE WHEN COUNT(*) > 0 THEN
+                 CAST(COUNT(*) - COUNT({c}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               ELSE 0.0 END AS null_frac,
+               CAST(MIN({c}) AS VARCHAR) AS min_value,
+               CAST(MAX({c}) AS VARCHAR) AS max_value,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+        FROM orders""")
+    _assert_parity(sdf, " UNION ALL ".join(parts))
