@@ -98,6 +98,21 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
     recall_adc = recall(shortlist)
     recall_rerank = recall(reranked)
 
+    # 4b. trec-style grading of the reranked run: the brute-force
+    # top-10 IS the judgment set (binary rel), so MRR / MAP / NDCG@10
+    # quantify how well the two-stage pipeline ORDERS what it found —
+    # recall@k alone cannot see ordering quality.
+    from kafka_avro_order_processing_spark.operators.retrieval_eval import (
+        mean_retrieval_metrics,
+        ranked_retrieval_eval,
+    )
+
+    qrels = exact.select("query_id", F.col("neighbor_id").alias("doc_id"), F.lit(1.0).alias("rel"))
+    run = reranked.select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    graded = mean_retrieval_metrics(
+        ranked_retrieval_eval(run, qrels, k=TOPK, doc_col="doc_id")
+    )
+
     # 5. hard negatives: truth's top-2 are the declared positives
     positives = exact.filter(F.col("rank") <= 2).select(
         "query_id", "neighbor_id"
@@ -112,6 +127,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
         "queries": N_QUERIES,
         "recall_adc_at_10": recall_adc,
         "recall_reranked_at_10": recall_rerank,
+        "mrr": graded["mean_rr"],
+        "map": graded["mean_ap"],
+        "ndcg_at_10": graded["mean_ndcg"],
         "negatives": n_negs,
         "negatives_overlapping_positives": neg_overlap,
     }

@@ -168,5 +168,12 @@ def test_retrieval_demo_end_to_end(spark):
     assert 0.0 <= c["recall_adc_at_10"] <= 1.0
     assert c["recall_reranked_at_10"] >= c["recall_adc_at_10"]
     assert c["recall_reranked_at_10"] > 0.0
+    # trec-style grading against the brute-force truth: every metric
+    # bounded, and with binary relevance NDCG@10 cannot fall below
+    # recall@10 of the same run (missing docs hurt NDCG at most as
+    # much as the discount of the positions they'd fill)
+    assert 0.0 < c["mrr"] <= 1.0
+    assert 0.0 < c["map"] <= 1.0
+    assert 0.0 < c["ndcg_at_10"] <= 1.0
     assert c["negatives"] == c["queries"] * 5
     assert c["negatives_overlapping_positives"] == 0
