@@ -209,3 +209,62 @@ def winnow_fingerprints(
         .distinct()
     )
     return out
+
+
+def winnow_candidate_pairs(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    min_shared: int = 2,
+    max_bucket_size: int = 64,
+) -> DataFrame:
+    """Near-dup candidate pairs from shared winnowing fingerprints —
+    the third candidate path next to MinHash-LSH (probabilistic,
+    whole-doc Jaccard) and the AllPairs prefix join (exact set
+    similarity): winnowing candidates fire on a single SHARED PASSAGE
+    of >= window + k - 1 tokens, so they surface partial-overlap pairs
+    (quotes, boilerplate splices) the whole-document measures dilute
+    away.
+
+    ``fps`` is :func:`winnow_fingerprints` output.  Docs sharing a
+    fingerprint HASH bucket pair up (a < b), counted by how many
+    hashes they share; pairs below ``min_shared`` are dropped (one
+    shared hash can be a md5 collision or a stop-phrase — two
+    distinct selected passages is the published practical bar).
+
+    Same hot-bucket discipline as the LSH path: a hash shared by more
+    than ``max_bucket_size`` docs (a corpus-wide boilerplate passage)
+    emits a min-id STAR (O(bucket) edges, diameter 2 — connected
+    components still converge) instead of a quadratic all-pairs; star
+    edges carry shared_hashes = NULL, marking them as connectivity
+    edges, not measurements.
+    """
+    b = fps.select(F.col(id_col), F.col("hash").alias("__h"))
+    stats = b.groupBy("__h").agg(
+        F.count("*").alias("__n"), F.min(id_col).alias("__min")
+    )
+    sized = b.join(stats, "__h")
+    small = sized.filter(F.col("__n") <= max_bucket_size)
+    x, y = small.alias("x"), small.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.__h") == F.col("y.__h"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"x.{id_col}").alias("doc_a"),
+            F.col(f"y.{id_col}").alias("doc_b"),
+        )
+        .agg(F.countDistinct("x.__h").cast("long").alias("shared_hashes"))
+        .filter(F.col("shared_hashes") >= int(min_shared))
+    )
+    starred = (
+        sized.filter((F.col("__n") > max_bucket_size) & (F.col(id_col) != F.col("__min")))
+        .select(
+            F.col("__min").alias("doc_a"),
+            F.col(id_col).alias("doc_b"),
+            F.lit(None).cast("long").alias("shared_hashes"),
+        )
+        .distinct()
+    )
+    return pairs.unionByName(starred)

@@ -146,3 +146,47 @@ def test_duckdb_oracle_parity(spark):
     o_cols, o_data = _canon(ocols, orows)
     assert s_cols == o_cols
     assert s_data == o_data
+
+
+def test_candidate_pairs_surface_shared_passage(spark):
+    from kafka_avro_order_processing_spark.operators.substr import (
+        winnow_candidate_pairs,
+    )
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    docs = [
+        (1, f"a b c {shared} d e"),
+        (2, f"zz {shared} yy xx ww vv"),
+        (3, "totally different words here only once"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fps = winnow_fingerprints(df, k=K, window=W)
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["shared_hashes"]
+        for r in winnow_candidate_pairs(fps, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert not any(3 in p for p in pairs)
+
+
+def test_candidate_pairs_min_shared_and_star_cap(spark):
+    from kafka_avro_order_processing_spark.operators.substr import (
+        winnow_candidate_pairs,
+    )
+
+    # 10 docs all containing one boilerplate passage -> one hot hash
+    # bucket; cap 4 forces the min-id star with NULL shared_hashes
+    passage = "b1 b2 b3 b4 b5 b6"
+    docs = [(i, f"u{i} v{i} {passage} w{i}") for i in range(1, 11)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fps = winnow_fingerprints(df, k=K, window=W)
+    pairs = winnow_candidate_pairs(fps, min_shared=1, max_bucket_size=4).collect()
+    stars = [r for r in pairs if r["shared_hashes"] is None]
+    assert stars, "hot bucket did not star"
+    assert all(r["doc_a"] == 1 for r in stars)  # min-id center
+    # every doc stays transitively connected through the star
+    touched = {r["doc_a"] for r in pairs} | {r["doc_b"] for r in pairs}
+    assert touched == set(range(1, 11))
+    # min_shared prunes singleton-overlap pairs when the bar is higher
+    few = winnow_candidate_pairs(fps, min_shared=10**6, max_bucket_size=4).collect()
+    assert all(r["shared_hashes"] is None for r in few)
