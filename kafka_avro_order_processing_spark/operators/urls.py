@@ -172,6 +172,15 @@ def domains_from_suffix_table(
     corpus.  A broadcast JOIN would also work but costs a join per
     candidate depth; InSet keeps the 100 TB side untouched.
     """
+    return df.withColumn(out_col, psl_domain_expr(F.col(host_col), psl))
+
+
+def psl_domain_expr(host: Column, psl: DataFrame) -> Column:
+    """The COLUMN form of :func:`domains_from_suffix_table` — the
+    publicsuffix.org algorithm compiled to one expression, so any
+    operator that takes the heuristic :func:`registered_domain` can
+    take the table-driven extractor instead (``url_domains`` /
+    ``domain_filter`` accept ``psl=`` and route here)."""
     rows = [r[0] for r in psl.select("suffix").limit(MAX_PSL_RULES + 1).collect()]
     if len(rows) > MAX_PSL_RULES:
         raise ValueError(
@@ -196,7 +205,7 @@ def domains_from_suffix_table(
         else:
             exact.setdefault(s.count(".") + 1, set()).add(s)
 
-    parts = F.split(F.lower(F.col(host_col)), r"\.")
+    parts = F.split(F.lower(host), r"\.")
     n = F.size(parts)
 
     def last(j: int) -> Column:
@@ -226,17 +235,22 @@ def domains_from_suffix_table(
         ).otherwise(suf_len)
 
     reg = F.when(n >= suf_len + 1, F.array_join(F.slice(parts, n - suf_len, suf_len + 1), "."))
-    return df.withColumn(
-        out_col, F.when(F.col(host_col).isNotNull() & (F.col(host_col) != ""), reg)
-    )
+    return F.when(host.isNotNull() & (host != ""), reg)
 
 
 def url_domains(
-    df: DataFrame, url_col: str = "url", out_col: str = "domain"
+    df: DataFrame,
+    url_col: str = "url",
+    out_col: str = "domain",
+    psl: DataFrame | None = None,
 ) -> DataFrame:
-    """Adds ``host`` and the registered ``domain`` column for the URL."""
+    """Adds ``host`` and the registered ``domain`` column for the URL.
+    With ``psl`` (a publicsuffix.org rule table), extraction uses the
+    full algorithm via :func:`psl_domain_expr`; default is the
+    dependency-free two-level heuristic."""
     h = _host(F.trim(F.col(url_col)))
-    return df.withColumn("host", h).withColumn(out_col, registered_domain(h))
+    dom = psl_domain_expr(h, psl) if psl is not None else registered_domain(h)
+    return df.withColumn("host", h).withColumn(out_col, dom)
 
 
 def domain_filter(
@@ -244,6 +258,7 @@ def domain_filter(
     domains: DataFrame,
     url_col: str = "url",
     mode: str = "block",
+    psl: DataFrame | None = None,
 ) -> DataFrame:
     """Filter rows by the registered domain of ``url_col`` against a
     one-column ``domains`` frame (column ``domain``, lowercase).
@@ -255,13 +270,17 @@ def domain_filter(
     shuffling the corpus.  Rows whose URL fails to parse keep NULL
     domains: NULL never equals a list entry, so block-mode KEEPS them
     and allow-mode DROPS them — filter on ``normalize_url`` validity
-    first if a stricter gate is wanted.
+    first if a stricter gate is wanted.  ``psl`` swaps the domain
+    extractor for the table-driven publicsuffix.org algorithm (a
+    blocklist entry like ``b.co.uk`` then matches exactly the hosts
+    whose REGISTERED domain it is, including wildcard/exception TLDs
+    the heuristic cannot see).
     """
     if mode not in ("block", "allow"):
         raise ValueError(f"mode must be block|allow, got {mode!r}")
-    tagged = df.withColumn(
-        "__dom", registered_domain(_host(F.trim(F.col(url_col))))
-    )
+    h = _host(F.trim(F.col(url_col)))
+    dom = psl_domain_expr(h, psl) if psl is not None else registered_domain(h)
+    tagged = df.withColumn("__dom", dom)
     dset = F.broadcast(domains.select(F.lower("domain").alias("__dom")).distinct())
     how = "left_anti" if mode == "block" else "left_semi"
     return tagged.join(dset, "__dom", how).drop("__dom")

@@ -293,3 +293,29 @@ def test_domains_from_suffix_table_is_jvm_only_no_shuffle(spark):
     plan = buf.getvalue()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan  # pure map-side expression work
+
+
+def test_url_domains_and_filter_accept_psl(spark):
+    from kafka_avro_order_processing_spark.operators.urls import (
+        url_domains as _ud,
+    )
+
+    psl = spark.createDataFrame([(s,) for s in PSL_RULES], "suffix string")
+    df = spark.createDataFrame(
+        [
+            (1, "http://a.b.kobe.jp/x"),     # wildcard: a.b.kobe.jp
+            (2, "http://x.city.kobe.jp/y"),  # exception: city.kobe.jp
+            (3, "http://deep.a.b.co.uk/z"),  # multi-level: b.co.uk
+        ],
+        "id long, url string",
+    )
+    got = {r["id"]: r["domain"] for r in _ud(df, psl=psl).collect()}
+    assert got == {1: "a.b.kobe.jp", 2: "city.kobe.jp", 3: "b.co.uk"}
+
+    bl = spark.createDataFrame([("city.kobe.jp",)], "domain string")
+    kept = sorted(
+        r["id"] for r in domain_filter(df, bl, mode="block", psl=psl).collect()
+    )
+    assert kept == [1, 3]  # the heuristic would NOT block x.city.kobe.jp
+    kept_h = sorted(r["id"] for r in domain_filter(df, bl, mode="block").collect())
+    assert 2 in kept_h  # heuristic sees kobe.jp as the domain -> no match
