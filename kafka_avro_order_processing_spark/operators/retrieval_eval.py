@@ -234,3 +234,41 @@ def mean_retrieval_metrics(per_query: DataFrame) -> dict:
         out[f"mean_{c}"] = (float(int(s)) / float(MEAN_SCALE) / n) if n else None
         out[f"n_{c}"] = n
     return out
+
+
+def grouped_mean_retrieval_metrics(
+    per_query: DataFrame, group_col: str
+) -> DataFrame:
+    """Per-segment metric means in ONE plan — the monitoring sweep
+    shape of ``grouped_roc_auc``: join a segment column onto the
+    per-query frame (language, domain, query type) and get each
+    segment's MRR / MAP / mean NDCG / mean P@k / mean R@k, every mean
+    through the same 2^52-scaled decimal sum as the scalar
+    :func:`mean_retrieval_metrics` (bit-equal to calling it per group,
+    suite-pinned).  NULL per-query values are excluded per metric and
+    each mean carries its count, so a segment of unjudgeable queries
+    reports NULL-with-n=0, never a fake number."""
+    from .similarity import MEAN_SCALE
+
+    cols = ["precision_at_k", "recall_at_k", "rr", "ap", "ndcg"]
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_queries")]
+    for c in cols:
+        aggs.append(
+            F.sum(
+                (F.col(c) * F.lit(float(MEAN_SCALE))).cast("decimal(38,0)")
+            ).alias(f"__s_{c}")
+        )
+        aggs.append(F.count(F.col(c)).cast("long").alias(f"n_{c}"))
+    agg = per_query.groupBy(group_col).agg(*aggs)
+    out_cols = [F.col(group_col), F.col("n_queries")]
+    for c in cols:
+        out_cols.append(
+            F.when(
+                F.col(f"n_{c}") > 0,
+                F.col(f"__s_{c}").cast("double")
+                / F.lit(float(MEAN_SCALE))
+                / F.col(f"n_{c}").cast("double"),
+            ).alias(f"mean_{c}")
+        )
+        out_cols.append(F.col(f"n_{c}"))
+    return agg.select(*out_cols)

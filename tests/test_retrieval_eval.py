@@ -307,3 +307,34 @@ def test_duckdb_oracle_parity(spark):
     o_cols, o_data = _canon(ocols, orows)
     assert s_cols == o_cols
     assert s_data == o_data
+
+
+def test_grouped_means_bit_equal_scalar_per_group(spark):
+    from pyspark.sql import functions as F
+
+    from kafka_avro_order_processing_spark.operators.retrieval_eval import (
+        grouped_mean_retrieval_metrics,
+    )
+
+    rdf = spark.createDataFrame(RUNS, "query_id long, doc_id long, rank int")
+    qdf = spark.createDataFrame(QRELS, "query_id long, doc_id long, rel double")
+    per_q = ranked_retrieval_eval(rdf, qdf, k=K).withColumn(
+        "segment", (F.col("query_id") % 2).cast("string")
+    )
+    grouped = {
+        r["segment"]: r.asDict()
+        for r in grouped_mean_retrieval_metrics(per_q, "segment").collect()
+    }
+    for seg in ("0", "1"):
+        scalar = mean_retrieval_metrics(per_q.filter(F.col("segment") == seg))
+        g = grouped[seg]
+        for c in ("precision_at_k", "recall_at_k", "rr", "ap", "ndcg"):
+            assert g[f"mean_{c}"] == scalar[f"mean_{c}"], (seg, c)
+            assert g[f"n_{c}"] == scalar[f"n_{c}"], (seg, c)
+    # a segment of only-unjudgeable queries reports NULL-with-count-0
+    only6 = per_q.filter(F.col("query_id") == 6).withColumn(
+        "segment", F.lit("z")
+    )
+    z = grouped_mean_retrieval_metrics(only6, "segment").collect()[0]
+    assert z["n_ndcg"] == 0 and z["mean_ndcg"] is None
+    assert z["n_rr"] == 1  # rr exists even there
