@@ -216,8 +216,34 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None, out_dir: str | None
     # path's measured recall is simply |lsh_pairs| / |exact_pairs|
     # (LSH verifies exact Jaccard, so its pairs are a subset).
     n_lsh_pairs = pairs.count()
-    n_exact_pairs = set_similarity_join(kept).count()
+    exact_pairs = set_similarity_join(kept).localCheckpoint(eager=True)
+    n_exact_pairs = exact_pairs.count()
     lsh_recall = (n_lsh_pairs / n_exact_pairs) if n_exact_pairs else 1.0
+
+    # 3b'. winnowing coverage audit — the third candidate path: docs
+    # whose exact Jaccard >= 1/2 share most of their text, so they
+    # must share winnowed passages too; coverage is the fraction of
+    # exact pairs that winnowing candidates (min_shared=1, the
+    # recall-max setting) also surface.  Winnowing additionally sees
+    # PARTIAL overlaps (shared passages in otherwise-distinct docs)
+    # that whole-doc Jaccard dilutes away — reported as extra pairs.
+    from kafka_avro_order_processing_spark.operators.substr import (
+        winnow_candidate_pairs,
+        winnow_fingerprints,
+    )
+
+    wpairs = winnow_candidate_pairs(
+        winnow_fingerprints(kept, k=3, window=4), min_shared=1
+    ).localCheckpoint(eager=True)
+    n_winnow_covered = exact_pairs.join(
+        wpairs.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "leftsemi"
+    ).count()
+    winnow_coverage = (
+        n_winnow_covered / n_exact_pairs if n_exact_pairs else 1.0
+    )
+    n_winnow_extra = wpairs.join(
+        exact_pairs, ["doc_a", "doc_b"], "left_anti"
+    ).count()
 
     clusters = connected_components(pairs, "doc_a", "doc_b")
     losers = clusters.filter(F.col("node") != F.col("component")).select(
@@ -363,6 +389,8 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None, out_dir: str | None
         "lsh_pairs": n_lsh_pairs,
         "exact_pairs": n_exact_pairs,
         "lsh_recall": lsh_recall,
+        "winnow_coverage": winnow_coverage,
+        "winnow_extra_pairs": n_winnow_extra,
         "shards": n_shards,
         "bins": n_bins,
         "out": str(out),

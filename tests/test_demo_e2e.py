@@ -44,6 +44,12 @@ def test_curation_demo_end_to_end(spark, tmp_path):
     # subset of the exact prefix-filter join's at the same threshold
     assert c["lsh_pairs"] <= c["exact_pairs"]
     assert 0.0 <= c["lsh_recall"] <= 1.0
+    # winnowing must cover near-dup pairs well (shared text => shared
+    # passages) and may legitimately surface extra partial overlaps
+    assert 0.0 <= c["winnow_coverage"] <= 1.0
+    if c["exact_pairs"]:
+        assert c["winnow_coverage"] >= 0.5
+    assert c["winnow_extra_pairs"] >= 0
     shards = spark.read.parquet(str(tmp_path / "shards"))
     assert shards.count() == c["after_decontam"]
     assert set(shards.columns) == {"doc_id", "text", "shard", "n_tokens", "bin_id"}
