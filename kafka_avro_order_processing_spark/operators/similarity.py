@@ -1010,3 +1010,140 @@ def hard_negatives(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization — the third compression point on the
+# accuracy/size curve next to IVF (partition pruning) and PQ (code
+# tables): one uint8 code per DIMENSION (4x smaller than float32,
+# far more accurate than PQ's one code per subvector), encode/decode
+# pure per-row arithmetic.  Integer codes make the whole path
+# oracle-able — a property PQ's float k-means centroids cannot give.
+# ---------------------------------------------------------------------------
+
+
+def sq8_bounds(
+    vectors: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension (dim, lo, hi) over the corpus — exact min/max
+    (order-free aggregates), one explode + one groupBy on the
+    dimension key (at most `dim` groups)."""
+    pos = vectors.select(
+        F.posexplode(vec_col).alias("dim", "x")
+    ).select("dim", F.col("x").cast("double").alias("x"))
+    return pos.groupBy("dim").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    )
+
+
+def _collect_bounds(bounds: DataFrame) -> tuple[list, list]:
+    rows = sorted(
+        ((r["dim"], float(r["lo"]), float(r["hi"])) for r in bounds.collect())
+    )
+    los = [r[1] for r in rows]
+    steps = [r[2] - r[1] for r in rows]
+    return los, steps
+
+
+def sq8_encode(
+    vectors: DataFrame,
+    bounds: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_col, codes: array<int>) — each dimension quantized to
+    0..255 as ``floor((x - lo) / (hi - lo) * 255 + 0.5)`` clamped
+    (HALF-UP by construction: both engines' float ``round`` ties
+    differ, ``floor(v + 0.5)`` does not).  A constant dimension
+    (hi == lo) codes to 0.  The bounds table collects to the driver
+    (dim-sized) and rides the plan as literals — map-side only."""
+    los, steps = _collect_bounds(bounds)
+    lo_arr = F.array(*[F.lit(v) for v in los])
+    st_arr = F.array(*[F.lit(v) for v in steps])
+    codes = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        F.arrays_zip(lo_arr.alias("lo"), st_arr.alias("st")),
+        lambda x, b: F.when(
+            x.isNull(), F.lit(None).cast("int")
+        ).otherwise(
+            F.when(b.getField("st") == 0, F.lit(0)).otherwise(
+                F.least(
+                    F.lit(255),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor(
+                            (x - b.getField("lo")) / b.getField("st") * 255
+                            + F.lit(0.5)
+                        ),
+                    ),
+                ).cast("int")
+            )
+        ),
+    )
+    return vectors.select(F.col(id_col), codes.alias("codes"))
+
+
+def sq8_topk(
+    encoded: DataFrame,
+    queries: DataFrame,
+    bounds: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric top-k over SQ8 codes: the query stays float and the
+    decoded dot product folds to ``q·lo + sum(q_d·step_d/255 · code_d)``
+    — the per-query constant and the scaled-query array are computed
+    once per query row, so the scan does one multiply-add per code,
+    never a decode.  Ranks by approximate DOT PRODUCT: normalize
+    inputs first when cosine ranking is wanted (then dot == cosine).
+    Deterministic tie-break on candidate id.  Output:
+    (query_id, neighbor_id, score, rank)."""
+    los, steps = _collect_bounds(bounds)
+    lo_arr = F.array(*[F.lit(v) for v in los])
+    sc_arr = F.array(*[F.lit(v / 255.0) for v in steps])
+    qv = F.col(vec_col).cast("array<double>")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.aggregate(
+            F.zip_with(qv, lo_arr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("q_lo"),
+        F.zip_with(qv, sc_arr, lambda a, b: a * b).alias("q_scaled"),
+    )
+    n_par = encoded.sparkSession.sparkContext.defaultParallelism
+    c = encoded.repartition(n_par, F.col(id_col)).select(
+        F.col(id_col).alias("neighbor_id"), "codes"
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.col("q_lo")
+                + F.aggregate(
+                    F.zip_with(
+                        F.col("q_scaled"),
+                        F.col("codes"),
+                        lambda s, code: s * code.cast("double"),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "score",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
