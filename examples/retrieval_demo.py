@@ -113,6 +113,31 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
         ranked_retrieval_eval(run, qrels, k=TOPK, doc_col="doc_id")
     )
 
+    # 4c. SQ8 comparison: the scalar-quantized scan (8 bits/dim, one
+    # multiply-add per code) against the same truth — the third point
+    # on the accuracy/size curve next to the IVFADC shortlist.
+    from kafka_avro_order_processing_spark.operators.similarity import (
+        sq8_bounds,
+        sq8_encode,
+        sq8_topk,
+    )
+
+    normed = with_norm(emb).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: (x / F.col("norm")).cast("float"),
+        ).alias("embedding"),
+    ).localCheckpoint(eager=True)
+    nq = normed.filter(F.col("vec_id") < N_QUERIES)
+    bounds = sq8_bounds(normed)
+    sq8 = sq8_topk(sq8_encode(normed, bounds), nq, bounds, k=TOPK)
+    truth_n = cosine_topk(normed, nq, k=TOPK)
+    recall_sq8 = (
+        sq8.join(truth_n, ["query_id", "neighbor_id"], "leftsemi").count()
+        / (N_QUERIES * TOPK)
+    )
+
     # 5. hard negatives: truth's top-2 are the declared positives
     positives = exact.filter(F.col("rank") <= 2).select(
         "query_id", "neighbor_id"
@@ -130,6 +155,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
         "mrr": graded["mean_rr"],
         "map": graded["mean_ap"],
         "ndcg_at_10": graded["mean_ndcg"],
+        "recall_sq8_at_10": recall_sq8,
         "negatives": n_negs,
         "negatives_overlapping_positives": neg_overlap,
     }

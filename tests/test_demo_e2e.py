@@ -181,5 +181,6 @@ def test_retrieval_demo_end_to_end(spark):
     assert 0.0 < c["mrr"] <= 1.0
     assert 0.0 < c["map"] <= 1.0
     assert 0.0 < c["ndcg_at_10"] <= 1.0
+    assert c["recall_sq8_at_10"] >= 0.8  # 8 bits/dim is near-exact
     assert c["negatives"] == c["queries"] * 5
     assert c["negatives_overlapping_positives"] == 0
