@@ -116,3 +116,58 @@ def test_pq_encode_join_is_broadcast(spark):
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_round8_operators_stay_jvm_side(spark):
+    """The round-8 suite-only operators obey the same standing rules
+    as the registry: zero Python in winnowing / SQ8 / retrieval-eval
+    plans (unigram is the documented Arrow-batched exception — its
+    Viterbi is a pandas UDF by design), and no CartesianProduct
+    anywhere (the SQ8 scan cross-joins a BROADCAST query side)."""
+    import pyspark.sql.functions as F
+
+    from kafka_avro_order_processing_spark.operators.retrieval_eval import (
+        ranked_retrieval_eval,
+    )
+    from kafka_avro_order_processing_spark.operators.similarity import (
+        sq8_bounds,
+        sq8_encode,
+        sq8_topk,
+    )
+    from kafka_avro_order_processing_spark.operators.substr import (
+        winnow_candidate_pairs,
+        winnow_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d x y")], "doc_id long, text string"
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(4)],
+        "vec_id long, embedding array<float>",
+    )
+    runs = spark.createDataFrame(
+        [(1, 10, 1)], "query_id long, doc_id long, rank int"
+    )
+    qrels = spark.createDataFrame(
+        [(1, 10, 1.0)], "query_id long, doc_id long, rel double"
+    )
+    bounds = sq8_bounds(emb)
+    fps = winnow_fingerprints(docs, k=2, window=2)
+    plans = {
+        "winnow_fingerprints": fps,
+        "winnow_candidate_pairs": winnow_candidate_pairs(fps, min_shared=1),
+        "sq8_encode": sq8_encode(emb, bounds),
+        "sq8_topk": sq8_topk(
+            sq8_encode(emb, bounds), emb.filter(F.col("vec_id") < 1), bounds
+        ),
+        "ranked_retrieval_eval": ranked_retrieval_eval(runs, qrels, k=3),
+    }
+    for name, df in plans.items():
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
