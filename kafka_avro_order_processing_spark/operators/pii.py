@@ -15,15 +15,22 @@ Design:
   semantics differ between engines) — tests/test_pii.py pins exact
   parity against Python ``re`` on the same strings (ASCII contract).
 - Card numbers: the FLAG path Luhn-validates candidate runs
-  (``F.luhn_check`` — exact, JVM-side); the REDACT path masks every
-  13-19 digit run without the checksum, the conservative direction
-  for redaction (over-redact, never leak).
+  (``F.luhn_check`` — exact, JVM-side) against the card-shaped
+  13-19 digit pattern; the REDACT path masks every separated digit
+  run of >= 13 digits WITHOUT an upper length cap
+  (``PII_REDACT_PATTERNS``), the conservative direction for
+  redaction (over-redact, never leak).  The cap matters: a capped
+  {12,18} card arm on a 20-digit run (two adjacent phone numbers,
+  say) can only match a 13-19 digit sub-run, leaving a raw digit
+  tail next to the placeholder that the later phone pass no longer
+  recognizes — '<CARD>-3210' leaks 4 digits (ADVICE r8).  The
+  uncapped arm masks the maximal run as one ``<CARD>``.
 - Counts are per-pattern over the ORIGINAL text and independent of
   each other; redaction applies patterns sequentially in
-  ``PII_PATTERNS`` order (pinned — emails are masked before
+  ``PII_REDACT_PATTERNS`` order (pinned — emails are masked before
   phone-shaped runs can eat their digits, and card runs before
-  phone: a 13-19 digit run whose prefix is phone-shaped must mask
-  as ONE ``<CARD>``, not a ``<PHONE>`` plus 8 leaked digits).
+  phone: a long digit run whose prefix is phone-shaped must mask
+  as ONE ``<CARD>``, not a ``<PHONE>`` plus leaked digits).
 """
 
 from __future__ import annotations
@@ -52,6 +59,18 @@ PII_PATTERNS: dict[str, str] = {
         r"(?<![0-9A-Za-z])(?:\+[0-9]{1,3}[-. ])?"
         r"(?:\([0-9]{3}\)[-. ]?|[0-9]{3}[-. ])[0-9]{3}[-. ]?[0-9]{4}(?![0-9])"
     ),
+}
+
+#: Redaction application order + patterns.  Identical to
+#: ``PII_PATTERNS`` except the card arm, which drops the upper length
+#: cap: redaction masks the MAXIMAL separated digit run of >= 13
+#: digits, so a 20+ digit run (e.g. two adjacent phone numbers) can
+#: never leave a raw digit tail beside the placeholder (ADVICE r8 —
+#: the {12,18} shape stays on the flag/Luhn path only, where the
+#: card-length bound is part of the definition being counted).
+PII_REDACT_PATTERNS: dict[str, str] = {
+    **PII_PATTERNS,
+    "ccnum": r"(?<![0-9])(?:[0-9][ -]?){12,}[0-9](?![0-9])",
 }
 
 #: Redaction placeholders per type.
@@ -112,19 +131,22 @@ def redact_pii(
     out_col: str | None = None,
     types: tuple[str, ...] | None = None,
 ) -> DataFrame:
-    """Sequential typed redaction: each pattern in ``PII_PATTERNS``
-    order replaced by its placeholder.  ``out_col=None`` overwrites
-    ``text_col``; all other columns ride through unchanged.  The card
-    arm deliberately masks ALL 13-19 digit runs (no Luhn gate) — for
-    redaction the false-positive direction is the safe one."""
-    sel = types if types is not None else tuple(PII_PATTERNS)
-    unknown = set(sel) - set(PII_PATTERNS)
+    """Sequential typed redaction: each pattern in
+    ``PII_REDACT_PATTERNS`` order replaced by its placeholder.
+    ``out_col=None`` overwrites ``text_col``; all other columns ride
+    through unchanged.  The card arm deliberately masks ALL maximal
+    digit runs of >= 13 digits (no Luhn gate, no upper length cap) —
+    for redaction the false-positive direction is the safe one."""
+    sel = types if types is not None else tuple(PII_REDACT_PATTERNS)
+    unknown = set(sel) - set(PII_REDACT_PATTERNS)
     if unknown:
         raise ValueError(f"unknown PII types: {sorted(unknown)}")
     c: Column = F.col(text_col)
-    for k in PII_PATTERNS:  # canonical order regardless of `types` order
+    for k in PII_REDACT_PATTERNS:  # canonical order regardless of `types` order
         if k in sel:
-            c = F.regexp_replace(c, F.lit(PII_PATTERNS[k]), F.lit(PII_PLACEHOLDERS[k]))
+            c = F.regexp_replace(
+                c, F.lit(PII_REDACT_PATTERNS[k]), F.lit(PII_PLACEHOLDERS[k])
+            )
     target = out_col or text_col
     return df.withColumn(target, c)
 

@@ -35,11 +35,13 @@ Pipeline per round:
 
 Viterbi tie-break, pinned (and mirrored by the test reference):
 maximize total logprob; on an exact float tie prefer FEWER pieces;
-still tied, prefer the segmentation whose pieces are
-lexicographically LARGEST from the left (equivalently: the DP scan
-takes `>=` on candidates ordered by increasing start position, so
-the longest final piece wins) — any total order works, it just has
-to be the same one everywhere.
+still tied, prefer the LATEST split point — ``cand[2] > best[2]``
+keeps the largest backpointer j, i.e. the SHORTEST final piece
+(``_viterbi('abc')`` under a full tie returns ``['ab', 'c']``, not
+``['a', 'bc']``), applied recursively through the DP prefix — any
+total order works, it just has to be the same one everywhere
+(ADVICE r8: an earlier draft of this prose said "longest final
+piece"; the fuzz test enumerates the actual key).
 
 Encoding (``unigram_segment``) is the same Viterbi under the final
 table — embarrassingly parallel, exact.

@@ -6494,51 +6494,58 @@ def q_setsim_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _LEAD_ORDER = [
-    # -- ROUND-8 window (exactly 50 names precede the boundary).
-    # Built per the r7 verdict's task 1 and the CORRECTNESS_r01..r07
-    # union: (1) the 48 r5-green names NOT re-checked in round 7 —
-    # after the r7 check they are the oldest rows anywhere (checked
-    # r5, age 2 during round 8: their age-3 deadline is THIS round).
-    # That is the 50 r5 names minus "per_product_stats" and
-    # "overall_stats" (checked r7); the three names the r7 window
-    # displaced ("rejected_orders", "validated_orders", "running_avg")
-    # lead.  (2) fill 2 from the 47 r6-green names,
+    # -- ROUND-9 window (exactly 50 names precede the boundary).
+    # Built per the r8 verdict's task 1 and recomputed at round-9
+    # start from the CORRECTNESS_r01..r08 union (matched the HANDOFF
+    # pre-computation to the name): (1) the 45 remaining r6-green
+    # names — the 50 r6 names minus the 3 r6-reds re-checked in r7
+    # ("semantic_dedup", "training_order_shuffle",
+    # "stratified_sample") and the 2 fills checked in r8
+    # ("product_stats_snapshot", "order_priority_counts").  After the
+    # r8 check they are the oldest rows anywhere (checked r6, age 2
+    # during round 9: their age-3 deadline is THIS round).
+    # (2) fill 5 from the 50 r7-window names,
     # oldest-registration-first.  NO new registry names this round —
-    # round-9 headroom is zero (see the boundary comment).
-    # (1) the 48 r5-greens at their deadline, registration order:
-    "running_avg", "validated_orders", "rejected_orders",
-    "error_classification", "dlq_error_stats", "pricing_summary",
-    "top_customers", "revenue_by_region", "top3_events_per_type",
-    "events_hourly", "user_sessions", "doc_token_stats",
-    "token_counts_top20", "language_id", "quality_scores",
-    "doc_fingerprints", "dedup_exact", "embedding_topk",
-    "multimodal_meta", "streaming_product_stats",
-    "streaming_product_stats_update", "asof_purchase_click",
-    "region_nation_rollup", "priority_status_cube",
-    "daily_event_type_pivot", "events_sliding_30m", "churned_users",
-    "ivf_cell_sizes", "avro_ocf_roundtrip", "priority_line_revenue",
-    "streaming_running_avg_per_record", "streaming_user_sessions",
-    "tfidf_top_terms", "priority_code_extract", "orders_by_month",
-    "salted_product_stats", "streaming_watermarked_windows",
-    "value_distribution_ranks", "user_funnel", "value_bounds",
-    "dedup_clusters", "daily_events_unpivot", "sequence_packing",
-    "streaming_incremental_dedup", "streaming_static_enrich",
-    "upsert_orders", "runtime_filtered_join", "ivf_kmeans_refine",
-    # (2) r6-green fills, oldest-registration-first:
-    "product_stats_snapshot", "order_priority_counts",
+    # 45 + 5 = EXACTLY 50, zero headroom (see the boundary comment).
+    # (1) the 45 r6-greens at their deadline, registration order:
+    "supplier_balance_by_nation", "near_dup_pairs",
+    "near_dup_pairs_char", "simhash_fingerprints",
+    "embedding_near_dup", "diversity_sample", "purchase_avg_lookup",
+    "generated_orders", "avro_uri_manifest_write",
+    "avro_stats_pruned_read", "avro_zorder_pruned_read",
+    "avro_compacted_roundtrip", "avro_bloom_pruned_lookup",
+    "daily_revenue_lag", "customers_no_pending_orders",
+    "ngram_jaccard_adjacent", "multi_stream_union",
+    "cms_user_frequencies", "hll_distinct_users",
+    "value_histogram_quantiles",
+    "streaming_value_histogram_quantiles",
+    "streaming_cms_user_frequencies", "importance_weighted_sample",
+    "streaming_hll_distinct_users", "quantity_price_correlation",
+    "streaming_quantity_price_correlation", "daily_revenue_trend",
+    "daily_revenue_filled", "revenue_anomaly_days",
+    "streaming_revenue_anomaly", "event_type_daily_trend",
+    "dedup_clusters_star", "trade_graph_pagerank", "pq_adc_topk",
+    "pq_rerank_topk", "pq_recall_at_k", "user_communities",
+    "co_activity_triangles", "user_kcore", "community_modularity",
+    "weighted_trade_pagerank", "packing_efficiency",
+    "streaming_kmeans_refine", "avro_stream_stats_filter",
+    "dedup_keep_best",
+    # (2) r7-window fills, oldest-registration-first:
+    "per_product_stats", "overall_stats",
+    "generated_orders_datasource", "sql_api_events_hourly",
+    "value_percentiles",
     # --- position 50 boundary ---------------------------------------
-    # ROUND-9 MATH: after the r8 check the oldest rows anywhere are
-    # the 45 remaining r6-green names (checked r6, age 2 during
-    # round 9 — their deadline): the 50 r6 names minus the 3 r6-reds
-    # re-checked in r7 ("semantic_dedup", "training_order_shuffle",
-    # "stratified_sample") and the 2 fills checked here.  LEAD ROUND 9
-    # WITH THOSE 45, then fill 5 from the 50 r7-window names
-    # oldest-registration-first (they are age 2 during round 10, so
-    # any 5 works; oldest-first keeps round 10's lead small).
-    # 45 + 5 = EXACTLY 50: round-9 headroom for NEW names is zero
-    # unless a new name displaces a fill (never a deadline name).
-    # The r7-window names and the remaining r8-window names follow
-    # via the fallback append in _apply_order.
+    # ROUND-10 MATH: after the r9 check the oldest rows anywhere are
+    # the 45 remaining r7-window names (checked r7, age 2 during
+    # round 10 — their deadline): the 50 r7-window names minus the 5
+    # fills checked here.  LEAD ROUND 10 WITH THOSE 45, then fill 5
+    # from the 50 r8-window names oldest-registration-first (they are
+    # age 2 during round 11, so any 5 works).  45 + 5 = EXACTLY 50:
+    # round-10 headroom for NEW names is zero unless a new name
+    # displaces a FILL name (never a deadline name) — the r10
+    # promotion queue (tests/test_r10_promotion_parity.py) swaps in
+    # by displacing fills, exactly 5 at most.  The r8-window names
+    # and the rest follow via the fallback append in _apply_order.
 ]
 
 

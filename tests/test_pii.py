@@ -16,6 +16,7 @@ from hypothesis import given, settings, strategies as st
 from kafka_avro_order_processing_spark.operators.pii import (
     PII_PATTERNS,
     PII_PLACEHOLDERS,
+    PII_REDACT_PATTERNS,
     pii_flags,
     pii_summary,
     redact_pii,
@@ -35,6 +36,11 @@ CASES = [
     # card run with a phone-shaped prefix: must mask as ONE <CARD>,
     # not <PHONE> + 8 leaked digits (ccnum ordered before phone)
     (11, "card 123-456-7890 1234 5678 end"),
+    # 20-digit separated run (two adjacent phone numbers): the capped
+    # {12,18} card arm could only mask a 16-digit sub-run, leaking
+    # '-3210' beside the placeholder (ADVICE r8).  The redact path's
+    # uncapped arm masks the maximal run as ONE <CARD>.
+    (12, "Tel: 123-456-7890 987-654-3210"),
 ]
 
 
@@ -70,7 +76,7 @@ def _py_counts(text):
 def _py_redact(text):
     if text is None:
         return None
-    for k, p in PII_PATTERNS.items():
+    for k, p in PII_REDACT_PATTERNS.items():
         text = re.sub(p, PII_PLACEHOLDERS[k], text)
     return text
 
@@ -120,6 +126,28 @@ def test_card_run_with_phone_prefix_masks_whole_run(spark):
     assert out == "card <CARD> end"
     assert not re.search("[0-9]{4}", out), f"digits leaked: {out!r}"
     assert list(PII_PATTERNS).index("ccnum") < list(PII_PATTERNS).index("phone")
+    assert list(PII_REDACT_PATTERNS).index("ccnum") < list(
+        PII_REDACT_PATTERNS
+    ).index("phone")
+
+
+def test_long_digit_run_never_leaks_a_tail(spark):
+    """ADVICE r8: a 20-digit separated run (adjacent phone numbers)
+    must mask ENTIRELY — the capped {12,18} arm emitted
+    'Tel: <CARD>-3210', leaking 4 raw digits.  The redact path's
+    uncapped maximal-run arm masks it as one <CARD> (over-redact,
+    never leak); the flag path keeps the 13-19 card-length bound."""
+    df = spark.createDataFrame([CASES[11]], "doc_id long, text string")
+    out = redact_pii(df).collect()[0]["text"]
+    assert out == "Tel: <CARD>"
+    assert not re.search("[0-9]{2}", out), f"digits leaked: {out!r}"
+    # flag path unchanged: detection counts stay per-pattern over the
+    # original text — the capped card arm sees the greedy 16-digit
+    # sub-run (one shaped candidate, Luhn-invalid) and the phone arm
+    # sees both numbers independently
+    r = pii_flags(df).collect()[0]
+    assert r["n_ccnum_shaped"] == 1 and r["n_ccnum_luhn"] == 0
+    assert r["n_phone"] == 2
 
 
 def test_redaction_subset_and_out_col(spark):
