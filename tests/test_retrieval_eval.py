@@ -338,3 +338,60 @@ def test_grouped_means_bit_equal_scalar_per_group(spark):
     z = grouped_mean_retrieval_metrics(only6, "segment").collect()[0]
     assert z["n_ndcg"] == 0 and z["mean_ndcg"] is None
     assert z["n_rr"] == 1  # rr exists even there
+
+
+def test_grouped_duckdb_oracle_parity(spark):
+    """Promotion-grade oracle for the per-segment sweep (r8 verdict
+    task 6): grouped_mean_retrieval_metrics over the SAME runs/qrels
+    as the scalar parity test, segmented by the query's first letter,
+    through the driver's canonicalization.  Reuses the per-query SQL
+    and the floor(x+0.5) HALF_UP scaled-mean idiom staged in
+    plans/promotions_r10.py (Spark's double->decimal cast rounds
+    HALF_UP; DuckDB's rounds half-to-even — the r9 gotcha)."""
+    from pyspark.sql import functions as F
+    from test_oracle_parity import SF_DIR
+    from test_r10_promotion_parity import _assert_parity
+    from pyspark.sql import Window
+
+    from kafka_avro_order_processing_spark.operators.retrieval_eval import (
+        grouped_mean_retrieval_metrics,
+    )
+    from kafka_avro_order_processing_spark.plans.promotions_r10 import (
+        _PER_QUERY_SQL,
+        _RET_K,
+        _mean_sql,
+    )
+    from kafka_avro_order_processing_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    runs = docs.select(
+        F.col("lang").alias("query_id"),
+        "doc_id",
+        F.row_number().over(w).alias("rank"),
+    ).filter(F.col("rank") <= _RET_K)
+    qrels = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("lang").alias("query_id"),
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, (F.col("doc_id") % 4).cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("rel"),
+    )
+    per_query = ranked_retrieval_eval(runs, qrels, k=_RET_K, query_col="query_id")
+    sdf = grouped_mean_retrieval_metrics(
+        per_query.withColumn("seg", F.substring("query_id", 1, 1)), "seg"
+    )
+    means = ",\n           ".join(
+        _mean_sql(c)
+        for c in ("precision_at_k", "recall_at_k", "rr", "ap", "ndcg")
+    )
+    _assert_parity(
+        sdf,
+        f"""
+        WITH {_PER_QUERY_SQL}
+        SELECT substr(query_id, 1, 1) AS seg,
+               CAST(COUNT(*) AS BIGINT) AS n_queries,
+               {means}
+        FROM pq GROUP BY substr(query_id, 1, 1)
+        """,
+    )
