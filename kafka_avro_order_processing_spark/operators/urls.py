@@ -30,6 +30,8 @@ where urlsplit would still parse it and drop the port.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 #: Query parameters stripped by normalization (case-insensitive); the
@@ -138,6 +140,37 @@ def registered_domain(host: Column) -> Column:
 #: driver-side hash sets compiled into InSet expressions, so the cap
 #: keeps the plan a bounded constant, loudly.
 MAX_PSL_RULES = 100_000
+
+#: Vendored excerpt of the published public-suffix list
+#: (publicsuffix.org, MPL-2.0) in the published file format — the
+#: wildcard/exception blocks plus multi-level ccTLD registries and
+#: multi-label private-section entries.  Production should vendor the
+#: full current list; the PARSER below handles either.
+PSL_EXCERPT_PATH = (
+    Path(__file__).resolve().parent.parent / "data" / "public_suffix_excerpt.dat"
+)
+
+
+def load_psl_rules(path: str | Path | None = None) -> list[str]:
+    """Parse a publicsuffix.org-format rule file into the rule list
+    :func:`domains_from_suffix_table` consumes: one rule per line,
+    blank lines and ``//`` comments skipped, everything after the
+    first whitespace ignored (the published format allows trailing
+    annotations).  Defaults to the vendored excerpt."""
+    p = Path(path) if path is not None else PSL_EXCERPT_PATH
+    rules: list[str] = []
+    for line in p.read_text(encoding="utf-8").splitlines():
+        line = line.strip()
+        if not line or line.startswith("//"):
+            continue
+        rules.append(line.split()[0].lower())
+    return rules
+
+
+def psl_excerpt_frame(spark) -> DataFrame:
+    """The vendored excerpt as the one-column ``suffix`` frame the
+    table-driven extractors take (``url_domains(..., psl=...)``)."""
+    return spark.createDataFrame([(s,) for s in load_psl_rules()], "suffix string")
 
 
 def domains_from_suffix_table(

@@ -40,15 +40,22 @@ def test_curation_demo_end_to_end(spark, tmp_path):
     # PII audit ran; the synthetic corpus is PII-free
     assert c["pii_docs"] == 0
     assert c["shards"] == 8
-    # recall audit: LSH verifies exact Jaccard so its pairs are a
-    # subset of the exact prefix-filter join's at the same threshold
+    # three-way near-dup recall audit against the exact AllPairs truth
+    # set (its own recall is 1.0 by construction — no false negatives)
+    assert c["setsim_recall"] == 1.0
+    # the INCLUSION invariant: LSH verifies exact Jaccard over the
+    # same shingles at the same threshold, so every LSH pair is a
+    # truth pair — zero extras, and recall is just the band hit rate
+    assert c["lsh_extra_pairs"] == 0
     assert c["lsh_pairs"] <= c["exact_pairs"]
     assert 0.0 <= c["lsh_recall"] <= 1.0
     # winnowing must cover near-dup pairs well (shared text => shared
     # passages) and may legitimately surface extra partial overlaps
-    assert 0.0 <= c["winnow_coverage"] <= 1.0
+    # (shared passages in otherwise-distinct docs — not false
+    # positives, the capability whole-doc Jaccard lacks)
+    assert 0.0 <= c["winnow_recall"] <= 1.0
     if c["exact_pairs"]:
-        assert c["winnow_coverage"] >= 0.5
+        assert c["winnow_recall"] >= 0.5
     assert c["winnow_extra_pairs"] >= 0
     shards = spark.read.parquet(str(tmp_path / "shards"))
     assert shards.count() == c["after_decontam"]
