@@ -16,8 +16,10 @@ under any micro-batching (suite-pinned, one epoch and many).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .pipeline import drain_to_df
 
@@ -58,3 +60,49 @@ def streaming_oov_stats(
             F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"),
         ).alias("oov_rate"),
     )
+
+
+def streaming_wordpiece_encode(
+    stream_docs: DataFrame,
+    vocab: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """WordPiece-encode documents AS THEY LAND against a batch-trained
+    vocabulary (operators/wordpiece.py) — the tokenizer twin of the
+    hygiene family's stateless contract: a landing document is ONE
+    row, so the whole greedy longest-match segmentation happens inside
+    that row (one Arrow-batched UDF over the word array, no explode,
+    no keyed state, no watermark) and the drained frame BIT-matches
+    :func:`operators.wordpiece.wordpiece_encode` on the same rows
+    under any micro-batching (suite-pinned, one epoch and many).
+    Output schema matches the batch operator:
+    (id_col, pieces, n_pieces, n_unk)."""
+    from ..operators.wordpiece import UNK_PIECE, _sql_str, _wp_pieces
+
+    vset = set(vocab)
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def seg_doc(texts: pd.Series) -> pd.Series:
+        def one(t):
+            if not t:
+                return []
+            out: list[str] = []
+            for w in t.split():
+                if w:
+                    out.extend(_wp_pieces(w, vset))
+            return out
+
+        return texts.map(one)
+
+    unk = _sql_str(UNK_PIECE)
+    out = stream_docs.select(
+        F.col(id_col),
+        seg_doc(F.col(text_col)).alias("pieces"),
+    ).select(
+        F.col(id_col),
+        "pieces",
+        F.size("pieces").cast("long").alias("n_pieces"),
+        F.expr(f"size(filter(pieces, p -> p = {unk}))").cast("long").alias("n_unk"),
+    )
+    return drain_to_df(out, "append")

@@ -191,3 +191,23 @@ def test_retrieval_demo_end_to_end(spark):
     assert c["recall_sq8_at_10"] >= 0.8  # 8 bits/dim is near-exact
     assert c["negatives"] == c["queries"] * 5
     assert c["negatives_overlapping_positives"] == 0
+
+
+def test_tokenizers_demo_end_to_end(spark):
+    """The tokenizer bake-off: all three trainers produce working
+    encoders on the same corpus — full coverage of the training set
+    (zero WordPiece UNK), sane fertility (strictly above 1 piece/word
+    once the unigram vocab is below the distinct-word count, and at
+    most the character bound), and holdout fertility in the same
+    ballpark (the synthetic corpus has a closed 31-word vocabulary,
+    so generalization barely drifts)."""
+    from tokenizers_demo import main
+
+    s = main("/root/testdata/sf0.001", spark=spark)
+    assert s["wordpiece_train_unk"] == 0
+    assert s["wordpiece_holdout_unk"] == 0
+    for k in ("bpe_fertility", "wordpiece_fertility", "unigram_fertility"):
+        assert 1.0 < s[k] < 10.0, (k, s[k])
+        hold = s[f"{k}_holdout"]
+        assert abs(hold - s[k]) < 0.5, (k, s[k], hold)
+    assert s["n_words_train"] > 0 and s["n_words_holdout"] > 0
