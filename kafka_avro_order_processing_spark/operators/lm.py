@@ -140,3 +140,51 @@ def _score_agg(scored: DataFrame, id_col: str) -> DataFrame:
             / (F.count(F.lit(1)).cast("double") * F.lit(float(MEAN_SCALE)))
         ).alias("avg_logprob"),
     )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    score_col: str,
+    group_col: str | None = None,
+    edges: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    lower_is_better: bool = True,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """CCNet's head/middle/tail quality bucketing (Wenzek et al.,
+    LREC 2020): documents are ranked by LM score WITHIN their group
+    (language — raw perplexities are not comparable across languages)
+    and split at the published third-percentile edges.  ``head`` is
+    the best third, so with a perplexity-like column (lower is
+    better, the default orientation) head = lowest scores; pass
+    ``lower_is_better=False`` for ``avg_logprob``-style columns where
+    higher means more fluent (orientation flips by negating the score
+    before ranking — exact for floats, no epsilon games).
+
+    Built on :func:`operators.eval.percentile_normalize` (exact
+    tie-averaged midrank from the two-level prefix sum — deterministic
+    under any partitioning, zero SinglePartition stages): bucket =
+    head if pct <= edges[0], middle if pct <= edges[1], else tail.
+    Tied scores share one midrank so they always land in ONE bucket —
+    a tie can never straddle an edge.  NULL scores keep a NULL pct
+    and a NULL bucket (unknown, not tail); the ``pct`` column rides
+    along for auditing.  Adds one small join per the normalize plan;
+    the corpus itself is never re-shuffled."""
+    from .eval import percentile_normalize
+
+    if not (0.0 < edges[0] < edges[1] <= 1.0):
+        raise ValueError(f"edges must satisfy 0 < e0 < e1 <= 1, got {edges}")
+    work = "__ccnet_rank_score"
+    oriented = df.withColumn(
+        work,
+        F.col(score_col).cast("double")
+        if lower_is_better
+        else -F.col(score_col).cast("double"),
+    )
+    pcts = percentile_normalize(oriented, work, group_col=group_col)
+    return pcts.withColumn(
+        out_col,
+        F.when(F.col("pct").isNull(), F.lit(None).cast("string"))
+        .when(F.col("pct") <= float(edges[0]), F.lit("head"))
+        .when(F.col("pct") <= float(edges[1]), F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    ).drop(work)

@@ -225,3 +225,133 @@ def test_streaming_lm_multi_epoch_equals_single(spark, tmp_path):
         for r in streaming_lm_score(stream, bigrams, contexts, V).collect()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# CCNet head/middle/tail bucketing (lm.ccnet_buckets)
+# ---------------------------------------------------------------------------
+
+
+def _py_ccnet(rows, edges=(1 / 3, 2 / 3), lower_is_better=True):
+    """Replica: exact midrank percentile per group, published edges."""
+    from collections import defaultdict
+
+    by_g = defaultdict(list)
+    for _i, g, s in rows:
+        if s is not None:
+            by_g[g].append(s if lower_is_better else -s)
+    out = {}
+    for i, g, s in rows:
+        if s is None:
+            out[i] = (None, None)
+            continue
+        v = s if lower_is_better else -s
+        grp = by_g[g]
+        n = len(grp)
+        c_lt = sum(1 for x in grp if x < v)
+        c = sum(1 for x in grp if x == v)
+        pct = (2 * c_lt + c + 1) / (2 * n)
+        b = "head" if pct <= edges[0] else ("middle" if pct <= edges[1] else "tail")
+        out[i] = (pct, b)
+    return out
+
+
+def test_ccnet_buckets_matches_midrank_replica(spark):
+    from kafka_avro_order_processing_spark.operators.lm import ccnet_buckets
+
+    rows = [
+        # lang a: 6 distinct perplexities -> 2 per bucket
+        (1, "a", 10.0), (2, "a", 20.0), (3, "a", 30.0),
+        (4, "a", 40.0), (5, "a", 50.0), (6, "a", 60.0),
+        # lang b: heavy ties — one tie group must land in ONE bucket
+        (7, "b", 5.0), (8, "b", 5.0), (9, "b", 5.0), (10, "b", 99.0),
+        # NULL score -> NULL bucket
+        (11, "a", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, ppl double")
+    got = {
+        r["doc_id"]: (r["pct"], r["bucket"])
+        for r in ccnet_buckets(df, "ppl", group_col="lang").collect()
+    }
+    want = _py_ccnet(rows)
+    assert got == want
+    # the published shape on the clean group: best third = head
+    assert got[1][1] == "head" and got[2][1] == "head"
+    assert got[3][1] == "middle" and got[4][1] == "middle"
+    assert got[5][1] == "tail" and got[6][1] == "tail"
+    # the b-group tie (3 of 4 docs at ppl 5.0): midrank pct = 4/8 ->
+    # all three share "middle"; never straddles an edge
+    assert got[7] == got[8] == got[9]
+    assert got[11] == (None, None)
+
+
+def test_ccnet_buckets_orientation_and_edge_validation(spark):
+    import pytest
+
+    from kafka_avro_order_processing_spark.operators.lm import ccnet_buckets
+
+    rows = [(1, "x", 1.0), (2, "x", 2.0), (3, "x", 3.0)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, avg_logprob double")
+    # higher-is-better: the HIGHEST logprob is head
+    got = {
+        r["doc_id"]: r["bucket"]
+        for r in ccnet_buckets(
+            df, "avg_logprob", group_col="lang", lower_is_better=False
+        ).collect()
+    }
+    assert got == {3: "head", 2: "middle", 1: "tail"}
+    # midrank of 3 distinct oriented scores: best = (0 + 1)/3,
+    # middle = (1 + 1)/3... i.e. (2*c_lt + c + 1)/(2n) = 1/3, 2/3, 1.0
+    assert _py_ccnet(rows, lower_is_better=False) == {
+        1: (1.0, "tail"), 2: (2 / 3, "middle"), 3: (1 / 3, "head")
+    }
+    with pytest.raises(ValueError, match="edges"):
+        ccnet_buckets(df, "avg_logprob", edges=(0.5, 0.4))
+
+
+def test_ccnet_buckets_end_to_end_with_lm_scores(spark):
+    """The composed CCNet shape: train the bigram LM on reference
+    text, score a candidate pool, bucket by percentile — fluent
+    (reference-like) docs must land in head, gibberish in tail."""
+    from kafka_avro_order_processing_spark.operators.lm import (
+        ccnet_buckets,
+        lm_score,
+        train_bigram_lm,
+    )
+
+    ref_texts = ["the cat sat on the mat"] * 6 + ["the dog sat on the mat"] * 6
+    ref = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ref_texts)], "doc_id long, text string"
+    )
+    bigrams, contexts, v = train_bigram_lm(ref)
+    cands = spark.createDataFrame(
+        [
+            (100, "the cat sat on the mat"),   # fluent
+            (101, "the dog sat on the mat"),   # fluent
+            (102, "mat the on sat cat the"),   # scrambled
+            (103, "qq zz xx ww vv uu"),        # gibberish
+            (104, "the cat sat"),              # fluent prefix
+            (105, "zz the qq on ww mat"),      # half gibberish
+        ],
+        "doc_id long, text string",
+    )
+    scored = lm_score(cands, bigrams, contexts, v)
+    out = {
+        r["doc_id"]: r["bucket"]
+        for r in ccnet_buckets(
+            scored.withColumn("lang", F.lit("en")),
+            "avg_logprob",
+            group_col="lang",
+            lower_is_better=False,
+        ).collect()
+    }
+    assert out[100] == "head" and out[101] == "head"
+    # the non-fluent docs never reach head; which of them lands in
+    # tail vs middle follows the pinned add-alpha model note (a seen
+    # context with an unseen continuation can score BELOW an unknown
+    # context's uniform backoff — scrambled in-domain text may rank
+    # under gibberish; that is correct behavior, do not "fix")
+    assert all(out[i] != "head" for i in (102, 103, 105))
+    from collections import Counter
+
+    assert Counter(out.values()) == {"head": 2, "middle": 2, "tail": 2}
