@@ -203,6 +203,28 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None, out_dir: str | None
         "label",
     )
 
+    # 1b'. CCNet bucket audit: the REAL docs' LM scores bucketed
+    # head/middle/tail by per-corpus midrank percentile (the CCNet
+    # split; one group — the synthetic corpus is single-language).
+    # Their scrambled twins must concentrate in tail when bucketed
+    # over the combined pool: fluency is what the percentile ranks.
+    from kafka_avro_order_processing_spark.operators.lm import ccnet_buckets
+
+    pool = lm_score(
+        labeled, bigrams, contexts, vocab_v
+    ).join(labeled.select("doc_id", "label"), "doc_id")
+    bucketed = ccnet_buckets(
+        pool, "avg_logprob", lower_is_better=False
+    )
+    bucket_counts = {
+        (r["label"], r["bucket"]): r["n"]
+        for r in bucketed.groupBy("label", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_real_head = int(bucket_counts.get((1, "head"), 0))
+    n_scrambled_head = int(bucket_counts.get((0, "head"), 0))
+
     # 2. exact dedup: canonical doc per content hash.
     canon = exact_dedup(kept).select(F.col("canonical_doc_id").alias("doc_id"))
     kept = kept.join(canon, "doc_id")
@@ -388,6 +410,8 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None, out_dir: str | None
         "text_nulls": int(n_null_text),
         "texts_cleaned": int(n_texts_cleaned),
         "filter_auc": float(filter_auc),
+        "ccnet_real_head": n_real_head,
+        "ccnet_scrambled_head": n_scrambled_head,
         "gopher_kept": int(gopher_kept),
         "denoise_masked": n_denoise_masked,
         "denoise_conserved": denoise_conserved,

@@ -67,6 +67,10 @@ def test_curation_demo_end_to_end(spark, tmp_path):
     # learned filter audit: the classifier separates real docs from
     # their scrambled twins on held-out groups (fluency is learnable)
     assert 0.7 < c["filter_auc"] <= 1.0
+    # CCNet bucket audit over the combined real+scrambled pool: the
+    # head (best LM third) is dominated by real docs, not scrambles
+    assert c["ccnet_real_head"] > c["ccnet_scrambled_head"]
+    assert c["ccnet_real_head"] > 0
     # published-rule audit ran and kept a sane majority
     assert 0 < c["gopher_kept"] <= c["raw"]
     # denoising objective: ~15% of BPE tokens masked, none lost
