@@ -373,3 +373,44 @@ def test_streaming_wordpiece_encode_bit_matches_batch(spark, tmp_path):
         for r in streaming_wordpiece_encode(stream, vocab).collect()
     )
     assert got == want
+
+
+def test_wordpiece_and_promotion_plans_obey_invariants(spark):
+    """The registry-wide plan rules (no row-wise Python, no
+    CartesianProduct) applied to the round-9 suite-only operators —
+    test_plan_invariants.py covers registered names only.  The
+    Python crossings here must surface as ArrowEvalPython (batched),
+    never BatchEvalPython."""
+    import contextlib
+    import io
+
+    from kafka_avro_order_processing_spark.operators.lm import ccnet_buckets
+    from kafka_avro_order_processing_spark.plans.promotions_r10 import (
+        R10_PROMOTIONS,
+    )
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    merges = wordpiece_train(docs, 4)
+    vocab = wordpiece_vocab(docs, merges)
+    plans = {
+        "wordpiece_encode": plan_of(wordpiece_encode(docs, vocab)),
+        "ccnet_buckets": plan_of(
+            ccnet_buckets(
+                docs.withColumn("s", F.length("text").cast("double")),
+                "s",
+            )
+        ),
+    }
+    for name, q in R10_PROMOTIONS.items():
+        plans[f"promo_{name}"] = plan_of(q.fn(spark, SF))
+    for name, plan in plans.items():
+        assert "BatchEvalPython" not in plan, f"{name}: row-wise Python UDF"
+        assert "CartesianProduct" not in plan, f"{name}: cartesian join"
