@@ -188,3 +188,40 @@ def ccnet_buckets(
         .when(F.col("pct") <= float(edges[1]), F.lit("middle"))
         .otherwise(F.lit("tail")),
     ).drop(work)
+
+
+def ccnet_threshold_edges(
+    df: DataFrame,
+    score_col: str,
+    group_col: str | None = None,
+    edges: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    lower_is_better: bool = True,
+) -> DataFrame:
+    """Freeze :func:`ccnet_buckets`' split as per-group SCORE cutoffs —
+    the static side a streaming ingest twin can broadcast (the frozen
+    keep-set pattern of streaming_categorical_drift).  Returns one row
+    per group: (group_col?, head_cut, middle_cut) where the cuts are
+    the largest ORIENTED score (score, or -score when
+    ``lower_is_better=False``) whose midrank percentile is inside the
+    respective edge.  Because the percentile is monotone in the
+    oriented score, ``oriented <= head_cut`` decides head EXACTLY as
+    the batch percentile does on the reference rows — suite-pinned.
+    A group whose smallest percentile already exceeds an edge gets a
+    NULL cut (nothing can enter that bucket at these thresholds)."""
+    bucketed = ccnet_buckets(
+        df, score_col, group_col, edges, lower_is_better, out_col="__b"
+    ).withColumn(
+        "__oriented",
+        F.col(score_col).cast("double")
+        if lower_is_better
+        else -F.col(score_col).cast("double"),
+    )
+    aggs = [
+        F.max(F.when(F.col("__b") == "head", F.col("__oriented"))).alias("head_cut"),
+        F.max(
+            F.when(F.col("__b").isin("head", "middle"), F.col("__oriented"))
+        ).alias("middle_cut"),
+    ]
+    if group_col:
+        return bucketed.groupBy(group_col).agg(*aggs)
+    return bucketed.agg(*aggs)

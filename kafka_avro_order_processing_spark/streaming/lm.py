@@ -34,3 +34,60 @@ def streaming_lm_score(
         stream_docs, bigrams, contexts, vocab_size, alpha, id_col, text_col
     )
     return drain_to_df(_score_agg(scored, id_col), "update", key_cols=(id_col,))
+
+
+def streaming_ccnet_buckets(
+    stream_docs: DataFrame,
+    threshold_edges: DataFrame,
+    score_col: str,
+    group_col: str | None = None,
+    lower_is_better: bool = True,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Tag landing documents head/middle/tail against FROZEN CCNet
+    cutoffs (:func:`operators.lm.ccnet_threshold_edges` over a
+    reference corpus) — the production ingest shape: the percentile
+    split is computed once batch-side, then every arriving doc
+    compares its oriented score to the broadcast per-group cuts
+    (stream-static join, stateless, no watermark).  On the SAME rows
+    the tags BIT-match the batch :func:`operators.lm.ccnet_buckets`
+    (monotonicity of the midrank percentile in the oriented score —
+    suite-pinned, one epoch and many).  NULL scores keep a NULL
+    bucket; a doc whose group has no edge row (unseen group) also
+    tags NULL — unknown, never silently tail."""
+    from pyspark.sql import functions as F
+
+    oriented = (
+        F.col(score_col).cast("double")
+        if lower_is_better
+        else -F.col(score_col).cast("double")
+    )
+    tagged = stream_docs.withColumn("__oriented", oriented)
+    # __seen marks "this group HAS a reference row" — a degenerate
+    # reference group can have BOTH cuts NULL (a 1-2 row group's
+    # minimum percentile already exceeds 2/3: everything is tail),
+    # which must not be confused with an unseen group (NULL bucket).
+    edges_marked = threshold_edges.withColumn("__seen", F.lit(True))
+    if group_col:
+        joined = tagged.join(F.broadcast(edges_marked), group_col, "left")
+    else:
+        joined = tagged.crossJoin(F.broadcast(edges_marked))
+    out = joined.withColumn(
+        out_col,
+        F.when(
+            F.col("__oriented").isNull() | F.col("__seen").isNull(),
+            F.lit(None).cast("string"),
+        )
+        .when(
+            F.col("head_cut").isNotNull()
+            & (F.col("__oriented") <= F.col("head_cut")),
+            F.lit("head"),
+        )
+        .when(
+            F.col("middle_cut").isNotNull()
+            & (F.col("__oriented") <= F.col("middle_cut")),
+            F.lit("middle"),
+        )
+        .otherwise(F.lit("tail")),
+    ).drop("__oriented", "head_cut", "middle_cut", "__seen")
+    return drain_to_df(out, "append")

@@ -355,3 +355,98 @@ def test_ccnet_buckets_end_to_end_with_lm_scores(spark):
     from collections import Counter
 
     assert Counter(out.values()) == {"head": 2, "middle": 2, "tail": 2}
+
+
+def test_streaming_ccnet_buckets_bit_matches_batch(spark, tmp_path):
+    """The frozen-threshold ingest twin: edges computed batch-side on
+    the reference rows, the SAME rows streamed through the tagger —
+    tags bit-match ccnet_buckets (monotonicity of the midrank pct in
+    the oriented score), across 3 micro-batches.  Degenerate
+    reference groups (1 row: min pct > 2/3 -> both cuts NULL) tag
+    tail exactly like batch; unseen groups tag NULL."""
+    from kafka_avro_order_processing_spark.operators.lm import (
+        ccnet_buckets,
+        ccnet_threshold_edges,
+    )
+    from kafka_avro_order_processing_spark.streaming.lm import (
+        streaming_ccnet_buckets,
+    )
+
+    rows = [
+        (1, "a", 10.0), (2, "a", 20.0), (3, "a", 30.0),
+        (4, "a", 40.0), (5, "a", 50.0), (6, "a", 60.0),
+        (7, "b", 5.0), (8, "b", 5.0), (9, "b", 5.0), (10, "b", 99.0),
+        (11, "a", None),
+        (12, "c", 7.0),  # 1-row group: pct = 1.0 -> tail in batch
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, ppl double")
+    want = {
+        r["doc_id"]: r["bucket"]
+        for r in ccnet_buckets(df, "ppl", group_col="lang").collect()
+    }
+    assert want[12] == "tail"  # the degenerate-group premise
+
+    edges = ccnet_threshold_edges(df, "ppl", group_col="lang")
+    d = str(tmp_path / "docs")
+    df.repartition(3).write.parquet(d)
+    stream = (
+        spark.readStream.schema("doc_id long, lang string, ppl double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    got = {
+        r["doc_id"]: r["bucket"]
+        for r in streaming_ccnet_buckets(
+            stream, edges, "ppl", group_col="lang"
+        ).collect()
+    }
+    assert got == want
+
+    # unseen group at ingest: NULL bucket, never silently tail
+    fresh = spark.createDataFrame(
+        [(99, "zz", 1.0)], "doc_id long, lang string, ppl double"
+    )
+    d2 = str(tmp_path / "fresh")
+    fresh.write.parquet(d2)
+    s2 = (
+        spark.readStream.schema("doc_id long, lang string, ppl double")
+        .parquet(d2)
+    )
+    out = streaming_ccnet_buckets(s2, edges, "ppl", group_col="lang").collect()
+    assert out[0]["bucket"] is None
+
+
+def test_streaming_ccnet_buckets_ungrouped_and_orientation(spark, tmp_path):
+    from kafka_avro_order_processing_spark.operators.lm import (
+        ccnet_buckets,
+        ccnet_threshold_edges,
+    )
+    from kafka_avro_order_processing_spark.streaming.lm import (
+        streaming_ccnet_buckets,
+    )
+
+    rows = [(i, float(i)) for i in range(1, 10)]
+    df = spark.createDataFrame(rows, "doc_id long, avg_logprob double")
+    want = {
+        r["doc_id"]: r["bucket"]
+        for r in ccnet_buckets(
+            df, "avg_logprob", lower_is_better=False
+        ).collect()
+    }
+    edges = ccnet_threshold_edges(df, "avg_logprob", lower_is_better=False)
+    d = str(tmp_path / "docs")
+    df.repartition(2).write.parquet(d)
+    stream = (
+        spark.readStream.schema("doc_id long, avg_logprob double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    got = {
+        r["doc_id"]: r["bucket"]
+        for r in streaming_ccnet_buckets(
+            stream, edges, "avg_logprob", lower_is_better=False
+        ).collect()
+    }
+    assert got == want
+    # highest logprob = head under the flipped orientation
+    assert got[9] == "head" and got[1] == "tail"
