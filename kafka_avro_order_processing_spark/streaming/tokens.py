@@ -106,3 +106,52 @@ def streaming_wordpiece_encode(
         F.expr(f"size(filter(pieces, p -> p = {unk}))").cast("long").alias("n_unk"),
     )
     return drain_to_df(out, "append")
+
+
+def streaming_unigram_segment(
+    stream_tokenized: DataFrame,
+    pieces: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    max_piece_len: int = 8,
+) -> DataFrame:
+    """Unigram-LM segmentation AS DOCUMENTS LAND — the trio's third
+    ingest twin (WordPiece: :func:`streaming_wordpiece_encode`; BPE
+    rides the batch merge replay which is already stateless): the
+    trained piece table collects ONCE into broadcast scores and every
+    landing document's tokens Viterbi-segment inside their own row
+    (one Arrow-batched UDF, no explode, no keyed state, no watermark)
+    — the drained frame BIT-matches
+    :func:`operators.unigram.unigram_segment` on the same rows under
+    any micro-batching (same Viterbi, same pinned tie order).
+    Output schema matches the batch operator: (id_col, pieces,
+    n_pieces)."""
+    from ..operators.unigram import _viterbi
+
+    scores = {
+        r["piece"]: float(r["logprob"])
+        for r in pieces.select("piece", "logprob").collect()
+    }
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def seg_doc(tok_lists: pd.Series) -> pd.Series:
+        def one(toks):
+            if toks is None:
+                return []
+            out: list[str] = []
+            for t in toks:
+                if t:
+                    out.extend(_viterbi(t, scores, max_piece_len))
+            return out
+
+        return tok_lists.map(one)
+
+    out = stream_tokenized.select(
+        F.col(id_col),
+        seg_doc(F.col(tokens_col)).alias("pieces"),
+    ).select(
+        F.col(id_col),
+        "pieces",
+        F.size("pieces").cast("long").alias("n_pieces"),
+    )
+    return drain_to_df(out, "append")

@@ -171,3 +171,59 @@ def test_validates_params(spark):
         unigram_train(docs, vocab_size=0)
     with pytest.raises(ValueError):
         unigram_train(docs, vocab_size=10, n_rounds=0)
+
+
+def test_streaming_unigram_segment_bit_matches_batch(spark, tmp_path):
+    """The ingest twin: a landing doc's tokens Viterbi-segment inside
+    their own row against the broadcast trained piece table — drained
+    == batch on the same rows, one epoch and many (3 files -> 3
+    micro-batches), including empty and NULL token arrays and unknown
+    characters (UNK_LOGPROB fallback)."""
+    from pyspark.sql import functions as F
+
+    from kafka_avro_order_processing_spark.operators.unigram import (
+        unigram_segment,
+        unigram_train,
+    )
+    from kafka_avro_order_processing_spark.streaming.tokens import (
+        streaming_unigram_segment,
+    )
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "wide wider widest wide",
+        "low new wide lowest",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    pieces = unigram_train(
+        docs, vocab_size=12, n_rounds=8, seed_size=200
+    ).localCheckpoint(eager=True)
+    toks = docs.select(
+        "doc_id",
+        F.expr("filter(split(text, '\\\\s+'), w -> w != '')").alias("tokens"),
+    )
+    extra = spark.createDataFrame(
+        [(9, ["zzq", "low"]), (10, []), (11, None)],
+        "doc_id long, tokens array<string>",
+    )
+    allt = toks.unionByName(extra)
+    want = sorted(
+        (r["doc_id"], tuple(r["pieces"]), r["n_pieces"])
+        for r in unigram_segment(allt, pieces).collect()
+    )
+
+    d = str(tmp_path / "toks")
+    allt.repartition(3).write.parquet(d)
+    stream = (
+        spark.readStream.schema("doc_id long, tokens array<string>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    got = sorted(
+        (r["doc_id"], tuple(r["pieces"]), r["n_pieces"])
+        for r in streaming_unigram_segment(stream, pieces).collect()
+    )
+    assert got == want
