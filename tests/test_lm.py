@@ -450,3 +450,46 @@ def test_streaming_ccnet_buckets_ungrouped_and_orientation(spark, tmp_path):
     assert got == want
     # highest logprob = head under the flipped orientation
     assert got[9] == "head" and got[1] == "tail"
+
+
+def test_ccnet_buckets_duckdb_oracle(spark):
+    """Promotion-grade oracle (the percentile_normalize RANK algebra
+    + the CASE split) through the driver's canonicalization: bucket
+    documents by n_chars within lang.  pct is the exact rational
+    (2*rk + c - 1) / (2n) in both engines; the bucket thresholds are
+    plain f64 comparisons of identical values."""
+    from test_oracle_parity import SF_DIR
+    from test_r10_promotion_parity import _assert_parity
+
+    from kafka_avro_order_processing_spark.operators.lm import ccnet_buckets
+    from kafka_avro_order_processing_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    sdf = ccnet_buckets(
+        docs.selectExpr("doc_id", "lang", "CAST(n_chars AS DOUBLE) AS ppl"),
+        "ppl",
+        group_col="lang",
+    ).select("doc_id", "pct", "bucket")
+    _assert_parity(
+        sdf,
+        """
+        WITH r AS (
+          SELECT doc_id,
+                 RANK() OVER (PARTITION BY lang
+                              ORDER BY CAST(n_chars AS DOUBLE)) AS rk,
+                 COUNT(*) OVER (PARTITION BY lang, n_chars) AS c,
+                 COUNT(*) OVER (PARTITION BY lang) AS n
+          FROM documents
+        ),
+        p AS (
+          SELECT doc_id,
+                 CAST(2*rk + c - 1 AS DOUBLE) / CAST(2*n AS DOUBLE) AS pct
+          FROM r
+        )
+        SELECT doc_id, pct,
+               CASE WHEN pct <= CAST(1.0 AS DOUBLE) / 3.0 THEN 'head'
+                    WHEN pct <= 2.0 * CAST(1.0 AS DOUBLE) / 3.0 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM p
+        """,
+    )
