@@ -113,6 +113,26 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
         ranked_retrieval_eval(run, qrels, k=TOPK, doc_col="doc_id")
     )
 
+    # 4b'. hybrid fusion: RRF of the raw ADC ordering and the exact
+    # rerank (rank-only combination, no score calibration — the
+    # production hybrid-retrieval combiner), graded against the same
+    # truth.  Both runs cover the same shortlist here, so fusion
+    # mostly re-weights ordering — the audit shows whether the
+    # combined ranking holds up next to the rerank alone.
+    from kafka_avro_order_processing_spark.operators.retrieval_eval import (
+        rrf_fuse,
+    )
+
+    adc_run = shortlist.select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    ).filter(F.col("rank") <= TOPK)
+    fused = rrf_fuse([adc_run, run], topk=TOPK).select(
+        "query_id", "doc_id", F.col("fused_rank").alias("rank")
+    )
+    graded_fused = mean_retrieval_metrics(
+        ranked_retrieval_eval(fused, qrels, k=TOPK, doc_col="doc_id")
+    )
+
     # 4c. SQ8 comparison: the scalar-quantized scan (8 bits/dim, one
     # multiply-add per code) against the same truth — the third point
     # on the accuracy/size curve next to the IVFADC shortlist.
@@ -155,6 +175,8 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
         "mrr": graded["mean_rr"],
         "map": graded["mean_ap"],
         "ndcg_at_10": graded["mean_ndcg"],
+        "fused_mrr": graded_fused["mean_rr"],
+        "fused_ndcg_at_10": graded_fused["mean_ndcg"],
         "recall_sq8_at_10": recall_sq8,
         "negatives": n_negs,
         "negatives_overlapping_positives": neg_overlap,

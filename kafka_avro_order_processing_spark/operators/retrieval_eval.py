@@ -272,3 +272,68 @@ def grouped_mean_retrieval_metrics(
         )
         out_cols.append(F.col(f"n_{c}"))
     return agg.select(*out_cols)
+
+
+def rrf_fuse(
+    runs: list[DataFrame],
+    k: int = 60,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    topk: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09)
+    of N retrieval runs: per (query, doc) the fused score is
+    ``sum over runs of 1 / (k + rank)`` with the published k=60
+    default — the standard hybrid-retrieval combiner (BM25 + ANN)
+    that needs no score calibration because it only consumes RANKS.
+
+    Returns (query_col, doc_col, rrf_score, n_runs_hit, fused_rank)
+    with ``fused_rank`` dense per query by (score desc, doc asc) —
+    a total order, so ties are deterministic.  Bit-determinism: each
+    term is ONE f64 division of exact integers and the per-doc sum is
+    a strict left-to-right fold over the terms sorted by run index
+    (the retrieval-eval float-sum recipe — never a shuffle-order
+    float sum), so the frame is identical under any partitioning.
+    ``topk`` keeps the head of each fused ranking.
+
+    Contract: ranks are unique per (run, query) — a run is a ranking.
+    Docs missing from a run simply contribute no term (the published
+    behavior).  Scale shape: one union + one groupBy on (query, doc)
+    + one per-query window over fused candidates; runs are top-k
+    lists, so the frame is O(queries * k * n_runs), never corpus-
+    sized."""
+    if not runs:
+        raise ValueError("rrf_fuse needs at least one run")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    tagged = []
+    for i, r in enumerate(runs):
+        tagged.append(
+            r.select(
+                F.col(query_col),
+                F.col(doc_col),
+                F.lit(i).alias("__run"),
+                (
+                    F.lit(1.0)
+                    / (F.lit(int(k)) + F.col(rank_col)).cast("double")
+                ).alias("__term"),
+            )
+        )
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionByName(t)
+    agg = u.groupBy(query_col, doc_col).agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(__run, __term))),"
+            " cast(0.0 as double), (a, x) -> a + x.__term)"
+        ).alias("rrf_score"),
+        F.count(F.lit(1)).cast("long").alias("n_runs_hit"),
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.desc("rrf_score"), F.asc(doc_col)
+    )
+    out = agg.withColumn("fused_rank", F.row_number().over(w))
+    if topk is not None:
+        out = out.filter(F.col("fused_rank") <= int(topk))
+    return out

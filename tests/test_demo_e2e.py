@@ -192,6 +192,11 @@ def test_retrieval_demo_end_to_end(spark):
     assert 0.0 < c["mrr"] <= 1.0
     assert 0.0 < c["map"] <= 1.0
     assert 0.0 < c["ndcg_at_10"] <= 1.0
+    # RRF hybrid of the ADC ordering and the exact rerank: bounded
+    # and non-degenerate (rank-only fusion needs no calibration; it
+    # is not guaranteed to beat the better run, only audited)
+    assert 0.0 < c["fused_mrr"] <= 1.0
+    assert 0.0 < c["fused_ndcg_at_10"] <= 1.0
     assert c["recall_sq8_at_10"] >= 0.8  # 8 bits/dim is near-exact
     assert c["negatives"] == c["queries"] * 5
     assert c["negatives_overlapping_positives"] == 0

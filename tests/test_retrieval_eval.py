@@ -395,3 +395,150 @@ def test_grouped_duckdb_oracle_parity(spark):
         FROM pq GROUP BY substr(query_id, 1, 1)
         """,
     )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion (rrf_fuse)
+# ---------------------------------------------------------------------------
+
+
+def _py_rrf(runs, k=60):
+    """Replica: same term, same run-index-ordered left-to-right sum,
+    same (score desc, doc asc) total order."""
+    terms = {}
+    for ri, run in enumerate(runs):
+        for q, d, r in run:
+            terms.setdefault((q, d), []).append((ri, 1.0 / (k + r)))
+    fused = {}
+    for (q, d), ts in terms.items():
+        s = 0.0
+        for _ri, t in sorted(ts):
+            s += t
+        fused.setdefault(q, []).append((d, s, len(ts)))
+    out = {}
+    for q, docs in fused.items():
+        ranked = sorted(docs, key=lambda x: (-x[1], x[0]))
+        for i, (d, s, n) in enumerate(ranked, 1):
+            out[(q, d)] = (s, n, i)
+    return out
+
+
+def test_rrf_fuse_matches_replica(spark):
+    from kafka_avro_order_processing_spark.operators.retrieval_eval import (
+        rrf_fuse,
+    )
+
+    run_a = [("q1", 10, 1), ("q1", 11, 2), ("q1", 12, 3), ("q2", 20, 1)]
+    run_b = [("q1", 11, 1), ("q1", 13, 2), ("q2", 20, 1), ("q2", 21, 2)]
+    run_c = [("q1", 12, 1), ("q1", 10, 2)]
+    dfs = [
+        spark.createDataFrame(r, "query_id string, doc_id long, rank int")
+        for r in (run_a, run_b, run_c)
+    ]
+    got = {
+        (r["query_id"], r["doc_id"]): (
+            r["rrf_score"], r["n_runs_hit"], r["fused_rank"]
+        )
+        for r in rrf_fuse(dfs).collect()
+    }
+    assert got == _py_rrf([run_a, run_b, run_c])
+    # docs 10 and 11 tie EXACTLY (each scores 1/61 + 1/62, just from
+    # different runs — identical f64 sums): the doc-asc tie-break is
+    # what makes the ranking total, and both out-rank every other doc
+    assert got[("q1", 10)][0] == got[("q1", 11)][0]
+    assert got[("q1", 10)][2] == 1 and got[("q1", 11)][2] == 2
+    assert got[("q1", 12)][2] == 3
+    # plan rules: pure built-ins — no Python crossing, no cartesian
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rrf_fuse(dfs).explain("formatted")
+    plan = buf.getvalue()
+    assert "EvalPython" not in plan and "CartesianProduct" not in plan
+
+
+def test_rrf_fuse_single_run_preserves_order_and_validates(spark):
+    import pytest
+
+    from kafka_avro_order_processing_spark.operators.retrieval_eval import (
+        rrf_fuse,
+    )
+
+    run = [("q", 5, 1), ("q", 9, 2), ("q", 2, 3)]
+    df = spark.createDataFrame(run, "query_id string, doc_id long, rank int")
+    out = {
+        r["doc_id"]: r["fused_rank"] for r in rrf_fuse([df], topk=2).collect()
+    }
+    # 1/(k+rank) is strictly decreasing in rank: fusion of ONE run is
+    # that run's own order, and topk keeps its head
+    assert out == {5: 1, 9: 2}
+    with pytest.raises(ValueError, match="at least one run"):
+        rrf_fuse([])
+    with pytest.raises(ValueError, match="k must be"):
+        rrf_fuse([df], k=0)
+
+
+def test_rrf_fuse_duckdb_oracle(spark):
+    """Promotion-grade oracle: two runs both engines derive from
+    documents (per-lang n_chars ranking and per-lang doc_id ranking),
+    fused at k=60, through the driver canonicalization."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+    from test_oracle_parity import SF_DIR
+    from test_r10_promotion_parity import _assert_parity
+
+    from kafka_avro_order_processing_spark.operators.retrieval_eval import (
+        rrf_fuse,
+    )
+    from kafka_avro_order_processing_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    wa = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    wb = Window.partitionBy("lang").orderBy(F.asc("doc_id"))
+    run_a = docs.select(
+        F.col("lang").alias("query_id"), "doc_id",
+        F.row_number().over(wa).alias("rank"),
+    ).filter(F.col("rank") <= 8)
+    run_b = docs.select(
+        F.col("lang").alias("query_id"), "doc_id",
+        F.row_number().over(wb).alias("rank"),
+    ).filter(F.col("rank") <= 8)
+    sdf = rrf_fuse([run_a, run_b], topk=5)
+    _assert_parity(
+        sdf,
+        """
+        WITH ra AS (
+          SELECT lang AS q, doc_id, 0 AS run_idx,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY n_chars DESC, doc_id) AS rank
+          FROM documents QUALIFY rank <= 8
+        ),
+        rb AS (
+          SELECT lang AS q, doc_id, 1 AS run_idx,
+                 ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rank
+          FROM documents QUALIFY rank <= 8
+        ),
+        u AS (
+          SELECT q, doc_id, run_idx,
+                 1.0 / CAST(60 + rank AS DOUBLE) AS term
+          FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb)
+        ),
+        agg AS (
+          SELECT q AS query_id, doc_id,
+                 list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                                list(term ORDER BY run_idx)),
+                   (a, b) -> a + b) AS rrf_score,
+                 CAST(COUNT(*) AS BIGINT) AS n_runs_hit
+          FROM u GROUP BY q, doc_id
+        )
+        SELECT query_id, doc_id, rrf_score, n_runs_hit,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY query_id
+                 ORDER BY rrf_score DESC, doc_id) AS INTEGER) AS fused_rank
+        FROM agg
+        QUALIFY fused_rank <= 5
+        """,
+    )
