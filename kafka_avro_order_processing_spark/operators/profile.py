@@ -151,3 +151,53 @@ def column_topk(df: DataFrame, column: str, k: int = 10) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("value", "n", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-level diff of two corpus snapshots — the "what changed
+    in my training set" audit between curation runs (the row-level
+    complement of the lake's part-level ``diff_versions``).  Returns
+    one row per document id seen in EITHER snapshot:
+    (id_col, status, old_hash, new_hash) with status in
+
+    - ``added``      id only in the new snapshot
+    - ``removed``    id only in the old snapshot
+    - ``changed``    id in both, text content differs
+    - ``unchanged``  id in both, text content identical
+
+    Content compares by md5 of the text with NULL-SAFE equality, so
+    two NULL texts are ``unchanged`` and NULL-vs-text is ``changed``
+    (a nulled-out document is a real change, never silently equal).
+    Summary counts are one ``groupBy("status").count()`` away.
+
+    Scale shape: one map-side hash per side and ONE full-outer
+    sort-merge join on the id — no content ever shuffles, only
+    (id, 32-byte hash) pairs; ids are unique per snapshot by corpus
+    contract (duplicate ids would fan the join out — run exact dedup
+    first, which is the pipeline's own precondition)."""
+    oh = old.select(
+        F.col(id_col).alias("__id"), F.md5(F.col(text_col)).alias("old_hash")
+    )
+    nh = new.select(
+        F.col(id_col).alias("__id"), F.md5(F.col(text_col)).alias("new_hash")
+    )
+    # presence markers survive the outer join even when a side's hash
+    # is legitimately NULL (NULL text)
+    joined = oh.withColumn("__in_old", F.lit(True)).join(
+        nh.withColumn("__in_new", F.lit(True)), "__id", "full_outer"
+    )
+    return joined.select(
+        F.col("__id").alias(id_col),
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(F.col("old_hash").eqNullSafe(F.col("new_hash")), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+        "old_hash",
+        "new_hash",
+    )

@@ -183,3 +183,88 @@ def test_streaming_profile_multi_epoch_equals_single(spark, tmp_path):
     want = sorted(tuple(r) for r in profile_table(df, exact=False).collect())
     got = sorted(tuple(r) for r in streaming_profile(stream).collect())
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# corpus_diff (snapshot-to-snapshot content audit)
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_diff_statuses(spark):
+    from kafka_avro_order_processing_spark.operators.profile import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None), (5, None), (6, "gone")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B2"), (4, None), (5, "now text"), (7, "fresh")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()
+    }
+    assert got == {
+        1: "unchanged",   # same content
+        2: "changed",     # content differs
+        3: "removed",
+        4: "unchanged",   # NULL == NULL (null-safe)
+        5: "changed",     # NULL -> text is a real change
+        6: "removed",
+        7: "added",
+    }
+
+
+def test_corpus_diff_duckdb_oracle(spark):
+    """Promotion-grade oracle: old = documents, new = documents with a
+    deterministic slice dropped, a slice rewritten, and a synthetic
+    tail added — both engines derive the same snapshots."""
+    from test_oracle_parity import SF_DIR, _duck
+    from test_r10_promotion_parity import _assert_parity
+
+    from kafka_avro_order_processing_spark.operators.profile import corpus_diff
+    from kafka_avro_order_processing_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    old = docs
+    new = (
+        docs.filter(F.col("doc_id") % 7 != 0)  # drop a slice
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            docs.select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.lit("synthetic new doc").alias("text"),
+            ).filter(F.col("doc_id") % 3 == 0)
+        )
+    )
+    sdf = corpus_diff(old, new)
+    _assert_parity(
+        sdf,
+        """
+        WITH oldc AS (SELECT doc_id, md5(text) AS old_hash FROM documents),
+        newc AS (
+          SELECT doc_id,
+                 md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                          ELSE text END) AS new_hash
+          FROM documents WHERE doc_id % 7 <> 0
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id,
+                 md5('synthetic new doc') AS new_hash
+          FROM documents WHERE (doc_id + 1000000) % 3 = 0
+        )
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN o.old_hash IS NOT DISTINCT FROM n.new_hash
+                      THEN 'unchanged'
+                    ELSE 'changed' END AS status,
+               o.old_hash, n.new_hash
+        FROM oldc o FULL OUTER JOIN newc n ON o.doc_id = n.doc_id
+        """,
+    )
