@@ -266,3 +266,54 @@ def test_plan_rules(spark):
     # the class-constant cross join must be broadcast, never a
     # shuffled cartesian
     assert "CartesianProduct" not in plan
+
+
+def test_streaming_nb_predict_bit_matches_batch(spark, tmp_path):
+    """The ingest twin: the model ships as a broadcast artifact with
+    JVM-evaluated log terms, each landing doc classifies in its own
+    row — predictions BIT-match batch nb_predict (exact float
+    equality: shared JVM logs + the replicated HALF_UP decimal
+    discipline), across 3 micro-batches, incl. degenerate docs and
+    all-unseen-gram docs (prior-only argmax)."""
+    from kafka_avro_order_processing_spark.streaming.nb import (
+        streaming_nb_predict,
+    )
+
+    df, (priors, features, V) = _model(spark)
+    cand = spark.createDataFrame(
+        [(i, t) for i, _lab, t in TEST]
+        + [(900, ""), (901, None), (902, "ab"), (903, "QQQQQQQQ")],
+        "doc_id long, text string",
+    )
+    want = sorted(
+        tuple(r) for r in nb_predict(cand, priors, features, V).collect()
+    )
+
+    d = str(tmp_path / "docs")
+    cand.repartition(3).write.parquet(d)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    got = sorted(
+        tuple(r)
+        for r in streaming_nb_predict(stream, priors, features, V).collect()
+    )
+    assert got == want  # exact equality, floats included
+
+
+def test_collect_nb_model_shape_and_validation(spark):
+    import pytest as _pytest
+
+    from kafka_avro_order_processing_spark.streaming.nb import collect_nb_model
+
+    df, (priors, features, V) = _model(spark)
+    m = collect_nb_model(priors, features, V)
+    assert set(m["consts"]) == {"en", "de", "zh"}
+    # sparse: only (gram, label) pairs the class saw carry a term
+    n_terms = sum(len(v) for v in m["terms"].values())
+    assert n_terms == features.count()
+    assert all(t > 0 for v in m["terms"].values() for t in v.values())
+    with _pytest.raises(ValueError, match="alpha"):
+        collect_nb_model(priors, features, V, alpha=0.0)
