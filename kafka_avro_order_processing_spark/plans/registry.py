@@ -6494,58 +6494,50 @@ def q_setsim_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _LEAD_ORDER = [
-    # -- ROUND-9 window (exactly 50 names precede the boundary).
-    # Built per the r8 verdict's task 1 and recomputed at round-9
-    # start from the CORRECTNESS_r01..r08 union (matched the HANDOFF
-    # pre-computation to the name): (1) the 45 remaining r6-green
-    # names — the 50 r6 names minus the 3 r6-reds re-checked in r7
-    # ("semantic_dedup", "training_order_shuffle",
-    # "stratified_sample") and the 2 fills checked in r8
-    # ("product_stats_snapshot", "order_priority_counts").  After the
-    # r8 check they are the oldest rows anywhere (checked r6, age 2
-    # during round 9: their age-3 deadline is THIS round).
-    # (2) fill 5 from the 50 r7-window names,
-    # oldest-registration-first.  NO new registry names this round —
-    # 45 + 5 = EXACTLY 50, zero headroom (see the boundary comment).
-    # (1) the 45 r6-greens at their deadline, registration order:
-    "supplier_balance_by_nation", "near_dup_pairs",
-    "near_dup_pairs_char", "simhash_fingerprints",
-    "embedding_near_dup", "diversity_sample", "purchase_avg_lookup",
-    "generated_orders", "avro_uri_manifest_write",
-    "avro_stats_pruned_read", "avro_zorder_pruned_read",
-    "avro_compacted_roundtrip", "avro_bloom_pruned_lookup",
-    "daily_revenue_lag", "customers_no_pending_orders",
-    "ngram_jaccard_adjacent", "multi_stream_union",
-    "cms_user_frequencies", "hll_distinct_users",
-    "value_histogram_quantiles",
-    "streaming_value_histogram_quantiles",
-    "streaming_cms_user_frequencies", "importance_weighted_sample",
-    "streaming_hll_distinct_users", "quantity_price_correlation",
-    "streaming_quantity_price_correlation", "daily_revenue_trend",
-    "daily_revenue_filled", "revenue_anomaly_days",
-    "streaming_revenue_anomaly", "event_type_daily_trend",
-    "dedup_clusters_star", "trade_graph_pagerank", "pq_adc_topk",
-    "pq_rerank_topk", "pq_recall_at_k", "user_communities",
-    "co_activity_triangles", "user_kcore", "community_modularity",
-    "weighted_trade_pagerank", "packing_efficiency",
-    "streaming_kmeans_refine", "avro_stream_stats_filter",
-    "dedup_keep_best",
-    # (2) r7-window fills, oldest-registration-first:
-    "per_product_stats", "overall_stats",
-    "generated_orders_datasource", "sql_api_events_hourly",
-    "value_percentiles",
+    # -- ROUND-10 window (exactly 50 names precede the boundary).
+    # Built per the r9 verdict's task 1 / HANDOFF "READ THIS FIRST":
+    # (1) the 45 remaining r7-window names — the 50 r7-window names
+    # minus the 5 fills checked in r9 ("per_product_stats",
+    # "overall_stats", "generated_orders_datasource",
+    # "sql_api_events_hourly", "value_percentiles").  After the r9
+    # check they are the oldest rows anywhere (checked r7, age 2
+    # during round 10: their age-3 deadline is THIS round).
+    # (2) fill the 5 free slots with the r10 PROMOTION QUEUE
+    # (plans/promotions_r10.py — new names must sit inside the first
+    # 50, the standing QUERY-ADDITION rule).  45 + 5 = EXACTLY 50.
+    # (1) the 45 r7-greens at their deadline, registration order:
+    "value_dispersion", "user_retention_cohorts",
+    "customers_with_pending_orders", "order_display_lines",
+    "props_json_extraction", "above_customer_avg_orders",
+    "approx_distinct_users", "ivf_probe_search", "ivf_recall_at_k",
+    "clicks_before_purchase", "explicit_grouping_sets",
+    "curated_corpus_stats", "shipping_priority",
+    "multimodal_decoded_features", "corrupt_json_handling",
+    "forecast_revenue_change", "large_quantity_orders",
+    "streaming_interval_join", "embedding_quantization_error",
+    "dataset_split_counts", "deterministic_sample",
+    "doc_repetition_scores", "benchmark_contamination",
+    "pii_detection", "doc_chunks", "per_source_quality",
+    "domain_mixture_sample", "boilerplate_grams",
+    "quality_filter_funnel", "source_overlap_grams",
+    "streaming_dedup_exact", "streaming_dedup_watermarked",
+    "upsert_orders_partitioned", "streaming_upsert_orders",
+    "scd2_customer_dim", "streaming_scd2_customer_dim",
+    "doc_length_histogram", "bm25_top20", "embedding_lsh_near_dup",
+    "semantic_dedup", "training_order_shuffle", "stratified_sample",
+    "fuzzy_part_links", "qty_price_rank_corr", "setsim_doc_pairs",
+    # (2) the 5 r10 promotion fills (plans/promotions_r10.py):
+    "roc_auc", "winnow_fingerprints", "mean_retrieval_metrics",
+    "profile_table_exact", "duplicated_ngram_spans",
     # --- position 50 boundary ---------------------------------------
-    # ROUND-10 MATH: after the r9 check the oldest rows anywhere are
-    # the 45 remaining r7-window names (checked r7, age 2 during
-    # round 10 — their deadline): the 50 r7-window names minus the 5
-    # fills checked here.  LEAD ROUND 10 WITH THOSE 45, then fill 5
-    # from the 50 r8-window names oldest-registration-first (they are
-    # age 2 during round 11, so any 5 works).  45 + 5 = EXACTLY 50:
-    # round-10 headroom for NEW names is zero unless a new name
-    # displaces a FILL name (never a deadline name) — the r10
-    # promotion queue (tests/test_r10_promotion_parity.py) swaps in
-    # by displacing fills, exactly 5 at most.  The r8-window names
-    # and the rest follow via the fallback append in _apply_order.
+    # ROUND-11 MATH: after the r10 check the oldest rows anywhere are
+    # the 50 r8-window names (checked r8, age 2 during round 11 —
+    # their deadline).  LEAD ROUND 11 WITH THOSE 50.  SATURATION
+    # (HANDOFF warning): the registry is at the 3x50 rotation
+    # capacity; any NEW name must displace an existing one via the
+    # retirement ledger (RETIRED below) or the age<=2 invariant
+    # breaks.  The r9-window names and the rest follow via the
+    # fallback append in _apply_order.
 ]
 
 
@@ -6559,4 +6551,11 @@ def _apply_order() -> None:
     QUERIES.update(ordered)
 
 
+# Round-10 promotion swap (HANDOFF "READ THIS FIRST", r9 verdict task
+# 1): insert the five staged queue blocks before ordering so the
+# _LEAD_ORDER fills above resolve.  Import is deferred to the module
+# bottom on purpose — promotions_r10 imports Query/QUERIES from here.
+from .promotions_r10 import promote as _promote_r10  # noqa: E402
+
+_promote_r10()
 _apply_order()

@@ -32,11 +32,14 @@ def test_queue_is_exactly_the_five_named_blocks():
     assert tuple(R10_PROMOTIONS) == EXPECTED
 
 
-def test_staged_not_registered_and_no_collisions():
-    """Round 9 has zero window headroom: the blocks must NOT be live,
-    and their future names must be free in the registry."""
-    clash = set(R10_PROMOTIONS) & set(QUERIES)
-    assert not clash, f"staged names already registered: {sorted(clash)}"
+def test_promotion_executed_blocks_are_live():
+    """Round 10 executed the swap: every staged block IS registered,
+    by identity, and sits inside the first-50 driver window as a
+    _LEAD_ORDER fill (the standing QUERY-ADDITION rule)."""
+    window = list(QUERIES)[:50]
+    for name, q in R10_PROMOTIONS.items():
+        assert QUERIES.get(name) is q, name
+        assert name in window, name
 
 
 def test_every_block_is_fully_formed():
@@ -47,24 +50,11 @@ def test_every_block_is_fully_formed():
         assert q.doc and q.tags, name
 
 
-def test_promote_refuses_collisions(monkeypatch):
-    """promote() must fail loudly if a name got registered in the
-    meantime (the r10 mechanic's first safety net)."""
-    name = EXPECTED[0]
-    monkeypatch.setitem(QUERIES, name, R10_PROMOTIONS[name])
-    with pytest.raises(ValueError, match=name):
+def test_promote_refuses_double_registration():
+    """promote() already ran at registry import; a second call must
+    fail loudly on every name (the collision safety net)."""
+    with pytest.raises(ValueError, match=EXPECTED[0]):
         promote()
-
-
-def test_promote_inserts_all_blocks(monkeypatch):
-    before = dict(QUERIES)
-    try:
-        promote()
-        for name, q in R10_PROMOTIONS.items():
-            assert QUERIES[name] is q
-    finally:
-        QUERIES.clear()
-        QUERIES.update(before)
 
 
 @pytest.mark.parametrize("name", EXPECTED)
