@@ -16,6 +16,8 @@ under any micro-batching (suite-pinned, one epoch and many).
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -81,6 +83,14 @@ def streaming_wordpiece_encode(
     from ..operators.wordpiece import UNK_PIECE, _sql_str, _wp_pieces
 
     vset = set(vocab)
+    # Batch wordpiece_encode segments with Spark's Java-regex
+    # split(text, '\\s+'), where \s is ASCII-only [ \t\n\x0b\f\r];
+    # Python str.split() splits on UNICODE whitespace (NBSP, \x1c-\x1f,
+    # \x85, \u2000-\u200a, ...), which would break the BIT-match contract on
+    # any document containing non-ASCII whitespace -- so split with the
+    # Java \s class explicitly (same contract as the levenshtein/PII
+    # ASCII pins, suite-pinned with a NBSP row).
+    java_ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def seg_doc(texts: pd.Series) -> pd.Series:
@@ -88,7 +98,7 @@ def streaming_wordpiece_encode(
             if not t:
                 return []
             out: list[str] = []
-            for w in t.split():
+            for w in java_ws.split(t):
                 if w:
                     out.extend(_wp_pieces(w, vset))
             return out

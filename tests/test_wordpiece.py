@@ -352,7 +352,16 @@ def test_streaming_wordpiece_encode_bit_matches_batch(spark, tmp_path):
     )
 
     docs = spark.createDataFrame(
-        [(i, t) for i, t in enumerate(TEXTS)] + [(9, "low zz"), (10, None)],
+        [(i, t) for i, t in enumerate(TEXTS)]
+        + [
+            (9, "low zz"),
+            (10, None),
+            # Non-ASCII whitespace: Spark's Java \s+ does NOT split on
+            # NBSP/\x85/\u2009, so "low<NBSP>zz" must stay ONE word in
+            # BOTH engines (a Python str.split() in the twin would
+            # split it and break the bit-match — the r9 ADVICE case).
+            (11, "low\u00a0zz high\u2009low \x85end"),
+        ],
         "doc_id long, text string",
     )
     vocab = wordpiece_vocab(docs.filter("text IS NOT NULL"), wordpiece_train(docs, 8))
