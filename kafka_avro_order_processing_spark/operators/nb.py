@@ -28,11 +28,15 @@ dense (doc x class x vocab) cube; it rewrites the sum as
 of the doc-gram counts against the sparse feature table + one
 (doc, class) aggregation + a broadcast of the tiny class-constant
 frame.  Float discipline: every log term is one f64 log of exact
-integers, and per-(doc, class) sums go through the 2^52-scaled
-DECIMAL(38,0) idiom — bit-identical under any partitioning.  ln() is
-not IEEE-portable across engines, so scores pin against a Python
-replica (the lm.py convention); the TRAINING tables are pure integer
-counts and carry a DuckDB oracle.
+integers, rounded ONCE per (gram, label) to a 2^52-scaled
+DECIMAL(38,0) integer in the JVM; per-(doc, class) sums are then
+pure integer arithmetic (cnt x scaled term) — bit-identical under
+any partitioning, and the streaming twin (streaming/nb.py) inherits
+the exact same integers by collecting them, so its predictions
+BIT-match without replicating Java's double->string digit
+generation.  ln() is not IEEE-portable across engines, so scores pin
+against a Python replica (the lm.py convention); the TRAINING tables
+are pure integer counts and carry a DuckDB oracle.
 
 Scale shape: training is two integer groupBys over the exploded gram
 stream (the word-count class of job); scoring shuffles only
@@ -47,6 +51,25 @@ import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _log_term_scaled(alpha: float):
+    """The per-(gram, label) correction term ``log((count+a)/a)``
+    scaled by 2^52 and rounded to an integer IN THE JVM — the single
+    double->decimal cast of the scoring plan.  Shared verbatim by
+    :func:`nb_score` and the streaming artifact collector
+    (streaming/nb.py) so both sides start from the identical integer:
+    the JVM cast's digit generation (Java's ``Double.toString``, which
+    pre-Ryu emits non-minimal digits) never needs replicating."""
+    from .similarity import MEAN_SCALE
+
+    return (
+        F.log(
+            (F.col("count").cast("double") + F.lit(float(alpha)))
+            / F.lit(float(alpha))
+        )
+        * F.lit(float(MEAN_SCALE))
+    ).cast("decimal(38,0)")
 
 
 def _gram_expr(text_col: str, n: int) -> str:
@@ -161,23 +184,30 @@ def nb_score(
         F.col(id_col),
         F.coalesce("n_vocab_grams", F.lit(0)).cast("long").alias("n_vocab_grams"),
     )
-    # correction terms: only (gram, label) pairs the class actually saw
+    # correction terms: only (gram, label) pairs the class actually
+    # saw.  The ONLY double->decimal rounding happens ONCE per
+    # (gram, label) on the log term itself (log_term_scaled below);
+    # after that everything is integer-exact decimal arithmetic
+    # (cnt * scaled term, summed), so the per-(doc, class) sum is
+    # bit-identical under any partitioning AND trivially replicable
+    # outside the JVM (streaming/nb.py collects these same scaled
+    # integers).  Rounding cnt*term per row instead (the old scheme)
+    # would pin the result to Java's Double.toString digit generation
+    # — not reproducible from Python for arbitrary magnitudes.
     corr = (
         dg.join(features, "gram")
         .select(
             F.col(id_col),
             "label",
             (
-                F.col("cnt").cast("double")
-                * F.log((F.col("count").cast("double") + F.lit(float(alpha))) / F.lit(float(alpha)))
-            ).alias("__term"),
+                F.col("cnt").cast("decimal(18,0)")
+                * _log_term_scaled(alpha)
+            ).cast("decimal(38,0)").alias("__term_int"),
         )
         .groupBy(id_col, "label")
         .agg(
             (
-                F.sum(
-                    F.expr(f"CAST(__term * {MEAN_SCALE}D AS DECIMAL(38,0))")
-                ).cast("double")
+                F.sum("__term_int").cast("double")
                 / F.lit(float(MEAN_SCALE))
             ).alias("__corr")
         )

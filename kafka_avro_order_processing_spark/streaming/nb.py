@@ -7,20 +7,22 @@ watermark.
 Bit-match contract (suite-pinned, one epoch and many): the drained
 predictions equal the batch :func:`operators.nb.nb_predict` on the
 same rows EXACTLY, because every float the twin touches is the same
-f64 the batch plan produced or would produce —
+f64 the batch plan produced —
 
-- the per-(gram, label) correction terms ``log((count+a)/a)`` are
-  EVALUATED IN THE JVM batch-side (one select over the sparse feature
-  table, collected with the model) rather than recomputed with
-  Python's libm, so the ln() cross-engine hazard never enters;
+- the per-(gram, label) correction terms are collected ALREADY
+  QUANTIZED: the batch plan's single double->decimal rounding
+  (``log((count+a)/a) * 2^52`` cast to DECIMAL(38,0), see
+  ``operators.nb._log_term_scaled``) is evaluated in the JVM and
+  shipped as exact Python ints, so Java's ``Double.toString`` digit
+  generation (pre-Ryu, non-minimal — NOT reproducible via
+  ``Decimal(x)`` or ``Decimal(repr(x))``) never needs replicating;
+- the per-(doc, class) correction sum is then pure integer
+  arithmetic (``cnt * term_int``), order-free and engine-free, and
+  the final ``int -> f64`` conversion plus the ``/ 2^52`` exponent
+  shift are correctly-rounded in both engines;
 - the class constants (log prior, log miss) use the same
-  ``math.log`` formula :func:`nb_score` itself uses driver-side;
-- the per-(doc, class) sum replicates the batch plan's 2^52-scaled
-  DECIMAL(38,0) discipline digit-for-digit: each term rounds to an
-  integer via ``Decimal(x).quantize(ROUND_HALF_UP)`` — exactly
-  Spark's double->decimal(38,0) cast (HALF_UP on the double's exact
-  binary expansion; NOT Python round(), which is half-to-even) — and
-  the integer sum is order-free.
+  ``math.log`` formula :func:`nb_score` itself uses driver-side, and
+  the score combines them in the batch plan's association order.
 
 Driver traffic: the collected model is O(vocab x classes) — the
 sanctioned shipped-artifact budget class of the unigram/WordPiece
@@ -30,24 +32,22 @@ encode twins (langid-style models are MBs by construction).
 from __future__ import annotations
 
 import math
-from decimal import ROUND_HALF_UP, Decimal
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..operators.nb import _log_term_scaled
 from ..operators.similarity import MEAN_SCALE
 from .pipeline import drain_to_df
-
-_ZERO = Decimal(1)
 
 
 def collect_nb_model(
     priors: DataFrame, features: DataFrame, n_vocab: int, alpha: float = 1.0
 ) -> dict:
     """Freeze the trained tables into the broadcastable artifact:
-    per-gram per-label JVM-evaluated correction terms, class
+    per-gram per-label JVM-quantized correction integers, class
     constants, and the vocabulary set."""
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
@@ -62,25 +62,15 @@ def collect_nb_model(
         )
         for r in pri
     }
-    # the JVM's own log values — the exact doubles the batch plan uses
+    # the batch plan's own quantized integers — the exact expression
+    # nb_score folds into its per-(doc, class) sums
     term_rows = features.select(
-        "gram",
-        "label",
-        F.log(
-            (F.col("count").cast("double") + F.lit(float(alpha)))
-            / F.lit(float(alpha))
-        ).alias("term"),
+        "gram", "label", _log_term_scaled(alpha).alias("term_int")
     ).collect()
-    terms: dict[str, dict[str, float]] = {}
+    terms: dict[str, dict[str, int]] = {}
     for r in term_rows:
-        terms.setdefault(r["gram"], {})[r["label"]] = float(r["term"])
+        terms.setdefault(r["gram"], {})[r["label"]] = int(r["term_int"])
     return {"consts": consts, "terms": terms}
-
-
-def _dec_round(x: float) -> int:
-    """Spark's CAST(double AS DECIMAL(38,0)): HALF_UP on the double's
-    exact decimal expansion."""
-    return int(Decimal(x).quantize(_ZERO, rounding=ROUND_HALF_UP))
 
 
 def _predict_one(text, model, n):
@@ -105,9 +95,9 @@ def _predict_one(text, model, n):
             lt = t.get(label)
             if lt is None:
                 continue
-            # the batch plan's exact arithmetic: (cnt_double * term)
-            # scaled by 2^52 and HALF_UP-rounded per (gram, label)
-            corr_int += _dec_round(float(cnt) * lt * float(MEAN_SCALE))
+            # the batch plan's exact arithmetic: integer cnt times the
+            # JVM-quantized term integer — exact, order-free
+            corr_int += cnt * lt
         corr = float(corr_int) / float(MEAN_SCALE) if corr_int else 0.0
         score = log_prior + float(nv) * log_miss + corr
         key = (-score, label)
@@ -148,7 +138,21 @@ def streaming_nb_predict(
     )
     def clf(texts: pd.Series) -> pd.DataFrame:
         rows = [_predict_one(t, model, n) for t in texts]
-        return pd.DataFrame(rows, columns=["label", "log_score", "margin"])
+        return pd.DataFrame(
+            {
+                "label": [r[0] for r in rows],
+                "log_score": [r[1] for r in rows],
+                # dtype=object so a single-class model's all-None
+                # margin column crosses Arrow as SQL NULLs — a bare
+                # list would infer float64 whose NaN is NOT null,
+                # diverging from batch nb_predict's lead()-over-one-row
+                # NULL (the r9 ADVICE edge)
+                "margin": pd.Series(
+                    [r[2] for r in rows], dtype=object, index=texts.index
+                ),
+            },
+            index=texts.index,
+        )
 
     out = stream_docs.select(
         F.col(id_col), clf(F.col(text_col)).alias("__p")

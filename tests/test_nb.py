@@ -270,19 +270,24 @@ def test_plan_rules(spark):
 
 def test_streaming_nb_predict_bit_matches_batch(spark, tmp_path):
     """The ingest twin: the model ships as a broadcast artifact with
-    JVM-evaluated log terms, each landing doc classifies in its own
-    row — predictions BIT-match batch nb_predict (exact float
-    equality: shared JVM logs + the replicated HALF_UP decimal
-    discipline), across 3 micro-batches, incl. degenerate docs and
-    all-unseen-gram docs (prior-only argmax)."""
+    the batch plan's own JVM-quantized term integers, each landing doc
+    classifies in its own row — predictions BIT-match batch nb_predict
+    (exact float equality: shared JVM logs + integer-exact correction
+    sums), across 3 micro-batches, incl. degenerate docs,
+    all-unseen-gram docs (prior-only argmax), and a LONG document
+    whose cnt*term*2^52 magnitudes exceed 2^63 — the range where
+    Java's pre-Ryu Double.toString makes a per-row double->decimal
+    cast irreproducible from Python (the r9 ADVICE case)."""
     from kafka_avro_order_processing_spark.streaming.nb import (
         streaming_nb_predict,
     )
 
     df, (priors, features, V) = _model(spark)
+    long_doc = " ".join(t for _i, _lab, t in TEST) * 400  # ~50k chars
     cand = spark.createDataFrame(
         [(i, t) for i, _lab, t in TEST]
-        + [(900, ""), (901, None), (902, "ab"), (903, "QQQQQQQQ")],
+        + [(900, ""), (901, None), (902, "ab"), (903, "QQQQQQQQ")]
+        + [(904, long_doc)],
         "doc_id long, text string",
     )
     want = sorted(
@@ -301,6 +306,39 @@ def test_streaming_nb_predict_bit_matches_batch(spark, tmp_path):
         for r in streaming_nb_predict(stream, priors, features, V).collect()
     )
     assert got == want  # exact equality, floats included
+
+
+def test_streaming_nb_single_class_margin_is_null(spark, tmp_path):
+    """A single-class model's margin is a true SQL NULL in BOTH paths:
+    batch (lead() over one row) and streaming (object-dtype margin
+    column -> Arrow null, never float64 NaN) — the r9 ADVICE edge."""
+    from kafka_avro_order_processing_spark.streaming.nb import (
+        streaming_nb_predict,
+    )
+
+    one_class = [(i, lab, t) for i, lab, t in TRAIN if lab == "en"]
+    df, (priors, features, V) = _model(spark, rows=one_class)
+    cand = spark.createDataFrame(
+        [(i, t) for i, _lab, t in TEST[:3]] + [(901, None)],
+        "doc_id long, text string",
+    )
+    want = sorted(
+        tuple(r) for r in nb_predict(cand, priors, features, V).collect()
+    )
+    assert all(r[1] == "en" and r[3] is None for r in want)
+
+    d = str(tmp_path / "docs")
+    cand.repartition(2).write.parquet(d)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    drained = streaming_nb_predict(stream, priors, features, V)
+    assert drained.schema["margin"].dataType.typeName() == "double"
+    got = sorted(tuple(r) for r in drained.collect())
+    assert got == want
+    assert all(r[3] is None for r in got)  # NULL, not NaN
 
 
 def test_collect_nb_model_shape_and_validation(spark):
