@@ -39,6 +39,22 @@ def running_average(
 
     Exact decimal running sum -> double, so the emitted running average
     matches an ANSI oracle bit-for-bit regardless of partitioning.
+
+    SCALE CONTRACT (pinned by test_plan_invariants.py::
+    test_running_avg_partitions_by_the_documented_bounded_key): the
+    ordered window shuffles once on ``key`` and then sorts EACH KEY'S
+    WHOLE HISTORY IN ONE TASK — parallelism is bounded by the key
+    cardinality, and a low-cardinality key (the registered query
+    partitions on event_type, ~5 values) makes every task a full-key
+    straggler by construction.  Use this form only when per-key volume
+    is task-sized (it is the semantically-required batch parity twin of
+    the reference's per-record emission, reference
+    price_aggregator.py:35-51).  For unbounded keys / 100 TB ingest,
+    use the scale-correct twin
+    ``streaming.stateful.streaming_running_avg_per_record``
+    (applyInPandasWithState: O(keys) state, no per-key sort, same
+    bit-exact per-record semantics, registered as
+    ``streaming_running_avg_per_record``).
     """
     w = (
         Window.partitionBy(key)

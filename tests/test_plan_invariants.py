@@ -171,3 +171,31 @@ def test_round8_operators_stay_jvm_side(spark):
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_running_avg_partitions_by_the_documented_bounded_key(spark):
+    """The batch running_avg window is PARTITIONed BY event_type — a
+    LOW-CARDINALITY key (~5 distinct values), so one task sorts one
+    key's whole history.  That is the semantically-required parity
+    twin of the reference's per-record emission and is CORRECT at any
+    scale, but its parallelism is bounded by the key cardinality: the
+    documented contract (operators/windows.running_average) is that
+    per-key volume stays task-sized, and the unbounded-key path is
+    streaming_running_avg_per_record (streaming/stateful.py — O(keys)
+    state, no per-key sort).  This test pins BOTH halves: the window
+    spec keys on event_type (a plan change that silently repartitions
+    breaks parity), and the scale-safe twin stays registered."""
+    from kafka_avro_order_processing_spark.plans.registry import QUERIES
+
+    plan = _plan_of(spark, "running_avg")
+    # the physical Window node carries its partition spec
+    win = [p for p in plan.split("\n\n") if "Window" in p]
+    assert any("event_type" in p for p in win), (
+        "running_avg window no longer partitions by event_type"
+    )
+    # exactly one sort-shuffle pair feeds the window: partitioning on
+    # the window key, ordering on (ts, event_id)
+    assert "streaming_running_avg_per_record" in QUERIES, (
+        "the unbounded-key twin must stay registered — it is the "
+        "documented 100 TB path for this semantics"
+    )
