@@ -1182,7 +1182,7 @@ def q_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(md5 bucket x cell size < 256 x target), so no float-rate "
         "rounding can diverge between engines, and the sample is a "
         "stable per-row property (incremental runs resample "
-        "identically — same contract as deterministic_sample).  Scale "
+        "identically — the hash-bucket sampling contract).  Scale "
         "shape: broadcast-assign, one cell-size aggregation joined "
         "back broadcast, pure filter — no sort, no per-cell windows.",
 )
@@ -1954,10 +1954,8 @@ def q_streaming_per_record(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Session-window streaming twin, standalone n-gram Jaccard, tf-idf.
+# Session-window streaming twin, tf-idf.
 # ---------------------------------------------------------------------------
-
-from ..operators.dedup import shingle_sets  # noqa: E402
 
 _SESSIONS_CTE = """
     WITH flagged AS (
@@ -2002,43 +2000,6 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return drain_to_df(agg, "complete").select(
         "user_id", "session_start", "session_end", "n_events"
-    )
-
-
-@_register(
-    "ngram_jaccard_adjacent",
-    """
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-    sh AS (
-      SELECT doc_id,
-             list_distinct(CASE WHEN len(t) >= 3
-               THEN list_transform(range(1, len(t) - 1),
-                                   i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
-               ELSE [] END) AS s
-      FROM toks)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-             / (CAST(len(a.s) + len(b.s) AS DOUBLE)
-                - CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)) AS jaccard
-    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
-    WHERE len(a.s) > 0 AND len(b.s) > 0
-    """,
-    tags=("m5", "dedup"),
-    doc="Standalone exact word-3-gram Jaccard similarity (here over the "
-        "deterministic adjacent-id pair set; the LSH pipeline supplies "
-        "candidate pairs at scale).",
-)
-def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    sets_ = shingle_sets(docs)
-    a = sets_.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sets_.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
-    return (
-        a.join(b, F.col("doc_b") == F.col("doc_a") + 1)
-        .filter((F.size("sh_a") > 0) & (F.size("sh_b") > 0))
-        .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
     )
 
 
@@ -4558,27 +4519,6 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "deterministic_sample",
-    f"""
-    SELECT doc_id, lang, n_chars
-    FROM documents
-    WHERE {_HASH_BUCKET} < 26
-    """,
-    tags=("m5", "sampling"),
-    doc="Reproducible ~10% sample via the same hash-bucket technique — "
-        "the sample is a stable property of each row, so incremental "
-        "runs resample identically.",
-)
-def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    bucket = F.conv(
-        F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 2),
-        16, 10,
-    ).cast("int")
-    return docs.filter(bucket < 26).select("doc_id", "lang", "n_chars")
-
-
-@_register(
     "daily_events_unpivot",
     """
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
@@ -6481,6 +6421,77 @@ def q_setsim_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return set_similarity_join(load_table(spark, sf_dir, "documents"))
 
 
+@_register(
+    "ccnet_buckets",
+    """
+    WITH r AS (
+      SELECT doc_id,
+             RANK() OVER (PARTITION BY lang
+                          ORDER BY CAST(n_chars AS DOUBLE)) AS rk,
+             COUNT(*) OVER (PARTITION BY lang, n_chars) AS c,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id,
+             CAST(2*rk + c - 1 AS DOUBLE) / CAST(2*n AS DOUBLE) AS pct
+      FROM r
+    )
+    SELECT doc_id, pct,
+           CASE WHEN pct <= CAST(1.0 AS DOUBLE) / 3.0 THEN 'head'
+                WHEN pct <= 2.0 * CAST(1.0 AS DOUBLE) / 3.0 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM p
+    """,
+    tags=("m5", "lm", "quality"),
+    doc="CCNet head/middle/tail bucketing (Wenzek et al. LREC 2020, "
+        "operators/lm.ccnet_buckets): per-language midrank percentile "
+        "of the quality score — here n_chars as the stand-in ppl "
+        "column — split at the published third edges.  pct is the "
+        "exact rational (2*rk + c - 1) / (2n) in both engines (the "
+        "eval-engine midrank algebra — tie groups share one midrank, "
+        "so a tie never straddles an edge); the streaming twin "
+        "(streaming/lm.streaming_ccnet_buckets) freezes the split as "
+        "per-group cutoffs for ingest.  One shuffle on the group key; "
+        "no SinglePartition anywhere.",
+)
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lm import ccnet_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ccnet_buckets(
+        docs.selectExpr("doc_id", "lang", "CAST(n_chars AS DOUBLE) AS ppl"),
+        "ppl",
+        group_col="lang",
+    ).select("doc_id", "pct", "bucket")
+
+
+#: Names removed from the registry with a window audit (r9 verdict
+#: task 2 — the 3x50 rotation saturation fix).  Each had driver-green
+#: CORRECTNESS rows; the ledger keeps tests/test_rotation_window.py's
+#: rule 1 honest (a checked name may only disappear through HERE).
+#: name -> audit note (round retired, what subsumes it, last green)
+RETIRED: dict[str, str] = {
+    "deterministic_sample": (
+        "r10: subsumed by dataset_split_counts — the identical salted-"
+        "md5 hash-bucket mechanism (same _HASH_BUCKET expression, same "
+        "'split:' salt); the split query demonstrates bucket<204/230 "
+        "CASE routing, the sample was the degenerate bucket<26 filter "
+        "of the same expression.  Last driver-green r7; operator "
+        "surface kept via operators/splits.py + dataset_split_counts."
+    ),
+    "ngram_jaccard_adjacent": (
+        "r10: subsumed by setsim_doc_pairs — exact word-3-gram Jaccard "
+        "over ALL qualifying pairs via AllPairs prefix filtering "
+        "(Bayardo et al.), strictly stronger than the adjacent-id pair "
+        "restriction this query used to keep the demo join tiny; the "
+        "shared shingle semantics live in operators/dedup.shingle_sets "
+        "(still exercised by near_dup_pairs and the LSH family).  "
+        "Last driver-green r9."
+    ),
+}
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness harness checks queries in
 # registration order and caps the run at 50 (measured in rounds 1-2).
@@ -6515,7 +6526,7 @@ _LEAD_ORDER = [
     "multimodal_decoded_features", "corrupt_json_handling",
     "forecast_revenue_change", "large_quantity_orders",
     "streaming_interval_join", "embedding_quantization_error",
-    "dataset_split_counts", "deterministic_sample",
+    "dataset_split_counts",
     "doc_repetition_scores", "benchmark_contamination",
     "pii_detection", "doc_chunks", "per_source_quality",
     "domain_mixture_sample", "boilerplate_grams",
@@ -6526,18 +6537,23 @@ _LEAD_ORDER = [
     "doc_length_histogram", "bm25_top20", "embedding_lsh_near_dup",
     "semantic_dedup", "training_order_shuffle", "stratified_sample",
     "fuzzy_part_links", "qty_price_rank_corr", "setsim_doc_pairs",
-    # (2) the 5 r10 promotion fills (plans/promotions_r10.py):
+    # (2) the 6 fills: the 5 r10 promotion-queue blocks
+    # (plans/promotions_r10.py) + ccnet_buckets in the slot freed by
+    # retiring deterministic_sample (see RETIRED — it was one of the
+    # 45 deadline names; its obligation retires with it):
     "roc_auc", "winnow_fingerprints", "mean_retrieval_metrics",
-    "profile_table_exact", "duplicated_ngram_spans",
+    "profile_table_exact", "duplicated_ngram_spans", "ccnet_buckets",
     # --- position 50 boundary ---------------------------------------
     # ROUND-11 MATH: after the r10 check the oldest rows anywhere are
     # the 50 r8-window names (checked r8, age 2 during round 11 —
     # their deadline).  LEAD ROUND 11 WITH THOSE 50.  SATURATION
-    # (HANDOFF warning): the registry is at the 3x50 rotation
-    # capacity; any NEW name must displace an existing one via the
-    # retirement ledger (RETIRED below) or the age<=2 invariant
-    # breaks.  The r9-window names and the rest follow via the
-    # fallback append in _apply_order.
+    # (HANDOFF warning) is resolved to 1 slot of slack: 149 registered
+    # names vs 3x50 rotation capacity (the r9 window is 49 after the
+    # ngram_jaccard_adjacent retirement — r12 has the free slot).
+    # Any further NEW name must still displace an existing one via the
+    # retirement ledger (RETIRED below) or consume that one slot.
+    # The r9-window names and the rest follow via the fallback append
+    # in _apply_order.
 ]
 
 
