@@ -22,6 +22,10 @@ ONE job from raw documents to packed training shards:
                        surviving docs (ExactSubstr remediation)
   3c. drift audit      PSI of the token-length distribution, curated
                        vs raw (how much did curation reshape the data?)
+  3d. DSIR audit       importance-weight the survivors against the
+                       trusted seed and Gumbel-top-k the preferred
+                       half (Xie et al. NeurIPS 2023) — the
+                       target-matched resampling a mix build runs last
   4. shard + pack      hash shards, 256-token bins (sequence_packing
                        shape), written out partitioned by shard
   5. tokenizer         BPE merges trained on the curated corpus, then
@@ -334,6 +338,43 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None, out_dir: str | None
     )
     length_psi = psi(numeric_drift(with_len(docs), with_len(kept), "len", n_bins=12))
 
+    # 3d. target-matched selection audit (DSIR, Xie et al. NeurIPS
+    # 2023): importance-weight the surviving pool against the same
+    # trusted seed slice the bigram LM trained on (stage 1b), and
+    # Gumbel-top-k the half the seed distribution prefers — the
+    # resampling step a pretraining mix runs last.  Audit-only here
+    # (the pool is already curated; a mix build would write the
+    # selection as its own shard set): counters prove the weights are
+    # finite, the draw is deterministic, and the selected half's mean
+    # log weight sits at or above the pool's.
+    from kafka_avro_order_processing_spark.operators.dsir import (
+        dsir_features,
+        dsir_fit,
+        dsir_log_weights,
+        dsir_resample,
+    )
+
+    seed = docs_clean.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    pool_feats = dsir_features(kept, n_buckets=1024)
+    ratios = dsir_fit(
+        dsir_features(seed, n_buckets=1024), pool_feats, n_buckets=1024
+    )
+    lw = dsir_log_weights(kept, pool_feats, ratios).localCheckpoint(eager=True)
+    k_dsir = max(1, n_decontam // 2)
+    picked = dsir_resample(lw, k=k_dsir, seed=42)
+    picked2 = dsir_resample(lw, k=k_dsir, seed=42)
+    sel_ids = sorted(r["doc_id"] for r in picked.collect())
+    dsir_deterministic = sel_ids == sorted(
+        r["doc_id"] for r in picked2.collect()
+    )
+    mean_all = lw.agg(F.avg("log_weight")).collect()[0][0]
+    mean_sel = (
+        lw.join(picked.select("doc_id"), "doc_id")
+        .agg(F.avg("log_weight"))
+        .collect()[0][0]
+    )
+    n_dsir = len(sel_ids)
+
     # 4. shard + pack and WRITE: the trainer-facing layout.
     w_cols = kept.select(
         "doc_id",
@@ -435,6 +476,11 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None, out_dir: str | None
         "lsh_extra_pairs": n_lsh_extra,
         "winnow_recall": winnow_recall,
         "winnow_extra_pairs": n_winnow_extra,
+        "dsir_selected": int(n_dsir),
+        "dsir_k": int(k_dsir),
+        "dsir_deterministic": dsir_deterministic,
+        "dsir_mean_lw_pool": float(mean_all),
+        "dsir_mean_lw_selected": float(mean_sel),
         "shards": n_shards,
         "bins": n_bins,
         "out": str(out),

@@ -57,6 +57,12 @@ def test_curation_demo_end_to_end(spark, tmp_path):
     if c["exact_pairs"]:
         assert c["winnow_recall"] >= 0.5
     assert c["winnow_extra_pairs"] >= 0
+    # DSIR audit: the draw is (seed, id)-deterministic, the selection
+    # is exactly k, and the selected half's mean log weight is at
+    # least the pool's (top-k by weight + O(1) Gumbel noise)
+    assert c["dsir_selected"] == c["dsir_k"] > 0
+    assert c["dsir_deterministic"] is True
+    assert c["dsir_mean_lw_selected"] >= c["dsir_mean_lw_pool"]
     shards = spark.read.parquet(str(tmp_path / "shards"))
     assert shards.count() == c["after_decontam"]
     assert set(shards.columns) == {"doc_id", "text", "shard", "n_tokens", "bin_id"}
