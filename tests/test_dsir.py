@@ -282,3 +282,44 @@ def test_plan_rules(spark):
     assert "ArrowEvalPython" not in plan  # pure JVM expressions
     assert "CartesianProduct" not in plan  # totals join is broadcast
     assert "TakeOrderedAndProject" in plan  # top-k, not a full sort
+
+
+# ---------------------------------------------------------------------------
+# Property tests (hypothesis): featurization replica equality and the
+# conservation law sum(cnt) == n_words + n_bigrams on randomized text,
+# including whitespace-only, repeated-word, and punctuation shapes.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_WORDS = ["spark", "data", "the", "a", "x", "shuffle", "q1", "-", "a.b"]
+_text_strategy = st.lists(
+    st.sampled_from(_WORDS), min_size=0, max_size=12
+).map(" ".join)
+
+_SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(texts=st.lists(_text_strategy, min_size=1, max_size=8))
+@_SETTINGS
+def test_featurization_matches_replica_and_conserves(spark, texts):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for x in dsir_features(df, B).collect():
+        got[(x["doc_id"], x["bucket"])] = x["cnt"]
+    want = {}
+    for i, t in rows:
+        for b, c in _py_feats(t).items():
+            want[(i, b)] = c
+    assert got == want
+    # conservation: total count == words + adjacent bigrams per doc
+    for i, t in rows:
+        ws = t.split()
+        total = sum(c for (d, _b), c in got.items() if d == i)
+        assert total == len(ws) + max(0, len(ws) - 1), (i, t)
