@@ -18,8 +18,11 @@ custom pieces compose into, run end-to-end:
   5. MONITORS: the landing stream is also watched by the streaming
      twins — a live column profile (row/null counts as the data
      lands), a PSI drift check of the length distribution against
-     wave 1 as the reference frame, and ingest-time LM fluency
-     scoring under a wave-1-trained bigram model.
+     wave 1 as the reference frame, ingest-time LM fluency scoring
+     under a wave-1-trained bigram model, and DSIR importance
+     weighting against wave 1 as the trusted target (the fitted
+     ratio table broadcasts into the stream; wave-1 docs must
+     outweigh fresh wave-2 docs at ingest).
 
 The reference's consumer loop ingests records one at a time into one
 process (src/consumer/avro_order_consumer.py:163-202); this is the
@@ -135,6 +138,39 @@ def main(spark=None, n_docs: int = 30) -> dict:
         contexts.localCheckpoint(eager=True),
         V,
     )
+
+    # DSIR ingest weighting (streaming/dsir.py): the trusted corpus is
+    # wave 1, the raw pool is everything landed; the fitted ratio
+    # table broadcasts into the landing stream, so every doc gets its
+    # log importance weight AT INGEST.  Wave-1 docs (the target
+    # itself) must outweigh the fresh wave-2 docs, whose unique tokens
+    # the target never saw.
+    from kafka_avro_order_processing_spark.operators.dsir import (
+        dsir_features,
+        dsir_fit,
+    )
+    from kafka_avro_order_processing_spark.streaming.dsir import (
+        streaming_dsir_log_weights,
+    )
+
+    all_landed = read_avro_ocf(spark, f"{land}/part-0001.avro").unionByName(
+        read_avro_ocf(spark, f"{land}/part-0002.avro")
+    )
+    nb_buckets = 512
+    ratios = dsir_fit(
+        dsir_features(wave1_ref, nb_buckets),
+        dsir_features(all_landed, nb_buckets),
+        nb_buckets,
+    ).localCheckpoint(eager=True)
+    lw = streaming_dsir_log_weights(landing_stream(), ratios, nb_buckets)
+    mean_w1 = (
+        lw.filter(F.col("doc_id") < half).agg(F.avg("log_weight")).collect()[0][0]
+    )
+    mean_fresh = (
+        lw.filter((F.col("doc_id") >= half) & (F.col("doc_id") < 1000))
+        .agg(F.avg("log_weight"))
+        .collect()[0][0]
+    )
     out = {
         "ingested": ingested,
         "survivors": len(survivors),
@@ -145,6 +181,9 @@ def main(spark=None, n_docs: int = 30) -> dict:
         "monitor_text_nulls": int(prof["text"]["n_nulls"]),
         "monitor_length_psi": length_psi,
         "monitor_docs_scored": scores.count(),
+        "monitor_dsir_weighed": lw.count(),
+        "monitor_dsir_mean_lw_wave1": float(mean_w1),
+        "monitor_dsir_mean_lw_fresh": float(mean_fresh),
     }
     if own_session:
         spark.stop()

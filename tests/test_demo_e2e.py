@@ -119,6 +119,11 @@ def test_streaming_ingest_demo_end_to_end(spark):
     assert c["monitor_text_nulls"] == 0
     assert c["monitor_length_psi"] >= 0.0
     assert c["monitor_docs_scored"] == c["ingested"]
+    # DSIR ingest weighting: every landed doc got a weight, and the
+    # trusted wave-1 docs (the target itself) outweigh fresh wave-2
+    # docs whose unique tokens the target never saw
+    assert c["monitor_dsir_weighed"] == c["ingested"]
+    assert c["monitor_dsir_mean_lw_wave1"] > c["monitor_dsir_mean_lw_fresh"]
 
 
 def test_lake_maintenance_demo_end_to_end(spark, tmp_path):
