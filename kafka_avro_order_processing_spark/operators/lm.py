@@ -33,6 +33,8 @@ reference (1e-9), not hash-oracled.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -225,3 +227,202 @@ def ccnet_threshold_edges(
     if group_col:
         return bucketed.groupBy(group_col).agg(*aggs)
     return bucketed.agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Stupid-backoff trigram LM (Brants et al., EMNLP 2007 "Large Language
+# Models in Machine Translation").  The published web-scale recipe: raw
+# relative frequencies, no discounting, a fixed backoff penalty lambda
+# per level — chosen by Google's MT group precisely BECAUSE it trains as
+# pure distributed counting (associative integer groupBys, no held-out
+# normalization pass), which is the 100 TB shape this engine wants.
+#
+#   S(c | a b) = c3(a,b,c)/c2ctx(a,b)                 if c3 > 0
+#              = lambda * c2(b,c)/c1ctx(b)            elif c2 > 0
+#              = lambda^2 * (c1(c)+alpha)/(N+alpha*V) otherwise
+#
+# The unigram floor deviates from the paper in one documented way: the
+# paper scores a closed giga-vocabulary and never meets an unseen word;
+# an open-corpus filter must, so the unigram level is add-alpha smoothed
+# (the lm.py bigram convention) and out-of-vocabulary tokens get the
+# finite lambda^2 * alpha/(N+alpha*V) floor instead of -inf.
+#
+# Float discipline (the nb.py pattern): the backoff score is resolved
+# and log-quantized ONCE per DISTINCT (a,b,c) gram of the scoring corpus
+# — one f64 log rounded to a 2^52-scaled DECIMAL(38,0) in the JVM — and
+# per-document sums are pure integer arithmetic afterwards, so scores
+# are bit-identical under any partitioning.  ln() is not IEEE-portable
+# across engines, so the score family pins against a Python replica
+# (1e-9) like lm_score; the count tables are integer-exact and
+# DuckDB-oracle-able.
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class BackoffLM:
+    """Trained stupid-backoff model.  ``tri``/``bi``/``uni`` are sparse
+    count tables, ``bi_ctx``/``uni_ctx`` the matching context masses
+    (derived from ``tri`` by aggregation, so every level is consistent
+    with the same padded-position multiset by construction);
+    ``n_tokens``/``vocab_size`` are the two sanctioned driver scalars."""
+
+    tri: DataFrame       # (a, b, c, c3)
+    bi_ctx: DataFrame    # (a, b, c2ctx)  = sum_c c3
+    bi: DataFrame        # (b, c, c2)     = sum_a c3
+    uni_ctx: DataFrame   # (b, c1ctx)     = sum_{a,c} c3
+    uni: DataFrame       # (c, c1)        = sum_{a,b} c3
+    n_tokens: int        # N  = total scored positions
+    vocab_size: int      # V  = distinct predicted tokens + 1 unseen
+
+
+def _doc_trigram_positions(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, a, b, c): one row per token, double-BOS padded, so every
+    token is scored with its full (possibly synthetic) bigram context.
+    Empty documents emit nothing (nothing to score)."""
+    seq = F.expr(
+        f"concat(array('{BOS}', '{BOS}'),"
+        f" filter(split({text_col}, '\\\\s+'), t -> t != ''))"
+    )
+    grams = F.expr(
+        "CASE WHEN size(seq) < 3 THEN"
+        " cast(array() as array<struct<a: string, b: string, c: string>>)"
+        " ELSE transform(sequence(3, size(seq)),"
+        " i -> struct(element_at(seq, i - 2) as a,"
+        "             element_at(seq, i - 1) as b,"
+        "             element_at(seq, i) as c)) END"
+    )
+    return (
+        df.select(F.col(id_col), seq.alias("seq"))
+        .select(F.col(id_col), F.explode(grams).alias("g"))
+        .select(F.col(id_col), "g.a", "g.b", "g.c")
+    )
+
+
+def train_backoff_lm(
+    ref: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> BackoffLM:
+    """Train on the reference corpus: ONE groupBy over the exploded
+    trigram positions builds the trigram table; every lower level is
+    aggregated from it (tables the size of the MODEL, not the corpus),
+    so all five tables describe the identical position multiset and the
+    trigram ratios are properly bounded (c3 <= c2ctx, c2 <= c1ctx).
+    The corpus is exploded exactly once."""
+    pos = _doc_trigram_positions(ref, id_col, text_col)
+    tri = pos.groupBy("a", "b", "c").agg(F.count(F.lit(1)).cast("long").alias("c3"))
+    bi_ctx = tri.groupBy("a", "b").agg(F.sum("c3").cast("long").alias("c2ctx"))
+    bi = tri.groupBy("b", "c").agg(F.sum("c3").cast("long").alias("c2"))
+    uni_ctx = bi.groupBy("b").agg(F.sum("c2").cast("long").alias("c1ctx"))
+    uni = bi.groupBy("c").agg(F.sum("c2").cast("long").alias("c1"))
+    totals = uni.agg(
+        F.coalesce(F.sum("c1"), F.lit(0)).alias("n"),
+        F.count(F.lit(1)).alias("v"),
+    ).collect()[0]
+    return BackoffLM(
+        tri=tri,
+        bi_ctx=bi_ctx,
+        bi=bi,
+        uni_ctx=uni_ctx,
+        uni=uni,
+        n_tokens=int(totals["n"]),
+        vocab_size=int(totals["v"]) + 1,
+    )
+
+
+def _backoff_log_scaled(lm: BackoffLM, lam: float, alpha: float):
+    """The per-gram backoff log score scaled by 2^52 and cast to
+    DECIMAL(38,0) IN THE JVM — the single double->decimal rounding of
+    the scoring plan (shared by the batch scorer and any streaming
+    twin, so both start from the identical integer)."""
+    from .similarity import MEAN_SCALE
+
+    floor_den = float(lm.n_tokens) + float(alpha) * float(lm.vocab_size)
+    score = (
+        F.when(
+            F.col("c3").isNotNull(),
+            F.col("c3").cast("double") / F.col("c2ctx").cast("double"),
+        )
+        .when(
+            F.col("c2").isNotNull(),
+            F.lit(float(lam))
+            * F.col("c2").cast("double")
+            / F.col("c1ctx").cast("double"),
+        )
+        .otherwise(
+            F.lit(float(lam) * float(lam))
+            * (F.coalesce(F.col("c1"), F.lit(0)).cast("double") + F.lit(float(alpha)))
+            / F.lit(floor_den)
+        )
+    )
+    return (F.log(score) * F.lit(float(MEAN_SCALE))).cast("decimal(38,0)")
+
+
+def backoff_lm_score(
+    docs: DataFrame,
+    lm: BackoffLM,
+    lam: float = 0.4,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score candidate documents under the trained model.  Returns
+    (id_col, n_tokens, avg_logscore, n_tri, n_bi, n_uni, n_oov) —
+    higher avg_logscore is more reference-like; the four disjoint level
+    counters (n_tri + n_bi + n_uni + n_oov = n_tokens) audit how deep
+    the model had to back off (a document scored mostly at the OOV
+    floor is out-of-domain no matter its average).  Empty documents
+    emit no row.
+
+    Plan: explode positions -> DISTINCT grams -> five left hash joins
+    against the model tables -> resolve + log-quantize once per gram ->
+    join the integer scores back to the positions -> one integer
+    groupBy per document.  The distinct-resolve both bounds the log
+    math to O(gram types) and makes the join-back a skinny
+    (gram, integer) table; model tables are usually broadcast-sized,
+    and the code leaves that to AQE (deployment fact, not operator
+    invariant)."""
+    if not (0.0 < lam <= 1.0):
+        raise ValueError(f"lam must be in (0, 1], got {lam}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    if lm.n_tokens <= 0:
+        raise ValueError("backoff_lm_score: model trained on an empty corpus")
+    from .similarity import MEAN_SCALE
+
+    pos = _doc_trigram_positions(docs, id_col, text_col)
+    resolved = (
+        pos.select("a", "b", "c")
+        .distinct()
+        .join(lm.tri, ["a", "b", "c"], "left")
+        .join(lm.bi_ctx, ["a", "b"], "left")
+        .join(lm.bi, ["b", "c"], "left")
+        .join(lm.uni_ctx, ["b"], "left")
+        .join(lm.uni, ["c"], "left")
+        .select(
+            "a",
+            "b",
+            "c",
+            _backoff_log_scaled(lm, lam, alpha).alias("__lp_int"),
+            F.when(F.col("c3").isNotNull(), F.lit("tri"))
+            .when(F.col("c2").isNotNull(), F.lit("bi"))
+            .when(F.col("c1").isNotNull(), F.lit("uni"))
+            .otherwise(F.lit("oov"))
+            .alias("__level"),
+        )
+    )
+    return (
+        pos.join(resolved, ["a", "b", "c"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            (
+                F.sum("__lp_int").cast("double")
+                / (F.count(F.lit(1)).cast("double") * F.lit(float(MEAN_SCALE)))
+            ).alias("avg_logscore"),
+            F.sum((F.col("__level") == "tri").cast("long")).alias("n_tri"),
+            F.sum((F.col("__level") == "bi").cast("long")).alias("n_bi"),
+            F.sum((F.col("__level") == "uni").cast("long")).alias("n_uni"),
+            F.sum((F.col("__level") == "oov").cast("long")).alias("n_oov"),
+        )
+    )
