@@ -274,6 +274,21 @@ class BackoffLM:
     n_tokens: int        # N  = total scored positions
     vocab_size: int      # V  = distinct predicted tokens + 1 unseen
 
+    def materialized(self) -> "BackoffLM":
+        """Pin all five tables with eager localCheckpoints — required
+        before stream-static joins (a lazy static side re-derives from
+        the training corpus every micro-batch) and the right move for
+        any repeated scoring."""
+        return BackoffLM(
+            tri=self.tri.localCheckpoint(eager=True),
+            bi_ctx=self.bi_ctx.localCheckpoint(eager=True),
+            bi=self.bi.localCheckpoint(eager=True),
+            uni_ctx=self.uni_ctx.localCheckpoint(eager=True),
+            uni=self.uni.localCheckpoint(eager=True),
+            n_tokens=self.n_tokens,
+            vocab_size=self.vocab_size,
+        )
+
 
 def _doc_trigram_positions(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, a, b, c): one row per token, double-BOS padded, so every
@@ -388,21 +403,27 @@ def backoff_lm_score(
         raise ValueError(f"alpha must be > 0, got {alpha}")
     if lm.n_tokens <= 0:
         raise ValueError("backoff_lm_score: model trained on an empty corpus")
-    from .similarity import MEAN_SCALE
-
     pos = _doc_trigram_positions(docs, id_col, text_col)
-    resolved = (
-        pos.select("a", "b", "c")
-        .distinct()
-        .join(lm.tri, ["a", "b", "c"], "left")
+    resolved = _backoff_join_and_resolve(
+        pos.select("a", "b", "c").distinct(), lm, lam, alpha, ("a", "b", "c")
+    )
+    return _backoff_agg(pos.join(resolved, ["a", "b", "c"]), id_col)
+
+
+def _backoff_join_and_resolve(rows, lm, lam, alpha, keep: tuple[str, ...]):
+    """Left-join the five model tables and resolve the quantized log
+    score + backoff level.  Shared by the batch scorer (per DISTINCT
+    gram) and the streaming twin (per position row — a streaming frame
+    cannot self-join its own distinct, but the resolving expression is
+    the same, so the integers match bit-for-bit either way)."""
+    return (
+        rows.join(lm.tri, ["a", "b", "c"], "left")
         .join(lm.bi_ctx, ["a", "b"], "left")
         .join(lm.bi, ["b", "c"], "left")
         .join(lm.uni_ctx, ["b"], "left")
         .join(lm.uni, ["c"], "left")
         .select(
-            "a",
-            "b",
-            "c",
+            *keep,
             _backoff_log_scaled(lm, lam, alpha).alias("__lp_int"),
             F.when(F.col("c3").isNotNull(), F.lit("tri"))
             .when(F.col("c2").isNotNull(), F.lit("bi"))
@@ -411,18 +432,22 @@ def backoff_lm_score(
             .alias("__level"),
         )
     )
-    return (
-        pos.join(resolved, ["a", "b", "c"])
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            (
-                F.sum("__lp_int").cast("double")
-                / (F.count(F.lit(1)).cast("double") * F.lit(float(MEAN_SCALE)))
-            ).alias("avg_logscore"),
-            F.sum((F.col("__level") == "tri").cast("long")).alias("n_tri"),
-            F.sum((F.col("__level") == "bi").cast("long")).alias("n_bi"),
-            F.sum((F.col("__level") == "uni").cast("long")).alias("n_uni"),
-            F.sum((F.col("__level") == "oov").cast("long")).alias("n_oov"),
-        )
+
+
+def _backoff_agg(rows, id_col: str):
+    """Per-document integer aggregation over (__lp_int, __level) rows —
+    the decimal sum is order-free and mergeable, so the same expression
+    serves batch and update-mode streaming."""
+    from .similarity import MEAN_SCALE
+
+    return rows.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        (
+            F.sum("__lp_int").cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(float(MEAN_SCALE)))
+        ).alias("avg_logscore"),
+        F.sum((F.col("__level") == "tri").cast("long")).alias("n_tri"),
+        F.sum((F.col("__level") == "bi").cast("long")).alias("n_bi"),
+        F.sum((F.col("__level") == "uni").cast("long")).alias("n_uni"),
+        F.sum((F.col("__level") == "oov").cast("long")).alias("n_oov"),
     )

@@ -91,3 +91,33 @@ def streaming_ccnet_buckets(
         .otherwise(F.lit("tail")),
     ).drop("__oriented", "head_cut", "middle_cut", "__seen")
     return drain_to_df(out, "append")
+
+
+def streaming_backoff_lm_score(
+    stream_docs: DataFrame,
+    lm,
+    lam: float = 0.4,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Stupid-backoff scoring at ingest — operators/lm.py's
+    :func:`backoff_lm_score` twin.  The batch plan resolves scores per
+    DISTINCT gram (a self-join a stream cannot do), so the twin joins
+    each position row directly against the five static model tables
+    instead; the resolving expression is shared verbatim
+    (``_backoff_join_and_resolve``), so every position row carries the
+    identical 2^52-scaled integer and the drained per-doc sums BIT-match
+    the batch operator on the same rows under any micro-batching
+    (suite-pinned).  Output schema matches ``backoff_lm_score``."""
+    from ..operators.lm import (
+        _backoff_agg,
+        _backoff_join_and_resolve,
+        _doc_trigram_positions,
+    )
+
+    if lm.n_tokens <= 0:
+        raise ValueError("streaming_backoff_lm_score: empty model")
+    pos = _doc_trigram_positions(stream_docs, id_col, text_col)
+    rows = _backoff_join_and_resolve(pos, lm, lam, alpha, (id_col,))
+    return drain_to_df(_backoff_agg(rows, id_col), "update", key_cols=(id_col,))

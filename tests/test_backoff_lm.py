@@ -207,3 +207,44 @@ def test_no_python_udf_in_plan(spark):
     lm = train_backoff_lm(ref)
     plan = backoff_lm_score(cand, lm)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_streaming_backoff_bit_matches_batch(spark):
+    from kafka_avro_order_processing_spark.sources.tables import load_table
+    from kafka_avro_order_processing_spark.streaming.lm import (
+        streaming_backoff_lm_score,
+    )
+    from kafka_avro_order_processing_spark.streaming.pipeline import stream_table
+
+    SF = "/root/testdata/sf0.001"
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    lm = train_backoff_lm(docs.filter(F.col("doc_id") % 2 == 0)).materialized()
+    want = sorted(tuple(r) for r in backoff_lm_score(docs, lm).collect())
+    got = sorted(
+        tuple(r)
+        for r in streaming_backoff_lm_score(
+            stream_table(spark, SF, "documents").select("doc_id", "text"), lm
+        ).collect()
+    )
+    assert got == want
+
+
+def test_streaming_backoff_multi_epoch_equals_single(spark, tmp_path):
+    from kafka_avro_order_processing_spark.streaming.lm import (
+        streaming_backoff_lm_score,
+    )
+
+    ref, cand = _frames(spark)
+    lm = train_backoff_lm(ref).materialized()
+    d = str(tmp_path / "docs")
+    cand.repartition(3).write.parquet(d)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    want = sorted(tuple(r) for r in backoff_lm_score(cand, lm).collect())
+    got = sorted(
+        tuple(r) for r in streaming_backoff_lm_score(stream, lm).collect()
+    )
+    assert got == want
