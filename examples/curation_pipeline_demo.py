@@ -229,6 +229,59 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None, out_dir: str | None
     n_real_head = int(bucket_counts.get((1, "head"), 0))
     n_scrambled_head = int(bucket_counts.get((0, "head"), 0))
 
+    # 1b''. calibrate the learned filter (isotonic/PAV, Zadrozny &
+    # Elkan KDD'02): a filter thresholded on raw quality_prob keeps
+    # whatever the sigmoid happened to output; calibrating on the train
+    # split turns the score into an honest keep-probability.  Audited
+    # by the held-out Brier score — calibrated must not be worse than
+    # raw beyond noise — and the block count shows how much pooling the
+    # curve needed.
+    from kafka_avro_order_processing_spark.operators.calibrate import (
+        isotonic_apply,
+        isotonic_fit,
+    )
+
+    scored_train = score_logistic(feats.filter(F.col("split") == "train"), model)
+    iso = isotonic_fit(scored_train, "quality_prob", "label")
+    scored_test = score_logistic(feats.filter(F.col("split") == "test"), model)
+    cal_test = isotonic_apply(scored_test, iso, "quality_prob")
+    briers = cal_test.agg(
+        F.avg(F.pow(F.col("quality_prob") - F.col("label"), 2)).alias("raw"),
+        F.avg(F.pow(F.col("calibrated") - F.col("label"), 2)).alias("cal"),
+    ).collect()[0]
+    brier_raw, brier_cal = float(briers["raw"]), float(briers["cal"])
+    n_iso_blocks = len(iso["p"])
+
+    # 1c. stupid-backoff trigram audit (Brants et al. EMNLP'07): the
+    # web-scale LM trained on the same trusted seed.  Scrambled twins
+    # share the seed's vocabulary, so the OOV floor never fires — what
+    # separates them is backoff DEPTH: real docs resolve at the trigram
+    # level, scrambles fall to unigram mass.  The level counters make
+    # that auditable, not just the averages.
+    from kafka_avro_order_processing_spark.operators.lm import (
+        backoff_lm_score,
+        train_backoff_lm,
+    )
+
+    lm3 = train_backoff_lm(pos.filter(F.col("doc_id") % 2 == 0)).materialized()
+    sb = backoff_lm_score(labeled, lm3).join(
+        labeled.select("doc_id", "label"), "doc_id"
+    )
+    sb_stats = {
+        int(r["label"]): r
+        for r in sb.groupBy("label")
+        .agg(
+            F.avg("avg_logscore").alias("mean_score"),
+            (
+                F.sum("n_tri").cast("double") / F.sum("n_tokens").cast("double")
+            ).alias("tri_frac"),
+            (
+                F.sum("n_oov").cast("double") / F.sum("n_tokens").cast("double")
+            ).alias("oov_frac"),
+        )
+        .collect()
+    }
+
     # 2. exact dedup: canonical doc per content hash.
     canon = exact_dedup(kept).select(F.col("canonical_doc_id").alias("doc_id"))
     kept = kept.join(canon, "doc_id")
@@ -453,6 +506,14 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None, out_dir: str | None
         "filter_auc": float(filter_auc),
         "ccnet_real_head": n_real_head,
         "ccnet_scrambled_head": n_scrambled_head,
+        "iso_blocks": n_iso_blocks,
+        "brier_raw": brier_raw,
+        "brier_calibrated": brier_cal,
+        "backoff_real_mean": float(sb_stats[1]["mean_score"]),
+        "backoff_scrambled_mean": float(sb_stats[0]["mean_score"]),
+        "backoff_real_tri_frac": float(sb_stats[1]["tri_frac"]),
+        "backoff_scrambled_tri_frac": float(sb_stats[0]["tri_frac"]),
+        "backoff_real_oov_frac": float(sb_stats[1]["oov_frac"]),
         "gopher_kept": int(gopher_kept),
         "denoise_masked": n_denoise_masked,
         "denoise_conserved": denoise_conserved,

@@ -158,6 +158,32 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
         / (N_QUERIES * TOPK)
     )
 
+    # 4d. PCA comparison: project corpus + queries onto the top-16
+    # principal directions (uncentered — dot products survive the
+    # projection when the spectrum concentrates) and run the SAME
+    # brute-force cosine in 16 dims — the dimensionality-reduction
+    # point on the accuracy/size curve (4x smaller vectors) next to
+    # IVFADC and SQ8.  The captured-energy share says how much the
+    # spectrum cooperated — honesty note: these SYNTHETIC embeddings
+    # are near-isotropic (16/64 dims hold ~38% of the energy), so the
+    # recall here is the floor case; real embedding models concentrate
+    # their spectrum and reward the same projection far more.
+    from kafka_avro_order_processing_spark.operators.pca import (
+        pca_fit,
+        pca_project,
+    )
+
+    pca_model = pca_fit(emb, k=16, center=False)
+    proj = pca_project(emb, pca_model).select(
+        "vec_id", F.col("pca").alias("embedding")
+    ).localCheckpoint(eager=True)
+    pca_top = cosine_topk(proj, proj.filter(F.col("vec_id") < N_QUERIES), k=TOPK)
+    recall_pca = (
+        pca_top.join(exact, ["query_id", "neighbor_id"], "leftsemi").count()
+        / (N_QUERIES * TOPK)
+    )
+    pca_energy = sum(pca_model["ratio"])
+
     # 5. hard negatives: truth's top-2 are the declared positives
     positives = exact.filter(F.col("rank") <= 2).select(
         "query_id", "neighbor_id"
@@ -178,6 +204,8 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
         "fused_mrr": graded_fused["mean_rr"],
         "fused_ndcg_at_10": graded_fused["mean_ndcg"],
         "recall_sq8_at_10": recall_sq8,
+        "recall_pca16_at_10": recall_pca,
+        "pca16_energy": pca_energy,
         "negatives": n_negs,
         "negatives_overlapping_positives": neg_overlap,
     }

@@ -79,6 +79,16 @@ def test_curation_demo_end_to_end(spark, tmp_path):
     assert c["ccnet_real_head"] > 0
     # published-rule audit ran and kept a sane majority
     assert 0 < c["gopher_kept"] <= c["raw"]
+    # isotonic calibration: the held-out Brier score must not degrade
+    # beyond noise, and the curve actually pooled (1 <= blocks <= n)
+    assert c["iso_blocks"] >= 1
+    assert c["brier_calibrated"] <= c["brier_raw"] + 0.02
+    # stupid-backoff audit: real docs out-score their scrambles, and
+    # the separation is visible in backoff DEPTH (trigram hit rate),
+    # with no OOV on the shared closed vocabulary
+    assert c["backoff_real_mean"] > c["backoff_scrambled_mean"]
+    assert c["backoff_real_tri_frac"] > c["backoff_scrambled_tri_frac"]
+    assert c["backoff_real_oov_frac"] == 0.0
     # denoising objective: ~15% of BPE tokens masked, none lost
     assert 0 < c["denoise_masked"] < c["bpe_tokens"]
     assert c["denoise_conserved"] is True
@@ -209,6 +219,11 @@ def test_retrieval_demo_end_to_end(spark):
     assert 0.0 < c["fused_mrr"] <= 1.0
     assert 0.0 < c["fused_ndcg_at_10"] <= 1.0
     assert c["recall_sq8_at_10"] >= 0.8  # 8 bits/dim is near-exact
+    # PCA16 point on the curve: bounded, and recall cannot beat what
+    # the captured energy allows by much on near-isotropic synthetics
+    # (loose pin — the stage is an audit, not a guarantee)
+    assert 0.0 < c["recall_pca16_at_10"] <= 1.0
+    assert 0.0 < c["pca16_energy"] <= 1.0
     assert c["negatives"] == c["queries"] * 5
     assert c["negatives_overlapping_positives"] == 0
 
