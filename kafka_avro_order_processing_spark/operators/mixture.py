@@ -98,3 +98,105 @@ def apply_mixture_rates(
         .filter(bucket < F.col("threshold"))
         .drop("threshold")
     )
+
+
+def unimax_rates(
+    docs: DataFrame,
+    domain_col: str,
+    budget: int,
+    max_epochs: float = 4.0,
+    size_col: str | None = None,
+) -> DataFrame:
+    """UniMax sampling (Chung et al., ICLR 2023): spread a total token
+    budget as UNIFORMLY as possible across domains, subject to a
+    per-domain repeat cap — the published successor to temperature
+    mixing (n^alpha needs a hand-tuned alpha and still over-samples
+    heads / over-repeats tails; UniMax has one interpretable knob, the
+    max epoch count C).
+
+    The allocation is the paper's water-filling: visit domains by
+    ascending capacity C*n_i; any domain whose capacity is below the
+    current uniform share u = remaining_budget / remaining_domains is
+    capped at its capacity (it simply cannot absorb more without more
+    than C repeats), everyone else splits what is left equally.
+
+    Returns (domain, n, budget, epochs, rate, threshold): ``epochs`` =
+    budget/n may exceed 1 (the loader repeats that domain — upsampling
+    is explicit, never hidden in a >1 "rate"); ``rate`` =
+    min(1, epochs) is the one-pass acceptance rate and ``threshold``
+    its md5-bucket cutoff, directly consumable by
+    :func:`apply_mixture_rates`.
+
+    ``size_col`` measures a domain by the SUM of that column (token
+    counts — the paper's unit) instead of document counts.  Scale
+    shape: one groupBy for the sizes, a driver loop over
+    O(domains log domains) rows (model-sized — the kmeans budget), and
+    a broadcast-ready rate table back out."""
+    if budget <= 0:
+        raise ValueError(f"budget must be > 0, got {budget}")
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
+    size = (
+        F.sum(F.col(size_col).cast("long"))
+        if size_col
+        else F.count(F.lit(1))
+    )
+    counts = (
+        docs.select(F.col(domain_col).alias("domain"), *([size_col] if size_col else []))
+        .groupBy("domain")
+        .agg(size.cast("long").alias("n"))
+        .collect()
+    )
+    if not counts:
+        raise ValueError("unimax_rates: no domains (empty frame)")
+    if any(r["domain"] is None for r in counts):
+        raise ValueError(
+            "unimax_rates: NULL domain values — filter or impute explicitly"
+        )
+    if any(r["n"] is None or r["n"] <= 0 for r in counts):
+        raise ValueError("unimax_rates: every domain needs a positive size")
+    # ascending capacity, domain (as string) the deterministic tiebreak
+    order = sorted(
+        counts, key=lambda r: (float(max_epochs) * r["n"], str(r["domain"]))
+    )
+    remaining = float(budget)
+    alloc: dict[str, float] = {}
+    for idx, r in enumerate(order):
+        share = remaining / (len(order) - idx)
+        cap = float(max_epochs) * r["n"]
+        b = min(cap, share)
+        alloc[r["domain"]] = b
+        remaining -= b
+    spark = docs.sparkSession
+    rows = [
+        (
+            r["domain"],
+            int(r["n"]),
+            alloc[r["domain"]],
+            alloc[r["domain"]] / r["n"],
+            min(1.0, alloc[r["domain"]] / r["n"]),
+        )
+        for r in counts
+    ]
+    # keep the domain column's NATIVE type so apply_mixture_rates joins
+    # cleanly against the source frame
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("domain", docs.schema[domain_col].dataType),
+            StructField("n", LongType()),
+            StructField("budget", DoubleType()),
+            StructField("epochs", DoubleType()),
+            StructField("rate", DoubleType()),
+        ]
+    )
+    out = spark.createDataFrame(rows, schema)
+    return out.withColumn(
+        "threshold", F.floor(F.col("rate") * 256).cast("bigint")
+    )
