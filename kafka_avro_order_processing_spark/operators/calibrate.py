@@ -220,3 +220,36 @@ def platt_fit(
     from .classifier import fit_logistic
 
     return fit_logistic(df, [score_col], label_col, n_rounds=n_rounds, lr=lr)
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    score_col: str = "quality_prob",
+    label_col: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """ECE (Naeini et al., AAAI 2015; the scalar the reliability
+    diagram summarizes): sum over equal-width bins of
+    (n_b / n) * |pos_rate_b - mean_score_b|.  Built directly on
+    :func:`eval.calibration_bins` (exact counts, decimal-exact bin
+    means), so the only float work is the |gap| fold over the
+    O(n_bins) bin rows — one row out: (ece, n, n_bins_used).  The
+    number to report before and after :func:`isotonic_fit` /
+    :func:`platt_fit`."""
+    from .eval import calibration_bins
+
+    bins = calibration_bins(df, score_col, label_col, n_bins)
+    return bins.agg(
+        (
+            F.coalesce(
+                F.sum(
+                    F.abs(F.col("pos_rate") - F.col("mean_score"))
+                    * F.col("n").cast("double")
+                ),
+                F.lit(0.0),
+            )
+            / F.when(F.sum("n") > 0, F.sum("n").cast("double"))
+        ).alias("ece"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_bins_used"),
+    )

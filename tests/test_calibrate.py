@@ -168,3 +168,73 @@ def test_platt_fit_is_monotone_sigmoid(spark):
     ]
     assert out == sorted(out)  # monotone in the score
     assert out[0] < 0.5 < out[-1]
+
+
+def test_isotonic_apply_streams_bit_match(spark, tmp_path):
+    """The apply path is a stateless broadcast interval join, so the
+    SAME plan runs on a streaming frame — calibrated values at ingest
+    BIT-match the batch operator on the same rows."""
+    from kafka_avro_order_processing_spark.streaming.pipeline import drain_to_df
+
+    model = isotonic_fit(_frame(spark), "score", "y")
+    probe = spark.createDataFrame(
+        [(i, float(s)) for i, s in enumerate((-5.0, 1.0, 2.5, 4.7, 99.0, 3.0))],
+        "pid long, score double",
+    )
+    d = str(tmp_path / "scores")
+    probe.repartition(3).write.parquet(d)
+    stream = (
+        spark.readStream.schema("pid long, score double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    want = sorted(
+        tuple(r) for r in isotonic_apply(probe, model, "score").collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in drain_to_df(
+            isotonic_apply(stream, model, "score"), "append"
+        ).collect()
+    )
+    assert got == want
+
+
+def test_expected_calibration_error(spark):
+    from kafka_avro_order_processing_spark.operators.calibrate import (
+        expected_calibration_error,
+    )
+
+    # perfectly calibrated within bins: score == bin pos_rate
+    rows = (
+        [(0.25, 1)] * 1 + [(0.25, 0)] * 3   # bin 2: mean 0.25, rate 0.25
+        + [(0.75, 1)] * 3 + [(0.75, 0)] * 1  # bin 7: mean 0.75, rate 0.75
+    )
+    df = spark.createDataFrame(rows, "quality_prob double, label int")
+    row = expected_calibration_error(df).collect()[0]
+    assert row["ece"] == pytest.approx(0.0, abs=1e-12)
+    assert row["n"] == 8 and row["n_bins_used"] == 2
+    # a maximally miscalibrated frame: confident scores, opposite labels
+    bad = spark.createDataFrame(
+        [(0.95, 0)] * 4 + [(0.05, 1)] * 4, "quality_prob double, label int"
+    )
+    brow = expected_calibration_error(bad).collect()[0]
+    # both bins gap by |rate - mean| = 0.95
+    assert brow["ece"] == pytest.approx(0.95, abs=1e-12)
+    # python reference on mixed data
+    mixed = [(0.1, 0), (0.15, 1), (0.62, 1), (0.68, 0), (0.9, 1), (0.97, 1)]
+    mdf = spark.createDataFrame(mixed, "quality_prob double, label int")
+    bins = {}
+    for s, y in mixed:
+        b = min(int(s * 10), 9)
+        n, npos, ssum = bins.get(b, (0, 0, 0.0))
+        bins[b] = (n + 1, npos + y, ssum + s)
+    ref = sum(
+        n * abs(npos / n - ssum / n) for n, npos, ssum in bins.values()
+    ) / len(mixed)
+    mrow = expected_calibration_error(mdf).collect()[0]
+    assert mrow["ece"] == pytest.approx(ref, abs=1e-9)
+    # empty frame: NULL ece, zero counts
+    empty = spark.createDataFrame([], "quality_prob double, label int")
+    erow = expected_calibration_error(empty).collect()[0]
+    assert erow["ece"] is None and erow["n"] == 0
