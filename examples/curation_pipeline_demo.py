@@ -237,6 +237,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None, out_dir: str | None
     # raw beyond noise — and the block count shows how much pooling the
     # curve needed.
     from kafka_avro_order_processing_spark.operators.calibrate import (
+        expected_calibration_error,
         isotonic_apply,
         isotonic_fit,
     )
@@ -251,6 +252,14 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None, out_dir: str | None
     ).collect()[0]
     brier_raw, brier_cal = float(briers["raw"]), float(briers["cal"])
     n_iso_blocks = len(iso["p"])
+    ece_raw = float(
+        expected_calibration_error(cal_test, "quality_prob", "label")
+        .collect()[0]["ece"]
+    )
+    ece_cal = float(
+        expected_calibration_error(cal_test, "calibrated", "label")
+        .collect()[0]["ece"]
+    )
 
     # 1c. stupid-backoff trigram audit (Brants et al. EMNLP'07): the
     # web-scale LM trained on the same trusted seed.  Scrambled twins
@@ -509,6 +518,8 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None, out_dir: str | None
         "iso_blocks": n_iso_blocks,
         "brier_raw": brier_raw,
         "brier_calibrated": brier_cal,
+        "ece_raw": ece_raw,
+        "ece_calibrated": ece_cal,
         "backoff_real_mean": float(sb_stats[1]["mean_score"]),
         "backoff_scrambled_mean": float(sb_stats[0]["mean_score"]),
         "backoff_real_tri_frac": float(sb_stats[1]["tri_frac"]),

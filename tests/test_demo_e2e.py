@@ -83,6 +83,10 @@ def test_curation_demo_end_to_end(spark, tmp_path):
     # beyond noise, and the curve actually pooled (1 <= blocks <= n)
     assert c["iso_blocks"] >= 1
     assert c["brier_calibrated"] <= c["brier_raw"] + 0.02
+    # ECE reported for both; bounded (isotonic usually improves it,
+    # but a small held-out set can wiggle — loose pin, audit not vow)
+    assert 0.0 <= c["ece_calibrated"] <= 1.0
+    assert 0.0 <= c["ece_raw"] <= 1.0
     # stupid-backoff audit: real docs out-score their scrambles, and
     # the separation is visible in backoff DEPTH (trigram hit rate),
     # with no OOV on the shared closed vocabulary
