@@ -238,3 +238,55 @@ def test_expected_calibration_error(spark):
     empty = spark.createDataFrame([], "quality_prob double, label int")
     erow = expected_calibration_error(empty).collect()[0]
     assert erow["ece"] is None and erow["n"] == 0
+
+
+def test_pav_hypothesis_battery():
+    """Property battery over the PAV core (pure Python, no Spark):
+    against the O(n^2) textbook reference on random integer block
+    sequences — identical blocks, monotone means, conserved mass."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafka_avro_order_processing_spark.operators.calibrate import _pav
+
+    blocks_strategy = st.lists(
+        st.tuples(
+            st.integers(min_value=-(10**15), max_value=10**15),  # sy
+            st.integers(min_value=1, max_value=10**6),  # w
+        ),
+        min_size=0,
+        max_size=40,
+    )
+
+    def ref(blocks):
+        bl = [list(b) for b in blocks]
+        changed = True
+        while changed:
+            changed = False
+            for i in range(len(bl) - 1):
+                a, b = bl[i], bl[i + 1]
+                if a[2] * b[3] > b[2] * a[3]:
+                    bl[i : i + 2] = [[a[0], b[1], a[2] + b[2], a[3] + b[3]]]
+                    changed = True
+                    break
+        return [tuple(b) for b in bl]
+
+    @settings(max_examples=200, deadline=None)
+    @given(blocks_strategy)
+    def prop(raw):
+        blocks = [
+            (float(i), float(i), sy, w) for i, (sy, w) in enumerate(raw)
+        ]
+        got = _pav(blocks)
+        assert got == ref(blocks)
+        # monotone means (exact cross-multiplied comparison)
+        for a, b in zip(got, got[1:]):
+            assert a[2] * b[3] <= b[2] * a[3]
+        # mass and target conservation
+        assert sum(b[3] for b in got) == sum(w for _, w in raw)
+        assert sum(b[2] for b in got) == sum(sy for sy, _ in raw)
+        # edges tile the input in order
+        if got:
+            assert got[0][0] == 0.0 and got[-1][1] == float(len(raw) - 1)
+
+    prop()

@@ -116,3 +116,31 @@ def test_validation(spark):
     empty = spark.createDataFrame([], "doc_id string, domain string")
     with pytest.raises(ValueError, match="no domains"):
         unimax_rates(empty, "domain", 10)
+
+
+def test_apply_mixture_rates_streams_bit_match(spark, tmp_path):
+    """apply_mixture_rates is a broadcast join + map-side hash filter —
+    stateless, so the SAME plan runs on a stream: documents kept at
+    ingest are EXACTLY the batch keep-set (frozen rates, the
+    streaming_ccnet_buckets pattern)."""
+    from kafka_avro_order_processing_spark.streaming.pipeline import drain_to_df
+
+    df = _frame(spark)
+    rates = unimax_rates(df, "domain", 600, 2.0).localCheckpoint(eager=True)
+    d = str(tmp_path / "docs")
+    df.repartition(3).write.parquet(d)
+    stream = (
+        spark.readStream.schema("doc_id string, domain string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    want = sorted(
+        tuple(r) for r in apply_mixture_rates(df, rates, "domain").collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in drain_to_df(
+            apply_mixture_rates(stream, rates, "domain"), "append"
+        ).collect()
+    )
+    assert got == want
