@@ -1,0 +1,145 @@
+"""Conversion-funnel analysis — the windowFunnel operator of the
+product-analytics engines (ClickHouse's windowFunnel; Snowplow/Amplitude
+funnels), absent from Spark's built-ins: for each user, the deepest
+prefix of an ordered step list (view -> click -> purchase) completed as
+a chain of events inside a time horizon.
+
+Semantics (declarative, so an independent SQL oracle can state them):
+funnel_level(user) = the largest L such that events e_1 .. e_L of that
+user exist with event_type(e_i) = steps[i], strictly increasing in the
+total order (ts, event_id) — the id tiebreak makes equal-timestamp
+chains deterministic — and ts_L - ts_1 <= horizon.  Every intermediate
+event then automatically sits inside the horizon too (timestamps are
+non-decreasing along the chain).
+
+Implementation: one groupBy per user, the user's step events collected
+and sorted, then ONE pure-SQL fold (F.aggregate) of the classical
+greedy DP — state = per-level latest feasible chain-start time.  The
+greedy is exact by an exchange argument: the horizon constraint only
+ever compares an event to its chain's START, and a LATER start is
+always at least as extendable, so keeping the maximum start per level
+preserves reachability exactly as the EXISTS definition above.
+
+Scale shape: the only shuffle is the per-user groupBy (the
+sessionization bound — per-user state is the user's step-event list,
+skew bounded by the busiest user); the fold is O(events x levels)
+map-side JVM work, no Python, no join, no window function.  The
+summary is one more tiny groupBy over per-user levels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def window_funnel(
+    events: DataFrame,
+    steps: list[str],
+    horizon_s: float,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-user funnel depth: (user_col, funnel_level) with one row for
+    EVERY distinct user in the input frame — a user with no step-1
+    event reports level 0 rather than vanishing (the drop-off at step 1
+    is the first number a funnel report needs).  Rows with a NULL user,
+    timestamp, or event id are rejected loudly."""
+    if len(steps) < 1:
+        raise ValueError("steps must name at least one event type")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"steps must be distinct, got {steps}")
+    if horizon_s <= 0:
+        raise ValueError(f"horizon_s must be > 0, got {horizon_s}")
+    n_null = events.filter(
+        F.col(user_col).isNull()
+        | F.col(ts_col).isNull()
+        | F.col(id_col).isNull()
+    ).count()
+    if n_null:
+        raise ValueError(
+            f"window_funnel: {n_null} rows have a NULL {user_col!r}, "
+            f"{ts_col!r} or {id_col!r} — filter explicitly first"
+        )
+    n_levels = len(steps)
+    horizon_us = int(round(float(horizon_s) * 1_000_000))
+    step_idx = F.lit(None).cast("int")
+    for i, s in enumerate(reversed(steps)):
+        step_idx = F.when(
+            F.col(type_col) == F.lit(s), F.lit(n_levels - i)
+        ).otherwise(step_idx)
+    rows = events.select(
+        F.col(user_col),
+        F.struct(
+            # accepts TIMESTAMP and TIMESTAMP_NTZ alike: the session is
+            # pinned UTC (ensure_confs), so the cast is shift-free
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t"),
+            F.col(id_col).cast("long").alias("eid"),
+            step_idx.alias("step"),
+        ).alias("ev"),
+    )
+    # the greedy DP as one fold: acc[i] = latest chain-start micros of
+    # any chain reaching level i+1 so far, -1 = unreachable.  Non-step
+    # events carry a NULL step and fall through every WHEN.
+    fold = F.expr(
+        f"""
+        aggregate(
+          array_sort(evs),
+          transform(sequence(1, {n_levels}), i -> CAST(-1 AS BIGINT)),
+          (acc, x) -> transform(sequence(1, {n_levels}), i ->
+            CASE
+              WHEN x.step = 1 AND i = 1
+                THEN greatest(element_at(acc, 1), x.t)
+              WHEN x.step = i AND i > 1
+                   AND element_at(acc, i - 1) >= 0
+                   AND x.t - element_at(acc, i - 1) <= {horizon_us}
+                THEN greatest(element_at(acc, i), element_at(acc, i - 1))
+              ELSE element_at(acc, i)
+            END),
+          acc -> size(filter(acc, v -> v >= 0))
+        )
+        """
+    )
+    return (
+        rows.groupBy(user_col)
+        .agg(F.collect_list("ev").alias("evs"))
+        .select(F.col(user_col), fold.cast("int").alias("funnel_level"))
+    )
+
+
+def funnel_report(
+    levels: DataFrame,
+    n_steps: int,
+    level_col: str = "funnel_level",
+) -> DataFrame:
+    """The funnel table: one row per step (1..n_steps) with the number
+    of users who reached AT LEAST that level and the conversion rate
+    from the previous step (NULL at step 1, and NULL when the previous
+    step had nobody).  Integer counting over the per-user frame — one
+    tiny aggregation."""
+    if n_steps < 1:
+        raise ValueError(f"n_steps must be >= 1, got {n_steps}")
+    counts = levels.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        *[
+            F.sum((F.col(level_col) >= i).cast("long")).alias(f"__ge_{i}")
+            for i in range(1, n_steps + 1)
+        ],
+    ).collect()[0]
+    spark = levels.sparkSession
+    rows = []
+    for i in range(1, n_steps + 1):
+        reached = int(counts[f"__ge_{i}"] or 0)
+        prev = int(counts["n_users"]) if i == 1 else int(counts[f"__ge_{i-1}"] or 0)
+        rows.append(
+            (
+                i,
+                reached,
+                (reached / prev) if (i > 1 and prev > 0) else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows, "step int, n_reached long, conversion double"
+    )

@@ -1,0 +1,200 @@
+"""windowFunnel (operators/funnel.py): exact agreement with a
+brute-force EXISTS reference (all subsequences — structurally unlike
+the operator's greedy fold), horizon edge cases, equal-timestamp
+tiebreaks, level-0 users kept, DuckDB oracle parity on the events
+table, repartition determinism, a Python-free plan, and the report.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from itertools import combinations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_avro_order_processing_spark.operators.funnel import (
+    funnel_report,
+    window_funnel,
+)
+from kafka_avro_order_processing_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+STEPS = ["view", "click", "purchase"]
+
+
+def _ts(s):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+# (event_id, user, seconds, type)
+EVENTS = [
+    # u1: full chain inside 60s
+    (1, 1, 0, "view"), (2, 1, 10, "click"), (3, 1, 50, "purchase"),
+    # u2: chain broken by horizon (purchase 100s after the only view)
+    (4, 2, 0, "view"), (5, 2, 30, "click"), (6, 2, 100, "purchase"),
+    # u3: LATER restart rescues the chain (greedy must keep max start)
+    (7, 3, 0, "view"), (8, 3, 90, "view"), (9, 3, 100, "click"),
+    (10, 3, 140, "purchase"),
+    # u4: wrong order only
+    (11, 4, 0, "purchase"), (12, 4, 10, "click"), (13, 4, 20, "view"),
+    # u5: only non-step events -> level 0, still reported
+    (14, 5, 0, "error"), (15, 5, 5, "signup"),
+    # u6: equal timestamps chain by event_id tiebreak
+    (16, 6, 0, "view"), (17, 6, 0, "click"),
+    # u7: equal ts but the view has the LARGER id — in (ts, event_id)
+    # order the click precedes the view, so they cannot chain
+    (18, 7, 0, "click"), (19, 7, 0, "view"),
+]
+HORIZON = 60.0
+
+
+def _frame(spark, events=EVENTS):
+    rows = [(e, u, _ts(s), t) for (e, u, s, t) in events]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+
+
+def _ref_levels(events, steps=STEPS, horizon=HORIZON):
+    """Brute force over ALL subsequences per user — the declarative
+    EXISTS definition verbatim."""
+    by_user = {}
+    for e, u, s, t in events:
+        by_user.setdefault(u, []).append((s, e, t))
+    out = {}
+    for u, evs in by_user.items():
+        best = 0
+        for length in range(1, len(steps) + 1):
+            want = steps[:length]
+            ok = False
+            for combo in combinations(evs, length):
+                if [c[2] for c in combo] != want:
+                    continue
+                keys = [(c[0], c[1]) for c in combo]
+                if keys != sorted(keys) or len(set(keys)) != length:
+                    continue
+                if all(a < b for a, b in zip(keys, keys[1:])) and (
+                    combo[-1][0] - combo[0][0] <= horizon
+                ):
+                    ok = True
+                    break
+            if ok:
+                best = length
+        out[u] = best
+    return out
+
+
+def test_levels_match_brute_force(spark):
+    got = {
+        r["user_id"]: r["funnel_level"]
+        for r in window_funnel(_frame(spark), STEPS, HORIZON).collect()
+    }
+    assert got == _ref_levels(EVENTS)
+    # pin the interesting users explicitly
+    assert got[1] == 3   # clean chain
+    assert got[2] == 2   # horizon broke step 3
+    assert got[3] == 3   # greedy kept the LATER view as chain start
+    assert got[4] == 1   # wrong order: only the bare view counts
+    assert got[5] == 0   # non-step-only user reported at level 0
+    assert got[6] == 2   # equal ts, ascending ids: chains
+    assert got[7] == 1   # equal ts, descending ids: cannot chain
+
+
+def test_horizon_boundary_inclusive(spark):
+    evs = [(1, 1, 0, "view"), (2, 1, 60, "click")]
+    got = window_funnel(_frame(spark, evs), STEPS, 60.0).collect()[0]
+    assert got["funnel_level"] == 2  # ts_L - ts_1 <= horizon: inclusive
+    evs = [(1, 1, 0, "view"), (2, 1, 61, "click")]
+    got = window_funnel(_frame(spark, evs), STEPS, 60.0).collect()[0]
+    assert got["funnel_level"] == 1
+
+
+def test_duckdb_oracle_parity_on_events(spark):
+    """The EXISTS definition as literal SQL — the future promotion
+    oracle — against the fold, on the real events table at 1h."""
+    import duckdb
+
+    from test_r10_promotion_parity import _assert_parity
+
+    ev = load_table(spark, SF, "events")
+    sdf = window_funnel(ev, STEPS, 3600.0)
+    chain = (
+        "SELECT 1 FROM e a, e b{c_from} WHERE a.user_id = u.user_id "
+        "AND b.user_id = u.user_id{c_user} AND a.step = 1 AND b.step = 2"
+        "{c_step} AND (a.ts, a.event_id) < (b.ts, b.event_id){c_order} "
+        "AND epoch_us({last}.ts) - epoch_us(a.ts) <= 3600000000"
+    )
+    l3 = chain.format(
+        c_from=", e c",
+        c_user=" AND c.user_id = u.user_id",
+        c_step=" AND c.step = 3",
+        c_order=" AND (b.ts, b.event_id) < (c.ts, c.event_id)",
+        last="c",
+    )
+    l2 = chain.format(c_from="", c_user="", c_step="", c_order="", last="b")
+    sql = f"""
+        WITH e AS (
+          SELECT user_id, ts, event_id,
+                 CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                      WHEN 'purchase' THEN 3 END AS step
+          FROM '{SF}/events.parquet'
+          WHERE event_type IN ('view', 'click', 'purchase')
+        ), u AS (SELECT DISTINCT user_id FROM '{SF}/events.parquet')
+        SELECT u.user_id,
+               CAST(CASE
+                 WHEN EXISTS ({l3}) THEN 3
+                 WHEN EXISTS ({l2}) THEN 2
+                 WHEN EXISTS (SELECT 1 FROM e a
+                              WHERE a.user_id = u.user_id AND a.step = 1)
+                   THEN 1
+                 ELSE 0 END AS INTEGER) AS funnel_level
+        FROM u
+    """
+    _assert_parity(sdf, sql)
+
+
+def test_repartition_determinism(spark):
+    df = _frame(spark)
+    base = sorted(tuple(r) for r in window_funnel(df, STEPS, HORIZON).collect())
+    again = sorted(
+        tuple(r)
+        for r in window_funnel(df.repartition(7), STEPS, HORIZON).collect()
+    )
+    assert base == again
+
+
+def test_plan_is_python_free_single_shuffle(spark):
+    plan = (
+        window_funnel(_frame(spark), STEPS, HORIZON)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_funnel_report(spark):
+    levels = window_funnel(_frame(spark), STEPS, HORIZON)
+    rep = {r["step"]: r for r in funnel_report(levels, 3).collect()}
+    ref = _ref_levels(EVENTS)
+    for i in (1, 2, 3):
+        assert rep[i]["n_reached"] == sum(1 for v in ref.values() if v >= i)
+    assert rep[1]["conversion"] is None
+    assert rep[2]["conversion"] == pytest.approx(
+        rep[2]["n_reached"] / rep[1]["n_reached"]
+    )
+
+
+def test_validation(spark):
+    df = _frame(spark)
+    with pytest.raises(ValueError, match="at least one"):
+        window_funnel(df, [], 60.0)
+    with pytest.raises(ValueError, match="distinct"):
+        window_funnel(df, ["view", "view"], 60.0)
+    with pytest.raises(ValueError, match="horizon"):
+        window_funnel(df, STEPS, 0.0)
+    withnull = spark.createDataFrame(
+        [(1, None, _ts(0), "view")],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        window_funnel(withnull, STEPS, 60.0)
