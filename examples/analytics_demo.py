@@ -112,6 +112,22 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
         cpairs, max_iterations=6, patience=2
     )
 
+    # --- conversion funnel: the windowFunnel operator over the same
+    # event stream — how many users view -> click -> purchase inside
+    # an hour, with per-step conversion (level-0 users included).
+    from kafka_avro_order_processing_spark.operators.funnel import (
+        funnel_report,
+        window_funnel,
+    )
+
+    levels = window_funnel(
+        ev, ["view", "click", "purchase"], horizon_s=3600.0
+    ).localCheckpoint(eager=True)
+    funnel_rows = {
+        r["step"]: (r["n_reached"], r["conversion"])
+        for r in funnel_report(levels, 3).collect()
+    }
+
     print(f"events: {ev.count()}, co-activity edges: {pairs.count()}")
     print(f"communities: {len(mod_rows)}, modularity Q = {q_num}/{q_den}"
           f" = {q_num / q_den:.4f}")
@@ -123,6 +139,8 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
     print("value quantiles (histogram sketch):",
           {q: round(v, 2) for q, v in quantile_rows.items()})
     print("top-5 users by exact count vs CMS estimate:", cms_rows)
+    print("view->click->purchase funnel (1h):",
+          {s_: n for s_, (n, _) in funnel_rows.items()})
     print("top-5 users by PageRank (with triangle cohesion):")
     for r in top_users:
         print(f"  user {r['node']}: rank_scaled={r['rank_scaled']}, "
@@ -141,6 +159,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
         "modularity_den": q_den,
         "lpa_auto_round": auto_round,
         "lpa_q_history": q_history,
+        "funnel": funnel_rows,
     }
 
 

@@ -128,7 +128,7 @@ def isotonic_fit(
     )
     # the ONLY double->decimal rounding of the fit, once per row in the JVM
     y_int = F.expr(
-        f"CAST(CAST({target_col} AS DOUBLE) * {MEAN_SCALE}D AS DECIMAL(38,0))"
+        f"CAST(CAST(`{target_col}` AS DOUBLE) * {MEAN_SCALE}D AS DECIMAL(38,0))"
     )
     pooled = (
         df.select(score.alias("score"), y_int.alias("y"), w.alias("w"))

@@ -193,6 +193,13 @@ def test_analytics_demo_end_to_end(spark):
     ranks = [r for _, r, _ in out["pagerank_top"]]
     assert ranks == sorted(ranks, reverse=True)
     assert all(t >= 0 for _, _, t in out["pagerank_top"])
+    # funnel: reached counts shrink monotonically and conversions bound
+    f = out["funnel"]
+    assert f[1][0] >= f[2][0] >= f[3][0] >= 0
+    assert f[1][0] > 0
+    for step in (2, 3):
+        if f[step][1] is not None:
+            assert 0.0 <= f[step][1] <= 1.0
 
 
 def test_retrieval_demo_end_to_end(spark):
