@@ -33,6 +33,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+
+def step_index_col(steps: list[str], type_col: str):
+    """1-based step index of the event type, NULL for non-step events —
+    shared by the batch fold and the streaming twin so both sides map
+    types identically."""
+    idx = F.lit(None).cast("int")
+    n = len(steps)
+    for i, s in enumerate(reversed(steps)):
+        idx = F.when(F.col(type_col) == F.lit(s), F.lit(n - i)).otherwise(idx)
+    return idx
+
+
 def window_funnel(
     events: DataFrame,
     steps: list[str],
@@ -65,11 +77,6 @@ def window_funnel(
         )
     n_levels = len(steps)
     horizon_us = int(round(float(horizon_s) * 1_000_000))
-    step_idx = F.lit(None).cast("int")
-    for i, s in enumerate(reversed(steps)):
-        step_idx = F.when(
-            F.col(type_col) == F.lit(s), F.lit(n_levels - i)
-        ).otherwise(step_idx)
     rows = events.select(
         F.col(user_col),
         F.struct(
@@ -77,7 +84,7 @@ def window_funnel(
             # pinned UTC (ensure_confs), so the cast is shift-free
             F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t"),
             F.col(id_col).cast("long").alias("eid"),
-            step_idx.alias("step"),
+            step_index_col(steps, type_col).alias("step"),
         ).alias("ev"),
     )
     # the greedy DP as one fold: acc[i] = latest chain-start micros of
@@ -142,4 +149,71 @@ def funnel_report(
         )
     return spark.createDataFrame(
         rows, "step int, n_reached long, conversion double"
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    period_s: float = 86400.0,
+    horizon_periods: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention — the other classic product-analytics table
+    (ClickHouse's retention; every analytics product's triangle chart):
+    users are cohorted by the period of their FIRST event, and each
+    (cohort, offset) cell counts how many of them were active again
+    `offset` periods later.
+
+    Returns (cohort bigint, offset int, n_active bigint, retention
+    double) for offsets 0..horizon_periods, where cohort = the period
+    index floor(first_ts / period_s), n_active = distinct cohort users
+    active in cohort+offset, and retention = n_active / cohort size
+    (the offset-0 cell, which is the cohort size by construction, so
+    its retention is exactly 1.0).  Cells with zero active users are
+    ABSENT, not zero rows — the oracle states the same.
+
+    Plan: one distinct over (user, period) — the only corpus-sized
+    shuffle — a per-user min for the cohort, a join back on the user,
+    and one integer groupBy; the cohort-size frame is cohorts-sized and
+    broadcast.  Pure integer arithmetic until the one retention
+    division, so the table is bit-deterministic and DuckDB-oracle-able
+    (suite-proven).  NULL users/timestamps are rejected loudly."""
+    if period_s <= 0:
+        raise ValueError(f"period_s must be > 0, got {period_s}")
+    if horizon_periods < 0:
+        raise ValueError(f"horizon_periods must be >= 0, got {horizon_periods}")
+    n_null = events.filter(
+        F.col(user_col).isNull() | F.col(ts_col).isNull()
+    ).count()
+    if n_null:
+        raise ValueError(
+            f"retention_cohorts: {n_null} rows have a NULL {user_col!r} "
+            f"or {ts_col!r} — filter explicitly first"
+        )
+    period_us = int(round(float(period_s) * 1_000_000))
+    active = events.select(
+        F.col(user_col).alias("u"),
+        F.floor(
+            F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(period_us)
+        ).cast("long").alias("p"),
+    ).distinct()
+    cohorts = active.groupBy("u").agg(F.min("p").alias("cohort"))
+    sizes = cohorts.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cohort")
+    )
+    cells = (
+        active.join(cohorts, "u")
+        .select("cohort", (F.col("p") - F.col("cohort")).cast("int").alias("offset"))
+        .filter(F.col("offset") <= F.lit(int(horizon_periods)))
+        .groupBy("cohort", "offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    return cells.join(F.broadcast(sizes), "cohort").select(
+        "cohort",
+        "offset",
+        "n_active",
+        (F.col("n_active").cast("double") / F.col("n_cohort").cast("double")).alias(
+            "retention"
+        ),
     )

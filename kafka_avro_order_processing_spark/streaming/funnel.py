@@ -1,0 +1,93 @@
+"""Streaming conversion funnels — operators/funnel.py's stateful twin:
+per-user funnel depth maintained AT INGEST with O(levels) state, the
+custom-stateful-operator shape (applyInPandasWithState, the
+running_stats_per_record pattern).
+
+The batch operator folds each user's full event list; a stream cannot
+hold the list, but the greedy DP never needed it — its entire memory
+is the per-level latest chain-start timestamp, so the carried state is
+one long[ n_levels ] per user regardless of how many events arrive.
+Events are processed in (ts, event_id) order WITHIN each micro-batch
+(sorted here) and batch-over-batch in arrival order — the stream-order
+assumption every exact per-record twin in this engine documents
+(streaming/stateful.py): with a time-ordered source the drained levels
+BIT-match the batch operator on the same rows (suite-pinned, one epoch
+and many), because both sides run the identical integer-microsecond
+arithmetic.
+
+Each micro-batch emits one (user, funnel_level) row per user seen in
+that batch — an O(changed-keys) update changelog; the drain keeps the
+latest row per user.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.funnel import step_index_col
+from .pipeline import drain_to_df
+
+
+def _make_update(n_levels: int, horizon_us: int):
+    def update(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        starts = list(state.get[0]) if state.exists else [-1] * n_levels
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["t", "eid"])
+            for t, step in zip(pdf["t"], pdf["step"]):
+                if pd.isna(step):
+                    continue
+                k = int(step)
+                t = int(t)
+                if k == 1:
+                    starts[0] = max(starts[0], t)
+                elif starts[k - 2] >= 0 and t - starts[k - 2] <= horizon_us:
+                    starts[k - 1] = max(starts[k - 1], starts[k - 2])
+        level = sum(1 for v in starts if v >= 0)
+        state.update((starts,))
+        yield pd.DataFrame({"user_id": [key[0]], "funnel_level": [level]})
+
+    return update
+
+
+def streaming_window_funnel(
+    stream_events: DataFrame,
+    steps: list[str],
+    horizon_s: float,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Drain the per-user funnel levels of a bounded event stream
+    (availableNow; in production the same plan runs continuously).
+    Output schema matches :func:`operators.funnel.window_funnel` —
+    (user_col, funnel_level), one row per user, level 0 included."""
+    if len(steps) < 1:
+        raise ValueError("steps must name at least one event type")
+    if horizon_s <= 0:
+        raise ValueError(f"horizon_s must be > 0, got {horizon_s}")
+    horizon_us = int(round(float(horizon_s) * 1_000_000))
+    rows = stream_events.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t"),
+        F.col(id_col).cast("long").alias("eid"),
+        step_index_col(steps, type_col).alias("step"),
+    )
+    out = rows.groupBy("user_id").applyInPandasWithState(
+        _make_update(len(steps), horizon_us),
+        outputStructType="user_id long, funnel_level int",
+        stateStructType="starts array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    drained = drain_to_df(out, "update", key_cols=("user_id",))
+    return drained.withColumnRenamed("user_id", user_col)
