@@ -7,8 +7,9 @@ a chain of events inside a time horizon.
 Semantics (declarative, so an independent SQL oracle can state them):
 funnel_level(user) = the largest L such that events e_1 .. e_L of that
 user exist with event_type(e_i) = steps[i], strictly increasing in the
-total order (ts, event_id) — the id tiebreak makes equal-timestamp
-chains deterministic — and ts_L - ts_1 <= horizon.  Every intermediate
+total order (ts, event_id) — the id tiebreak, in the id column's NATIVE
+ordering, makes equal-timestamp chains deterministic — and
+ts_L - ts_1 <= horizon.  Every intermediate
 event then automatically sits inside the horizon too (timestamps are
 non-decreasing along the chain).
 
@@ -83,7 +84,10 @@ def window_funnel(
             # accepts TIMESTAMP and TIMESTAMP_NTZ alike: the session is
             # pinned UTC (ensure_confs), so the cast is shift-free
             F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t"),
-            F.col(id_col).cast("long").alias("eid"),
+            # NATIVE id type: the tiebreak needs a consistent total
+            # order, not a number — casting a UUID-string id to long
+            # would NULL it out and silently lose determinism
+            F.col(id_col).alias("eid"),
             step_index_col(steps, type_col).alias("step"),
         ).alias("ev"),
     )

@@ -68,17 +68,21 @@ def gram_matrix(
     under any partitioning and between both builders:
 
     - ``method="arrow"`` (default): mapInPandas, one numpy outer-product
-      accumulation per Arrow batch emitting d(d+1)/2 int64 partials —
-      O(batch * d^2) vectorized work, the right builder for wide
-      embeddings;
+      accumulation per bounded ROW CHUNK emitting d(d+1)/2 int64
+      partials — O(rows * d^2) vectorized work at O(chunk * d^2)
+      memory, the right builder for wide embeddings;
     - ``method="sql"``: pure JVM explode of the per-row triangle —
       Python-free and whole-stage-codegen'd, the right builder for
       narrow vectors and the oracle twin of the arrow path.
 
     Exactness bound (enforced): |v[i]*v[j]| * 2^scale_bits must stay
     below 2^52 for floor()'s argument to be exact, i.e. embeddings with
-    |x| <= 64 at the default 40 bits; per-batch int64 partials add
-    log2(batch) more bits — far inside int64 for Arrow's 10k batches."""
+    |x| <= 64 at the default 40 bits.  The arrow builder emits one
+    int64 partial frame per ROW CHUNK of at most 1024 rows (also capped
+    so chunk * d^2 stays ~2^24 floats — bounded executor memory at any
+    d), so a chunk partial is <= 1024 * 2^52 < 2^63 BY CONSTRUCTION —
+    never a silent wrap — and all cross-chunk summation happens in
+    DECIMAL(38,0)."""
     if method not in ("arrow", "sql"):
         raise ValueError(f"method must be 'arrow' or 'sql', got {method!r}")
     d = int(dim) if dim is not None else _infer_dim(df, vec_col)
@@ -101,27 +105,28 @@ def gram_matrix(
             F.sum(F.col("t").cast("decimal(38,0)")).cast("decimal(38,0)").alias("q")
         )
 
+    # chunk rows so (a) the f64 outer-product tensor stays ~2^24
+    # elements (bounded executor memory at any d) and (b) the int64
+    # chunk partial cannot wrap: 1024 terms * 2^52 max-magnitude < 2^63
+    chunk_rows = max(1, min(1024, (1 << 24) // (d * d)))
+
     def build(batches: Iterator) -> Iterator:
         import numpy as np
         import pandas as pd
 
         iu = np.triu_indices(d)
-        acc = np.zeros(len(iu[0]), dtype=np.int64)
-        seen = False
         for pdf in batches:
             vecs = pdf[vec_col]
             if len(vecs) == 0:
                 continue
-            seen = True
             V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-            P = np.einsum("ni,nj->nij", V, V)
-            acc += (
-                np.floor(P * ms + 0.5).astype(np.int64).sum(axis=0)[iu]
-            )
-        if seen:
-            yield pd.DataFrame(
-                {"i": iu[0] + 1, "j": iu[1] + 1, "t": acc}
-            ).astype({"i": "int32", "j": "int32"})
+            for lo in range(0, len(V), chunk_rows):
+                C = V[lo : lo + chunk_rows]
+                P = np.einsum("ni,nj->nij", C, C)
+                part = np.floor(P * ms + 0.5).astype(np.int64).sum(axis=0)[iu]
+                yield pd.DataFrame(
+                    {"i": iu[0] + 1, "j": iu[1] + 1, "t": part}
+                ).astype({"i": "int32", "j": "int32"})
 
     partials = df.select(vec_col).mapInPandas(build, "i int, j int, t long")
     return partials.groupBy("i", "j").agg(

@@ -39,10 +39,19 @@ def _make_update(n_levels: int, horizon_us: int):
         pdfs: Iterable[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if key[0] is None:
+            raise ValueError(
+                "streaming_window_funnel: NULL user_id — filter upstream "
+                "(the batch twin rejects these loudly too)"
+            )
         starts = list(state.get[0]) if state.exists else [-1] * n_levels
         for pdf in pdfs:
             pdf = pdf.sort_values(["t", "eid"])
             for t, step in zip(pdf["t"], pdf["step"]):
+                if pd.isna(t):
+                    raise ValueError(
+                        "streaming_window_funnel: NULL ts — filter upstream"
+                    )
                 if pd.isna(step):
                     continue
                 k = int(step)
@@ -53,7 +62,7 @@ def _make_update(n_levels: int, horizon_us: int):
                     starts[k - 1] = max(starts[k - 1], starts[k - 2])
         level = sum(1 for v in starts if v >= 0)
         state.update((starts,))
-        yield pd.DataFrame({"user_id": [key[0]], "funnel_level": [level]})
+        yield pd.DataFrame({"__user": [key[0]], "funnel_level": [level]})
 
     return update
 
@@ -73,21 +82,33 @@ def streaming_window_funnel(
     (user_col, funnel_level), one row per user, level 0 included."""
     if len(steps) < 1:
         raise ValueError("steps must name at least one event type")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"steps must be distinct, got {steps}")
     if horizon_s <= 0:
         raise ValueError(f"horizon_s must be > 0, got {horizon_s}")
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
     horizon_us = int(round(float(horizon_s) * 1_000_000))
+    # NATIVE user and id types (the batch-twin contract): casting a
+    # string user to long would merge every user into one NULL group
     rows = stream_events.select(
-        F.col(user_col).cast("long").alias("user_id"),
+        F.col(user_col).alias("__user"),
         F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t"),
-        F.col(id_col).cast("long").alias("eid"),
+        F.col(id_col).alias("eid"),
         step_index_col(steps, type_col).alias("step"),
     )
-    out = rows.groupBy("user_id").applyInPandasWithState(
+    out_schema = StructType(
+        [
+            StructField("__user", stream_events.schema[user_col].dataType),
+            StructField("funnel_level", IntegerType()),
+        ]
+    )
+    out = rows.groupBy("__user").applyInPandasWithState(
         _make_update(len(steps), horizon_us),
-        outputStructType="user_id long, funnel_level int",
+        outputStructType=out_schema,
         stateStructType="starts array<long>",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    drained = drain_to_df(out, "update", key_cols=("user_id",))
-    return drained.withColumnRenamed("user_id", user_col)
+    drained = drain_to_df(out, "update", key_cols=("__user",))
+    return drained.withColumnRenamed("__user", user_col)

@@ -116,6 +116,10 @@ def streaming_backoff_lm_score(
         _doc_trigram_positions,
     )
 
+    if not (0.0 < lam <= 1.0):
+        raise ValueError(f"lam must be in (0, 1], got {lam}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
     if lm.n_tokens <= 0:
         raise ValueError("streaming_backoff_lm_score: empty model")
     pos = _doc_trigram_positions(stream_docs, id_col, text_col)

@@ -323,3 +323,62 @@ def test_retention_duckdb_oracle_on_events(spark):
         FROM cells JOIN sizes ON cells.cohort = sizes.cohort
     """
     _assert_parity(sdf, sql)
+
+
+def test_string_ids_keep_the_native_tiebreak(spark):
+    """Non-numeric ids must keep their native ordering, not NULL out —
+    the u6/u7 equal-timestamp cases re-run with UUID-ish string ids."""
+    rows = [
+        ("a-1", 6, _ts(0), "view"), ("b-2", 6, _ts(0), "click"),  # chains
+        ("c-1", 7, _ts(0), "click"), ("d-2", 7, _ts(0), "view"),  # cannot
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id string, user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r["user_id"]: r["funnel_level"]
+        for r in window_funnel(df, STEPS, HORIZON).collect()
+    }
+    assert got == {6: 2, 7: 1}
+
+
+def test_streaming_funnel_string_users_and_validation(spark, tmp_path):
+    """String user ids keep their native type end-to-end (a long cast
+    would merge them all into one NULL group), and the twin validates
+    params like the batch operator."""
+    from kafka_avro_order_processing_spark.streaming.funnel import (
+        streaming_window_funnel,
+    )
+
+    rows = [
+        (1, "alice", _ts(0), "view"), (2, "alice", _ts(5), "click"),
+        (3, "bob", _ts(0), "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts timestamp, event_type string"
+    )
+    d = str(tmp_path / "ev")
+    df.coalesce(1).write.parquet(d)
+    stream = spark.readStream.schema(df.schema).parquet(d)
+    got = {
+        r["user_id"]: r["funnel_level"]
+        for r in streaming_window_funnel(stream, STEPS, HORIZON).collect()
+    }
+    assert got == {"alice": 2, "bob": 1}
+    with pytest.raises(ValueError, match="distinct"):
+        streaming_window_funnel(stream, ["view", "view"], HORIZON)
+
+
+def test_streaming_backoff_rejects_bad_params(spark):
+    from kafka_avro_order_processing_spark.operators.lm import train_backoff_lm
+    from kafka_avro_order_processing_spark.streaming.lm import (
+        streaming_backoff_lm_score,
+    )
+
+    ref = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    lm = train_backoff_lm(ref).materialized()
+    stream = spark.readStream.format("rate").load()  # never started
+    with pytest.raises(ValueError, match="lam"):
+        streaming_backoff_lm_score(stream, lm, lam=0.0)
+    with pytest.raises(ValueError, match="alpha"):
+        streaming_backoff_lm_score(stream, lm, alpha=-1.0)

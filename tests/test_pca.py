@@ -182,3 +182,15 @@ def test_sql_method_is_python_free(spark):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "mapInPandas" not in plan.lower()
+
+
+def test_gram_arrow_chunking_bit_equal(spark):
+    """More rows than one chunk (1024 at d=6) must still be bit-equal
+    to the SQL builder — the chunked int64 partials + decimal summation
+    path (the silent-int64-wrap regression guard)."""
+    rng = np.random.RandomState(3)
+    X = (rng.randn(1500, 6) * 4).astype(np.float32)
+    df = _frame(spark, X).repartition(2)
+    a = {(r["i"], r["j"]): int(r["q"]) for r in gram_matrix(df, method="arrow").collect()}
+    b = {(r["i"], r["j"]): int(r["q"]) for r in gram_matrix(df, method="sql").collect()}
+    assert a == b
