@@ -6505,55 +6505,44 @@ RETIRED: dict[str, str] = {
 # ---------------------------------------------------------------------------
 
 _LEAD_ORDER = [
-    # -- ROUND-10 window (exactly 50 names precede the boundary).
-    # Built per the r9 verdict's task 1 / HANDOFF "READ THIS FIRST":
-    # (1) the 45 remaining r7-window names — the 50 r7-window names
-    # minus the 5 fills checked in r9 ("per_product_stats",
-    # "overall_stats", "generated_orders_datasource",
-    # "sql_api_events_hourly", "value_percentiles").  After the r9
-    # check they are the oldest rows anywhere (checked r7, age 2
-    # during round 10: their age-3 deadline is THIS round).
-    # (2) fill the 5 free slots with the r10 PROMOTION QUEUE
-    # (plans/promotions_r10.py — new names must sit inside the first
-    # 50, the standing QUERY-ADDITION rule).  45 + 5 = EXACTLY 50.
-    # (1) the 45 r7-greens at their deadline, registration order:
-    "value_dispersion", "user_retention_cohorts",
-    "customers_with_pending_orders", "order_display_lines",
-    "props_json_extraction", "above_customer_avg_orders",
-    "approx_distinct_users", "ivf_probe_search", "ivf_recall_at_k",
-    "clicks_before_purchase", "explicit_grouping_sets",
-    "curated_corpus_stats", "shipping_priority",
-    "multimodal_decoded_features", "corrupt_json_handling",
-    "forecast_revenue_change", "large_quantity_orders",
-    "streaming_interval_join", "embedding_quantization_error",
-    "dataset_split_counts",
-    "doc_repetition_scores", "benchmark_contamination",
-    "pii_detection", "doc_chunks", "per_source_quality",
-    "domain_mixture_sample", "boilerplate_grams",
-    "quality_filter_funnel", "source_overlap_grams",
-    "streaming_dedup_exact", "streaming_dedup_watermarked",
-    "upsert_orders_partitioned", "streaming_upsert_orders",
-    "scd2_customer_dim", "streaming_scd2_customer_dim",
-    "doc_length_histogram", "bm25_top20", "embedding_lsh_near_dup",
-    "semantic_dedup", "training_order_shuffle", "stratified_sample",
-    "fuzzy_part_links", "qty_price_rank_corr", "setsim_doc_pairs",
-    # (2) the 6 fills: the 5 r10 promotion-queue blocks
-    # (plans/promotions_r10.py) + ccnet_buckets in the slot freed by
-    # retiring deterministic_sample (see RETIRED — it was one of the
-    # 45 deadline names; its obligation retires with it):
-    "roc_auc", "winnow_fingerprints", "mean_retrieval_metrics",
-    "profile_table_exact", "duplicated_ngram_spans", "ccnet_buckets",
+    # -- ROUND-11 window (exactly 50 names precede the boundary).
+    # Built per the r10 verdict's task 1 / HANDOFF "READ THIS FIRST":
+    # ZERO slots, ZERO fills.  After the r10 check the oldest rows
+    # anywhere are the 50 r8-window names (latest CORRECTNESS row =
+    # r08; recomputed from the CORRECTNESS_r01..r10 union at round-11
+    # start — exactly 50 names), age 2 during round 11: their age-3
+    # deadline is THIS round.  The window is EXACTLY those 50, in
+    # registration order, nothing else.
+    "product_stats_snapshot", "running_avg", "validated_orders",
+    "rejected_orders", "error_classification", "dlq_error_stats",
+    "pricing_summary", "top_customers", "revenue_by_region",
+    "order_priority_counts", "top3_events_per_type", "events_hourly",
+    "user_sessions", "doc_token_stats", "token_counts_top20",
+    "language_id", "quality_scores", "doc_fingerprints",
+    "dedup_exact", "embedding_topk", "multimodal_meta",
+    "streaming_product_stats", "streaming_product_stats_update",
+    "asof_purchase_click", "region_nation_rollup",
+    "priority_status_cube", "daily_event_type_pivot",
+    "events_sliding_30m", "churned_users", "ivf_cell_sizes",
+    "avro_ocf_roundtrip", "priority_line_revenue",
+    "streaming_running_avg_per_record", "streaming_user_sessions",
+    "tfidf_top_terms", "priority_code_extract", "orders_by_month",
+    "salted_product_stats", "streaming_watermarked_windows",
+    "value_distribution_ranks", "user_funnel", "value_bounds",
+    "dedup_clusters", "daily_events_unpivot", "sequence_packing",
+    "streaming_incremental_dedup", "streaming_static_enrich",
+    "upsert_orders", "runtime_filtered_join", "ivf_kmeans_refine",
     # --- position 50 boundary ---------------------------------------
-    # ROUND-11 MATH: after the r10 check the oldest rows anywhere are
-    # the 50 r8-window names (checked r8, age 2 during round 11 —
-    # their deadline).  LEAD ROUND 11 WITH THOSE 50.  SATURATION
-    # (HANDOFF warning) is resolved to 1 slot of slack: 149 registered
-    # names vs 3x50 rotation capacity (the r9 window is 49 after the
-    # ngram_jaccard_adjacent retirement — r12 has the free slot).
-    # Any further NEW name must still displace an existing one via the
-    # retirement ledger (RETIRED below) or consume that one slot.
-    # The r9-window names and the rest follow via the fallback append
-    # in _apply_order.
+    # ROUND-12 MATH: after the r11 check the oldest rows anywhere are
+    # the 49 remaining r9-window names (50 minus the retired
+    # ngram_jaccard_adjacent — see RETIRED).  The 50th slot takes the
+    # staged r12 promotion block `rrf_fuse`
+    # (plans/promotions_r12.py; the 3-step swap recipe is in its
+    # module docstring).  49 + 1 = EXACTLY 50.  After r12 the
+    # registry is back at 150 = 3x50 capacity: any further NEW name
+    # must displace an existing one via the retirement ledger.
+    # The r9/r10-window names and the rest follow via the fallback
+    # append in _apply_order.
 ]
 
 
