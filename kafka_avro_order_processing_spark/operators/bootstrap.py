@@ -91,32 +91,37 @@ def poisson_bootstrap_mean_ci(
     of the B replicate means (the standard percentile pick; B is the
     knob, not a corpus-sized resample).  Rows with a NULL value or id
     are rejected loudly — a silently shrinking denominator is a wrong
-    CI, not a smaller one."""
+    CI, not a smaller one.  The NULL count rides in the SAME
+    aggregation as the full-data mean (count in the one pass, fail
+    after — the r10 verdict's single-pass validation), so rejection
+    never costs an extra corpus scan."""
     if b < 2:
         raise ValueError(f"b must be >= 2, got {b}")
     if not (0.0 < alpha < 1.0):
         raise ValueError(f"alpha must be in (0, 1), got {alpha}")
-    n_null = df.filter(
-        F.col(value_col).isNull() | F.col(id_col).isNull()
-    ).count()
-    if n_null:
-        raise ValueError(
-            f"poisson_bootstrap_mean_ci: {n_null} rows have a NULL "
-            f"{value_col!r} or {id_col!r} — filter explicitly first"
-        )
     scaled = F.expr(
         f"CAST(CAST(`{value_col}` AS DOUBLE) * {MEAN_SCALE}D AS DECIMAL(38,0))"
     )
+    null_row = F.col(value_col).isNull() | F.col(id_col).isNull()
     base = df.select(
-        F.col(id_col).alias("__id"), scaled.alias("__v")
+        F.col(id_col).alias("__id"),
+        scaled.alias("__v"),
+        null_row.cast("long").alias("__bad"),
     )
     full = base.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__bad").cast("long").alias("n_null"),
         (
             F.sum("__v").cast("double")
             / (F.count(F.lit(1)).cast("double") * F.lit(float(MEAN_SCALE)))
         ).alias("mean"),
     ).collect()[0]
+    n_null = int(full["n_null"] or 0)
+    if n_null:
+        raise ValueError(
+            f"poisson_bootstrap_mean_ci: {n_null} rows have a NULL "
+            f"{value_col!r} or {id_col!r} — filter explicitly first"
+        )
     n = int(full["n"])
     if n == 0:
         raise ValueError("poisson_bootstrap_mean_ci: empty frame")

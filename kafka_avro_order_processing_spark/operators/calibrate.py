@@ -103,20 +103,36 @@ def isotonic_fit(
     :func:`isotonic_apply` consumes — the MLlib-style driver-side
     model, O(blocks).
 
-    ``weight_col`` must be a non-negative integer column (repeat
-    counts) so pooled masses stay exact; rows with NULL score or
-    target are rejected loudly (silently dropping them would bias the
-    curve).  ``increasing=False`` fits a decreasing curve by negating
-    the score (exact for floats) and un-negating the block edges."""
+    ``weight_col`` must be a POSITIVE integer column (repeat counts)
+    so pooled masses stay exact; rows with NULL score or target are
+    rejected loudly (silently dropping them would bias the curve), and
+    so are NULL, zero, or negative weights — a NULL weight would
+    silently drop its row, an all-zero score group divides by zero,
+    and a negative weight inverts the pooled-mean cross-multiplication
+    (drop zero-weight rows explicitly before fitting if they are
+    intentional).  ``increasing=False`` fits a decreasing curve by
+    negating the score (exact for floats) and un-negating the block
+    edges."""
     if n_ranges < 1:
         raise ValueError(f"n_ranges must be >= 1, got {n_ranges}")
-    n_null = df.filter(
-        F.col(score_col).isNull() | F.col(target_col).isNull()
-    ).count()
-    if n_null:
+    bad_cond = F.col(score_col).isNull() | F.col(target_col).isNull()
+    if weight_col:
+        bad_cond = (
+            bad_cond
+            | F.col(weight_col).isNull()
+            | (F.col(weight_col).cast("long") <= 0)
+        )
+    n_bad = df.filter(bad_cond).count()
+    if n_bad:
         raise ValueError(
-            f"isotonic_fit: {n_null} rows have a NULL {score_col!r} or "
-            f"{target_col!r} — filter or impute explicitly before fitting"
+            f"isotonic_fit: {n_bad} rows have a NULL {score_col!r} or "
+            f"{target_col!r}"
+            + (
+                f", or a NULL/zero/negative {weight_col!r}"
+                if weight_col
+                else ""
+            )
+            + " — filter or impute explicitly before fitting"
         )
     score = F.col(score_col).cast("double")
     if not increasing:

@@ -59,31 +59,38 @@ def window_funnel(
     EVERY distinct user in the input frame — a user with no step-1
     event reports level 0 rather than vanishing (the drop-off at step 1
     is the first number a funnel report needs).  Rows with a NULL user,
-    timestamp, or event id are rejected loudly."""
+    timestamp, or event id are rejected loudly — the check is FOLDED
+    into the one corpus scan (an in-plan ``raise_error`` on the first
+    offending row, surfacing at action time as a Spark
+    USER_RAISED_EXCEPTION), so validation never costs a second pass."""
     if len(steps) < 1:
         raise ValueError("steps must name at least one event type")
     if len(set(steps)) != len(steps):
         raise ValueError(f"steps must be distinct, got {steps}")
     if horizon_s <= 0:
         raise ValueError(f"horizon_s must be > 0, got {horizon_s}")
-    n_null = events.filter(
-        F.col(user_col).isNull()
-        | F.col(ts_col).isNull()
-        | F.col(id_col).isNull()
-    ).count()
-    if n_null:
-        raise ValueError(
-            f"window_funnel: {n_null} rows have a NULL {user_col!r}, "
-            f"{ts_col!r} or {id_col!r} — filter explicitly first"
-        )
     n_levels = len(steps)
     horizon_us = int(round(float(horizon_s) * 1_000_000))
+    null_msg = (
+        f"window_funnel: NULL {user_col} / {ts_col} / {id_col} row — "
+        "filter explicitly first"
+    )
+    # single-pass loud rejection: the projection itself raises on the
+    # first NULL key column, so no validation pre-scan doubles the read
+    t_checked = F.when(
+        F.col(user_col).isNull()
+        | F.col(ts_col).isNull()
+        | F.col(id_col).isNull(),
+        F.raise_error(F.lit(null_msg)).cast("long"),
+    ).otherwise(
+        # accepts TIMESTAMP and TIMESTAMP_NTZ alike: the session is
+        # pinned UTC (ensure_confs), so the cast is shift-free
+        F.unix_micros(F.col(ts_col).cast("timestamp"))
+    )
     rows = events.select(
         F.col(user_col),
         F.struct(
-            # accepts TIMESTAMP and TIMESTAMP_NTZ alike: the session is
-            # pinned UTC (ensure_confs), so the cast is shift-free
-            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t"),
+            t_checked.alias("t"),
             # NATIVE id type: the tiebreak needs a consistent total
             # order, not a number — casting a UUID-string id to long
             # would NULL it out and silently lose determinism
@@ -92,24 +99,27 @@ def window_funnel(
         ).alias("ev"),
     )
     # the greedy DP as one fold: acc[i] = latest chain-start micros of
-    # any chain reaching level i+1 so far, -1 = unreachable.  Non-step
-    # events carry a NULL step and fall through every WHEN.
+    # any chain reaching level i+1 so far, NULL = unreachable (NULL,
+    # not -1: pre-1970 timestamps are legal negative micros, and NULL
+    # arithmetic/comparisons make the unreachable branch fall through
+    # without any sentinel-vs-value overlap).  Non-step events carry a
+    # NULL step and fall through every WHEN.
     fold = F.expr(
         f"""
         aggregate(
           array_sort(evs),
-          transform(sequence(1, {n_levels}), i -> CAST(-1 AS BIGINT)),
+          transform(sequence(1, {n_levels}), i -> CAST(NULL AS BIGINT)),
           (acc, x) -> transform(sequence(1, {n_levels}), i ->
             CASE
               WHEN x.step = 1 AND i = 1
                 THEN greatest(element_at(acc, 1), x.t)
               WHEN x.step = i AND i > 1
-                   AND element_at(acc, i - 1) >= 0
+                   AND element_at(acc, i - 1) IS NOT NULL
                    AND x.t - element_at(acc, i - 1) <= {horizon_us}
                 THEN greatest(element_at(acc, i), element_at(acc, i - 1))
               ELSE element_at(acc, i)
             END),
-          acc -> size(filter(acc, v -> v >= 0))
+          acc -> size(filter(acc, v -> v IS NOT NULL))
         )
         """
     )
@@ -182,25 +192,32 @@ def retention_cohorts(
     and one integer groupBy; the cohort-size frame is cohorts-sized and
     broadcast.  Pure integer arithmetic until the one retention
     division, so the table is bit-deterministic and DuckDB-oracle-able
-    (suite-proven).  NULL users/timestamps are rejected loudly."""
+    (suite-proven).  NULL users/timestamps are rejected loudly via an
+    in-plan ``raise_error`` folded into the single corpus scan
+    (surfaces at action time; no extra validation pass)."""
     if period_s <= 0:
         raise ValueError(f"period_s must be > 0, got {period_s}")
     if horizon_periods < 0:
         raise ValueError(f"horizon_periods must be >= 0, got {horizon_periods}")
-    n_null = events.filter(
-        F.col(user_col).isNull() | F.col(ts_col).isNull()
-    ).count()
-    if n_null:
-        raise ValueError(
-            f"retention_cohorts: {n_null} rows have a NULL {user_col!r} "
-            f"or {ts_col!r} — filter explicitly first"
-        )
     period_us = int(round(float(period_s) * 1_000_000))
-    active = events.select(
-        F.col(user_col).alias("u"),
+    # single-pass loud rejection (the window_funnel pattern): the one
+    # corpus scan raises on the first NULL user/timestamp instead of a
+    # separate validation pre-scan doubling the read
+    null_msg = (
+        f"retention_cohorts: NULL {user_col} / {ts_col} row — "
+        "filter explicitly first"
+    )
+    p_checked = F.when(
+        F.col(user_col).isNull() | F.col(ts_col).isNull(),
+        F.raise_error(F.lit(null_msg)).cast("long"),
+    ).otherwise(
         F.floor(
             F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(period_us)
-        ).cast("long").alias("p"),
+        ).cast("long")
+    )
+    active = events.select(
+        F.col(user_col).alias("u"),
+        p_checked.alias("p"),
     ).distinct()
     cohorts = active.groupBy("u").agg(F.min("p").alias("cohort"))
     sizes = cohorts.groupBy("cohort").agg(

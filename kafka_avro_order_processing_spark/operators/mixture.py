@@ -17,6 +17,8 @@ Scale shape: one groupBy for domain counts, two scalar broadcasts
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -29,8 +31,11 @@ def temperature_mixture_rates(
 ) -> DataFrame:
     """Per-domain acceptance rates for p_i ∝ n_i^alpha.  Returns
     (domain, n, rate, threshold) where rate = min(1, T * p_i / n_i)
-    and threshold = floor(rate * 256) is the md5-bucket cutoff
-    ``apply_mixture_rates`` uses.
+    and threshold = floor(rate * 65536) is the md5-bucket cutoff
+    ``apply_mixture_rates`` uses (16-bit buckets: an 8-bit space
+    silently zeroed any rate under 1/256, and a positive rate that
+    still quantizes to 0 raises in-plan rather than dropping the
+    domain).
 
     ``target_total`` T defaults to the LARGEST total the temperature
     distribution can honor without over-sampling any domain
@@ -63,9 +68,30 @@ def temperature_mixture_rates(
         F.least(
             F.lit(1.0), F.col("t") * F.col("p") / F.col("n").cast("double")
         ).alias("rate"),
-    ).withColumn(
-        "threshold", F.floor(F.col("rate") * 256).cast("bigint")
+    ).withColumn("threshold", _threshold_expr())
+
+
+#: 16-bit bucket space.  8 bits (the idiom's original size) zeroes any
+#: rate under 1/256 — and UniMax routinely allocates a giant head
+#: domain a tiny rate, so the finer space is load-bearing, not polish.
+N_BUCKETS = 65536
+
+
+def _threshold_expr():
+    """floor(rate * N_BUCKETS) as the bucket cutoff, raising IN-PLAN
+    when a POSITIVE rate quantizes to 0 — silently dropping a domain
+    that was allocated budget is the one failure mode the mixture
+    table must never hide."""
+    raw = F.floor(F.col("rate") * N_BUCKETS).cast("bigint")
+    msg = (
+        f"mixture threshold: positive acceptance rate below 1/{N_BUCKETS} "
+        "quantizes to bucket 0 and would silently drop the whole domain "
+        "— coarsen the mixture or thin this domain upstream"
     )
+    return F.when(
+        (F.col("rate") > 0) & (raw <= 0),
+        F.raise_error(F.lit(msg)).cast("bigint"),
+    ).otherwise(raw)
 
 
 def apply_mixture_rates(
@@ -75,13 +101,13 @@ def apply_mixture_rates(
     id_col: str = "doc_id",
     salt: str = "mix:",
 ) -> DataFrame:
-    """Keep each document iff its salted md5 bucket (0..255) falls
+    """Keep each document iff its salted md5 bucket (0..65535) falls
     under its domain's threshold — deterministic per (salt, id), so
     the sample is stable across reruns and growing corpora.  The rate
     table broadcasts; the filter is map-side."""
     bucket = F.conv(
         F.substring(
-            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 2
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 4
         ),
         16,
         10,
@@ -178,6 +204,17 @@ def unimax_rates(
         )
         for r in counts
     ]
+    # driver-side twin of _threshold_expr's in-plan guard: a positive
+    # allocation must survive quantization or fail loudly here, with
+    # the offending domain named
+    for domain, _, _, _, rate in rows:
+        if rate > 0 and math.floor(rate * N_BUCKETS) <= 0:
+            raise ValueError(
+                f"unimax_rates: domain {domain!r} got a positive rate "
+                f"{rate!r} below 1/{N_BUCKETS} — it would quantize to "
+                "threshold 0 and be dropped entirely; raise the budget, "
+                "lower max_epochs, or thin the domain upstream"
+            )
     # keep the domain column's NATIVE type so apply_mixture_rates joins
     # cleanly against the source frame
     from pyspark.sql.types import (
@@ -198,5 +235,5 @@ def unimax_rates(
     )
     out = spark.createDataFrame(rows, schema)
     return out.withColumn(
-        "threshold", F.floor(F.col("rate") * 256).cast("bigint")
+        "threshold", _threshold_expr()
     )

@@ -26,6 +26,7 @@ fit time on the driver.
 
 from __future__ import annotations
 
+import math
 from typing import Iterator
 
 import pandas as pd  # module-top: pandas_udf type hints resolve as strings
@@ -35,17 +36,32 @@ from pyspark.sql import functions as F
 DEFAULT_SCALE_BITS = 40
 
 
-def _validate_vectors(df: DataFrame, vec_col: str, dim: int) -> None:
-    bad = df.filter(
-        F.col(vec_col).isNull()
-        | (F.size(vec_col) != dim)
-        | F.exists(vec_col, lambda x: x.isNull())
-    ).count()
-    if bad:
-        raise ValueError(
-            f"{bad} rows have a NULL / wrong-length / NULL-element "
-            f"{vec_col!r} (expected array of {dim}) — filter explicitly"
-        )
+def _max_abs(scale_bits: int) -> float:
+    """Largest |element| for which |v_i*v_j| * 2^scale_bits < 2^52, the
+    floor() exactness bound both builders rely on (|x| <= 64 at the
+    default 40 bits)."""
+    return math.sqrt(float(1 << (52 - scale_bits)))
+
+
+def _checked_vec_expr(vec_col: str, dim: int, max_abs: float, dtype: str) -> str:
+    """SQL projection of ``vec_col`` that raises in-plan on the first
+    NULL / wrong-length / NULL-element / over-magnitude vector — the
+    single-pass replacement for a separate validation scan (r10
+    verdict): the one corpus read IS the validation."""
+    msg = (
+        f"{vec_col}: NULL / wrong-length / NULL-element vector, or an "
+        f"element with |x| > {max_abs!r} breaking the 2^52 floor() "
+        f"exactness bound (expected array of {dim}) — filter explicitly"
+    )
+    quoted = msg.replace("'", "''")
+    return (
+        f"CASE WHEN `{vec_col}` IS NULL OR size(`{vec_col}`) != {dim}"
+        f" OR exists(`{vec_col}`, x -> x IS NULL"
+        f" OR isnan(CAST(x AS DOUBLE))"
+        f" OR abs(CAST(x AS DOUBLE)) > {max_abs!r}D)"
+        f" THEN CAST(raise_error('{quoted}') AS {dtype})"
+        f" ELSE `{vec_col}` END"
+    )
 
 
 def _infer_dim(df: DataFrame, vec_col: str) -> int:
@@ -75,31 +91,44 @@ def gram_matrix(
       Python-free and whole-stage-codegen'd, the right builder for
       narrow vectors and the oracle twin of the arrow path.
 
-    Exactness bound (enforced): |v[i]*v[j]| * 2^scale_bits must stay
-    below 2^52 for floor()'s argument to be exact, i.e. embeddings with
-    |x| <= 64 at the default 40 bits.  The arrow builder emits one
-    int64 partial frame per ROW CHUNK of at most 1024 rows (also capped
-    so chunk * d^2 stays ~2^24 floats — bounded executor memory at any
-    d), so a chunk partial is <= 1024 * 2^52 < 2^63 BY CONSTRUCTION —
-    never a silent wrap — and all cross-chunk summation happens in
-    DECIMAL(38,0)."""
+    Exactness bound (enforced IN the one corpus scan): |v[i]*v[j]| *
+    2^scale_bits must stay below 2^52 for floor()'s argument to be
+    exact, i.e. embeddings with |x| <= 64 at the default 40 bits.
+    Both builders raise on the first vector that is NULL, wrong-length,
+    NULL-elemented, or carries an element with |x| over the bound —
+    folded into the scan itself (sql: in-plan ``raise_error``; arrow:
+    a vectorized chunk check), so validation never costs a second pass
+    and a wrapping partial can never be produced silently.  The arrow
+    builder emits one int64 partial frame per ROW CHUNK of at most
+    1024 rows (also capped so chunk * d^2 stays ~2^24 floats — bounded
+    executor memory at any d), so a chunk partial is <= 1024 * 2^52 <
+    2^63 BY CONSTRUCTION — never a silent wrap — and all cross-chunk
+    summation happens in DECIMAL(38,0)."""
     if method not in ("arrow", "sql"):
         raise ValueError(f"method must be 'arrow' or 'sql', got {method!r}")
+    if not (1 <= scale_bits <= 51):
+        raise ValueError(f"scale_bits must be in [1, 51], got {scale_bits}")
     d = int(dim) if dim is not None else _infer_dim(df, vec_col)
     if d < 1:
         raise ValueError(f"dim must be >= 1, got {d}")
-    _validate_vectors(df, vec_col, d)
     ms = float(1 << scale_bits)
+    max_abs = _max_abs(scale_bits)
 
     if method == "sql":
+        vtype = df.schema[vec_col].dataType.simpleString()
+        checked = _checked_vec_expr(vec_col, d, max_abs, vtype)
         tri = F.expr(
             f"flatten(transform(sequence(1, {d}), i ->"
             f" transform(sequence(i, {d}), j -> struct(i as i, j as j,"
-            f" CAST(floor(CAST(element_at({vec_col}, i) AS DOUBLE)"
-            f" * CAST(element_at({vec_col}, j) AS DOUBLE)"
+            f" CAST(floor(CAST(element_at(__v, i) AS DOUBLE)"
+            f" * CAST(element_at(__v, j) AS DOUBLE)"
             f" * {ms!r}D + 0.5D) AS BIGINT) as t))))"
         )
-        exploded = df.select(F.explode(tri).alias("e")).select("e.i", "e.j", "e.t")
+        exploded = (
+            df.select(F.expr(checked).alias("__v"))
+            .select(F.explode(tri).alias("e"))
+            .select("e.i", "e.j", "e.t")
+        )
         # cast BEFORE summing: a long sum would overflow at corpus scale
         return exploded.groupBy("i", "j").agg(
             F.sum(F.col("t").cast("decimal(38,0)")).cast("decimal(38,0)").alias("q")
@@ -115,11 +144,24 @@ def gram_matrix(
         import pandas as pd
 
         iu = np.triu_indices(d)
+        bad_msg = (
+            f"{vec_col}: NULL / wrong-length / NULL-element vector, or "
+            f"an element with |x| > {max_abs!r} breaking the 2^52 "
+            f"floor() exactness bound (expected array of {d}) — filter "
+            "explicitly"
+        )
         for pdf in batches:
             vecs = pdf[vec_col]
             if len(vecs) == 0:
                 continue
+            if any(v is None or len(v) != d for v in vecs):
+                raise ValueError(bad_msg)
             V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+            # NaN covers NULL elements (arrow nulls surface as NaN in
+            # the float frame); the magnitude gate keeps every
+            # |v_i*v_j|*2^scale_bits partial exactly representable
+            if np.isnan(V).any() or np.abs(V).max() > max_abs:
+                raise ValueError(bad_msg)
             for lo in range(0, len(V), chunk_rows):
                 C = V[lo : lo + chunk_rows]
                 P = np.einsum("ni,nj->nij", C, C)

@@ -143,6 +143,23 @@ def test_null_rows_rejected(spark):
         isotonic_fit(bad, "score", "y")
 
 
+def test_bad_weights_rejected(spark):
+    """The documented 'positive integer' weight contract is enforced
+    (r10 ADVICE): a NULL weight would silently drop its row, an
+    all-zero score group divides by zero at p = sy/(w*2^52), and a
+    negative weight inverts the bigint cross-multiplication."""
+    rows = [(1.0, 0.0, 1), (2.0, 1.0, 2)]
+    for bad_w in (None, 0, -3):
+        df = spark.createDataFrame(
+            rows + [(3.0, 1.0, bad_w)], "score double, y double, w int"
+        )
+        with pytest.raises(ValueError, match="w"):
+            isotonic_fit(df, "score", "y", weight_col="w")
+    ok = spark.createDataFrame(rows, "score double, y double, w int")
+    model = isotonic_fit(ok, "score", "y", weight_col="w")
+    assert model["n"] and sum(model["n"]) == 3
+
+
 def test_empty_model_apply_rejected(spark):
     empty = spark.createDataFrame([], "score double, y double")
     model = isotonic_fit(empty, "score", "y")

@@ -196,8 +196,35 @@ def test_validation(spark):
         [(1, None, _ts(0), "view")],
         "event_id long, user_id long, ts timestamp, event_type string",
     )
-    with pytest.raises(ValueError, match="NULL"):
-        window_funnel(withnull, STEPS, 60.0)
+    # NULL rejection is folded into the one corpus scan: the CALL is
+    # lazy (no validation pre-scan doubling the read — the r10 verdict
+    # item) and the action raises the in-plan error loudly
+    lazy = window_funnel(withnull, STEPS, 60.0)
+    with pytest.raises(Exception, match="NULL"):
+        lazy.collect()
+
+
+def test_pre_1970_timestamps_chain(spark):
+    """Negative epoch micros are legal event times: the unreachable
+    sentinel is NULL, so a chain starting before 1970 still counts
+    (the old -1 sentinel silently discarded such starts)."""
+    base = dt.datetime(1969, 12, 31, 23, 59, 0)  # t < 0 in unix micros
+    rows = [
+        (1, 1, base, "view"),
+        (2, 1, base + dt.timedelta(seconds=10), "click"),
+        (3, 1, base + dt.timedelta(seconds=50), "purchase"),
+        # u2 breaks the horizon across the epoch boundary
+        (4, 2, base, "view"),
+        (5, 2, base + dt.timedelta(seconds=90), "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r["user_id"]: r["funnel_level"]
+        for r in window_funnel(df, STEPS, HORIZON).collect()
+    }
+    assert got == {1: 3, 2: 1}
 
 
 def test_streaming_funnel_bit_matches_batch_single_epoch(spark):
@@ -382,3 +409,145 @@ def test_streaming_backoff_rejects_bad_params(spark):
         streaming_backoff_lm_score(stream, lm, lam=0.0)
     with pytest.raises(ValueError, match="alpha"):
         streaming_backoff_lm_score(stream, lm, alpha=-1.0)
+
+
+def test_retention_null_rejection_is_lazy_single_pass(spark):
+    """retention_cohorts folds NULL rejection into the corpus scan:
+    the call returns lazily (no validation pre-scan action) and the
+    first action raises the in-plan error."""
+    from kafka_avro_order_processing_spark.operators.funnel import (
+        retention_cohorts,
+    )
+
+    withnull = spark.createDataFrame(
+        [(1, None, _ts(0), "view"), (2, 1, _ts(1), "view")],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    lazy = retention_cohorts(withnull, period_s=60.0, horizon_periods=3)
+    with pytest.raises(Exception, match="NULL"):
+        lazy.collect()
+
+
+def test_streaming_funnel_ttl_evicts_idle_state(spark, tmp_path):
+    """Processing-time TTL (>= horizon) across two checkpointed runs:
+    an idle user's state is evicted — semantics-preserving for chain
+    starts — and the drained changelog behaves per the documented
+    contract: an idle user keeps their last emitted level; a
+    reappearing user restarts the counter (carol's lone click after
+    eviction reports 0, proving the state is gone — live state would
+    have reported her historical level 1)."""
+    import time
+
+    from kafka_avro_order_processing_spark.streaming.funnel import (
+        streaming_window_funnel_plan,
+    )
+
+    horizon = 2.0
+    ttl = 2.0
+    src = str(tmp_path / "ev")
+    sink = str(tmp_path / "sink")
+    chk = str(tmp_path / "chk")
+    schema = "event_id long, user_id string, ts timestamp, event_type string"
+
+    def run_epoch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = spark.readStream.schema(
+            spark.createDataFrame([], schema).schema
+        ).parquet(src)
+        out = streaming_window_funnel_plan(
+            stream, STEPS, horizon, state_ttl_s=ttl
+        )
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(
+                lambda df, eid: df.withColumn("__epoch", F.lit(eid))
+                .write.mode("append")
+                .parquet(sink)
+            )
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # epoch 1: alice reaches 2, bob 1, carol 1
+    run_epoch(
+        [
+            (1, "alice", _ts(0), "view"),
+            (2, "alice", _ts(1), "click"),
+            (3, "bob", _ts(0), "view"),
+            (4, "carol", _ts(0), "view"),
+        ]
+    )
+    time.sleep(ttl + 1.5)  # let every key idle past the TTL
+    # epoch 2: alice completes a FRESH chain (agrees with batch);
+    # carol sends only a click — with evicted state it cannot chain
+    run_epoch(
+        [
+            (5, "alice", _ts(100), "view"),
+            (6, "alice", _ts(100.5), "click"),
+            (7, "alice", _ts(101), "purchase"),
+            (8, "carol", _ts(100), "click"),
+        ]
+    )
+    import pandas as pd  # noqa: F401  (parquet fold below is Spark-side)
+
+    log = spark.read.parquet(sink)
+    latest = (
+        log.withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("user_id")
+                .orderBy(F.desc("__epoch"))
+            ),
+        )
+        .filter("rn = 1")
+        .select("user_id", "funnel_level")
+    )
+    got = {r["user_id"]: r["funnel_level"] for r in latest.collect()}
+    # alice: fresh chain == the batch level over all her events
+    all_events = spark.createDataFrame(
+        [
+            (1, "alice", _ts(0), "view"),
+            (2, "alice", _ts(1), "click"),
+            (5, "alice", _ts(100), "view"),
+            (6, "alice", _ts(100.5), "click"),
+            (7, "alice", _ts(101), "purchase"),
+            (3, "bob", _ts(0), "view"),
+        ],
+        schema,
+    )
+    batch = {
+        r["user_id"]: r["funnel_level"]
+        for r in window_funnel(all_events, STEPS, horizon).collect()
+    }
+    assert got["alice"] == batch["alice"] == 3
+    # bob idled: his last emitted row survives and matches batch
+    assert got["bob"] == batch["bob"] == 1
+    # carol: the documented reset — 0 proves eviction fired (live
+    # state would have kept her level-1 row as the latest emission
+    # only if re-emitted; a lone click on FRESH state emits 0)
+    assert got["carol"] == 0
+
+
+def test_streaming_funnel_ttl_validation(spark):
+    from kafka_avro_order_processing_spark.streaming.funnel import (
+        streaming_window_funnel_plan,
+    )
+
+    stream = spark.readStream.format("rate").load()  # never started
+    with pytest.raises(ValueError, match="state_ttl_s"):
+        streaming_window_funnel_plan(
+            stream.selectExpr(
+                "value AS event_id",
+                "CAST(value AS STRING) AS user_id",
+                "timestamp AS ts",
+                "'view' AS event_type",
+            ),
+            STEPS,
+            60.0,
+            state_ttl_s=30.0,
+        )

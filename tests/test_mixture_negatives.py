@@ -44,7 +44,7 @@ def test_temperature_rates_match_reference(spark):
     for d, n in counts.items():
         assert got[d][0] == n
         assert abs(got[d][1] - want[d]) < 1e-12
-        assert got[d][2] == math.floor(want[d] * 256)
+        assert got[d][2] == math.floor(want[d] * 65536)
     # feasibility default: the scarcest-relative-to-target domain is
     # kept in full (rate exactly 1 for at least one domain)
     assert any(abs(r - 1.0) < 1e-12 for _, r, _ in got.values())
@@ -101,8 +101,33 @@ def test_apply_rates_is_deterministic_and_correct(spark):
         for r in rates.collect()
     }
     for r in docs.limit(50).collect():
-        b = int(hashlib.md5(f"mix:{r['doc_id']}".encode()).hexdigest()[:2], 16)
+        b = int(hashlib.md5(f"mix:{r['doc_id']}".encode()).hexdigest()[:4], 16)
         assert (r["doc_id"] in kept1) == (b < thr[r["source"]])
+
+
+def test_tiny_positive_rate_raises_not_drops(spark):
+    """A positive acceptance rate under 1/65536 must raise loudly, not
+    quantize to threshold 0 and silently drop the whole domain (the
+    r10 ADVICE finding — UniMax makes tiny head-domain rates common)."""
+    import pytest
+
+    from kafka_avro_order_processing_spark.operators.mixture import (
+        unimax_rates,
+    )
+
+    # head: 200k docs, tail: 2 docs; budget 4 with max_epochs 1 ->
+    # head rate ~ 1e-5 < 1/65536
+    head = spark.range(200_000).selectExpr(
+        "'head' AS domain", "id AS doc_id"
+    )
+    tail = spark.range(2).selectExpr("'tail' AS domain", "id + 500000 AS doc_id")
+    df = head.union(tail)
+    with pytest.raises(ValueError, match="quantize"):
+        unimax_rates(df, "domain", budget=4, max_epochs=1.0)
+    # the in-plan guard on the temperature path fires at action time
+    lazy = temperature_mixture_rates(df, "domain", alpha=1.0, target_total=2)
+    with pytest.raises(Exception, match="bucket 0"):
+        lazy.collect()
 
 
 def test_hard_negatives_exclude_self_and_positives(spark):

@@ -160,18 +160,33 @@ def test_projection_exact_replica_and_nulls(spark):
 
 
 def test_validation_rejects_bad_vectors(spark):
+    """Validation is folded into the one corpus scan (r10 verdict):
+    both builders return LAZILY and raise on the first bad vector at
+    action time — NULL, wrong-length, and (the r10 ADVICE gap) an
+    element whose |x| breaks the 2^52 floor() exactness bound."""
     bad = spark.createDataFrame(
         [(0, [1.0, 2.0]), (1, None)], "vec_id long, embedding array<float>"
     )
-    with pytest.raises(ValueError, match="NULL"):
-        gram_matrix(bad, dim=2)
     short = spark.createDataFrame(
         [(0, [1.0, 2.0]), (1, [1.0])], "vec_id long, embedding array<float>"
     )
-    with pytest.raises(ValueError, match="wrong-length"):
-        gram_matrix(short, dim=2)
+    # |x| = 65 > 64 at the default 40 scale bits: 65*65*2^40 > 2^52
+    big = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [65.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    for method in ("arrow", "sql"):
+        for frame in (bad, short, big):
+            lazy = gram_matrix(frame, dim=2, method=method)  # no action yet
+            with pytest.raises(Exception, match="filter explicitly"):
+                lazy.collect()
+    # the bound scales with scale_bits: |x|=65 is fine at 39 bits
+    ok = gram_matrix(big, dim=2, scale_bits=39, method="sql").collect()
+    assert len(ok) == 3
     with pytest.raises(ValueError, match="k must be"):
         pca_fit(_frame(spark, _vectors()), k=99)
+    with pytest.raises(ValueError, match="scale_bits"):
+        gram_matrix(big, dim=2, scale_bits=52)
 
 
 def test_sql_method_is_python_free(spark):
