@@ -1884,30 +1884,6 @@ def q_priority_line_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "customers_no_pending_orders",
-    """
-    SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o
-                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
-    """,
-    tags=("olap", "join", "anti"),
-    doc="Anti join (NOT EXISTS) — left_anti with the filter pushed into "
-        "the build side.",
-)
-def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
-    pending = (
-        load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_orderstatus") == "P")
-        .select("o_custkey")
-    )
-    return (
-        c.join(pending, c.c_custkey == pending.o_custkey, "left_anti")
-        .select("c_custkey", "c_name")
-    )
-
-
-@_register(
     "customers_with_pending_orders",
     """
     SELECT c_custkey, c_name FROM customer c
@@ -6489,6 +6465,16 @@ RETIRED: dict[str, str] = {
         "(still exercised by near_dup_pairs and the LSH family).  "
         "Last driver-green r9."
     ),
+    "customers_no_pending_orders": (
+        "r11: subsumed by customers_with_pending_orders — the IDENTICAL "
+        "two-table plan (customer x status-filtered orders, same key, "
+        "same pushed build-side filter) with only the join type flipped "
+        "semi -> anti, so the pair demonstrated one mechanism twice; "
+        "the LEFT ANTI physical operator itself stays driver-checked "
+        "through churned_users (EXCEPT == left_anti over distinct, "
+        "checked every r8-window round).  Freed slot staged for "
+        "window_funnel (plans/promotions_r12.py).  Last driver-green r9."
+    ),
 }
 
 
@@ -6534,11 +6520,12 @@ _LEAD_ORDER = [
     "upsert_orders", "runtime_filtered_join", "ivf_kmeans_refine",
     # --- position 50 boundary ---------------------------------------
     # ROUND-12 MATH: after the r11 check the oldest rows anywhere are
-    # the 49 remaining r9-window names (50 minus the retired
-    # ngram_jaccard_adjacent — see RETIRED).  The 50th slot takes the
-    # staged r12 promotion block `rrf_fuse`
+    # the 48 remaining r9-window names (50 minus the retired
+    # ngram_jaccard_adjacent and customers_no_pending_orders — see
+    # RETIRED).  The two freed slots take the staged r12 promotion
+    # blocks `rrf_fuse` and `window_funnel`
     # (plans/promotions_r12.py; the 3-step swap recipe is in its
-    # module docstring).  49 + 1 = EXACTLY 50.  After r12 the
+    # module docstring).  48 + 2 = EXACTLY 50.  After r12 the
     # registry is back at 150 = 3x50 capacity: any further NEW name
     # must displace an existing one via the retirement ledger.
     # The r9/r10-window names and the rest follow via the fallback

@@ -20,7 +20,7 @@ from kafka_avro_order_processing_spark.plans.promotions_r12 import (
 )
 from kafka_avro_order_processing_spark.plans.registry import QUERIES
 
-EXPECTED = ("rrf_fuse",)
+EXPECTED = ("rrf_fuse", "window_funnel")
 
 
 def test_queue_is_exactly_the_named_block():
