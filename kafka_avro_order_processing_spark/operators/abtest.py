@@ -1,0 +1,280 @@
+"""A/B experiment readouts with CUPED variance reduction — the
+controlled-experiment layer (Deng, Xu, Kohavi & Walker, WSDM 2013,
+"Improving the Sensitivity of Online Controlled Experiments by
+Utilizing Pre-Experiment Data"): the adjusted metric
+
+    Y_cuped = Y - theta * (X - E[X]),   theta = cov(Y, X) / var(X)
+
+keeps the treatment-effect estimate unbiased (X is pre-experiment, so
+E[X | arm] is equal across arms under randomization) while removing
+the covariate-explained variance — the industry-standard way to make
+the same traffic detect smaller effects.
+
+Float discipline (the repo rule): metric and covariate are quantized
+ONCE per row as floor(v * 2^scale_bits + 0.5) — a single IEEE
+multiply-add whose result is identical on any engine, the gram/pca
+idiom — and every cross-row statistic is a DECIMAL(38,0) sum of those
+integers, so moments, theta, and the final z readout are
+bit-deterministic under any partitioning AND DuckDB-oracle-able.
+theta and the means assemble on the driver from exact collected
+integers in one fixed expression order.  The adjusted metric is
+re-quantized per row (y_q - floor(theta * x_q + 0.5)); the constant
+theta*E[X] shift cancels in every between-arm difference, so it is
+dropped rather than smeared across rows.
+
+Scale shape: two corpus passes, both single map-side-combinable keyed
+aggregates (pass 1: per-arm moments for theta; pass 2: per-arm
+adjusted moments) — O(arms) state, no joins, no windows; the
+assembly is O(arms) driver work.  Magnitude bound enforced IN-PLAN:
+|v| < 2^(44 - scale_bits) keeps every v_q^2 summand inside
+DECIMAL(38,0) headroom for n up to ~1e11 rows per arm.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SCALE_BITS = 20
+
+
+def _q_expr(col: str, scale_bits: int, op: str) -> F.Column:
+    """floor(v * 2^s + 0.5) as BIGINT with the magnitude bound and
+    NULL rejection folded into the same expression (single-pass loud
+    validation — no pre-scan)."""
+    ms = float(1 << scale_bits)
+    bound = float(1 << (44 - scale_bits))
+    msg = (
+        f"{op}: NULL {col}, or |{col}| >= {bound!r} breaking the "
+        f"DECIMAL(38,0) headroom at scale_bits={scale_bits} — filter or "
+        "rescale explicitly first"
+    )
+    v = F.col(col).cast("double")
+    return (
+        F.when(
+            v.isNull() | F.isnan(v) | (F.abs(v) >= F.lit(bound)),
+            F.raise_error(F.lit(msg)).cast("long"),
+        )
+        .otherwise(F.floor(v * F.lit(ms) + F.lit(0.5)).cast("long"))
+    )
+
+
+def _arm_checked(arm_col: str, op: str) -> F.Column:
+    msg = f"{op}: NULL {arm_col} row — filter explicitly first"
+    return F.when(
+        F.col(arm_col).isNull(), F.raise_error(F.lit(msg)).cast("string")
+    ).otherwise(F.col(arm_col).cast("string"))
+
+
+def ab_arm_stats(
+    df: DataFrame,
+    metric_col: str,
+    arm_col: str,
+    scale_bits: int = DEFAULT_SCALE_BITS,
+) -> DataFrame:
+    """Per-arm exact-moment readout: (arm, n, mean, var) with mean and
+    SAMPLE variance assembled from integer moments in one fixed
+    expression — the repo's corr() shape, DuckDB-oracle-able
+    (suite-proven).  One map-side-combinable aggregate."""
+    if not (1 <= scale_bits <= 43):
+        raise ValueError(f"scale_bits must be in [1, 43], got {scale_bits}")
+    ms = float(1 << scale_bits)
+    yq = _q_expr(metric_col, scale_bits, "ab_arm_stats")
+    mo = (
+        df.select(_arm_checked(arm_col, "ab_arm_stats").alias("arm"),
+                  yq.alias("y"))
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("y").cast("decimal(38,0)"))
+            .cast("decimal(38,0)").alias("sy"),
+            F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)"))
+            .cast("decimal(38,0)").alias("syy"),
+        )
+    )
+    dn = F.col("n").cast("decimal(19,0)")
+    var_num = dn * F.col("syy") - F.col("sy") * F.col("sy")
+    return mo.select(
+        "arm",
+        "n",
+        (F.col("sy").cast("double")
+         / (F.col("n").cast("double") * F.lit(ms))).alias("mean"),
+        F.when(
+            F.col("n") > 1,
+            var_num.cast("double")
+            / (
+                F.col("n").cast("double")
+                * (F.col("n") - 1).cast("double")
+                * F.lit(ms * ms)
+            ),
+        ).alias("var"),
+    )
+
+
+def _collect_moments(
+    df: DataFrame,
+    y_expr: F.Column,
+    x_expr: F.Column | None,
+    arm_expr: F.Column,
+) -> list:
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("y").cast("decimal(38,0)")).cast("decimal(38,0)").alias("sy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").alias("syy"),
+    ]
+    cols = [arm_expr.alias("arm"), y_expr.alias("y")]
+    if x_expr is not None:
+        cols.append(x_expr.alias("x"))
+        aggs += [
+            F.sum(F.col("x").cast("decimal(38,0)"))
+            .cast("decimal(38,0)").alias("sx"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
+            .cast("decimal(38,0)").alias("sxx"),
+            F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)"))
+            .cast("decimal(38,0)").alias("sxy"),
+        ]
+    return df.select(*cols).groupBy("arm").agg(*aggs).collect()
+
+
+def _two_arms(rows: list, op: str) -> tuple:
+    arms = sorted(r["arm"] for r in rows)
+    if len(arms) != 2:
+        raise ValueError(
+            f"{op}: need exactly 2 arms, got {arms!r} — filter or split "
+            "multi-arm experiments into pairwise readouts"
+        )
+    by = {r["arm"]: r for r in rows}
+    return arms, by
+
+
+def _mean_var(n: int, s: int, ss: int, ms: float) -> tuple[float, float]:
+    """Fixed-order float assembly of (mean, sample variance) from the
+    exact integer moments — the one place floats are manufactured."""
+    mean = float(s) / (float(n) * ms)
+    if n < 2:
+        return mean, float("nan")
+    var = float(n * ss - s * s) / (float(n) * float(n - 1) * ms * ms)
+    return mean, var
+
+
+def cuped_ab_test(
+    df: DataFrame,
+    metric_col: str,
+    covariate_col: str,
+    arm_col: str,
+    scale_bits: int = DEFAULT_SCALE_BITS,
+) -> dict:
+    """The full CUPED readout.  Returns::
+
+        {arms: [a, b], theta,
+         raw:   {a: {n, mean, var}, b: {...}, diff, se, z},
+         cuped: {a: {n, mean, var}, b: {...}, diff, se, z},
+         var_reduction}
+
+    ``diff`` = arm_b - arm_a in the arms' sorted order; ``z`` is the
+    two-sample unpooled (Welch) z statistic; ``var_reduction`` = 1 -
+    pooled CUPED variance / pooled raw variance — the number CUPED
+    exists to maximize (≈ corr(X, Y)^2 by the paper's identity).
+    theta is pooled across arms (the standard single-theta variant:
+    under randomization a common theta keeps the difference unbiased).
+
+    Two passes: the moment pass fixes theta from exact integer sums;
+    the adjusted pass re-aggregates y_q - floor(theta * x_q + 0.5).
+    The theta * E[X] centering constant shifts both arms equally and
+    is dropped — between-arm differences and variances are shift-
+    invariant, and omitting it keeps the adjusted row integer-exact.
+    """
+    if not (1 <= scale_bits <= 43):
+        raise ValueError(f"scale_bits must be in [1, 43], got {scale_bits}")
+    ms = float(1 << scale_bits)
+    op = "cuped_ab_test"
+    rows = _collect_moments(
+        df,
+        _q_expr(metric_col, scale_bits, op),
+        _q_expr(covariate_col, scale_bits, op),
+        _arm_checked(arm_col, op),
+    )
+    arms, by = _two_arms(rows, op)
+    # pooled theta from exact global integer moments (Python bigints)
+    N = sum(int(by[a]["n"]) for a in arms)
+    Sx = sum(int(by[a]["sx"]) for a in arms)
+    Sy = sum(int(by[a]["sy"]) for a in arms)
+    Sxx = sum(int(by[a]["sxx"]) for a in arms)
+    Sxy = sum(int(by[a]["sxy"]) for a in arms)
+    var_x_num = N * Sxx - Sx * Sx
+    if var_x_num == 0:
+        raise ValueError(
+            f"{op}: covariate {covariate_col!r} has zero variance — "
+            "CUPED cannot adjust on a constant"
+        )
+    theta = float(N * Sxy - Sx * Sy) / float(var_x_num)
+    # keep theta * x_q (and the adjusted square's decimal summand)
+    # inside int64 by construction, like every other integer path here
+    if abs(theta) >= float(1 << 18):
+        raise ValueError(
+            f"{op}: |theta| = {abs(theta):.3g} >= 2^18 — the covariate "
+            "is on a wildly different scale than the metric; rescale it "
+            "(CUPED is scale-invariant in the adjustment it produces)"
+        )
+
+    raw = {}
+    for a in arms:
+        r = by[a]
+        mean, var = _mean_var(int(r["n"]), int(r["sy"]), int(r["syy"]), ms)
+        raw[a] = {"n": int(r["n"]), "mean": mean, "var": var}
+
+    # pass 2: adjusted metric, re-quantized per row (floor of ONE
+    # multiply-add of a task literal — cross-engine-identical)
+    yq = _q_expr(metric_col, scale_bits, op)
+    xq = _q_expr(covariate_col, scale_bits, op)
+    adj = (
+        yq - F.floor(F.lit(theta) * xq.cast("double") + F.lit(0.5)).cast("long")
+    )
+    arows = (
+        df.select(_arm_checked(arm_col, op).alias("arm"), adj.alias("y"))
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("y").cast("decimal(38,0)"))
+            .cast("decimal(38,0)").alias("sy"),
+            F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)"))
+            .cast("decimal(38,0)").alias("syy"),
+        )
+        .collect()
+    )
+    _, aby = _two_arms(arows, op)
+    cuped = {}
+    for a in arms:
+        r = aby[a]
+        mean, var = _mean_var(int(r["n"]), int(r["sy"]), int(r["syy"]), ms)
+        cuped[a] = {"n": int(r["n"]), "mean": mean, "var": var}
+
+    def _readout(stats: dict) -> dict:
+        a, b = arms
+        diff = stats[b]["mean"] - stats[a]["mean"]
+        se = math.sqrt(
+            stats[a]["var"] / stats[a]["n"] + stats[b]["var"] / stats[b]["n"]
+        )
+        out = dict(stats)
+        out["diff"] = diff
+        out["se"] = se
+        out["z"] = diff / se if se > 0 else float("nan")
+        return out
+
+    raw_out = _readout(raw)
+    cuped_out = _readout(cuped)
+    pooled_raw = sum(raw[a]["var"] * (raw[a]["n"] - 1) for a in arms)
+    pooled_cuped = sum(cuped[a]["var"] * (cuped[a]["n"] - 1) for a in arms)
+    return {
+        "arms": arms,
+        "theta": theta,
+        "raw": raw_out,
+        "cuped": cuped_out,
+        "var_reduction": (
+            1.0 - pooled_cuped / pooled_raw if pooled_raw > 0 else float("nan")
+        ),
+        "scale_bits": int(scale_bits),
+    }

@@ -1,0 +1,368 @@
+"""Crowd / multi-annotator label aggregation — the training-label
+quality layer of a data-curation pipeline: majority vote with a
+deterministic tiebreak, per-worker agreement audits, and the classical
+Dawid–Skene EM (Dawid & Skene 1979, "Maximum Likelihood Estimation of
+Observer Error-Rates Using the EM Algorithm") that learns per-worker
+confusion matrices and re-weights votes by estimated reliability —
+the published standard that majority vote is the baseline for
+(Snow et al. EMNLP'08; Passonneau & Carpenter TACL'14 use the same
+model family).
+
+Why this operator set: every labeled-data pipeline at scale has
+redundant annotations (human raters, model ensembles, weak-labeling
+functions), and "which label wins" + "which annotator to trust" are
+exactly the two questions these operators answer.  No counterpart
+exists in Spark's built-ins.
+
+Scale shape:
+
+- ``majority_vote`` / ``worker_agreement``: integer groupBys + one
+  per-item window — the word-count class of job, DuckDB-oracle-able
+  exactly (counts are integers; rates are single f64 divisions of
+  exact integers, correctly rounded on any engine).
+- ``dawid_skene``: per EM iteration, ONE ``applyInPandas`` over
+  per-item groups (the sessionization shuffle — per-item state is
+  that item's label rows, skew bounded by the most-annotated item)
+  emitting integer M-step contributions, then ONE tiny-keyed integer
+  groupBy collected to the driver.  The model (class priors + one
+  K x K confusion matrix per worker) is O(workers * K^2) — the
+  sanctioned driver/model budget, same as k-means centroids; it ships
+  back into the next E-step as a task-literal dict.  The corpus-sized
+  label table is localCheckpoint'ed once and re-read n_iter+1 times,
+  never re-derived.
+
+Float discipline (the repo rule — see operators/nb.py): per-item
+E-step math runs vectorized in numpy (deterministic for a FIXED
+item's rows, independent of partitioning), each posterior is
+quantized ONCE to a 2^52-scaled integer, and every cross-item
+aggregation — M-step confusion numerators, denominators, and class
+priors — is a DECIMAL(38,0) sum of those integers, so the fitted
+model and the final posteriors are bit-identical under any
+partitioning or rerun.  The M-step divisions happen on the driver
+from exact collected integers in one fixed expression order.
+ln()/exp() are not IEEE-portable across engines, so the EM pins
+against a Python replica at tolerance while the integer vote tables
+carry exact DuckDB oracles (the lm.py / nb.py convention).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Posterior quantization scale: 2^52 (the repo-wide MEAN_SCALE).
+_POST_SCALE = float(1 << 52)
+
+
+def _checked_cols(df: DataFrame, cols: list[str], op: str) -> DataFrame:
+    """Project ``df`` with NULL rejection folded into the scan (the
+    single-pass in-plan raise_error pattern — no validation pre-scan)."""
+    cond = None
+    for c in cols:
+        cond = F.col(c).isNull() if cond is None else cond | F.col(c).isNull()
+    msg = f"{op}: NULL {' / '.join(cols)} row — filter explicitly first"
+    first = cols[0]
+    checked = F.when(cond, F.raise_error(F.lit(msg)).cast(
+        df.schema[first].dataType.simpleString()
+    )).otherwise(F.col(first))
+    return df.select(
+        checked.alias(first), *[F.col(c) for c in cols[1:]]
+    )
+
+
+def majority_vote(
+    labels: DataFrame,
+    item_col: str = "item_id",
+    worker_col: str = "worker_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """One row per item: the winning label by vote count with a
+    DETERMINISTIC tiebreak (most votes, then smallest label in the
+    label column's native ordering).  Returns (item_col, label,
+    n_votes, n_total, vote_frac); ``vote_frac`` is one f64 division
+    of exact integers.  NULL items/workers/labels are rejected loudly
+    in the same scan that counts the votes."""
+    rows = _checked_cols(labels, [item_col, worker_col, label_col],
+                         "majority_vote")
+    votes = rows.groupBy(item_col, label_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_votes")
+    )
+    w = Window.partitionBy(item_col).orderBy(
+        F.desc("n_votes"), F.asc(label_col)
+    )
+    totals = Window.partitionBy(item_col)
+    return (
+        votes.withColumn("n_total", F.sum("n_votes").over(totals).cast("long"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            item_col,
+            label_col,
+            "n_votes",
+            "n_total",
+            (F.col("n_votes").cast("double") / F.col("n_total").cast("double")
+             ).alias("vote_frac"),
+        )
+    )
+
+
+def worker_agreement(
+    labels: DataFrame,
+    item_col: str = "item_id",
+    worker_col: str = "worker_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-worker agreement with the majority: (worker_col, n_labels,
+    n_agree, agree_rate) over every label instance the worker
+    produced.  The broadcast side is the per-item winner table
+    (O(items) rows but only 2 skinny columns; at corpus scale the
+    join keys co-partition on item — one shuffle)."""
+    rows = _checked_cols(labels, [item_col, worker_col, label_col],
+                         "worker_agreement")
+    winners = majority_vote(labels, item_col, worker_col, label_col).select(
+        item_col, F.col(label_col).alias("__maj")
+    )
+    return (
+        rows.join(winners, item_col)
+        .select(
+            worker_col,
+            (F.col(label_col) == F.col("__maj")).cast("long").alias("__hit"),
+        )
+        .groupBy(worker_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_labels"),
+            F.sum("__hit").cast("long").alias("n_agree"),
+        )
+        .withColumn(
+            "agree_rate",
+            F.col("n_agree").cast("double") / F.col("n_labels").cast("double"),
+        )
+    )
+
+
+def _estep_fn(classes: list, model: dict | None, emit: str):
+    """Per-item E-step for applyInPandas.  ``model`` None = the
+    vote-fraction initialization (the standard Dawid–Skene start).
+    ``emit='m'`` yields integer M-step contribution rows;
+    ``emit='post'`` yields the quantized posterior rows."""
+    import numpy as np
+    import pandas as pd
+
+    k = len(classes)
+    cls_idx = {c: i for i, c in enumerate(classes)}
+
+    def fn(pdf):
+        # arrival order is shuffle-dependent; (worker, label) is unique
+        # per item after the upstream groupBy, so this sort makes every
+        # float accumulation below a FIXED-order fold — the posterior
+        # is then bit-identical under any partitioning
+        pdf = pdf.sort_values(["__worker", "__label"], kind="mergesort")
+        item = pdf["__item"].iloc[0]
+        obs = np.array([cls_idx[v] for v in pdf["__label"]], dtype=np.int64)
+        cnt = pdf["__n"].to_numpy(dtype=np.int64)
+        if model is None:
+            # vote-fraction posterior: votes_j / total (exact ints -> f64)
+            v = np.zeros(k, dtype=np.float64)
+            np.add.at(v, obs, cnt.astype(np.float64))
+            post = v / v.sum()
+        else:
+            s = model["log_prior"].copy()
+            for w, o, n in zip(pdf["__worker"], obs, cnt):
+                s = s + float(n) * model["log_pi"][w][:, o]
+            s -= s.max()
+            e = np.exp(s)
+            post = e / e.sum()
+        # the ONE quantization: everything summed across items is
+        # integer from here on
+        post_q = np.floor(post * _POST_SCALE + 0.5).astype(np.int64)
+        if emit == "post":
+            return pd.DataFrame(
+                {
+                    "__item": [item] * k,
+                    "__class": np.arange(k, dtype=np.int32),
+                    "__post_q": post_q,
+                }
+            )
+        # M-step rows: per (worker, obs label, class): n * post_q(class),
+        # plus one prior row per class (worker NULL)
+        n_rows = len(pdf)
+        out_w = list(pdf["__worker"]) * k + [None] * k
+        out_o = np.concatenate([np.tile(obs, k), np.full(k, -1)]).astype(
+            np.int32
+        )
+        out_c = np.concatenate(
+            [np.repeat(np.arange(k), n_rows), np.arange(k)]
+        ).astype(np.int32)
+        contrib = np.concatenate(
+            [
+                (cnt[None, :] * post_q[:, None]).reshape(-1),
+                post_q,
+            ]
+        )
+        return pd.DataFrame(
+            {
+                "__worker": pd.Series(out_w, dtype=object),
+                "__obs": out_o,
+                "__class": out_c,
+                "__contrib": contrib,
+            }
+        )
+
+    return fn
+
+
+def dawid_skene(
+    labels: DataFrame,
+    item_col: str = "item_id",
+    worker_col: str = "worker_id",
+    label_col: str = "label",
+    n_iter: int = 10,
+    alpha: float = 0.01,
+) -> tuple[DataFrame, dict]:
+    """Dawid–Skene observer-error EM.  Returns ``(posts, model)``:
+
+    - ``posts``: (item_col, label_col, posterior, map_label) — one row
+      per (item, class) with the class posterior and the item's MAP
+      label flag (ties broken toward the smaller class in label-sorted
+      order, deterministic);
+    - ``model``: {classes, log-space priors, per-worker K x K
+      confusion matrices pi[true, observed], n_iter, alpha} — the
+      reliability audit a curation run actually reads.
+
+    ``alpha`` is add-alpha smoothing on the confusion counts and
+    priors (keeps zero-count cells finite — the standard fix).
+    Iterations are FIXED (``n_iter``), not convergence-tested, so two
+    runs do identical work — determinism over adaptivity, the repo
+    rule.  Per-item label multiplicity n per (item, worker, label)
+    must stay <= 2^10 so n * post_q fits an int64 by construction
+    (enforced); realistic annotation data has n = 1.
+    """
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    import numpy as np
+
+    rows = _checked_cols(labels, [item_col, worker_col, label_col],
+                         "dawid_skene")
+    counts = (
+        rows.select(
+            F.col(item_col).alias("__item"),
+            F.col(worker_col).alias("__worker"),
+            F.col(label_col).alias("__label"),
+        )
+        .groupBy("__item", "__worker", "__label")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    )
+    # in-plan bound so n * post_q (<= n * 2^52) cannot wrap an int64
+    counts = counts.withColumn(
+        "__n",
+        F.when(
+            F.col("__n") > (1 << 10),
+            F.raise_error(F.lit(
+                "dawid_skene: more than 1024 identical (item, worker, "
+                "label) rows — aggregate duplicates upstream"
+            )).cast("long"),
+        ).otherwise(F.col("__n")),
+    )
+    # the corpus-sized table every iteration re-reads: pin it once
+    counts = counts.localCheckpoint(eager=True)
+
+    classes = [
+        r["__label"]
+        for r in counts.select("__label").distinct().orderBy("__label").collect()
+    ]
+    if len(classes) < 2:
+        raise ValueError(
+            f"dawid_skene: needs >= 2 distinct labels, got {classes!r}"
+        )
+    k = len(classes)
+    n_items = counts.select("__item").distinct().count()
+
+    item_type = labels.schema[item_col].dataType.simpleString()
+    worker_type = labels.schema[worker_col].dataType.simpleString()
+    m_schema = (
+        f"__worker {worker_type}, __obs int, __class int, __contrib long"
+    )
+    post_schema = f"__item {item_type}, __class int, __post_q long"
+
+    model = None  # iteration 0 = vote-fraction init
+    for _ in range(n_iter):
+        msums = (
+            counts.groupBy("__item")
+            .applyInPandas(_estep_fn(classes, model, "m"), m_schema)
+            .groupBy("__worker", "__obs", "__class")
+            .agg(
+                F.sum(F.col("__contrib").cast("decimal(38,0)"))
+                .cast("decimal(38,0)")
+                .alias("__s")
+            )
+            .collect()
+        )
+        # driver M-step from exact integers, fixed expression order
+        prior_sums = [0] * k
+        conf: dict = {}
+        for r in msums:
+            if r["__worker"] is None:
+                prior_sums[r["__class"]] += int(r["__s"])
+            else:
+                conf.setdefault(r["__worker"], np.zeros((k, k), dtype=object))[
+                    r["__class"], r["__obs"]
+                ] += int(r["__s"])
+        tot = sum(prior_sums)
+        log_prior = np.array(
+            [
+                math.log((float(p) + alpha * _POST_SCALE)
+                         / (float(tot) + k * alpha * _POST_SCALE))
+                for p in prior_sums
+            ]
+        )
+        log_pi = {}
+        for w in sorted(conf, key=str):
+            m = conf[w]
+            lp = np.empty((k, k), dtype=np.float64)
+            for j in range(k):
+                denom = float(sum(int(m[j, o]) for o in range(k)))
+                for o in range(k):
+                    lp[j, o] = math.log(
+                        (float(int(m[j, o])) + alpha * _POST_SCALE)
+                        / (denom + k * alpha * _POST_SCALE)
+                    )
+            log_pi[w] = lp
+        model = {"log_prior": log_prior, "log_pi": log_pi}
+
+    posts = counts.groupBy("__item").applyInPandas(
+        _estep_fn(classes, model, "post"), post_schema
+    )
+    cls_df = posts.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(classes)],
+        f"__class int, {label_col} {labels.schema[label_col].dataType.simpleString()}",
+    )
+    w = Window.partitionBy("__item").orderBy(
+        F.desc("__post_q"), F.asc("__class")
+    )
+    out = (
+        posts.join(F.broadcast(cls_df), "__class")
+        .withColumn("map_label", (F.row_number().over(w) == 1))
+        .select(
+            F.col("__item").alias(item_col),
+            label_col,
+            (F.col("__post_q").cast("double") / F.lit(_POST_SCALE)
+             ).alias("posterior"),
+            "map_label",
+        )
+    )
+    pi = {
+        w_: np.exp(model["log_pi"][w_]) for w_ in model["log_pi"]
+    }
+    return out, {
+        "classes": classes,
+        "log_prior": [float(x) for x in model["log_prior"]],
+        "prior": [float(math.exp(x)) for x in model["log_prior"]],
+        "pi": {w_: pi[w_].tolist() for w_ in pi},
+        "n_items": int(n_items),
+        "n_iter": int(n_iter),
+        "alpha": float(alpha),
+    }

@@ -16,6 +16,12 @@ import pytest
 
 from kafka_avro_order_processing_spark.plans.registry import QUERIES
 
+# The full-registry sweep re-checks the same oracle surface the
+# driver-contract drive (scripts/drive_parity.py) covers per commit;
+# it stays in the default/round-close run but the fast per-commit
+# loop may deselect it with -m "not slow" (pytest.ini).
+pytestmark = pytest.mark.slow
+
 # Spark integral type names — oracle columns matching these by name must
 # come back integer-typed from DuckDB's arrow path.  DuckDB types a bare
 # SUM(BIGINT) as HUGEINT (decimal128 in arrow), which pandas canonicalizes
