@@ -20,16 +20,17 @@ Scale shape:
   per-item window — the word-count class of job, DuckDB-oracle-able
   exactly (counts are integers; rates are single f64 divisions of
   exact integers, correctly rounded on any engine).
-- ``dawid_skene``: per EM iteration, ONE ``applyInPandas`` over
-  per-item groups (the sessionization shuffle — per-item state is
-  that item's label rows, skew bounded by the most-annotated item)
-  emitting integer M-step contributions, then ONE tiny-keyed integer
-  groupBy collected to the driver.  The model (class priors + one
-  K x K confusion matrix per worker) is O(workers * K^2) — the
-  sanctioned driver/model budget, same as k-means centroids; it ships
-  back into the next E-step as a task-literal dict.  The corpus-sized
-  label table is localCheckpoint'ed once and re-read n_iter+1 times,
-  never re-derived.
+- ``dawid_skene``: the label table is shuffled ONCE into an
+  item-partitioned, item-sorted layout and localCheckpoint'ed; each
+  EM iteration is then a SHUFFLE-FREE ``mapInPandas`` over the
+  contiguous item runs (one Python call per arrow batch, not per
+  item — per-item state is that item's label rows, skew bounded by
+  the most-annotated item) emitting integer M-step contributions,
+  plus ONE tiny-keyed integer groupBy collected to the driver.  The
+  model (class priors + one K x K confusion matrix per worker) is
+  O(workers * K^2) — the sanctioned driver/model budget, same as
+  k-means centroids; it ships back into the next E-step as a
+  task-literal dict.
 
 Float discipline (the repo rule — see operators/nb.py): per-item
 E-step math runs vectorized in numpy (deterministic for a FIXED
@@ -143,22 +144,24 @@ def worker_agreement(
 
 
 def _estep_fn(classes: list, model: dict | None, emit: str):
-    """Per-item E-step for applyInPandas.  ``model`` None = the
-    vote-fraction initialization (the standard Dawid–Skene start).
-    ``emit='m'`` yields integer M-step contribution rows;
-    ``emit='post'`` yields the quantized posterior rows."""
+    """E-step for mapInPandas over the item-partitioned, item-sorted
+    layout.  ``model`` None = the vote-fraction initialization (the
+    standard Dawid–Skene start).  ``emit='m'`` yields integer M-step
+    contribution rows; ``emit='post'`` yields the quantized posterior
+    rows.  The within-item fold order is the layout's (worker, label)
+    SORT order — Spark's binary string ordering; an exactness replica
+    must sort the same way (ASCII-identical to Python's)."""
     import numpy as np
     import pandas as pd
 
     k = len(classes)
     cls_idx = {c: i for i, c in enumerate(classes)}
 
-    def fn(pdf):
-        # arrival order is shuffle-dependent; (worker, label) is unique
-        # per item after the upstream groupBy, so this sort makes every
-        # float accumulation below a FIXED-order fold — the posterior
-        # is then bit-identical under any partitioning
-        pdf = pdf.sort_values(["__worker", "__label"], kind="mergesort")
+    def one_item(pdf, out):
+        """Score ONE item's (already (worker, label)-sorted) rows and
+        append its output rows to the ``out`` column lists.  The fold
+        order is fixed by the partition sort, so the posterior is
+        bit-identical under any partitioning."""
         item = pdf["__item"].iloc[0]
         obs = np.array([cls_idx[v] for v in pdf["__label"]], dtype=np.int64)
         cnt = pdf["__n"].to_numpy(dtype=np.int64)
@@ -178,39 +181,94 @@ def _estep_fn(classes: list, model: dict | None, emit: str):
         # integer from here on
         post_q = np.floor(post * _POST_SCALE + 0.5).astype(np.int64)
         if emit == "post":
-            return pd.DataFrame(
-                {
-                    "__item": [item] * k,
-                    "__class": np.arange(k, dtype=np.int32),
-                    "__post_q": post_q,
-                }
-            )
+            out["__item"].extend([item] * k)
+            out["__class"].append(np.arange(k, dtype=np.int32))
+            out["__post_q"].append(post_q)
+            return
         # M-step rows: per (worker, obs label, class): n * post_q(class),
         # plus one prior row per class (worker NULL)
         n_rows = len(pdf)
-        out_w = list(pdf["__worker"]) * k + [None] * k
-        out_o = np.concatenate([np.tile(obs, k), np.full(k, -1)]).astype(
-            np.int32
+        out["__worker"].extend(list(pdf["__worker"]) * k + [None] * k)
+        out["__obs"].append(
+            np.concatenate([np.tile(obs, k), np.full(k, -1)]).astype(np.int32)
         )
-        out_c = np.concatenate(
-            [np.repeat(np.arange(k), n_rows), np.arange(k)]
-        ).astype(np.int32)
-        contrib = np.concatenate(
-            [
-                (cnt[None, :] * post_q[:, None]).reshape(-1),
-                post_q,
-            ]
+        out["__class"].append(
+            np.concatenate(
+                [np.repeat(np.arange(k), n_rows), np.arange(k)]
+            ).astype(np.int32)
         )
+        out["__contrib"].append(
+            np.concatenate(
+                [(cnt[None, :] * post_q[:, None]).reshape(-1), post_q]
+            )
+        )
+
+    def flush(out):
+        if emit == "post":
+            return pd.DataFrame(
+                {
+                    "__item": out["__item"],
+                    "__class": np.concatenate(out["__class"]),
+                    "__post_q": np.concatenate(out["__post_q"]),
+                }
+            )
         return pd.DataFrame(
             {
-                "__worker": pd.Series(out_w, dtype=object),
-                "__obs": out_o,
-                "__class": out_c,
-                "__contrib": contrib,
+                "__worker": pd.Series(out["__worker"], dtype=object),
+                "__obs": np.concatenate(out["__obs"]),
+                "__class": np.concatenate(out["__class"]),
+                "__contrib": np.concatenate(out["__contrib"]),
             }
         )
 
-    return fn
+    def fresh():
+        return (
+            {"__item": [], "__class": [], "__post_q": []}
+            if emit == "post"
+            else {"__worker": [], "__obs": [], "__class": [], "__contrib": []}
+        )
+
+    def run(batches):
+        """mapInPandas driver: the input is repartitioned by __item and
+        sorted (__item, __worker, __label) within partitions, so an
+        item's rows are contiguous; the tail item of each arrow batch
+        may continue in the next and is carried over."""
+        pending = None
+        for pdf in batches:
+            if pending is not None:
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            if len(pdf) == 0:
+                continue
+            tail_mask = (pdf["__item"] == pdf["__item"].iloc[-1]).to_numpy()
+            # contiguity: the tail item occupies a suffix of the batch
+            cut = len(pdf) - int(tail_mask[::-1].argmin() or len(pdf))
+            pending = pdf.iloc[cut:]
+            work = pdf.iloc[:cut]
+            if len(work) == 0:
+                continue
+            out = fresh()
+            codes, starts = _group_starts(work["__item"])
+            for i, lo in enumerate(starts):
+                hi = starts[i + 1] if i + 1 < len(starts) else len(work)
+                one_item(work.iloc[lo:hi], out)
+            yield flush(out)
+        if pending is not None and len(pending):
+            out = fresh()
+            one_item(pending, out)
+            yield flush(out)
+
+    return run
+
+
+def _group_starts(series):
+    """Start offsets of each contiguous equal-value run in a pandas
+    Series (the input is pre-sorted, so runs == groups)."""
+    import numpy as np
+
+    codes = series.factorize()[0]
+    starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+    return codes, starts
 
 
 def dawid_skene(
@@ -267,8 +325,17 @@ def dawid_skene(
             )).cast("long"),
         ).otherwise(F.col("__n")),
     )
-    # the corpus-sized table every iteration re-reads: pin it once
-    counts = counts.localCheckpoint(eager=True)
+    # the layout every iteration re-reads: shuffle ONCE into
+    # item-partitioned, (__item, __worker, __label)-sorted form and pin
+    # it — each EM iteration is then a SHUFFLE-FREE mapInPandas over
+    # contiguous item runs (one Python call per arrow batch, not per
+    # item) plus the tiny-keyed M-step aggregate.  This is the whole
+    # difference between O(n_iter) corpus shuffles and one.
+    counts = (
+        counts.repartition("__item")
+        .sortWithinPartitions("__item", "__worker", "__label")
+        .localCheckpoint(eager=True)
+    )
 
     classes = [
         r["__label"]
@@ -291,8 +358,7 @@ def dawid_skene(
     model = None  # iteration 0 = vote-fraction init
     for _ in range(n_iter):
         msums = (
-            counts.groupBy("__item")
-            .applyInPandas(_estep_fn(classes, model, "m"), m_schema)
+            counts.mapInPandas(_estep_fn(classes, model, "m"), m_schema)
             .groupBy("__worker", "__obs", "__class")
             .agg(
                 F.sum(F.col("__contrib").cast("decimal(38,0)"))
@@ -333,7 +399,7 @@ def dawid_skene(
             log_pi[w] = lp
         model = {"log_prior": log_prior, "log_pi": log_pi}
 
-    posts = counts.groupBy("__item").applyInPandas(
+    posts = counts.mapInPandas(
         _estep_fn(classes, model, "post"), post_schema
     )
     cls_df = posts.sparkSession.createDataFrame(
