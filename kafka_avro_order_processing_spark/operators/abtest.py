@@ -68,23 +68,16 @@ def _arm_checked(arm_col: str, op: str) -> F.Column:
     ).otherwise(F.col(arm_col).cast("string"))
 
 
-def ab_arm_stats(
-    df: DataFrame,
-    metric_col: str,
-    arm_col: str,
-    scale_bits: int = DEFAULT_SCALE_BITS,
+def _arm_moments(
+    df: DataFrame, metric_col: str, arm_col: str, scale_bits: int, op: str
 ) -> DataFrame:
-    """Per-arm exact-moment readout: (arm, n, mean, var) with mean and
-    SAMPLE variance assembled from integer moments in one fixed
-    expression — the repo's corr() shape, DuckDB-oracle-able
-    (suite-proven).  One map-side-combinable aggregate."""
-    if not (1 <= scale_bits <= 43):
-        raise ValueError(f"scale_bits must be in [1, 43], got {scale_bits}")
-    ms = float(1 << scale_bits)
-    yq = _q_expr(metric_col, scale_bits, "ab_arm_stats")
-    mo = (
-        df.select(_arm_checked(arm_col, "ab_arm_stats").alias("arm"),
-                  yq.alias("y"))
+    """(arm, n, sy, syy) — associative integer sums only, so the SAME
+    aggregation runs identically as a batch groupBy or as update-mode
+    streaming aggregation state (the streaming-correlation argument:
+    micro-batch boundaries provably cannot move an integer sum)."""
+    yq = _q_expr(metric_col, scale_bits, op)
+    return (
+        df.select(_arm_checked(arm_col, op).alias("arm"), yq.alias("y"))
         .groupBy("arm")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
@@ -94,6 +87,10 @@ def ab_arm_stats(
             .cast("decimal(38,0)").alias("syy"),
         )
     )
+
+
+def _arm_assemble(mo: DataFrame, scale_bits: int) -> DataFrame:
+    ms = float(1 << scale_bits)
     dn = F.col("n").cast("decimal(19,0)")
     var_num = dn * F.col("syy") - F.col("sy") * F.col("sy")
     return mo.select(
@@ -111,6 +108,48 @@ def ab_arm_stats(
             ),
         ).alias("var"),
     )
+
+
+def ab_arm_stats(
+    df: DataFrame,
+    metric_col: str,
+    arm_col: str,
+    scale_bits: int = DEFAULT_SCALE_BITS,
+) -> DataFrame:
+    """Per-arm exact-moment readout: (arm, n, mean, var) with mean and
+    SAMPLE variance assembled from integer moments in one fixed
+    expression — the repo's corr() shape, DuckDB-oracle-able
+    (suite-proven).  One map-side-combinable aggregate."""
+    if not (1 <= scale_bits <= 43):
+        raise ValueError(f"scale_bits must be in [1, 43], got {scale_bits}")
+    mo = _arm_moments(df, metric_col, arm_col, scale_bits, "ab_arm_stats")
+    return _arm_assemble(mo, scale_bits)
+
+
+def streaming_ab_arm_stats(
+    stream_df: DataFrame,
+    metric_col: str,
+    arm_col: str,
+    scale_bits: int = DEFAULT_SCALE_BITS,
+) -> DataFrame:
+    """Streaming twin of :func:`ab_arm_stats`: the three integer
+    moments accumulate as update-mode streaming aggregation state —
+    the live experiment dashboard an unbounded event stream can
+    maintain forever in O(arms) state — and the readout assembles in
+    batch over the drained moment table, BIT-matching the batch
+    operator on the same rows (suite-pinned)."""
+    if not (1 <= scale_bits <= 43):
+        raise ValueError(f"scale_bits must be in [1, 43], got {scale_bits}")
+    from ..streaming.pipeline import drain_to_df
+
+    mo = drain_to_df(
+        _arm_moments(
+            stream_df, metric_col, arm_col, scale_bits, "streaming_ab_arm_stats"
+        ),
+        "update",
+        key_cols=("arm",),
+    )
+    return _arm_assemble(mo, scale_bits)
 
 
 def _collect_moments(

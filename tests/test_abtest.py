@@ -179,3 +179,29 @@ def test_validation(spark):
     lazy = ab_arm_stats(withnull, "y", "arm")
     with pytest.raises(Exception, match="NULL"):
         lazy.collect()
+
+
+def test_streaming_arm_stats_bit_match_batch(spark, tmp_path):
+    """The moments are associative integer sums, so the drained
+    streaming readout must BIT-match batch on the same rows — single
+    and multi micro-batch."""
+    from kafka_avro_order_processing_spark.operators.abtest import (
+        streaming_ab_arm_stats,
+    )
+
+    df = _exp_frame(spark).select("arm", "y")
+    d = str(tmp_path / "exp")
+    # three files -> three micro-batches with maxFilesPerTrigger=1
+    df.repartition(3).write.parquet(d)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    want = sorted(
+        tuple(r) for r in ab_arm_stats(spark.read.parquet(d), "y", "arm").collect()
+    )
+    got = sorted(
+        tuple(r) for r in streaming_ab_arm_stats(stream, "y", "arm").collect()
+    )
+    assert got == want
