@@ -1,0 +1,151 @@
+"""Priority sampling — fixed-size weighted sampling WITHOUT
+replacement with unbiased subset-sum estimation (Duffield, Lund &
+Thorup, JACM 54(6) 2007, "Priority sampling for estimation of
+arbitrary subset sums"; near-optimal per Szegedy STOC'06).
+
+Why it matters at 100 TB: you cannot eyeball, label, or re-process
+100 TB — you work on a sample.  Uniform sampling wastes the budget on
+the long tail when rows carry wildly different weights (bytes, spend,
+token counts); weight-proportional schemes with replacement duplicate
+the head.  Priority sampling keeps EXACTLY k rows, over-represents
+heavy rows, and still answers ANY downstream "what is the total W of
+subset S?" question unbiasedly from the sample alone:
+
+- priority  q_i = w_i / u_i  with u_i uniform in (0,1];
+- keep the k highest-priority rows; let tau = the (k+1)-th priority;
+- estimate  ŵ_i = max(w_i, tau)  for kept rows, 0 otherwise.
+  Then E[Σ_{i∈S} ŵ_i · [i kept]] = Σ_{i∈S} w_i for every fixed S
+  (Duffield et al. Theorem 1), and Var is near-optimal.
+
+Determinism (the repo md5 convention): u_i = (h52(salt:key)+1) / 2^52
+— the numerator is an exact 52-bit integer + 1 and the denominator a
+power of two, so u_i is an EXACT double, and q_i = w_i / u_i is ONE
+correctly-rounded IEEE division both engines reproduce bit-for-bit.
+Selection order (q desc, key asc) is therefore identical in Spark and
+ANSI SQL: the whole sample, tau included, hash-matches a DuckDB
+oracle exactly.  No transcendental (the exp/log of A-ES/A-Res
+reservoir keys would differ in the last ulp across engines).
+
+Scale shape: the global path is orderBy(q desc).limit(k+1) — Spark
+compiles TakeOrderedAndProject (per-partition top-(k+1) heaps merged
+on the driver): map-only over the data, k+1 rows per partition moved.
+The grouped path window-ranks within the group key — one shuffle on
+that key, skew bounded by the busiest group.  tau is derived from the
+same (k+1) head rows, not a second scan.
+
+The reference has no sampling surface (it forwards every record:
+/root/reference/src/consumer/order_consumer.py); this is the
+operation its pipeline needs first at data-lake scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .kmv import KMV_SPACE, kmv_hash
+
+_PS_SALT = "psamp"
+
+
+def _priority(weight_col: str, key_col: str, salt: str) -> Column:
+    """q = w / u with u = (h52(key)+1)/2^52, exact per the module
+    contract.  Requires w > 0 (validated by the caller)."""
+    u = (kmv_hash(F.col(key_col), salt) + F.lit(1)).cast("double") / F.lit(
+        float(KMV_SPACE)
+    )
+    return F.col(weight_col).cast("double") / u
+
+
+def priority_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    by: list[str] | None = None,
+    salt: str = _PS_SALT,
+) -> DataFrame:
+    """Priority sample of k rows (per group when ``by`` is given).
+
+    Returns the input columns plus:
+
+    - ``priority``: q_i = w_i / u_i (the selection key);
+    - ``tau``: the group's (k+1)-th priority (0.0 when the group has
+      <= k rows — every row kept, estimates exact);
+    - ``est_weight``: max(w_i, tau), the unbiased per-row estimator —
+      Σ est_weight over any predicate on the sample estimates that
+      predicate's true total weight.
+
+    Contracts: ``key_col`` must be unique non-NULL (it seeds u_i; a
+    duplicate key would reuse a uniform draw) and ``weight_col`` must
+    be > 0 and non-NULL — both rejected loudly, in the same pass, via
+    in-plan ``raise_error`` (lazy: the ACTION raises).
+    """
+    if k < 1:
+        raise ValueError(f"priority_sample needs k >= 1, got {k}")
+    by = list(by or [])
+    bad_w = (
+        F.col(weight_col).isNull()
+        | F.isnan(F.col(weight_col).cast("double"))
+        | (F.col(weight_col) <= 0)
+    )
+    bad_k = F.col(key_col).isNull()
+    checked = F.when(
+        bad_w | bad_k,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"priority_sample: NULL {key_col} or non-positive "
+                    f"{weight_col} at key="
+                ),
+                F.coalesce(F.col(key_col).cast("string"), F.lit("NULL")),
+            )
+        ).cast("double"),
+    ).otherwise(_priority(weight_col, key_col, salt))
+    scored = df.withColumn("priority", checked)
+
+    if by:
+        w_rank = Window.partitionBy(*by).orderBy(
+            F.col("priority").desc(), F.col(key_col).asc()
+        )
+        head = scored.withColumn("_rn", F.row_number().over(w_rank)).filter(
+            F.col("_rn") <= k + 1
+        )
+        w_tau = Window.partitionBy(*by)
+    else:
+        head = (
+            scored.orderBy(F.col("priority").desc(), F.col(key_col).asc())
+            .limit(k + 1)
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.orderBy(
+                        F.col("priority").desc(), F.col(key_col).asc()
+                    )
+                ),
+            )
+        )
+        w_tau = Window.partitionBy(F.lit(1))
+    # tau = the (k+1)-th priority if the group reached k+1 rows else 0.
+    tau = F.max(F.when(F.col("_rn") == k + 1, F.col("priority"))).over(w_tau)
+    return (
+        head.withColumn("tau", F.coalesce(tau, F.lit(0.0)))
+        .filter(F.col("_rn") <= k)
+        .withColumn(
+            "est_weight",
+            F.greatest(F.col(weight_col).cast("double"), F.col("tau")),
+        )
+        .drop("_rn")
+    )
+
+
+def subset_sum_estimate(
+    sample: DataFrame, predicate: Column, by: list[str] | None = None
+) -> DataFrame:
+    """Σ est_weight over the sampled rows matching ``predicate`` — the
+    Duffield-Lund-Thorup unbiased estimate of the predicate's true
+    total weight, computed from the k-row sample alone."""
+    by = list(by or [])
+    filtered = sample.filter(predicate)
+    agg = F.sum("est_weight").alias("est_total_weight")
+    return filtered.groupBy(*by).agg(agg) if by else filtered.agg(agg)
