@@ -91,20 +91,11 @@ def mg_candidates(df: DataFrame, key_col: str, k: int) -> DataFrame:
     return df.select(key_col).mapInPandas(fn, out_schema).distinct()
 
 
-def heavy_hitters(df: DataFrame, key_col: str, k: int) -> DataFrame:
-    """EXACTLY the keys with freq(key) > N/(k+1), with exact counts —
-    computed without ever shuffling the full key space.
-
-    Returns (key_col, freq BIGINT, n_total BIGINT, frac DOUBLE),
-    one row per heavy key.  Oracle:
-
-        SELECT key, COUNT(*) AS freq, n, COUNT(*)/n AS frac
-        FROM t WHERE key IS NOT NULL GROUP BY key
-        HAVING COUNT(*) * (k+1) > n     -- n = COUNT(key IS NOT NULL)
-
-    The integer comparison freq*(k+1) > N avoids any float threshold.
-    """
-    cand = mg_candidates(df, key_col, k)
+def exact_recount(df: DataFrame, cand: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Pass 2: exact counts for a (small) candidate frame, plus the
+    exact non-NULL total, in ONE data pass; keep freq*(k+1) > N.
+    Shared by the batch operator and the streaming-candidates twin —
+    the candidate source only needs the no-false-negative property."""
     rows = df.select(key_col).filter(F.col(key_col).isNotNull())
     # Tag each row by broadcast-lookup; non-candidates collapse into a
     # single NULL group (map-side combined: one partial row per task).
@@ -129,3 +120,19 @@ def heavy_hitters(df: DataFrame, key_col: str, k: int) -> DataFrame:
              ).alias("frac"),
         )
     )
+
+
+def heavy_hitters(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """EXACTLY the keys with freq(key) > N/(k+1), with exact counts —
+    computed without ever shuffling the full key space.
+
+    Returns (key_col, freq BIGINT, n_total BIGINT, frac DOUBLE),
+    one row per heavy key.  Oracle:
+
+        SELECT key, COUNT(*) AS freq, n, COUNT(*)/n AS frac
+        FROM t WHERE key IS NOT NULL GROUP BY key
+        HAVING COUNT(*) * (k+1) > n     -- n = COUNT(key IS NOT NULL)
+
+    The integer comparison freq*(k+1) > N avoids any float threshold.
+    """
+    return exact_recount(df, mg_candidates(df, key_col, k), key_col, k)

@@ -1,0 +1,163 @@
+"""Streaming twins of the bounded-memory sketch families — sharded
+KMV distinct sketches and sharded Misra–Gries heavy-hitter candidates
+as ``applyInPandasWithState`` operators.
+
+The batch operators (operators/kmv.py, operators/heavy.py) answer
+"how many distinct / which keys are hot" over a table; an ingest
+pipeline needs the SAME answers continuously over an unbounded
+stream, with state that does not grow with the key space.  Both
+sketches are associative, so the streaming shape is sharding:
+
+- every record routes to shard = h52(key) % n_shards (DETERMINISTIC —
+  the repo md5 convention — so all occurrences of a key land in ONE
+  shard and per-shard guarantees lift to global ones);
+- each shard's GroupState holds one bounded sketch (k hashes / k
+  counters) updated per micro-batch and re-emitted in update mode —
+  an O(shards) changelog per epoch, never O(keys);
+- the drained changelog folds batch-side into the global answer:
+
+  * KMV: merging the shard sketches' k smallest distinct hashes IS
+    the global KMV sketch, BIT-FOR-BIT equal to the batch
+    ``kmv_sketch`` of the same rows (min-k closure under union —
+    sharding loses nothing).
+  * MG: a key with global freq > N/(k+1) has shard freq > n_s/(k+1)
+    (its shard's n_s <= N), so it survives its shard's MG summary:
+    the drained candidate union has the same no-false-negative
+    property as batch pass 1, and ``operators.heavy.exact_recount``
+    turns it into the EXACT heavy-hitter set — the streaming path
+    hash-matches the batch path and the ANSI oracle.
+
+State bounds: n_shards * k entries total, independent of stream
+length and key cardinality.  No timeout — the sketches ARE the
+bounded state (contrast streaming/funnel.py's per-user state, which
+needs a TTL).
+
+The reference's consumer keeps exact per-product dict counters
+updated record-at-a-time (/root/reference/src/aggregator/
+price_aggregator.py:35-51); these are the same continuous-readout
+semantics at cardinalities where exact state no longer fits.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.heavy import _mg_reduce
+from ..operators.kmv import kmv_hash
+
+KMV_OUT_SCHEMA = "shard int, hashes array<long>, n_kept int"
+KMV_STATE_SCHEMA = "hashes array<long>"
+MG_OUT_SCHEMA = "shard int, key string, lower_bound long"
+MG_STATE_SCHEMA = "keys array<string>, counts array<long>"
+
+
+def _with_shard(df: DataFrame, key_col: str, n_shards: int, salt: str):
+    return df.filter(F.col(key_col).isNotNull()).withColumn(
+        "_shard", (kmv_hash(F.col(key_col), salt) % n_shards).cast("int")
+    )
+
+
+def streaming_kmv_sketch(
+    stream_df: DataFrame,
+    key_col: str,
+    k: int = 64,
+    n_shards: int = 8,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Per-shard KMV sketches over a stream, update mode: each epoch
+    re-emits the shards whose sketch changed.  Fold the drained rows
+    with ``merge_shard_sketches`` for the exact global sketch."""
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (hashes,) = state.get if state.exists else ([],)
+        current = set(hashes)
+        for pdf in pdfs:
+            current.update(int(h) for h in pdf["_h"])
+        merged = sorted(current)[:k]
+        state.update((merged,))
+        yield pd.DataFrame(
+            {"shard": [key[0]], "hashes": [merged], "n_kept": [len(merged)]}
+        )
+
+    hashed = _with_shard(stream_df, key_col, n_shards, salt).select(
+        "_shard", kmv_hash(F.col(key_col), salt).alias("_h")
+    )
+    return hashed.groupBy("_shard").applyInPandasWithState(
+        update,
+        outputStructType=KMV_OUT_SCHEMA,
+        stateStructType=KMV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def merge_shard_sketches(shard_rows: DataFrame, k: int) -> DataFrame:
+    """Batch-side fold of drained shard sketches into the ONE global
+    sketch — identical to ``kmv_sketch`` of the underlying rows."""
+    return (
+        shard_rows.select(F.explode("hashes").alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+        .agg(
+            F.array_sort(F.collect_list("h")).alias("hashes"),
+            F.count("*").cast("int").alias("n_kept"),
+        )
+    )
+
+
+def streaming_mg_candidates(
+    stream_df: DataFrame,
+    key_col: str,
+    k: int = 64,
+    n_shards: int = 8,
+    salt: str = "mg",
+) -> DataFrame:
+    """Per-shard Misra–Gries summaries over a stream (STRING keys;
+    cast upstream), update mode: each epoch re-emits the shard's
+    surviving (key, lower_bound) counters.  The drained keys are a
+    no-false-negative candidate set for freq > N/(k+1); feed them to
+    ``operators.heavy.exact_recount`` against the accumulated table
+    for the exact heavy-hitter set."""
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            keys, counts = state.get
+            counters = dict(zip(keys, (int(c) for c in counts)))
+        else:
+            counters = {}
+        for pdf in pdfs:
+            vc = pdf["_k"].value_counts()
+            for kk, c in vc.items():
+                counters[kk] = counters.get(kk, 0) + int(c)
+            counters = _mg_reduce(counters, k)
+        state.update((list(counters.keys()), list(counters.values())))
+        # list-valued shard column: stays well-formed when the reduce
+        # empties the summary (all counts tied above k keys).
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(counters),
+                "key": list(counters.keys()),
+                "lower_bound": list(counters.values()),
+            }
+        )
+
+    sharded = _with_shard(stream_df, key_col, n_shards, salt).select(
+        "_shard", F.col(key_col).cast("string").alias("_k")
+    )
+    return sharded.groupBy("_shard").applyInPandasWithState(
+        update,
+        outputStructType=MG_OUT_SCHEMA,
+        stateStructType=MG_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,107 @@
+"""Streaming sketch twins (streaming/sketches.py): the drained
+sharded KMV changelog folds to the EXACT batch sketch (bit-for-bit,
+any shard count); the drained MG candidate set + exact_recount equals
+the batch heavy_hitters frame; state persists across multiple update
+epochs (maxFilesPerTrigger=1)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from kafka_avro_order_processing_spark.operators.heavy import (
+    exact_recount,
+    heavy_hitters,
+)
+from kafka_avro_order_processing_spark.operators.kmv import kmv_sketch
+from kafka_avro_order_processing_spark.sources.tables import load_table
+from kafka_avro_order_processing_spark.streaming.pipeline import drain_to_df
+from kafka_avro_order_processing_spark.streaming.sketches import (
+    merge_shard_sketches,
+    streaming_kmv_sketch,
+    streaming_mg_candidates,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _epoch_stream(spark, df, src: str, n_files: int = 4):
+    """Write df as n_files parquet files and read it back as a
+    maxFilesPerTrigger=1 stream -> n_files update epochs."""
+    df.repartition(n_files).write.mode("overwrite").parquet(src)
+    return (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+
+def test_streaming_kmv_equals_batch(spark, tmp_path):
+    ev = load_table(spark, SF, "events").select("user_id")
+    stream = _epoch_stream(spark, ev, str(tmp_path / "src"))
+    shard_rows = drain_to_df(
+        streaming_kmv_sketch(stream, "user_id", k=32, n_shards=4),
+        "update",
+        key_cols=("shard",),
+    )
+    got = merge_shard_sketches(shard_rows, 32).collect()[0]
+    want = kmv_sketch(ev, "user_id", k=32).collect()[0]
+    assert got["hashes"] == want["hashes"]
+    assert got["n_kept"] == want["n_kept"]
+
+
+def test_streaming_kmv_shard_count_invariant(spark, tmp_path):
+    ev = load_table(spark, SF, "events").select("user_id")
+    merged = []
+    for i, shards in enumerate((1, 8)):
+        stream = _epoch_stream(spark, ev, str(tmp_path / f"s{i}"))
+        rows = drain_to_df(
+            streaming_kmv_sketch(stream, "user_id", k=16, n_shards=shards),
+            "update",
+            key_cols=("shard",),
+        )
+        merged.append(merge_shard_sketches(rows, 16).collect()[0]["hashes"])
+    assert merged[0] == merged[1]
+
+
+def _skew(spark):
+    rows = (
+        [Row(k="hot")] * 2000 + [Row(k="warm")] * 700
+        + [Row(k=f"cold{i}") for i in range(1500)]
+    )
+    return spark.createDataFrame(rows)
+
+
+def test_streaming_mg_plus_recount_equals_batch(spark, tmp_path):
+    df = _skew(spark)
+    stream = _epoch_stream(spark, df, str(tmp_path / "src"), n_files=4)
+    drained = drain_to_df(
+        streaming_mg_candidates(stream, "k", k=9, n_shards=4),
+        "update",
+        key_cols=("shard", "key"),
+    )
+    cand = drained.select(F.col("key").alias("k")).distinct()
+    got = exact_recount(df, cand, "k", k=9).collect()
+    want = heavy_hitters(df, "k", k=9).collect()
+    canon = lambda rows: sorted((r["k"], r["freq"], r["n_total"]) for r in rows)
+    assert canon(got) == canon(want)
+    assert canon(got) == [("hot", 2000, 4200), ("warm", 700, 4200)]
+
+
+def test_streaming_mg_heaviness_across_epochs(spark, tmp_path):
+    """A key no single micro-batch would flag (interleaved with the
+    tail in every file) must still surface: per-shard MG state is
+    carried across epochs."""
+    rows = [Row(k="steady")] * 800 + [Row(k=f"c{i}") for i in range(2400)]
+    df = spark.createDataFrame(rows)
+    stream = _epoch_stream(spark, df, str(tmp_path / "src"), n_files=8)
+    drained = drain_to_df(
+        streaming_mg_candidates(stream, "k", k=7, n_shards=2),
+        "update",
+        key_cols=("shard", "key"),
+    )
+    keys = {r["key"] for r in drained.collect()}
+    assert "steady" in keys  # freq 800 > 3200/8 = 400
+    cand = drained.select(F.col("key").alias("k")).distinct()
+    got = {(r["k"], r["freq"]) for r in exact_recount(df, cand, "k", k=7).collect()}
+    assert got == {("steady", 800)}
