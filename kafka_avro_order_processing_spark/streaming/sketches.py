@@ -254,3 +254,107 @@ def merge_shard_kll(shard_rows: DataFrame, k: int) -> DataFrame:
         F.col("z.levels").alias("level"), F.col("z.vals").alias("value")
     )
     return _recompact(flat, k, [], [])
+
+
+PS_OUT_SCHEMA = (
+    "shard int, keys array<string>, weights array<double>, "
+    "priorities array<double>"
+)
+PS_STATE_SCHEMA = (
+    "keys array<string>, weights array<double>, priorities array<double>"
+)
+
+
+def streaming_priority_sample(
+    stream_df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    n_shards: int = 4,
+    salt: str = "psamp",
+) -> DataFrame:
+    """Sharded streaming twin of ``operators.sampling.priority_sample``
+    (STRING key domain): each shard's GroupState keeps its running
+    top-(k+1) rows by (priority desc, key asc) — priorities are the
+    same deterministic w/u the batch operator computes, evaluated
+    in-plan BEFORE the stateful fold.  One snapshot row per shard per
+    epoch (arrays; the update-mode drain keeps latest-per-shard).
+    Fold the drained snapshots with ``merge_shard_samples``: the
+    global top-(k+1) is contained in the union of per-shard
+    top-(k+1)s, so the final sample, tau, and est_weight EQUAL the
+    batch operator's over the same rows.  State: O(shards * k)."""
+    from ..operators.sampling import _priority
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            keys, weights, priorities = (list(x) for x in state.get)
+        else:
+            keys, weights, priorities = [], [], []
+        for pdf in pdfs:
+            keys += [str(v) for v in pdf["_k"]]
+            weights += [float(v) for v in pdf["_w"]]
+            priorities += [float(v) for v in pdf["_q"]]
+        order = sorted(
+            range(len(keys)), key=lambda i: (-priorities[i], keys[i])
+        )[: k + 1]
+        keys = [keys[i] for i in order]
+        weights = [weights[i] for i in order]
+        priorities = [priorities[i] for i in order]
+        state.update((keys, weights, priorities))
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]],
+                "keys": [keys],
+                "weights": [weights],
+                "priorities": [priorities],
+            }
+        )
+
+    sharded = _with_shard(stream_df, key_col, n_shards, salt).select(
+        "_shard",
+        F.col(key_col).cast("string").alias("_k"),
+        F.col(weight_col).cast("double").alias("_w"),
+        _priority(weight_col, key_col, salt).alias("_q"),
+    )
+    return sharded.groupBy("_shard").applyInPandasWithState(
+        update,
+        outputStructType=PS_OUT_SCHEMA,
+        stateStructType=PS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def merge_shard_samples(shard_rows: DataFrame, k: int) -> DataFrame:
+    """Batch-side fold of drained shard snapshots into the global
+    priority sample: explode, global top-(k+1) (TakeOrdered over
+    O(shards*k) rows), tau from the (k+1)-th, est_weight = max(w, tau)
+    — identical to the batch operator's output columns (string key)."""
+    from pyspark.sql import Window
+
+    flat = shard_rows.select(
+        F.explode(F.arrays_zip("keys", "weights", "priorities")).alias("z")
+    ).select(
+        F.col("z.keys").alias("key"),
+        F.col("z.weights").alias("weight"),
+        F.col("z.priorities").alias("priority"),
+    )
+    head = flat.orderBy(F.col("priority").desc(), F.col("key").asc()).limit(
+        k + 1
+    )
+    w = Window.partitionBy(F.lit(1))
+    w_rn = Window.orderBy(F.col("priority").desc(), F.col("key").asc())
+    tau = F.max(
+        F.when(F.col("_rn") == k + 1, F.col("priority"))
+    ).over(w)
+    return (
+        head.withColumn("_rn", F.row_number().over(w_rn))
+        .withColumn("tau", F.coalesce(tau, F.lit(0.0)))
+        .filter(F.col("_rn") <= k)
+        .withColumn(
+            "est_weight", F.greatest(F.col("weight"), F.col("tau"))
+        )
+        .drop("_rn")
+    )

@@ -1,0 +1,108 @@
+"""Physical-plan invariants for the session's sketch/sample/layout
+families: the scale arguments in their docstrings must be visible in
+`.explain("formatted")` — global top-k compiles to
+TakeOrderedAndProject (never a global Sort+Exchange of data rows),
+the heavy-hitter recount broadcasts the candidate side, pass-1 MG is
+exchange-free, and nothing row-wise-Python or Cartesian sneaks in."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from pyspark.sql import functions as F
+
+from test_oracle_parity import SF_DIR
+
+from kafka_avro_order_processing_spark.operators.heavy import (
+    heavy_hitters,
+    mg_candidates,
+)
+from kafka_avro_order_processing_spark.operators.kll import kll_sketch
+from kafka_avro_order_processing_spark.operators.kmv import kmv_sketch
+from kafka_avro_order_processing_spark.operators.sampling import (
+    priority_sample,
+)
+from kafka_avro_order_processing_spark.sources.tables import load_table
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _events(spark):
+    return load_table(spark, SF_DIR, "events")
+
+
+def _node_ids(plan: str, op: str) -> list[int]:
+    """Operator ids from the formatted tree (ids grow from the scan
+    UP toward the sink, so 'below' means a smaller id)."""
+    return [int(m) for m in re.findall(rf"{op}(?:\w*)? \((\d+)\)", plan)]
+
+
+def test_global_kmv_is_take_ordered(spark):
+    plan = _plan(kmv_sketch(_events(spark), "user_id", k=32))
+    assert "TakeOrderedAndProject" in plan, plan
+    # no global single-partition Sort of data rows anywhere
+    assert "Sort (" not in plan, plan
+
+
+def test_global_priority_sample_is_take_ordered(spark):
+    df = _events(spark).filter(F.col("value") > 0).select(
+        "event_id", "value"
+    )
+    plan = _plan(priority_sample(df, "event_id", "value", k=25))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_mg_candidates_pass_is_exchange_free(spark):
+    """Pass 1 is map-only: the only exchange allowed is the final
+    tiny distinct over <= k*P candidate keys."""
+    plan = _plan(mg_candidates(_events(spark), "event_type", k=5))
+    map_ids = _node_ids(plan, "MapInPandas")
+    ex_ids = _node_ids(plan, "Exchange")
+    assert map_ids, plan  # the MG fold is in the plan
+    # every exchange sits ABOVE the fold (bigger id): only candidate
+    # keys shuffle, never data rows
+    assert all(e > max(map_ids) for e in ex_ids), plan
+
+
+def test_heavy_hitters_recount_broadcasts_candidates(spark):
+    plan = _plan(heavy_hitters(_events(spark), "event_type", k=5))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_kll_pass1_is_map_only(spark):
+    """No exchange below the sketch fold: raw rows never shuffle."""
+    plan = _plan(kll_sketch(_events(spark), "value", k=64))
+    map_ids = _node_ids(plan, "MapInPandas")
+    ex_ids = _node_ids(plan, "Exchange")
+    assert map_ids, plan
+    assert all(e > min(map_ids) for e in ex_ids), plan
+
+
+def test_no_row_wise_python_or_cartesian_anywhere(spark):
+    ev = _events(spark)
+    frames = [
+        kmv_sketch(ev, "user_id", k=32, by=["event_type"]),
+        heavy_hitters(ev, "event_type", k=5),
+        priority_sample(
+            ev.filter(F.col("value") > 0).select(
+                "event_type", "event_id", "value"
+            ),
+            "event_id",
+            "value",
+            k=10,
+            by=["event_type"],
+        ),
+        kll_sketch(ev, "value", k=64, by=["event_type"]),
+    ]
+    for df in frames:
+        plan = _plan(df)
+        assert "BatchEvalPython" not in plan, plan
+        assert "CartesianProduct" not in plan, plan

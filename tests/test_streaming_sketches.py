@@ -140,3 +140,38 @@ def test_streaming_kll_weight_and_error(spark, tmp_path):
     for q, est in ests.items():
         err = abs(bisect.bisect_right(vals, est) - q * n)
         assert err <= budget, (q, est, err, budget)
+
+
+def test_streaming_priority_sample_equals_batch(spark, tmp_path):
+    """Drained sharded snapshots fold to EXACTLY the batch sample:
+    same keys, weights, priorities, tau, est_weight."""
+    from kafka_avro_order_processing_spark.operators.sampling import (
+        priority_sample,
+    )
+    from kafka_avro_order_processing_spark.streaming.sketches import (
+        merge_shard_samples,
+        streaming_priority_sample,
+    )
+
+    ev = (
+        load_table(spark, SF, "events")
+        .filter(F.col("value") > 0)
+        .select("event_id", "value")
+    )
+    stream = _epoch_stream(spark, ev, str(tmp_path / "src"))
+    drained = drain_to_df(
+        streaming_priority_sample(stream, "event_id", "value", k=20,
+                                  n_shards=4),
+        "update",
+        key_cols=("shard",),
+    )
+    got = sorted(
+        (r["key"], r["weight"], r["priority"], r["tau"], r["est_weight"])
+        for r in merge_shard_samples(drained, 20).collect()
+    )
+    want = sorted(
+        (str(r["event_id"]), float(r["value"]), r["priority"], r["tau"],
+         r["est_weight"])
+        for r in priority_sample(ev, "event_id", "value", k=20).collect()
+    )
+    assert got == want
