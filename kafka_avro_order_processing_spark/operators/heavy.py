@@ -136,3 +136,90 @@ def heavy_hitters(df: DataFrame, key_col: str, k: int) -> DataFrame:
     The integer comparison freq*(k+1) > N avoids any float threshold.
     """
     return exact_recount(df, mg_candidates(df, key_col, k), key_col, k)
+
+
+def _wmg_partition(pdfs: Iterator[pd.DataFrame], key: str, w: str, k: int):
+    """Weighted MG fold: per batch, sum weights per key (vectorized),
+    merge, reduce to <= k counters by subtracting the (k+1)-th largest
+    weight-sum.  Same PODS'12 merge, weights instead of counts."""
+    counters: dict = {}
+    for pdf in pdfs:
+        sub = pdf[[key, w]].dropna()
+        sums = sub.groupby(key, sort=False)[w].sum()
+        for kk, c in sums.items():
+            counters[kk] = counters.get(kk, 0.0) + float(c)
+        counters = _mg_reduce(counters, k)
+    if counters:
+        yield pd.DataFrame({key: list(counters.keys())})
+
+
+def weighted_mg_candidates(
+    df: DataFrame, key_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Pass 1, weighted: every key with total weight > W/(k+1) is
+    guaranteed present (the MG bound holds verbatim with weights:
+    sum_p(x) - mg_p(x) <= W_p/(k+1)).  Weights must be >= 0 (negative
+    weights break the subtract-and-drop reduction) — enforced by
+    ``weighted_heavy_hitters``'s recount raising on them."""
+    if k < 1:
+        raise ValueError(f"weighted_mg_candidates needs k >= 1, got {k}")
+    field = df.schema[key_col]
+    out_schema = T.StructType([T.StructField(key_col, field.dataType)])
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yield from _wmg_partition(it, key_col, weight_col, k)
+
+    return (
+        df.select(key_col, weight_col).mapInPandas(fn, out_schema).distinct()
+    )
+
+
+def weighted_heavy_hitters(
+    df: DataFrame, key_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """EXACTLY the keys whose total weight exceeds W/(k+1), with exact
+    decimal weight sums — the weighted twin of ``heavy_hitters`` (keys
+    hot by bytes / spend / tokens rather than row count).  Weights ride
+    the repo money convention (DECIMAL(18,2) exact sums), so the
+    comparison sum*(k+1) > W and the output hash-match the ANSI
+    GROUP BY/HAVING oracle.  NULL keys are excluded; NULL, NaN, or
+    negative weights raise in-plan (they would corrupt the MG bound).
+    """
+    cand = weighted_mg_candidates(df, key_col, weight_col, k)
+    wd = F.col(weight_col).cast("double")
+    bad = F.col(weight_col).isNull() | F.isnan(wd) | (wd < 0)
+    checked = F.when(
+        bad,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"weighted_heavy_hitters: NULL/NaN/negative "
+                    f"{weight_col} at key="
+                ),
+                F.coalesce(F.col(key_col).cast("string"), F.lit("NULL")),
+            )
+        ).cast("decimal(18,2)"),
+    ).otherwise(F.col(weight_col).cast("decimal(18,2)"))
+    rows = df.filter(F.col(key_col).isNotNull()).select(
+        F.col(key_col), checked.alias("_w")
+    )
+    tagged = rows.join(
+        F.broadcast(cand.withColumn("_is_cand", F.lit(True))),
+        on=key_col,
+        how="left",
+    ).select(F.when(F.col("_is_cand"), F.col(key_col)).alias("_k"), "_w")
+    sums = tagged.groupBy("_k").agg(
+        F.sum("_w").alias("wsum"), F.count("*").alias("freq")
+    )
+    totals = sums.agg(F.sum("wsum").alias("w_total"))
+    return (
+        sums.filter(F.col("_k").isNotNull())
+        .crossJoin(F.broadcast(totals))
+        .filter(F.col("wsum") * (k + 1) > F.col("w_total"))
+        .select(
+            F.col("_k").alias(key_col),
+            F.col("wsum").cast("double").alias("weight_sum"),
+            "freq",
+            F.col("w_total").cast("double").alias("weight_total"),
+        )
+    )

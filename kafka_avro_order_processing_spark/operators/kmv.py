@@ -169,10 +169,13 @@ def kmv_overlap(
     sketches estimates J(A,B); intersection ≈ J * est|A ∪ B|.
 
     Returns per group: ``n_union_kept``, ``n_match``, ``jaccard_est``,
-    ``est_union``, ``est_intersection``.  Inner join on the group key
-    (overlap with an absent group is vacuous).  All arithmetic is
-    integer counts plus single IEEE divisions/multiplies — exact
-    oracle parity."""
+    ``est_union``, ``est_intersection``, plus the set DIFFERENCES
+    ``est_only_a`` / ``est_only_b`` (the union's k-min sample split
+    three ways: in-both / only-A / only-B, each fraction scaled by the
+    union estimate — the full Beyer et al. multiset algebra).  Inner
+    join on the group key (overlap with an absent group is vacuous).
+    All arithmetic is integer counts plus single IEEE
+    divisions/multiplies — exact oracle parity."""
     by = list(by or [])
     ar = a.select(*by, F.col("hashes").alias("_ha"))
     br = b.select(*by, F.col("hashes").alias("_hb"))
@@ -187,9 +190,14 @@ def kmv_overlap(
                 F.array_intersect(union_arr, F.col("_ha")), F.col("_hb")
             )
         ).alias("n_match"),
+        F.size(F.array_intersect(union_arr, F.col("_ha"))).alias("n_in_a"),
+        F.size(F.array_intersect(union_arr, F.col("_hb"))).alias("n_in_b"),
     )
-    jac = F.col("n_match").cast("double") / F.col("n_kept").cast("double")
+    kept_d = F.col("n_kept").cast("double")
+    jac = F.col("n_match").cast("double") / kept_d
     est_union = _estimate_expr(k)
+    only_a = (F.col("n_in_a") - F.col("n_match")).cast("double") / kept_d
+    only_b = (F.col("n_in_b") - F.col("n_match")).cast("double") / kept_d
     return stats.select(
         *by,
         F.col("n_kept").alias("n_union_kept"),
@@ -197,4 +205,6 @@ def kmv_overlap(
         jac.alias("jaccard_est"),
         est_union.alias("est_union"),
         (jac * est_union).alias("est_intersection"),
+        (only_a * est_union).alias("est_only_a"),
+        (only_b * est_union).alias("est_only_b"),
     )

@@ -127,3 +127,54 @@ def test_k_validation(spark):
     ev = load_table(spark, SF_DIR, "events")
     with pytest.raises(ValueError, match="k >= 1"):
         mg_candidates(ev, "event_type", k=0)
+
+
+def test_weighted_heavy_hitters_duckdb_oracle(spark):
+    """Keys hot by SUM(value): exact decimal sums, exact oracle."""
+    from kafka_avro_order_processing_spark.operators.heavy import (
+        weighted_heavy_hitters,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").filter(F.col("value") >= 0)
+    sdf = weighted_heavy_hitters(ev, "event_type", "value", k=3)
+    sql = """
+    WITH c AS (
+      SELECT event_type,
+             SUM(CAST(value AS DECIMAL(18,2))) AS ws,
+             CAST(COUNT(*) AS BIGINT) AS freq
+      FROM events WHERE event_type IS NOT NULL AND value >= 0
+      GROUP BY event_type
+    ), t AS (SELECT SUM(ws) AS wt FROM c)
+    SELECT c.event_type,
+           CAST(c.ws AS DOUBLE) AS weight_sum,
+           c.freq,
+           CAST(t.wt AS DOUBLE) AS weight_total
+    FROM c, t WHERE c.ws * 4 > t.wt
+    """
+    _assert_parity(sdf, sql)
+
+
+def test_weighted_guarantee_and_validation(spark):
+    from kafka_avro_order_processing_spark.operators.heavy import (
+        weighted_heavy_hitters,
+        weighted_mg_candidates,
+    )
+
+    rows = (
+        [Row(k="whale", w=100.0)] * 40          # 4000 weight
+        + [Row(k="mid", w=2.0)] * 500           # 1000 weight
+        + [Row(k=f"c{i}", w=1.0) for i in range(3000)]  # 3000 weight
+    )
+    df = spark.createDataFrame(rows).repartition(6)
+    got = {
+        r["k"]: r["weight_sum"]
+        for r in weighted_heavy_hitters(df, "k", "w", k=7).collect()
+    }
+    # W = 8000, threshold W/8 = 1000: whale qualifies strictly; mid
+    # (exactly 1000) does NOT (strict >).
+    assert got == {"whale": 4000.0}
+    cand = {r["k"] for r in weighted_mg_candidates(df, "k", "w", 7).collect()}
+    assert "whale" in cand
+    bad = spark.createDataFrame([Row(k="a", w=1.0), Row(k="b", w=-2.0)])
+    with pytest.raises(Exception, match="negative"):
+        weighted_heavy_hitters(bad, "k", "w", k=1).collect()

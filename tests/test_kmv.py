@@ -174,6 +174,8 @@ def test_kmv_overlap_duckdb_oracle(spark):
     ), st AS (
       SELECT len(u) AS n_kept,
              len(list_intersect(list_intersect(u, la), lb)) AS n_match,
+             len(list_intersect(u, la)) AS n_in_a,
+             len(list_intersect(u, lb)) AS n_in_b,
              u
       FROM uni
     )
@@ -182,7 +184,11 @@ def test_kmv_overlap_duckdb_oracle(spark):
            CAST(n_match AS DOUBLE) / CAST(n_kept AS DOUBLE) AS jaccard_est,
            {est_u} AS est_union,
            CAST(n_match AS DOUBLE) / CAST(n_kept AS DOUBLE) * {est_u}
-             AS est_intersection
+             AS est_intersection,
+           CAST(n_in_a - n_match AS DOUBLE) / CAST(n_kept AS DOUBLE)
+             * {est_u} AS est_only_a,
+           CAST(n_in_b - n_match AS DOUBLE) / CAST(n_kept AS DOUBLE)
+             * {est_u} AS est_only_b
     FROM st
     """
     _assert_parity(sdf, sql)
@@ -204,6 +210,17 @@ def test_kmv_overlap_accuracy(spark):
     assert abs(row["jaccard_est"] - true_j) <= band, (row["jaccard_est"], true_j)
     assert abs(row["est_intersection"] - len(a_set & b_set)) <= (
         0.5 * len(a_set & b_set)
+    )
+    # difference estimates: three-way split is consistent and close
+    assert abs(
+        row["est_only_a"] + row["est_only_b"] + row["est_intersection"]
+        - row["est_union"]
+    ) < 1e-9
+    assert abs(row["est_only_a"] - len(a_set - b_set)) <= (
+        0.6 * max(len(a_set - b_set), 10)
+    )
+    assert abs(row["est_only_b"] - len(b_set - a_set)) <= (
+        0.6 * max(len(b_set - a_set), 10)
     )
 
 
