@@ -76,10 +76,15 @@ def priority_sample(
       Σ est_weight over any predicate on the sample estimates that
       predicate's true total weight.
 
-    Contracts: ``key_col`` must be unique non-NULL (it seeds u_i; a
-    duplicate key would reuse a uniform draw) and ``weight_col`` must
-    be > 0 and non-NULL — both rejected loudly, in the same pass, via
-    in-plan ``raise_error`` (lazy: the ACTION raises).
+    Contracts: ``weight_col`` must be > 0 and non-NULL and ``key_col``
+    non-NULL — rejected loudly, in the same pass, via in-plan
+    ``raise_error`` (lazy: the ACTION raises).  ``key_col`` must also
+    be UNIQUE per group (it seeds u_i; a duplicate key replays a
+    uniform draw, correlating inclusion decisions).  Uniqueness is NOT
+    verified globally — that would cost the key-space shuffle this
+    operator exists to avoid — but any duplicate that reaches the
+    selected head (where it would actually distort tau / est_weight)
+    raises; duplicates outside the head stay the caller's contract.
     """
     if k < 1:
         raise ValueError(f"priority_sample needs k >= 1, got {k}")
@@ -128,8 +133,30 @@ def priority_sample(
         w_tau = Window.partitionBy(F.lit(1))
     # tau = the (k+1)-th priority if the group reached k+1 rows else 0.
     tau = F.max(F.when(F.col("_rn") == k + 1, F.col("priority"))).over(w_tau)
+    # duplicate-key detection over the SELECTED head only (tiny):
+    # a replayed key inside the head would distort tau/est_weight.
+    w_dup = (
+        Window.partitionBy(*by, key_col) if by
+        else Window.partitionBy(key_col)
+    )
+    dup_ct = F.count("*").over(w_dup)
     return (
         head.withColumn("tau", F.coalesce(tau, F.lit(0.0)))
+        .withColumn(
+            "tau",
+            F.when(
+                dup_ct > 1,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"priority_sample: duplicate {key_col} in the "
+                            "selected head: "
+                        ),
+                        F.col(key_col).cast("string"),
+                    )
+                ).cast("double"),
+            ).otherwise(F.col("tau")),
+        )
         .filter(F.col("_rn") <= k)
         .withColumn(
             "est_weight",

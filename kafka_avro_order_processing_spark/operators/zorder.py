@@ -106,7 +106,17 @@ def zorder_key_auto(
     """Append ``zkey`` using bounds from ONE global min/max pass over
     the integer columns.  Returns (df + zkey, the bounds used) so the
     caller can quantize FUTURE batches consistently (incremental
-    layout needs frozen bounds)."""
+    layout needs frozen bounds).  Columns must be integral — a float
+    column would silently truncate through the quantizer's
+    cast("long"), so it is rejected here where the schema is visible
+    (quantize floats explicitly upstream, picking the resolution)."""
+    for c in cols:
+        t = df.schema[c].dataType.typeName()
+        if t not in ("byte", "short", "integer", "long"):
+            raise ValueError(
+                f"zorder_key_auto: column {c!r} is {t}, not integral — "
+                "quantize it explicitly first"
+            )
     aggs = []
     for c in cols:
         aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]

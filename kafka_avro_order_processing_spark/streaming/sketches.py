@@ -282,7 +282,10 @@ def streaming_priority_sample(
     Fold the drained snapshots with ``merge_shard_samples``: the
     global top-(k+1) is contained in the union of per-shard
     top-(k+1)s, so the final sample, tau, and est_weight EQUAL the
-    batch operator's over the same rows.  State: O(shards * k)."""
+    batch operator's over the same rows.  State: O(shards * k).
+    Contract (validate upstream): weights > 0 and keys unique — the
+    batch twin raises on violations; this stream path filters NULL
+    keys and otherwise trusts its input."""
     from ..operators.sampling import _priority
 
     def update(

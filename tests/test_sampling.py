@@ -159,3 +159,15 @@ def test_partition_invariance(spark):
         ).collect()
     )
     assert pick(ev) == pick(ev.repartition(13))
+
+
+def test_duplicate_key_in_head_raises(spark):
+    """A replayed key inside the selected head distorts tau -> raise."""
+    df = spark.createDataFrame(
+        [Row(key=i % 5, w=1.0 + i % 3) for i in range(20)]
+    )
+    with pytest.raises(Exception, match="duplicate key"):
+        priority_sample(df, "key", "w", k=8).collect()
+    # unique keys at the same k stay silent
+    ok = spark.createDataFrame([Row(key=i, w=1.0 + i % 3) for i in range(20)])
+    assert priority_sample(ok, "key", "w", k=8).count() == 8

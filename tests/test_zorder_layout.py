@@ -134,3 +134,9 @@ def test_validation_contracts(spark):
         zorder_key([F.col("a"), F.col("b"), F.col("c")], bits=21)
     with pytest.raises(ValueError, match="at least one column"):
         zorder_key([], bits=8)
+
+
+def test_non_integral_column_rejected(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    with pytest.raises(ValueError, match="not integral"):
+        zorder_key_auto(ev, ["value"], bits=8)
