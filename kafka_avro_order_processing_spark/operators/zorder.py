@@ -191,3 +191,61 @@ def pruning_fraction(
     total = zmaps.count()
     touched = zmaps.filter(cond).count()
     return touched / total if total else 0.0
+
+
+def kll_range_boundaries(
+    df: DataFrame, col: str, n_buckets: int, k: int = 256
+) -> list[float]:
+    """Row-balanced range boundaries from ONE map-only pass: the
+    (i/n)-quantiles of ``col`` per the KLL sketch (operators/kll.py).
+    Returns n_buckets-1 ascending boundary values (driver-side, tiny).
+
+    This replaces repartitionByRange's reservoir sampling with an
+    auditable, re-usable artifact: the boundaries are plain numbers
+    you can freeze, version, and apply to FUTURE batches — and unlike
+    the sampled partitioner they are identical on every recomputation
+    of the same input layout.  Balance error inherits the sketch's
+    rank bound (~n·log2(n/k)/k rows per bucket off ideal)."""
+    from .kll import kll_quantiles, kll_sketch
+
+    if n_buckets < 2:
+        raise ValueError(f"kll_range_boundaries needs n_buckets >= 2")
+    qs = tuple(i / n_buckets for i in range(1, n_buckets))
+    sk = kll_sketch(df, col, k=k)
+    rows = kll_quantiles(sk, qs).collect()
+    return [r["est"] for r in sorted(rows, key=lambda r: r["q"])]
+
+
+def range_bucket(col: Column, boundaries: list[float]) -> Column:
+    """Bucket id = number of boundaries <= value (0..len(boundaries)).
+    JVM-side array filter over a literal boundary array — exactly
+    reproducible in ANSI SQL as a sum of CASEs."""
+    if not boundaries:
+        raise ValueError("range_bucket needs at least one boundary")
+    if sorted(boundaries) != list(boundaries):
+        raise ValueError("range_bucket boundaries must be ascending")
+    arr = F.array(*[F.lit(float(b)) for b in boundaries])
+    return F.size(
+        F.filter(arr, lambda b: b <= col.cast("double"))
+    ).cast("int")
+
+
+def zorder_layout_balanced(
+    df: DataFrame,
+    cols: list[str],
+    n_files: int,
+    bits: int = ZORDER_BITS,
+    k: int = 256,
+) -> DataFrame:
+    """Deterministic, ROW-balanced z-order layout: Morton key, then
+    KLL-quantile boundaries over the key, then a ``zbucket`` column
+    that IS the file assignment — write with
+    ``.write.partitionBy("zbucket")`` for a reproducible directory
+    layout (no sampled partitioner anywhere).  Keyspace-equal
+    ``zbucket`` slices balance badly when the data is skewed in the
+    z-space; quantile boundaries balance rows by construction."""
+    zdf, _ = zorder_key_auto(df, cols, bits)
+    bounds = kll_range_boundaries(zdf, "zkey", n_files, k=k)
+    return zdf.withColumn(
+        "zbucket", range_bucket(F.col("zkey"), bounds)
+    )

@@ -173,3 +173,36 @@ def test_scd2_duplicate_change_raises(spark):
         scd2_build(df, "k", "ts", ["a"]).collect()
     with pytest.raises(ValueError, match="at least one tracked attribute"):
         scd2_build(df, "k", "ts", [])
+
+
+def test_scd2_lookup_stream_static(spark, tmp_path):
+    """The SAME scd2_lookup code path enriches a STREAM of facts
+    against the static dimension (stream-static left join with the
+    interval predicate) — drained rows equal the batch lookup."""
+    from kafka_avro_order_processing_spark.streaming.pipeline import (
+        drain_to_df,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    dim = scd2_build(_changes(spark), "user_id", "ts", ["tier"])
+    facts = ev.select("event_id", "user_id", "ts").limit(500)
+    src = str(tmp_path / "facts")
+    facts.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    enriched = scd2_lookup(stream, dim, "user_id", "ts", ["tier"])
+    got = sorted(
+        map(tuple, drain_to_df(enriched, "append").collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            scd2_lookup(
+                spark.read.parquet(src), dim, "user_id", "ts", ["tier"]
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) == 500

@@ -140,3 +140,72 @@ def test_non_integral_column_rejected(spark):
     ev = load_table(spark, SF_DIR, "events")
     with pytest.raises(ValueError, match="not integral"):
         zorder_key_auto(ev, ["value"], bits=8)
+
+
+def test_balanced_layout_buckets(spark):
+    """KLL-boundary buckets: row counts near-balanced (within the
+    sketch's rank budget), assignment deterministic given boundaries,
+    and exact-SQL reproducible."""
+    import math
+
+    from kafka_avro_order_processing_spark.operators.zorder import (
+        kll_range_boundaries,
+        range_bucket,
+        zorder_layout_balanced,
+    )
+
+    df = _grid(spark)
+    out = zorder_layout_balanced(df, ["x", "y"], n_files=8, bits=5, k=128)
+    counts = {
+        r["zbucket"]: r["n"]
+        for r in out.groupBy("zbucket").agg(F.count("*").alias("n")).collect()
+    }
+    n = df.count()
+    ideal = n / 8
+    budget = n * math.log2(max(n / 128, 2)) / 128 + 1
+    assert set(counts) == set(range(8)), counts
+    assert all(abs(c - ideal) <= 2 * budget + 8 for c in counts.values()), (
+        counts,
+        ideal,
+        budget,
+    )
+    # determinism: same boundaries -> identical assignment
+    zdf, _ = zorder_key_auto(df, ["x", "y"], bits=5)
+    bounds = kll_range_boundaries(zdf, "zkey", 8, k=128)
+    a = zdf.withColumn("b", range_bucket(F.col("zkey"), bounds))
+    s1 = sorted(map(tuple, a.collect()))
+    s2 = sorted(map(tuple, a.collect()))
+    assert s1 == s2
+    # exact DuckDB parity of the bucket function over literal bounds
+    import duckdb
+
+    con = duckdb.connect()
+    zvals = [r["zkey"] for r in zdf.select("zkey").collect()]
+    con.execute("CREATE TABLE z AS SELECT * FROM (VALUES "
+                + ",".join(f"({v})" for v in zvals[:500]) + ") t(zkey)")
+    case = " + ".join(
+        f"CASE WHEN {b} <= CAST(zkey AS DOUBLE) THEN 1 ELSE 0 END"
+        for b in bounds
+    )
+    want = dict(con.execute(f"SELECT zkey, {case} FROM z").fetchall())
+    got = {
+        r["zkey"]: r["b"]
+        for r in a.select("zkey", "b").limit(0).unionByName(
+            a.select("zkey", "b")
+        ).collect()
+    }
+    assert all(got[zv] == want[zv] for zv in list(want)[:500])
+
+
+def test_balanced_layout_validation(spark):
+    from kafka_avro_order_processing_spark.operators.zorder import (
+        kll_range_boundaries,
+        range_bucket,
+    )
+
+    with pytest.raises(ValueError, match="n_buckets >= 2"):
+        kll_range_boundaries(_grid(spark), "x", 1)
+    with pytest.raises(ValueError, match="ascending"):
+        range_bucket(F.col("x"), [3.0, 1.0])
+    with pytest.raises(ValueError, match="at least one boundary"):
+        range_bucket(F.col("x"), [])
