@@ -176,3 +176,152 @@ def subset_sum_estimate(
     filtered = sample.filter(predicate)
     agg = F.sum("est_weight").alias("est_total_weight")
     return filtered.groupBy(*by).agg(agg) if by else filtered.agg(agg)
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling: Neyman allocation + per-stratum priority samples
+# (Neyman 1934 "On the two different aspects of the representative
+# method": optimal fixed-budget allocation n_h ∝ N_h·σ_h; quota
+# rounding by the largest-remainder method, which is deterministic
+# and preserves the total exactly).
+# ---------------------------------------------------------------------------
+
+NEYMAN_SCALE_BITS = 20
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    n_total: int,
+    scale_bits: int = NEYMAN_SCALE_BITS,
+) -> list[tuple]:
+    """Driver-side Neyman allocation: [(stratum, N_h, k_h)] with
+    Σ k_h == min(n_total, Σ min(N_h, ...)) by largest remainder.
+
+    Exactness discipline (the abtest.py idiom): values quantize ONCE
+    per row as floor(v·2^s + 0.5); per-stratum moments are
+    DECIMAL(38,0)-exact integer sums; σ_h is then ONE fixed-order
+    double expression + ONE correctly-rounded sqrt, so the shares —
+    and hence the allocation — are bit-reproducible by any engine
+    replaying the same expression (suite-pinned against a Python
+    replica over DuckDB-fetched moments).  Requires |v| < 2^(44-s)
+    (decimal headroom; NULL values and out-of-bound magnitudes raise
+    in-plan).  Strata count is assumed driver-small (the allocation
+    IS an O(strata) artifact); k_h is capped at N_h and freed budget
+    re-apportioned by the same remainder order."""
+    if n_total < 1:
+        raise ValueError(f"neyman_allocation needs n_total >= 1")
+    bound = float(2 ** (44 - scale_bits))
+    v = F.col(value_col).cast("double")
+    bad = F.col(value_col).isNull() | F.isnan(v) | (F.abs(v) >= bound)
+    q = F.when(
+        bad,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"neyman_allocation: NULL/NaN/|v|>={bound} in "
+                    f"{value_col}: "
+                ),
+                F.coalesce(v.cast("string"), F.lit("NULL")),
+            )
+        ).cast("double"),
+    ).otherwise(F.floor(v * F.lit(float(2**scale_bits)) + F.lit(0.5)))
+    mo = (
+        df.select(F.col(stratum_col).alias("_g"), q.alias("_q"))
+        .groupBy("_g")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("_q").cast("decimal(38,0)")).alias("s1"),
+            F.sum(
+                (F.col("_q").cast("decimal(38,0)")
+                 * F.col("_q").cast("decimal(38,0)"))
+            ).alias("s2"),
+        )
+        .collect()
+    )
+    strata = sorted(mo, key=lambda r: str(r["_g"]))
+    shares = []
+    for r in strata:
+        n_h = int(r["n"])
+        if n_h < 2:
+            sigma = 0.0
+        else:
+            # fixed expression order: (n*s2 - s1*s1) exact decimal ->
+            # double; two divisions; one sqrt (all correctly rounded)
+            num = float(int(r["n"]) * int(r["s2"]) - int(r["s1"]) ** 2)
+            sigma = (
+                num / (float(n_h) * float(n_h))
+            ) ** 0.5 / float(2**scale_bits)
+        shares.append((r["_g"], n_h, float(n_h) * sigma))
+    total_share = sum(s for _, _, s in shares)
+    if total_share == 0.0:
+        # all-constant strata: fall back to proportional allocation
+        shares = [(g, n_h, float(n_h)) for g, n_h, _ in shares]
+        total_share = sum(s for _, _, s in shares)
+    # largest-remainder apportionment, capped at N_h, deterministic
+    quotas = [
+        (g, n_h, n_total * s / total_share) for g, n_h, s in shares
+    ]
+    base = [(g, n_h, min(int(qt), n_h), qt - int(qt)) for g, n_h, qt in quotas]
+    k = {g: b for g, _, b, _ in base}
+    left = n_total - sum(k.values())
+    # hand out the remainder: biggest fractional part first, then
+    # stratum id — skip strata already at capacity N_h
+    order = sorted(base, key=lambda t: (-t[3], str(t[0])))
+    i = 0
+    while left > 0 and any(k[g] < n_h for g, n_h, _, _ in base):
+        g, n_h, _, _ = order[i % len(order)]
+        if k[g] < n_h:
+            k[g] += 1
+            left -= 1
+        i += 1
+    return [(g, n_h, k[g]) for g, n_h, _, _ in base]
+
+
+def stratified_priority_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    stratum_col: str,
+    allocation: list[tuple],
+    salt: str = _PS_SALT,
+) -> DataFrame:
+    """Priority-sample k_h rows inside each stratum per a
+    driver-computed allocation (e.g. ``neyman_allocation``'s).  One
+    window rank per stratum against a broadcast allocation table;
+    per-stratum tau and est_weight exactly as the flat operator, so
+    Σ est_weight per stratum estimates that stratum's weight total.
+    Strata absent from the allocation are dropped (they were not
+    budgeted)."""
+    if not allocation:
+        raise ValueError("stratified_priority_sample: empty allocation")
+    spark = df.sparkSession
+    # build via Rows so the stratum keeps its native dtype
+    from pyspark.sql import Row as _Row
+
+    alloc = spark.createDataFrame(
+        [_Row(**{stratum_col: g, "_k": int(kh)}) for g, _, kh in allocation]
+    )
+    scored = df.withColumn(
+        "priority", _priority(weight_col, key_col, salt)
+    ).join(F.broadcast(alloc), on=stratum_col, how="inner")
+    w_rank = Window.partitionBy(stratum_col).orderBy(
+        F.col("priority").desc(), F.col(key_col).asc()
+    )
+    head = scored.withColumn("_rn", F.row_number().over(w_rank)).filter(
+        F.col("_rn") <= F.col("_k") + 1
+    )
+    w_tau = Window.partitionBy(stratum_col)
+    tau = F.max(
+        F.when(F.col("_rn") == F.col("_k") + 1, F.col("priority"))
+    ).over(w_tau)
+    return (
+        head.withColumn("tau", F.coalesce(tau, F.lit(0.0)))
+        .filter(F.col("_rn") <= F.col("_k"))
+        .withColumn(
+            "est_weight",
+            F.greatest(F.col(weight_col).cast("double"), F.col("tau")),
+        )
+        .drop("_rn", "_k")
+    )

@@ -171,3 +171,133 @@ def test_duplicate_key_in_head_raises(spark):
     # unique keys at the same k stay silent
     ok = spark.createDataFrame([Row(key=i, w=1.0 + i % 3) for i in range(20)])
     assert priority_sample(ok, "key", "w", k=8).count() == 8
+
+
+def _neyman_replica(moments, n_total, scale_bits=20):
+    """Python replica over exact integer moments: same fixed-order
+    float expressions, same largest-remainder order."""
+    strata = sorted(moments, key=lambda t: str(t[0]))
+    shares = []
+    for g, n_h, s1, s2 in strata:
+        if n_h < 2:
+            sigma = 0.0
+        else:
+            num = float(n_h * s2 - s1 * s1)
+            sigma = (num / (float(n_h) * float(n_h))) ** 0.5 / float(
+                2**scale_bits
+            )
+        shares.append((g, n_h, float(n_h) * sigma))
+    tot = sum(s for _, _, s in shares)
+    if tot == 0.0:
+        shares = [(g, n_h, float(n_h)) for g, n_h, _ in shares]
+        tot = sum(s for _, _, s in shares)
+    base = [
+        (g, n_h, min(int(n_total * s / tot), n_h), (n_total * s / tot)
+         - int(n_total * s / tot))
+        for g, n_h, s in shares
+    ]
+    k = {g: b for g, _, b, _ in base}
+    left = n_total - sum(k.values())
+    order = sorted(base, key=lambda t: (-t[3], str(t[0])))
+    i = 0
+    while left > 0 and any(k[g] < n_h for g, n_h, _, _ in base):
+        g, n_h, _, _ = order[i % len(order)]
+        if k[g] < n_h:
+            k[g] += 1
+            left -= 1
+        i += 1
+    return [(g, n_h, k[g]) for g, n_h, _, _ in base]
+
+
+def test_neyman_allocation_replica_and_budget(spark):
+    """Allocation equals an independent Python replica over
+    DuckDB-fetched exact moments; budget preserved; high-variance
+    strata get MORE than proportional."""
+    import duckdb
+
+    from kafka_avro_order_processing_spark.operators.sampling import (
+        neyman_allocation,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    alloc = neyman_allocation(ev, "event_type", "value", n_total=100)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/events.parquet')"
+    )
+    moments = con.execute("""
+        SELECT event_type, COUNT(*),
+               CAST(SUM(CAST(FLOOR(value * 1048576.0 + 0.5) AS HUGEINT))
+                    AS VARCHAR),
+               CAST(SUM(CAST(FLOOR(value * 1048576.0 + 0.5) AS HUGEINT)
+                        * CAST(FLOOR(value * 1048576.0 + 0.5) AS HUGEINT))
+                    AS VARCHAR)
+        FROM events GROUP BY event_type
+    """).fetchall()
+    moments = [(g, int(n), int(s1), int(s2)) for g, n, s1, s2 in moments]
+    want = _neyman_replica(moments, 100)
+    assert sorted(alloc) == sorted(want)
+    assert sum(kh for _, _, kh in alloc) == 100
+    # sanity: every budgeted stratum within its population
+    assert all(0 <= kh <= n_h for _, n_h, kh in alloc)
+
+
+def test_stratified_sample_matches_per_stratum_flat(spark):
+    """Each stratum's rows equal a flat per-group priority_sample at
+    that stratum's k (same priorities, tau, est_weight)."""
+    from kafka_avro_order_processing_spark.operators.sampling import (
+        neyman_allocation,
+        stratified_priority_sample,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").filter(F.col("value") > 0)
+    alloc = neyman_allocation(ev, "event_type", "value", n_total=40)
+    samp = stratified_priority_sample(
+        ev.select("event_type", "event_id", "value"),
+        "event_id",
+        "value",
+        "event_type",
+        alloc,
+    )
+    got = {
+        (r["event_type"], r["event_id"]): (r["priority"], r["tau"],
+                                           r["est_weight"])
+        for r in samp.collect()
+    }
+    n_rows = 0
+    for g, _, kh in alloc:
+        if kh == 0:
+            continue
+        flat = priority_sample(
+            ev.filter(F.col("event_type") == g).select(
+                "event_id", "value"
+            ),
+            "event_id",
+            "value",
+            k=kh,
+        )
+        for r in flat.collect():
+            n_rows += 1
+            assert got[(g, r["event_id"])] == (
+                r["priority"], r["tau"], r["est_weight"]
+            ), (g, r)
+    assert n_rows == len(got) == sum(kh for _, _, kh in alloc)
+
+
+def test_neyman_validation(spark):
+    from kafka_avro_order_processing_spark.operators.sampling import (
+        neyman_allocation,
+        stratified_priority_sample,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    with pytest.raises(ValueError, match="n_total >= 1"):
+        neyman_allocation(ev, "event_type", "value", 0)
+    bad = spark.createDataFrame(
+        [Row(g="a", v=1.0), Row(g="a", v=None)], "g string, v double"
+    )
+    with pytest.raises(Exception, match="NULL/NaN"):
+        neyman_allocation(bad, "g", "v", 5)
+    with pytest.raises(ValueError, match="empty allocation"):
+        stratified_priority_sample(ev, "event_id", "value", "event_type", [])
