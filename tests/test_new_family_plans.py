@@ -106,3 +106,21 @@ def test_no_row_wise_python_or_cartesian_anywhere(spark):
         plan = _plan(df)
         assert "BatchEvalPython" not in plan, plan
         assert "CartesianProduct" not in plan, plan
+
+
+def test_stratified_sample_broadcasts_allocation(spark):
+    from kafka_avro_order_processing_spark.operators.sampling import (
+        stratified_priority_sample,
+    )
+
+    ev = _events(spark).filter(F.col("value") > 0).select(
+        "event_type", "event_id", "value"
+    )
+    alloc = [("view", 100, 5), ("click", 100, 5), ("purchase", 100, 5)]
+    plan = _plan(
+        stratified_priority_sample(ev, "event_id", "value", "event_type",
+                                   alloc)
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan

@@ -34,12 +34,24 @@ def test_queue_is_exactly_the_five_named_blocks():
 
 def test_promotion_executed_blocks_are_live():
     """Round 10 executed the swap: every staged block IS registered,
-    by identity, and sits inside the first-50 driver window as a
-    _LEAD_ORDER fill (the standing QUERY-ADDITION rule)."""
-    window = list(QUERIES)[:50]
+    by identity, and earned its r10 driver check (the window has since
+    ROTATED — r11 leads with the 50 r8-aged names per the rotation
+    invariant — so window membership is a historical fact checked
+    against CORRECTNESS_r10, not the live ordering)."""
+    import json
+    from pathlib import Path
+
+    checked = json.loads(
+        (Path(__file__).resolve().parents[1] / "CORRECTNESS_r10.json")
+        .read_text()
+    )
     for name, q in R10_PROMOTIONS.items():
         assert QUERIES.get(name) is q, name
-        assert name in window, name
+        assert name in checked, name
+        rec = checked[name]
+        assert rec.get("hash_match") or (
+            rec.get("rows_match") and rec.get("err") is None
+        ), (name, rec)
 
 
 def test_every_block_is_fully_formed():

@@ -348,7 +348,9 @@ def test_oov_stats_oracle(spark):
 def test_temperature_mixture_thresholds_oracle(spark):
     """Integer md5-bucket thresholds only (the float rate's last ulp
     may differ by summation order across engines — the threshold is
-    the operative, promotable output)."""
+    the operative, promotable output).  Bucket space is 2^16 since the
+    round-11 widening (mixture.py: tiny rates must not quantize to a
+    silent 0)."""
     from pyspark.sql import functions as F
 
     from kafka_avro_order_processing_spark.operators.mixture import (
@@ -372,7 +374,7 @@ def test_temperature_mixture_thresholds_oracle(spark):
         t AS (SELECT MIN(CAST(n AS DOUBLE) / p) AS t FROM wp)
         SELECT domain, CAST(n AS BIGINT) AS n,
                CAST(FLOOR(LEAST(CAST(1.0 AS DOUBLE),
-                                t * p / CAST(n AS DOUBLE)) * 256) AS BIGINT)
+                                t * p / CAST(n AS DOUBLE)) * 65536) AS BIGINT)
                  AS threshold
         FROM wp, t
         """,
