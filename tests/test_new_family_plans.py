@@ -124,3 +124,19 @@ def test_stratified_sample_broadcasts_allocation(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_bloom_probe_broadcasts_filter(spark):
+    from kafka_avro_order_processing_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    ev = _events(spark)
+    bloom = bloom_build(ev, "user_id", 4096, 5)
+    plan = _plan(
+        bloom_might_contain(ev.select("user_id"), bloom, "user_id", 4096, 5)
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
