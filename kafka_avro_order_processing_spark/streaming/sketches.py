@@ -361,3 +361,38 @@ def merge_shard_samples(shard_rows: DataFrame, k: int) -> DataFrame:
         )
         .drop("_rn")
     )
+
+
+def streaming_bloom_build(
+    stream_df: DataFrame,
+    key_col: str,
+    m_bits: int,
+    n_hashes: int,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Streaming twin of ``operators.bloom.bloom_build`` — and the
+    one sketch twin that needs NO custom state handler: explode each
+    key to its (word, mask) pairs, a stateful dropDuplicates whose
+    state is BOUNDED BY THE FILTER ITSELF (at most m distinct
+    (word, mask) pairs, regardless of stream length), then an
+    update-mode SUM per word.  The drained latest-per-word changelog
+    IS the batch filter bit-for-bit; union per-epoch filters with
+    ``operators.bloom.bloom_union``."""
+    from ..operators.bloom import BLOOM_WORD_BITS, _checked_key, _positions
+
+    pos = F.explode(
+        _positions(_checked_key(key_col), m_bits, n_hashes, salt)
+    ).alias("pos")
+    exploded = stream_df.select(pos)
+    word = (
+        (F.col("pos") - F.col("pos") % BLOOM_WORD_BITS) / BLOOM_WORD_BITS
+    ).cast("int")
+    mask = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {BLOOM_WORD_BITS} AS INT))"
+    )
+    return (
+        exploded.select(word.alias("word"), mask.alias("mask"))
+        .dropDuplicates(["word", "mask"])
+        .groupBy("word")
+        .agg(F.sum("mask").alias("bits"))
+    )

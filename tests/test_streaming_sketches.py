@@ -175,3 +175,25 @@ def test_streaming_priority_sample_equals_batch(spark, tmp_path):
         for r in priority_sample(ev, "event_id", "value", k=20).collect()
     )
     assert got == want
+
+
+def test_streaming_bloom_equals_batch(spark, tmp_path):
+    """Drained streaming filter == batch filter, word for word."""
+    from kafka_avro_order_processing_spark.operators.bloom import (
+        bloom_build,
+    )
+    from kafka_avro_order_processing_spark.streaming.sketches import (
+        streaming_bloom_build,
+    )
+
+    ev = load_table(spark, SF, "events").select("user_id")
+    stream = _epoch_stream(spark, ev, str(tmp_path / "src"))
+    drained = drain_to_df(
+        streaming_bloom_build(stream, "user_id", 4096, 5),
+        "update",
+        key_cols=("word",),
+    )
+    got = {r["word"]: r["bits"] for r in drained.collect()}
+    want = {r["word"]: r["bits"] for r in
+            bloom_build(ev, "user_id", 4096, 5).collect()}
+    assert got == want
