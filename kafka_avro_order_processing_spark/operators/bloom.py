@@ -185,3 +185,27 @@ def bloom_might_contain(
         .agg(F.bool_and("_hit").alias("might_contain"))
     )
     return df.join(verdicts, on=key_col, how="inner")
+
+
+def bloom_fill_stats(
+    bloom: DataFrame, m_bits: int, n_hashes: int
+) -> DataFrame:
+    """One-row health readout computed from the filter alone:
+    ``bits_set`` (exact popcount over the word table), ``fill_ratio``
+    (bits_set / m), and ``fpr_observed`` = fill_ratio^k — the actual
+    false-positive rate of THIS filter (a probe passes iff its k
+    probed bits are all set, and a uniform hash hits a set bit with
+    probability fill_ratio).  Integer popcount + two fixed-order
+    float ops: exact oracle parity.  Use it to decide when a rolling
+    filter needs rotation (fpr_observed drifting past budget)."""
+    agg = bloom.agg(
+        F.coalesce(F.sum(F.bit_count("bits")), F.lit(0))
+        .cast("long")
+        .alias("bits_set")
+    )
+    fill = F.col("bits_set").cast("double") / F.lit(float(m_bits))
+    return agg.select(
+        "bits_set",
+        fill.alias("fill_ratio"),
+        F.pow(fill, F.lit(float(n_hashes))).alias("fpr_observed"),
+    )

@@ -165,3 +165,38 @@ def test_validation(spark):
         bloom_build(df, "k", 4096, 3).collect()
     m, k = bloom_params(1000, 0.01)
     assert 9000 < m < 10100 and k in (6, 7)
+
+
+def test_fill_stats_duckdb_oracle_and_sanity(spark):
+    from kafka_avro_order_processing_spark.operators.bloom import (
+        bloom_fill_stats,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    bloom = bloom_build(ev, "user_id", M, K)
+    sdf = bloom_fill_stats(bloom, M, K)
+    sql = _pos_cte("user_id", "events") + f"""
+    , pw AS (
+      SELECT DISTINCT CAST((pos - pos % 32) / 32 AS INT) AS word,
+             CAST(POW(2, pos % 32) AS BIGINT) AS mask
+      FROM pos_events
+    ), bloom AS (
+      SELECT word, CAST(SUM(mask) AS BIGINT) AS bits FROM pw GROUP BY word
+    )
+    SELECT CAST(COALESCE(SUM(bit_count(CAST(bits AS BIT))), 0) AS BIGINT)
+             AS bits_set,
+           CAST(COALESCE(SUM(bit_count(CAST(bits AS BIT))), 0) AS DOUBLE)
+             / {float(M)} AS fill_ratio,
+           POW(CAST(COALESCE(SUM(bit_count(CAST(bits AS BIT))), 0) AS DOUBLE)
+             / {float(M)}, {float(K)}) AS fpr_observed
+    FROM bloom
+    """
+    _assert_parity(sdf, sql)
+    row = sdf.collect()[0]
+    n = ev.select("user_id").distinct().count()
+    # fill close to the expected 1 - e^{-kn/m}
+    import math as _m
+
+    expect = 1 - _m.exp(-K * n / M)
+    assert abs(row["fill_ratio"] - expect) < 0.1
+    assert 0 < row["fpr_observed"] < 1
