@@ -396,3 +396,59 @@ def streaming_bloom_build(
         .groupBy("word")
         .agg(F.sum("mask").alias("bits"))
     )
+
+
+WMG_OUT_SCHEMA = "shard int, key string, lower_bound double"
+WMG_STATE_SCHEMA = "keys array<string>, sums array<double>"
+
+
+def streaming_weighted_mg_candidates(
+    stream_df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int = 64,
+    n_shards: int = 8,
+    salt: str = "wmg",
+) -> DataFrame:
+    """Weighted twin of ``streaming_mg_candidates``: per-shard MG over
+    WEIGHT SUMS (bytes / spend / tokens), so a key with total weight
+    > W/(k+1) is guaranteed in the drained candidates — feed them to
+    ``operators.heavy.weighted_heavy_hitters``' recount (or call
+    exact_recount-style SQL) against the accumulated table for the
+    exact weighted heavy-hitter set.  Weights must be >= 0 (validate
+    upstream; the batch operator raises)."""
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            keys, sums = state.get
+            counters = dict(zip(keys, (float(c) for c in sums)))
+        else:
+            counters = {}
+        for pdf in pdfs:
+            sums_b = pdf.groupby("_k", sort=False)["_w"].sum()
+            for kk, c in sums_b.items():
+                counters[kk] = counters.get(kk, 0.0) + float(c)
+            counters = _mg_reduce(counters, k)
+        state.update((list(counters.keys()), list(counters.values())))
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(counters),
+                "key": list(counters.keys()),
+                "lower_bound": list(counters.values()),
+            }
+        )
+
+    sharded = _with_shard(stream_df, key_col, n_shards, salt).select(
+        "_shard",
+        F.col(key_col).cast("string").alias("_k"),
+        F.col(weight_col).cast("double").alias("_w"),
+    )
+    return sharded.groupBy("_shard").applyInPandasWithState(
+        update,
+        outputStructType=WMG_OUT_SCHEMA,
+        stateStructType=WMG_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -197,3 +197,52 @@ def test_streaming_bloom_equals_batch(spark, tmp_path):
     want = {r["word"]: r["bits"] for r in
             bloom_build(ev, "user_id", 4096, 5).collect()}
     assert got == want
+
+
+def test_streaming_weighted_mg_plus_recount_equals_batch(spark, tmp_path):
+    """Weighted candidates from the stream + the batch recount EQUAL
+    the batch weighted_heavy_hitters frame."""
+    from kafka_avro_order_processing_spark.operators.heavy import (
+        weighted_heavy_hitters,
+    )
+    from kafka_avro_order_processing_spark.streaming.sketches import (
+        streaming_weighted_mg_candidates,
+    )
+
+    rows = (
+        [Row(k="whale", w=50.0)] * 60          # 3000
+        + [Row(k="mid", w=2.0)] * 400          # 800
+        + [Row(k=f"c{i}", w=1.0) for i in range(2200)]
+    )
+    df = spark.createDataFrame(rows)
+    stream = _epoch_stream(spark, df, str(tmp_path / "src"), n_files=4)
+    drained = drain_to_df(
+        streaming_weighted_mg_candidates(stream, "k", "w", k=7, n_shards=3),
+        "update",
+        key_cols=("shard", "key"),
+    )
+    keys = {r["key"] for r in drained.collect()}
+    assert "whale" in keys  # weight 3000 > 6000/8
+    # exact weighted recount over candidates only, compared to batch
+    want = {(r["k"], r["weight_sum"]) for r in
+            weighted_heavy_hitters(df, "k", "w", k=7).collect()}
+    cand = drained.select(F.col("key").alias("k")).distinct()
+    from pyspark.sql import functions as _F
+
+    sums = (
+        df.join(_F.broadcast(cand.withColumn("_c", _F.lit(True))),
+                on="k", how="left")
+        .select(_F.when(_F.col("_c"), _F.col("k")).alias("_k"),
+                _F.col("w").cast("decimal(18,2)").alias("_w"))
+        .groupBy("_k").agg(_F.sum("_w").alias("ws"))
+    )
+    tot = sums.agg(_F.sum("ws").alias("wt"))
+    got = {
+        (r["_k"], float(r["ws"]))
+        for r in sums.filter(_F.col("_k").isNotNull())
+        .crossJoin(_F.broadcast(tot))
+        .filter(_F.col("ws") * 8 > _F.col("wt"))
+        .collect()
+    }
+    # W = 6000, threshold W/8 = 750: whale (3000) AND mid (800) qualify
+    assert got == want == {("whale", 3000.0), ("mid", 800.0)}
