@@ -171,6 +171,34 @@ def main(spark=None, n_docs: int = 30) -> dict:
         .agg(F.avg("log_weight"))
         .collect()[0][0]
     )
+    # Exact-key Bloom gate (operators/bloom.py): a filter over wave-1
+    # TEXT keys answers "definitely new?" for wave 2 BEFORE any
+    # content pass — the planted near-dups have APPENDED text (new
+    # keys), so the exact-key gate must pass them through to the
+    # content-level MinHash index (which catches them above); truly
+    # re-sent identical text would short-circuit here.
+    from kafka_avro_order_processing_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+        bloom_params,
+    )
+
+    wave2_landed = read_avro_ocf(spark, f"{land}/part-0002.avro")
+    m_bl, k_bl = bloom_params(max(len(wave1), 1), 0.01)
+    m_bl = max(m_bl, 32)
+    gate = bloom_build(wave1_ref, "text", m_bl, k_bl)
+    wave2_verdicts = bloom_might_contain(
+        wave2_landed.select("doc_id", "text"), gate, "text", m_bl, k_bl
+    )
+    gate_definitely_new = wave2_verdicts.filter(
+        ~F.col("might_contain")
+    ).count()
+    # re-send wave-1 texts: the gate must flag EVERY one as "maybe"
+    resent = bloom_might_contain(
+        wave1_ref.select("text"), gate, "text", m_bl, k_bl
+    )
+    gate_resent_caught = resent.filter(F.col("might_contain")).count()
+
     out = {
         "ingested": ingested,
         "survivors": len(survivors),
@@ -184,6 +212,10 @@ def main(spark=None, n_docs: int = 30) -> dict:
         "monitor_dsir_weighed": lw.count(),
         "monitor_dsir_mean_lw_wave1": float(mean_w1),
         "monitor_dsir_mean_lw_fresh": float(mean_fresh),
+        "gate_definitely_new": gate_definitely_new,
+        "gate_wave2_total": wave2_verdicts.count(),
+        "gate_resent_caught": gate_resent_caught,
+        "gate_wave1_total": len(wave1),
     }
     if own_session:
         spark.stop()

@@ -325,3 +325,27 @@ def stratified_priority_sample(
         )
         .drop("_rn", "_k")
     )
+
+
+def uniform_sample(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    by: list[str] | None = None,
+    salt: str = _PS_SALT,
+) -> DataFrame:
+    """Deterministic UNIFORM k-row sample (per group with ``by``):
+    priority sampling with unit weights degenerates to keeping the k
+    smallest key hashes — every subset of equal size is equally
+    likely under the md5-uniform u_i, reruns/repartitionings return
+    the SAME rows, and est_weight sums estimate subset COUNTS (each
+    kept row stands for ~n/k rows).  One TakeOrdered / window pass,
+    same scale shape as ``priority_sample``."""
+    return priority_sample(
+        df.withColumn("_unit_w", F.lit(1.0)),
+        key_col,
+        "_unit_w",
+        k,
+        by=by,
+        salt=salt,
+    ).drop("_unit_w")

@@ -138,6 +138,12 @@ def test_streaming_ingest_demo_end_to_end(spark):
     # docs whose unique tokens the target never saw
     assert c["monitor_dsir_weighed"] == c["ingested"]
     assert c["monitor_dsir_mean_lw_wave1"] > c["monitor_dsir_mean_lw_fresh"]
+    # exact-key Bloom gate: every re-sent wave-1 text flags "maybe
+    # seen" (no false negatives), and most of wave 2 — whose texts are
+    # all new keys, including the APPENDED near-dups the content index
+    # catches instead — is "definitely new" (FPR-bounded)
+    assert c["gate_resent_caught"] == c["gate_wave1_total"]
+    assert c["gate_definitely_new"] >= 0.7 * c["gate_wave2_total"]
 
 
 def test_lake_maintenance_demo_end_to_end(spark, tmp_path):

@@ -301,3 +301,32 @@ def test_neyman_validation(spark):
         neyman_allocation(bad, "g", "v", 5)
     with pytest.raises(ValueError, match="empty allocation"):
         stratified_priority_sample(ev, "event_id", "value", "event_type", [])
+
+
+def test_uniform_sample_is_k_smallest_hashes(spark):
+    """Unit weights degenerate to the k-min-hash uniform sample:
+    deterministic, and subset-count estimation stays unbiased-ish
+    (the est_weight sum over the sample approximates n)."""
+    from kafka_avro_order_processing_spark.operators.kmv import kmv_hash
+    from kafka_avro_order_processing_spark.operators.sampling import (
+        uniform_sample,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id").distinct()
+    n = ev.count()
+    samp = uniform_sample(ev, "event_id", k=50)
+    got = sorted(r["event_id"] for r in samp.collect())
+    want = sorted(
+        r["event_id"]
+        for r in ev.withColumn(
+            "h", kmv_hash(F.col("event_id"), "psamp")
+        ).orderBy("h").limit(50).collect()
+    )
+    assert got == want
+    est_n = sum(r["est_weight"] for r in samp.collect())
+    assert abs(est_n - n) / n < 0.35, (est_n, n)
+    # rerun-deterministic
+    again = sorted(r["event_id"] for r in uniform_sample(
+        ev.repartition(7), "event_id", k=50
+    ).collect())
+    assert again == got
