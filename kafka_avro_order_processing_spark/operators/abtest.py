@@ -40,6 +40,19 @@ from pyspark.sql import functions as F
 DEFAULT_SCALE_BITS = 20
 
 
+def _dprod(a: str, b: str) -> F.Column:
+    """Exact integer product of two quantized int64 columns, multiplied
+    IN DECIMAL: the operands can each reach 2^44 under the documented
+    |v| < 2^(44 - scale_bits) bound, so a plain long * long wraps (ANSI
+    ARITHMETIC_OVERFLOW at 2^43 * 2^43) before the decimal cast ever
+    sees it — the same int64-wrap class the r9 review caught in the
+    gram builder.  decimal(19,0) * decimal(19,0) is exact at scale 0
+    through the full headroom (2^88 < 10^38)."""
+    return (
+        F.col(a).cast("decimal(19,0)") * F.col(b).cast("decimal(19,0)")
+    ).cast("decimal(38,0)")
+
+
 def _q_expr(col: str, scale_bits: int, op: str) -> F.Column:
     """floor(v * 2^s + 0.5) as BIGINT with the magnitude bound and
     NULL rejection folded into the same expression (single-pass loud
@@ -83,7 +96,7 @@ def _arm_moments(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum(F.col("y").cast("decimal(38,0)"))
             .cast("decimal(38,0)").alias("sy"),
-            F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)"))
+            F.sum(_dprod("y", "y"))
             .cast("decimal(38,0)").alias("syy"),
         )
     )
@@ -161,7 +174,7 @@ def _collect_moments(
     aggs = [
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.col("y").cast("decimal(38,0)")).cast("decimal(38,0)").alias("sy"),
-        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)"))
+        F.sum(_dprod("y", "y"))
         .cast("decimal(38,0)").alias("syy"),
     ]
     cols = [arm_expr.alias("arm"), y_expr.alias("y")]
@@ -170,9 +183,9 @@ def _collect_moments(
         aggs += [
             F.sum(F.col("x").cast("decimal(38,0)"))
             .cast("decimal(38,0)").alias("sx"),
-            F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
+            F.sum(_dprod("x", "x"))
             .cast("decimal(38,0)").alias("sxx"),
-            F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)"))
+            F.sum(_dprod("x", "y"))
             .cast("decimal(38,0)").alias("sxy"),
         ]
     return df.select(*cols).groupBy("arm").agg(*aggs).collect()
@@ -197,6 +210,190 @@ def _mean_var(n: int, s: int, ss: int, ms: float) -> tuple[float, float]:
         return mean, float("nan")
     var = float(n * ss - s * s) / (float(n) * float(n - 1) * ms * ms)
     return mean, var
+
+
+def cuped_ab_test_multi(
+    df: DataFrame,
+    metric_col: str,
+    covariate_cols: list[str],
+    arm_col: str,
+    scale_bits: int = DEFAULT_SCALE_BITS,
+) -> dict:
+    """Multi-covariate CUPED (regression adjustment): the adjusted
+    metric is Y - theta^T X with theta the pooled OLS coefficient
+    vector
+
+        theta = Var(X)^{-1} Cov(X, Y)
+
+    — Deng et al. 2013 §3.2's extension to several pre-experiment
+    covariates (equivalently ANCOVA / the regression-adjusted
+    estimator of Lin 2013, Ann. Appl. Stat.).  Reduces EXACTLY to
+    :func:`cuped_ab_test` at d = 1 (suite-pinned).
+
+    Exactness: the d x d centered Gram A = N*Sxx - Sx Sx^T and the
+    vector b = N*Sxy - Sx*Sy assemble on the driver as PYTHON BIGINTS
+    from exact decimal moment sums (the pca.py gram discipline), so
+    they are bit-identical under any partitioning; theta = solve(A, b)
+    is one deterministic d x d LAPACK call on those exact inputs, and
+    pass 2 re-quantizes the adjusted metric per row with theta shipped
+    as task literals — the whole readout is therefore bit-reproducible
+    for a fixed driver environment and pinned against a Python replica
+    exactly (suite).
+
+    Scale shape: the same two corpus passes as the single-covariate
+    form — pass 1 collects O(arms * d^2) integer moments in ONE
+    map-side-combinable aggregate; pass 2 is one more keyed aggregate
+    over the adjusted rows.  No joins, no windows, no extra shuffle;
+    d is capped at 16 (the Gram has d(d+1)/2 = 136 sums — still one
+    aggregate's worth of state).
+    """
+    import numpy as np
+
+    op = "cuped_ab_test_multi"
+    if not (1 <= scale_bits <= 43):
+        raise ValueError(f"scale_bits must be in [1, 43], got {scale_bits}")
+    d = len(covariate_cols)
+    if not (1 <= d <= 16):
+        raise ValueError(f"{op}: need 1..16 covariates, got {d}")
+    if len(set(covariate_cols)) != d or metric_col in covariate_cols:
+        raise ValueError(
+            f"{op}: covariate_cols must be distinct and exclude the "
+            f"metric, got {covariate_cols!r}"
+        )
+    ms = float(1 << scale_bits)
+
+    cols = [
+        _arm_checked(arm_col, op).alias("arm"),
+        _q_expr(metric_col, scale_bits, op).alias("y"),
+    ] + [
+        _q_expr(c, scale_bits, op).alias(f"x{j}")
+        for j, c in enumerate(covariate_cols)
+    ]
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("y").cast("decimal(38,0)"))
+        .cast("decimal(38,0)").alias("sy"),
+        F.sum(_dprod("y", "y")).cast("decimal(38,0)").alias("syy"),
+    ]
+    for j in range(d):
+        aggs.append(
+            F.sum(F.col(f"x{j}").cast("decimal(38,0)"))
+            .cast("decimal(38,0)").alias(f"sx{j}")
+        )
+        aggs.append(
+            F.sum(_dprod(f"x{j}", "y")).cast("decimal(38,0)").alias(f"sx{j}y")
+        )
+        for k in range(j, d):
+            aggs.append(
+                F.sum(_dprod(f"x{j}", f"x{k}"))
+                .cast("decimal(38,0)").alias(f"sx{j}x{k}")
+            )
+    rows = df.select(*cols).groupBy("arm").agg(*aggs).collect()
+    arms, by = _two_arms(rows, op)
+
+    # pooled exact-bigint centered Gram and cross-moment vector
+    N = sum(int(by[a]["n"]) for a in arms)
+    Sy = sum(int(by[a]["sy"]) for a in arms)
+    Sx = [sum(int(by[a][f"sx{j}"]) for a in arms) for j in range(d)]
+    Sxy = [sum(int(by[a][f"sx{j}y"]) for a in arms) for j in range(d)]
+    A_int = [[0] * d for _ in range(d)]
+    for j in range(d):
+        for k in range(j, d):
+            s = sum(int(by[a][f"sx{j}x{k}"]) for a in arms)
+            A_int[j][k] = A_int[k][j] = N * s - Sx[j] * Sx[k]
+    b_int = [N * Sxy[j] - Sx[j] * Sy for j in range(d)]
+    A = np.array(A_int, dtype=np.float64)
+    b = np.array(b_int, dtype=np.float64)
+    diag = np.diag(A)
+    if (diag <= 0).any():
+        zero = [covariate_cols[j] for j in range(d) if diag[j] <= 0]
+        raise ValueError(
+            f"{op}: covariate(s) {zero!r} have zero variance — CUPED "
+            "cannot adjust on a constant"
+        )
+    try:
+        theta = np.linalg.solve(A, b)
+    except np.linalg.LinAlgError:
+        raise ValueError(
+            f"{op}: the covariate Gram is singular — covariates are "
+            "collinear; drop the redundant one(s)"
+        ) from None
+    # reject numerically-meaningless solves the same way (collinear up
+    # to rounding): the solve must actually reproduce b
+    resid = A @ theta - b
+    bscale = float(np.max(np.abs(b))) or 1.0
+    ascale = float(np.max(np.abs(A))) or 1.0
+    if float(np.max(np.abs(resid))) > 1e-6 * max(
+        bscale, ascale * float(np.max(np.abs(theta)))
+    ):
+        raise ValueError(
+            f"{op}: the covariate Gram is numerically singular — "
+            "covariates are (near-)collinear; drop the redundant one(s)"
+        )
+    if float(np.sum(np.abs(theta))) >= float(1 << 18):
+        raise ValueError(
+            f"{op}: sum |theta_j| = {float(np.sum(np.abs(theta))):.3g} "
+            ">= 2^18 — a covariate is on a wildly different scale than "
+            "the metric; rescale it"
+        )
+
+    raw = {}
+    for a in arms:
+        r = by[a]
+        mean, var = _mean_var(int(r["n"]), int(r["sy"]), int(r["syy"]), ms)
+        raw[a] = {"n": int(r["n"]), "mean": mean, "var": var}
+
+    # pass 2: adj = y_q - floor(sum_j theta_j * x_jq + 0.5), the dot
+    # product evaluated in f64 in FIXED j order (task literals)
+    yq = _q_expr(metric_col, scale_bits, op)
+    dot = F.lit(0.0)
+    for j, c in enumerate(covariate_cols):
+        dot = dot + F.lit(float(theta[j])) * _q_expr(
+            c, scale_bits, op
+        ).cast("double")
+    adj = yq - F.floor(dot + F.lit(0.5)).cast("long")
+    arows = (
+        df.select(_arm_checked(arm_col, op).alias("arm"), adj.alias("y"))
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("y").cast("decimal(38,0)"))
+            .cast("decimal(38,0)").alias("sy"),
+            F.sum(_dprod("y", "y")).cast("decimal(38,0)").alias("syy"),
+        )
+        .collect()
+    )
+    _, aby = _two_arms(arows, op)
+    cuped = {}
+    for a in arms:
+        r = aby[a]
+        mean, var = _mean_var(int(r["n"]), int(r["sy"]), int(r["syy"]), ms)
+        cuped[a] = {"n": int(r["n"]), "mean": mean, "var": var}
+
+    def _readout(stats: dict) -> dict:
+        a, b_ = arms
+        diff = stats[b_]["mean"] - stats[a]["mean"]
+        se = math.sqrt(
+            stats[a]["var"] / stats[a]["n"] + stats[b_]["var"] / stats[b_]["n"]
+        )
+        out = dict(stats)
+        out["diff"] = diff
+        out["se"] = se
+        out["z"] = diff / se if se > 0 else float("nan")
+        return out
+
+    pooled_raw = sum(raw[a]["var"] * (raw[a]["n"] - 1) for a in arms)
+    pooled_cuped = sum(cuped[a]["var"] * (cuped[a]["n"] - 1) for a in arms)
+    return {
+        "arms": arms,
+        "theta": [float(t) for t in theta],
+        "raw": _readout(raw),
+        "cuped": _readout(cuped),
+        "var_reduction": (
+            1.0 - pooled_cuped / pooled_raw if pooled_raw > 0 else float("nan")
+        ),
+        "scale_bits": int(scale_bits),
+    }
 
 
 def cuped_ab_test(
@@ -279,7 +476,7 @@ def cuped_ab_test(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum(F.col("y").cast("decimal(38,0)"))
             .cast("decimal(38,0)").alias("sy"),
-            F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)"))
+            F.sum(_dprod("y", "y"))
             .cast("decimal(38,0)").alias("syy"),
         )
         .collect()

@@ -27,6 +27,8 @@ aggregates.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -158,6 +160,272 @@ def grouped_conformal_thresholds(
         )
     )
     return out
+
+
+#: Weight quantization scale bits (the abtest.py idiom): weights are
+#: quantized ONCE as floor(w * 2^WEIGHT_SCALE_BITS + 0.5) — a single
+#: correctly-rounded IEEE multiply-add, identical on any engine — and
+#: every cross-row statistic is a DECIMAL(38,0) sum of those integers.
+WEIGHT_SCALE_BITS = 20
+
+
+def _wq_expr(weight_col: str, scale_bits: int, op: str):
+    """Quantized-weight expression with NULL / NaN / non-positive /
+    magnitude rejection folded into the same projection (single-pass
+    loud validation).  Likelihood-ratio weights are strictly positive
+    (Tibshirani et al. 2019 §2: w = dP_target/dP_source > 0 on the
+    support); a weight that quantizes to 0 would silently delete the
+    row's calibration mass, so it raises instead."""
+    ms = float(1 << scale_bits)
+    bound = float(1 << (44 - scale_bits))
+    msg = (
+        f"{op}: NULL/NaN {weight_col}, non-positive weight, weight < "
+        f"2^-{scale_bits + 1} (quantizes to zero mass), or weight >= "
+        f"{bound!r} breaking DECIMAL(38,0) headroom at "
+        f"scale_bits={scale_bits} — filter or rescale explicitly first"
+    )
+    w = F.col(weight_col).cast("double")
+    q = F.floor(w * F.lit(ms) + F.lit(0.5)).cast("long")
+    return F.when(
+        w.isNull() | F.isnan(w) | (w <= F.lit(0.0))
+        | (w >= F.lit(bound)) | (q <= F.lit(0)),
+        F.raise_error(F.lit(msg)).cast("long"),
+    ).otherwise(q)
+
+
+def _s_checked(score_col: str, op: str):
+    """Score cast with NULL/NaN rejection in-plan (NaN would sort into
+    an engine-dependent position — reject rather than diverge)."""
+    msg = f"{op}: NULL/NaN {score_col} row — filter explicitly first"
+    s = F.col(score_col).cast("double")
+    return F.when(
+        s.isNull() | F.isnan(s), F.raise_error(F.lit(msg)).cast("double")
+    ).otherwise(s)
+
+
+def weighted_conformal_threshold(
+    df: DataFrame,
+    score_col: str,
+    weight_col: str,
+    w_test: float = 1.0,
+    alpha: float = 0.1,
+    scale_bits: int = WEIGHT_SCALE_BITS,
+) -> dict:
+    """Weighted split-conformal quantile under covariate shift
+    (Tibshirani, Barber, Candès & Ramdas, NeurIPS 2019, "Conformal
+    Prediction Under Covariate Shift"): calibration scores carry
+    likelihood-ratio weights w_i = dP_target/dP_source(x_i) and the
+    test point carries ``w_test``; the threshold is
+
+        qhat = inf{ s :  sum_{s_i <= s} w_i  >=  (1 - alpha) * (W + w_test) }
+
+    i.e. the (1 - alpha)-quantile of the weighted score distribution
+    with mass w_test placed at +infinity.  With all weights equal this
+    reduces EXACTLY to :func:`conformal_threshold`'s order statistic
+    (suite-pinned reduction law).  Raises when even the full
+    calibration mass cannot reach the quantile (the +infinity case) —
+    the same honest failure as the unweighted k > n.
+
+    Exactness: weights quantize ONCE to 2^scale_bits integers (one
+    correctly-rounded multiply-add — cross-engine identical), alpha to
+    millionths, and the defining inequality is evaluated as the pure
+    integer comparison
+
+        cum_q * ALPHA_DEN  >=  (ALPHA_DEN - num) * (W_q + wtest_q)
+
+    (the integer-threshold idiom: ``cw >= ceil(a/b)`` for integers is
+    just ``cw * b >= a`` — no float ceil, no division) — so qhat is
+    bit-deterministic under any partitioning and DuckDB-oracle-able.
+
+    Scale shape: one validation+total aggregate over the calibration
+    frame, then ties merge in a groupBy(score) and the cumulative pass
+    runs over DISTINCT scores only — calibration sets are held-out
+    samples orders of magnitude smaller than the corpus, and the
+    single-partition cumulative window over their distinct scores is
+    the documented bound (the grouped variant partitions by group).
+    """
+    num = _alpha_num(alpha)
+    op = "weighted_conformal_threshold"
+    if not (1 <= scale_bits <= 43):
+        raise ValueError(f"scale_bits must be in [1, 43], got {scale_bits}")
+    ms = float(1 << scale_bits)
+    wtest_q = int(math.floor(float(w_test) * ms + 0.5))
+    if not (float(w_test) > 0.0 and wtest_q > 0):
+        raise ValueError(
+            f"{op}: w_test must be positive and not quantize to zero "
+            f"mass at scale_bits={scale_bits}, got {w_test}"
+        )
+    rows = df.select(
+        _s_checked(score_col, op).alias("s"),
+        _wq_expr(weight_col, scale_bits, op).alias("wq"),
+    )
+    agg = rows.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("wq").cast("decimal(38,0)"))
+        .cast("decimal(38,0)").alias("tw"),
+    ).collect()[0]
+    n = int(agg["n"])
+    if n == 0:
+        raise ValueError(f"{op}: empty calibration frame")
+    total_wq = int(agg["tw"])
+    # the +infinity case: (1-alpha)(W + w_test) > W  <=>  the target
+    # mass is unreachable even by the largest score
+    need = (ALPHA_DEN - num) * (total_wq + wtest_q)
+    if total_wq * ALPHA_DEN < need:
+        raise ValueError(
+            f"{op}: (1 - alpha) * (W + w_test) exceeds the total "
+            f"calibration mass W — qhat is +infinity; collect more "
+            f"calibration data, raise alpha, or lower w_test"
+        )
+    merged = rows.groupBy("s").agg(
+        F.sum(F.col("wq").cast("decimal(38,0)"))
+        .cast("decimal(38,0)").alias("gw")
+    )
+    w_cum = Window.orderBy(F.asc("s")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    hit = (
+        merged.withColumn(
+            "cw", F.sum("gw").over(w_cum).cast("decimal(38,0)")
+        )
+        .filter(
+            F.col("cw") * F.lit(ALPHA_DEN)
+            >= F.lit(need).cast("decimal(38,0)")
+        )
+        .orderBy(F.asc("s"))
+        .limit(1)
+        .collect()
+    )
+    return {
+        "qhat": float(hit[0]["s"]),
+        "n": n,
+        "alpha": float(alpha),
+        "w_total_q": total_wq,
+        "w_test_q": wtest_q,
+        "scale_bits": int(scale_bits),
+    }
+
+
+def grouped_weighted_conformal_thresholds(
+    df: DataFrame,
+    score_col: str,
+    weight_col: str,
+    group_col: str,
+    w_test: float = 1.0,
+    alpha: float = 0.1,
+    scale_bits: int = WEIGHT_SCALE_BITS,
+) -> DataFrame:
+    """Mondrian form of :func:`weighted_conformal_threshold`: one row
+    per group with (group_col, n, w_total, qhat); a group whose total
+    calibration mass cannot reach the quantile reports a NULL qhat
+    (the +infinity case) rather than a silently-weaker threshold.
+    Single pass: validation folds into the scan, ties merge per
+    (group, score), and the cumulative + total sums are per-group
+    windows — the sessionization-class bound."""
+    num = _alpha_num(alpha)
+    op = "grouped_weighted_conformal_thresholds"
+    if not (1 <= scale_bits <= 43):
+        raise ValueError(f"scale_bits must be in [1, 43], got {scale_bits}")
+    ms = float(1 << scale_bits)
+    wtest_q = int(math.floor(float(w_test) * ms + 0.5))
+    if not (float(w_test) > 0.0 and wtest_q > 0):
+        raise ValueError(
+            f"{op}: w_test must be positive and not quantize to zero "
+            f"mass at scale_bits={scale_bits}, got {w_test}"
+        )
+    gmsg = f"{op}: NULL {group_col} row — filter explicitly first"
+    g_checked = F.when(
+        F.col(group_col).isNull(),
+        F.raise_error(F.lit(gmsg)).cast(
+            df.schema[group_col].dataType.simpleString()
+        ),
+    ).otherwise(F.col(group_col))
+    rows = df.select(
+        g_checked.alias("g"),
+        _s_checked(score_col, op).alias("s"),
+        _wq_expr(weight_col, scale_bits, op).alias("wq"),
+    )
+    merged = rows.groupBy("g", "s").agg(
+        F.sum(F.col("wq").cast("decimal(38,0)"))
+        .cast("decimal(38,0)").alias("gw"),
+        F.count(F.lit(1)).cast("long").alias("gn"),
+    )
+    w_cum = (
+        Window.partitionBy("g")
+        .orderBy(F.asc("s"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("g")
+    ranked = (
+        merged.withColumn(
+            "cw", F.sum("gw").over(w_cum).cast("decimal(38,0)")
+        )
+        .withColumn("tw", F.sum("gw").over(w_all).cast("decimal(38,0)"))
+        .withColumn("n", F.sum("gn").over(w_all).cast("long"))
+    )
+    # need = (DEN - num) * (tw + wtest_q), exact decimal arithmetic
+    need = (
+        (F.col("tw") + F.lit(wtest_q).cast("decimal(38,0)"))
+        * F.lit(ALPHA_DEN - num)
+    ).cast("decimal(38,0)")
+    ok = F.col("cw") * F.lit(ALPHA_DEN) >= need
+    w_first = Window.partitionBy("g").orderBy(
+        F.desc(ok.cast("int")), F.asc("s")
+    )
+    return (
+        ranked.withColumn("__ok", ok)
+        .withColumn("__rn", F.row_number().over(w_first))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n"),
+            (F.col("tw").cast("double") / F.lit(ms)).alias("w_total"),
+            F.when(F.col("__ok"), F.col("s")).alias("qhat"),
+        )
+    )
+
+
+def weighted_conformal_coverage(
+    df: DataFrame,
+    score_col: str,
+    weight_col: str,
+    qhat: float,
+    scale_bits: int = WEIGHT_SCALE_BITS,
+) -> dict:
+    """Source-side weighted coverage audit: {n, w_total, w_covered,
+    coverage} with coverage = the WEIGHTED fraction of scores <= qhat
+    — the importance-weighted estimate of target-distribution coverage
+    when the audit frame is source-distributed (on target-distributed
+    holdout data use the unweighted :func:`conformal_coverage`).
+    Exact decimal sums of the quantized weights, one pass."""
+    op = "weighted_conformal_coverage"
+    if not (1 <= scale_bits <= 43):
+        raise ValueError(f"scale_bits must be in [1, 43], got {scale_bits}")
+    ms = float(1 << scale_bits)
+    rows = df.select(
+        _s_checked(score_col, op).alias("s"),
+        _wq_expr(weight_col, scale_bits, op).alias("wq"),
+    )
+    agg = rows.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("wq").cast("decimal(38,0)"))
+        .cast("decimal(38,0)").alias("tw"),
+        F.sum(
+            F.when(F.col("s") <= F.lit(float(qhat)), F.col("wq"))
+            .otherwise(F.lit(0)).cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("cw"),
+    ).collect()[0]
+    n = int(agg["n"])
+    if n == 0:
+        raise ValueError(f"{op}: empty frame")
+    tw = int(agg["tw"])
+    cw = int(agg["cw"])
+    return {
+        "n": n,
+        "w_total": tw / ms,
+        "w_covered": cw / ms,
+        "coverage": cw / tw,
+    }
 
 
 def conformal_coverage(

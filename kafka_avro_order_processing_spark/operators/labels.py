@@ -432,3 +432,325 @@ def dawid_skene(
         "n_iter": int(n_iter),
         "alpha": float(alpha),
     }
+
+
+# ------------------------------------------------- agreement statistics
+
+
+def cohen_kappa(
+    labels: DataFrame,
+    worker_a,
+    worker_b,
+    item_col: str = "item_id",
+    worker_col: str = "worker_id",
+    label_col: str = "label",
+) -> dict:
+    """Cohen's kappa (Cohen 1960) between two specific annotators over
+    the items BOTH labeled: {n_items, po, pe, kappa}.  Exact integer
+    form: with confusion counts n_ab over shared items,
+
+        kappa = (n * agree - sum_l rowsum_l * colsum_l)
+                / (n^2     - sum_l rowsum_l * colsum_l)
+
+    — one float division of exact Python bigints, so the readout is
+    bit-deterministic and engine-independent.  A worker labeling the
+    same item twice breaks the contingency semantics and raises.
+    Scale: one equi-join on item between two single-worker slices plus
+    O(K^2) collected confusion cells."""
+    rows = _checked_cols(labels, [item_col, worker_col, label_col],
+                         "cohen_kappa")
+    a = rows.filter(F.col(worker_col) == F.lit(worker_a)).select(
+        item_col, F.col(label_col).alias("__la")
+    )
+    b = rows.filter(F.col(worker_col) == F.lit(worker_b)).select(
+        item_col, F.col(label_col).alias("__lb")
+    )
+    for side, nm in ((a, worker_a), (b, worker_b)):
+        dup = (
+            side.groupBy(item_col).count().filter(F.col("count") > 1).count()
+        )
+        if dup:
+            raise ValueError(
+                f"cohen_kappa: worker {nm!r} labeled {dup} item(s) more "
+                "than once — aggregate duplicates upstream"
+            )
+    conf = (
+        a.join(b, item_col)
+        .groupBy("__la", "__lb")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .collect()
+    )
+    if not conf:
+        raise ValueError(
+            f"cohen_kappa: workers {worker_a!r} and {worker_b!r} share "
+            "no items"
+        )
+    n = sum(int(r["c"]) for r in conf)
+    agree = sum(int(r["c"]) for r in conf if r["__la"] == r["__lb"])
+    row_sum: dict = {}
+    col_sum: dict = {}
+    for r in conf:
+        row_sum[r["__la"]] = row_sum.get(r["__la"], 0) + int(r["c"])
+        col_sum[r["__lb"]] = col_sum.get(r["__lb"], 0) + int(r["c"])
+    pe_num = sum(
+        row_sum[l] * col_sum.get(l, 0) for l in sorted(row_sum, key=str)
+    )
+    denom = n * n - pe_num
+    kappa = float(n * agree - pe_num) / float(denom) if denom else float("nan")
+    return {
+        "n_items": n,
+        "po": agree / n,
+        "pe": pe_num / (n * n),
+        "kappa": kappa,
+    }
+
+
+def pairwise_cohen_kappa(
+    labels: DataFrame,
+    item_col: str = "item_id",
+    worker_col: str = "worker_id",
+    label_col: str = "label",
+    min_shared: int = 1,
+) -> DataFrame:
+    """Cohen's kappa for EVERY annotator pair: (worker_a, worker_b,
+    n_items, n_agree, pe_num, kappa) with worker_a < worker_b — the
+    reliability matrix a labeling operation audits.  The kappa column
+    is the same exact-integer expression as :func:`cohen_kappa`,
+    evaluated in-plan, so the whole table is DuckDB-oracle-able
+    (suite-proven).  Degenerate pairs (pe = 1, e.g. both workers used
+    a single identical label everywhere) report NULL kappa.
+
+    Scale: one self-join on item (co-partitioned equi-join) producing
+    one row per co-labeled (item, pair); per-pair marginals come from
+    two grouped counts joined back on (pair, label) — every stage is
+    a keyed integer aggregate.  Duplicate (worker, item) labels raise
+    in-plan via the n*(n-1)/2 pair expansion check upstream callers
+    should have done; here they are rejected by a grouped guard."""
+    rows = _checked_cols(labels, [item_col, worker_col, label_col],
+                         "pairwise_cohen_kappa")
+    one = rows.groupBy(item_col, worker_col).agg(
+        F.count(F.lit(1)).alias("__m"),
+        F.min(label_col).alias("__l"),
+    )
+    one = one.withColumn(
+        "__l",
+        F.when(
+            F.col("__m") > 1,
+            F.raise_error(F.lit(
+                "pairwise_cohen_kappa: a worker labeled the same item "
+                "more than once — aggregate duplicates upstream"
+            )).cast(labels.schema[label_col].dataType.simpleString()),
+        ).otherwise(F.col("__l")),
+    ).select(item_col, worker_col, "__l")
+    lhs = one.select(
+        F.col(item_col).alias("__i"),
+        F.col(worker_col).alias("wa"),
+        F.col("__l").alias("__la"),
+    )
+    rhs = one.select(
+        F.col(item_col).alias("__i"),
+        F.col(worker_col).alias("wb"),
+        F.col("__l").alias("__lb"),
+    )
+    pairs = lhs.join(rhs, "__i").filter(F.col("wa") < F.col("wb"))
+    base = pairs.groupBy("wa", "wb").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum((F.col("__la") == F.col("__lb")).cast("long"))
+        .cast("long").alias("n_agree"),
+    )
+    ma = pairs.groupBy("wa", "wb", F.col("__la").alias("__l")).agg(
+        F.count(F.lit(1)).cast("long").alias("ca")
+    )
+    mb = pairs.groupBy("wa", "wb", F.col("__lb").alias("__l")).agg(
+        F.count(F.lit(1)).cast("long").alias("cb")
+    )
+    pe = (
+        ma.join(mb, ["wa", "wb", "__l"])
+        .groupBy("wa", "wb")
+        .agg(
+            F.sum(
+                (F.col("ca").cast("decimal(19,0)")
+                 * F.col("cb").cast("decimal(19,0)")).cast("decimal(38,0)")
+            ).cast("decimal(38,0)").alias("pe_num")
+        )
+    )
+    dn = F.col("n_items").cast("decimal(19,0)")
+    denom = (dn * dn).cast("decimal(38,0)") - F.col("pe_num")
+    kappa_num = (
+        dn * F.col("n_agree").cast("decimal(19,0)")
+    ).cast("decimal(38,0)") - F.col("pe_num")
+    return (
+        # LEFT join: a pair whose workers share no label value at all
+        # has pe_num = 0 (every rowsum * colsum product is 0), not a
+        # missing row
+        base.join(pe, ["wa", "wb"], "left")
+        .withColumn(
+            "pe_num",
+            F.coalesce(F.col("pe_num"), F.lit(0).cast("decimal(38,0)")),
+        )
+        .filter(F.col("n_items") >= int(min_shared))
+        .select(
+            F.col("wa").alias("worker_a"),
+            F.col("wb").alias("worker_b"),
+            "n_items",
+            "n_agree",
+            F.col("pe_num").cast("long").alias("pe_num"),
+            F.when(
+                denom != F.lit(0).cast("decimal(38,0)"),
+                kappa_num.cast("double") / denom.cast("double"),
+            ).alias("kappa"),
+        )
+    )
+
+
+def fleiss_kappa(
+    labels: DataFrame,
+    item_col: str = "item_id",
+    worker_col: str = "worker_id",
+    label_col: str = "label",
+) -> dict:
+    """Fleiss' kappa (Fleiss 1971) for a fixed panel size: every item
+    must carry the SAME number of ratings n >= 2 (the statistic is
+    undefined otherwise — for ragged panels use
+    :func:`krippendorff_alpha_nominal`; a ragged frame raises).
+    Returns {n_items, n_raters, po, pe, kappa} with po/pe/kappa
+    assembled from exact integer sums via fractions.Fraction — no
+    accumulated float error, one final float conversion each.
+    Scale: two integer groupBys (per-(item,label) counts, then the
+    sum of squares + per-class totals), O(K) driver state."""
+    from fractions import Fraction
+
+    rows = _checked_cols(labels, [item_col, worker_col, label_col],
+                         "fleiss_kappa")
+    cell = rows.groupBy(item_col, label_col).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per_item = cell.groupBy(item_col).agg(
+        F.sum("c").cast("long").alias("ni")
+    )
+    distinct_n = [r["ni"] for r in per_item.select("ni").distinct().collect()]
+    if len(distinct_n) != 1 or distinct_n[0] < 2:
+        raise ValueError(
+            f"fleiss_kappa: needs a constant panel of >= 2 ratings per "
+            f"item, got per-item counts {sorted(distinct_n)!r} — use "
+            "krippendorff_alpha_nominal for ragged panels"
+        )
+    n_r = int(distinct_n[0])
+    agg = cell.agg(
+        F.sum(
+            (F.col("c").cast("decimal(19,0)") * F.col("c").cast("decimal(19,0)"))
+            .cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("ss"),
+    ).collect()[0]
+    ss = int(agg["ss"])
+    n_items = per_item.count()
+    ctot = {
+        r[label_col]: int(r["ct"])
+        for r in cell.groupBy(label_col)
+        .agg(F.sum("c").cast("long").alias("ct"))
+        .collect()
+    }
+    total = n_items * n_r
+    po = Fraction(ss - total, n_items * n_r * (n_r - 1))
+    pe = Fraction(
+        sum(c * c for _, c in sorted(ctot.items(), key=lambda kv: str(kv[0]))),
+        total * total,
+    )
+    kappa = (
+        float((po - pe) / (1 - pe)) if pe != 1 else float("nan")
+    )
+    return {
+        "n_items": int(n_items),
+        "n_raters": n_r,
+        "po": float(po),
+        "pe": float(pe),
+        "kappa": kappa,
+    }
+
+
+def krippendorff_alpha_nominal(
+    labels: DataFrame,
+    item_col: str = "item_id",
+    worker_col: str = "worker_id",
+    label_col: str = "label",
+) -> dict:
+    """Krippendorff's alpha with the nominal difference function
+    (Krippendorff 2011, "Computing Krippendorff's Alpha-Reliability")
+    — the ragged-panel agreement statistic: items may have any number
+    of ratings; items with fewer than 2 are excluded (standard).
+
+        alpha = 1 - D_o / D_e
+        D_o   = (1/n) * sum_u [ sum_c n_uc (n_u - n_uc) / (n_u - 1) ]
+        D_e   = (n^2 - sum_c n_c^2) / (n (n - 1))
+
+    Float discipline: the per-item rational sum_c n_uc(n_u - n_uc)
+    divided by (n_u - 1) is quantized ONCE per item as
+    floor(num/den * 2^52 + 0.5) — one correctly-rounded IEEE division
+    plus an exact power-of-two scaling, identical on any engine — and
+    summed as DECIMAL(38,0); D_e assembles from exact bigint class
+    totals on the driver.  Pinned against a brute-force pair-counting
+    replica (suite).  Returns {n_values, n_items, do, de, alpha}.
+    Scale: two integer groupBys and one per-item projection — no
+    joins, no windows."""
+    rows = _checked_cols(labels, [item_col, worker_col, label_col],
+                         "krippendorff_alpha_nominal")
+    cell = rows.groupBy(item_col, label_col).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w_item = Window.partitionBy(item_col)
+    per = (
+        cell.withColumn("nu", F.sum("c").over(w_item).cast("long"))
+        .filter(F.col("nu") >= 2)
+    )
+    # per-item disagreement numerator sum_c c*(nu - c), exact in long
+    # (c, nu <= panel size — bounded by the most-annotated item), then
+    # the ONE quantized division per item
+    scale = float(1 << 52)
+    item_q = (
+        per.groupBy(item_col, "nu")
+        .agg(F.sum(F.col("c") * (F.col("nu") - F.col("c")))
+             .cast("long").alias("dnum"))
+        .select(
+            "nu",
+            F.floor(
+                F.col("dnum").cast("double")
+                / (F.col("nu") - 1).cast("double")
+                * F.lit(scale)
+                + F.lit(0.5)
+            ).cast("decimal(38,0)").alias("dq"),
+        )
+    )
+    agg = item_q.agg(
+        F.sum("dq").cast("decimal(38,0)").alias("dsum"),
+        F.sum("nu").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    ).collect()[0]
+    if agg["n"] is None:
+        raise ValueError(
+            "krippendorff_alpha_nominal: no item has >= 2 ratings"
+        )
+    n = int(agg["n"])
+    dsum = int(agg["dsum"])
+    n_items = int(agg["n_items"])
+    ctot = [
+        int(r["ct"])
+        for r in per.groupBy(label_col)
+        .agg(F.sum("c").cast("long").alias("ct"))
+        .orderBy(label_col)
+        .collect()
+    ]
+    do = dsum / scale / n
+    de_num = n * n - sum(c * c for c in ctot)
+    if de_num == 0:
+        return {
+            "n_values": n, "n_items": n_items, "do": do,
+            "de": 0.0, "alpha": float("nan"),
+        }
+    de = float(de_num) / float(n * (n - 1))
+    return {
+        "n_values": n,
+        "n_items": n_items,
+        "do": do,
+        "de": de,
+        "alpha": 1.0 - do / de,
+    }

@@ -205,3 +205,154 @@ def test_streaming_arm_stats_bit_match_batch(spark, tmp_path):
         tuple(r) for r in streaming_ab_arm_stats(stream, "y", "arm").collect()
     )
     assert got == want
+
+
+def test_moments_exact_at_documented_magnitude_bound(spark):
+    """Regression (int64-wrap class): |v| just under the documented
+    2^(44 - scale_bits) bound must aggregate EXACTLY — the moment
+    products multiply in DECIMAL, so y_q * y_q (up to 2^88) never
+    touches a long.  Before the fix this crashed with ANSI
+    ARITHMETIC_OVERFLOW at 2^43 * 2^43."""
+    big = float(1 << 23)  # scale_bits=20 -> y_q = 2^43
+    df = spark.createDataFrame(
+        [("a", big), ("a", big), ("b", 1.0), ("b", 3.0)],
+        "arm string, v double",
+    )
+    got = {r["arm"]: r for r in ab_arm_stats(df, "v", "arm").collect()}
+    assert got["a"]["mean"] == big and got["a"]["var"] == 0.0
+    assert got["b"]["mean"] == 2.0 and got["b"]["var"] == 2.0
+    # CUPED end-to-end at the same magnitudes (covariate near the bound)
+    df2 = spark.createDataFrame(
+        [("a", big, big - 1.0), ("a", 2.0, 3.0), ("a", 5.0, 4.0),
+         ("b", 1.0, 2.0), ("b", 2.0, 1.0), ("b", 7.0, 6.0)],
+        "arm string, y double, x double",
+    )
+    res = cuped_ab_test(df2, "y", "x", "arm")
+    assert math.isfinite(res["theta"]) and math.isfinite(res["cuped"]["z"])
+    # and the bound itself still rejects loudly one step further out
+    over = spark.createDataFrame(
+        [("a", float(1 << 24)), ("b", 1.0)], "arm string, v double"
+    )
+    with pytest.raises(Exception, match="headroom"):
+        ab_arm_stats(over, "v", "arm").collect()
+
+
+# ------------------------------------------------------- multi-covariate
+
+from kafka_avro_order_processing_spark.operators.abtest import (  # noqa: E402
+    cuped_ab_test_multi,
+)
+
+
+def _multi_frame(spark):
+    """Planted frame: y = 2*x1 + 3*x2 + structured residual + arm
+    effect, covariates deterministic from event_id — both covariates
+    carry real signal, so the OLS adjustment must beat either alone."""
+    ev = load_table(spark, SF_DIR, "events").filter("value IS NOT NULL")
+    return ev.select(
+        F.when(F.col("event_id") % 2 == 0, "control")
+        .otherwise("treat").alias("arm"),
+        ((F.col("event_id") % 13)).cast("double").alias("x1"),
+        ((F.col("event_id") % 7)).cast("double").alias("x2"),
+        (
+            F.lit(2.0) * (F.col("event_id") % 13).cast("double")
+            + F.lit(3.0) * (F.col("event_id") % 7).cast("double")
+            + (F.col("value") % 5).cast("double")
+            + F.when(F.col("event_id") % 2 == 0, 0.0).otherwise(0.25)
+        ).alias("y"),
+    )
+
+
+def test_multi_reduces_to_single_at_d1(spark):
+    df = _multi_frame(spark)
+    single = cuped_ab_test(df, "y", "x1", "arm")
+    multi = cuped_ab_test_multi(df, "y", ["x1"], "arm")
+    assert multi["theta"][0] == single["theta"]
+    for k in ("control", "treat", "diff", "se", "z"):
+        assert multi["cuped"][k] == single["cuped"][k], k
+        assert multi["raw"][k] == single["raw"][k], k
+    assert multi["var_reduction"] == single["var_reduction"]
+
+
+def test_multi_matches_python_replica_exactly(spark):
+    """Full bigint replica: quantize rows in Python, assemble the
+    centered Gram as exact ints, solve with the same numpy call —
+    theta and both readouts must agree EXACTLY."""
+    import math as _m
+
+    import numpy as np
+
+    df = _multi_frame(spark)
+    sb = 20
+    ms = float(1 << sb)
+    rows = df.collect()
+    arms = sorted({r["arm"] for r in rows})
+    d = 2
+
+    def q(v):
+        return int(_m.floor(v * ms + 0.5))
+
+    N = len(rows)
+    ys = [q(r["y"]) for r in rows]
+    xs = [[q(r["x1"]), q(r["x2"])] for r in rows]
+    Sy = sum(ys)
+    Sx = [sum(x[j] for x in xs) for j in range(d)]
+    Sxy = [sum(x[j] * y for x, y in zip(xs, ys)) for j in range(d)]
+    A = [[N * sum(x[j] * x[k] for x in xs) - Sx[j] * Sx[k]
+          for k in range(d)] for j in range(d)]
+    b = [N * Sxy[j] - Sx[j] * Sy for j in range(d)]
+    theta = np.linalg.solve(
+        np.array(A, dtype=np.float64), np.array(b, dtype=np.float64)
+    )
+    got = cuped_ab_test_multi(df, "y", ["x1", "x2"], "arm", scale_bits=sb)
+    assert got["theta"] == [float(t) for t in theta]
+    # replica of the adjusted per-arm means
+    for ai, arm in enumerate(arms):
+        sel = [
+            (y, x) for y, x, r in zip(ys, xs, rows) if r["arm"] == arm
+        ]
+        adj = [
+            y - _m.floor(0.0 + float(theta[0]) * x[0]
+                         + float(theta[1]) * x[1] + 0.5)
+            for y, x in sel
+        ]
+        n = len(adj)
+        mean = float(sum(adj)) / (float(n) * ms)
+        assert got["cuped"][arm]["mean"] == mean, arm
+    # and the whole dict is repartition-bit-identical
+    again = cuped_ab_test_multi(
+        df.repartition(13), "y", ["x1", "x2"], "arm", scale_bits=sb
+    )
+    assert again == got
+
+
+def test_multi_beats_single_on_planted_signal(spark):
+    df = _multi_frame(spark)
+    multi = cuped_ab_test_multi(df, "y", ["x1", "x2"], "arm")
+    s1 = cuped_ab_test(df, "y", "x1", "arm")
+    s2 = cuped_ab_test(df, "y", "x2", "arm")
+    assert multi["var_reduction"] > max(s1["var_reduction"],
+                                        s2["var_reduction"])
+    assert multi["var_reduction"] > 0.9  # y is mostly x1/x2-explained
+    assert abs(multi["theta"][0] - 2.0) < 0.2
+    assert abs(multi["theta"][1] - 3.0) < 0.2
+    # the planted 0.25 arm effect survives adjustment (unbiasedness)
+    assert abs(multi["cuped"]["diff"] - multi["raw"]["diff"]) < 0.2
+
+
+def test_multi_validation(spark):
+    df = _multi_frame(spark)
+    with pytest.raises(ValueError, match="1..16"):
+        cuped_ab_test_multi(df, "y", [], "arm")
+    with pytest.raises(ValueError, match="distinct"):
+        cuped_ab_test_multi(df, "y", ["x1", "x1"], "arm")
+    with pytest.raises(ValueError, match="distinct"):
+        cuped_ab_test_multi(df, "y", ["y"], "arm")
+    # collinear: x3 = 2*x1 exactly
+    dd = df.withColumn("x3", F.col("x1") * 2.0)
+    with pytest.raises(ValueError, match="collinear"):
+        cuped_ab_test_multi(dd, "y", ["x1", "x3"], "arm")
+    # constant covariate
+    dc = df.withColumn("c", F.lit(5.0))
+    with pytest.raises(ValueError, match="zero variance"):
+        cuped_ab_test_multi(dc, "y", ["x1", "c"], "arm")

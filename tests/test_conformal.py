@@ -144,3 +144,247 @@ def test_validation(spark):
         ).collect()
     with pytest.raises(ValueError, match="empty"):
         conformal_threshold(df.filter("s > 99"), "s", alpha=0.5)
+
+
+# ---------------------------------------------------------------- weighted
+
+from kafka_avro_order_processing_spark.operators.conformal import (  # noqa: E402
+    grouped_weighted_conformal_thresholds,
+    weighted_conformal_coverage,
+    weighted_conformal_threshold,
+)
+
+_WSB = 20
+_MS = float(1 << _WSB)
+
+
+def _py_weighted_qhat(pairs, w_test, alpha):
+    """Pure-Python reference of the Tibshirani et al. 2019 weighted
+    quantile: quantize weights exactly like the operator, then scan the
+    score-sorted cumulative mass for the defining inequality."""
+    import math as _m
+
+    num = round(alpha * ALPHA_DEN)
+    wq = [(s, int(_m.floor(w * _MS + 0.5))) for s, w in pairs]
+    wtest_q = int(_m.floor(w_test * _MS + 0.5))
+    total = sum(q for _, q in wq)
+    need = (ALPHA_DEN - num) * (total + wtest_q)
+    if total * ALPHA_DEN < need:
+        return None
+    cum = 0
+    for s in sorted({s for s, _ in wq}):
+        cum += sum(q for v, q in wq if v == s)
+        if cum * ALPHA_DEN >= need:
+            return s
+    return None
+
+
+def _weighted_events(spark):
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_DIR, "events").filter("value IS NOT NULL")
+    return ev.select(
+        F.col("value").cast("double").alias("s"),
+        (F.lit(0.5) + (F.col("event_id") % 7).cast("double") * F.lit(0.25)
+         ).alias("w"),
+        (F.col("event_id") % 3).cast("string").alias("g"),
+    )
+
+
+def test_weighted_reduces_to_unweighted_with_unit_weights(spark):
+    """The reduction law: w_i = w_test = 1 makes the weighted quantile
+    EXACTLY the ceil((n+1)(1-alpha)) order statistic."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_DIR, "events").filter("value IS NOT NULL")
+    wdf = ev.withColumn("w", F.lit(1.0))
+    for alpha in (0.05, 0.1, 0.25, 0.5):
+        want = conformal_threshold(ev, "value", alpha=alpha)
+        got = weighted_conformal_threshold(wdf, "value", "w", 1.0, alpha)
+        assert got["qhat"] == want["qhat"], alpha
+        assert got["n"] == want["n"]
+    # and repartitioning cannot move it
+    got2 = weighted_conformal_threshold(
+        wdf.repartition(7), "value", "w", 1.0, 0.1
+    )
+    assert got2["qhat"] == conformal_threshold(ev, "value", alpha=0.1)["qhat"]
+
+
+def test_weighted_matches_python_reference(spark):
+    rows = [
+        (1.0, 0.5), (2.0, 3.0), (2.0, 0.25), (3.0, 1.0), (4.0, 2.0),
+        (5.0, 0.75), (6.0, 1.5), (7.0, 0.5), (8.0, 4.0), (9.0, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "s double, w double")
+    for alpha, wt in ((0.1, 1.0), (0.25, 2.5), (0.4, 0.5)):
+        want = _py_weighted_qhat(rows, wt, alpha)
+        if want is None:
+            with pytest.raises(ValueError, match="infinity"):
+                weighted_conformal_threshold(df, "s", "w", wt, alpha)
+        else:
+            got = weighted_conformal_threshold(df, "s", "w", wt, alpha)
+            assert got["qhat"] == want, (alpha, wt)
+    # on the real events frame too (varied weights, tie-dense scores)
+    wdf = _weighted_events(spark)
+    pairs = [(r["s"], r["w"]) for r in wdf.collect()]
+    got = weighted_conformal_threshold(wdf, "s", "w", 1.0, 0.1)
+    assert got["qhat"] == _py_weighted_qhat(pairs, 1.0, 0.1)
+
+
+def test_weighted_threshold_duckdb_oracle(spark):
+    """The full weighted quantile — quantization, tie-merge, cumulative
+    mass, integer inequality — replicated in DuckDB SQL."""
+    wdf = _weighted_events(spark)
+    out = weighted_conformal_threshold(wdf, "s", "w", 1.0, 0.1)
+    sdf = spark.createDataFrame(
+        [(out["n"], out["qhat"], out["w_total_q"])],
+        "n long, qhat double, w_total_q long",
+    )
+    num = 100000  # alpha = 0.1 in millionths
+    wtest_q = 1 << _WSB
+    sql = f"""
+    WITH s AS (
+      SELECT CAST(value AS DOUBLE) AS v,
+             CAST(FLOOR((0.5 + (event_id % 7) * 0.25) * {_MS} + 0.5)
+                  AS BIGINT) AS wq
+      FROM events WHERE value IS NOT NULL),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(wq) AS BIGINT) AS tw FROM s),
+    m AS (SELECT v, CAST(SUM(wq) AS BIGINT) AS gw FROM s GROUP BY v),
+    c AS (SELECT v, CAST(SUM(gw) OVER (ORDER BY v) AS BIGINT) AS cw FROM m)
+    SELECT t.n AS n, c.v AS qhat, t.tw AS w_total_q
+    FROM c, t
+    WHERE cw * {ALPHA_DEN} >= ({ALPHA_DEN} - {num}) * (t.tw + {wtest_q})
+    ORDER BY c.v LIMIT 1
+    """
+    _assert_parity(sdf, sql)
+
+
+def test_weighted_defining_inequality_and_minimality(spark):
+    """qhat satisfies the quantile inequality with the +infinity mass
+    in the denominator, and the distinct score just below it does NOT
+    (minimality) — the operative ingredient of the coverage theorem,
+    checked with exact integers."""
+    import math as _m
+
+    wdf = _weighted_events(spark)
+    alpha, wt = 0.1, 1.5
+    out = weighted_conformal_threshold(wdf, "s", "w", wt, alpha)
+    pairs = [(r["s"], int(_m.floor(r["w"] * _MS + 0.5))) for r in wdf.collect()]
+    total = sum(q for _, q in pairs)
+    num = round(alpha * ALPHA_DEN)
+    need = (ALPHA_DEN - num) * (total + out["w_test_q"])
+    cum_at = sum(q for s, q in pairs if s <= out["qhat"])
+    assert cum_at * ALPHA_DEN >= need
+    below = [s for s, _ in pairs if s < out["qhat"]]
+    if below:
+        prev = max(below)
+        cum_prev = sum(q for s, q in pairs if s <= prev)
+        assert cum_prev * ALPHA_DEN < need
+    # the weighted coverage audit sees at least 1 - alpha by the same
+    # integers (cw/tw >= cw/(tw + wtest) >= 1 - alpha)
+    cov = weighted_conformal_coverage(wdf, "s", "w", out["qhat"])
+    assert cov["coverage"] >= 1 - alpha
+    assert cov["w_covered"] <= cov["w_total"]
+
+
+def test_grouped_weighted_matches_global_per_group(spark):
+    from pyspark.sql import functions as F
+
+    wdf = _weighted_events(spark)
+    got = {
+        r["g"]: r
+        for r in grouped_weighted_conformal_thresholds(
+            wdf, "s", "w", "g", w_test=1.0, alpha=0.2
+        ).collect()
+    }
+    for gv in ("0", "1", "2"):
+        sub = wdf.filter(F.col("g") == gv)
+        want = weighted_conformal_threshold(sub, "s", "w", 1.0, 0.2)
+        assert got[gv]["qhat"] == want["qhat"], gv
+        assert got[gv]["n"] == want["n"]
+        assert abs(got[gv]["w_total"] - want["w_total_q"] / _MS) < 1e-12
+
+
+def test_grouped_weighted_insufficient_mass_is_null(spark):
+    # g2's total mass 2.0 < (1-alpha)/alpha * w_test = 9 -> +infinity
+    df = spark.createDataFrame(
+        [("g1", float(v), 1.0) for v in range(1, 40)]
+        + [("g2", 1.0, 1.0), ("g2", 2.0, 1.0)],
+        "g string, s double, w double",
+    )
+    got = {
+        r["g"]: r
+        for r in grouped_weighted_conformal_thresholds(
+            df, "s", "w", "g", w_test=1.0, alpha=0.1
+        ).collect()
+    }
+    assert got["g2"]["qhat"] is None
+    assert got["g1"]["qhat"] is not None
+    # the global operator raises on the same frame restricted to g2
+    with pytest.raises(ValueError, match="infinity"):
+        weighted_conformal_threshold(
+            df.filter("g = 'g2'"), "s", "w", 1.0, 0.1
+        )
+
+
+def test_weighted_validation(spark):
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 1.0), (3.0, 1.0)], "s double, w double"
+    )
+    for bad_w in (0.0, -1.0, None, float("nan"), float(1 << 30)):
+        bad = spark.createDataFrame([(1.0, bad_w)], "s double, w double")
+        with pytest.raises(Exception, match="weight|NaN|NULL"):
+            weighted_conformal_threshold(df.union(bad), "s", "w", 1.0, 0.5)
+    with pytest.raises(Exception, match="NULL|NaN"):
+        weighted_conformal_threshold(
+            spark.createDataFrame([(None, 1.0)], "s double, w double"),
+            "s", "w", 1.0, 0.5,
+        )
+    with pytest.raises(ValueError, match="w_test"):
+        weighted_conformal_threshold(df, "s", "w", 0.0, 0.5)
+    with pytest.raises(ValueError, match="w_test"):
+        weighted_conformal_threshold(df, "s", "w", -2.0, 0.5)
+    with pytest.raises(ValueError, match="empty"):
+        weighted_conformal_threshold(df.filter("s > 99"), "s", "w", 1.0, 0.5)
+    with pytest.raises(ValueError, match="scale_bits"):
+        weighted_conformal_threshold(df, "s", "w", 1.0, 0.5, scale_bits=44)
+
+
+def test_weighted_coverage_under_covariate_shift(spark):
+    """A real tilted-target check: the target oversamples b=1 rows 3x.
+    Calibrating with likelihood-ratio weights w = 1 + 2b and per-test
+    w_test matching the test point's covariate keeps target coverage
+    >= 1 - alpha (with split slack); UNWEIGHTED calibration on the
+    same shifted data undercovers the b=1 stratum when scores shift
+    with b."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_DIR, "events").filter("value IS NOT NULL")
+    base = ev.select(
+        F.col("event_id"),
+        ((F.col("event_id") % 4) == 0).cast("int").alias("b"),
+        (F.col("value").cast("double")
+         + ((F.col("event_id") % 4) == 0).cast("double") * F.lit(50.0)
+         ).alias("s"),
+    )
+    cal = base.filter(F.col("event_id") % 2 == 0).withColumn(
+        "w", F.lit(1.0) + F.col("b").cast("double") * F.lit(2.0)
+    )
+    # target = odd rows, b=1 rows tripled (explode) — the 3x tilt
+    test = (
+        base.filter(F.col("event_id") % 2 == 1)
+        .withColumn(
+            "__r", F.expr("sequence(1, CASE WHEN b = 1 THEN 3 ELSE 1 END)")
+        )
+        .withColumn("__x", F.explode("__r"))
+        .drop("__r", "__x"[:0])  # keep columns tidy; __x unused
+    )
+    alpha = 0.1
+    n_t = test.count()
+    covered = 0
+    for b_val, wt in ((0, 1.0), (1, 3.0)):
+        qh = weighted_conformal_threshold(cal, "s", "w", wt, alpha)["qhat"]
+        sub = test.filter(F.col("b") == b_val)
+        covered += sub.filter(F.col("s") <= F.lit(qh)).count()
+    assert covered / n_t >= 1 - alpha - 0.03

@@ -265,3 +265,255 @@ def test_ds_and_vote_validation(spark):
         lazy.collect()
     with pytest.raises(Exception, match="NULL"):
         dawid_skene(withnull)
+
+
+# ------------------------------------------------- agreement statistics
+
+from kafka_avro_order_processing_spark.operators.labels import (  # noqa: E402
+    cohen_kappa,
+    fleiss_kappa,
+    krippendorff_alpha_nominal,
+    pairwise_cohen_kappa,
+)
+
+
+def _dedup_doc_labels(spark):
+    """One label per (item, worker): MIN(label) over the doc buckets —
+    a valid contingency frame both engines can derive identically."""
+    return (
+        _doc_labels(spark)
+        .groupBy("item_id", "worker_id")
+        .agg(F.min("label").alias("label"))
+    )
+
+
+def test_cohen_kappa_hand_computed(spark):
+    # confusion: AA=4, AB=1, BA=2, BB=3 -> n=10, agree=7
+    # rowsums: A=5, B=5; colsums: A=6, B=4; pe_num = 5*6 + 5*4 = 50
+    # kappa = (10*7 - 50) / (100 - 50) = 20/50 = 0.4
+    rows = (
+        [(i, "w1", "A") for i in range(5)]
+        + [(i, "w2", "A") for i in range(4)] + [(4, "w2", "B")]
+        + [(i, "w1", "B") for i in range(5, 10)]
+        + [(5, "w2", "A"), (6, "w2", "A")]
+        + [(i, "w2", "B") for i in range(7, 10)]
+    )
+    df = spark.createDataFrame(rows, "item_id long, worker_id string, label string")
+    out = cohen_kappa(df, "w1", "w2")
+    assert out["n_items"] == 10
+    assert out["po"] == 0.7
+    assert out["pe"] == 0.5
+    assert out["kappa"] == 0.4
+
+
+def test_cohen_kappa_edges(spark):
+    ids = list(range(8))
+    perfect = spark.createDataFrame(
+        [(i, w, "L" + str(i % 3)) for i in ids for w in ("a", "b")],
+        "item_id long, worker_id string, label string",
+    )
+    assert cohen_kappa(perfect, "a", "b")["kappa"] == 1.0
+    # degenerate: both constant and identical -> pe = 1 -> NaN
+    const = spark.createDataFrame(
+        [(i, w, "X") for i in ids for w in ("a", "b")],
+        "item_id long, worker_id string, label string",
+    )
+    assert math.isnan(cohen_kappa(const, "a", "b")["kappa"])
+    # duplicate (worker, item) labels raise
+    dup = perfect.union(
+        spark.createDataFrame([(0, "a", "L9")],
+                              "item_id long, worker_id string, label string")
+    )
+    with pytest.raises(ValueError, match="more than once"):
+        cohen_kappa(dup, "a", "b")
+    # disjoint item sets raise (no shared items)
+    disj = spark.createDataFrame(
+        [(1, "a", "X"), (2, "b", "X")],
+        "item_id long, worker_id string, label string",
+    )
+    with pytest.raises(ValueError, match="share no items"):
+        cohen_kappa(disj, "a", "b")
+
+
+def test_pairwise_matches_scalar_kappa(spark):
+    df = _dedup_doc_labels(spark)
+    table = {
+        (r["worker_a"], r["worker_b"]): r
+        for r in pairwise_cohen_kappa(df).collect()
+    }
+    # expected pair set = worker pairs that actually SHARE >= 1 item
+    # (the scalar form raises on disjoint pairs; the table omits them)
+    by_item: dict = {}
+    for r in df.collect():
+        by_item.setdefault(r["item_id"], set()).add(r["worker_id"])
+    want_pairs = {
+        (a, b)
+        for ws in by_item.values()
+        for a in ws
+        for b in ws
+        if a < b
+    }
+    assert set(table) == want_pairs
+    for wa, wb in sorted(want_pairs)[:25]:  # scalar re-check on a prefix
+        want = cohen_kappa(df, wa, wb)
+        got = table[(wa, wb)]
+        assert got["n_items"] == want["n_items"]
+        assert got["kappa"] == want["kappa"], (wa, wb)
+
+
+def test_pairwise_kappa_duckdb_oracle(spark):
+    sdf = pairwise_cohen_kappa(_dedup_doc_labels(spark))
+    sql = """
+    WITH one AS (
+      SELECT doc_id % 101 AS item_id, source AS worker_id,
+             MIN(lang) AS label
+      FROM documents GROUP BY 1, 2
+    ), p AS (
+      SELECT a.worker_id AS wa, b.worker_id AS wb,
+             a.label AS la, b.label AS lb
+      FROM one a JOIN one b USING (item_id)
+      WHERE a.worker_id < b.worker_id
+    ), base AS (
+      SELECT wa, wb, CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_agree
+      FROM p GROUP BY wa, wb
+    ), ma AS (
+      SELECT wa, wb, la AS l, CAST(COUNT(*) AS BIGINT) AS ca
+      FROM p GROUP BY wa, wb, la
+    ), mb AS (
+      SELECT wa, wb, lb AS l, CAST(COUNT(*) AS BIGINT) AS cb
+      FROM p GROUP BY wa, wb, lb
+    ), pe AS (
+      SELECT ma.wa, ma.wb, CAST(SUM(ca * cb) AS BIGINT) AS pe_num
+      FROM ma JOIN mb ON ma.wa = mb.wa AND ma.wb = mb.wb AND ma.l = mb.l
+      GROUP BY ma.wa, ma.wb
+    )
+    SELECT base.wa AS worker_a, base.wb AS worker_b, n_items, n_agree,
+           CAST(COALESCE(pe_num, 0) AS BIGINT) AS pe_num,
+           CASE WHEN n_items * n_items - COALESCE(pe_num, 0) <> 0 THEN
+             CAST(n_items * n_agree - COALESCE(pe_num, 0) AS DOUBLE)
+             / CAST(n_items * n_items - COALESCE(pe_num, 0) AS DOUBLE)
+           END AS kappa
+    FROM base LEFT JOIN pe ON base.wa = pe.wa AND base.wb = pe.wb
+    """
+    _assert_parity(sdf, sql)
+
+
+def test_pairwise_no_shared_label_pair_is_zero_not_missing(spark):
+    rows = [(i, "a", "X") for i in range(4)] + [(i, "b", "Y") for i in range(4)]
+    df = spark.createDataFrame(rows, "item_id long, worker_id string, label string")
+    out = pairwise_cohen_kappa(df).collect()
+    assert len(out) == 1
+    assert out[0]["pe_num"] == 0 and out[0]["kappa"] == 0.0
+
+
+def _pair_replica_po(items):
+    """Observed agreement by brute-force pair counting (the
+    independent formulation both Fleiss and Krippendorff reduce to)."""
+    agree = tot = 0
+    for labs in items.values():
+        n = len(labs)
+        for i in range(n):
+            for j in range(n):
+                if i != j:
+                    tot += 1
+                    agree += labs[i] == labs[j]
+    return agree, tot
+
+
+def test_fleiss_kappa_replica_and_validation(spark):
+    # constant panel of 4 raters over 12 items, 3 classes, deterministic
+    rows = []
+    items: dict = {}
+    for i in range(12):
+        labs = []
+        for w in range(4):
+            lab = "c" + str((i * 7 + w * w) % 3)
+            rows.append((i, f"w{w}", lab))
+            labs.append(lab)
+        items[i] = labs
+    df = spark.createDataFrame(rows, "item_id long, worker_id string, label string")
+    out = fleiss_kappa(df)
+    agree, tot = _pair_replica_po(items)
+    from fractions import Fraction
+
+    po = Fraction(agree, tot)
+    n_all = [l for labs in items.values() for l in labs]
+    pe = sum(
+        Fraction(n_all.count(c), len(n_all)) ** 2 for c in set(n_all)
+    )
+    want = float((po - pe) / (1 - pe))
+    assert out["po"] == float(po)
+    assert abs(out["pe"] - float(pe)) < 1e-15
+    assert abs(out["kappa"] - want) < 1e-12
+    assert out["n_raters"] == 4 and out["n_items"] == 12
+    # ragged panel raises and names the alternative
+    ragged = df.union(
+        spark.createDataFrame([(0, "w9", "c0")],
+                              "item_id long, worker_id string, label string")
+    )
+    with pytest.raises(ValueError, match="krippendorff"):
+        fleiss_kappa(ragged)
+
+
+def test_krippendorff_hand_case_and_replica(spark):
+    # u1: A,A,B ; u2: A,A  ->  Do = 0.4, De = 0.4, alpha = 0 exactly
+    rows = [(1, "a", "A"), (1, "b", "A"), (1, "c", "B"),
+            (2, "a", "A"), (2, "b", "A")]
+    df = spark.createDataFrame(rows, "item_id long, worker_id string, label string")
+    out = krippendorff_alpha_nominal(df)
+    assert out["n_values"] == 5 and out["n_items"] == 2
+    assert out["do"] == 0.4 and out["de"] == 0.4
+    assert out["alpha"] == 0.0
+    # replica on a ragged deterministic frame
+    rows2 = []
+    items: dict = {}
+    for i in range(30):
+        k = 2 + (i % 4)  # 2..5 raters
+        labs = []
+        for w in range(k):
+            lab = "c" + str((i + w * 3) % 4)
+            rows2.append((i, f"w{w}", lab))
+            labs.append(lab)
+        items[i] = labs
+    df2 = spark.createDataFrame(rows2, "item_id long, worker_id string, label string")
+    got = krippendorff_alpha_nominal(df2)
+    # brute-force: Do = within-item disagreeing pair rate (weighted by
+    # 1/(n_u - 1)), De = all-values disagreeing pair rate
+    from fractions import Fraction
+
+    dsum = Fraction(0)
+    n = 0
+    for labs in items.values():
+        nu = len(labs)
+        n += nu
+        dis = sum(
+            1 for i in range(nu) for j in range(nu)
+            if i != j and labs[i] != labs[j]
+        )
+        dsum += Fraction(dis, nu - 1)
+    do = dsum / n
+    allv = [l for labs in items.values() for l in labs]
+    dis_all = sum(
+        1 for i in range(len(allv)) for j in range(len(allv))
+        if i != j and allv[i] != allv[j]
+    )
+    de = Fraction(dis_all, n * (n - 1))
+    want = float(1 - do / de)
+    assert abs(got["alpha"] - want) < 1e-9
+    assert abs(got["do"] - float(do)) < 1e-9
+    # single-rating items are excluded and cannot move the statistic
+    plus = df2.union(
+        spark.createDataFrame([(900, "w0", "c0"), (901, "w1", "c3")],
+                              "item_id long, worker_id string, label string")
+    )
+    got2 = krippendorff_alpha_nominal(plus)
+    assert got2["alpha"] == got["alpha"]
+    # perfect agreement -> alpha exactly 1
+    perf = spark.createDataFrame(
+        [(i, w, "L") if False else (i, w, "L" + str(i % 2))
+         for i in range(6) for w in ("a", "b", "c")],
+        "item_id long, worker_id string, label string",
+    )
+    assert krippendorff_alpha_nominal(perf)["alpha"] == 1.0
