@@ -514,3 +514,218 @@ def cuped_ab_test(
         ),
         "scale_bits": int(scale_bits),
     }
+
+
+# ------------------------------------------------ always-valid inference
+
+
+def _lambda_p(diff: float, v: float, tau2: float) -> tuple[float, float]:
+    """Mixture-SPRT likelihood ratio and its p contribution for one
+    look: Lambda = sqrt(V/(V+tau^2)) * exp(tau^2*diff^2 / (2V(V+tau^2)))
+    (Johari, Koomen, Pekelis & Walsh, "Peeking at A/B Tests", KDD'17,
+    eq. for the normal mixture).  One fixed-order f64 expression."""
+    lam = math.sqrt(v / (v + tau2)) * math.exp(
+        tau2 * diff * diff / (2.0 * v * (v + tau2))
+    )
+    return lam, min(1.0, 1.0 / lam)
+
+
+def msprt_ab_test(
+    df: DataFrame,
+    metric_col: str,
+    arm_col: str,
+    tau: float = 1.0,
+    scale_bits: int = DEFAULT_SCALE_BITS,
+) -> dict:
+    """One-look mixture-SPRT readout: {arms, diff, se, lambda,
+    p_always, tau} from the same exact integer moments as
+    :func:`ab_arm_stats`.  ``p_always`` = min(1, 1/Lambda) is an
+    always-valid p-value: the experimenter may compute it at ANY
+    number of interim looks and the type-I error stays controlled —
+    the published fix for the peeking problem a live dashboard
+    (:func:`streaming_ab_arm_stats`) otherwise invites.  ``tau`` is
+    the mixture scale — set it to the anticipated effect size (the
+    test is valid for any tau > 0; tau only tunes power)."""
+    if tau <= 0:
+        raise ValueError(f"msprt_ab_test: tau must be > 0, got {tau}")
+    if not (1 <= scale_bits <= 43):
+        raise ValueError(f"scale_bits must be in [1, 43], got {scale_bits}")
+    ms = float(1 << scale_bits)
+    rows = _collect_moments(
+        df,
+        _q_expr(metric_col, scale_bits, "msprt_ab_test"),
+        None,
+        _arm_checked(arm_col, "msprt_ab_test"),
+    )
+    arms, by = _two_arms(rows, "msprt_ab_test")
+    stats = {}
+    for a in arms:
+        r = by[a]
+        mean, var = _mean_var(int(r["n"]), int(r["sy"]), int(r["syy"]), ms)
+        stats[a] = {"n": int(r["n"]), "mean": mean, "var": var}
+    a, b = arms
+    if stats[a]["n"] < 2 or stats[b]["n"] < 2:
+        raise ValueError(
+            "msprt_ab_test: both arms need n >= 2 for a variance estimate"
+        )
+    diff = stats[b]["mean"] - stats[a]["mean"]
+    v = stats[a]["var"] / stats[a]["n"] + stats[b]["var"] / stats[b]["n"]
+    if v <= 0:
+        raise ValueError(
+            "msprt_ab_test: zero estimator variance — constant metric"
+        )
+    lam, p = _lambda_p(diff, v, tau * tau)
+    return {
+        "arms": arms,
+        "diff": diff,
+        "se": math.sqrt(v),
+        "lambda": lam,
+        "p_always": p,
+        "tau": float(tau),
+        "n": {a: stats[a]["n"], b: stats[b]["n"]},
+    }
+
+
+def always_valid_pvalues(
+    df: DataFrame,
+    metric_col: str,
+    arm_col: str,
+    time_col: str,
+    tau: float = 1.0,
+    scale_bits: int = DEFAULT_SCALE_BITS,
+) -> DataFrame:
+    """The full peeking trajectory: one row per time bucket (the
+    ``time_col`` value — pre-bucket upstream) with the CUMULATIVE
+    readout at that look and the running always-valid p:
+
+        (bucket, n_a, n_b, diff, se, lam, p_always)
+
+    p_always is non-increasing by construction (the running min of the
+    per-look 1/Lambda, capped at 1 — the mSPRT always-valid p-value
+    process), so "stop when p_always < alpha" is a valid sequential
+    rule at any cadence.  Looks where either arm still has n < 2 (no
+    variance estimate yet) carry NULL diff/se/lam and p_always = 1.
+
+    Exactness: per-(arm, bucket) integer moment sums roll up through
+    cumulative windows as exact decimals; the float assembly per look
+    is one fixed expression on those integers, so the table is
+    bit-identical under any partitioning (suite-pinned) and the
+    integer moment columns are DuckDB-oracle-able exactly (the
+    ln/exp-bearing columns pin against a Python replica at tolerance —
+    the repo's lm.py convention for libm-crossing floats).
+
+    Scale shape: one keyed integer aggregate over the corpus, then
+    windows over BUCKETS (time ticks — thousands, not rows; the
+    single-partition window is the documented bound, same class as
+    the conformal cumulative pass)."""
+    if tau <= 0:
+        raise ValueError(f"always_valid_pvalues: tau must be > 0, got {tau}")
+    if not (1 <= scale_bits <= 43):
+        raise ValueError(f"scale_bits must be in [1, 43], got {scale_bits}")
+    op = "always_valid_pvalues"
+    ms = float(1 << scale_bits)
+    tau2 = float(tau) * float(tau)
+    tmsg = f"{op}: NULL {time_col} row — filter explicitly first"
+    t_checked = F.when(
+        F.col(time_col).isNull(),
+        F.raise_error(F.lit(tmsg)).cast(
+            df.schema[time_col].dataType.simpleString()
+        ),
+    ).otherwise(F.col(time_col))
+    per = (
+        df.select(
+            _arm_checked(arm_col, op).alias("arm"),
+            t_checked.alias("bucket"),
+            _q_expr(metric_col, scale_bits, op).alias("y"),
+        )
+        .groupBy("arm", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("y").cast("decimal(38,0)"))
+            .cast("decimal(38,0)").alias("sy"),
+            F.sum(_dprod("y", "y")).cast("decimal(38,0)").alias("syy"),
+        )
+    )
+    arms = sorted(
+        r["arm"] for r in per.select("arm").distinct().collect()
+    )
+    if len(arms) != 2:
+        raise ValueError(
+            f"{op}: need exactly 2 arms, got {arms!r} — filter or split "
+            "multi-arm experiments into pairwise readouts"
+        )
+    a, b = arms
+    zero = F.lit(0).cast("decimal(38,0)")
+
+    def _side(side, col, cast):
+        return F.sum(
+            F.when(F.col("arm") == side, F.col(col)).otherwise(
+                F.lit(0).cast(cast)
+            )
+        ).cast(cast)
+
+    bybucket = per.groupBy("bucket").agg(
+        _side(a, "n", "long").alias("dna"),
+        _side(a, "sy", "decimal(38,0)").alias("dsya"),
+        _side(a, "syy", "decimal(38,0)").alias("dsyya"),
+        _side(b, "n", "long").alias("dnb"),
+        _side(b, "sy", "decimal(38,0)").alias("dsyb"),
+        _side(b, "syy", "decimal(38,0)").alias("dsyyb"),
+    )
+    from pyspark.sql import Window
+
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = bybucket.select(
+        "bucket",
+        F.sum("dna").over(w_cum).cast("long").alias("n_a"),
+        F.sum("dsya").over(w_cum).cast("decimal(38,0)").alias("sy_a"),
+        F.sum("dsyya").over(w_cum).cast("decimal(38,0)").alias("syy_a"),
+        F.sum("dnb").over(w_cum).cast("long").alias("n_b"),
+        F.sum("dsyb").over(w_cum).cast("decimal(38,0)").alias("sy_b"),
+        F.sum("dsyyb").over(w_cum).cast("decimal(38,0)").alias("syy_b"),
+    )
+    # fixed-order float assembly per look (exact integer inputs)
+    def _mean(s, n):
+        return F.col(s).cast("double") / (F.col(n).cast("double") * F.lit(ms))
+
+    def _var(s, ss, n):
+        dn = F.col(n).cast("decimal(19,0)")
+        num = (dn * F.col(ss) - F.col(s) * F.col(s)).cast("decimal(38,0)")
+        return num.cast("double") / (
+            F.col(n).cast("double")
+            * (F.col(n) - 1).cast("double")
+            * F.lit(ms * ms)
+        )
+
+    ready = (F.col("n_a") >= 2) & (F.col("n_b") >= 2)
+    diff = _mean("sy_b", "n_b") - _mean("sy_a", "n_a")
+    v = (
+        _var("sy_a", "syy_a", "n_a") / F.col("n_a").cast("double")
+        + _var("sy_b", "syy_b", "n_b") / F.col("n_b").cast("double")
+    )
+    lam = F.sqrt(v / (v + F.lit(tau2))) * F.exp(
+        F.lit(tau2) * diff * diff / (F.lit(2.0) * v * (v + F.lit(tau2)))
+    )
+    staged = cum.select(
+        "bucket", "n_a", "n_b", "sy_a", "sy_b", "syy_a", "syy_b",
+        F.when(ready, diff).alias("diff"),
+        F.when(ready & (v > 0), F.sqrt(v)).alias("se"),
+        F.when(ready & (v > 0), lam).alias("lam"),
+    )
+    w_min = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return staged.select(
+        "bucket", "n_a", "n_b", "diff", "se", "lam",
+        F.coalesce(
+            F.min(
+                F.when(
+                    F.col("lam").isNotNull(),
+                    F.least(F.lit(1.0), F.lit(1.0) / F.col("lam")),
+                )
+            ).over(w_min),
+            F.lit(1.0),
+        ).alias("p_always"),
+    )

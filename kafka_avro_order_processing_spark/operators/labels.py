@@ -297,12 +297,6 @@ def dawid_skene(
     must stay <= 2^10 so n * post_q fits an int64 by construction
     (enforced); realistic annotation data has n = 1.
     """
-    if n_iter < 1:
-        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
-    if alpha <= 0:
-        raise ValueError(f"alpha must be > 0, got {alpha}")
-    import numpy as np
-
     rows = _checked_cols(labels, [item_col, worker_col, label_col],
                          "dawid_skene")
     counts = (
@@ -314,6 +308,41 @@ def dawid_skene(
         .groupBy("__item", "__worker", "__label")
         .agg(F.count(F.lit(1)).cast("long").alias("__n"))
     )
+    return dawid_skene_from_counts(
+        counts,
+        item_type=labels.schema[item_col].dataType.simpleString(),
+        worker_type=labels.schema[worker_col].dataType.simpleString(),
+        label_type=labels.schema[label_col].dataType.simpleString(),
+        item_col=item_col,
+        label_col=label_col,
+        n_iter=n_iter,
+        alpha=alpha,
+    )
+
+
+def dawid_skene_from_counts(
+    counts: DataFrame,
+    item_type: str,
+    worker_type: str,
+    label_type: str,
+    item_col: str = "item_id",
+    label_col: str = "label",
+    n_iter: int = 10,
+    alpha: float = 0.01,
+) -> tuple[DataFrame, dict]:
+    """The EM of :func:`dawid_skene` running directly on the
+    (__item, __worker, __label, __n) count table — the model's
+    SUFFICIENT STATISTIC, which is what makes the streaming twin exact:
+    a count table maintained as update-mode streaming aggregation state
+    folds to the identical integers, so feeding the drained table here
+    BIT-matches the batch fit on the same rows (suite-pinned in
+    streaming/labels.py's tests)."""
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    import numpy as np
+
     # in-plan bound so n * post_q (<= n * 2^52) cannot wrap an int64
     counts = counts.withColumn(
         "__n",
@@ -348,8 +377,6 @@ def dawid_skene(
     k = len(classes)
     n_items = counts.select("__item").distinct().count()
 
-    item_type = labels.schema[item_col].dataType.simpleString()
-    worker_type = labels.schema[worker_col].dataType.simpleString()
     m_schema = (
         f"__worker {worker_type}, __obs int, __class int, __contrib long"
     )
@@ -404,7 +431,7 @@ def dawid_skene(
     )
     cls_df = posts.sparkSession.createDataFrame(
         [(i, c) for i, c in enumerate(classes)],
-        f"__class int, {label_col} {labels.schema[label_col].dataType.simpleString()}",
+        f"__class int, {label_col} {label_type}",
     )
     w = Window.partitionBy("__item").orderBy(
         F.desc("__post_q"), F.asc("__class")

@@ -1,0 +1,208 @@
+"""Streaming always-valid A/B monitoring — the peeking twin: the
+per-arm integer moments accumulate as update-mode streaming
+aggregation state (exactly :func:`operators.abtest.ab_arm_stats`'s
+state), and EVERY MICRO-BATCH IS A LOOK — the epoch-stamped changelog
+replays the cumulative readout at each epoch and the mSPRT running-min
+p (Johari et al., KDD'17) is computed over that look sequence.  This
+is the deployment the always-valid guarantee exists for: a dashboard
+that recomputes p after every micro-batch stays type-I-error-valid no
+matter how often anyone refreshes it.
+
+Exactness contract (suite-pinned): the FINAL look's cumulative
+moments are the batch moments on the same rows (integer sums;
+micro-batch boundaries cannot move them), so the final diff/se equal
+:func:`operators.abtest.msprt_ab_test`'s EXACTLY and lambda/p at libm
+tolerance.  Intermediate looks are a function of where the micro-batch
+boundaries fell — that is the semantics of peeking, not a tolerance.
+
+The changelog drain here keeps the ``__epoch`` stamp (the standard
+:func:`drain_to_df` folds it away — latest-per-key is the right
+semantics for every other twin, but the look SEQUENCE is the whole
+point of this one), which is why this module carries its own small
+foreachBatch drain rather than reusing the shared one.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..operators.abtest import DEFAULT_SCALE_BITS, _arm_moments
+
+
+def _drain_changelog(
+    stream_df: DataFrame, key_cols: tuple[str, ...]
+) -> DataFrame:
+    """Bounded availableNow drain of an update-mode aggregation,
+    KEEPING the per-epoch changelog: one row per (key, epoch-the-key-
+    changed-in), stamped __epoch.  Distributed end-to-end (parquet
+    sink, lazy scan back)."""
+    spark = stream_df.sparkSession
+    tag = uuid.uuid4().hex[:12]
+    base = tempfile.mkdtemp(prefix=f"drainlog_{tag}_")
+    sink, chk = f"{base}/sink", f"{base}/chk"
+
+    def _delta(df: DataFrame, epoch_id: int) -> None:
+        df.withColumn("__epoch", F.lit(epoch_id)).write.mode(
+            "append"
+        ).parquet(sink)
+
+    q = (
+        stream_df.writeStream.outputMode("update")
+        .foreachBatch(_delta)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        return spark.read.parquet(sink)
+    except Exception:
+        return spark.createDataFrame(
+            [], schema=stream_df.withColumn("__epoch", F.lit(0)).schema
+        )
+
+
+def streaming_always_valid_pvalues(
+    stream_df: DataFrame,
+    metric_col: str,
+    arm_col: str,
+    tau: float = 1.0,
+    scale_bits: int = DEFAULT_SCALE_BITS,
+) -> DataFrame:
+    """One row per micro-batch epoch: (look, n_a, n_b, diff, se, lam,
+    p_always) — the cumulative mSPRT readout at that look with the
+    running-min always-valid p.  Looks where either arm has n < 2
+    carry NULL diff/se/lam and p_always = 1 (no variance estimate
+    yet).  Output column semantics match
+    :func:`operators.abtest.always_valid_pvalues` with the epoch id
+    as the bucket.
+
+    Scale shape: the unbounded part is O(arms) streaming aggregation
+    state; the look table is O(epochs x arms) — driver-tick-sized, so
+    the trailing windows over looks are the conformal-class documented
+    bound."""
+    if tau <= 0:
+        raise ValueError(
+            f"streaming_always_valid_pvalues: tau must be > 0, got {tau}"
+        )
+    if not (1 <= scale_bits <= 43):
+        raise ValueError(f"scale_bits must be in [1, 43], got {scale_bits}")
+    ms = float(1 << scale_bits)
+    tau2 = float(tau) * float(tau)
+    log = _drain_changelog(
+        _arm_moments(
+            stream_df, metric_col, arm_col, scale_bits,
+            "streaming_always_valid_pvalues",
+        ),
+        key_cols=("arm",),
+    )
+    arms = sorted(r["arm"] for r in log.select("arm").distinct().collect())
+    if len(arms) != 2:
+        raise ValueError(
+            "streaming_always_valid_pvalues: need exactly 2 arms, got "
+            f"{arms!r} — filter or split multi-arm experiments into "
+            "pairwise readouts"
+        )
+    a, b = arms
+    # every (epoch, arm) cell = the arm's latest state at that epoch:
+    # epochs x arms scaffold, left-joined to the changelog, then a
+    # last-non-null carry-forward per arm
+    epochs = log.select(F.col("__epoch").alias("look")).distinct()
+    arms_df = log.sparkSession.createDataFrame(
+        [(a,), (b,)], "arm string"
+    )
+    grid = epochs.crossJoin(F.broadcast(arms_df))
+    cells = grid.join(
+        log.select(
+            F.col("__epoch").alias("look"), "arm", "n", "sy", "syy"
+        ),
+        ["look", "arm"],
+        "left",
+    )
+    w_ff = (
+        Window.partitionBy("arm")
+        .orderBy("look")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = cells.select(
+        "look",
+        "arm",
+        F.coalesce(
+            F.last("n", ignorenulls=True).over(w_ff), F.lit(0)
+        ).cast("long").alias("n"),
+        F.coalesce(
+            F.last("sy", ignorenulls=True).over(w_ff),
+            F.lit(0).cast("decimal(38,0)"),
+        ).cast("decimal(38,0)").alias("sy"),
+        F.coalesce(
+            F.last("syy", ignorenulls=True).over(w_ff),
+            F.lit(0).cast("decimal(38,0)"),
+        ).cast("decimal(38,0)").alias("syy"),
+    )
+
+    def _side(side, col, cast):
+        return F.max(
+            F.when(F.col("arm") == side, F.col(col))
+        ).cast(cast)
+
+    cum = carried.groupBy("look").agg(
+        _side(a, "n", "long").alias("n_a"),
+        _side(a, "sy", "decimal(38,0)").alias("sy_a"),
+        _side(a, "syy", "decimal(38,0)").alias("syy_a"),
+        _side(b, "n", "long").alias("n_b"),
+        _side(b, "sy", "decimal(38,0)").alias("sy_b"),
+        _side(b, "syy", "decimal(38,0)").alias("syy_b"),
+    )
+
+    # identical fixed-order expressions to the batch trajectory
+    # (operators/abtest.py::always_valid_pvalues — the bit-match test
+    # on the final look keeps the twins from drifting)
+    def _mean(s, n):
+        return F.col(s).cast("double") / (F.col(n).cast("double") * F.lit(ms))
+
+    def _var(s, ss, n):
+        dn = F.col(n).cast("decimal(19,0)")
+        num = (dn * F.col(ss) - F.col(s) * F.col(s)).cast("decimal(38,0)")
+        return num.cast("double") / (
+            F.col(n).cast("double")
+            * (F.col(n) - 1).cast("double")
+            * F.lit(ms * ms)
+        )
+
+    ready = (F.col("n_a") >= 2) & (F.col("n_b") >= 2)
+    diff = _mean("sy_b", "n_b") - _mean("sy_a", "n_a")
+    v = (
+        _var("sy_a", "syy_a", "n_a") / F.col("n_a").cast("double")
+        + _var("sy_b", "syy_b", "n_b") / F.col("n_b").cast("double")
+    )
+    lam = F.sqrt(v / (v + F.lit(tau2))) * F.exp(
+        F.lit(tau2) * diff * diff / (F.lit(2.0) * v * (v + F.lit(tau2)))
+    )
+    staged = cum.select(
+        "look", "n_a", "n_b",
+        F.when(ready, diff).alias("diff"),
+        F.when(ready & (v > 0), F.sqrt(v)).alias("se"),
+        F.when(ready & (v > 0), lam).alias("lam"),
+    )
+    w_min = Window.orderBy("look").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return staged.select(
+        "look", "n_a", "n_b", "diff", "se", "lam",
+        F.coalesce(
+            F.min(
+                F.when(
+                    F.col("lam").isNotNull(),
+                    F.least(F.lit(1.0), F.lit(1.0) / F.col("lam")),
+                )
+            ).over(w_min),
+            F.lit(1.0),
+        ).alias("p_always"),
+    )
+
+
+__all__ = ["streaming_always_valid_pvalues"]

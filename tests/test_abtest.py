@@ -356,3 +356,252 @@ def test_multi_validation(spark):
     dc = df.withColumn("c", F.lit(5.0))
     with pytest.raises(ValueError, match="zero variance"):
         cuped_ab_test_multi(dc, "y", ["x1", "c"], "arm")
+
+
+# ------------------------------------------------ always-valid inference
+
+from kafka_avro_order_processing_spark.operators.abtest import (  # noqa: E402
+    always_valid_pvalues,
+    msprt_ab_test,
+)
+
+
+def _timed_frame(spark, effect=0.0):
+    """Deterministic two-arm frame with a time bucket (event day) and
+    an optional planted effect on the treat arm."""
+    ev = load_table(spark, SF_DIR, "events").filter("value IS NOT NULL")
+    return ev.select(
+        F.when(F.col("event_id") % 2 == 0, "control")
+        .otherwise("treat").alias("arm"),
+        (F.col("event_id") % 10).cast("long").alias("bucket"),
+        (
+            (F.col("value") % 7).cast("double")
+            + F.when(F.col("event_id") % 2 == 0, 0.0).otherwise(float(effect))
+        ).alias("y"),
+    )
+
+
+def test_always_valid_matches_python_replica(spark):
+    """Replica from quantized integers: cumulative moments, the exact
+    mean/var/diff expressions, Lambda via math.exp — diff/se exact,
+    lam/p at libm tolerance (the lm.py convention)."""
+    import math as _m
+
+    sb = 20
+    ms = float(1 << sb)
+    tau = 0.7
+    df = _timed_frame(spark, effect=0.4)
+    got = always_valid_pvalues(df, "y", "arm", "bucket", tau=tau).collect()
+    rows = df.collect()
+    buckets = sorted({r["bucket"] for r in rows})
+    cum = {a: [0, 0, 0] for a in ("control", "treat")}
+    p_run = 1.0
+    by_bucket = {}
+    for bk in buckets:
+        for r in rows:
+            if r["bucket"] != bk:
+                continue
+            q = int(_m.floor(r["y"] * ms + 0.5))
+            c = cum[r["arm"]]
+            c[0] += 1
+            c[1] += q
+            c[2] += q * q
+        (na, sya, syya), (nb, syb, syyb) = cum["control"], cum["treat"]
+        if na >= 2 and nb >= 2:
+            mean_a = float(sya) / (float(na) * ms)
+            mean_b = float(syb) / (float(nb) * ms)
+            va = float(na * syya - sya * sya) / (
+                float(na) * float(na - 1) * (ms * ms)
+            )
+            vb = float(nb * syyb - syb * syb) / (
+                float(nb) * float(nb - 1) * (ms * ms)
+            )
+            diff = mean_b - mean_a
+            v = va / na + vb / nb
+            lam = _m.sqrt(v / (v + tau * tau)) * _m.exp(
+                tau * tau * diff * diff / (2.0 * v * (v + tau * tau))
+            )
+            p_run = min(p_run, min(1.0, 1.0 / lam))
+            by_bucket[bk] = (diff, _m.sqrt(v), lam, p_run)
+        else:
+            by_bucket[bk] = (None, None, None, p_run)
+    assert len(got) == len(buckets)
+    for r in got:
+        diff, se, lam, p = by_bucket[r["bucket"]]
+        if diff is None:
+            assert r["diff"] is None and r["p_always"] == 1.0
+            continue
+        assert r["diff"] == diff, r["bucket"]          # exact: no libm
+        assert r["se"] == se, r["bucket"]              # sqrt is IEEE-exact
+        assert abs(r["lam"] - lam) <= 1e-12 * abs(lam)  # exp: libm tolerance
+        assert abs(r["p_always"] - p) <= 1e-12
+
+
+def test_always_valid_laws(spark):
+    df = _timed_frame(spark, effect=1.5)
+    out = sorted(
+        always_valid_pvalues(df, "y", "arm", "bucket", tau=1.0).collect(),
+        key=lambda r: r["bucket"],
+    )
+    ps = [r["p_always"] for r in out]
+    # monotone non-increasing, in [0, 1]
+    assert all(0.0 <= p <= 1.0 for p in ps)
+    assert all(a >= b for a, b in zip(ps, ps[1:]))
+    # a 1.5-sigma-ish planted effect on this much data is detected
+    assert ps[-1] < 0.01
+    # bit-identical under repartitioning
+    again = sorted(
+        always_valid_pvalues(
+            df.repartition(11), "y", "arm", "bucket", tau=1.0
+        ).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert [tuple(r) for r in again] == [tuple(r) for r in out]
+
+
+def test_always_valid_null_effect_keeps_p_at_one(spark):
+    """Symmetric arms (identical value multisets per bucket) -> diff
+    is EXACTLY 0 at every look -> Lambda < 1 -> p stays 1.0."""
+    ev = load_table(spark, SF_DIR, "events").filter("value IS NOT NULL")
+    base = ev.select(
+        (F.col("event_id") % 10).cast("long").alias("bucket"),
+        (F.col("value") % 7).cast("double").alias("y"),
+    )
+    both = base.withColumn("arm", F.lit("control")).union(
+        base.withColumn("arm", F.lit("treat"))
+    )
+    out = always_valid_pvalues(both, "y", "arm", "bucket", tau=1.0).collect()
+    assert all(r["p_always"] == 1.0 for r in out)
+    assert all(r["diff"] == 0.0 for r in out if r["diff"] is not None)
+
+
+def test_msprt_scalar_equals_final_single_bucket_look(spark):
+    df = _timed_frame(spark, effect=0.8).withColumn("one", F.lit(1))
+    scalar = msprt_ab_test(df, "y", "arm", tau=0.5)
+    table = always_valid_pvalues(df, "y", "arm", "one", tau=0.5).collect()
+    assert len(table) == 1
+    r = table[0]
+    assert r["diff"] == scalar["diff"]
+    assert r["se"] == scalar["se"]
+    assert abs(r["lam"] - scalar["lambda"]) <= 1e-12 * scalar["lambda"]
+    assert abs(r["p_always"] - scalar["p_always"]) <= 1e-12
+
+
+def test_always_valid_integer_columns_duckdb_oracle(spark):
+    """The libm-free columns — bucket, cumulative n per arm, diff, se
+    — replicated exactly in DuckDB (divisions and sqrt are correctly
+    rounded IEEE ops; only exp crosses libm and is excluded)."""
+    df = _timed_frame(spark, effect=0.4)
+    sdf = always_valid_pvalues(df, "y", "arm", "bucket", tau=1.0).select(
+        "bucket", "n_a", "n_b", "diff", "se"
+    )
+    ms = float(1 << 20)
+    sql = f"""
+    WITH r AS (
+      SELECT CASE WHEN event_id % 2 = 0 THEN 'control' ELSE 'treat' END
+               AS arm,
+             CAST(event_id % 10 AS BIGINT) AS bucket,
+             CAST(FLOOR(((value % 7) +
+                    CASE WHEN event_id % 2 = 0 THEN 0.0 ELSE 0.4 END)
+                  * {ms} + 0.5) AS BIGINT) AS q
+      FROM events WHERE value IS NOT NULL
+    ), per AS (
+      SELECT arm, bucket, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(q) AS BIGINT) AS sy,
+             CAST(SUM(q * q) AS BIGINT) AS syy
+      FROM r GROUP BY arm, bucket
+    ), pv AS (
+      SELECT bucket,
+        SUM(CASE WHEN arm = 'control' THEN n ELSE 0 END) AS dna,
+        SUM(CASE WHEN arm = 'control' THEN sy ELSE 0 END) AS dsya,
+        SUM(CASE WHEN arm = 'control' THEN syy ELSE 0 END) AS dsyya,
+        SUM(CASE WHEN arm = 'treat' THEN n ELSE 0 END) AS dnb,
+        SUM(CASE WHEN arm = 'treat' THEN sy ELSE 0 END) AS dsyb,
+        SUM(CASE WHEN arm = 'treat' THEN syy ELSE 0 END) AS dsyyb
+      FROM per GROUP BY bucket
+    ), c AS (
+      SELECT bucket,
+        CAST(SUM(dna) OVER w AS BIGINT) AS n_a,
+        CAST(SUM(dsya) OVER w AS BIGINT) AS sy_a,
+        CAST(SUM(dsyya) OVER w AS BIGINT) AS syy_a,
+        CAST(SUM(dnb) OVER w AS BIGINT) AS n_b,
+        CAST(SUM(dsyb) OVER w AS BIGINT) AS sy_b,
+        CAST(SUM(dsyyb) OVER w AS BIGINT) AS syy_b
+      FROM pv WINDOW w AS (ORDER BY bucket
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT bucket, n_a, n_b,
+      CASE WHEN n_a >= 2 AND n_b >= 2 THEN
+        CAST(sy_b AS DOUBLE) / (CAST(n_b AS DOUBLE) * {ms})
+        - CAST(sy_a AS DOUBLE) / (CAST(n_a AS DOUBLE) * {ms})
+      END AS diff,
+      CASE WHEN n_a >= 2 AND n_b >= 2 THEN
+        SQRT(
+          CAST(n_a * syy_a - sy_a * sy_a AS DOUBLE)
+            / (CAST(n_a AS DOUBLE) * CAST(n_a - 1 AS DOUBLE) * ({ms} * {ms}))
+            / CAST(n_a AS DOUBLE)
+          + CAST(n_b * syy_b - sy_b * sy_b AS DOUBLE)
+            / (CAST(n_b AS DOUBLE) * CAST(n_b - 1 AS DOUBLE) * ({ms} * {ms}))
+            / CAST(n_b AS DOUBLE)
+        )
+      END AS se
+    FROM c
+    """
+    _assert_parity(sdf, sql)
+
+
+def test_msprt_validation(spark):
+    df = _timed_frame(spark)
+    with pytest.raises(ValueError, match="tau"):
+        msprt_ab_test(df, "y", "arm", tau=0.0)
+    with pytest.raises(ValueError, match="tau"):
+        always_valid_pvalues(df, "y", "arm", "bucket", tau=-1.0)
+    three = _timed_frame(spark).withColumn(
+        "arm3",
+        F.concat(F.lit("arm"), (F.col("bucket") % 3).cast("string")),
+    )
+    assert three.select("arm3").distinct().count() == 3
+    with pytest.raises(ValueError, match="exactly 2 arms"):
+        always_valid_pvalues(three, "y", "arm3", "bucket")
+    tiny = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0)], "arm string, y double"
+    )
+    with pytest.raises(ValueError, match="n >= 2"):
+        msprt_ab_test(tiny, "y", "arm")
+
+
+def test_streaming_always_valid_looks(spark, tmp_path):
+    """Every micro-batch is a look: with maxFilesPerTrigger=1 over k
+    files the trajectory has one row per epoch, p is monotone, and the
+    FINAL look's cumulative readout equals the batch msprt scalar
+    exactly (integer moments cannot be moved by batch boundaries)."""
+    from kafka_avro_order_processing_spark.streaming.abtest import (
+        streaming_always_valid_pvalues,
+    )
+
+    df = _timed_frame(spark, effect=1.5).select("arm", "y")
+    d = str(tmp_path / "exp")
+    df.repartition(4).write.parquet(d)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = sorted(
+        streaming_always_valid_pvalues(stream, "y", "arm", tau=1.0).collect(),
+        key=lambda r: r["look"],
+    )
+    assert len(out) >= 2  # multiple looks actually happened
+    ps = [r["p_always"] for r in out]
+    assert all(0.0 <= p <= 1.0 for p in ps)
+    assert all(x >= y for x, y in zip(ps, ps[1:]))
+    scalar = msprt_ab_test(spark.read.parquet(d), "y", "arm", tau=1.0)
+    last = out[-1]
+    assert last["n_a"] == scalar["n"]["control"]
+    assert last["n_b"] == scalar["n"]["treat"]
+    assert last["diff"] == scalar["diff"]
+    assert last["se"] == scalar["se"]
+    assert abs(last["lam"] - scalar["lambda"]) <= 1e-12 * scalar["lambda"]
+    assert abs(last["p_always"] - scalar["p_always"]) <= 1e-12
+    # the planted effect is detected by the final look
+    assert last["p_always"] < 0.01

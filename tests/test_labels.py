@@ -517,3 +517,69 @@ def test_krippendorff_hand_case_and_replica(spark):
         "item_id long, worker_id string, label string",
     )
     assert krippendorff_alpha_nominal(perf)["alpha"] == 1.0
+
+
+# --------------------------------------------------- streaming twin
+
+from kafka_avro_order_processing_spark.streaming.labels import (  # noqa: E402
+    streaming_dawid_skene,
+)
+
+
+def _stream_from_dir(spark, d, schema):
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+
+
+def test_streaming_ds_bit_matches_batch(spark, tmp_path):
+    """The count table is the EM's sufficient statistic, so the
+    streaming fit over the drained update-mode counts must BIT-match
+    batch — posteriors, MAP flags, and every model float — across
+    multiple micro-batches, and again after more label files land
+    (the incremental-refresh tick)."""
+    df = _crafted(spark)
+    d = str(tmp_path / "labels")
+    df.repartition(3).write.parquet(d)
+
+    def fit_stream():
+        return streaming_dawid_skene(
+            _stream_from_dir(spark, d, df.schema), n_iter=6
+        )
+
+    def fit_batch():
+        return dawid_skene(spark.read.parquet(d), n_iter=6)
+
+    def canon(posts):
+        return sorted(tuple(r) for r in posts.collect())
+
+    s_posts, s_model = fit_stream()
+    b_posts, b_model = fit_batch()
+    assert canon(s_posts) == canon(b_posts)
+    assert s_model == b_model
+    # refresh tick: two more files of labels (a new worker appears)
+    extra = spark.createDataFrame(
+        [(i, "late", t) for i, t in TRUTH.items()],
+        "item_id long, worker_id string, label string",
+    )
+    extra.repartition(2).write.mode("append").parquet(d)
+    s_posts2, s_model2 = fit_stream()
+    b_posts2, b_model2 = fit_batch()
+    assert canon(s_posts2) == canon(b_posts2)
+    assert s_model2 == b_model2
+    assert "late" in s_model2["pi"] and "late" not in s_model["pi"]
+
+
+def test_streaming_ds_null_rejected_in_plan(spark, tmp_path):
+    bad = spark.createDataFrame(
+        [(1, "w", "a"), (2, None, "b")],
+        "item_id long, worker_id string, label string",
+    )
+    d = str(tmp_path / "bad")
+    bad.write.parquet(d)
+    with pytest.raises(Exception, match="NULL"):
+        streaming_dawid_skene(
+            _stream_from_dir(spark, d, bad.schema), n_iter=2
+        )
