@@ -729,3 +729,203 @@ def always_valid_pvalues(
             F.lit(1.0),
         ).alias("p_always"),
     )
+
+
+def minimum_detectable_effect(
+    df: DataFrame,
+    metric_col: str,
+    arm_col: str,
+    alpha: float = 0.05,
+    power: float = 0.8,
+    target_mde: float | None = None,
+    scale_bits: int = DEFAULT_SCALE_BITS,
+) -> dict:
+    """Power readout for the running experiment: from the same exact
+    integer moments as :func:`ab_arm_stats`,
+
+        MDE = (z_{1-alpha/2} + z_{power}) * se_diff
+
+    — the smallest true difference the CURRENT sample detects with the
+    requested power at the two-sided alpha (standard normal-theory
+    sizing; z quantiles from the stdlib ``statistics.NormalDist``, no
+    third-party dependency).  When ``target_mde`` is given, also
+    returns ``n_per_arm_needed`` = the per-arm sample size at which
+    the pooled-variance MDE shrinks to the target:
+    n = (z_a + z_b)^2 * (var_a + var_b) / mde^2 (balanced arms).
+    Returns {arms, n, mde, se, z_alpha, z_power[, n_per_arm_needed]}.
+    One map-side-combinable aggregate; O(arms) driver work."""
+    from statistics import NormalDist
+
+    op = "minimum_detectable_effect"
+    if not (0 < alpha < 1):
+        raise ValueError(f"{op}: alpha must be in (0, 1), got {alpha}")
+    if not (0 < power < 1):
+        raise ValueError(f"{op}: power must be in (0, 1), got {power}")
+    if not (1 <= scale_bits <= 43):
+        raise ValueError(f"scale_bits must be in [1, 43], got {scale_bits}")
+    ms = float(1 << scale_bits)
+    rows = _collect_moments(
+        df, _q_expr(metric_col, scale_bits, op), None, _arm_checked(arm_col, op)
+    )
+    arms, by = _two_arms(rows, op)
+    stats = {}
+    for a in arms:
+        r = by[a]
+        mean, var = _mean_var(int(r["n"]), int(r["sy"]), int(r["syy"]), ms)
+        if int(r["n"]) < 2:
+            raise ValueError(f"{op}: arm {a!r} needs n >= 2")
+        stats[a] = {"n": int(r["n"]), "var": var}
+    a, b = arms
+    se = math.sqrt(stats[a]["var"] / stats[a]["n"]
+                   + stats[b]["var"] / stats[b]["n"])
+    nd = NormalDist()
+    z_a = nd.inv_cdf(1.0 - alpha / 2.0)
+    z_b = nd.inv_cdf(power)
+    out = {
+        "arms": arms,
+        "n": {a: stats[a]["n"], b: stats[b]["n"]},
+        "se": se,
+        "mde": (z_a + z_b) * se,
+        "z_alpha": z_a,
+        "z_power": z_b,
+        "alpha": float(alpha),
+        "power": float(power),
+    }
+    if target_mde is not None:
+        if target_mde <= 0:
+            raise ValueError(f"{op}: target_mde must be > 0, got {target_mde}")
+        out["n_per_arm_needed"] = int(math.ceil(
+            (z_a + z_b) ** 2 * (stats[a]["var"] + stats[b]["var"])
+            / (float(target_mde) ** 2)
+        ))
+    return out
+
+
+def ratio_metric_ab_test(
+    df: DataFrame,
+    numerator_col: str,
+    denominator_col: str,
+    unit_col: str,
+    arm_col: str,
+    scale_bits: int = DEFAULT_SCALE_BITS,
+) -> dict:
+    """Ratio-metric readout with DELTA-METHOD standard errors under
+    unit-level (cluster) randomization — Deng, Knoblich & Lu,
+    "Applying the Delta Method in Metric Analytics" (KDD'18): the arm
+    metric is sum(numerator) / sum(denominator) (e.g. clicks per
+    pageview, revenue per session), randomization is by ``unit_col``
+    (user), and event rows within a unit are arbitrarily correlated —
+    the naive row-level variance is wrong; the correct one treats the
+    per-unit pair (Y_u, N_u) as the iid observation:
+
+        var(R) ≈ (var(Y) - 2 R cov(Y, N) + R^2 var(N)) / (n * mean(N)^2)
+
+    Exactness: numerator and denominator quantize ONCE per row; the
+    per-unit sums and the per-arm second moments of those sums are
+    exact decimal integer arithmetic (mixed products via the decimal
+    multiply), so R and its variance assemble on the driver from
+    exact bigints in one fixed expression order — bit-deterministic
+    under any partitioning (suite-pinned) and replica-exact.
+
+    Returns {arms, per_arm: {arm: {n_units, num, den, ratio, var_ratio}},
+    diff, se, z}.  Scale shape: ONE shuffle to (arm, unit) sums, then
+    one map-side-combinable moment aggregate — the sessionization
+    class; skew bounded by the busiest unit."""
+    op = "ratio_metric_ab_test"
+    if not (1 <= scale_bits <= 43):
+        raise ValueError(f"scale_bits must be in [1, 43], got {scale_bits}")
+    ms = float(1 << scale_bits)
+    umsg = f"{op}: NULL {unit_col} row — filter explicitly first"
+    u_checked = F.when(
+        F.col(unit_col).isNull(),
+        F.raise_error(F.lit(umsg)).cast(
+            df.schema[unit_col].dataType.simpleString()
+        ),
+    ).otherwise(F.col(unit_col))
+    per_unit = (
+        df.select(
+            _arm_checked(arm_col, op).alias("arm"),
+            u_checked.alias("unit"),
+            _q_expr(numerator_col, scale_bits, op).alias("yq"),
+            _q_expr(denominator_col, scale_bits, op).alias("nq"),
+        )
+        .groupBy("arm", "unit")
+        .agg(
+            F.sum(F.col("yq").cast("decimal(38,0)"))
+            .cast("decimal(19,0)").alias("y"),
+            F.sum(F.col("nq").cast("decimal(38,0)"))
+            .cast("decimal(19,0)").alias("n"),
+        )
+    )
+    # a unit assigned to two arms is a randomization bug — reject loudly
+    dup = (
+        per_unit.groupBy("unit").agg(F.count(F.lit(1)).alias("k"))
+        .filter(F.col("k") > 1).count()
+    )
+    if dup:
+        raise ValueError(
+            f"{op}: {dup} unit(s) appear in more than one arm — the "
+            "randomization log is inconsistent"
+        )
+    d38 = "decimal(38,0)"
+    mo = (
+        per_unit.groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("m"),
+            F.sum(F.col("y").cast(d38)).cast(d38).alias("sy"),
+            F.sum(F.col("n").cast(d38)).cast(d38).alias("sn"),
+            F.sum((F.col("y") * F.col("y")).cast(d38)).cast(d38).alias("syy"),
+            F.sum((F.col("n") * F.col("n")).cast(d38)).cast(d38).alias("snn"),
+            F.sum((F.col("y") * F.col("n")).cast(d38)).cast(d38).alias("syn"),
+        )
+        .collect()
+    )
+    arms, by = _two_arms(mo, op)
+    per_arm = {}
+    for a in arms:
+        r = by[a]
+        m = int(r["m"])
+        sy, sn = int(r["sy"]), int(r["sn"])
+        syy, snn, syn = int(r["syy"]), int(r["snn"]), int(r["syn"])
+        if m < 2:
+            raise ValueError(f"{op}: arm {a!r} needs >= 2 units")
+        if sn <= 0:
+            raise ValueError(
+                f"{op}: arm {a!r} has non-positive denominator total"
+            )
+        # EXACT rational assembly (Fraction over the collected bigints)
+        # with ONE float conversion per reported number: the delta-
+        # method variance is homogeneous of degree zero in a per-unit
+        # scaling (Y_u, N_u) -> (k Y_u, k N_u), and keeping the whole
+        # expression rational makes that invariance hold EXACTLY in
+        # the output, not just to an ulp (suite-pinned).
+        from fractions import Fraction
+
+        R = Fraction(sy, sn)
+        mm1 = m * (m - 1)
+        f_var_y = Fraction(m * syy - sy * sy, mm1)
+        f_var_n = Fraction(m * snn - sn * sn, mm1)
+        f_cov = Fraction(m * syn - sy * sn, mm1)
+        f_mean_n = Fraction(sn, m)
+        f_var_ratio = (
+            (f_var_y - 2 * R * f_cov + R * R * f_var_n)
+            / (m * f_mean_n * f_mean_n)
+        )
+        per_arm[a] = {
+            "n_units": m,
+            "num": float(sy) / ms,
+            "den": float(sn) / ms,
+            "ratio": float(R),
+            "var_ratio": float(f_var_ratio),
+        }
+    a, b = arms
+    diff = per_arm[b]["ratio"] - per_arm[a]["ratio"]
+    se = math.sqrt(per_arm[a]["var_ratio"] + per_arm[b]["var_ratio"])
+    return {
+        "arms": arms,
+        "per_arm": per_arm,
+        "diff": diff,
+        "se": se,
+        "z": diff / se if se > 0 else float("nan"),
+        "scale_bits": int(scale_bits),
+    }

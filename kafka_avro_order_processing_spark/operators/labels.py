@@ -14,6 +14,15 @@ functions), and "which label wins" + "which annotator to trust" are
 exactly the two questions these operators answer.  No counterpart
 exists in Spark's built-ins.
 
+The module also carries the inter-annotator AGREEMENT statistics a
+labeling operation reports before trusting any aggregate: Cohen's
+kappa (1960; scalar and all-pairs table), Fleiss' kappa (1971;
+fixed panels), and Krippendorff's alpha (2011; ragged panels,
+nominal and interval difference functions) — all assembled from
+exact integer counts (Fraction arithmetic on the driver; the only
+pre-assembly float in the interval form is the one rating
+quantization, which cancels in alpha).
+
 Scale shape:
 
 - ``majority_vote`` / ``worker_agreement``: integer groupBys + one
@@ -695,6 +704,37 @@ def fleiss_kappa(
     }
 
 
+def _kripp_assemble(dnum_by_den: dict, n: int, n_items: int,
+                    de_num: int, de_den: int, op: str,
+                    unit_scale: int = 1) -> dict:
+    """Exact Fraction assembly of alpha = 1 - Do/De from per-panel-size
+    disagreement sums.  dnum_by_den maps (n_u - 1) -> exact integer
+    sum of per-item pairwise disagreements over items with that panel
+    size; De is the exact global rational de_num/de_den.  unit_scale
+    descales the REPORTED do/de back to the caller's units (the
+    interval form's quantized squared differences carry a 2^(2*s)
+    factor that cancels in alpha but not in do/de)."""
+    from fractions import Fraction
+
+    do = Fraction(0)
+    for den in sorted(dnum_by_den):
+        do += Fraction(dnum_by_den[den], den)
+    do /= n * unit_scale
+    if de_num == 0:
+        return {
+            "n_values": n, "n_items": n_items, "do": float(do),
+            "de": 0.0, "alpha": float("nan"),
+        }
+    de = Fraction(de_num, de_den * unit_scale)
+    return {
+        "n_values": n,
+        "n_items": n_items,
+        "do": float(do),
+        "de": float(de),
+        "alpha": float(1 - do / de),
+    }
+
+
 def krippendorff_alpha_nominal(
     labels: DataFrame,
     item_col: str = "item_id",
@@ -707,18 +747,22 @@ def krippendorff_alpha_nominal(
     of ratings; items with fewer than 2 are excluded (standard).
 
         alpha = 1 - D_o / D_e
-        D_o   = (1/n) * sum_u [ sum_c n_uc (n_u - n_uc) / (n_u - 1) ]
-        D_e   = (n^2 - sum_c n_c^2) / (n (n - 1))
+        D_o   = (1/n) * sum_u [ sum_{i != j in u} delta_ij / (n_u - 1) ]
+        D_e   = sum_{i != j over ALL values} delta_ij / (n (n - 1))
 
-    Float discipline: the per-item rational sum_c n_uc(n_u - n_uc)
-    divided by (n_u - 1) is quantized ONCE per item as
-    floor(num/den * 2^52 + 0.5) — one correctly-rounded IEEE division
-    plus an exact power-of-two scaling, identical on any engine — and
-    summed as DECIMAL(38,0); D_e assembles from exact bigint class
-    totals on the driver.  Pinned against a brute-force pair-counting
-    replica (suite).  Returns {n_values, n_items, do, de, alpha}.
-    Scale: two integer groupBys and one per-item projection — no
-    joins, no windows."""
+    with nominal delta (0 if equal, 1 otherwise), so the per-item
+    pairwise disagreement count is n_u^2 - sum_c n_uc^2.
+
+    EXACT, no quantization anywhere: the per-item integer numerators
+    group by PANEL SIZE (n_u - 1 takes at most max-panel distinct
+    values), each group's sum collects as an exact decimal, and the
+    mixed-denominator sum assembles on the driver with
+    fractions.Fraction — alpha is one final float conversion of an
+    exact rational, bit-identical under any partitioning and equal to
+    the brute-force pair-counting replica EXACTLY (suite).  Returns
+    {n_values, n_items, do, de, alpha}.
+    Scale: two integer groupBys + one O(distinct-panel-sizes) collect
+    — no joins, no windows; skew bounded by the most-annotated item."""
     rows = _checked_cols(labels, [item_col, worker_col, label_col],
                          "krippendorff_alpha_nominal")
     cell = rows.groupBy(item_col, label_col).agg(
@@ -729,36 +773,31 @@ def krippendorff_alpha_nominal(
         cell.withColumn("nu", F.sum("c").over(w_item).cast("long"))
         .filter(F.col("nu") >= 2)
     )
-    # per-item disagreement numerator sum_c c*(nu - c), exact in long
-    # (c, nu <= panel size — bounded by the most-annotated item), then
-    # the ONE quantized division per item
-    scale = float(1 << 52)
-    item_q = (
-        per.groupBy(item_col, "nu")
-        .agg(F.sum(F.col("c") * (F.col("nu") - F.col("c")))
-             .cast("long").alias("dnum"))
-        .select(
-            "nu",
-            F.floor(
-                F.col("dnum").cast("double")
-                / (F.col("nu") - 1).cast("double")
-                * F.lit(scale)
-                + F.lit(0.5)
-            ).cast("decimal(38,0)").alias("dq"),
-        )
+    # per-item disagreement count sum_c c*(nu - c) = nu^2 - sum_c c^2,
+    # exact in decimal, then grouped by panel size
+    item_d = per.groupBy(item_col, "nu").agg(
+        F.sum(
+            (F.col("c").cast("decimal(19,0)")
+             * (F.col("nu") - F.col("c")).cast("decimal(19,0)"))
+            .cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("dnum")
     )
-    agg = item_q.agg(
-        F.sum("dq").cast("decimal(38,0)").alias("dsum"),
-        F.sum("nu").cast("long").alias("n"),
-        F.count(F.lit(1)).cast("long").alias("n_items"),
-    ).collect()[0]
-    if agg["n"] is None:
+    by_den = (
+        item_d.groupBy((F.col("nu") - 1).alias("den"))
+        .agg(
+            F.sum("dnum").cast("decimal(38,0)").alias("dsum"),
+            F.sum("nu").cast("long").alias("nsum"),
+            F.count(F.lit(1)).cast("long").alias("items"),
+        )
+        .collect()
+    )
+    if not by_den:
         raise ValueError(
             "krippendorff_alpha_nominal: no item has >= 2 ratings"
         )
-    n = int(agg["n"])
-    dsum = int(agg["dsum"])
-    n_items = int(agg["n_items"])
+    dnum_by_den = {int(r["den"]): int(r["dsum"]) for r in by_den}
+    n = sum(int(r["nsum"]) for r in by_den)
+    n_items = sum(int(r["items"]) for r in by_den)
     ctot = [
         int(r["ct"])
         for r in per.groupBy(label_col)
@@ -766,18 +805,91 @@ def krippendorff_alpha_nominal(
         .orderBy(label_col)
         .collect()
     ]
-    do = dsum / scale / n
     de_num = n * n - sum(c * c for c in ctot)
-    if de_num == 0:
-        return {
-            "n_values": n, "n_items": n_items, "do": do,
-            "de": 0.0, "alpha": float("nan"),
-        }
-    de = float(de_num) / float(n * (n - 1))
-    return {
-        "n_values": n,
-        "n_items": n_items,
-        "do": do,
-        "de": de,
-        "alpha": 1.0 - do / de,
-    }
+    return _kripp_assemble(
+        dnum_by_den, n, n_items, de_num, n * (n - 1),
+        "krippendorff_alpha_nominal",
+    )
+
+
+def krippendorff_alpha_interval(
+    labels: DataFrame,
+    item_col: str = "item_id",
+    worker_col: str = "worker_id",
+    value_col: str = "value",
+    scale_bits: int = 20,
+) -> dict:
+    """Krippendorff's alpha with the INTERVAL difference function
+    delta_ij = (v_i - v_j)^2 — the agreement statistic for numeric
+    ratings (quality scores, Likert scales read as numbers).  Same
+    exclusion rule and exact assembly as the nominal form; the only
+    float manufactured before the final conversions is the ONE
+    quantization of each rating (floor(v * 2^scale_bits + 0.5), the
+    abtest.py idiom), after which
+
+        sum_{i != j in u} (q_i - q_j)^2 = 2 * (n_u * sum q^2 - (sum q)^2)
+
+    is exact decimal arithmetic, grouped by panel size and assembled
+    driver-side with Fraction (alpha is scale-invariant in the
+    quantization factor, which cancels between Do and De).  Ratings
+    must satisfy |v| < 2^(44 - scale_bits) (in-plan loud bound) and
+    panels stay within decimal headroom for any realistic rater count.
+    Returns {n_values, n_items, do, de, alpha}; pinned against a
+    brute-force pair replica EXACTLY (suite)."""
+    from .abtest import _dprod, _q_expr
+
+    op = "krippendorff_alpha_interval"
+    if not (1 <= scale_bits <= 43):
+        raise ValueError(f"scale_bits must be in [1, 43], got {scale_bits}")
+    imsg = f"{op}: NULL {item_col} / {worker_col} row — filter explicitly first"
+    i_checked = F.when(
+        F.col(item_col).isNull() | F.col(worker_col).isNull(),
+        F.raise_error(F.lit(imsg)).cast(
+            labels.schema[item_col].dataType.simpleString()
+        ),
+    ).otherwise(F.col(item_col))
+    rows = labels.select(
+        i_checked.alias("__item"),
+        _q_expr(value_col, scale_bits, op).alias("q"),
+    )
+    per = rows.groupBy("__item").agg(
+        F.count(F.lit(1)).cast("long").alias("nu"),
+        F.sum(F.col("q").cast("decimal(38,0)"))
+        .cast("decimal(38,0)").alias("sq"),
+        F.sum(_dprod("q", "q")).cast("decimal(38,0)").alias("sqq"),
+    ).filter(F.col("nu") >= 2)
+    # sum_{i!=j} (qi-qj)^2 = 2*(nu*sqq - sq^2), exact decimal
+    dnum = (
+        F.lit(2).cast("decimal(19,0)")
+        * (
+            F.col("nu").cast("decimal(19,0)") * F.col("sqq")
+            - F.col("sq") * F.col("sq")
+        )
+    ).cast("decimal(38,0)")
+    by_den = (
+        per.select((F.col("nu") - 1).alias("den"), dnum.alias("dnum"),
+                   "nu", "sq", "sqq")
+        .groupBy("den")
+        .agg(
+            F.sum("dnum").cast("decimal(38,0)").alias("dsum"),
+            F.sum("nu").cast("long").alias("nsum"),
+            F.count(F.lit(1)).cast("long").alias("items"),
+            F.sum("sq").cast("decimal(38,0)").alias("gsq"),
+            F.sum("sqq").cast("decimal(38,0)").alias("gsqq"),
+        )
+        .collect()
+    )
+    if not by_den:
+        raise ValueError(
+            f"{op}: no item has >= 2 ratings"
+        )
+    dnum_by_den = {int(r["den"]): int(r["dsum"]) for r in by_den}
+    n = sum(int(r["nsum"]) for r in by_den)
+    n_items = sum(int(r["items"]) for r in by_den)
+    gsq = sum(int(r["gsq"]) for r in by_den)
+    gsqq = sum(int(r["gsqq"]) for r in by_den)
+    de_num = 2 * (n * gsqq - gsq * gsq)
+    return _kripp_assemble(
+        dnum_by_den, n, n_items, de_num, n * (n - 1), op,
+        unit_scale=1 << (2 * scale_bits),
+    )

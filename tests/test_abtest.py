@@ -537,10 +537,10 @@ def test_always_valid_integer_columns_duckdb_oracle(spark):
       END AS diff,
       CASE WHEN n_a >= 2 AND n_b >= 2 THEN
         SQRT(
-          CAST(n_a * syy_a - sy_a * sy_a AS DOUBLE)
+          CAST(CAST(n_a AS HUGEINT) * syy_a - CAST(sy_a AS HUGEINT) * sy_a AS DOUBLE)
             / (CAST(n_a AS DOUBLE) * CAST(n_a - 1 AS DOUBLE) * ({ms} * {ms}))
             / CAST(n_a AS DOUBLE)
-          + CAST(n_b * syy_b - sy_b * sy_b AS DOUBLE)
+          + CAST(CAST(n_b AS HUGEINT) * syy_b - CAST(sy_b AS HUGEINT) * sy_b AS DOUBLE)
             / (CAST(n_b AS DOUBLE) * CAST(n_b - 1 AS DOUBLE) * ({ms} * {ms}))
             / CAST(n_b AS DOUBLE)
         )
@@ -605,3 +605,152 @@ def test_streaming_always_valid_looks(spark, tmp_path):
     assert abs(last["p_always"] - scalar["p_always"]) <= 1e-12
     # the planted effect is detected by the final look
     assert last["p_always"] < 0.01
+
+
+def test_minimum_detectable_effect(spark):
+    from statistics import NormalDist
+
+    from kafka_avro_order_processing_spark.operators.abtest import (
+        minimum_detectable_effect,
+    )
+
+    df = _exp_frame(spark).select("arm", "y")
+    out = minimum_detectable_effect(df, "y", "arm", alpha=0.05, power=0.8)
+    # stdlib quantiles at the textbook values
+    assert abs(out["z_alpha"] - 1.959963984540054) < 1e-12
+    assert abs(out["z_power"] - 0.8416212335729143) < 1e-12
+    # closed form from ab_arm_stats
+    st = {r["arm"]: r for r in ab_arm_stats(df, "y", "arm").collect()}
+    se = math.sqrt(
+        st["control"]["var"] / st["control"]["n"]
+        + st["treat"]["var"] / st["treat"]["n"]
+    )
+    assert out["se"] == se
+    assert out["mde"] == (out["z_alpha"] + out["z_power"]) * se
+    # sizing: the needed n shrinks the pooled MDE to the target
+    tgt = out["mde"] / 2.0
+    out2 = minimum_detectable_effect(
+        df, "y", "arm", alpha=0.05, power=0.8, target_mde=tgt
+    )
+    n_need = out2["n_per_arm_needed"]
+    want = math.ceil(
+        (out["z_alpha"] + out["z_power"]) ** 2
+        * (st["control"]["var"] + st["treat"]["var"]) / tgt**2
+    )
+    assert n_need == want
+    # halving the MDE costs ~4x the traffic
+    assert 3.5 * st["control"]["n"] < n_need < 4.5 * st["control"]["n"]
+    for bad in ({"alpha": 0.0}, {"power": 1.0}, {"target_mde": -1.0}):
+        with pytest.raises(ValueError):
+            minimum_detectable_effect(df, "y", "arm", **bad)
+
+
+# ------------------------------------------------------- ratio metrics
+
+from kafka_avro_order_processing_spark.operators.abtest import (  # noqa: E402
+    ratio_metric_ab_test,
+)
+
+
+def _ratio_frame(spark):
+    """Event-level frame randomized by user: numerator = value-derived
+    'clicks', denominator = 1 per event (so the ratio is clicks per
+    event), users carry multiple events (real clustering)."""
+    ev = load_table(spark, SF_DIR, "events").filter("value IS NOT NULL")
+    return ev.select(
+        F.when(F.col("user_id") % 2 == 0, "control")
+        .otherwise("treat").alias("arm"),
+        F.col("user_id").alias("unit"),
+        (F.col("value") % 3).cast("double").alias("num"),
+        F.lit(1.0).alias("den"),
+    )
+
+
+def test_ratio_metric_matches_python_replica(spark):
+    import math as _m
+
+    sb = 20
+    ms = float(1 << sb)
+    df = _ratio_frame(spark)
+    got = ratio_metric_ab_test(df, "num", "den", "unit", "arm", scale_bits=sb)
+    per: dict = {}
+    for r in df.collect():
+        key = (r["arm"], r["unit"])
+        y, n = per.get(key, (0, 0))
+        per[key] = (y + int(_m.floor(r["num"] * ms + 0.5)),
+                    n + int(_m.floor(r["den"] * ms + 0.5)))
+    for arm in got["arms"]:
+        units = [(y, n) for (a, _), (y, n) in per.items() if a == arm]
+        m = len(units)
+        sy = sum(y for y, _ in units)
+        sn = sum(n for _, n in units)
+        syy = sum(y * y for y, _ in units)
+        snn = sum(n * n for _, n in units)
+        syn = sum(y * n for y, n in units)
+        from fractions import Fraction
+
+        R = Fraction(sy, sn)
+        mm1 = m * (m - 1)
+        f_var_ratio = (
+            (Fraction(m * syy - sy * sy, mm1)
+             - 2 * R * Fraction(m * syn - sy * sn, mm1)
+             + R * R * Fraction(m * snn - sn * sn, mm1))
+            / (m * Fraction(sn, m) ** 2)
+        )
+        assert got["per_arm"][arm]["n_units"] == m
+        assert got["per_arm"][arm]["ratio"] == float(R)
+        assert got["per_arm"][arm]["var_ratio"] == float(f_var_ratio)
+    # bit-identical under repartitioning
+    again = ratio_metric_ab_test(
+        df.repartition(13), "num", "den", "unit", "arm", scale_bits=sb
+    )
+    assert again == got
+
+
+def test_ratio_metric_cluster_invariance(spark):
+    """Duplicating every unit's rows k times changes NOTHING — the
+    per-unit sums scale by k and the delta-method variance is
+    homogeneous of degree zero in that scaling.  (A naive row-level
+    variance would shrink by ~k — the bug clustered SEs exist to
+    fix.)"""
+    df = _ratio_frame(spark)
+    base = ratio_metric_ab_test(df, "num", "den", "unit", "arm")
+    tripled = df.union(df).union(df)
+    got = ratio_metric_ab_test(tripled, "num", "den", "unit", "arm")
+    for arm in base["arms"]:
+        assert got["per_arm"][arm]["ratio"] == base["per_arm"][arm]["ratio"]
+        assert (got["per_arm"][arm]["var_ratio"]
+                == base["per_arm"][arm]["var_ratio"])
+        assert got["per_arm"][arm]["n_units"] == base["per_arm"][arm]["n_units"]
+    assert got["se"] == base["se"] and got["z"] == base["z"]
+    # while the row-level (wrong) variance WOULD shrink: ab_arm_stats
+    # on the tripled frame reports ~1/3 the var of the base frame
+    v1 = {r["arm"]: r["var"] for r in ab_arm_stats(df, "num", "arm").collect()}
+    v3 = {r["arm"]: r["var"]
+          for r in ab_arm_stats(tripled, "num", "arm").collect()}
+    for arm in v1:
+        assert v3[arm] < v1[arm] * 1.01  # naive var does not grow...
+    n1 = {r["arm"]: r["n"] for r in ab_arm_stats(df, "num", "arm").collect()}
+    n3 = {r["arm"]: r["n"]
+          for r in ab_arm_stats(tripled, "num", "arm").collect()}
+    assert all(n3[a] == 3 * n1[a] for a in n1)  # so its se shrinks ~sqrt(3)
+
+
+def test_ratio_metric_validation(spark):
+    df = _ratio_frame(spark)
+    # a unit in both arms is a randomization bug
+    flipped = df.union(
+        df.limit(1).withColumn(
+            "arm", F.when(F.col("arm") == "treat", "control")
+            .otherwise("treat")
+        )
+    )
+    with pytest.raises(ValueError, match="more than one arm"):
+        ratio_metric_ab_test(flipped, "num", "den", "unit", "arm")
+    with pytest.raises(Exception, match="NULL"):
+        ratio_metric_ab_test(
+            df.withColumn("unit", F.when(F.col("num") < 1.0, F.col("unit"))),
+            "num", "den", "unit", "arm",
+        )
+    with pytest.raises(ValueError, match="scale_bits"):
+        ratio_metric_ab_test(df, "num", "den", "unit", "arm", scale_bits=0)

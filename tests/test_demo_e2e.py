@@ -3,6 +3,7 @@ inside the suite and produce the expected split."""
 
 from __future__ import annotations
 
+import math
 import sys
 from pathlib import Path
 
@@ -278,3 +279,27 @@ def test_tokenizers_demo_end_to_end(spark):
         hold = s[f"{k}_holdout"]
         assert abs(hold - s[k]) < 0.5, (k, s[k], hold)
     assert s["n_words_train"] > 0 and s["n_words_holdout"] > 0
+
+
+def test_experimentation_demo_end_to_end(spark):
+    """The experiment-platform composition: SRM gate passes on the
+    designed split, multi-covariate CUPED beats single, the always-
+    valid trajectory is monotone, sizing follows the 4x law, and the
+    agreement sidebar returns defined statistics."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
+    from experimentation_demo import main
+
+    out = main("/root/testdata/sf0.001", spark=spark)
+    assert out["srm_p"] > 1e-3
+    assert 0.0 < out["cuped1_vr"] <= out["cuped2_vr"] < 1.0
+    ps = out["p_trajectory"]
+    assert all(a >= b for a, b in zip(ps, ps[1:]))
+    assert all(0.0 <= p <= 1.0 for p in ps)
+    n_have = min(n for n, _, _ in out["arms"].values())
+    assert 3.0 * n_have < out["n_for_half_mde"] < 5.0 * n_have
+    assert math.isfinite(out["ratio_z"]) and out["ratio_se"] > 0
+    assert -1.0 <= out["kripp_alpha"] <= 1.0
+    assert out["n_kappa_pairs"] > 0

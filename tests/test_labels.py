@@ -501,8 +501,8 @@ def test_krippendorff_hand_case_and_replica(spark):
     )
     de = Fraction(dis_all, n * (n - 1))
     want = float(1 - do / de)
-    assert abs(got["alpha"] - want) < 1e-9
-    assert abs(got["do"] - float(do)) < 1e-9
+    assert got["alpha"] == want          # EXACT: Fraction assembly
+    assert got["do"] == float(do)
     # single-rating items are excluded and cannot move the statistic
     plus = df2.union(
         spark.createDataFrame([(900, "w0", "c0"), (901, "w1", "c3")],
@@ -582,4 +582,100 @@ def test_streaming_ds_null_rejected_in_plan(spark, tmp_path):
     with pytest.raises(Exception, match="NULL"):
         streaming_dawid_skene(
             _stream_from_dir(spark, d, bad.schema), n_iter=2
+        )
+
+
+def test_krippendorff_interval_hand_case_and_replica(spark):
+    from kafka_avro_order_processing_spark.operators.labels import (
+        krippendorff_alpha_interval,
+    )
+
+    # u1: 1,2 -> pairwise 2*(1)^2 = 2 over den 1; u2: 3,3 -> 0
+    # n=4, De = 2*(4*23 - 81)/12 = 22/12 -> alpha = 1 - (1/2)/(11/6) = 8/11
+    rows = [(1, "a", 1.0), (1, "b", 2.0), (2, "a", 3.0), (2, "b", 3.0)]
+    df = spark.createDataFrame(rows, "item_id long, worker_id string, value double")
+    out = krippendorff_alpha_interval(df)
+    from fractions import Fraction
+
+    assert out["n_values"] == 4 and out["n_items"] == 2
+    assert out["do"] == 0.5
+    assert out["de"] == float(Fraction(22, 12))
+    assert out["alpha"] == float(Fraction(8, 11))
+    # ragged deterministic frame vs a brute-force pair replica — EXACT
+    rows2 = []
+    items: dict = {}
+    for i in range(25):
+        k = 2 + (i % 4)
+        vals = [float((i * 3 + w * w) % 9) for w in range(k)]
+        for w, v in enumerate(vals):
+            rows2.append((i, f"w{w}", v))
+        items[i] = vals
+    df2 = spark.createDataFrame(rows2, "item_id long, worker_id string, value double")
+    got = krippendorff_alpha_interval(df2)
+    sb = 1 << 20
+    q = lambda v: int(v) * sb  # integer values quantize exactly  # noqa: E731
+    do = Fraction(0)
+    n = 0
+    for vals in items.values():
+        nu = len(vals)
+        n += nu
+        d = sum(
+            (q(a) - q(b)) ** 2 for i, a in enumerate(vals)
+            for j, b in enumerate(vals) if i != j
+        )
+        do += Fraction(d, nu - 1)
+    do /= n
+    allq = [q(v) for vals in items.values() for v in vals]
+    de = Fraction(
+        sum((a - b) ** 2 for i, a in enumerate(allq)
+            for j, b in enumerate(allq) if i != j),
+        n * (n - 1),
+    )
+    assert got["alpha"] == float(1 - do / de)
+    # invariances with integer-valued ratings: shift and scale cancel
+    shifted = krippendorff_alpha_interval(
+        df2.withColumn("value", F.col("value") + 5.0)
+    )
+    doubled = krippendorff_alpha_interval(
+        df2.withColumn("value", F.col("value") * 2.0)
+    )
+    assert shifted["alpha"] == got["alpha"]
+    assert doubled["alpha"] == got["alpha"]
+    # and repartitioning cannot move a bit
+    again = krippendorff_alpha_interval(df2.repartition(9))
+    assert again == got
+
+
+def test_krippendorff_interval_edges(spark):
+    from kafka_avro_order_processing_spark.operators.labels import (
+        krippendorff_alpha_interval,
+    )
+
+    # perfect agreement -> Do = 0 -> alpha = 1 exactly
+    perf = spark.createDataFrame(
+        [(i, w, float(i % 3)) for i in range(6) for w in ("a", "b", "c")],
+        "item_id long, worker_id string, value double",
+    )
+    assert krippendorff_alpha_interval(perf)["alpha"] == 1.0
+    # constant column -> De = 0 -> NaN (undefined, not a crash)
+    const = spark.createDataFrame(
+        [(i, w, 2.0) for i in range(4) for w in ("a", "b")],
+        "item_id long, worker_id string, value double",
+    )
+    assert math.isnan(krippendorff_alpha_interval(const)["alpha"])
+    with pytest.raises(Exception, match="NULL"):
+        krippendorff_alpha_interval(
+            spark.createDataFrame(
+                [(1, "a", 1.0), (1, "b", None)],
+                "item_id long, worker_id string, value double",
+            )
+        )
+    with pytest.raises(ValueError, match="scale_bits"):
+        krippendorff_alpha_interval(perf, scale_bits=44)
+    with pytest.raises(ValueError, match=">= 2"):
+        krippendorff_alpha_interval(
+            spark.createDataFrame(
+                [(1, "a", 1.0), (2, "b", 2.0)],
+                "item_id long, worker_id string, value double",
+            )
         )
