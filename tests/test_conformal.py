@@ -388,3 +388,55 @@ def test_weighted_coverage_under_covariate_shift(spark):
         sub = test.filter(F.col("b") == b_val)
         covered += sub.filter(F.col("s") <= F.lit(qh)).count()
     assert covered / n_t >= 1 - alpha - 0.03
+
+
+def test_weighted_conformal_composes_with_dsir_weights(spark):
+    """The covariate-shift weights come from the repo's own DSIR
+    estimator (the HANDOFF composition): target = short documents,
+    source = everything; likelihood ratios exp(dsir log-weight) feed
+    the weighted threshold, and TARGET-distribution coverage meets
+    1 - alpha where the unweighted source threshold undercovers."""
+    from kafka_avro_order_processing_spark.operators.dsir import (
+        dsir_features,
+        dsir_fit,
+        dsir_log_weights,
+    )
+    from kafka_avro_order_processing_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").filter(
+        "text IS NOT NULL"
+    ).select("doc_id", "text", F.length("text").alias("len"))
+    # score correlates with the shifting covariate (length)
+    docs = docs.withColumn("score", F.col("len").cast("double"))
+    # calibration = even ids (source-distributed); target population =
+    # odd ids RESTRICTED to short docs (a real distribution shift)
+    cal = docs.filter("doc_id % 2 = 0")
+    target = docs.filter("doc_id % 2 = 1 AND len < 400")
+    target_sample = target  # what we want coverage on
+    n_buckets = 512
+    feats_target = dsir_features(target, n_buckets=n_buckets)
+    feats_cal = dsir_features(cal, n_buckets=n_buckets)
+    ratios = dsir_fit(feats_target, feats_cal, n_buckets=n_buckets)
+    lw = dsir_log_weights(cal, feats_cal, ratios)
+    wcal = cal.join(lw, "doc_id").select(
+        "score", F.exp(F.col("log_weight")).alias("w")
+    )
+    # clip pathological ratios into the quantizer's mass range (the
+    # standard practice for importance weights)
+    wcal = wcal.select(
+        "score",
+        F.least(F.greatest(F.col("w"), F.lit(1e-3)), F.lit(1e3)).alias("w"),
+    )
+    alpha = 0.2
+    qw = weighted_conformal_threshold(wcal, "score", "w", 1.0, alpha)["qhat"]
+    qu = conformal_threshold(cal, "score", alpha=alpha)["qhat"]
+    n_t = target_sample.count()
+    cov_w = target_sample.filter(F.col("score") <= qw).count() / n_t
+    cov_u = target_sample.filter(F.col("score") <= qu).count() / n_t
+    # the weighted threshold adapts DOWN toward the short-doc target
+    assert qw <= qu
+    assert cov_w >= 1 - alpha - 0.05
+    # and it is not trivially loose: it sits closer to the target's
+    # own quantile than the unweighted one does
+    q_ideal = conformal_threshold(target_sample, "score", alpha=alpha)["qhat"]
+    assert abs(qw - q_ideal) <= abs(qu - q_ideal)
