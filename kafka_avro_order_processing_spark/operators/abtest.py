@@ -929,3 +929,120 @@ def ratio_metric_ab_test(
         "z": diff / se if se > 0 else float("nan"),
         "scale_bits": int(scale_bits),
     }
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    metric_col: str,
+    arm_col: str,
+) -> dict:
+    """Mann–Whitney U / Wilcoxon rank-sum test (Mann & Whitney 1947)
+    — the nonparametric two-sample readout for skewed or ordinal
+    metrics where the Welch z on means is wrong.  Returns
+    {arms, n, u, mu, sigma, z, p, p_exact_ties} with ``u`` the
+    second arm's U statistic, normal approximation with tie
+    correction and continuity correction (the standard large-sample
+    form; both arms here are experiment-sized).
+
+    Exactness: no ranks are ever materialized — with per-distinct-
+    value counts c1(v), c2(v) and the exclusive cumulative C1(<v),
+
+        2*U2 = sum_v [ 2*c2(v)*C1(<v) + c2(v)*c1(v) ]
+
+    is an exact integer computed as decimal sums (DuckDB-oracle-able,
+    suite-proven), the tie term sum t_v^3 - t_v likewise; mu, sigma,
+    and z assemble on the driver from exact Fractions with one float
+    conversion each, p = erfc(|z|/sqrt 2).
+
+    Scale shape: one groupBy over DISTINCT metric values, one
+    cumulative window over those values (the conformal-class
+    documented bound — distinct metric values, not rows), one
+    aggregate."""
+    op = "mann_whitney_u"
+    from pyspark.sql import Window
+
+    s = F.col(metric_col).cast("double")
+    msg = f"{op}: NULL/NaN {metric_col} row — filter explicitly first"
+    s_checked = F.when(
+        s.isNull() | F.isnan(s), F.raise_error(F.lit(msg)).cast("double")
+    ).otherwise(s)
+    per = (
+        df.select(_arm_checked(arm_col, op).alias("arm"),
+                  s_checked.alias("v"))
+        .groupBy("v")
+        .pivot("arm")
+        .agg(F.count(F.lit(1)).cast("long"))
+    )
+    arms = sorted(c for c in per.columns if c != "v")
+    if len(arms) != 2:
+        raise ValueError(
+            f"{op}: need exactly 2 arms, got {arms!r} — filter or split "
+            "multi-arm experiments into pairwise readouts"
+        )
+    a, b = arms
+    cells = per.select(
+        "v",
+        F.coalesce(F.col(a), F.lit(0)).cast("long").alias("c1"),
+        F.coalesce(F.col(b), F.lit(0)).cast("long").alias("c2"),
+    )
+    w_ex = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    d38 = "decimal(38,0)"
+    staged = cells.withColumn(
+        "cum1", (F.sum("c1").over(w_ex) - F.col("c1")).cast("long")
+    )
+    agg = staged.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sum(
+            (F.lit(2).cast("decimal(19,0)")
+             * F.col("c2").cast("decimal(19,0)")
+             * F.col("cum1").cast("decimal(19,0)")
+             + F.col("c2").cast("decimal(19,0)")
+             * F.col("c1").cast("decimal(19,0)")).cast(d38)
+        ).cast(d38).alias("two_u2"),
+        F.sum(
+            ((F.col("c1") + F.col("c2")).cast("decimal(19,0)")
+             * (F.col("c1") + F.col("c2")).cast("decimal(19,0)")
+             * (F.col("c1") + F.col("c2")).cast("decimal(19,0)")
+             - (F.col("c1") + F.col("c2")).cast("decimal(19,0)")).cast(d38)
+        ).cast(d38).alias("tie_term"),
+    ).collect()[0]
+    from fractions import Fraction
+
+    n1, n2 = int(agg["n1"]), int(agg["n2"])
+    if n1 < 1 or n2 < 1:
+        raise ValueError(f"{op}: both arms need >= 1 row")
+    two_u2 = int(agg["two_u2"])
+    ties = int(agg["tie_term"])
+    n = n1 + n2
+    u2 = Fraction(two_u2, 2)
+    mu = Fraction(n1 * n2, 2)
+    var = Fraction(n1 * n2, 12) * (
+        Fraction(n + 1) - Fraction(ties, n * (n - 1))
+    ) if n > 1 else Fraction(0)
+    if var <= 0:
+        # every value identical: no test
+        return {
+            "arms": arms, "n": {a: n1, b: n2}, "u": float(u2),
+            "mu": float(mu), "sigma": 0.0, "z": float("nan"),
+            "p": float("nan"), "two_u": two_u2, "tie_term": ties,
+        }
+    sigma = math.sqrt(float(var))
+    # continuity-corrected z toward the mean
+    diff = u2 - mu
+    cc = Fraction(1, 2) if diff > 0 else (Fraction(-1, 2) if diff < 0 else 0)
+    z = float(diff - cc) / sigma
+    p = math.erfc(abs(z) / math.sqrt(2.0))
+    return {
+        "arms": arms,
+        "n": {a: n1, b: n2},
+        "u": float(u2),
+        "mu": float(mu),
+        "sigma": sigma,
+        "z": z,
+        "p": p,
+        "two_u": two_u2,
+        "tie_term": ties,
+    }

@@ -754,3 +754,124 @@ def test_ratio_metric_validation(spark):
         )
     with pytest.raises(ValueError, match="scale_bits"):
         ratio_metric_ab_test(df, "num", "den", "unit", "arm", scale_bits=0)
+
+
+# ----------------------------------------------------------- rank tests
+
+from kafka_avro_order_processing_spark.operators.abtest import (  # noqa: E402
+    mann_whitney_u,
+)
+
+
+def _mwu_replica(pairs):
+    """Brute-force pairwise U for arm b, with exact Fraction moments."""
+    from fractions import Fraction
+
+    xs = [v for a, v in pairs if a == "a"]
+    ys = [v for a, v in pairs if a == "b"]
+    two_u = sum(
+        2 if y > x else (1 if y == x else 0) for y in ys for x in xs
+    )
+    n1, n2 = len(xs), len(ys)
+    n = n1 + n2
+    from collections import Counter
+
+    t = Counter(v for _, v in pairs)
+    ties = sum(c**3 - c for c in t.values())
+    mu = Fraction(n1 * n2, 2)
+    var = Fraction(n1 * n2, 12) * (Fraction(n + 1) - Fraction(ties, n * (n - 1)))
+    return two_u, ties, mu, var
+
+
+def test_mann_whitney_matches_brute_force(spark):
+    pairs = [("a", float(v)) for v in (1, 2, 2, 3, 5, 7, 7, 7, 9)] + [
+        ("b", float(v)) for v in (2, 4, 4, 6, 7, 8, 10, 10)
+    ]
+    df = spark.createDataFrame(pairs, "arm string, y double")
+    out = mann_whitney_u(df, "y", "arm")
+    two_u, ties, mu, var = _mwu_replica(pairs)
+    assert out["two_u"] == two_u
+    assert out["tie_term"] == ties
+    assert out["mu"] == float(mu)
+    assert out["sigma"] == math.sqrt(float(var))
+    # z replica with continuity correction
+    from fractions import Fraction
+
+    diff = Fraction(two_u, 2) - mu
+    cc = Fraction(1, 2) if diff > 0 else (Fraction(-1, 2) if diff < 0 else 0)
+    want_z = float(diff - cc) / math.sqrt(float(var))
+    assert out["z"] == want_z
+    assert out["p"] == math.erfc(abs(want_z) / math.sqrt(2.0))
+    # repartition-invariant
+    assert mann_whitney_u(df.repartition(5), "y", "arm") == out
+
+
+def test_mann_whitney_laws(spark):
+    # identical multisets -> U = mu exactly -> z = 0, p = 1
+    vals = [float(v) for v in (1, 3, 3, 5, 8, 8, 9)]
+    rows = [("a", v) for v in vals] + [("b", v) for v in vals]
+    out = mann_whitney_u(
+        spark.createDataFrame(rows, "arm string, y double"), "y", "arm"
+    )
+    assert out["u"] == out["mu"] and out["z"] == 0.0 and out["p"] == 1.0
+    # a planted location shift on the real events table is detected
+    ev = load_table(spark, SF_DIR, "events").filter("value IS NOT NULL")
+    df = ev.select(
+        F.when(F.col("event_id") % 2 == 0, "a").otherwise("b").alias("arm"),
+        ((F.col("value") % 13)
+         + F.when(F.col("event_id") % 2 == 0, 0.0).otherwise(1.0)
+         ).alias("y"),
+    )
+    shifted = mann_whitney_u(df, "y", "arm")
+    assert shifted["z"] > 0 and shifted["p"] < 1e-4
+    # degenerate: every value identical -> NaN test, not a crash
+    const = spark.createDataFrame(
+        [("a", 2.0), ("a", 2.0), ("b", 2.0)], "arm string, y double"
+    )
+    res = const and mann_whitney_u(const, "y", "arm")
+    assert math.isnan(res["z"]) and res["sigma"] == 0.0
+    with pytest.raises(Exception, match="NULL|NaN"):
+        mann_whitney_u(
+            spark.createDataFrame([("a", None), ("b", 1.0)],
+                                  "arm string, y double"),
+            "y", "arm",
+        )
+
+
+def test_mann_whitney_integer_statistics_duckdb_oracle(spark):
+    """two_u and tie_term are exact integers — full hash oracle."""
+    ev = load_table(spark, SF_DIR, "events").filter("value IS NOT NULL")
+    df = ev.select(
+        F.when(F.col("event_id") % 2 == 0, "a").otherwise("b").alias("arm"),
+        (F.col("value") % 13).cast("double").alias("y"),
+    )
+    out = mann_whitney_u(df, "y", "arm")
+    sdf = spark.createDataFrame(
+        [(out["n"]["a"], out["n"]["b"], out["two_u"], out["tie_term"])],
+        "n1 long, n2 long, two_u long, tie_term long",
+    )
+    sql = """
+    WITH r AS (
+      SELECT CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END AS arm,
+             CAST(value % 13 AS DOUBLE) AS v
+      FROM events WHERE value IS NOT NULL
+    ), cells AS (
+      SELECT v,
+             CAST(SUM(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM r GROUP BY v
+    ), c AS (
+      SELECT v, c1, c2,
+             CAST(SUM(c1) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c1
+               AS BIGINT) AS cum1
+      FROM cells
+    )
+    SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+           CAST(SUM(c2) AS BIGINT) AS n2,
+           CAST(SUM(2 * c2 * cum1 + c2 * c1) AS BIGINT) AS two_u,
+           CAST(SUM((c1 + c2) * (c1 + c2) * (c1 + c2) - (c1 + c2))
+                AS BIGINT) AS tie_term
+    FROM c
+    """
+    _assert_parity(sdf, sql)
