@@ -14,7 +14,11 @@ platform runs them:
    the per-arm n needed to halve it.
 5. **Ratio metric**: clicks-per-event under USER-level randomization
    with delta-method clustered SEs (Deng, Knoblich & Lu KDD'18).
-6. **Label quality sidebar**: the same events' annotation table
+6. **Nonparametric cross-check**: Mann-Whitney U on the same
+   metric — the readout that survives skew the Welch z does not.
+7. **Retention**: per-arm Kaplan-Meier user-retention curves with a
+   log-rank comparison (censoring-aware, unlike a raw churn ECDF).
+8. **Label quality sidebar**: the same events' annotation table
    audited with pairwise Cohen's kappa and Krippendorff's alpha
    before any label-derived metric is trusted.
 
@@ -40,6 +44,7 @@ from kafka_avro_order_processing_spark.operators.abtest import (  # noqa: E402
     always_valid_pvalues,
     cuped_ab_test,
     cuped_ab_test_multi,
+    mann_whitney_u,
     minimum_detectable_effect,
     ratio_metric_ab_test,
 )
@@ -49,6 +54,11 @@ from kafka_avro_order_processing_spark.operators.labels import (  # noqa: E402
 )
 from kafka_avro_order_processing_spark.operators.srm import (  # noqa: E402
     sample_ratio_mismatch,
+)
+from kafka_avro_order_processing_spark.operators.survival import (  # noqa: E402
+    kaplan_meier,
+    logrank_test,
+    median_survival_time,
 )
 from kafka_avro_order_processing_spark.sources.tables import load_table  # noqa: E402
 
@@ -106,7 +116,28 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None):
     # 5. clustered ratio metric
     ratio = ratio_metric_ab_test(frame, "clicks", "y", "unit", "arm")
 
-    # 6. label-quality sidebar on the documents annotation table
+    # 6. nonparametric cross-check on the same metric
+    mwu = mann_whitney_u(frame, "y", "arm")
+
+    # 7. censoring-aware retention: per-user span in days, censored
+    # when the span reaches the observation horizon
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    span = (
+        ev.groupBy("user_id")
+        .agg((((F.max(us) - F.min(us)) / F.lit(86400.0 * 1e6))
+              .cast("int").cast("double")).alias("days"))
+        .select(
+            "days",
+            F.when(F.col("user_id") % 2 == 0, "control")
+            .otherwise("treat").alias("arm"),
+            (F.col("days") < 6.0).cast("int").alias("churned"),
+        )
+    )
+    km = kaplan_meier(span, "days", "churned", group_col="arm")
+    medians = median_survival_time(km, group_col="arm")
+    lr = logrank_test(span, "days", "churned", "arm")
+
+    # 8. label-quality sidebar on the documents annotation table
     docs = load_table(spark, sf_dir, "documents")
     labels = docs.select(
         (F.col("doc_id") % 101).alias("item_id"),
@@ -134,6 +165,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None):
           f"(have {min(mde['n'].values())})")
     print(f"clicks/y ratio: diff = {ratio['diff']:.5f}, "
           f"se = {ratio['se']:.5f}, z = {ratio['z']:.3f}")
+    print(f"rank test: U z = {mwu['z']:.3f}, p = {mwu['p']:.4f}")
+    print(f"retention medians (days): {medians}; "
+          f"log-rank chi2 = {lr['chi2']:.3f}, p = {lr['p']:.4f}")
     print(f"label quality: krippendorff alpha = {alpha['alpha']:.4f} "
           f"over {alpha['n_items']} items; "
           f"{len(kappas)} annotator pairs audited")
@@ -149,6 +183,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None):
         "n_for_half_mde": sized["n_per_arm_needed"],
         "ratio_z": ratio["z"],
         "ratio_se": ratio["se"],
+        "mwu_p": mwu["p"],
+        "retention_medians": medians,
+        "logrank_p": lr["p"],
         "kripp_alpha": alpha["alpha"],
         "n_kappa_pairs": len(kappas),
     }

@@ -1046,3 +1046,123 @@ def mann_whitney_u(
         "two_u": two_u2,
         "tie_term": ties,
     }
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    metric_col: str,
+    group_col: str,
+) -> dict:
+    """Kruskal–Wallis H test (Kruskal & Wallis 1952) — the k-group
+    extension of :func:`mann_whitney_u`: "do any of these groups'
+    metric distributions differ?", rank-based, no normality
+    assumption.  Returns {groups, n, h, h_tie_corrected, df, p,
+    rank_sums_x2, tie_term}.
+
+    Exactness: like the U test, no ranks materialize — with t_v the
+    total count at value v and C(<v) the exclusive cumulative, the
+    average-rank sum for group g is
+
+        2 * R_g = sum_v c_g(v) * (2*C(<v) + t_v + 1)
+
+    an exact integer (decimal sums; DuckDB-oracle-able); H and the
+    tie-corrected H' assemble on the driver as exact Fractions (one
+    float each), so at k = 2 the identity
+
+        H' == z_uncorrected^2     (the MWU z WITHOUT continuity corr.)
+
+    holds EXACTLY and is suite-pinned as a cross-operator law.
+    p = chi2_sf(H', k - 1) via the in-repo incomplete gamma.
+
+    Scale shape: one groupBy (value, group), one per-value total +
+    cumulative window over DISTINCT values, one O(groups) collect."""
+    op = "kruskal_wallis"
+    from pyspark.sql import Window
+
+    s = F.col(metric_col).cast("double")
+    msg = (
+        f"{op}: NULL/NaN {metric_col} or NULL {group_col} row — filter "
+        "explicitly first"
+    )
+    s_checked = F.when(
+        s.isNull() | F.isnan(s) | F.col(group_col).isNull(),
+        F.raise_error(F.lit(msg)).cast("double"),
+    ).otherwise(s)
+    gv = (
+        df.select(F.col(group_col).cast("string").alias("g"),
+                  s_checked.alias("v"))
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w_cum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    per_v = (
+        gv.groupBy("v").agg(F.sum("c").cast("long").alias("t"))
+        .withColumn("cum_excl", (F.sum("t").over(w_cum) - F.col("t"))
+                    .cast("long"))
+    )
+    d38 = "decimal(38,0)"
+    rows = (
+        gv.join(per_v, "v")
+        .groupBy("g")
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            F.sum(
+                (F.col("c").cast("decimal(19,0)")
+                 * (F.lit(2).cast("decimal(19,0)")
+                    * F.col("cum_excl").cast("decimal(19,0)")
+                    + F.col("t").cast("decimal(19,0)")
+                    + F.lit(1).cast("decimal(19,0)"))).cast(d38)
+            ).cast(d38).alias("two_r"),
+        )
+        .collect()
+    )
+    tie = (
+        per_v.agg(
+            F.sum(
+                (F.col("t").cast("decimal(19,0)")
+                 * F.col("t").cast("decimal(19,0)")
+                 * F.col("t").cast("decimal(19,0)")
+                 - F.col("t").cast("decimal(19,0)")).cast(d38)
+            ).cast(d38).alias("tt")
+        ).collect()[0]
+    )
+    from fractions import Fraction
+
+    groups = sorted(r["g"] for r in rows)
+    k = len(groups)
+    if k < 2:
+        raise ValueError(f"{op}: need >= 2 groups, got {groups!r}")
+    by = {r["g"]: r for r in rows}
+    n = sum(int(by[g]["n"]) for g in groups)
+    if n < 3:
+        raise ValueError(f"{op}: need n >= 3 total rows")
+    ties = int(tie["tt"])
+    h = Fraction(12, n * (n + 1)) * sum(
+        Fraction(int(by[g]["two_r"]) ** 2, 4 * int(by[g]["n"]))
+        for g in groups
+    ) - 3 * (n + 1)
+    denom = 1 - Fraction(ties, n**3 - n)
+    if denom == 0:
+        # every value identical
+        return {
+            "groups": groups, "n": {g: int(by[g]["n"]) for g in groups},
+            "h": float(h), "h_tie_corrected": float("nan"),
+            "df": k - 1, "p": float("nan"),
+            "rank_sums_x2": {g: int(by[g]["two_r"]) for g in groups},
+            "tie_term": ties,
+        }
+    h_c = h / denom
+    from .srm import chi2_sf
+
+    return {
+        "groups": groups,
+        "n": {g: int(by[g]["n"]) for g in groups},
+        "h": float(h),
+        "h_tie_corrected": float(h_c),
+        "df": k - 1,
+        "p": chi2_sf(float(h_c), k - 1),
+        "rank_sums_x2": {g: int(by[g]["two_r"]) for g in groups},
+        "tie_term": ties,
+    }

@@ -875,3 +875,82 @@ def test_mann_whitney_integer_statistics_duckdb_oracle(spark):
     FROM c
     """
     _assert_parity(sdf, sql)
+
+
+from kafka_avro_order_processing_spark.operators.abtest import (  # noqa: E402
+    kruskal_wallis,
+)
+
+
+def test_kruskal_wallis_matches_replica_and_mwu_identity(spark):
+    from collections import Counter
+    from fractions import Fraction
+
+    pairs = [("a", float(v)) for v in (1, 2, 2, 3, 5, 7, 7, 7, 9)] + [
+        ("b", float(v)) for v in (2, 4, 4, 6, 7, 8, 10, 10)
+    ]
+    df = spark.createDataFrame(pairs, "arm string, y double")
+    kw = kruskal_wallis(df, "y", "arm")
+    # replica: average ranks, exact Fractions
+    allv = sorted(v for _, v in pairs)
+    t = Counter(allv)
+    start = {}
+    c = 0
+    for v in sorted(t):
+        start[v] = c
+        c += t[v]
+    avg_rank = {v: Fraction(2 * start[v] + t[v] + 1, 2) for v in t}
+    n = len(pairs)
+    groups = sorted({g for g, _ in pairs})
+    H = Fraction(12, n * (n + 1)) * sum(
+        (sum(avg_rank[v] for g2, v in pairs if g2 == g)) ** 2
+        / Fraction(sum(1 for g2, _ in pairs if g2 == g))
+        for g in groups
+    ) - 3 * (n + 1)
+    ties = sum(cc**3 - cc for cc in t.values())
+    Hc = H / (1 - Fraction(ties, n**3 - n))
+    assert kw["h"] == float(H)
+    assert kw["h_tie_corrected"] == float(Hc)
+    assert kw["tie_term"] == ties
+    # k=2 law: H' equals the UNCORRECTED MWU z^2 exactly (Fractions)
+    mwu = mann_whitney_u(df, "y", "arm")
+    n1, n2 = mwu["n"]["a"], mwu["n"]["b"]
+    diff = Fraction(mwu["two_u"], 2) - Fraction(n1 * n2, 2)
+    var = Fraction(n1 * n2, 12) * (
+        Fraction(n + 1) - Fraction(mwu["tie_term"], n * (n - 1))
+    )
+    assert kw["h_tie_corrected"] == float(diff * diff / var)
+    # repartition-invariant
+    assert kruskal_wallis(df.repartition(7), "y", "arm") == kw
+
+
+def test_kruskal_wallis_laws(spark):
+    # identical multisets in 3 equal groups -> H == 0, p == 1
+    vals = [float(v) for v in (1, 4, 4, 6, 9)]
+    rows = [(g, v) for g in ("x", "y", "z") for v in vals]
+    kw = kruskal_wallis(
+        spark.createDataFrame(rows, "g string, y double"), "y", "g"
+    )
+    assert kw["h_tie_corrected"] == 0.0 and kw["p"] == 1.0
+    assert kw["df"] == 2
+    # planted 3-group shift on real events is detected
+    ev = load_table(spark, SF_DIR, "events").filter("value IS NOT NULL")
+    df = ev.select(
+        (F.col("event_id") % 3).cast("string").alias("g"),
+        ((F.col("value") % 13)
+         + (F.col("event_id") % 3).cast("double") * 1.5).alias("y"),
+    )
+    kw2 = kruskal_wallis(df, "y", "g")
+    assert kw2["p"] < 1e-6 and kw2["df"] == 2
+    # degenerate: constant metric -> NaN, not a crash
+    const = spark.createDataFrame(
+        [("a", 2.0), ("a", 2.0), ("b", 2.0)], "g string, y double"
+    )
+    res = kruskal_wallis(const, "y", "g")
+    assert math.isnan(res["p"])
+    with pytest.raises(ValueError, match=">= 2 groups"):
+        kruskal_wallis(
+            spark.createDataFrame([("a", 1.0), ("a", 2.0), ("a", 3.0)],
+                                  "g string, y double"),
+            "y", "g",
+        )
