@@ -966,13 +966,25 @@ def mann_whitney_u(
     s_checked = F.when(
         s.isNull() | F.isnan(s), F.raise_error(F.lit(msg)).cast("double")
     ).otherwise(s)
-    per = (
+    counts = (
         df.select(_arm_checked(arm_col, op).alias("arm"),
                   s_checked.alias("v"))
-        .groupBy("v")
-        .pivot("arm")
-        .agg(F.count(F.lit(1)).cast("long"))
+        .groupBy("arm", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
+    return mann_whitney_u_from_counts(counts)
+
+
+def mann_whitney_u_from_counts(counts: DataFrame) -> dict:
+    """The U test evaluated from its SUFFICIENT STATISTIC — the
+    (arm, v, c) per-distinct-value count table — which is what makes
+    the streaming twin exact: the same table maintained as update-mode
+    streaming aggregation state feeds the identical readout
+    (streaming/abtest.py::streaming_mann_whitney_u, suite-pinned)."""
+    op = "mann_whitney_u"
+    from pyspark.sql import Window
+
+    per = counts.groupBy("v").pivot("arm").agg(F.sum("c").cast("long"))
     arms = sorted(c for c in per.columns if c != "v")
     if len(arms) != 2:
         raise ValueError(

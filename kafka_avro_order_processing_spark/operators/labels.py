@@ -18,7 +18,7 @@ The module also carries the inter-annotator AGREEMENT statistics a
 labeling operation reports before trusting any aggregate: Cohen's
 kappa (1960; scalar and all-pairs table), Fleiss' kappa (1971;
 fixed panels), and Krippendorff's alpha (2011; ragged panels,
-nominal and interval difference functions) — all assembled from
+nominal, ordinal and interval difference functions) — all assembled from
 exact integer counts (Fraction arithmetic on the driver; the only
 pre-assembly float in the interval form is the one rating
 quantization, which cancels in alpha).
@@ -892,4 +892,138 @@ def krippendorff_alpha_interval(
     return _kripp_assemble(
         dnum_by_den, n, n_items, de_num, n * (n - 1), op,
         unit_scale=1 << (2 * scale_bits),
+    )
+
+
+def krippendorff_alpha_ordinal(
+    labels: DataFrame,
+    item_col: str = "item_id",
+    worker_col: str = "worker_id",
+    label_col: str = "label",
+    max_categories: int = 64,
+) -> dict:
+    """Krippendorff's alpha with the ORDINAL difference function —
+    ordered categories (Likert scales, severity grades) where
+    disagreeing by two steps matters more than by one but the steps
+    are not numeric distances (that would be the interval form):
+
+        delta(c, c') = ( sum_{k = c..c'} n_k  -  (n_c + n_c') / 2 )^2
+
+    with n_k the GLOBAL (pairable) category frequencies — the standard
+    ordinal metric from Krippendorff 2011.
+
+    EXACT: 4*delta is an integer (the half only ever appears squared),
+    so the per-item pairwise disagreement sums compute as exact
+    decimals via a broadcast-joined O(K^2) delta table (K = category
+    count, capped at ``max_categories``), group by panel size, and
+    assemble with Fraction at unit_scale 4 — equal to the brute-force
+    pair replica EXACTLY (suite).  Categories order by the label
+    column's natural ordering.  Two passes: global category counts
+    (driver O(K)), then one per-item pair aggregation."""
+    from fractions import Fraction
+
+    op = "krippendorff_alpha_ordinal"
+    rows = _checked_cols(labels, [item_col, worker_col, label_col], op)
+    cell = rows.groupBy(item_col, label_col).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w_item = Window.partitionBy(item_col)
+    per = (
+        cell.withColumn("nu", F.sum("c").over(w_item).cast("long"))
+        .filter(F.col("nu") >= 2)
+    )
+    # pass 1: global pairable category counts, in category order
+    cats = [
+        (r[label_col], int(r["ct"]))
+        for r in per.groupBy(label_col)
+        .agg(F.sum("c").cast("long").alias("ct"))
+        .orderBy(label_col)
+        .collect()
+    ]
+    if not cats:
+        raise ValueError(f"{op}: no item has >= 2 ratings")
+    k = len(cats)
+    if k > max_categories:
+        raise ValueError(
+            f"{op}: {k} categories > max_categories={max_categories} — "
+            "ordinal alpha is for ORDERED CATEGORY scales; use "
+            "krippendorff_alpha_interval for numeric ratings"
+        )
+    names = [c for c, _ in cats]
+    freqs = [n for _, n in cats]
+    # 4*delta(c, c') exact integers: (2*sum_{c..c'} n_k - n_c - n_c')^2
+    n_total = sum(freqs)
+    delta4 = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            mid = sum(freqs[i:j + 1])
+            d2 = 2 * mid - freqs[i] - freqs[j]
+            delta4.append((names[i], names[j], d2 * d2))
+    spark = labels.sparkSession
+    ltype = labels.schema[label_col].dataType.simpleString()
+    ddf = spark.createDataFrame(
+        delta4, f"la {ltype}, lb {ltype}, d4 long"
+    ) if delta4 else spark.createDataFrame([], f"la {ltype}, lb {ltype}, d4 long")
+    # pass 2: within-item ordered-category pairs x broadcast delta
+    lhs = per.select(
+        F.col(item_col).alias("__i"), F.col(label_col).alias("la"),
+        F.col("c").alias("ca"), F.col("nu"),
+    )
+    rhs = per.select(
+        F.col(item_col).alias("__i"), F.col(label_col).alias("lb"),
+        F.col("c").alias("cb"),
+    )
+    pair_d = (
+        lhs.join(rhs, "__i")
+        .filter(F.col("la") < F.col("lb"))
+        .join(F.broadcast(ddf), ["la", "lb"])
+        .select(
+            "__i", "nu",
+            # sum_{i != j} delta*4 counts each unordered pair twice
+            (F.lit(2).cast("decimal(19,0)")
+             * F.col("ca").cast("decimal(19,0)")
+             * F.col("cb").cast("decimal(19,0)")
+             * F.col("d4").cast("decimal(19,0)")).cast("decimal(38,0)")
+            .alias("dnum4"),
+        )
+    )
+    # items whose raters all chose ONE category have no pairs rows but
+    # zero disagreement anyway — re-anchor on the per-item frame so n
+    # and n_items count them
+    base = per.groupBy(item_col, "nu").agg(F.count(F.lit(1)).alias("__k"))
+    item_d = (
+        base.join(
+            pair_d.groupBy("__i").agg(
+                F.sum("dnum4").cast("decimal(38,0)").alias("dnum4")
+            ),
+            F.col(item_col) == F.col("__i"),
+            "left",
+        )
+        .select(
+            (F.col("nu") - 1).alias("den"),
+            F.coalesce(F.col("dnum4"), F.lit(0).cast("decimal(38,0)"))
+            .alias("dnum4"),
+            "nu",
+        )
+    )
+    by_den = (
+        item_d.groupBy("den")
+        .agg(
+            F.sum("dnum4").cast("decimal(38,0)").alias("dsum"),
+            F.sum("nu").cast("long").alias("nsum"),
+            F.count(F.lit(1)).cast("long").alias("items"),
+        )
+        .collect()
+    )
+    dnum_by_den = {int(r["den"]): int(r["dsum"]) for r in by_den}
+    n = sum(int(r["nsum"]) for r in by_den)
+    n_items = sum(int(r["items"]) for r in by_den)
+    assert n == n_total
+    d4_by_pair = {(la, lb): d for la, lb, d in delta4}
+    de_num4 = 2 * sum(
+        freqs[i] * freqs[j] * d4_by_pair[(names[i], names[j])]
+        for i in range(k) for j in range(i + 1, k)
+    )
+    return _kripp_assemble(
+        dnum_by_den, n, n_items, de_num4, n * (n - 1), op, unit_scale=4
     )

@@ -205,4 +205,37 @@ def streaming_always_valid_pvalues(
     )
 
 
-__all__ = ["streaming_always_valid_pvalues"]
+
+
+def streaming_mann_whitney_u(
+    stream_df: DataFrame,
+    metric_col: str,
+    arm_col: str,
+) -> dict:
+    """Streaming twin of :func:`operators.abtest.mann_whitney_u`: the
+    per-(arm, distinct-value) count table — the test's sufficient
+    statistic — accumulates as update-mode streaming aggregation
+    state, and the drained table feeds the identical readout.
+    BIT-matches batch on the same rows (integer counts cannot be
+    moved by micro-batch boundaries; suite-pinned).  State is
+    O(arms x distinct metric values)."""
+    from ..operators.abtest import _arm_checked, mann_whitney_u_from_counts
+    from .pipeline import drain_to_df
+
+    op = "streaming_mann_whitney_u"
+    s = F.col(metric_col).cast("double")
+    msg = f"{op}: NULL/NaN {metric_col} row — filter explicitly first"
+    s_checked = F.when(
+        s.isNull() | F.isnan(s), F.raise_error(F.lit(msg)).cast("double")
+    ).otherwise(s)
+    cells = (
+        stream_df.select(
+            _arm_checked(arm_col, op).alias("arm"), s_checked.alias("v")
+        )
+        .groupBy("arm", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    drained = drain_to_df(cells, "update", key_cols=("arm", "v"))
+    return mann_whitney_u_from_counts(drained)
+
+__all__ = ["streaming_always_valid_pvalues", "streaming_mann_whitney_u"]

@@ -954,3 +954,21 @@ def test_kruskal_wallis_laws(spark):
                                   "g string, y double"),
             "y", "g",
         )
+
+
+def test_streaming_mann_whitney_bit_matches_batch(spark, tmp_path):
+    from kafka_avro_order_processing_spark.streaming.abtest import (
+        streaming_mann_whitney_u,
+    )
+
+    df = _timed_frame(spark, effect=0.4).select("arm", "y")
+    d = str(tmp_path / "mwu")
+    df.repartition(3).write.parquet(d)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    got = streaming_mann_whitney_u(stream, "y", "arm")
+    want = mann_whitney_u(spark.read.parquet(d), "y", "arm")
+    assert got == want

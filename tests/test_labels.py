@@ -679,3 +679,85 @@ def test_krippendorff_interval_edges(spark):
                 "item_id long, worker_id string, value double",
             )
         )
+
+
+def test_krippendorff_ordinal_hand_case_and_replica(spark):
+    from fractions import Fraction
+
+    from kafka_avro_order_processing_spark.operators.labels import (
+        krippendorff_alpha_ordinal,
+    )
+
+    # ordered scale lo < mid < hi; ragged panels; replica from the
+    # published ordinal delta over GLOBAL pairable frequencies
+    rows = []
+    items: dict = {}
+    scale = ["a_lo", "b_mid", "c_hi"]
+    for i in range(20):
+        kk = 2 + (i % 3)
+        labs = [scale[(i + w * w) % 3] for w in range(kk)]
+        for w, lab in enumerate(labs):
+            rows.append((i, f"w{w}", lab))
+        items[i] = labs
+    df = spark.createDataFrame(rows, "item_id long, worker_id string, label string")
+    got = krippendorff_alpha_ordinal(df)
+
+    allv = [l for labs in items.values() for l in labs]
+    n = len(allv)
+    freq = {c: allv.count(c) for c in scale}
+
+    def delta(a, b):
+        ia, ib = sorted((scale.index(a), scale.index(b)))
+        if ia == ib:
+            return Fraction(0)
+        mid = sum(freq[scale[x]] for x in range(ia, ib + 1))
+        return (Fraction(mid) - Fraction(freq[a] + freq[b], 2)) ** 2
+
+    do = Fraction(0)
+    for labs in items.values():
+        nu = len(labs)
+        d = sum(
+            delta(labs[i], labs[j])
+            for i in range(nu) for j in range(nu) if i != j
+        )
+        do += Fraction(d, nu - 1)
+    do /= n
+    de = Fraction(
+        sum(delta(allv[i], allv[j])
+            for i in range(n) for j in range(n) if i != j),
+        n * (n - 1),
+    )
+    assert got["alpha"] == float(1 - do / de)  # EXACT
+    assert got["do"] == float(do)
+    assert got["de"] == float(de)
+    # single-category items count in n but add zero disagreement
+    plus = df.union(
+        spark.createDataFrame(
+            [(800, "w0", "b_mid"), (800, "w1", "b_mid")],
+            "item_id long, worker_id string, label string",
+        )
+    )
+    got2 = krippendorff_alpha_ordinal(plus)
+    assert got2["n_values"] == got["n_values"] + 2
+    # perfect agreement -> alpha = 1 exactly
+    perf = spark.createDataFrame(
+        [(i, w, scale[i % 3]) for i in range(9) for w in ("x", "y")],
+        "item_id long, worker_id string, label string",
+    )
+    assert krippendorff_alpha_ordinal(perf)["alpha"] == 1.0
+    # with a BINARY scale, ordinal == nominal up to the delta scaling
+    # (only one pair -> both reduce to the same 0/1 structure)
+    from kafka_avro_order_processing_spark.operators.labels import (
+        krippendorff_alpha_nominal,
+    )
+
+    binary = spark.createDataFrame(
+        [(i, f"w{w}", scale[(i + w) % 2]) for i in range(12)
+         for w in range(2 + i % 2)],
+        "item_id long, worker_id string, label string",
+    )
+    a_ord = krippendorff_alpha_ordinal(binary)["alpha"]
+    a_nom = krippendorff_alpha_nominal(binary)["alpha"]
+    assert abs(a_ord - a_nom) < 1e-12  # constant delta cancels
+    with pytest.raises(ValueError, match="max_categories"):
+        krippendorff_alpha_ordinal(df, max_categories=2)
