@@ -1178,3 +1178,91 @@ def kruskal_wallis(
         "rank_sums_x2": {g: int(by[g]["two_r"]) for g in groups},
         "tie_term": ties,
     }
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> dict:
+    """Spearman rank correlation, tie-aware — the monotone-association
+    readout for metric-vs-ordinal drift checks where Pearson's
+    linearity assumption is wrong.  Defined as Pearson correlation on
+    AVERAGE ranks (the standard tie handling; reduces to
+    1 - 6*sum(d^2)/(n(n^2-1)) when no ties, suite-pinned).
+
+    Exactness: no ranks materialize per row as floats — each value's
+    average rank is the half-integer (2*C(<v) + t_v + 1)/2 from the
+    distinct-value machinery (the U-test idiom), so DOUBLED ranks are
+    exact integers: every moment (sums, squares, cross products of
+    2*rx and 2*ry) is an exact decimal sum, and rho assembles on the
+    driver as ONE float conversion of an exact Fraction —
+    bit-identical under any partitioning and equal to a brute-force
+    replica EXACTLY (suite).
+
+    Scale shape: two distinct-value rank maps (groupBy + cumulative
+    window over DISTINCT values each), two value-keyed equi-joins to
+    attach them, one moment aggregate."""
+    op = "spearman_corr"
+    from pyspark.sql import Window
+
+    def _checked(col):
+        c = F.col(col).cast("double")
+        msg = f"{op}: NULL/NaN {col} row — filter explicitly first"
+        return F.when(
+            c.isNull() | F.isnan(c), F.raise_error(F.lit(msg)).cast("double")
+        ).otherwise(c)
+
+    rows = df.select(_checked(x_col).alias("x"), _checked(y_col).alias("y"))
+
+    def _rank_map(col):
+        w_cum = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return (
+            rows.groupBy(col)
+            .agg(F.count(F.lit(1)).cast("long").alias("t"))
+            .withColumn(
+                "r2",
+                (F.lit(2) * (F.sum("t").over(w_cum) - F.col("t"))
+                 + F.col("t") + F.lit(1)).cast("long"),
+            )
+            .select(col, "r2")
+        )
+
+    rx = _rank_map("x").withColumnRenamed("r2", "rx2")
+    ry = _rank_map("y").withColumnRenamed("r2", "ry2")
+    d38 = "decimal(38,0)"
+
+    def _p(a, b):
+        return (
+            F.col(a).cast("decimal(19,0)") * F.col(b).cast("decimal(19,0)")
+        ).cast(d38)
+
+    agg = (
+        rows.join(rx, "x").join(ry, "y")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("rx2").cast(d38)).cast(d38).alias("sx"),
+            F.sum(F.col("ry2").cast(d38)).cast(d38).alias("sy"),
+            F.sum(_p("rx2", "rx2")).cast(d38).alias("sxx"),
+            F.sum(_p("ry2", "ry2")).cast(d38).alias("syy"),
+            F.sum(_p("rx2", "ry2")).cast(d38).alias("sxy"),
+        )
+        .collect()[0]
+    )
+    from fractions import Fraction
+
+    n = int(agg["n"])
+    if n < 2:
+        raise ValueError(f"{op}: need n >= 2 rows, got {n}")
+    sx, sy = int(agg["sx"]), int(agg["sy"])
+    sxx, syy, sxy = int(agg["sxx"]), int(agg["syy"]), int(agg["sxy"])
+    num = Fraction(n * sxy - sx * sy)
+    den2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    if den2 == 0:
+        return {"n": n, "rho": float("nan")}  # a constant column
+    # rho = num / sqrt(den2): keep it exact as num^2 sign-carried where
+    # possible; the reported float is one sqrt + one division
+    rho = float(num) / math.sqrt(float(den2))
+    return {"n": n, "rho": rho, "num": int(num), "den2": int(den2)}

@@ -972,3 +972,61 @@ def test_streaming_mann_whitney_bit_matches_batch(spark, tmp_path):
     got = streaming_mann_whitney_u(stream, "y", "arm")
     want = mann_whitney_u(spark.read.parquet(d), "y", "arm")
     assert got == want
+
+
+from kafka_avro_order_processing_spark.operators.abtest import (  # noqa: E402
+    spearman_corr,
+)
+
+
+def test_spearman_matches_replica_and_closed_form(spark):
+    from fractions import Fraction
+
+    # tie-dense deterministic pairs
+    pts = [(float(v % 7), float((3 * v + 1) % 5)) for v in range(40)]
+    df = spark.createDataFrame(pts, "x double, y double")
+    out = spearman_corr(df, "x", "y")
+
+    def avg_ranks(vals):
+        s = sorted(vals)
+        return {
+            v: Fraction(2 * s.index(v) + s.count(v) + 1, 2) for v in set(vals)
+        }
+
+    rx = avg_ranks([x for x, _ in pts])
+    ry = avg_ranks([y for _, y in pts])
+    n = len(pts)
+    sx = sum(2 * rx[x] for x, _ in pts)
+    sy = sum(2 * ry[y] for _, y in pts)
+    sxx = sum((2 * rx[x]) ** 2 for x, _ in pts)
+    syy = sum((2 * ry[y]) ** 2 for _, y in pts)
+    sxy = sum(4 * rx[x] * ry[y] for x, y in pts)
+    num = n * sxy - sx * sy
+    den2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    assert out["num"] == num and out["den2"] == den2
+    assert out["rho"] == float(num) / math.sqrt(float(den2))
+    # no-ties closed form: rho = 1 - 6*sum(d^2)/(n(n^2-1))
+    pure = [(float(v), float((v * 17) % 29)) for v in range(29)]
+    dfp = spark.createDataFrame(pure, "x double, y double")
+    got = spearman_corr(dfp, "x", "y")
+    rxp = {x: i + 1 for i, x in enumerate(sorted(p[0] for p in pure))}
+    ryp = {y: i + 1 for i, y in enumerate(sorted(p[1] for p in pure))}
+    d2 = sum((rxp[x] - ryp[y]) ** 2 for x, y in pure)
+    m = len(pure)
+    want = float(Fraction(1) - Fraction(6 * d2, m * (m * m - 1)))
+    assert abs(got["rho"] - want) < 1e-12
+    # monotone laws: identity -> exactly 1, reversal -> exactly -1
+    mono = spark.createDataFrame(
+        [(float(v), float(v * v)) for v in range(15)], "x double, y double"
+    )
+    assert spearman_corr(mono, "x", "y")["rho"] == 1.0
+    rev = spark.createDataFrame(
+        [(float(v), float(-v)) for v in range(15)], "x double, y double"
+    )
+    assert spearman_corr(rev, "x", "y")["rho"] == -1.0
+    # repartition-invariant; constant column -> NaN; tiny n raises
+    assert spearman_corr(df.repartition(7), "x", "y") == out
+    const = spark.createDataFrame([(1.0, 2.0), (1.0, 3.0)], "x double, y double")
+    assert math.isnan(spearman_corr(const, "x", "y")["rho"])
+    with pytest.raises(ValueError, match="n >= 2"):
+        spearman_corr(df.limit(1), "x", "y")
