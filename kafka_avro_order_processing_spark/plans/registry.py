@@ -6491,44 +6491,45 @@ RETIRED: dict[str, str] = {
 # ---------------------------------------------------------------------------
 
 _LEAD_ORDER = [
-    # -- ROUND-11 window (exactly 50 names precede the boundary).
-    # Built per the r10 verdict's task 1 / HANDOFF "READ THIS FIRST":
-    # ZERO slots, ZERO fills.  After the r10 check the oldest rows
-    # anywhere are the 50 r8-window names (latest CORRECTNESS row =
-    # r08; recomputed from the CORRECTNESS_r01..r10 union at round-11
-    # start — exactly 50 names), age 2 during round 11: their age-3
-    # deadline is THIS round.  The window is EXACTLY those 50, in
-    # registration order, nothing else.
-    "product_stats_snapshot", "running_avg", "validated_orders",
-    "rejected_orders", "error_classification", "dlq_error_stats",
-    "pricing_summary", "top_customers", "revenue_by_region",
-    "order_priority_counts", "top3_events_per_type", "events_hourly",
-    "user_sessions", "doc_token_stats", "token_counts_top20",
-    "language_id", "quality_scores", "doc_fingerprints",
-    "dedup_exact", "embedding_topk", "multimodal_meta",
-    "streaming_product_stats", "streaming_product_stats_update",
-    "asof_purchase_click", "region_nation_rollup",
-    "priority_status_cube", "daily_event_type_pivot",
-    "events_sliding_30m", "churned_users", "ivf_cell_sizes",
-    "avro_ocf_roundtrip", "priority_line_revenue",
-    "streaming_running_avg_per_record", "streaming_user_sessions",
-    "tfidf_top_terms", "priority_code_extract", "orders_by_month",
-    "salted_product_stats", "streaming_watermarked_windows",
-    "value_distribution_ranks", "user_funnel", "value_bounds",
-    "dedup_clusters", "daily_events_unpivot", "sequence_packing",
-    "streaming_incremental_dedup", "streaming_static_enrich",
-    "upsert_orders", "runtime_filtered_join", "ivf_kmeans_refine",
+    # -- ROUND-12 window (exactly 50 names precede the boundary).
+    # Built per the r11 verdict's task 1 / HANDOFF "READ THIS FIRST":
+    # after the r11 check the oldest rows anywhere are the 48
+    # remaining r9-window names (latest CORRECTNESS row = r09,
+    # recomputed from the CORRECTNESS_r01..r11 union at round-12
+    # start: 50 names minus the retired ngram_jaccard_adjacent and
+    # customers_no_pending_orders — see RETIRED), age 2 during round
+    # 12: their age-3 deadline is THIS round.  The window is those 48
+    # in registration order, then the TWO staged r12 promotion blocks
+    # `rrf_fuse` and `window_funnel` (plans/promotions_r12.py) fill
+    # the freed slots as positions 49/50.  48 + 2 = EXACTLY 50.
+    "per_product_stats", "overall_stats", "supplier_balance_by_nation",
+    "near_dup_pairs", "near_dup_pairs_char", "simhash_fingerprints",
+    "embedding_near_dup", "diversity_sample", "purchase_avg_lookup",
+    "generated_orders", "generated_orders_datasource",
+    "avro_uri_manifest_write", "avro_stats_pruned_read",
+    "avro_zorder_pruned_read", "avro_compacted_roundtrip",
+    "avro_bloom_pruned_lookup", "sql_api_events_hourly",
+    "value_percentiles", "daily_revenue_lag", "multi_stream_union",
+    "cms_user_frequencies", "hll_distinct_users",
+    "value_histogram_quantiles", "streaming_value_histogram_quantiles",
+    "streaming_cms_user_frequencies", "importance_weighted_sample",
+    "streaming_hll_distinct_users", "quantity_price_correlation",
+    "streaming_quantity_price_correlation", "daily_revenue_trend",
+    "daily_revenue_filled", "revenue_anomaly_days",
+    "streaming_revenue_anomaly", "event_type_daily_trend",
+    "dedup_clusters_star", "trade_graph_pagerank", "pq_adc_topk",
+    "pq_rerank_topk", "pq_recall_at_k", "user_communities",
+    "co_activity_triangles", "user_kcore", "community_modularity",
+    "weighted_trade_pagerank", "packing_efficiency",
+    "streaming_kmeans_refine", "avro_stream_stats_filter",
+    "dedup_keep_best", "rrf_fuse", "window_funnel",
     # --- position 50 boundary ---------------------------------------
-    # ROUND-12 MATH: after the r11 check the oldest rows anywhere are
-    # the 48 remaining r9-window names (50 minus the retired
-    # ngram_jaccard_adjacent and customers_no_pending_orders — see
-    # RETIRED).  The two freed slots take the staged r12 promotion
-    # blocks `rrf_fuse` and `window_funnel`
-    # (plans/promotions_r12.py; the 3-step swap recipe is in its
-    # module docstring).  48 + 2 = EXACTLY 50.  After r12 the
-    # registry is back at 150 = 3x50 capacity: any further NEW name
-    # must displace an existing one via the retirement ledger.
-    # The r9/r10-window names and the rest follow via the fallback
+    # ROUND-13 MATH: after the r12 check the oldest rows anywhere are
+    # the 50 r10-window names (latest CORRECTNESS row = r10), age 2
+    # during round 13 — they are r13's deadline set, ZERO free slots.
+    # The registry is at 150 = 3x50 saturation: any NEW name must
+    # displace an existing one via the audited RETIRED ledger.
+    # The r10/r11-window names and the rest follow via the fallback
     # append in _apply_order.
 ]
 
@@ -6550,4 +6551,11 @@ def _apply_order() -> None:
 from .promotions_r10 import promote as _promote_r10  # noqa: E402
 
 _promote_r10()
+
+# Round-12 promotion swap (r11 verdict task 1): rrf_fuse +
+# window_funnel fill the two slots freed by the audited r10/r11
+# retirements.  Same deferred-import pattern as r10.
+from .promotions_r12 import promote as _promote_r12  # noqa: E402
+
+_promote_r12()
 _apply_order()

@@ -1,10 +1,13 @@
 """The round-12 promotion block (plans/promotions_r12.py), driven
 END-TO-END the way the grading driver would: the staged ``Query``'s
 ``fn(spark, SF_DIR)`` against its own ``oracle`` SQL string through
-the driver's canonicalization + the arrow integer-dtype gate — so the
-round-12 swap is promote() + one _LEAD_ORDER fill name, with nothing
-left to prove.  (Round 11 has ZERO slots — its window is exactly the
-50 r8-deadline names; see the boundary comment in registry.py.)
+the driver's canonicalization + the arrow integer-dtype gate.
+
+ROUND-12 STATE: the swap EXECUTED — registry.py imports and calls
+``promote()`` before ``_apply_order()``, and rrf_fuse/window_funnel
+sit at _LEAD_ORDER positions 49/50.  The battery therefore pins the
+POST-swap invariants (blocks live in QUERIES, double-promotion
+refused), mirroring tests/test_r10_promotion_blocks.py.
 """
 
 from __future__ import annotations
@@ -27,11 +30,13 @@ def test_queue_is_exactly_the_named_block():
     assert tuple(R12_PROMOTIONS) == EXPECTED
 
 
-def test_staged_not_registered_and_no_collisions():
-    """Rounds 10-11 have no slot for it: the block must NOT be live,
-    and its future name must be free in the registry."""
-    clash = set(R12_PROMOTIONS) & set(QUERIES)
-    assert not clash, f"staged names already registered: {sorted(clash)}"
+def test_promoted_blocks_are_live():
+    """Round 12 executed the swap: every staged block must be live in
+    the registry as the SAME Query object, at window positions 49/50."""
+    names = list(QUERIES)
+    for name, q in R12_PROMOTIONS.items():
+        assert QUERIES.get(name) is q, name
+    assert names[48:50] == list(EXPECTED)
 
 
 def test_block_is_fully_formed():
@@ -42,22 +47,11 @@ def test_block_is_fully_formed():
         assert q.doc and q.tags, name
 
 
-def test_promote_refuses_collisions(monkeypatch):
-    name = EXPECTED[0]
-    monkeypatch.setitem(QUERIES, name, R12_PROMOTIONS[name])
-    with pytest.raises(ValueError, match=name):
+def test_promote_refuses_double_registration():
+    """promote() already ran at registry import; a second call must
+    refuse the collision loudly rather than silently re-insert."""
+    with pytest.raises(ValueError, match=EXPECTED[0]):
         promote()
-
-
-def test_promote_inserts_the_block(monkeypatch):
-    before = dict(QUERIES)
-    try:
-        promote()
-        for name, q in R12_PROMOTIONS.items():
-            assert QUERIES[name] is q
-    finally:
-        QUERIES.clear()
-        QUERIES.update(before)
 
 
 @pytest.mark.parametrize("name", EXPECTED)
