@@ -614,6 +614,19 @@ def always_valid_pvalues(
     ln/exp-bearing columns pin against a Python replica at tolerance —
     the repo's lm.py convention for libm-crossing floats).
 
+    Headroom (TIGHTER than the module-level |v| < 2^(44-s) moment
+    bound): the per-look variance numerator is computed IN-PLAN as
+    n*syy - sy*sy on decimal(38,0) operands, capped at precision 38
+    by Spark's decimal-multiply clamping, so with per-arm cumulative
+    count n and |v| < B the products need n^2 * B^2 * 2^(2s) < 10^38
+    — e.g. at the default s=20 and the maximal B=2^24, n per arm
+    < ~5.7e5; at s=20 and B=2^10, n < ~9.3e9.  Exceeding it aborts
+    loudly (ANSI ARITHMETIC_OVERFLOW), never silently.  For larger
+    cumulative n, assemble the variance driver-side from the exact
+    integer moment columns this table exposes (``_mean_var``, the
+    msprt_ab_test path, has no in-plan product and keeps the full
+    2^(44-s) bound).
+
     Scale shape: one keyed integer aggregate over the corpus, then
     windows over BUCKETS (time ticks — thousands, not rows; the
     single-partition window is the documented bound, same class as
@@ -655,7 +668,6 @@ def always_valid_pvalues(
             "multi-arm experiments into pairwise readouts"
         )
     a, b = arms
-    zero = F.lit(0).cast("decimal(38,0)")
 
     def _side(side, col, cast):
         return F.sum(
@@ -935,6 +947,7 @@ def mann_whitney_u(
     df: DataFrame,
     metric_col: str,
     arm_col: str,
+    quantize_bits: int | None = None,
 ) -> dict:
     """Mann–Whitney U / Wilcoxon rank-sum test (Mann & Whitney 1947)
     — the nonparametric two-sample readout for skewed or ordinal
@@ -954,21 +967,43 @@ def mann_whitney_u(
     and z assemble on the driver from exact Fractions with one float
     conversion each, p = erfc(|z|/sqrt 2).
 
-    Scale shape: one groupBy over DISTINCT metric values, one
-    cumulative window over those values (the conformal-class
-    documented bound — distinct metric values, not rows), one
-    aggregate."""
+    Scale shape / CARDINALITY CONTRACT: one groupBy over DISTINCT
+    metric values, one cumulative window over those values, one
+    aggregate.  The cumulative window has no partition key, so the
+    distinct-value frame sorts in a SINGLE task: the documented
+    contract is that the number of DISTINCT metric values stays
+    task-sized (ordinal / categorical / already-bucketed metrics).
+    For a CONTINUOUS corpus-scale metric (distinct ~ rows) pass
+    ``quantize_bits=s``: the metric is pre-bucketed per row with the
+    repo's exact floor(v * 2^s + 0.5) idiom (one correctly-rounded
+    IEEE multiply-add — cross-engine reproducible), bounding distinct
+    values by range * 2^s.  floor is monotone, so the result IS the
+    exact tie-corrected U test applied to the bucketed metric —
+    values within one 2^-s bucket become ties, which the tie term
+    handles by construction (suite-pinned equal to the exact test on
+    a pre-bucketed column).  The opt-in is explicit because bucketing
+    changes the test's resolution; the magnitude bound
+    |v| < 2^(44 - quantize_bits) is enforced in-plan."""
     op = "mann_whitney_u"
     from pyspark.sql import Window
 
-    s = F.col(metric_col).cast("double")
-    msg = f"{op}: NULL/NaN {metric_col} row — filter explicitly first"
-    s_checked = F.when(
-        s.isNull() | F.isnan(s), F.raise_error(F.lit(msg)).cast("double")
-    ).otherwise(s)
+    if quantize_bits is not None:
+        if not (1 <= quantize_bits <= 43):
+            raise ValueError(
+                f"{op}: quantize_bits must be in [1, 43], got "
+                f"{quantize_bits}"
+            )
+        v_expr = _q_expr(metric_col, quantize_bits, op)
+    else:
+        s = F.col(metric_col).cast("double")
+        msg = f"{op}: NULL/NaN {metric_col} row — filter explicitly first"
+        v_expr = F.when(
+            s.isNull() | F.isnan(s),
+            F.raise_error(F.lit(msg)).cast("double"),
+        ).otherwise(s)
     counts = (
         df.select(_arm_checked(arm_col, op).alias("arm"),
-                  s_checked.alias("v"))
+                  v_expr.alias("v"))
         .groupBy("arm", "v")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
@@ -984,18 +1019,31 @@ def mann_whitney_u_from_counts(counts: DataFrame) -> dict:
     op = "mann_whitney_u"
     from pyspark.sql import Window
 
-    per = counts.groupBy("v").pivot("arm").agg(F.sum("c").cast("long"))
-    arms = sorted(c for c in per.columns if c != "v")
+    # Conditional aggregation instead of pivot('arm'): pivoted column
+    # NAMES are identifiers, so an arm literally named 'v' collided
+    # with the value column and a dotted arm name broke F.col
+    # resolution.  Arm values stay LITERALS here, never identifiers —
+    # any arm string works.  The distinct() job costs the same scan
+    # pivot's implicit distinct-values pass did.
+    arm_rows = [r["arm"] for r in counts.select("arm").distinct().collect()]
+    if any(x is None for x in arm_rows):
+        raise ValueError(f"{op}: NULL arm row — filter explicitly first")
+    arms = sorted(arm_rows)
     if len(arms) != 2:
         raise ValueError(
             f"{op}: need exactly 2 arms, got {arms!r} — filter or split "
             "multi-arm experiments into pairwise readouts"
         )
     a, b = arms
-    cells = per.select(
-        "v",
-        F.coalesce(F.col(a), F.lit(0)).cast("long").alias("c1"),
-        F.coalesce(F.col(b), F.lit(0)).cast("long").alias("c2"),
+
+    def _arm_c(side):
+        return F.sum(
+            F.when(F.col("arm") == F.lit(side), F.col("c"))
+            .otherwise(F.lit(0).cast("long"))
+        ).cast("long")
+
+    cells = counts.groupBy("v").agg(
+        _arm_c(a).alias("c1"), _arm_c(b).alias("c2")
     )
     w_ex = Window.orderBy("v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -1064,6 +1112,7 @@ def kruskal_wallis(
     df: DataFrame,
     metric_col: str,
     group_col: str,
+    quantize_bits: int | None = None,
 ) -> dict:
     """Kruskal–Wallis H test (Kruskal & Wallis 1952) — the k-group
     extension of :func:`mann_whitney_u`: "do any of these groups'
@@ -1086,23 +1135,42 @@ def kruskal_wallis(
     holds EXACTLY and is suite-pinned as a cross-operator law.
     p = chi2_sf(H', k - 1) via the in-repo incomplete gamma.
 
-    Scale shape: one groupBy (value, group), one per-value total +
-    cumulative window over DISTINCT values, one O(groups) collect."""
+    Scale shape / CARDINALITY CONTRACT: one groupBy (value, group),
+    one per-value total + cumulative window over DISTINCT values, one
+    O(groups) collect.  The cumulative window is single-task over the
+    distinct values (same class as :func:`mann_whitney_u` — see its
+    docstring): distinct metric values must stay task-sized, and for
+    a continuous corpus-scale metric pass ``quantize_bits=s`` to
+    pre-bucket with the exact floor(v * 2^s + 0.5) idiom — monotone,
+    so the result is the exact tie-corrected H on the bucketed
+    metric (suite-pinned)."""
     op = "kruskal_wallis"
     from pyspark.sql import Window
 
-    s = F.col(metric_col).cast("double")
-    msg = (
-        f"{op}: NULL/NaN {metric_col} or NULL {group_col} row — filter "
-        "explicitly first"
-    )
-    s_checked = F.when(
-        s.isNull() | F.isnan(s) | F.col(group_col).isNull(),
-        F.raise_error(F.lit(msg)).cast("double"),
-    ).otherwise(s)
+    gmsg = f"{op}: NULL {group_col} row — filter explicitly first"
+    if quantize_bits is not None:
+        if not (1 <= quantize_bits <= 43):
+            raise ValueError(
+                f"{op}: quantize_bits must be in [1, 43], got "
+                f"{quantize_bits}"
+            )
+        v_expr = F.when(
+            F.col(group_col).isNull(),
+            F.raise_error(F.lit(gmsg)).cast("long"),
+        ).otherwise(_q_expr(metric_col, quantize_bits, op))
+    else:
+        s = F.col(metric_col).cast("double")
+        msg = (
+            f"{op}: NULL/NaN {metric_col} or NULL {group_col} row — "
+            "filter explicitly first"
+        )
+        v_expr = F.when(
+            s.isNull() | F.isnan(s) | F.col(group_col).isNull(),
+            F.raise_error(F.lit(msg)).cast("double"),
+        ).otherwise(s)
     gv = (
         df.select(F.col(group_col).cast("string").alias("g"),
-                  s_checked.alias("v"))
+                  v_expr.alias("v"))
         .groupBy("g", "v")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
@@ -1184,6 +1252,7 @@ def spearman_corr(
     df: DataFrame,
     x_col: str,
     y_col: str,
+    quantize_bits: int | None = None,
 ) -> dict:
     """Spearman rank correlation, tie-aware — the monotone-association
     readout for metric-vs-ordinal drift checks where Pearson's
@@ -1200,13 +1269,27 @@ def spearman_corr(
     bit-identical under any partitioning and equal to a brute-force
     replica EXACTLY (suite).
 
-    Scale shape: two distinct-value rank maps (groupBy + cumulative
-    window over DISTINCT values each), two value-keyed equi-joins to
-    attach them, one moment aggregate."""
+    Scale shape / CARDINALITY CONTRACT: two distinct-value rank maps
+    (groupBy + cumulative window over DISTINCT values each), two
+    value-keyed equi-joins to attach them, one moment aggregate.  The
+    cumulative windows are single-task over each column's distinct
+    values (same class as :func:`mann_whitney_u` — see its
+    docstring): distinct values must stay task-sized, and for
+    continuous corpus-scale columns pass ``quantize_bits=s`` to
+    pre-bucket BOTH columns with the exact floor(v * 2^s + 0.5) idiom
+    — monotone, so the result is the exact tie-aware rho on the
+    bucketed pair (suite-pinned)."""
     op = "spearman_corr"
     from pyspark.sql import Window
 
+    if quantize_bits is not None and not (1 <= quantize_bits <= 43):
+        raise ValueError(
+            f"{op}: quantize_bits must be in [1, 43], got {quantize_bits}"
+        )
+
     def _checked(col):
+        if quantize_bits is not None:
+            return _q_expr(col, quantize_bits, op)
         c = F.col(col).cast("double")
         msg = f"{op}: NULL/NaN {col} row — filter explicitly first"
         return F.when(

@@ -1018,7 +1018,13 @@ def krippendorff_alpha_ordinal(
     dnum_by_den = {int(r["den"]): int(r["dsum"]) for r in by_den}
     n = sum(int(r["nsum"]) for r in by_den)
     n_items = sum(int(r["items"]) for r in by_den)
-    assert n == n_total
+    if n != n_total:
+        # both sides derive from the same pairable frame; a mismatch
+        # means the plan itself is broken — fail loudly even under -O
+        raise RuntimeError(
+            f"krippendorff_alpha_ordinal: internal invariant broke — "
+            f"per-denominator pairable count {n} != total {n_total}"
+        )
     d4_by_pair = {(la, lb): d for la, lb, d in delta4}
     de_num4 = 2 * sum(
         freqs[i] * freqs[j] * d4_by_pair[(names[i], names[j])]

@@ -33,13 +33,19 @@ from pyspark.sql import functions as F
 from ..operators.abtest import DEFAULT_SCALE_BITS, _arm_moments
 
 
-def _drain_changelog(
-    stream_df: DataFrame, key_cols: tuple[str, ...]
-) -> DataFrame:
+def _drain_changelog(stream_df: DataFrame) -> DataFrame:
     """Bounded availableNow drain of an update-mode aggregation,
     KEEPING the per-epoch changelog: one row per (key, epoch-the-key-
     changed-in), stamped __epoch.  Distributed end-to-end (parquet
-    sink, lazy scan back)."""
+    sink, lazy scan back).
+
+    An EMPTY source stream never materializes the sink directory (no
+    micro-batch writes), so only the path-does-not-exist
+    AnalysisException maps to an empty frame; every other read failure
+    (corrupt sink, permissions) re-raises rather than being
+    misreported downstream as a missing-arms ValueError."""
+    from pyspark.errors import AnalysisException
+
     spark = stream_df.sparkSession
     tag = uuid.uuid4().hex[:12]
     base = tempfile.mkdtemp(prefix=f"drainlog_{tag}_")
@@ -60,10 +66,12 @@ def _drain_changelog(
     q.awaitTermination()
     try:
         return spark.read.parquet(sink)
-    except Exception:
-        return spark.createDataFrame(
-            [], schema=stream_df.withColumn("__epoch", F.lit(0)).schema
-        )
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+            return spark.createDataFrame(
+                [], schema=stream_df.withColumn("__epoch", F.lit(0)).schema
+            )
+        raise
 
 
 def streaming_always_valid_pvalues(
@@ -97,8 +105,7 @@ def streaming_always_valid_pvalues(
         _arm_moments(
             stream_df, metric_col, arm_col, scale_bits,
             "streaming_always_valid_pvalues",
-        ),
-        key_cols=("arm",),
+        )
     )
     arms = sorted(r["arm"] for r in log.select("arm").distinct().collect())
     if len(arms) != 2:
@@ -211,6 +218,7 @@ def streaming_mann_whitney_u(
     stream_df: DataFrame,
     metric_col: str,
     arm_col: str,
+    quantize_bits: int | None = None,
 ) -> dict:
     """Streaming twin of :func:`operators.abtest.mann_whitney_u`: the
     per-(arm, distinct-value) count table — the test's sufficient
@@ -218,19 +226,35 @@ def streaming_mann_whitney_u(
     state, and the drained table feeds the identical readout.
     BIT-matches batch on the same rows (integer counts cannot be
     moved by micro-batch boundaries; suite-pinned).  State is
-    O(arms x distinct metric values)."""
-    from ..operators.abtest import _arm_checked, mann_whitney_u_from_counts
+    O(arms x distinct metric values) — for a continuous unbounded
+    metric pass ``quantize_bits=s`` (the batch opt-in; see the batch
+    docstring's cardinality contract) to bound BOTH the streaming
+    state and the readout's single-task distinct-value window."""
+    from ..operators.abtest import (
+        _arm_checked,
+        _q_expr,
+        mann_whitney_u_from_counts,
+    )
     from .pipeline import drain_to_df
 
     op = "streaming_mann_whitney_u"
-    s = F.col(metric_col).cast("double")
-    msg = f"{op}: NULL/NaN {metric_col} row — filter explicitly first"
-    s_checked = F.when(
-        s.isNull() | F.isnan(s), F.raise_error(F.lit(msg)).cast("double")
-    ).otherwise(s)
+    if quantize_bits is not None:
+        if not (1 <= quantize_bits <= 43):
+            raise ValueError(
+                f"{op}: quantize_bits must be in [1, 43], got "
+                f"{quantize_bits}"
+            )
+        v_expr = _q_expr(metric_col, quantize_bits, op)
+    else:
+        s = F.col(metric_col).cast("double")
+        msg = f"{op}: NULL/NaN {metric_col} row — filter explicitly first"
+        v_expr = F.when(
+            s.isNull() | F.isnan(s),
+            F.raise_error(F.lit(msg)).cast("double"),
+        ).otherwise(s)
     cells = (
         stream_df.select(
-            _arm_checked(arm_col, op).alias("arm"), s_checked.alias("v")
+            _arm_checked(arm_col, op).alias("arm"), v_expr.alias("v")
         )
         .groupBy("arm", "v")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))

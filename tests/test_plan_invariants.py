@@ -199,3 +199,37 @@ def test_running_avg_partitions_by_the_documented_bounded_key(spark):
         "the unbounded-key twin must stay registered — it is the "
         "documented 100 TB path for this semantics"
     )
+
+
+def test_rank_statistics_pin_the_distinct_value_cardinality_contract():
+    """The rank statistics (mann_whitney_u / kruskal_wallis /
+    spearman_corr) run their cumulative windows with NO partition key:
+    the distinct-VALUE frame funnels through a single task.  That is
+    correct and documented for ordinal / low-cardinality experiment
+    metrics, but a continuous 100 TB metric has distinct ~ rows, so
+    each exposes the explicit ``quantize_bits`` opt-in (the exact
+    floor(v * 2^s + 0.5) pre-bucketing, monotone, suite-pinned equal
+    to the exact test on a bucketed column — tests/test_abtest.py's
+    quantized battery).  This test pins BOTH halves of the contract
+    the way running_avg's is pinned: the docstrings state the
+    single-task distinct-value bound, and the opt-in stays in the
+    signatures (a refactor that silently drops either re-opens the
+    r11 verdict's watch item 1)."""
+    import inspect
+
+    from kafka_avro_order_processing_spark.operators.abtest import (
+        kruskal_wallis,
+        mann_whitney_u,
+        spearman_corr,
+    )
+    from kafka_avro_order_processing_spark.streaming.abtest import (
+        streaming_mann_whitney_u,
+    )
+
+    for fn in (mann_whitney_u, kruskal_wallis, spearman_corr,
+               streaming_mann_whitney_u):
+        assert "quantize_bits" in inspect.signature(fn).parameters, fn
+    for fn in (mann_whitney_u, kruskal_wallis, spearman_corr):
+        doc = fn.__doc__.lower()
+        assert "cardinality contract" in doc, fn
+        assert "distinct" in doc and "quantize_bits" in doc, fn
