@@ -1174,6 +1174,21 @@ def kruskal_wallis(
         .groupBy("g", "v")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
+    return kruskal_wallis_from_counts(gv)
+
+
+def kruskal_wallis_from_counts(counts: DataFrame) -> dict:
+    """The H test evaluated from its SUFFICIENT STATISTIC — the
+    (g, v, c) per-(group, distinct-value) count table — the same
+    split :func:`mann_whitney_u_from_counts` makes: the streaming
+    twin maintains the identical table as update-mode aggregation
+    state and feeds it here
+    (streaming/abtest.py::streaming_kruskal_wallis, suite-pinned
+    bit-equal to batch)."""
+    op = "kruskal_wallis"
+    from pyspark.sql import Window
+
+    gv = counts
     w_cum = Window.orderBy("v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -1210,6 +1225,8 @@ def kruskal_wallis(
     )
     from fractions import Fraction
 
+    if any(r["g"] is None for r in rows):
+        raise ValueError(f"{op}: NULL group row — filter explicitly first")
     groups = sorted(r["g"] for r in rows)
     k = len(groups)
     if k < 2:

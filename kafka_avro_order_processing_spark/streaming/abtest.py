@@ -262,4 +262,61 @@ def streaming_mann_whitney_u(
     drained = drain_to_df(cells, "update", key_cols=("arm", "v"))
     return mann_whitney_u_from_counts(drained)
 
-__all__ = ["streaming_always_valid_pvalues", "streaming_mann_whitney_u"]
+
+def streaming_kruskal_wallis(
+    stream_df: DataFrame,
+    metric_col: str,
+    group_col: str,
+    quantize_bits: int | None = None,
+) -> dict:
+    """Streaming twin of :func:`operators.abtest.kruskal_wallis`, the
+    same sufficient-statistic pattern as
+    :func:`streaming_mann_whitney_u`: the (group, distinct-value)
+    count table accumulates as update-mode streaming aggregation
+    state and the drained table feeds the identical readout
+    (kruskal_wallis_from_counts).  BIT-matches batch on the same rows
+    — integer counts cannot be moved by micro-batch boundaries
+    (suite-pinned).  State is O(groups x distinct metric values); for
+    a continuous unbounded metric pass ``quantize_bits=s`` (the batch
+    opt-in's cardinality contract) to bound both the state and the
+    readout's single-task distinct-value window."""
+    from ..operators.abtest import _q_expr, kruskal_wallis_from_counts
+    from .pipeline import drain_to_df
+
+    op = "streaming_kruskal_wallis"
+    gmsg = f"{op}: NULL {group_col} row — filter explicitly first"
+    if quantize_bits is not None:
+        if not (1 <= quantize_bits <= 43):
+            raise ValueError(
+                f"{op}: quantize_bits must be in [1, 43], got "
+                f"{quantize_bits}"
+            )
+        v_expr = F.when(
+            F.col(group_col).isNull(),
+            F.raise_error(F.lit(gmsg)).cast("long"),
+        ).otherwise(_q_expr(metric_col, quantize_bits, op))
+    else:
+        s = F.col(metric_col).cast("double")
+        msg = (
+            f"{op}: NULL/NaN {metric_col} or NULL {group_col} row — "
+            "filter explicitly first"
+        )
+        v_expr = F.when(
+            s.isNull() | F.isnan(s) | F.col(group_col).isNull(),
+            F.raise_error(F.lit(msg)).cast("double"),
+        ).otherwise(s)
+    cells = (
+        stream_df.select(
+            F.col(group_col).cast("string").alias("g"), v_expr.alias("v")
+        )
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    drained = drain_to_df(cells, "update", key_cols=("g", "v"))
+    return kruskal_wallis_from_counts(drained)
+
+__all__ = [
+    "streaming_always_valid_pvalues",
+    "streaming_kruskal_wallis",
+    "streaming_mann_whitney_u",
+]

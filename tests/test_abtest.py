@@ -1128,3 +1128,68 @@ def test_streaming_mann_whitney_quantized_bit_matches_batch(spark, tmp_path):
     want = mann_whitney_u(spark.read.parquet(d), "y", "arm",
                           quantize_bits=5)
     assert got == want
+
+
+def test_streaming_kruskal_wallis_bit_matches_batch(spark, tmp_path):
+    from kafka_avro_order_processing_spark.streaming.abtest import (
+        streaming_kruskal_wallis,
+    )
+
+    d = str(tmp_path / "kwstream")
+    ev = load_table(spark, SF_DIR, "events").filter("value IS NOT NULL")
+    ev.select(
+        (F.col("event_id") % 3).cast("string").alias("g"),
+        (F.col("value") % 23).cast("double").alias("y"),
+    ).limit(500).write.parquet(d)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(d).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    got = streaming_kruskal_wallis(stream, "y", "g")
+    want = kruskal_wallis(spark.read.parquet(d), "y", "g")
+    assert got == want
+    # quantized twin matches the quantized batch readout bit-for-bit
+    stream2 = (
+        spark.readStream.schema(spark.read.parquet(d).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    got_q = streaming_kruskal_wallis(stream2, "y", "g", quantize_bits=6)
+    want_q = kruskal_wallis(spark.read.parquet(d), "y", "g",
+                            quantize_bits=6)
+    assert got_q == want_q
+
+
+def test_kruskal_wallis_from_counts_guards(spark):
+    from kafka_avro_order_processing_spark.operators.abtest import (
+        kruskal_wallis_from_counts,
+    )
+
+    null_g = spark.createDataFrame(
+        [(None, 1.0, 2), ("b", 2.0, 3)], "g string, v double, c long"
+    )
+    with pytest.raises(ValueError, match="NULL group"):
+        kruskal_wallis_from_counts(null_g)
+    one = spark.createDataFrame([("a", 1.0, 5)], "g string, v double, c long")
+    with pytest.raises(ValueError, match=">= 2 groups"):
+        kruskal_wallis_from_counts(one)
+    # the k=2 identity holds through the from_counts split too:
+    # H' == z_uncorrected^2 with the SAME count table fed to both
+    counts = spark.createDataFrame(
+        [("a", 1.0, 4), ("a", 2.0, 2), ("b", 1.0, 1),
+         ("b", 3.0, 5), ("a", 3.0, 1)],
+        "g string, v double, c long",
+    )
+    kw = kruskal_wallis_from_counts(counts)
+    from kafka_avro_order_processing_spark.operators.abtest import (
+        mann_whitney_u_from_counts,
+    )
+    mwu = mann_whitney_u_from_counts(
+        counts.withColumnRenamed("g", "arm")
+    )
+    from fractions import Fraction
+
+    z_unc = (Fraction(mwu["two_u"], 2) - Fraction(int(mwu["mu"]))) \
+        / Fraction(mwu["sigma"])
+    assert abs(kw["h_tie_corrected"] - float(z_unc) ** 2) < 1e-9

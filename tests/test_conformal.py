@@ -440,3 +440,26 @@ def test_weighted_conformal_composes_with_dsir_weights(spark):
     # own quantile than the unweighted one does
     q_ideal = conformal_threshold(target_sample, "score", alpha=alpha)["qhat"]
     assert abs(qw - q_ideal) <= abs(qu - q_ideal)
+
+
+def test_k_of_equals_the_multiply_compare_idiom():
+    """The r11 builder note: KLL's integer-threshold idiom
+    (cw * b >= a  <=>  cw >= ceil(a / b), for integer cw) and
+    conformal's explicit integer ceil-division must define the SAME
+    k.  Pinned as a law across an n x alpha sweep so neither side can
+    drift: _k_of(n, alpha) is exactly the MINIMAL integer rk with
+    rk * ALPHA_DEN >= (n + 1) * (ALPHA_DEN - num)."""
+    from kafka_avro_order_processing_spark.operators.conformal import (
+        ALPHA_DEN,
+        _alpha_num,
+        _k_of,
+    )
+
+    for alpha in (0.5, 0.25, 0.2, 0.1, 0.05, 0.01, 0.001, 0.999,
+                  0.123456, 0.904):
+        num = _alpha_num(alpha)
+        for n in (1, 2, 3, 9, 10, 19, 20, 99, 100, 10**6, 9 * 10**12):
+            k = _k_of(n, alpha)
+            t = (n + 1) * (ALPHA_DEN - num)
+            assert k * ALPHA_DEN >= t, (n, alpha)
+            assert (k - 1) * ALPHA_DEN < t, (n, alpha)
