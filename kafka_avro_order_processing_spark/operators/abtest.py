@@ -1314,14 +1314,33 @@ def spearman_corr(
         ).otherwise(c)
 
     rows = df.select(_checked(x_col).alias("x"), _checked(y_col).alias("y"))
+    counts = rows.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return spearman_corr_from_counts(counts)
+
+
+def spearman_corr_from_counts(counts: DataFrame) -> dict:
+    """rho evaluated from its SUFFICIENT STATISTIC — the joint
+    (x, y, c) count table (ranks are a function of the marginals, the
+    cross moment of the joint): the same split the U test makes, so
+    the streaming twin maintains the identical table as update-mode
+    aggregation state and feeds it here
+    (streaming/abtest.py::streaming_spearman_corr, suite-pinned
+    bit-equal to batch).  Weighted-moment headroom: the summands are
+    c * (2r)^2 <= 4 n^3-ish, so n < ~2.9e12 keeps every decimal(38,0)
+    product inside headroom; beyond it the plan aborts loudly (ANSI),
+    never silently."""
+    op = "spearman_corr"
+    from pyspark.sql import Window
 
     def _rank_map(col):
         w_cum = Window.orderBy(col).rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
         return (
-            rows.groupBy(col)
-            .agg(F.count(F.lit(1)).cast("long").alias("t"))
+            counts.groupBy(col)
+            .agg(F.sum("c").cast("long").alias("t"))
             .withColumn(
                 "r2",
                 (F.lit(2) * (F.sum("t").over(w_cum) - F.col("t"))
@@ -1333,18 +1352,24 @@ def spearman_corr(
     rx = _rank_map("x").withColumnRenamed("r2", "rx2")
     ry = _rank_map("y").withColumnRenamed("r2", "ry2")
     d38 = "decimal(38,0)"
+    dc = F.col("c").cast("decimal(19,0)")
 
     def _p(a, b):
+        # (r2 * r2) exact in 19x19 -> 38; * c clamps at 38 — exact at
+        # scale 0 until true overflow (the documented decimal gotcha)
         return (
-            F.col(a).cast("decimal(19,0)") * F.col(b).cast("decimal(19,0)")
+            (F.col(a).cast("decimal(19,0)")
+             * F.col(b).cast("decimal(19,0)")).cast(d38) * dc
         ).cast(d38)
 
     agg = (
-        rows.join(rx, "x").join(ry, "y")
+        counts.join(rx, "x").join(ry, "y")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum(F.col("rx2").cast(d38)).cast(d38).alias("sx"),
-            F.sum(F.col("ry2").cast(d38)).cast(d38).alias("sy"),
+            F.sum("c").cast("long").alias("n"),
+            F.sum(dc * F.col("rx2").cast("decimal(19,0)"))
+            .cast(d38).alias("sx"),
+            F.sum(dc * F.col("ry2").cast("decimal(19,0)"))
+            .cast(d38).alias("sy"),
             F.sum(_p("rx2", "rx2")).cast(d38).alias("sxx"),
             F.sum(_p("ry2", "ry2")).cast(d38).alias("syy"),
             F.sum(_p("rx2", "ry2")).cast(d38).alias("sxy"),
@@ -1353,7 +1378,7 @@ def spearman_corr(
     )
     from fractions import Fraction
 
-    n = int(agg["n"])
+    n = int(agg["n"] or 0)  # SUM over an empty frame is NULL
     if n < 2:
         raise ValueError(f"{op}: need n >= 2 rows, got {n}")
     sx, sy = int(agg["sx"]), int(agg["sy"])
@@ -1366,3 +1391,144 @@ def spearman_corr(
     # possible; the reported float is one sqrt + one division
     rho = float(num) / math.sqrt(float(den2))
     return {"n": n, "rho": rho, "num": int(num), "den2": int(den2)}
+
+
+def quantile_treatment_effects(
+    df: DataFrame,
+    metric_col: str,
+    arm_col: str,
+    ppms: tuple[int, ...] = (250_000, 500_000, 750_000),
+    quantize_bits: int | None = None,
+) -> DataFrame:
+    """Quantile treatment effects — the distributional A/B readout
+    (Koenker & Bassett's quantile-difference estimand applied to the
+    two-sample design): for each requested quantile level p (in parts
+    per million) the per-arm empirical quantile and their difference,
+
+        qte(p) = Q_b(p) - Q_a(p)
+
+    the standard view when a treatment moves the TAILS (p95 latency,
+    heavy spenders) and the mean readout hides it.
+
+    One row per ppm: (ppm, arm_a, arm_b, q_a, q_b, qte), arms in
+    sorted order (the 2-arm contract of :func:`mann_whitney_u`).
+    Quantile definition: Q(p) = the smallest metric value whose
+    cumulative count reaches ceil(n * p / 1e6) — the lower empirical
+    (type-1) quantile, evaluated with the KLL integer-threshold idiom
+    ``cw * 1e6 >= n * ppm`` (no float ceil, no division; exact for
+    n per arm < 2^63 / 1e6 ~ 9.2e12).
+
+    Exactness: the entire plan is integer arithmetic on the
+    (arm, value, count) sufficient statistic — the SAME table the U
+    test uses — plus a min over qualifying values, so the output
+    hash-matches a DuckDB replica exactly (suite) and the streaming
+    twin (streaming/abtest.py::streaming_quantile_treatment_effects)
+    is bit-equal to batch by construction.  With ``quantize_bits=s``
+    the metric pre-buckets per row (floor(v * 2^s + 0.5), monotone)
+    and quantiles DEQUANTIZE back via division by 2^s — exact for
+    |v_q| < 2^53 — trading quantile resolution (one bucket width,
+    2^-s) for a bounded distinct-value frame.
+
+    Scale shape / CARDINALITY CONTRACT: one groupBy over (arm,
+    distinct value), one cumulative window PARTITIONED BY ARM over
+    distinct values (two tasks — same distinct-value bound as
+    :func:`mann_whitney_u`; same ``quantize_bits`` escape), one
+    ppm-exploded filter + final O(|ppms|) aggregate."""
+    op = "quantile_treatment_effects"
+    if quantize_bits is not None:
+        if not (1 <= quantize_bits <= 43):
+            raise ValueError(
+                f"{op}: quantize_bits must be in [1, 43], got "
+                f"{quantize_bits}"
+            )
+        v_expr = _q_expr(metric_col, quantize_bits, op)
+    else:
+        s = F.col(metric_col).cast("double")
+        msg = f"{op}: NULL/NaN {metric_col} row — filter explicitly first"
+        v_expr = F.when(
+            s.isNull() | F.isnan(s),
+            F.raise_error(F.lit(msg)).cast("double"),
+        ).otherwise(s)
+    counts = (
+        df.select(_arm_checked(arm_col, op).alias("arm"),
+                  v_expr.alias("v"))
+        .groupBy("arm", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    out = quantile_treatment_effects_from_counts(counts, ppms)
+    if quantize_bits is not None:
+        ms = float(1 << quantize_bits)
+        out = out.select(
+            "ppm", "arm_a", "arm_b",
+            (F.col("q_a") / F.lit(ms)).alias("q_a"),
+            (F.col("q_b") / F.lit(ms)).alias("q_b"),
+            (F.col("qte") / F.lit(ms)).alias("qte"),
+        )
+    return out
+
+
+def quantile_treatment_effects_from_counts(
+    counts: DataFrame,
+    ppms: tuple[int, ...] = (250_000, 500_000, 750_000),
+) -> DataFrame:
+    """QTE evaluated from the (arm, v, c) sufficient statistic — see
+    :func:`quantile_treatment_effects`.  ``qte`` subtracts the two
+    quantiles after casting to double (exact for integer-valued
+    metrics below 2^53)."""
+    op = "quantile_treatment_effects"
+    from pyspark.sql import Window
+
+    ppm_list = list(ppms)
+    if not ppm_list:
+        raise ValueError(f"{op}: ppms must be non-empty")
+    if len(set(ppm_list)) != len(ppm_list):
+        raise ValueError(f"{op}: duplicate ppm in {ppm_list!r}")
+    for p in ppm_list:
+        if not isinstance(p, int) or not (1 <= p <= 1_000_000):
+            raise ValueError(
+                f"{op}: each ppm must be an int in [1, 1000000], got "
+                f"{p!r}"
+            )
+    arm_rows = [r["arm"] for r in counts.select("arm").distinct().collect()]
+    if any(x is None for x in arm_rows):
+        raise ValueError(f"{op}: NULL arm row — filter explicitly first")
+    arms = sorted(arm_rows)
+    if len(arms) != 2:
+        raise ValueError(
+            f"{op}: need exactly 2 arms, got {arms!r} — filter or split "
+            "multi-arm experiments into pairwise readouts"
+        )
+    a, b = arms
+    w_cum = Window.partitionBy("arm").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_arm = Window.partitionBy("arm")
+    staged = (
+        counts.withColumn("cw", F.sum("c").over(w_cum).cast("long"))
+        .withColumn("n", F.sum("c").over(w_arm).cast("long"))
+        .select(
+            "arm", "v", "cw", "n",
+            F.explode(
+                F.array(*[F.lit(p).cast("long") for p in ppm_list])
+            ).alias("ppm"),
+        )
+        # cw >= ceil(n * ppm / 1e6)  <=>  cw * 1e6 >= n * ppm
+        .filter(F.col("cw") * F.lit(1_000_000) >= F.col("n") * F.col("ppm"))
+    )
+    qv = F.col("v").cast("double")
+    return (
+        staged.groupBy("ppm")
+        .agg(
+            F.min(F.when(F.col("arm") == F.lit(a), qv)).alias("q_a"),
+            F.min(F.when(F.col("arm") == F.lit(b), qv)).alias("q_b"),
+        )
+        .select(
+            "ppm",
+            F.lit(a).alias("arm_a"),
+            F.lit(b).alias("arm_b"),
+            "q_a",
+            "q_b",
+            (F.col("q_b") - F.col("q_a")).alias("qte"),
+        )
+        .orderBy("ppm")
+    )

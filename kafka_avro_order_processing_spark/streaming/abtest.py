@@ -315,8 +315,112 @@ def streaming_kruskal_wallis(
     drained = drain_to_df(cells, "update", key_cols=("g", "v"))
     return kruskal_wallis_from_counts(drained)
 
+def streaming_quantile_treatment_effects(
+    stream_df: DataFrame,
+    metric_col: str,
+    arm_col: str,
+    ppms: tuple[int, ...] = (250_000, 500_000, 750_000),
+    quantize_bits: int | None = None,
+) -> DataFrame:
+    """Streaming twin of
+    :func:`operators.abtest.quantile_treatment_effects`: the
+    (arm, distinct-value) count table — the same sufficient statistic
+    the U test drains — accumulates as update-mode streaming
+    aggregation state; the drained table feeds the identical integer
+    quantile-selection readout, so the output is bit-equal to batch
+    on the same rows (suite-pinned).  State is O(arms x distinct
+    metric values); ``quantize_bits`` bounds it for continuous
+    metrics (the batch contract), with the same dequantization of the
+    emitted quantiles."""
+    from ..operators.abtest import (
+        _arm_checked,
+        _q_expr,
+        quantile_treatment_effects_from_counts,
+    )
+    from .pipeline import drain_to_df
+
+    op = "streaming_quantile_treatment_effects"
+    if quantize_bits is not None:
+        if not (1 <= quantize_bits <= 43):
+            raise ValueError(
+                f"{op}: quantize_bits must be in [1, 43], got "
+                f"{quantize_bits}"
+            )
+        v_expr = _q_expr(metric_col, quantize_bits, op)
+    else:
+        s = F.col(metric_col).cast("double")
+        msg = f"{op}: NULL/NaN {metric_col} row — filter explicitly first"
+        v_expr = F.when(
+            s.isNull() | F.isnan(s),
+            F.raise_error(F.lit(msg)).cast("double"),
+        ).otherwise(s)
+    cells = (
+        stream_df.select(
+            _arm_checked(arm_col, op).alias("arm"), v_expr.alias("v")
+        )
+        .groupBy("arm", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    drained = drain_to_df(cells, "update", key_cols=("arm", "v"))
+    out = quantile_treatment_effects_from_counts(drained, ppms)
+    if quantize_bits is not None:
+        ms = float(1 << quantize_bits)
+        out = out.select(
+            "ppm", "arm_a", "arm_b",
+            (F.col("q_a") / F.lit(ms)).alias("q_a"),
+            (F.col("q_b") / F.lit(ms)).alias("q_b"),
+            (F.col("qte") / F.lit(ms)).alias("qte"),
+        )
+    return out
+
+
+def streaming_spearman_corr(
+    stream_df: DataFrame,
+    x_col: str,
+    y_col: str,
+    quantize_bits: int | None = None,
+) -> dict:
+    """Streaming twin of :func:`operators.abtest.spearman_corr`: the
+    joint (x, y) count table — rho's sufficient statistic — as
+    update-mode streaming aggregation state; the drained table feeds
+    spearman_corr_from_counts.  Bit-equal to batch on the same rows
+    (suite-pinned).  State is O(distinct (x, y) pairs) — for
+    continuous columns pass ``quantize_bits=s`` (the batch
+    cardinality contract) to bound both the state and the readout's
+    single-task distinct-value windows."""
+    from ..operators.abtest import _q_expr, spearman_corr_from_counts
+    from .pipeline import drain_to_df
+
+    op = "streaming_spearman_corr"
+    if quantize_bits is not None and not (1 <= quantize_bits <= 43):
+        raise ValueError(
+            f"{op}: quantize_bits must be in [1, 43], got {quantize_bits}"
+        )
+
+    def _checked(col):
+        if quantize_bits is not None:
+            return _q_expr(col, quantize_bits, op)
+        c = F.col(col).cast("double")
+        msg = f"{op}: NULL/NaN {col} row — filter explicitly first"
+        return F.when(
+            c.isNull() | F.isnan(c),
+            F.raise_error(F.lit(msg)).cast("double"),
+        ).otherwise(c)
+
+    cells = (
+        stream_df.select(_checked(x_col).alias("x"),
+                         _checked(y_col).alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    drained = drain_to_df(cells, "update", key_cols=("x", "y"))
+    return spearman_corr_from_counts(drained)
+
+
 __all__ = [
     "streaming_always_valid_pvalues",
     "streaming_kruskal_wallis",
     "streaming_mann_whitney_u",
+    "streaming_quantile_treatment_effects",
+    "streaming_spearman_corr",
 ]

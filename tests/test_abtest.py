@@ -1193,3 +1193,166 @@ def test_kruskal_wallis_from_counts_guards(spark):
     z_unc = (Fraction(mwu["two_u"], 2) - Fraction(int(mwu["mu"]))) \
         / Fraction(mwu["sigma"])
     assert abs(kw["h_tie_corrected"] - float(z_unc) ** 2) < 1e-9
+
+
+# ------------------------------------------- quantile treatment effects
+
+from kafka_avro_order_processing_spark.operators.abtest import (  # noqa: E402
+    quantile_treatment_effects,
+    quantile_treatment_effects_from_counts,
+)
+
+_QTE_PPMS = (250_000, 500_000, 900_000, 1_000_000)
+
+
+def _q_replica(vals, ppm):
+    """Lower empirical quantile: k-th smallest, k = ceil(n*ppm/1e6)."""
+    s = sorted(vals)
+    n = len(s)
+    k = -((-n * ppm) // 1_000_000)  # exact integer ceil
+    return s[k - 1]
+
+
+def test_qte_matches_brute_force_and_duckdb_oracle(spark):
+    ev = load_table(spark, SF_DIR, "events").filter("value IS NOT NULL")
+    df = ev.select(
+        F.when(F.col("event_id") % 2 == 0, "a").otherwise("b").alias("arm"),
+        (F.col("value") % 13).cast("double").alias("y"),
+    )
+    out = quantile_treatment_effects(df, "y", "arm", ppms=_QTE_PPMS)
+    rows = {r["ppm"]: r for r in out.collect()}
+    pairs = [(r["arm"], r["y"]) for r in df.collect()]
+    xs = [v for a, v in pairs if a == "a"]
+    ys = [v for a, v in pairs if a == "b"]
+    for ppm in _QTE_PPMS:
+        r = rows[ppm]
+        assert r["arm_a"] == "a" and r["arm_b"] == "b"
+        assert r["q_a"] == _q_replica(xs, ppm)
+        assert r["q_b"] == _q_replica(ys, ppm)
+        assert r["qte"] == r["q_b"] - r["q_a"]
+    # the driver's exact compare against a DuckDB integer replica
+    sql = """
+    WITH r AS (
+      SELECT CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END AS arm,
+             CAST(value % 13 AS DOUBLE) AS v
+      FROM events WHERE value IS NOT NULL
+    ), cells AS (
+      SELECT arm, v, CAST(COUNT(*) AS BIGINT) AS c FROM r GROUP BY arm, v
+    ), cum AS (
+      SELECT arm, v,
+             CAST(SUM(c) OVER (PARTITION BY arm ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cw,
+             CAST(SUM(c) OVER (PARTITION BY arm) AS BIGINT) AS n
+      FROM cells
+    ), t AS (
+      SELECT CAST(ppm AS BIGINT) AS ppm
+      FROM (VALUES (250000), (500000), (900000), (1000000)) AS t(ppm)
+    ), cand AS (
+      SELECT t.ppm, cum.arm, cum.v FROM cum, t
+      WHERE cum.cw * 1000000 >= cum.n * t.ppm
+    )
+    SELECT ppm, 'a' AS arm_a, 'b' AS arm_b,
+           MIN(CASE WHEN arm = 'a' THEN v END) AS q_a,
+           MIN(CASE WHEN arm = 'b' THEN v END) AS q_b,
+           MIN(CASE WHEN arm = 'b' THEN v END)
+             - MIN(CASE WHEN arm = 'a' THEN v END) AS qte
+    FROM cand GROUP BY ppm
+    """
+    _assert_parity(out, sql)
+
+
+def test_qte_quantized_and_guards(spark):
+    ev = load_table(spark, SF_DIR, "events").filter("value IS NOT NULL")
+    df = ev.select(
+        F.when(F.col("event_id") % 2 == 0, "a").otherwise("b").alias("arm"),
+        (F.col("value") * 0.7071067811865476).alias("y"),
+    )
+    s = 4
+    ms = float(1 << s)
+    out = {r["ppm"]: r
+           for r in quantile_treatment_effects(
+               df, "y", "arm", ppms=(500_000,), quantize_bits=s
+           ).collect()}
+    pairs = [(r["arm"], math.floor(r["y"] * ms + 0.5)) for r in df.collect()]
+    xs = [v for a, v in pairs if a == "a"]
+    ys = [v for a, v in pairs if a == "b"]
+    r = out[500_000]
+    assert r["q_a"] == _q_replica(xs, 500_000) / ms
+    assert r["q_b"] == _q_replica(ys, 500_000) / ms
+    assert r["qte"] == (_q_replica(ys, 500_000)
+                        - _q_replica(xs, 500_000)) / ms
+    # guards
+    with pytest.raises(ValueError, match="ppm"):
+        quantile_treatment_effects(df, "y", "arm", ppms=())
+    with pytest.raises(ValueError, match="ppm"):
+        quantile_treatment_effects(df, "y", "arm", ppms=(0,))
+    with pytest.raises(ValueError, match="duplicate"):
+        quantile_treatment_effects(df, "y", "arm", ppms=(1, 1))
+    with pytest.raises(ValueError, match="2 arms"):
+        quantile_treatment_effects(
+            df.withColumn("arm", F.lit("x")), "y", "arm"
+        )
+    null_arm = spark.createDataFrame(
+        [(None, 1.0, 2)], "arm string, v double, c long"
+    )
+    with pytest.raises(ValueError, match="NULL arm"):
+        quantile_treatment_effects_from_counts(null_arm)
+
+
+def test_streaming_qte_bit_matches_batch(spark, tmp_path):
+    from kafka_avro_order_processing_spark.streaming.abtest import (
+        streaming_quantile_treatment_effects,
+    )
+
+    d = str(tmp_path / "qtestream")
+    ev = load_table(spark, SF_DIR, "events").filter("value IS NOT NULL")
+    ev.select(
+        F.when(F.col("event_id") % 2 == 0, "a").otherwise("b").alias("arm"),
+        (F.col("value") % 19).cast("double").alias("y"),
+    ).limit(600).write.parquet(d)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(d).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    got = sorted(
+        streaming_quantile_treatment_effects(stream, "y", "arm").collect()
+    )
+    want = sorted(
+        quantile_treatment_effects(
+            spark.read.parquet(d), "y", "arm"
+        ).collect()
+    )
+    assert got == want
+
+
+def test_streaming_spearman_bit_matches_batch(spark, tmp_path):
+    from kafka_avro_order_processing_spark.streaming.abtest import (
+        streaming_spearman_corr,
+    )
+
+    d = str(tmp_path / "rhostream")
+    ev = load_table(spark, SF_DIR, "events").filter("value IS NOT NULL")
+    ev.select(
+        (F.col("value") % 29).cast("double").alias("x"),
+        ((F.col("value") * 7) % 31).cast("double").alias("y"),
+    ).limit(500).write.parquet(d)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(d).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    got = streaming_spearman_corr(stream, "x", "y")
+    want = spearman_corr(spark.read.parquet(d), "x", "y")
+    assert got == want
+    # quantized twin
+    stream2 = (
+        spark.readStream.schema(spark.read.parquet(d).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    got_q = streaming_spearman_corr(stream2, "x", "y", quantize_bits=7)
+    want_q = spearman_corr(spark.read.parquet(d), "x", "y",
+                           quantize_bits=7)
+    assert got_q == want_q
