@@ -140,3 +140,31 @@ def test_bloom_probe_broadcasts_filter(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "BatchEvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_qte_plan_partitions_window_by_arm_and_stays_jvm_side(spark):
+    """quantile_treatment_effects' cumulative window must stay
+    PARTITIONED BY ARM (two tasks — the docstring's bound; a silent
+    de-partitioning funnels the whole frame through one task for no
+    semantic gain), and the whole plan must stay JVM-side with no
+    Cartesian product (the ppm explode is a column-wise generator,
+    not a join)."""
+    from kafka_avro_order_processing_spark.operators.abtest import (
+        quantile_treatment_effects,
+    )
+
+    df = _events(spark).filter("value IS NOT NULL").select(
+        F.when(F.col("event_id") % 2 == 0, "a").otherwise("b").alias("arm"),
+        (F.col("value") % 13).cast("double").alias("y"),
+    )
+    plan = _plan(
+        quantile_treatment_effects(df, "y", "arm", ppms=(500_000,))
+    )
+    # every window definition's partition spec (the trailing [cols]
+    # list) must key on arm — a de-partitioned window shows [] there
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert specs, "no window definitions found in the QTE plan"
+    assert all(s == "arm" for s in specs), specs
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
