@@ -1532,3 +1532,143 @@ def quantile_treatment_effects_from_counts(
         )
         .orderBy("ppm")
     )
+
+
+def winsorized_ab_test(
+    df: DataFrame,
+    metric_col: str,
+    arm_col: str,
+    lower_ppm: int = 10_000,
+    upper_ppm: int = 990_000,
+    scale_bits: int = DEFAULT_SCALE_BITS,
+) -> dict:
+    """Winsorized two-sample readout — the robust mean test for
+    heavy-tailed metrics (revenue, latency): each arm's values are
+    CLAMPED to that arm's own [Q(lower_ppm), Q(upper_ppm)] empirical
+    quantiles (Tukey's winsorization, the standard industry guard
+    against a single whale flipping the experiment), then the usual
+    Welch z runs on the winsorized means.  Returns {arms, per_arm:
+    {n, mean, var, lo, hi}, diff, se, z, lower_ppm, upper_ppm,
+    scale_bits} with lo/hi the clamp thresholds in metric units.
+
+    Exactness: the metric quantizes ONCE per row
+    (floor(v * 2^s + 0.5) — the module discipline), thresholds are
+    integer quantiles of the quantized values selected with the KLL
+    integer-threshold idiom (cw * 1e6 >= n * ppm; exact for n per arm
+    < ~9.2e12), clamping happens on INTEGERS, and the winsorized
+    moments are exact decimal sums weighted by the counts — so n, sy,
+    syy, lo, hi are DuckDB-oracle-able exactly (suite) and the whole
+    readout is bit-identical under any partitioning.  The final
+    mean/var/z assembly is the fixed-order ``_mean_var`` float path
+    every other readout uses.
+
+    Scale shape / CARDINALITY CONTRACT: ONE corpus pass builds the
+    (arm, quantized-value, count) sufficient statistic — the same
+    table the U test and QTE use; everything after (threshold
+    selection, clamping, moment sums) runs on that bounded bucket
+    frame.  The per-arm cumulative window is partitioned by arm (two
+    tasks) over distinct quantized values — scale_bits IS the
+    cardinality bound here, the same knob as the rank statistics'
+    ``quantize_bits``; the magnitude bound |v| < 2^(44 - s) is
+    enforced in-plan."""
+    op = "winsorized_ab_test"
+    from pyspark.sql import Window
+
+    if not (1 <= scale_bits <= 43):
+        raise ValueError(f"scale_bits must be in [1, 43], got {scale_bits}")
+    for name, p in (("lower_ppm", lower_ppm), ("upper_ppm", upper_ppm)):
+        if not isinstance(p, int) or not (1 <= p <= 1_000_000):
+            raise ValueError(
+                f"{op}: {name} must be an int in [1, 1000000], got {p!r}"
+            )
+    if lower_ppm >= upper_ppm:
+        raise ValueError(
+            f"{op}: need lower_ppm < upper_ppm, got "
+            f"{lower_ppm} >= {upper_ppm}"
+        )
+    ms = float(1 << scale_bits)
+    counts = (
+        df.select(
+            _arm_checked(arm_col, op).alias("arm"),
+            _q_expr(metric_col, scale_bits, op).alias("v"),
+        )
+        .groupBy("arm", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    # cache the sufficient statistic: the threshold pass and the
+    # moment pass both read it, and it is bucket-sized, not corpus-
+    # sized (the cardinality contract above)
+    counts = counts.localCheckpoint(eager=False)
+    w_cum = Window.partitionBy("arm").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_arm = Window.partitionBy("arm")
+    cum = (
+        counts.withColumn("cw", F.sum("c").over(w_cum).cast("long"))
+        .withColumn("n", F.sum("c").over(w_arm).cast("long"))
+    )
+
+    def _thresh(ppm: int, alias: str):
+        return (
+            cum.filter(
+                F.col("cw") * F.lit(1_000_000) >= F.col("n") * F.lit(ppm)
+            )
+            .groupBy("arm")
+            .agg(F.min("v").cast("long").alias(alias))
+        )
+
+    bounds = (
+        _thresh(lower_ppm, "lo").join(_thresh(upper_ppm, "hi"), "arm")
+        .collect()
+    )
+    arms, by = _two_arms(bounds, op)
+    lo = {r["arm"]: int(r["lo"]) for r in bounds}
+    hi = {r["arm"]: int(r["hi"]) for r in bounds}
+    # clamp on the CELL table (integers), weighted exact moments
+    lo_c = F.when(F.col("arm") == arms[0], F.lit(lo[arms[0]])) \
+            .otherwise(F.lit(lo[arms[1]])).cast("long")
+    hi_c = F.when(F.col("arm") == arms[0], F.lit(hi[arms[0]])) \
+            .otherwise(F.lit(hi[arms[1]])).cast("long")
+    clamped = counts.withColumn(
+        "w", F.greatest(lo_c, F.least(hi_c, F.col("v")))
+    )
+    dc = F.col("c").cast("decimal(19,0)")
+    dw = F.col("w").cast("decimal(19,0)")
+    mo = (
+        clamped.groupBy("arm")
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            F.sum(dc * dw).cast("decimal(38,0)").alias("sy"),
+            F.sum((dw * dw).cast("decimal(38,0)") * dc)
+            .cast("decimal(38,0)").alias("syy"),
+        )
+        .collect()
+    )
+    _, bym = _two_arms(mo, op)
+    stats = {}
+    for a in arms:
+        r = bym[a]
+        mean, var = _mean_var(int(r["n"]), int(r["sy"]), int(r["syy"]), ms)
+        stats[a] = {
+            "n": int(r["n"]), "mean": mean, "var": var,
+            "lo": lo[a] / ms, "hi": hi[a] / ms,
+            "sy": int(r["sy"]), "syy": int(r["syy"]),
+        }
+    a, b = arms
+    if stats[a]["n"] < 2 or stats[b]["n"] < 2:
+        raise ValueError(f"{op}: both arms need n >= 2")
+    diff = stats[b]["mean"] - stats[a]["mean"]
+    v = stats[a]["var"] / stats[a]["n"] + stats[b]["var"] / stats[b]["n"]
+    se = math.sqrt(v) if v > 0 else 0.0
+    z = diff / se if se > 0 else float("nan")
+    return {
+        "arms": arms,
+        "per_arm": stats,
+        "diff": diff,
+        "se": se,
+        "z": z,
+        "p": math.erfc(abs(z) / math.sqrt(2.0)) if se > 0 else float("nan"),
+        "lower_ppm": int(lower_ppm),
+        "upper_ppm": int(upper_ppm),
+        "scale_bits": int(scale_bits),
+    }

@@ -1356,3 +1356,85 @@ def test_streaming_spearman_bit_matches_batch(spark, tmp_path):
     want_q = spearman_corr(spark.read.parquet(d), "x", "y",
                            quantize_bits=7)
     assert got_q == want_q
+
+
+# ------------------------------------------------ winsorized readout
+
+from kafka_avro_order_processing_spark.operators.abtest import (  # noqa: E402
+    winsorized_ab_test,
+)
+
+
+def test_winsorized_matches_python_replica_exactly(spark):
+    ev = load_table(spark, SF_DIR, "events").filter("value IS NOT NULL")
+    df = ev.select(
+        F.when(F.col("event_id") % 2 == 0, "a").otherwise("b").alias("arm"),
+        # heavy tail: cube the metric so whales exist
+        (F.pow(F.col("value") % 50, 3) * 1e-3).alias("y"),
+    )
+    s = 12
+    msf = float(1 << s)
+    out = winsorized_ab_test(df, "y", "arm", lower_ppm=50_000,
+                             upper_ppm=950_000, scale_bits=s)
+    pairs = [(r["arm"], math.floor(r["y"] * msf + 0.5))
+             for r in df.collect()]
+
+    def _rep(arm):
+        vals = sorted(v for a2, v in pairs if a2 == arm)
+        n = len(vals)
+        klo = -((-n * 50_000) // 1_000_000)
+        khi = -((-n * 950_000) // 1_000_000)
+        lo, hi = vals[klo - 1], vals[khi - 1]
+        w = [min(max(v, lo), hi) for v in vals]
+        sy, syy = sum(w), sum(x * x for x in w)
+        mean = float(sy) / (float(n) * msf)
+        var = float(n * syy - sy * sy) / (float(n) * float(n - 1)
+                                          * msf * msf)
+        return n, sy, syy, lo, hi, mean, var
+
+    for arm in ("a", "b"):
+        n, sy, syy, lo, hi, mean, var = _rep(arm)
+        pa = out["per_arm"][arm]
+        assert pa["n"] == n and pa["sy"] == sy and pa["syy"] == syy
+        assert pa["lo"] == lo / msf and pa["hi"] == hi / msf
+        assert pa["mean"] == mean and pa["var"] == var
+    na, nb = out["per_arm"]["a"], out["per_arm"]["b"]
+    diff = nb["mean"] - na["mean"]
+    v = na["var"] / na["n"] + nb["var"] / nb["n"]
+    assert out["diff"] == diff and out["se"] == math.sqrt(v)
+    assert out["z"] == diff / math.sqrt(v)
+    # repartition-bit-identical (the module discipline)
+    assert winsorized_ab_test(df.repartition(11), "y", "arm",
+                              lower_ppm=50_000, upper_ppm=950_000,
+                              scale_bits=s) == out
+
+
+def test_winsorized_robustness_law_and_guards(spark):
+    """The point of winsorizing: ONE planted whale cannot move the
+    readout, while it wrecks the plain mean difference."""
+    base = [("a", float(v % 7)) for v in range(200)] + [
+        ("b", float((v * 3) % 7)) for v in range(200)
+    ]
+    clean = spark.createDataFrame(base, "arm string, y double")
+    whale = spark.createDataFrame(
+        base + [("b", 1e6)], "arm string, y double"
+    )
+    wz_clean = winsorized_ab_test(clean, "y", "arm", scale_bits=8)
+    wz_whale = winsorized_ab_test(whale, "y", "arm", scale_bits=8)
+    # winsorized means barely move (the whale clamps to q99)
+    assert abs(wz_whale["diff"] - wz_clean["diff"]) < 0.1
+    # while the raw mean difference explodes by ~5000
+    raw = {a: sum(v for x, v in (base + [("b", 1e6)]) if x == a)
+           / (200 + (1 if a == "b" else 0)) for a in ("a", "b")}
+    assert abs((raw["b"] - raw["a"]) - wz_clean["diff"]) > 1000
+    with pytest.raises(ValueError, match="lower_ppm < upper_ppm"):
+        winsorized_ab_test(clean, "y", "arm", lower_ppm=900_000,
+                           upper_ppm=100_000)
+    with pytest.raises(ValueError, match="ppm"):
+        winsorized_ab_test(clean, "y", "arm", lower_ppm=0)
+    with pytest.raises(Exception, match="NULL"):
+        winsorized_ab_test(
+            spark.createDataFrame([("a", None), ("b", 1.0)],
+                                  "arm string, y double"),
+            "y", "arm",
+        )
