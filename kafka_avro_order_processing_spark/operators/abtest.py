@@ -1586,7 +1586,6 @@ def winsorized_ab_test(
             f"{op}: need lower_ppm < upper_ppm, got "
             f"{lower_ppm} >= {upper_ppm}"
         )
-    ms = float(1 << scale_bits)
     counts = (
         df.select(
             _arm_checked(arm_col, op).alias("arm"),
@@ -1599,6 +1598,38 @@ def winsorized_ab_test(
     # moment pass both read it, and it is bucket-sized, not corpus-
     # sized (the cardinality contract above)
     counts = counts.localCheckpoint(eager=False)
+    return winsorized_ab_test_from_counts(
+        counts, lower_ppm, upper_ppm, scale_bits
+    )
+
+
+def winsorized_ab_test_from_counts(
+    counts: DataFrame,
+    lower_ppm: int = 10_000,
+    upper_ppm: int = 990_000,
+    scale_bits: int = DEFAULT_SCALE_BITS,
+) -> dict:
+    """The winsorized readout evaluated from the QUANTIZED
+    (arm, v, c) sufficient statistic (v already integer-quantized at
+    ``scale_bits`` — the caller's contract; :func:`winsorized_ab_test`
+    builds it, the streaming twin drains the identical table from
+    update-mode state).  See :func:`winsorized_ab_test`."""
+    op = "winsorized_ab_test"
+    from pyspark.sql import Window
+
+    if not (1 <= scale_bits <= 43):
+        raise ValueError(f"scale_bits must be in [1, 43], got {scale_bits}")
+    for name, p in (("lower_ppm", lower_ppm), ("upper_ppm", upper_ppm)):
+        if not isinstance(p, int) or not (1 <= p <= 1_000_000):
+            raise ValueError(
+                f"{op}: {name} must be an int in [1, 1000000], got {p!r}"
+            )
+    if lower_ppm >= upper_ppm:
+        raise ValueError(
+            f"{op}: need lower_ppm < upper_ppm, got "
+            f"{lower_ppm} >= {upper_ppm}"
+        )
+    ms = float(1 << scale_bits)
     w_cum = Window.partitionBy("arm").orderBy("v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

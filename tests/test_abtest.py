@@ -1438,3 +1438,25 @@ def test_winsorized_robustness_law_and_guards(spark):
                                   "arm string, y double"),
             "y", "arm",
         )
+
+
+def test_streaming_winsorized_bit_matches_batch(spark, tmp_path):
+    from kafka_avro_order_processing_spark.streaming.abtest import (
+        streaming_winsorized_ab_test,
+    )
+
+    d = str(tmp_path / "wzstream")
+    ev = load_table(spark, SF_DIR, "events").filter("value IS NOT NULL")
+    ev.select(
+        F.when(F.col("event_id") % 2 == 0, "a").otherwise("b").alias("arm"),
+        (F.pow(F.col("value") % 40, 2) * 1e-2).alias("y"),
+    ).limit(600).write.parquet(d)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(d).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    got = streaming_winsorized_ab_test(stream, "y", "arm", scale_bits=10)
+    want = winsorized_ab_test(spark.read.parquet(d), "y", "arm",
+                              scale_bits=10)
+    assert got == want
