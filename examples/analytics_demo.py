@@ -184,7 +184,30 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
         for r in funnel_report(levels, 3).collect()
     }
 
+    # experiment readouts on a hash-split of purchase values: the QTE
+    # tail view and the whale-proof winsorized mean (round-12 family)
+    from kafka_avro_order_processing_spark.operators.abtest import (
+        quantile_treatment_effects,
+        winsorized_ab_test,
+    )
+
+    exp = ev.filter("value IS NOT NULL").select(
+        F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias("arm"),
+        F.col("value").cast("double").alias("y"),
+    )
+    qte_rows = {
+        r["ppm"]: r["qte"]
+        for r in quantile_treatment_effects(
+            exp, "y", "arm", ppms=(500_000, 900_000)
+        ).collect()
+    }
+    wz = winsorized_ab_test(exp, "y", "arm", scale_bits=10)
+
     print(f"events: {ev.count()}, co-activity edges: {pairs.count()}")
+    print(f"QTE by arm-split (p50/p90): {qte_rows}")
+    print(f"winsorized A/B: diff={wz['diff']:.4f} z={wz['z']:.2f} "
+          f"(clamp a: [{wz['per_arm']['a']['lo']:.2f}, "
+          f"{wz['per_arm']['a']['hi']:.2f}])")
     print(f"communities: {len(mod_rows)}, modularity Q = {q_num}/{q_den}"
           f" = {q_num / q_den:.4f}")
     print(f"LPA auto-rounds: best round {auto_round} of {len(q_history)} run "
@@ -230,6 +253,8 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
         "heavy_types": hot_types,
         "kll_quantiles": kll_qs,
         "sampled_purchase_value": (est_purchase_value, true_purchase_value),
+        "qte": qte_rows,
+        "winsorized_diff": wz["diff"],
     }
 
 
