@@ -2375,6 +2375,7 @@ def test_bloom_bits_per_key_option(spark):
         ).option("bloomBitsPerKey", "0").mode("append").save()
 
 
+@pytest.mark.slow
 def test_stream_reader_thousand_file_backlog_capped(spark):
     """maxFilesPerBatch at file-count scale: a 1000-file backlog with
     cap=100 drains in exactly-once fashion across >= 10 capped
@@ -2870,6 +2871,7 @@ def test_merge_into_retain_history_time_travel(spark, tmp_path):
     assert new[0] == "patched"
 
 
+@pytest.mark.slow
 def test_row_ops_stateful_fuzz_against_dict_model(spark, tmp_path):
     """Stateful property check: a random interleaving of APPEND /
     MERGE / DELETE ops against the lake must track a plain dict model

@@ -7,6 +7,8 @@ quality-filter journey on real documents.
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from pyspark.sql import functions as F
@@ -143,6 +145,7 @@ def test_pos_weight_matches_python_reference(spark):
     assert s_pw > s_0
 
 
+@pytest.mark.slow
 def test_early_stopping_is_deterministic(spark):
     rows = _toy(seed=63, n=200)
     df = spark.createDataFrame(

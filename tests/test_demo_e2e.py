@@ -3,6 +3,8 @@ inside the suite and produce the expected split."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 import sys
 from pathlib import Path
@@ -19,6 +21,7 @@ def test_demo_end_to_end(spark):
     assert counters["offered"] == 22
 
 
+@pytest.mark.slow
 def test_curation_demo_end_to_end(spark, tmp_path):
     """The raw-docs -> packed-shards curation pipeline: the funnel only
     shrinks, every stage keeps >0 docs, and the written shard layout is
@@ -113,6 +116,7 @@ def test_curation_demo_end_to_end(spark, tmp_path):
     assert c["tokens_conserved"] is True
 
 
+@pytest.mark.slow
 def test_streaming_ingest_demo_end_to_end(spark):
     """Two waves of landed .avro files stream through the partitioned
     kaop_avro source into the incremental dedup index: every planted
@@ -261,6 +265,7 @@ def test_retrieval_demo_end_to_end(spark):
     assert c["negatives_overlapping_positives"] == 0
 
 
+@pytest.mark.slow
 def test_tokenizers_demo_end_to_end(spark):
     """The tokenizer bake-off: all three trainers produce working
     encoders on the same corpus — full coverage of the training set

@@ -6,6 +6,8 @@ sensitivity, clamping, and the bounded-bucket contract.
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 import duckdb
@@ -309,6 +311,7 @@ def test_quantile_drift_constant_reference_collapses_bins(spark):
     assert psi(nd(ref, cur, "x")) > 0.1
 
 
+@pytest.mark.slow
 def test_ks_2sample_matches_python_exact(spark):
     import random
 
@@ -432,6 +435,7 @@ _v = st.one_of(
     ys=st.lists(_v, min_size=1, max_size=30),
     n_buckets=st.sampled_from([1, 4, 64]),
 )
+@pytest.mark.slow
 def test_ks_2sample_fuzz_vs_python(spark, xs, ys, n_buckets):
     from kafka_avro_order_processing_spark.operators.drift import ks_2sample
 

@@ -363,6 +363,7 @@ def test_grouped_auc_bit_matches_per_group_roc_auc(spark):
     assert {k: v["auc"] for k, v in got.items()} == again
 
 
+@pytest.mark.slow
 def test_grouped_pr_auc_and_threshold_match_scalar_twins(spark):
     from kafka_avro_order_processing_spark.operators.eval import (
         grouped_pr_auc,
@@ -594,6 +595,7 @@ def test_classifier_journey_auc(spark):
     ),
     n_buckets=st.sampled_from([1, 5, 64]),
 )
+@pytest.mark.slow
 def test_rank_correlation_fuzz_vs_python(spark, pairs, n_buckets):
     # small integer grids maximize tie pressure — the hard case for
     # tie-corrected ranks

@@ -428,6 +428,7 @@ def test_retention_null_rejection_is_lazy_single_pass(spark):
         lazy.collect()
 
 
+@pytest.mark.slow
 def test_streaming_funnel_ttl_evicts_idle_state(spark, tmp_path):
     """Processing-time TTL (>= horizon) across two checkpointed runs:
     an idle user's state is evicted — semantics-preserving for chain

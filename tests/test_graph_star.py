@@ -42,6 +42,7 @@ TOPOLOGIES = {
 
 
 @pytest.mark.parametrize("name", sorted(TOPOLOGIES))
+@pytest.mark.slow
 def test_star_matches_min_label(spark, name):
     edges = spark.createDataFrame(TOPOLOGIES[name](), "src long, dst long")
     assert _labels(connected_components_star(edges)) == _labels(

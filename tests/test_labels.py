@@ -335,6 +335,7 @@ def test_cohen_kappa_edges(spark):
         cohen_kappa(disj, "a", "b")
 
 
+@pytest.mark.slow
 def test_pairwise_matches_scalar_kappa(spark):
     df = _dedup_doc_labels(spark)
     table = {
@@ -534,6 +535,7 @@ def _stream_from_dir(spark, d, schema):
     )
 
 
+@pytest.mark.slow
 def test_streaming_ds_bit_matches_batch(spark, tmp_path):
     """The count table is the EM's sufficient statistic, so the
     streaming fit over the drained update-mode counts must BIT-match
@@ -681,6 +683,7 @@ def test_krippendorff_interval_edges(spark):
         )
 
 
+@pytest.mark.slow
 def test_krippendorff_ordinal_hand_case_and_replica(spark):
     from fractions import Fraction
 

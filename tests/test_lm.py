@@ -6,6 +6,8 @@ independence of the decimal-mean, and a Python-free plan.
 
 from __future__ import annotations
 
+import pytest
+
 import math
 from collections import Counter
 
@@ -357,6 +359,7 @@ def test_ccnet_buckets_end_to_end_with_lm_scores(spark):
     assert Counter(out.values()) == {"head": 2, "middle": 2, "tail": 2}
 
 
+@pytest.mark.slow
 def test_streaming_ccnet_buckets_bit_matches_batch(spark, tmp_path):
     """The frozen-threshold ingest twin: edges computed batch-side on
     the reference rows, the SAME rows streamed through the tagger —

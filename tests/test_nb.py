@@ -268,6 +268,7 @@ def test_plan_rules(spark):
     assert "CartesianProduct" not in plan
 
 
+@pytest.mark.slow
 def test_streaming_nb_predict_bit_matches_batch(spark, tmp_path):
     """The ingest twin: the model ships as a broadcast artifact with
     the batch plan's own JVM-quantized term integers, each landing doc

@@ -37,6 +37,12 @@ SETTINGS = settings(
 )
 
 
+
+# durations-driven slow set (r12): pure fuzz re-check sweep —
+# the fast gate keeps the exact-law and oracle primaries
+pytestmark = pytest.mark.slow
+
+
 def _materialize(spark, rows):
     df = spark.createDataFrame(rows, "seq long, product string, price double")
     path = os.path.join(tempfile.mkdtemp(), "fuzz.parquet")

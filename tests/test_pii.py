@@ -201,6 +201,7 @@ PII_ALPHABET = "0123456789 .-@()+aex"  # digit/separator-dense: hits every patte
 
 @settings(max_examples=30, deadline=None)
 @given(st.lists(st.text(PII_ALPHABET, min_size=0, max_size=60), min_size=1, max_size=8))
+@pytest.mark.slow
 def test_fuzz_counts_and_redaction_parity(spark, texts):
     rows = [(i, t) for i, t in enumerate(texts)]
     df = spark.createDataFrame(rows, "doc_id long, text string")

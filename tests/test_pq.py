@@ -10,6 +10,8 @@ partition-pruning queries.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from kafka_avro_order_processing_spark.operators.similarity import (
@@ -292,6 +294,7 @@ def _clustered_corpus(seed, n_clusters=8, per=12, dim=64, noise_dims=2, amp=4.0)
     return [(i, v) for i, v in enumerate(order)]
 
 
+@pytest.mark.slow
 def test_ivfpq_residual_beats_global_on_clustered_data(spark):
     # True IVFADC (residual=True) must both (a) approximate true
     # distances better and (b) recall more true neighbors than global

@@ -8,6 +8,8 @@ completeness, window/aggregate consistency — on randomized inputs.
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -37,6 +39,12 @@ SETTINGS = settings(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+
+
+
+# durations-driven slow set (r12): pure fuzz re-check sweep —
+# the fast gate keeps the exact-law and oracle primaries
+pytestmark = pytest.mark.slow
 
 
 def _df(spark, rows):

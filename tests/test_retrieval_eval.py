@@ -7,6 +7,8 @@ test_r10_promotion_parity.py).
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import given, settings, strategies as st
 
 from kafka_avro_order_processing_spark.operators.retrieval_eval import (
@@ -171,6 +173,7 @@ def test_bit_identical_under_repartitioning(spark):
         unique_by=lambda t: (t[0], t[1]),
     ),
 )
+@pytest.mark.slow
 def test_fuzz_vs_replica(spark, qrels, run_pairs):
     # ranks: position within each query's listed docs (1-based, unique)
     seen: dict = {}

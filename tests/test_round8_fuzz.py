@@ -6,6 +6,8 @@ order.
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from hypothesis import given, settings, strategies as st
@@ -22,6 +24,11 @@ TEXTS = st.lists(
     min_size=1,
     max_size=6,
 )
+
+
+# durations-driven slow set (r12): pure fuzz re-check sweep —
+# the fast gate keeps the exact-law and oracle primaries
+pytestmark = pytest.mark.slow
 
 
 @settings(max_examples=20, deadline=None)

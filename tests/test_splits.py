@@ -96,6 +96,7 @@ def test_kfold_covers_and_is_group_consistent(spark):
         kfold_assign(df, "grp", 1)
 
 
+@pytest.mark.slow
 def test_crossval_logistic_journey(spark):
     rnd = random.Random(17)
     rows = []

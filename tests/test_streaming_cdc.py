@@ -170,6 +170,7 @@ def test_dedup_watermarked_reemits_after_eviction(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_incremental_dedup_independent_of_epoch_split(spark):
     """The survivor set must be a pure function of the corpus — the
     same docs deduped in 1 epoch, 3 epochs, or with the near-dups
@@ -317,6 +318,7 @@ def test_incremental_dedup_epoch_reads_band_store_pruned(spark):
     assert (3, 99) in got, got
 
 
+@pytest.mark.slow
 def test_incremental_dedup_index_compaction(spark):
     """Per-epoch appends grow one small file per task per store —
     compact_index must collapse the layout (band store keeps its
@@ -550,6 +552,7 @@ def test_compaction_crash_recovery_restores_index(spark):
     assert recover_index(idx) == []  # idempotent: nothing left to heal
 
 
+@pytest.mark.slow
 def test_band_bucket_count_persists_and_rebuckets(spark):
     """VERDICT r5 #7: the band-store bucket count is an index-creation
     parameter persisted WITH the store — a later drain passing a

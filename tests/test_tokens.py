@@ -6,6 +6,8 @@ the end-to-end BPE -> ids -> sequences path on real documents.
 
 from __future__ import annotations
 
+import pytest
+
 from collections import Counter
 
 from pyspark.sql import functions as F
@@ -133,6 +135,7 @@ def test_pack_partitioning_independence(spark):
     assert a == b
 
 
+@pytest.mark.slow
 def test_bpe_to_sequences_end_to_end(spark):
     # the full last mile on real documents: BPE train+encode -> vocab
     # -> ids -> packed sequences; no OOV (vocab trained on the same

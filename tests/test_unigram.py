@@ -173,6 +173,7 @@ def test_validates_params(spark):
         unigram_train(docs, vocab_size=10, n_rounds=0)
 
 
+@pytest.mark.slow
 def test_streaming_unigram_segment_bit_matches_batch(spark, tmp_path):
     """The ingest twin: a landing doc's tokens Viterbi-segment inside
     their own row against the broadcast trained piece table — drained

@@ -181,6 +181,7 @@ FRAGS = st.sampled_from(["", "#f", "#sec-2"])
 
 @settings(max_examples=40, deadline=None)
 @given(SCHEMES, HOSTS, PORTS, PATHS, QUERIES, FRAGS)
+@pytest.mark.slow
 def test_fuzz_structured_urls(spark, scheme, host, port, path, qs, frag):
     url = f"{scheme}://{host}{port}{path}"
     if qs:

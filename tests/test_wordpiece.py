@@ -9,6 +9,8 @@ the bpe_train chained-CTE pattern — a future promotion candidate).
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from kafka_avro_order_processing_spark.operators.wordpiece import (
@@ -207,6 +209,7 @@ def test_wordpiece_encode_unknown_word_and_empty(spark):
     assert got[3] == ([], 0)
 
 
+@pytest.mark.slow
 def test_wordpiece_on_documents_table_matches_reference(spark):
     docs = (
         load_table(spark, SF, "documents")
@@ -228,6 +231,7 @@ def test_wordpiece_on_documents_table_matches_reference(spark):
     assert enc.select(F.sum("n_unk")).collect()[0][0] == 0
 
 
+@pytest.mark.slow
 def test_wordpiece_fuzz_matches_reference(spark):
     # Tiny alphabet = maximal tie pressure on the score/(l, r) argmax;
     # fixed-seed battery (one Spark run per corpus — hypothesis'
