@@ -1703,3 +1703,212 @@ def winsorized_ab_test_from_counts(
         "upper_ppm": int(upper_ppm),
         "scale_bits": int(scale_bits),
     }
+
+
+def trimmed_mean_ab_test(
+    df: DataFrame,
+    metric_col: str,
+    arm_col: str,
+    lower_ppm: int = 100_000,
+    upper_ppm: int = 900_000,
+    scale_bits: int = DEFAULT_SCALE_BITS,
+) -> dict:
+    """Yuen's trimmed-mean test (Yuen 1974, "The two-sample trimmed t
+    for unequal population variances") — the other standard
+    heavy-tail-robust readout: where :func:`winsorized_ab_test`
+    CLAMPS the tails, this one DROPS them (each arm keeps only its
+    observations ranked in (k_lo, k_hi], k_lo = floor(n * lower_ppm /
+    1e6), k_hi = n - floor(n * (1e6 - upper_ppm) / 1e6)) and tests
+    the trimmed means with the winsorized variance and
+    Welch-Satterthwaite df on the TRIMMED counts — the correct
+    inference for a trimmed mean (the trimmed observations are not
+    independent draws, so the naive variance is wrong; Yuen's d_g =
+    SSD_wins / (h (h - 1)) is).
+
+    Returns {arms, per_arm: {n, h, mean_trimmed, lo, hi, d}, diff,
+    se, t, df, p, lower_ppm, upper_ppm, scale_bits}.
+
+    Exactness: quantize once (floor(v * 2^s + 0.5)); k_lo/k_hi are
+    in-plan integer DIVs of n * ppm (exact, n per arm < ~9.2e12); the
+    kept count of each (value, count) cell is the exact integer
+    overlap  greatest(0, least(cw, k_hi) - greatest(cw - c, k_lo))
+    of its cumulative rank range with the kept window; trimmed and
+    winsorized moments are count-weighted decimal sums — so every
+    collected number is an exact integer, the readout assembles
+    driver-side from Fractions (one float per emitted field), and the
+    whole dict is repartition-bit-identical (suite-pinned against an
+    exact Python replica).  p uses the in-repo Student-t survival
+    function (srm.student_t_sf, closed-form-pinned).
+
+    Scale shape / CARDINALITY CONTRACT: identical to
+    :func:`winsorized_ab_test` — ONE corpus pass to the quantized
+    (arm, v, c) table, everything after on the bounded bucket frame;
+    scale_bits is the cardinality knob, the per-arm cumulative window
+    is two tasks."""
+    op = "trimmed_mean_ab_test"
+    if not (1 <= scale_bits <= 43):
+        raise ValueError(f"scale_bits must be in [1, 43], got {scale_bits}")
+    counts = (
+        df.select(
+            _arm_checked(arm_col, op).alias("arm"),
+            _q_expr(metric_col, scale_bits, op).alias("v"),
+        )
+        .groupBy("arm", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return trimmed_mean_ab_test_from_counts(
+        counts.localCheckpoint(eager=False),
+        lower_ppm, upper_ppm, scale_bits,
+    )
+
+
+def trimmed_mean_ab_test_from_counts(
+    counts: DataFrame,
+    lower_ppm: int = 100_000,
+    upper_ppm: int = 900_000,
+    scale_bits: int = DEFAULT_SCALE_BITS,
+) -> dict:
+    """Yuen's test from the QUANTIZED (arm, v, c) sufficient statistic
+    — see :func:`trimmed_mean_ab_test`; the streaming twin drains the
+    identical table (streaming/abtest.py)."""
+    op = "trimmed_mean_ab_test"
+    from fractions import Fraction
+
+    from pyspark.sql import Window
+
+    from .srm import student_t_sf
+
+    if not (1 <= scale_bits <= 43):
+        raise ValueError(f"scale_bits must be in [1, 43], got {scale_bits}")
+    for name, p in (("lower_ppm", lower_ppm), ("upper_ppm", upper_ppm)):
+        if not isinstance(p, int) or not (0 <= p <= 1_000_000):
+            raise ValueError(
+                f"{op}: {name} must be an int in [0, 1000000], got {p!r}"
+            )
+    if lower_ppm >= upper_ppm:
+        raise ValueError(
+            f"{op}: need lower_ppm < upper_ppm, got "
+            f"{lower_ppm} >= {upper_ppm}"
+        )
+    ms = float(1 << scale_bits)
+    w_cum = Window.partitionBy("arm").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_arm = Window.partitionBy("arm")
+    m = F.lit(1_000_000)
+    cum = (
+        counts.withColumn("cw", F.sum("c").over(w_cum).cast("long"))
+        .withColumn("n", F.sum("c").over(w_arm).cast("long"))
+        .withColumn(
+            "k_lo",
+            F.expr(f"CAST((n * {lower_ppm}) DIV 1000000 AS BIGINT)"),
+        )
+        .withColumn(
+            "k_hi",
+            F.col("n") - F.expr(
+                f"CAST((n * {1_000_000 - upper_ppm}) DIV 1000000 AS BIGINT)"
+            ),
+        )
+    )
+    # winsorize thresholds = the (k_lo+1)-th and k_hi-th order stats
+    lo_df = (
+        cum.filter(F.col("cw") >= F.col("k_lo") + 1)
+        .groupBy("arm").agg(F.min("v").cast("long").alias("lo"))
+    )
+    hi_df = (
+        cum.filter(F.col("cw") >= F.col("k_hi"))
+        .groupBy("arm").agg(F.min("v").cast("long").alias("hi"))
+    )
+    bounds = lo_df.join(hi_df, "arm").collect()
+    arms, _ = _two_arms(bounds, op)
+    a, b = arms
+    lo = {r["arm"]: int(r["lo"]) for r in bounds}
+    hi = {r["arm"]: int(r["hi"]) for r in bounds}
+    lo_c = F.when(F.col("arm") == a, F.lit(lo[a])) \
+            .otherwise(F.lit(lo[b])).cast("long")
+    hi_c = F.when(F.col("arm") == a, F.lit(hi[a])) \
+            .otherwise(F.lit(hi[b])).cast("long")
+    kept = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("cw"), F.col("k_hi"))
+        - F.greatest(F.col("cw") - F.col("c"), F.col("k_lo")),
+    )
+    w = F.greatest(lo_c, F.least(hi_c, F.col("v")))
+    dk = kept.cast("decimal(19,0)")
+    dc = F.col("c").cast("decimal(19,0)")
+    dv = F.col("v").cast("decimal(19,0)")
+    dw = w.cast("decimal(19,0)")
+    d38 = "decimal(38,0)"
+    mo = (
+        cum.groupBy("arm")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.max("k_lo").cast("long").alias("k_lo"),
+            F.max("k_hi").cast("long").alias("k_hi"),
+            F.sum(dk).cast("long").alias("h"),
+            F.sum(dk * dv).cast(d38).alias("st"),
+            F.sum(dc * dw).cast(d38).alias("sw"),
+            F.sum((dw * dw).cast(d38) * dc).cast(d38).alias("sww"),
+        )
+        .collect()
+    )
+    _, by = _two_arms(mo, op)
+    stats = {}
+    dvals = {}
+    for g in arms:
+        r = by[g]
+        n, h = int(r["n"]), int(r["h"])
+        if h != int(r["k_hi"]) - int(r["k_lo"]):
+            raise RuntimeError(
+                f"{op}: kept-count invariant broke for arm {g!r}"
+            )
+        if h < 2:
+            raise ValueError(
+                f"{op}: arm {g!r} keeps h = {h} < 2 rows after trimming "
+                "— widen [lower_ppm, upper_ppm] or collect more data"
+            )
+        st, sw, sww = int(r["st"]), int(r["sw"]), int(r["sww"])
+        mean_t = Fraction(st, h)                      # quantized units
+        ssd_w = Fraction(n * sww - sw * sw, n)        # winsorized SSD
+        d_g = ssd_w / (h * (h - 1))                   # Yuen's d
+        stats[g] = {
+            "n": n, "h": h,
+            "mean_trimmed": float(mean_t) / ms,
+            "lo": lo[g] / ms, "hi": hi[g] / ms,
+            "st": st, "sw": sw, "sww": sww,
+            "d": float(d_g) / (ms * ms),
+        }
+        dvals[g] = d_g
+    diff_q = Fraction(int(by[b]["st"]), int(by[b]["h"])) - Fraction(
+        int(by[a]["st"]), int(by[a]["h"])
+    )
+    dsum = dvals[a] + dvals[b]
+    if dsum <= 0:
+        return {
+            "arms": arms, "per_arm": stats,
+            "diff": float(diff_q) / ms, "se": 0.0,
+            "t": float("nan"), "df": float("nan"), "p": float("nan"),
+            "lower_ppm": int(lower_ppm), "upper_ppm": int(upper_ppm),
+            "scale_bits": int(scale_bits),
+        }
+    # Welch-Satterthwaite on the trimmed counts (exact Fractions in,
+    # one float out per field)
+    df_frac = (dsum * dsum) / (
+        dvals[a] * dvals[a] / (int(by[a]["h"]) - 1)
+        + dvals[b] * dvals[b] / (int(by[b]["h"]) - 1)
+    )
+    se = math.sqrt(float(dsum)) / ms
+    t_stat = (float(diff_q) / ms) / se
+    dof = float(df_frac)
+    return {
+        "arms": arms,
+        "per_arm": stats,
+        "diff": float(diff_q) / ms,
+        "se": se,
+        "t": t_stat,
+        "df": dof,
+        "p": 2.0 * student_t_sf(abs(t_stat), dof),
+        "lower_ppm": int(lower_ppm),
+        "upper_ppm": int(upper_ppm),
+        "scale_bits": int(scale_bits),
+    }

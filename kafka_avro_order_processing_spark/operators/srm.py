@@ -162,3 +162,77 @@ def sample_ratio_mismatch(
 
 
 __all__ = ["sample_ratio_mismatch", "chi2_sf", "gammq"]
+
+
+def _betacf(a: float, b: float, x: float) -> float:
+    """Continued fraction for the incomplete beta (Numerical Recipes
+    §6.4 scheme, modified Lentz — public-domain mathematics)."""
+    tiny = 1e-300
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c = 1.0
+    d = 1.0 - qab * x / qap
+    if abs(d) < tiny:
+        d = tiny
+    d = 1.0 / d
+    h = d
+    for m in range(1, _ITMAX + 1):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        if abs(d) < tiny:
+            d = tiny
+        c = 1.0 + aa / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        h *= d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        if abs(d) < tiny:
+            d = tiny
+        c = 1.0 + aa / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < _EPS:
+            break
+    return h
+
+
+def betai(a: float, b: float, x: float) -> float:
+    """Regularized incomplete beta I_x(a, b) — suite-pinned against
+    the closed forms I_x(1, b) = 1 - (1-x)^b, I_x(a, 1) = x^a, and
+    the symmetry I_x(a, b) = 1 - I_{1-x}(b, a), not against another
+    library."""
+    if a <= 0 or b <= 0:
+        raise ValueError(f"betai: a, b must be > 0, got {a}, {b}")
+    if not (0.0 <= x <= 1.0):
+        raise ValueError(f"betai: x must be in [0, 1], got {x}")
+    if x == 0.0:
+        return 0.0
+    if x == 1.0:
+        return 1.0
+    front = math.exp(
+        math.lgamma(a + b) - math.lgamma(a) - math.lgamma(b)
+        + a * math.log(x) + b * math.log1p(-x)
+    )
+    if x < (a + 1.0) / (a + b + 2.0):
+        return front * _betacf(a, b, x) / a
+    return 1.0 - front * _betacf(b, a, 1.0 - x) / b
+
+
+def student_t_sf(t: float, df: float) -> float:
+    """Student-t survival function P(T > t), real df (Welch /
+    Yuen-Satterthwaite df are non-integer).  For t >= 0 it is
+    0.5 * I_{df/(df+t^2)}(df/2, 1/2); suite-pinned against the df=1
+    Cauchy and df=2 closed forms and the df->inf normal limit."""
+    if df <= 0:
+        raise ValueError(f"student_t_sf: df must be > 0, got {df}")
+    if math.isnan(t):
+        return float("nan")
+    if t < 0:
+        return 1.0 - student_t_sf(-t, df)
+    x = df / (df + t * t)
+    return 0.5 * betai(df / 2.0, 0.5, x)

@@ -457,11 +457,52 @@ def streaming_winsorized_ab_test(
     )
 
 
+def streaming_trimmed_mean_ab_test(
+    stream_df: DataFrame,
+    metric_col: str,
+    arm_col: str,
+    lower_ppm: int = 100_000,
+    upper_ppm: int = 900_000,
+    scale_bits: int = 20,
+) -> dict:
+    """Streaming twin of
+    :func:`operators.abtest.trimmed_mean_ab_test` (Yuen's test): the
+    quantized (arm, v, c) count table accumulates as update-mode
+    streaming aggregation state and the drained table feeds the
+    identical trim-and-test readout — bit-equal to batch on the same
+    rows (suite-pinned).  State is O(arms x bounded buckets);
+    scale_bits is the cardinality knob."""
+    from ..operators.abtest import (
+        _arm_checked,
+        _q_expr,
+        trimmed_mean_ab_test_from_counts,
+    )
+    from .pipeline import drain_to_df
+
+    op = "streaming_trimmed_mean_ab_test"
+    if not (1 <= scale_bits <= 43):
+        raise ValueError(f"scale_bits must be in [1, 43], got {scale_bits}")
+    cells = (
+        stream_df.select(
+            _arm_checked(arm_col, op).alias("arm"),
+            _q_expr(metric_col, scale_bits, op).alias("v"),
+        )
+        .groupBy("arm", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    drained = drain_to_df(cells, "update", key_cols=("arm", "v"))
+    return trimmed_mean_ab_test_from_counts(
+        drained.localCheckpoint(eager=False),
+        lower_ppm, upper_ppm, scale_bits,
+    )
+
+
 __all__ = [
     "streaming_always_valid_pvalues",
     "streaming_kruskal_wallis",
     "streaming_mann_whitney_u",
     "streaming_quantile_treatment_effects",
     "streaming_spearman_corr",
+    "streaming_trimmed_mean_ab_test",
     "streaming_winsorized_ab_test",
 ]

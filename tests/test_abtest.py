@@ -1460,3 +1460,138 @@ def test_streaming_winsorized_bit_matches_batch(spark, tmp_path):
     want = winsorized_ab_test(spark.read.parquet(d), "y", "arm",
                               scale_bits=10)
     assert got == want
+
+
+# ------------------------------------------------ Yuen trimmed-mean test
+
+from kafka_avro_order_processing_spark.operators.abtest import (  # noqa: E402
+    trimmed_mean_ab_test,
+)
+
+
+def test_trimmed_mean_matches_python_replica_exactly(spark):
+    from fractions import Fraction
+
+    ev = load_table(spark, SF_DIR, "events").filter("value IS NOT NULL")
+    df = ev.select(
+        F.when(F.col("event_id") % 2 == 0, "a").otherwise("b").alias("arm"),
+        (F.pow(F.col("value") % 60, 3) * 1e-3).alias("y"),
+    )
+    s = 12
+    msf = float(1 << s)
+    lop, upp = 100_000, 900_000
+    out = trimmed_mean_ab_test(df, "y", "arm", lower_ppm=lop,
+                               upper_ppm=upp, scale_bits=s)
+    pairs = [(r["arm"], math.floor(r["y"] * msf + 0.5))
+             for r in df.collect()]
+
+    def _rep(arm):
+        vals = sorted(v for a2, v in pairs if a2 == arm)
+        n = len(vals)
+        k_lo = (n * lop) // 1_000_000
+        k_hi = n - (n * (1_000_000 - upp)) // 1_000_000
+        keep = vals[k_lo:k_hi]
+        h = len(keep)
+        lo_t, hi_t = vals[k_lo], vals[k_hi - 1]
+        wv = [min(max(v, lo_t), hi_t) for v in vals]
+        sw, sww = sum(wv), sum(x * x for x in wv)
+        ssd_w = Fraction(n * sww - sw * sw, n)
+        d = ssd_w / (h * (h - 1))
+        return n, h, lo_t, hi_t, sum(keep), sw, sww, d
+
+    reps = {arm: _rep(arm) for arm in ("a", "b")}
+    for arm in ("a", "b"):
+        n, h, lo_t, hi_t, st, sw, sww, d = reps[arm]
+        pa = out["per_arm"][arm]
+        assert pa["n"] == n and pa["h"] == h
+        assert pa["st"] == st and pa["sw"] == sw and pa["sww"] == sww
+        assert pa["lo"] == lo_t / msf and pa["hi"] == hi_t / msf
+        assert pa["mean_trimmed"] == float(Fraction(st, h)) / msf
+        assert pa["d"] == float(d) / (msf * msf)
+    da, db_ = reps["a"][7], reps["b"][7]
+    diff = float(Fraction(reps["b"][4], reps["b"][1])
+                 - Fraction(reps["a"][4], reps["a"][1])) / msf
+    se = math.sqrt(float(da + db_)) / msf
+    assert out["diff"] == diff and out["se"] == se
+    assert out["t"] == diff / se
+    want_df = float((da + db_) ** 2 / (da * da / (reps["a"][1] - 1)
+                                       + db_ * db_ / (reps["b"][1] - 1)))
+    assert out["df"] == want_df
+    from kafka_avro_order_processing_spark.operators.srm import (
+        student_t_sf,
+    )
+    assert out["p"] == 2.0 * student_t_sf(abs(out["t"]), want_df)
+    # repartition-bit-identical
+    assert trimmed_mean_ab_test(df.repartition(9), "y", "arm",
+                                lower_ppm=lop, upper_ppm=upp,
+                                scale_bits=s) == out
+
+
+def test_trimmed_mean_robustness_and_guards(spark):
+    base = [("a", float(v % 7)) for v in range(300)] + [
+        ("b", float((v * 3) % 7)) for v in range(300)
+    ]
+    clean = spark.createDataFrame(base, "arm string, y double")
+    whale = spark.createDataFrame(
+        base + [("b", 1e6)], "arm string, y double"
+    )
+    tm_clean = trimmed_mean_ab_test(clean, "y", "arm", scale_bits=8)
+    tm_whale = trimmed_mean_ab_test(whale, "y", "arm", scale_bits=8)
+    assert abs(tm_whale["diff"] - tm_clean["diff"]) < 0.1
+    with pytest.raises(ValueError, match="lower_ppm < upper_ppm"):
+        trimmed_mean_ab_test(clean, "y", "arm", lower_ppm=900_000,
+                             upper_ppm=100_000)
+    tiny = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0)],
+        "arm string, y double",
+    )
+    # n = 2 per arm, trim [0.5, 0.500001): k_lo = 1, k_hi = 2 -> h = 1
+    with pytest.raises(ValueError, match="keeps h"):
+        trimmed_mean_ab_test(tiny, "y", "arm", lower_ppm=500_000,
+                             upper_ppm=500_001)
+
+
+def test_student_t_sf_closed_form_pins():
+    from kafka_avro_order_processing_spark.operators.srm import (
+        betai,
+        student_t_sf,
+    )
+
+    for t in (0.0, 0.3, 1.0, 2.5, 17.0):
+        assert abs(student_t_sf(t, 1.0)
+                   - (0.5 - math.atan(t) / math.pi)) < 1e-13
+        assert abs(student_t_sf(t, 2.0)
+                   - 0.5 * (1 - t / math.sqrt(2 + t * t))) < 1e-13
+    for t in (0.5, 1.96, 3.0):
+        assert abs(student_t_sf(t, 1e8)
+                   - 0.5 * math.erfc(t / math.sqrt(2))) < 1e-7
+    # reflection + betai closed forms and symmetry
+    assert abs(student_t_sf(-1.3, 5) + student_t_sf(1.3, 5) - 1.0) < 1e-14
+    for a, x in ((1.0, 0.3), (1.0, 0.9)):
+        assert abs(betai(a, 4.0, x) - (1 - (1 - x) ** 4)) < 1e-13
+        assert abs(betai(3.0, 1.0, x) - x ** 3) < 1e-13
+    assert abs(betai(2.5, 3.5, 0.4) - (1 - betai(3.5, 2.5, 0.6))) < 1e-13
+    with pytest.raises(ValueError, match="df"):
+        student_t_sf(1.0, 0.0)
+
+
+def test_streaming_trimmed_mean_bit_matches_batch(spark, tmp_path):
+    from kafka_avro_order_processing_spark.streaming.abtest import (
+        streaming_trimmed_mean_ab_test,
+    )
+
+    d = str(tmp_path / "tmstream")
+    ev = load_table(spark, SF_DIR, "events").filter("value IS NOT NULL")
+    ev.select(
+        F.when(F.col("event_id") % 2 == 0, "a").otherwise("b").alias("arm"),
+        (F.pow(F.col("value") % 35, 2) * 1e-2).alias("y"),
+    ).limit(600).write.parquet(d)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(d).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    got = streaming_trimmed_mean_ab_test(stream, "y", "arm", scale_bits=10)
+    want = trimmed_mean_ab_test(spark.read.parquet(d), "y", "arm",
+                                scale_bits=10)
+    assert got == want
