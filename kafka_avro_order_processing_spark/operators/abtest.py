@@ -1912,3 +1912,194 @@ def trimmed_mean_ab_test_from_counts(
         "upper_ppm": int(upper_ppm),
         "scale_bits": int(scale_bits),
     }
+
+
+def grouped_quantile_cis(
+    df: DataFrame,
+    metric_col: str,
+    group_col: str,
+    ppms: tuple[int, ...] = (500_000,),
+    confidence_ppm: int = 950_000,
+    quantize_bits: int | None = None,
+) -> DataFrame:
+    """Distribution-free per-group quantile confidence bands — the
+    order-statistic CI (the classical binomial argument; Conover,
+    "Practical Nonparametric Statistics" §3.2): for quantile level p
+    the interval [X(l), X(u)] with ranks chosen from the Binomial(n,
+    p) CDF covers the true quantile with probability >= the requested
+    confidence, NO distributional assumption.  The honest error bar
+    for every :func:`quantile_treatment_effects` readout.
+
+    One row per (group, ppm): (g, ppm, n, q, lo, hi, lo_rank,
+    hi_rank) with q the point estimate at the QTE rank convention
+    (smallest value whose cumulative count reaches ceil(n * p / 1e6))
+    and [lo, hi] the band.  Ranks clamp to [1, n] when the exact
+    two-sided cut does not exist at this n (tiny groups / extreme p)
+    — coverage is then one-sided-conservative, never overstated.
+
+    Float convention: the binomial CDF is evaluated driver-side as
+    I_{1-p}(n-j, j+1) via the in-repo ``srm.betai`` (the lm.py
+    ln/exp-crossing convention — deterministic libm floats, pinned
+    against closed forms; the rank SEARCH is a ~60-step binary search
+    per (group, ppm)).  Everything else — counts, cumulative ranks,
+    the selected VALUES — is exact integer arithmetic on the same
+    (group, value, count) sufficient statistic as QTE, so given the
+    ranks the output is exact and repartition-bit-identical
+    (suite-pinned against a Python replica using the same betai).
+
+    Scale shape / CARDINALITY CONTRACT: identical to
+    :func:`quantile_treatment_effects` — one corpus groupBy to the
+    count table, per-group cumulative window over distinct values
+    (``quantize_bits`` is the continuous-metric escape), then a
+    BROADCAST join of the O(groups x ppms) rank table and one
+    conditional aggregate."""
+    op = "grouped_quantile_cis"
+    if quantize_bits is not None:
+        if not (1 <= quantize_bits <= 43):
+            raise ValueError(
+                f"{op}: quantize_bits must be in [1, 43], got "
+                f"{quantize_bits}"
+            )
+        v_expr = F.when(
+            F.col(group_col).isNull(),
+            F.raise_error(
+                F.lit(f"{op}: NULL {group_col} row — filter explicitly "
+                      "first")
+            ).cast("long"),
+        ).otherwise(_q_expr(metric_col, quantize_bits, op))
+    else:
+        s = F.col(metric_col).cast("double")
+        msg = (
+            f"{op}: NULL/NaN {metric_col} or NULL {group_col} row — "
+            "filter explicitly first"
+        )
+        v_expr = F.when(
+            s.isNull() | F.isnan(s) | F.col(group_col).isNull(),
+            F.raise_error(F.lit(msg)).cast("double"),
+        ).otherwise(s)
+    counts = (
+        df.select(F.col(group_col).cast("string").alias("g"),
+                  v_expr.alias("v"))
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    out = grouped_quantile_cis_from_counts(
+        counts.localCheckpoint(eager=False), ppms, confidence_ppm
+    )
+    if quantize_bits is not None:
+        ms = float(1 << quantize_bits)
+        out = out.select(
+            "g", "ppm", "n",
+            (F.col("q") / F.lit(ms)).alias("q"),
+            (F.col("lo") / F.lit(ms)).alias("lo"),
+            (F.col("hi") / F.lit(ms)).alias("hi"),
+            "lo_rank", "hi_rank",
+        )
+    return out
+
+
+def _binom_cdf(j: int, n: int, p: float) -> float:
+    """P(Bin(n, p) <= j) = I_{1-p}(n - j, j + 1) — driver-side float
+    (the documented convention of :func:`grouped_quantile_cis`)."""
+    from .srm import betai
+
+    if j < 0:
+        return 0.0
+    if j >= n:
+        return 1.0
+    return betai(float(n - j), float(j + 1), 1.0 - p)
+
+
+def _ci_ranks(n: int, ppm: int, confidence_ppm: int) -> tuple[int, int]:
+    """(lo_rank, hi_rank), 1-based, clamped to [1, n]: lo = the
+    LARGEST k with CDF(k - 1) <= gamma/2, hi = the SMALLEST k with
+    CDF(k - 1) >= 1 - gamma/2 — coverage >= confidence by the
+    binomial argument.  Binary searches on the monotone CDF."""
+    p = ppm / 1_000_000.0
+    half = (1_000_000 - confidence_ppm) / 2_000_000.0
+
+    # largest k in [1, n] with CDF(k-1) <= half (0 if none -> clamp 1)
+    lo, hi_b = 0, n
+    while lo < hi_b:
+        mid = (lo + hi_b + 1) // 2
+        if _binom_cdf(mid - 1, n, p) <= half:
+            lo = mid
+        else:
+            hi_b = mid - 1
+    lo_rank = max(1, lo)
+    # smallest k in [1, n] with CDF(k-1) >= 1 - half (clamp n if none)
+    a, b = 1, n
+    if _binom_cdf(n - 1, n, p) < 1.0 - half:
+        hi_rank = n
+    else:
+        while a < b:
+            mid = (a + b) // 2
+            if _binom_cdf(mid - 1, n, p) >= 1.0 - half:
+                b = mid
+            else:
+                a = mid + 1
+        hi_rank = a
+    return lo_rank, hi_rank
+
+
+def grouped_quantile_cis_from_counts(
+    counts: DataFrame,
+    ppms: tuple[int, ...] = (500_000,),
+    confidence_ppm: int = 950_000,
+) -> DataFrame:
+    """The CI readout from the (g, v, c) sufficient statistic — see
+    :func:`grouped_quantile_cis`."""
+    op = "grouped_quantile_cis"
+    from pyspark.sql import Window
+
+    ppm_list = list(ppms)
+    if not ppm_list or len(set(ppm_list)) != len(ppm_list):
+        raise ValueError(f"{op}: ppms must be non-empty and distinct")
+    for p in ppm_list:
+        if not isinstance(p, int) or not (1 <= p <= 999_999):
+            raise ValueError(
+                f"{op}: each ppm must be an int in [1, 999999], got {p!r}"
+            )
+    if not isinstance(confidence_ppm, int) or not (
+        500_000 <= confidence_ppm <= 999_999
+    ):
+        raise ValueError(
+            f"{op}: confidence_ppm must be an int in [500000, 999999], "
+            f"got {confidence_ppm!r}"
+        )
+    spark = counts.sparkSession
+    ns = counts.groupBy("g").agg(F.sum("c").cast("long").alias("n")).collect()
+    if not ns:
+        raise ValueError(f"{op}: empty counts frame")
+    if any(r["g"] is None for r in ns):
+        raise ValueError(f"{op}: NULL group row — filter explicitly first")
+    rank_rows = []
+    for r in ns:
+        g, n = r["g"], int(r["n"])
+        for ppm in ppm_list:
+            lo_rank, hi_rank = _ci_ranks(n, ppm, confidence_ppm)
+            # the QTE point-estimate rank: ceil(n * ppm / 1e6)
+            q_rank = -((-n * ppm) // 1_000_000)
+            rank_rows.append((g, ppm, n, q_rank, lo_rank, hi_rank))
+    ranks = spark.createDataFrame(
+        rank_rows,
+        "g string, ppm long, n long, q_rank long, lo_rank long, "
+        "hi_rank long",
+    )
+    w_cum = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counts.withColumn("cw", F.sum("c").over(w_cum).cast("long"))
+    qv = F.col("v").cast("double")
+
+    def _at(rank_col: str):
+        return F.min(F.when(F.col("cw") >= F.col(rank_col), qv))
+
+    return (
+        cum.join(F.broadcast(ranks), "g")
+        .groupBy("g", "ppm", "n", "q_rank", "lo_rank", "hi_rank")
+        .agg(_at("q_rank").alias("q"), _at("lo_rank").alias("lo"),
+             _at("hi_rank").alias("hi"))
+        .select("g", "ppm", "n", "q", "lo", "hi", "lo_rank", "hi_rank")
+        .orderBy("g", "ppm")
+    )

@@ -1595,3 +1595,95 @@ def test_streaming_trimmed_mean_bit_matches_batch(spark, tmp_path):
     want = trimmed_mean_ab_test(spark.read.parquet(d), "y", "arm",
                                 scale_bits=10)
     assert got == want
+
+
+# -------------------------------------------- quantile confidence bands
+
+from kafka_avro_order_processing_spark.operators.abtest import (  # noqa: E402
+    _ci_ranks,
+    grouped_quantile_cis,
+    grouped_quantile_cis_from_counts,
+)
+
+
+def test_ci_ranks_textbook_and_clamps():
+    # the classical median example: n = 10, p = 0.5, 95% -> ranks
+    # (2, 9) (Conover §3.2; actual coverage 0.9786)
+    assert _ci_ranks(10, 500_000, 950_000) == (2, 9)
+    # tiny n clamps one-sided-conservative
+    assert _ci_ranks(1, 500_000, 950_000) == (1, 1)
+    lo, hi = _ci_ranks(5, 900_000, 990_000)
+    assert 1 <= lo <= hi <= 5
+    # monotone in confidence: wider confidence -> wider (or equal) band
+    l90, h90 = _ci_ranks(200, 500_000, 900_000)
+    l99, h99 = _ci_ranks(200, 500_000, 990_000)
+    assert l99 <= l90 and h99 >= h90
+
+
+def test_grouped_quantile_cis_match_python_replica(spark):
+    ev = load_table(spark, SF_DIR, "events").filter("value IS NOT NULL")
+    df = ev.select(
+        (F.col("event_id") % 3).cast("string").alias("g"),
+        (F.col("value") % 41).cast("double").alias("y"),
+    )
+    ppms = (250_000, 500_000, 900_000)
+    got = {
+        (r["g"], r["ppm"]): r
+        for r in grouped_quantile_cis(
+            df, "y", "g", ppms=ppms, confidence_ppm=950_000
+        ).collect()
+    }
+    rows = [(r["g"], r["y"]) for r in df.collect()]
+    groups = sorted({g for g, _ in rows})
+    assert set(got) == {(g, p) for g in groups for p in ppms}
+    for g in groups:
+        vals = sorted(v for g2, v in rows if g2 == g)
+        n = len(vals)
+        for ppm in ppms:
+            lo_rank, hi_rank = _ci_ranks(n, ppm, 950_000)
+            q_rank = -((-n * ppm) // 1_000_000)
+            r = got[(g, ppm)]
+            assert r["n"] == n
+            assert (r["lo_rank"], r["hi_rank"]) == (lo_rank, hi_rank)
+            assert r["q"] == vals[q_rank - 1]
+            assert r["lo"] == vals[lo_rank - 1]
+            assert r["hi"] == vals[hi_rank - 1]
+            assert r["lo"] <= r["q"] <= r["hi"]
+    # quantized path: equal to the replica on bucketed values,
+    # dequantized by 2^-s
+    s = 6
+    msf = float(1 << s)
+    gq = {
+        (r["g"], r["ppm"]): r
+        for r in grouped_quantile_cis(
+            df, "y", "g", ppms=(500_000,), confidence_ppm=950_000,
+            quantize_bits=s,
+        ).collect()
+    }
+    for g in groups:
+        vals = sorted(math.floor(v * msf + 0.5) for g2, v in rows
+                      if g2 == g)
+        n = len(vals)
+        q_rank = -((-n * 500_000) // 1_000_000)
+        lo_rank, hi_rank = _ci_ranks(n, 500_000, 950_000)
+        r = gq[(g, 500_000)]
+        assert r["q"] == vals[q_rank - 1] / msf
+        assert r["lo"] == vals[lo_rank - 1] / msf
+        assert r["hi"] == vals[hi_rank - 1] / msf
+
+
+def test_grouped_quantile_cis_guards(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0, 1)], "g string, v double, c long"
+    )
+    with pytest.raises(ValueError, match="ppms"):
+        grouped_quantile_cis_from_counts(df, ppms=())
+    with pytest.raises(ValueError, match="ppm"):
+        grouped_quantile_cis_from_counts(df, ppms=(1_000_000,))
+    with pytest.raises(ValueError, match="confidence_ppm"):
+        grouped_quantile_cis_from_counts(df, confidence_ppm=400_000)
+    null_g = spark.createDataFrame(
+        [(None, 1.0, 1)], "g string, v double, c long"
+    )
+    with pytest.raises(ValueError, match="NULL group"):
+        grouped_quantile_cis_from_counts(null_g)
