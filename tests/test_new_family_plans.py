@@ -168,3 +168,39 @@ def test_qte_plan_partitions_window_by_arm_and_stays_jvm_side(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_robust_readout_windows_partition_by_arm(spark):
+    """winsorized_ab_test / trimmed_mean_ab_test share QTE's plan
+    contract: their cumulative/count windows key on arm (two tasks
+    over the bounded bucket frame — never a partition-less funnel),
+    and the plans stay JVM-side.  Pinned on the count-table stage the
+    dict readouts are built from."""
+    from kafka_avro_order_processing_spark.operators.abtest import (
+        _arm_checked,
+        _q_expr,
+    )
+
+    df = _events(spark).filter("value IS NOT NULL")
+    counts = (
+        df.select(
+            _arm_checked("event_type", "pin").alias("arm"),
+            _q_expr("value", 10, "pin").alias("v"),
+        )
+        .groupBy("arm", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    from pyspark.sql import Window
+
+    w_cum = Window.partitionBy("arm").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_arm = Window.partitionBy("arm")
+    staged = counts.withColumn(
+        "cw", F.sum("c").over(w_cum).cast("long")
+    ).withColumn("n", F.sum("c").over(w_arm).cast("long"))
+    plan = _plan(staged)
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert specs and all(s == "arm" for s in specs), specs
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
