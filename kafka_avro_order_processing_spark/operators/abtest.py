@@ -2103,3 +2103,125 @@ def grouped_quantile_cis_from_counts(
         .select("g", "ppm", "n", "q", "lo", "hi", "lo_rank", "hi_rank")
         .orderBy("g", "ppm")
     )
+
+
+def _beta_inv(gamma: float, a: float, b: float) -> float:
+    """Inverse of the regularized incomplete beta in its first
+    argument: the x with I_x(a, b) = gamma, by bisection on the
+    monotone CDF (deterministic libm floats — the documented
+    driver-side convention; ~60 betai calls)."""
+    from .srm import betai
+
+    if not (0.0 < gamma < 1.0):
+        raise ValueError(f"_beta_inv: gamma must be in (0, 1), got {gamma}")
+    lo, hi = 0.0, 1.0
+    for _ in range(200):
+        mid = 0.5 * (lo + hi)
+        if mid == lo or mid == hi:
+            break
+        if betai(a, b, mid) < gamma:
+            lo = mid
+        else:
+            hi = mid
+    return 0.5 * (lo + hi)
+
+
+def proportion_ab_test(
+    df: DataFrame,
+    success_col: str,
+    arm_col: str,
+    confidence_ppm: int = 950_000,
+) -> dict:
+    """Binary-metric (conversion-rate) A/B readout: per-arm success
+    counts with EXACT Clopper-Pearson confidence intervals
+    (Clopper & Pearson 1934 — the binomial-inversion interval, never
+    below nominal coverage, correct at x = 0 and x = n where the Wald
+    interval collapses) and the pooled two-proportion z test.
+
+    Returns {arms, per_arm: {n, x, rate, ci_lo, ci_hi}, diff, lift,
+    se_pooled, z, p, confidence_ppm}.  ``success_col`` must be
+    boolean or integer 0/1 (anything else raises in-plan — a silent
+    cast would count garbage as conversions); NULLs raise.
+
+    Exactness: n and x are ONE map-side-combinable integer aggregate
+    (exact, DuckDB-oracle-able; the streaming twin maintains the same
+    sums as update-mode state bit-exactly).  The CP bounds are
+    driver-side beta inversions via the in-repo ``srm.betai``
+    (closed-form-pinned), lower = BetaInv(gamma/2; x, n-x+1), upper =
+    BetaInv(1-gamma/2; x+1, n-x), with the exact x=0 -> lo=0 and
+    x=n -> hi=1 edges.  z assembles in one fixed expression order.
+
+    Scale shape: one aggregate over the corpus, O(arms) driver work.
+    Nothing else touches the data."""
+    op = "proportion_ab_test"
+    if not isinstance(confidence_ppm, int) or not (
+        500_000 <= confidence_ppm <= 999_999
+    ):
+        raise ValueError(
+            f"{op}: confidence_ppm must be an int in [500000, 999999], "
+            f"got {confidence_ppm!r}"
+        )
+    dt = df.schema[success_col].dataType.simpleString()
+    s = F.col(success_col)
+    if dt == "boolean":
+        sx = s.cast("long")
+    elif dt in ("tinyint", "smallint", "int", "bigint"):
+        sx = s.cast("long")
+    else:
+        raise ValueError(
+            f"{op}: {success_col!r} must be boolean or integer 0/1, got "
+            f"{dt} — cast explicitly first"
+        )
+    msg = (
+        f"{op}: NULL or non-0/1 {success_col} row — filter explicitly "
+        "first"
+    )
+    checked = F.when(
+        sx.isNull() | ~sx.isin(0, 1),
+        F.raise_error(F.lit(msg)).cast("long"),
+    ).otherwise(sx)
+    rows = (
+        df.select(_arm_checked(arm_col, op).alias("arm"),
+                  checked.alias("x"))
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("x"),
+        )
+        .collect()
+    )
+    return _proportion_assemble(rows, confidence_ppm, op)
+
+
+def _proportion_assemble(rows: list, confidence_ppm: int, op: str) -> dict:
+    arms, by = _two_arms(rows, op)
+    gamma = (1_000_000 - confidence_ppm) / 1_000_000.0
+    stats = {}
+    for g in arms:
+        n, x = int(by[g]["n"]), int(by[g]["x"])
+        if n < 1:
+            raise ValueError(f"{op}: arm {g!r} has no rows")
+        lo = 0.0 if x == 0 else _beta_inv(gamma / 2.0, float(x),
+                                          float(n - x + 1))
+        hi = 1.0 if x == n else _beta_inv(1.0 - gamma / 2.0,
+                                          float(x + 1), float(n - x))
+        stats[g] = {"n": n, "x": x, "rate": x / n, "ci_lo": lo,
+                    "ci_hi": hi}
+    a, b = arms
+    na, xa = stats[a]["n"], stats[a]["x"]
+    nb, xb = stats[b]["n"], stats[b]["x"]
+    diff = xb / nb - xa / na
+    pool = (xa + xb) / (na + nb)
+    se = math.sqrt(pool * (1.0 - pool) * (1.0 / na + 1.0 / nb))
+    z = diff / se if se > 0 else float("nan")
+    return {
+        "arms": arms,
+        "per_arm": stats,
+        "diff": diff,
+        "lift": (xb / nb) / (xa / na) - 1.0 if xa > 0 else float("inf"),
+        "se_pooled": se,
+        "z": z,
+        "p": math.erfc(abs(z) / math.sqrt(2.0)) if se > 0
+        else float("nan"),
+        "confidence_ppm": int(confidence_ppm),
+    }

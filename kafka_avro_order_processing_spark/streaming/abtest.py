@@ -497,10 +497,59 @@ def streaming_trimmed_mean_ab_test(
     )
 
 
+def streaming_proportion_ab_test(
+    stream_df: DataFrame,
+    success_col: str,
+    arm_col: str,
+    confidence_ppm: int = 950_000,
+) -> dict:
+    """Streaming twin of :func:`operators.abtest.proportion_ab_test`:
+    per-arm (n, x) integer sums as update-mode streaming aggregation
+    state (associative — micro-batch boundaries provably cannot move
+    them); the drained latest-per-arm rows feed the identical
+    Clopper-Pearson + pooled-z assembly.  Bit-equal to batch on the
+    same rows (suite-pinned).  State is O(arms)."""
+    from ..operators.abtest import (
+        _arm_checked,
+        _proportion_assemble,
+    )
+    from .pipeline import drain_to_df
+
+    op = "streaming_proportion_ab_test"
+    dt = stream_df.schema[success_col].dataType.simpleString()
+    s = F.col(success_col)
+    if dt not in ("boolean", "tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"{op}: {success_col!r} must be boolean or integer 0/1, got "
+            f"{dt} — cast explicitly first"
+        )
+    sx = s.cast("long")
+    msg = (
+        f"{op}: NULL or non-0/1 {success_col} row — filter explicitly "
+        "first"
+    )
+    checked = F.when(
+        sx.isNull() | ~sx.isin(0, 1),
+        F.raise_error(F.lit(msg)).cast("long"),
+    ).otherwise(sx)
+    cells = (
+        stream_df.select(_arm_checked(arm_col, op).alias("arm"),
+                         checked.alias("x"))
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("x"),
+        )
+    )
+    rows = drain_to_df(cells, "update", key_cols=("arm",)).collect()
+    return _proportion_assemble(rows, confidence_ppm, op)
+
+
 __all__ = [
     "streaming_always_valid_pvalues",
     "streaming_kruskal_wallis",
     "streaming_mann_whitney_u",
+    "streaming_proportion_ab_test",
     "streaming_quantile_treatment_effects",
     "streaming_spearman_corr",
     "streaming_trimmed_mean_ab_test",

@@ -1687,3 +1687,108 @@ def test_grouped_quantile_cis_guards(spark):
     )
     with pytest.raises(ValueError, match="NULL group"):
         grouped_quantile_cis_from_counts(null_g)
+
+
+# ------------------------------------------------ proportion (binary) A/B
+
+from kafka_avro_order_processing_spark.operators.abtest import (  # noqa: E402
+    _beta_inv,
+    proportion_ab_test,
+)
+
+
+def test_clopper_pearson_closed_forms_and_replica(spark):
+    from kafka_avro_order_processing_spark.operators.srm import betai
+
+    # inversion self-consistency
+    for (g, a, b_) in ((0.025, 3.0, 8.0), (0.975, 11.0, 2.0),
+                       (0.5, 1.5, 1.5)):
+        x = _beta_inv(g, a, b_)
+        assert abs(betai(a, b_, x) - g) < 1e-12
+    ev = load_table(spark, SF_DIR, "events").filter("value IS NOT NULL")
+    df = ev.select(
+        F.when(F.col("event_id") % 2 == 0, "a").otherwise("b").alias("arm"),
+        (F.floor(F.col("value")) % 5 == 0).alias("converted"),
+    )
+    out = proportion_ab_test(df, "converted", "arm")
+    pairs = [(r["arm"], int(r["converted"])) for r in df.collect()]
+    for arm in ("a", "b"):
+        xs = [v for a2, v in pairs if a2 == arm]
+        n, x = len(xs), sum(xs)
+        pa = out["per_arm"][arm]
+        assert pa["n"] == n and pa["x"] == x and pa["rate"] == x / n
+        # replica bounds through the same inversion
+        assert pa["ci_lo"] == (0.0 if x == 0 else
+                               _beta_inv(0.025, float(x), float(n - x + 1)))
+        assert pa["ci_hi"] == (1.0 if x == n else
+                               _beta_inv(0.975, float(x + 1), float(n - x)))
+        assert pa["ci_lo"] <= pa["rate"] <= pa["ci_hi"]
+    na, xa = out["per_arm"]["a"]["n"], out["per_arm"]["a"]["x"]
+    nb, xb = out["per_arm"]["b"]["n"], out["per_arm"]["b"]["x"]
+    pool = (xa + xb) / (na + nb)
+    se = math.sqrt(pool * (1 - pool) * (1 / na + 1 / nb))
+    assert out["se_pooled"] == se
+    assert out["z"] == (xb / nb - xa / na) / se
+    # the x = 0 edge: CP upper has the closed form 1 - (gamma/2)^(1/n)
+    zero = spark.createDataFrame(
+        [("a", 0)] * 10 + [("b", 1), ("b", 0)], "arm string, c int"
+    )
+    z0 = proportion_ab_test(zero, "c", "arm")
+    assert z0["per_arm"]["a"]["ci_lo"] == 0.0
+    assert abs(z0["per_arm"]["a"]["ci_hi"]
+               - (1 - 0.025 ** (1 / 10))) < 1e-12
+    # guards: non-binary dtype and non-0/1 values raise loudly
+    with pytest.raises(ValueError, match="boolean or integer"):
+        proportion_ab_test(
+            spark.createDataFrame([("a", 1.0)], "arm string, c double"),
+            "c", "arm",
+        )
+    with pytest.raises(Exception, match="non-0/1"):
+        proportion_ab_test(
+            spark.createDataFrame([("a", 2), ("b", 1)],
+                                  "arm string, c int"),
+            "c", "arm",
+        )
+
+
+def test_proportion_integer_counts_duckdb_oracle(spark):
+    ev = load_table(spark, SF_DIR, "events").filter("value IS NOT NULL")
+    df = ev.select(
+        F.when(F.col("event_id") % 2 == 0, "a").otherwise("b").alias("arm"),
+        (F.floor(F.col("value")) % 5 == 0).alias("converted"),
+    )
+    out = proportion_ab_test(df, "converted", "arm")
+    sdf = spark.createDataFrame(
+        [(a, out["per_arm"][a]["n"], out["per_arm"][a]["x"])
+         for a in out["arms"]],
+        "arm string, n long, x long",
+    )
+    sql = """
+    SELECT CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END AS arm,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN CAST(FLOOR(value) AS BIGINT) % 5 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS x
+    FROM events WHERE value IS NOT NULL GROUP BY 1
+    """
+    _assert_parity(sdf, sql)
+
+
+def test_streaming_proportion_bit_matches_batch(spark, tmp_path):
+    from kafka_avro_order_processing_spark.streaming.abtest import (
+        streaming_proportion_ab_test,
+    )
+
+    d = str(tmp_path / "propstream")
+    ev = load_table(spark, SF_DIR, "events").filter("value IS NOT NULL")
+    ev.select(
+        F.when(F.col("event_id") % 2 == 0, "a").otherwise("b").alias("arm"),
+        (F.col("value").cast("long") % 7 <= 2).cast("int").alias("c"),
+    ).limit(600).write.parquet(d)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(d).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    got = streaming_proportion_ab_test(stream, "c", "arm")
+    want = proportion_ab_test(spark.read.parquet(d), "c", "arm")
+    assert got == want
