@@ -6491,45 +6491,44 @@ RETIRED: dict[str, str] = {
 # ---------------------------------------------------------------------------
 
 _LEAD_ORDER = [
-    # -- ROUND-12 window (exactly 50 names precede the boundary).
-    # Built per the r11 verdict's task 1 / HANDOFF "READ THIS FIRST":
-    # after the r11 check the oldest rows anywhere are the 48
-    # remaining r9-window names (latest CORRECTNESS row = r09,
-    # recomputed from the CORRECTNESS_r01..r11 union at round-12
-    # start: 50 names minus the retired ngram_jaccard_adjacent and
-    # customers_no_pending_orders — see RETIRED), age 2 during round
-    # 12: their age-3 deadline is THIS round.  The window is those 48
-    # in registration order, then the TWO staged r12 promotion blocks
-    # `rrf_fuse` and `window_funnel` (plans/promotions_r12.py) fill
-    # the freed slots as positions 49/50.  48 + 2 = EXACTLY 50.
-    "per_product_stats", "overall_stats", "supplier_balance_by_nation",
-    "near_dup_pairs", "near_dup_pairs_char", "simhash_fingerprints",
-    "embedding_near_dup", "diversity_sample", "purchase_avg_lookup",
-    "generated_orders", "generated_orders_datasource",
-    "avro_uri_manifest_write", "avro_stats_pruned_read",
-    "avro_zorder_pruned_read", "avro_compacted_roundtrip",
-    "avro_bloom_pruned_lookup", "sql_api_events_hourly",
-    "value_percentiles", "daily_revenue_lag", "multi_stream_union",
-    "cms_user_frequencies", "hll_distinct_users",
-    "value_histogram_quantiles", "streaming_value_histogram_quantiles",
-    "streaming_cms_user_frequencies", "importance_weighted_sample",
-    "streaming_hll_distinct_users", "quantity_price_correlation",
-    "streaming_quantity_price_correlation", "daily_revenue_trend",
-    "daily_revenue_filled", "revenue_anomaly_days",
-    "streaming_revenue_anomaly", "event_type_daily_trend",
-    "dedup_clusters_star", "trade_graph_pagerank", "pq_adc_topk",
-    "pq_rerank_topk", "pq_recall_at_k", "user_communities",
-    "co_activity_triangles", "user_kcore", "community_modularity",
-    "weighted_trade_pagerank", "packing_efficiency",
-    "streaming_kmeans_refine", "avro_stream_stats_filter",
-    "dedup_keep_best", "rrf_fuse", "window_funnel",
+    # -- ROUND-13 window (exactly 50 names precede the boundary).
+    # Built per the r12 verdict's task 1 / HANDOFF "READ THIS FIRST":
+    # after the r12 check the oldest rows anywhere are the 50
+    # r10-window names (latest CORRECTNESS row = r10, recomputed from
+    # the CORRECTNESS_r01..r12 union at round-13 start: exactly 50,
+    # zero retirement gaps this time), age 2 during round 13 — their
+    # age-3 deadline is THIS round.  The registry sits at 150 = 3x50
+    # saturation, so the window is EXACTLY those 50 in registration
+    # order: zero fills, zero promotions (any NEW name must first
+    # displace an existing one via the audited RETIRED ledger).
+    "value_dispersion", "user_retention_cohorts",
+    "customers_with_pending_orders", "order_display_lines",
+    "props_json_extraction", "above_customer_avg_orders",
+    "approx_distinct_users", "ivf_probe_search", "ivf_recall_at_k",
+    "clicks_before_purchase", "explicit_grouping_sets",
+    "curated_corpus_stats", "shipping_priority",
+    "multimodal_decoded_features", "corrupt_json_handling",
+    "forecast_revenue_change", "large_quantity_orders",
+    "streaming_interval_join", "embedding_quantization_error",
+    "dataset_split_counts", "doc_repetition_scores",
+    "benchmark_contamination", "pii_detection", "doc_chunks",
+    "per_source_quality", "domain_mixture_sample", "boilerplate_grams",
+    "quality_filter_funnel", "source_overlap_grams",
+    "streaming_dedup_exact", "streaming_dedup_watermarked",
+    "upsert_orders_partitioned", "streaming_upsert_orders",
+    "scd2_customer_dim", "streaming_scd2_customer_dim",
+    "doc_length_histogram", "bm25_top20", "embedding_lsh_near_dup",
+    "semantic_dedup", "training_order_shuffle", "stratified_sample",
+    "fuzzy_part_links", "qty_price_rank_corr", "setsim_doc_pairs",
+    "ccnet_buckets", "roc_auc", "winnow_fingerprints",
+    "mean_retrieval_metrics", "profile_table_exact",
+    "duplicated_ngram_spans",
     # --- position 50 boundary ---------------------------------------
-    # ROUND-13 MATH: after the r12 check the oldest rows anywhere are
-    # the 50 r10-window names (latest CORRECTNESS row = r10), age 2
-    # during round 13 — they are r13's deadline set, ZERO free slots.
-    # The registry is at 150 = 3x50 saturation: any NEW name must
-    # displace an existing one via the audited RETIRED ledger.
-    # The r10/r11-window names and the rest follow via the fallback
+    # ROUND-14 MATH: after the r13 check the oldest rows anywhere are
+    # the 50 r11-window names (latest CORRECTNESS row = r11), age 2
+    # during round 14 — they are r14's deadline set, ZERO free slots
+    # while the registry stays at 150 = 3x50 saturation.
+    # The r11/r12-window names and the rest follow via the fallback
     # append in _apply_order.
 ]
 

@@ -4,13 +4,19 @@ END-TO-END the way the grading driver would: the staged ``Query``'s
 the driver's canonicalization + the arrow integer-dtype gate.
 
 ROUND-12 STATE: the swap EXECUTED — registry.py imports and calls
-``promote()`` before ``_apply_order()``, and rrf_fuse/window_funnel
-sit at _LEAD_ORDER positions 49/50.  The battery therefore pins the
-POST-swap invariants (blocks live in QUERIES, double-promotion
-refused), mirroring tests/test_r10_promotion_blocks.py.
+``promote()`` before ``_apply_order()``.  During round 12 the blocks
+sat at _LEAD_ORDER positions 49/50 and earned their first driver rows
+(CORRECTNESS_r12: both green); the round-13 rotation then moved the
+window on, so the position pin is now "registered and driver-checked",
+not a window slot.  The battery pins the POST-swap invariants (blocks
+live in QUERIES, double-promotion refused), mirroring
+tests/test_r10_promotion_blocks.py.
 """
 
 from __future__ import annotations
+
+import json
+from pathlib import Path
 
 import pytest
 
@@ -32,11 +38,20 @@ def test_queue_is_exactly_the_named_block():
 
 def test_promoted_blocks_are_live():
     """Round 12 executed the swap: every staged block must be live in
-    the registry as the SAME Query object, at window positions 49/50."""
-    names = list(QUERIES)
+    the registry as the SAME Query object, and must have earned its
+    r12 driver row (green) before the round-13 rotation moved the
+    window past it — a block that never got a row would have rotated
+    out unchecked."""
     for name, q in R12_PROMOTIONS.items():
         assert QUERIES.get(name) is q, name
-    assert names[48:50] == list(EXPECTED)
+    r12 = json.loads(
+        (Path(__file__).resolve().parents[1] / "CORRECTNESS_r12.json")
+        .read_text()
+    )
+    for name in EXPECTED:
+        row = r12.get(name)
+        assert row is not None, f"{name}: no r12 driver row"
+        assert row.get("rows_match") and row.get("hash_match"), (name, row)
 
 
 def test_block_is_fully_formed():
