@@ -586,6 +586,69 @@ def msprt_ab_test(
     }
 
 
+def _trajectory_rows(
+    looks: list[tuple], ms: float, tau2: float
+) -> list[tuple]:
+    """Fixed-order driver-side assembly of the mSPRT trajectory from
+    exact CUMULATIVE integer moments — the ``_mean_var`` convention:
+    variance numerators are Python-int products (arbitrary precision,
+    no in-plan decimal multiply), floats are manufactured once per
+    look in one pinned expression order, so the output bit-matches
+    the historical in-plan assembly wherever that assembly's decimal
+    headroom held (suite-pinned) and keeps working far beyond it.
+
+    ``looks`` is ordered by look key; each entry is
+    (key, n_a, sy_a, syy_a, n_b, sy_b, syy_b) with Python ints.
+    Returns (key, n_a, n_b, diff, se, lam, p_always) tuples; looks
+    where either arm has n < 2 carry None diff/se/lam, constant-metric
+    looks (v == 0) carry diff but None se/lam, and p_always carries
+    the running min (1.0 until the first scored look)."""
+    out = []
+    p_run = 1.0
+    for key, na, sya, syya, nb, syb, syyb in looks:
+        diff = se = lam = None
+        if na >= 2 and nb >= 2:
+            mean_a = float(sya) / (float(na) * ms)
+            mean_b = float(syb) / (float(nb) * ms)
+            va = float(na * syya - sya * sya) / (
+                float(na) * float(na - 1) * (ms * ms)
+            )
+            vb = float(nb * syyb - syb * syb) / (
+                float(nb) * float(nb - 1) * (ms * ms)
+            )
+            diff = mean_b - mean_a
+            v = va / float(na) + vb / float(nb)
+            if v > 0:
+                se = math.sqrt(v)
+                lam = math.sqrt(v / (v + tau2)) * math.exp(
+                    tau2 * diff * diff / (2.0 * v * (v + tau2))
+                )
+                p_run = min(p_run, min(1.0, 1.0 / lam))
+        out.append((key, na, nb, diff, se, lam, p_run))
+    return out
+
+
+def _trajectory_schema(key_name: str, key_type) -> "object":
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    return StructType(
+        [
+            StructField(key_name, key_type),
+            StructField("n_a", LongType(), False),
+            StructField("n_b", LongType(), False),
+            StructField("diff", DoubleType()),
+            StructField("se", DoubleType()),
+            StructField("lam", DoubleType()),
+            StructField("p_always", DoubleType(), False),
+        ]
+    )
+
+
 def always_valid_pvalues(
     df: DataFrame,
     metric_col: str,
@@ -606,31 +669,30 @@ def always_valid_pvalues(
     rule at any cadence.  Looks where either arm still has n < 2 (no
     variance estimate yet) carry NULL diff/se/lam and p_always = 1.
 
-    Exactness: per-(arm, bucket) integer moment sums roll up through
-    cumulative windows as exact decimals; the float assembly per look
-    is one fixed expression on those integers, so the table is
-    bit-identical under any partitioning (suite-pinned) and the
-    integer moment columns are DuckDB-oracle-able exactly (the
-    ln/exp-bearing columns pin against a Python replica at tolerance —
-    the repo's lm.py convention for libm-crossing floats).
+    Exactness: ONE keyed integer aggregate over the corpus produces
+    the per-(arm, bucket) moment deltas; the cumulative roll-up and
+    the per-look float assembly happen DRIVER-SIDE on Python ints
+    (``_trajectory_rows`` — the ``_mean_var`` convention), so the
+    table is bit-identical under any partitioning (suite-pinned), the
+    integer-derived columns are DuckDB-oracle-able exactly, and the
+    ln/exp-bearing columns pin against a Python replica at tolerance
+    (the repo's lm.py convention for libm-crossing floats).
 
-    Headroom (TIGHTER than the module-level |v| < 2^(44-s) moment
-    bound): the per-look variance numerator is computed IN-PLAN as
-    n*syy - sy*sy on decimal(38,0) operands, capped at precision 38
-    by Spark's decimal-multiply clamping, so with per-arm cumulative
-    count n and |v| < B the products need n^2 * B^2 * 2^(2s) < 10^38
-    — e.g. at the default s=20 and the maximal B=2^24, n per arm
-    < ~5.7e5; at s=20 and B=2^10, n < ~9.3e9.  Exceeding it aborts
-    loudly (ANSI ARITHMETIC_OVERFLOW), never silently.  For larger
-    cumulative n, assemble the variance driver-side from the exact
-    integer moment columns this table exposes (``_mean_var``, the
-    msprt_ab_test path, has no in-plan product and keeps the full
-    2^(44-s) bound).
+    Headroom: the module-level contract only — |v| < 2^(44 - s) per
+    row and per-(arm, bucket) moment sums inside DECIMAL(38,0)
+    (~1e11 rows per bucket per arm at the maximal quantized square).
+    The variance numerator n*syy - sy*sy is an arbitrary-precision
+    Python-int product, so cumulative n is UNBOUNDED — this replaced
+    the r12 in-plan decimal product whose n^2 * B^2 * 2^(2s) < 10^38
+    cap aborted (loudly, under ANSI) near ~5.7e5 rows/arm at s=20,
+    B=2^24 while sibling operators (msprt_ab_test's ``_mean_var``
+    path) survived.
 
-    Scale shape: one keyed integer aggregate over the corpus, then
-    windows over BUCKETS (time ticks — thousands, not rows; the
-    single-partition window is the documented bound, same class as
-    the conformal cumulative pass)."""
+    Scale shape: one map-side-combinable keyed aggregate over the
+    corpus, then O(buckets x arms) driver rows (time ticks —
+    thousands, not corpus rows; the same documented driver-size class
+    as the conformal cumulative pass, replacing r12's single-partition
+    bucket window)."""
     if tau <= 0:
         raise ValueError(f"always_valid_pvalues: tau must be > 0, got {tau}")
     if not (1 <= scale_bits <= 43):
@@ -659,87 +721,38 @@ def always_valid_pvalues(
             F.sum(_dprod("y", "y")).cast("decimal(38,0)").alias("syy"),
         )
     )
-    arms = sorted(
-        r["arm"] for r in per.select("arm").distinct().collect()
-    )
+    # ONE job: arms are derived from the same collected delta table
+    # (r12 ran a separate distinct() pass over the corpus aggregate).
+    rows = per.collect()
+    arms = sorted({r["arm"] for r in rows})
     if len(arms) != 2:
         raise ValueError(
             f"{op}: need exactly 2 arms, got {arms!r} — filter or split "
             "multi-arm experiments into pairwise readouts"
         )
     a, b = arms
-
-    def _side(side, col, cast):
-        return F.sum(
-            F.when(F.col("arm") == side, F.col(col)).otherwise(
-                F.lit(0).cast(cast)
-            )
-        ).cast(cast)
-
-    bybucket = per.groupBy("bucket").agg(
-        _side(a, "n", "long").alias("dna"),
-        _side(a, "sy", "decimal(38,0)").alias("dsya"),
-        _side(a, "syy", "decimal(38,0)").alias("dsyya"),
-        _side(b, "n", "long").alias("dnb"),
-        _side(b, "sy", "decimal(38,0)").alias("dsyb"),
-        _side(b, "syy", "decimal(38,0)").alias("dsyyb"),
-    )
-    from pyspark.sql import Window
-
-    w_cum = Window.orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = bybucket.select(
-        "bucket",
-        F.sum("dna").over(w_cum).cast("long").alias("n_a"),
-        F.sum("dsya").over(w_cum).cast("decimal(38,0)").alias("sy_a"),
-        F.sum("dsyya").over(w_cum).cast("decimal(38,0)").alias("syy_a"),
-        F.sum("dnb").over(w_cum).cast("long").alias("n_b"),
-        F.sum("dsyb").over(w_cum).cast("decimal(38,0)").alias("sy_b"),
-        F.sum("dsyyb").over(w_cum).cast("decimal(38,0)").alias("syy_b"),
-    )
-    # fixed-order float assembly per look (exact integer inputs)
-    def _mean(s, n):
-        return F.col(s).cast("double") / (F.col(n).cast("double") * F.lit(ms))
-
-    def _var(s, ss, n):
-        dn = F.col(n).cast("decimal(19,0)")
-        num = (dn * F.col(ss) - F.col(s) * F.col(s)).cast("decimal(38,0)")
-        return num.cast("double") / (
-            F.col(n).cast("double")
-            * (F.col(n) - 1).cast("double")
-            * F.lit(ms * ms)
+    delta: dict = {}
+    for r in rows:
+        delta.setdefault(r["bucket"], {})[r["arm"]] = (
+            int(r["n"]), int(r["sy"]), int(r["syy"])
         )
-
-    ready = (F.col("n_a") >= 2) & (F.col("n_b") >= 2)
-    diff = _mean("sy_b", "n_b") - _mean("sy_a", "n_a")
-    v = (
-        _var("sy_a", "syy_a", "n_a") / F.col("n_a").cast("double")
-        + _var("sy_b", "syy_b", "n_b") / F.col("n_b").cast("double")
-    )
-    lam = F.sqrt(v / (v + F.lit(tau2))) * F.exp(
-        F.lit(tau2) * diff * diff / (F.lit(2.0) * v * (v + F.lit(tau2)))
-    )
-    staged = cum.select(
-        "bucket", "n_a", "n_b", "sy_a", "sy_b", "syy_a", "syy_b",
-        F.when(ready, diff).alias("diff"),
-        F.when(ready & (v > 0), F.sqrt(v)).alias("se"),
-        F.when(ready & (v > 0), lam).alias("lam"),
-    )
-    w_min = Window.orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return staged.select(
-        "bucket", "n_a", "n_b", "diff", "se", "lam",
-        F.coalesce(
-            F.min(
-                F.when(
-                    F.col("lam").isNotNull(),
-                    F.least(F.lit(1.0), F.lit(1.0) / F.col("lam")),
-                )
-            ).over(w_min),
-            F.lit(1.0),
-        ).alias("p_always"),
+    na = sya = syya = nb = syb = syyb = 0
+    looks = []
+    for bk in sorted(delta):
+        da = delta[bk].get(a)
+        db = delta[bk].get(b)
+        if da is not None:
+            na += da[0]
+            sya += da[1]
+            syya += da[2]
+        if db is not None:
+            nb += db[0]
+            syb += db[1]
+            syyb += db[2]
+        looks.append((bk, na, sya, syya, nb, syb, syyb))
+    return df.sparkSession.createDataFrame(
+        _trajectory_rows(looks, ms, tau2),
+        _trajectory_schema("bucket", df.schema[time_col].dataType),
     )
 
 
@@ -1454,6 +1467,10 @@ def quantile_treatment_effects(
                   v_expr.alias("v"))
         .groupBy("arm", "v")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        # _from_counts runs two jobs (the arms distinct() pass + the
+        # main plan): checkpoint the bucket-sized table so the corpus
+        # groupBy computes once — the winsorized_ab_test idiom
+        .localCheckpoint(eager=False)
     )
     out = quantile_treatment_effects_from_counts(counts, ppms)
     if quantize_bits is not None:
@@ -1921,6 +1938,7 @@ def grouped_quantile_cis(
     ppms: tuple[int, ...] = (500_000,),
     confidence_ppm: int = 950_000,
     quantize_bits: int | None = None,
+    max_groups: int = 10_000,
 ) -> DataFrame:
     """Distribution-free per-group quantile confidence bands — the
     order-statistic CI (the classical binomial argument; Conover,
@@ -1952,7 +1970,9 @@ def grouped_quantile_cis(
     count table, per-group cumulative window over distinct values
     (``quantize_bits`` is the continuous-metric escape), then a
     BROADCAST join of the O(groups x ppms) rank table and one
-    conditional aggregate."""
+    conditional aggregate.  The rank table is DRIVER work, so group
+    cardinality is guarded loudly at ``max_groups`` (default 10_000)
+    — see :func:`grouped_quantile_cis_from_counts`."""
     op = "grouped_quantile_cis"
     if quantize_bits is not None:
         if not (1 <= quantize_bits <= 43):
@@ -1984,7 +2004,8 @@ def grouped_quantile_cis(
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
     out = grouped_quantile_cis_from_counts(
-        counts.localCheckpoint(eager=False), ppms, confidence_ppm
+        counts.localCheckpoint(eager=False), ppms, confidence_ppm,
+        max_groups,
     )
     if quantize_bits is not None:
         ms = float(1 << quantize_bits)
@@ -2046,9 +2067,20 @@ def grouped_quantile_cis_from_counts(
     counts: DataFrame,
     ppms: tuple[int, ...] = (500_000,),
     confidence_ppm: int = 950_000,
+    max_groups: int = 10_000,
 ) -> DataFrame:
     """The CI readout from the (g, v, c) sufficient statistic — see
-    :func:`grouped_quantile_cis`."""
+    :func:`grouped_quantile_cis`.
+
+    GROUP-CARDINALITY GUARD (the family's loud-guard convention): the
+    rank table is O(groups x ppms) DRIVER work (~60 betai calls per
+    cell), sized for experiment segments — handfuls to thousands.  A
+    user-id-grained ``g`` by mistake would otherwise collect millions
+    of rows and spin the driver for minutes with no error; instead
+    the group collect is bounded at ``max_groups`` (default 10_000)
+    and exceeding it raises loudly.  Raise ``max_groups`` explicitly
+    if a genuinely larger segmentation is intended — driver time
+    scales linearly with it."""
     op = "grouped_quantile_cis"
     from pyspark.sql import Window
 
@@ -2060,15 +2092,27 @@ def grouped_quantile_cis_from_counts(
             raise ValueError(
                 f"{op}: each ppm must be an int in [1, 999999], got {p!r}"
             )
-    if not isinstance(confidence_ppm, int) or not (
-        500_000 <= confidence_ppm <= 999_999
-    ):
+    _check_confidence_ppm(confidence_ppm, op)
+    if not isinstance(max_groups, int) or max_groups < 1:
         raise ValueError(
-            f"{op}: confidence_ppm must be an int in [500000, 999999], "
-            f"got {confidence_ppm!r}"
+            f"{op}: max_groups must be a positive int, got {max_groups!r}"
         )
     spark = counts.sparkSession
-    ns = counts.groupBy("g").agg(F.sum("c").cast("long").alias("n")).collect()
+    # bounded collect: limit(max+1) caps the driver transfer even when
+    # the guard is about to fire
+    ns = (
+        counts.groupBy("g")
+        .agg(F.sum("c").cast("long").alias("n"))
+        .limit(max_groups + 1)
+        .collect()
+    )
+    if len(ns) > max_groups:
+        raise ValueError(
+            f"{op}: more than max_groups={max_groups} distinct groups — "
+            "the per-group rank table is driver-side work sized for "
+            "experiment segments, not row-grained keys; pass a coarser "
+            "group_col or raise max_groups explicitly"
+        )
     if not ns:
         raise ValueError(f"{op}: empty counts frame")
     if any(r["g"] is None for r in ns):
@@ -2105,6 +2149,178 @@ def grouped_quantile_cis_from_counts(
     )
 
 
+def quantile_treatment_effect_cis(
+    df: DataFrame,
+    metric_col: str,
+    arm_col: str,
+    ppms: tuple[int, ...] = (250_000, 500_000, 750_000),
+    confidence_ppm: int = 950_000,
+    quantize_bits: int | None = None,
+) -> DataFrame:
+    """:func:`quantile_treatment_effects` WITH its error bar: per ppm
+    the per-arm point quantiles, their distribution-free
+    order-statistic confidence bands (:func:`grouped_quantile_cis`'s
+    binomial-rank machinery), and the PAIRED band on the difference,
+
+        [qte_lo, qte_hi] = [lo_b - hi_a, hi_b - lo_a]
+
+    — the conservative independent-sample pairing: each arm's band is
+    taken at Bonferroni-split confidence 1 - (1-confidence)/2, and
+    since the arms are independent samples the difference interval
+    covers the true quantile difference whenever both per-arm bands
+    cover, i.e. with probability >= confidence_ppm.  No
+    distributional assumption (the Woodruff-style CI for the
+    two-sample quantile-difference estimand).
+
+    One row per ppm: (ppm, arm_a, arm_b, q_a, lo_a, hi_a, q_b, lo_b,
+    hi_b, qte, qte_lo, qte_hi), arms in sorted order.  Per-arm ranks
+    clamp to [1, n] at tiny n / extreme p — coverage then degrades
+    one-sided-conservative, never overstated (the
+    :func:`grouped_quantile_cis` clamp).
+
+    Exactness: ranks are driver-side betai binary searches (the
+    documented libm float convention, O(ppms) per arm); value
+    selection, cumulative counts, and the quantized differences are
+    exact integer arithmetic on the same (arm, value, count)
+    sufficient statistic as QTE, repartition-bit-identical and
+    Python-replica-pinned (suite).  ``quantize_bits`` pre-buckets and
+    dequantizes exactly as in QTE.
+
+    Scale shape / CARDINALITY CONTRACT: identical to
+    :func:`quantile_treatment_effects` — one corpus groupBy, one
+    arm-partitioned cumulative window over distinct values (the
+    ``quantize_bits`` escape bounds it), a broadcast O(arms x ppms)
+    rank join, one O(|ppms|) aggregate."""
+    op = "quantile_treatment_effect_cis"
+    if quantize_bits is not None:
+        if not (1 <= quantize_bits <= 43):
+            raise ValueError(
+                f"{op}: quantize_bits must be in [1, 43], got "
+                f"{quantize_bits}"
+            )
+        v_expr = _q_expr(metric_col, quantize_bits, op)
+    else:
+        s = F.col(metric_col).cast("double")
+        msg = f"{op}: NULL/NaN {metric_col} row — filter explicitly first"
+        v_expr = F.when(
+            s.isNull() | F.isnan(s),
+            F.raise_error(F.lit(msg)).cast("double"),
+        ).otherwise(s)
+    counts = (
+        df.select(_arm_checked(arm_col, op).alias("arm"),
+                  v_expr.alias("v"))
+        .groupBy("arm", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        # two driver jobs downstream (arms collect + main plan): one
+        # corpus pass — the winsorized/QTE checkpoint idiom
+        .localCheckpoint(eager=False)
+    )
+    out = quantile_treatment_effect_cis_from_counts(
+        counts, ppms, confidence_ppm
+    )
+    if quantize_bits is not None:
+        ms = float(1 << quantize_bits)
+        vals = ["q_a", "lo_a", "hi_a", "q_b", "lo_b", "hi_b",
+                "qte", "qte_lo", "qte_hi"]
+        out = out.select(
+            "ppm", "arm_a", "arm_b",
+            *[(F.col(c) / F.lit(ms)).alias(c) for c in vals],
+        )
+    return out
+
+
+def quantile_treatment_effect_cis_from_counts(
+    counts: DataFrame,
+    ppms: tuple[int, ...] = (250_000, 500_000, 750_000),
+    confidence_ppm: int = 950_000,
+) -> DataFrame:
+    """QTE-with-bands from the (arm, v, c) sufficient statistic — see
+    :func:`quantile_treatment_effect_cis`."""
+    op = "quantile_treatment_effect_cis"
+    from pyspark.sql import Window
+
+    ppm_list = list(ppms)
+    if not ppm_list or len(set(ppm_list)) != len(ppm_list):
+        raise ValueError(f"{op}: ppms must be non-empty and distinct")
+    for p in ppm_list:
+        if not isinstance(p, int) or not (1 <= p <= 999_999):
+            raise ValueError(
+                f"{op}: each ppm must be an int in [1, 999999], got {p!r}"
+            )
+    _check_confidence_ppm(confidence_ppm, op)
+    spark = counts.sparkSession
+    ns = counts.groupBy("arm").agg(
+        F.sum("c").cast("long").alias("n")
+    ).collect()
+    if any(r["arm"] is None for r in ns):
+        raise ValueError(f"{op}: NULL arm row — filter explicitly first")
+    arms = sorted(r["arm"] for r in ns)
+    if len(arms) != 2:
+        raise ValueError(
+            f"{op}: need exactly 2 arms, got {arms!r} — filter or split "
+            "multi-arm experiments into pairwise readouts"
+        )
+    a, b = arms
+    # Bonferroni split: each arm's band carries alpha/2 (floor keeps
+    # the split conservative for odd alpha_ppm)
+    arm_conf = 1_000_000 - (1_000_000 - confidence_ppm) // 2
+    n_by = {r["arm"]: int(r["n"]) for r in ns}
+    rank_rows = []
+    for arm in arms:
+        n = n_by[arm]
+        for ppm in ppm_list:
+            lo_rank, hi_rank = _ci_ranks(n, ppm, arm_conf)
+            q_rank = -((-n * ppm) // 1_000_000)
+            rank_rows.append((arm, ppm, n, q_rank, lo_rank, hi_rank))
+    ranks = spark.createDataFrame(
+        rank_rows,
+        "arm string, ppm long, n long, q_rank long, lo_rank long, "
+        "hi_rank long",
+    )
+    w_cum = Window.partitionBy("arm").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counts.withColumn("cw", F.sum("c").over(w_cum).cast("long"))
+    qv = F.col("v").cast("double")
+
+    def _at(rank_col: str):
+        return F.min(F.when(F.col("cw") >= F.col(rank_col), qv))
+
+    per = (
+        cum.join(F.broadcast(ranks), "arm")
+        .groupBy("arm", "ppm")
+        .agg(_at("q_rank").alias("q"), _at("lo_rank").alias("lo"),
+             _at("hi_rank").alias("hi"))
+    )
+
+    def _arm_val(side: str, col: str):
+        # the arms are string literals, so conditional aggregation
+        # pivots without a pivot() pass (the MWU from_counts idiom)
+        return F.min(F.when(F.col("arm") == F.lit(side), F.col(col)))
+
+    return (
+        per.groupBy("ppm")
+        .agg(
+            _arm_val(a, "q").alias("q_a"),
+            _arm_val(a, "lo").alias("lo_a"),
+            _arm_val(a, "hi").alias("hi_a"),
+            _arm_val(b, "q").alias("q_b"),
+            _arm_val(b, "lo").alias("lo_b"),
+            _arm_val(b, "hi").alias("hi_b"),
+        )
+        .select(
+            "ppm",
+            F.lit(a).alias("arm_a"),
+            F.lit(b).alias("arm_b"),
+            "q_a", "lo_a", "hi_a", "q_b", "lo_b", "hi_b",
+            (F.col("q_b") - F.col("q_a")).alias("qte"),
+            (F.col("lo_b") - F.col("hi_a")).alias("qte_lo"),
+            (F.col("hi_b") - F.col("lo_a")).alias("qte_hi"),
+        )
+        .orderBy("ppm")
+    )
+
+
 def _beta_inv(gamma: float, a: float, b: float) -> float:
     """Inverse of the regularized incomplete beta in its first
     argument: the x with I_x(a, b) = gamma, by bisection on the
@@ -2124,6 +2340,20 @@ def _beta_inv(gamma: float, a: float, b: float) -> float:
         else:
             hi = mid
     return 0.5 * (lo + hi)
+
+
+def _check_confidence_ppm(confidence_ppm, op: str) -> None:
+    """Shared contract check for every confidence_ppm-taking readout:
+    fail fast with the contract message BEFORE any corpus job or
+    stream drain (an out-of-range value deep in ``_beta_inv`` would
+    otherwise surface as a confusing gamma-domain error)."""
+    if not isinstance(confidence_ppm, int) or not (
+        500_000 <= confidence_ppm <= 999_999
+    ):
+        raise ValueError(
+            f"{op}: confidence_ppm must be an int in [500000, 999999], "
+            f"got {confidence_ppm!r}"
+        )
 
 
 def proportion_ab_test(
@@ -2154,13 +2384,7 @@ def proportion_ab_test(
     Scale shape: one aggregate over the corpus, O(arms) driver work.
     Nothing else touches the data."""
     op = "proportion_ab_test"
-    if not isinstance(confidence_ppm, int) or not (
-        500_000 <= confidence_ppm <= 999_999
-    ):
-        raise ValueError(
-            f"{op}: confidence_ppm must be an int in [500000, 999999], "
-            f"got {confidence_ppm!r}"
-        )
+    _check_confidence_ppm(confidence_ppm, op)
     dt = df.schema[success_col].dataType.simpleString()
     s = F.col(success_col)
     if dt == "boolean":
@@ -2218,7 +2442,10 @@ def _proportion_assemble(rows: list, confidence_ppm: int, op: str) -> dict:
         "arms": arms,
         "per_arm": stats,
         "diff": diff,
-        "lift": (xb / nb) / (xa / na) - 1.0 if xa > 0 else float("inf"),
+        # 0/0 successes has no defined lift (NaN); +inf only when the
+        # baseline is 0 and the treatment actually converted
+        "lift": (xb / nb) / (xa / na) - 1.0 if xa > 0
+        else (float("nan") if xb == 0 else float("inf")),
         "se_pooled": se,
         "z": z,
         "p": math.erfc(abs(z) / math.sqrt(2.0)) if se > 0

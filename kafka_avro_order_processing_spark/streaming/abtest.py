@@ -27,7 +27,7 @@ from __future__ import annotations
 import tempfile
 import uuid
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.abtest import DEFAULT_SCALE_BITS, _arm_moments
@@ -101,13 +101,26 @@ def streaming_always_valid_pvalues(
         raise ValueError(f"scale_bits must be in [1, 43], got {scale_bits}")
     ms = float(1 << scale_bits)
     tau2 = float(tau) * float(tau)
+    from ..operators.abtest import _trajectory_rows, _trajectory_schema
+
     log = _drain_changelog(
         _arm_moments(
             stream_df, metric_col, arm_col, scale_bits,
             "streaming_always_valid_pvalues",
         )
     )
-    arms = sorted(r["arm"] for r in log.select("arm").distinct().collect())
+    # The changelog is O(epochs x arms) — driver-tick-sized — so the
+    # carry-forward and the per-look readout assemble DRIVER-SIDE on
+    # Python ints through the exact machinery the batch trajectory
+    # uses (operators/abtest.py::_trajectory_rows; shared code IS the
+    # twins' bit-match guarantee, and the final-look pin against
+    # msprt_ab_test keeps the drain honest).  This replaced the r12
+    # epochs-x-arms grid (crossJoin + two window passes) and its
+    # in-plan n*syy - sy*sy decimal product, whose n^2 B^2 2^(2s)
+    # < 10^38 cap bounded cumulative n; arbitrary-precision ints
+    # have no such cap.
+    rows = log.select("__epoch", "arm", "n", "sy", "syy").collect()
+    arms = sorted({r["arm"] for r in rows})
     if len(arms) != 2:
         raise ValueError(
             "streaming_always_valid_pvalues: need exactly 2 arms, got "
@@ -115,100 +128,23 @@ def streaming_always_valid_pvalues(
             "pairwise readouts"
         )
     a, b = arms
-    # every (epoch, arm) cell = the arm's latest state at that epoch:
-    # epochs x arms scaffold, left-joined to the changelog, then a
-    # last-non-null carry-forward per arm
-    epochs = log.select(F.col("__epoch").alias("look")).distinct()
-    arms_df = log.sparkSession.createDataFrame(
-        [(a,), (b,)], "arm string"
-    )
-    grid = epochs.crossJoin(F.broadcast(arms_df))
-    cells = grid.join(
-        log.select(
-            F.col("__epoch").alias("look"), "arm", "n", "sy", "syy"
-        ),
-        ["look", "arm"],
-        "left",
-    )
-    w_ff = (
-        Window.partitionBy("arm")
-        .orderBy("look")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = cells.select(
-        "look",
-        "arm",
-        F.coalesce(
-            F.last("n", ignorenulls=True).over(w_ff), F.lit(0)
-        ).cast("long").alias("n"),
-        F.coalesce(
-            F.last("sy", ignorenulls=True).over(w_ff),
-            F.lit(0).cast("decimal(38,0)"),
-        ).cast("decimal(38,0)").alias("sy"),
-        F.coalesce(
-            F.last("syy", ignorenulls=True).over(w_ff),
-            F.lit(0).cast("decimal(38,0)"),
-        ).cast("decimal(38,0)").alias("syy"),
-    )
-
-    def _side(side, col, cast):
-        return F.max(
-            F.when(F.col("arm") == side, F.col(col))
-        ).cast(cast)
-
-    cum = carried.groupBy("look").agg(
-        _side(a, "n", "long").alias("n_a"),
-        _side(a, "sy", "decimal(38,0)").alias("sy_a"),
-        _side(a, "syy", "decimal(38,0)").alias("syy_a"),
-        _side(b, "n", "long").alias("n_b"),
-        _side(b, "sy", "decimal(38,0)").alias("sy_b"),
-        _side(b, "syy", "decimal(38,0)").alias("syy_b"),
-    )
-
-    # identical fixed-order expressions to the batch trajectory
-    # (operators/abtest.py::always_valid_pvalues — the bit-match test
-    # on the final look keeps the twins from drifting)
-    def _mean(s, n):
-        return F.col(s).cast("double") / (F.col(n).cast("double") * F.lit(ms))
-
-    def _var(s, ss, n):
-        dn = F.col(n).cast("decimal(19,0)")
-        num = (dn * F.col(ss) - F.col(s) * F.col(s)).cast("decimal(38,0)")
-        return num.cast("double") / (
-            F.col(n).cast("double")
-            * (F.col(n) - 1).cast("double")
-            * F.lit(ms * ms)
+    # update-mode changelog rows are cumulative per-arm snapshots
+    # stamped with the epoch they changed in: carry each arm's latest
+    # snapshot forward across the ordered epoch sequence
+    snap: dict = {}
+    for r in rows:
+        snap.setdefault(r["__epoch"], {})[r["arm"]] = (
+            int(r["n"]), int(r["sy"]), int(r["syy"])
         )
-
-    ready = (F.col("n_a") >= 2) & (F.col("n_b") >= 2)
-    diff = _mean("sy_b", "n_b") - _mean("sy_a", "n_a")
-    v = (
-        _var("sy_a", "syy_a", "n_a") / F.col("n_a").cast("double")
-        + _var("sy_b", "syy_b", "n_b") / F.col("n_b").cast("double")
-    )
-    lam = F.sqrt(v / (v + F.lit(tau2))) * F.exp(
-        F.lit(tau2) * diff * diff / (F.lit(2.0) * v * (v + F.lit(tau2)))
-    )
-    staged = cum.select(
-        "look", "n_a", "n_b",
-        F.when(ready, diff).alias("diff"),
-        F.when(ready & (v > 0), F.sqrt(v)).alias("se"),
-        F.when(ready & (v > 0), lam).alias("lam"),
-    )
-    w_min = Window.orderBy("look").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return staged.select(
-        "look", "n_a", "n_b", "diff", "se", "lam",
-        F.coalesce(
-            F.min(
-                F.when(
-                    F.col("lam").isNotNull(),
-                    F.least(F.lit(1.0), F.lit(1.0) / F.col("lam")),
-                )
-            ).over(w_min),
-            F.lit(1.0),
-        ).alias("p_always"),
+    state = {a: (0, 0, 0), b: (0, 0, 0)}
+    looks = []
+    for ep in sorted(snap):
+        for arm, cell in snap[ep].items():
+            state[arm] = cell
+        looks.append((ep, *state[a], *state[b]))
+    return log.sparkSession.createDataFrame(
+        _trajectory_rows(looks, ms, tau2),
+        _trajectory_schema("look", log.schema["__epoch"].dataType),
     )
 
 
@@ -374,6 +310,68 @@ def streaming_quantile_treatment_effects(
     return out
 
 
+def streaming_quantile_treatment_effect_cis(
+    stream_df: DataFrame,
+    metric_col: str,
+    arm_col: str,
+    ppms: tuple[int, ...] = (250_000, 500_000, 750_000),
+    confidence_ppm: int = 950_000,
+    quantize_bits: int | None = None,
+) -> DataFrame:
+    """Streaming twin of
+    :func:`operators.abtest.quantile_treatment_effect_cis`: the same
+    (arm, distinct-value) count-table state as the QTE twin, drained
+    into the identical rank-band readout — bit-equal to batch on the
+    same rows (suite-pinned; integer counts cannot be moved by
+    micro-batch boundaries, and the betai rank searches run on the
+    drained exact n).  State is O(arms x distinct metric values);
+    ``quantize_bits`` bounds it (the batch contract)."""
+    from ..operators.abtest import (
+        _arm_checked,
+        _check_confidence_ppm,
+        _q_expr,
+        quantile_treatment_effect_cis_from_counts,
+    )
+    from .pipeline import drain_to_df
+
+    op = "streaming_quantile_treatment_effect_cis"
+    _check_confidence_ppm(confidence_ppm, op)
+    if quantize_bits is not None:
+        if not (1 <= quantize_bits <= 43):
+            raise ValueError(
+                f"{op}: quantize_bits must be in [1, 43], got "
+                f"{quantize_bits}"
+            )
+        v_expr = _q_expr(metric_col, quantize_bits, op)
+    else:
+        s = F.col(metric_col).cast("double")
+        msg = f"{op}: NULL/NaN {metric_col} row — filter explicitly first"
+        v_expr = F.when(
+            s.isNull() | F.isnan(s),
+            F.raise_error(F.lit(msg)).cast("double"),
+        ).otherwise(s)
+    cells = (
+        stream_df.select(
+            _arm_checked(arm_col, op).alias("arm"), v_expr.alias("v")
+        )
+        .groupBy("arm", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    drained = drain_to_df(cells, "update", key_cols=("arm", "v"))
+    out = quantile_treatment_effect_cis_from_counts(
+        drained, ppms, confidence_ppm
+    )
+    if quantize_bits is not None:
+        ms = float(1 << quantize_bits)
+        vals = ["q_a", "lo_a", "hi_a", "q_b", "lo_b", "hi_b",
+                "qte", "qte_lo", "qte_hi"]
+        out = out.select(
+            "ppm", "arm_a", "arm_b",
+            *[(F.col(c) / F.lit(ms)).alias(c) for c in vals],
+        )
+    return out
+
+
 def streaming_spearman_corr(
     stream_df: DataFrame,
     x_col: str,
@@ -511,11 +509,13 @@ def streaming_proportion_ab_test(
     same rows (suite-pinned).  State is O(arms)."""
     from ..operators.abtest import (
         _arm_checked,
+        _check_confidence_ppm,
         _proportion_assemble,
     )
     from .pipeline import drain_to_df
 
     op = "streaming_proportion_ab_test"
+    _check_confidence_ppm(confidence_ppm, op)
     dt = stream_df.schema[success_col].dataType.simpleString()
     s = F.col(success_col)
     if dt not in ("boolean", "tinyint", "smallint", "int", "bigint"):
@@ -550,6 +550,7 @@ __all__ = [
     "streaming_kruskal_wallis",
     "streaming_mann_whitney_u",
     "streaming_proportion_ab_test",
+    "streaming_quantile_treatment_effect_cis",
     "streaming_quantile_treatment_effects",
     "streaming_spearman_corr",
     "streaming_trimmed_mean_ab_test",

@@ -607,6 +607,50 @@ def test_streaming_always_valid_looks(spark, tmp_path):
     assert last["p_always"] < 0.01
 
 
+def test_always_valid_beyond_r12_decimal_headroom(spark):
+    """The r13 wider contract (r12 verdict task 3): the trajectory is
+    assembled driver-side from Python-int moments, so cumulative n is
+    bounded only by the module-level moment-sum headroom.  This frame
+    — 1e6 rows per arm at scale_bits=43 with y in [1, 2) — puts the
+    final look's sy ~ 1.3e19 per arm, so the RETIRED in-plan
+    sy*sy decimal product (~1.7e38 > 10^38) would have overflowed
+    decimal(38,0); the driver-side path must score it exactly,
+    matching msprt_ab_test's never-overflowing _mean_var assembly on
+    the final look."""
+    from kafka_avro_order_processing_spark.operators.abtest import (
+        always_valid_pvalues as avp,
+    )
+
+    sb = 43
+    df = spark.range(2_000_000).select(
+        F.when(F.col("id") % 2 == 0, "control").otherwise("treat")
+        .alias("arm"),
+        (F.col("id") % 4).cast("long").alias("bucket"),
+        (1.0 + (F.col("id") % 1000).cast("double") / 1000.0).alias("y"),
+    )
+    out = sorted(
+        avp(df, "y", "arm", "bucket", tau=1.0, scale_bits=sb).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert len(out) == 4
+    last = out[-1]
+    assert last["n_a"] == last["n_b"] == 1_000_000
+    # sanity: the final-look moments really exceed the old cap —
+    # mean(y) ~ 1.4995, so sy ~ 1.4995 * 2^43 * 1e6 and sy^2 ~ 1.7e38
+    ms = float(1 << sb)
+    assert (last["n_a"] * (1.4 * ms)) ** 2 > 1e38
+    ps = [r["p_always"] for r in out]
+    assert all(0.0 <= p <= 1.0 for p in ps)
+    assert all(x >= y for x, y in zip(ps, ps[1:]))
+    scalar = msprt_ab_test(df, "y", "arm", tau=1.0, scale_bits=sb)
+    assert last["diff"] == scalar["diff"]
+    assert last["se"] == scalar["se"]
+    assert abs(last["lam"] - scalar["lambda"]) <= 1e-12 * abs(
+        scalar["lambda"]
+    )
+    assert abs(last["p_always"] - scalar["p_always"]) <= 1e-12
+
+
 def test_minimum_detectable_effect(spark):
     from statistics import NormalDist
 
@@ -1327,6 +1371,41 @@ def test_streaming_qte_bit_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_qte_cis_bit_matches_batch(spark, tmp_path):
+    from kafka_avro_order_processing_spark.operators.abtest import (
+        quantile_treatment_effect_cis,
+    )
+    from kafka_avro_order_processing_spark.streaming.abtest import (
+        streaming_quantile_treatment_effect_cis,
+    )
+
+    d = str(tmp_path / "qtecistream")
+    ev = load_table(spark, SF_DIR, "events").filter("value IS NOT NULL")
+    ev.select(
+        F.when(F.col("event_id") % 2 == 0, "a").otherwise("b").alias("arm"),
+        (F.col("value") % 19).cast("double").alias("y"),
+    ).limit(600).write.parquet(d)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(d).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    got = sorted(
+        streaming_quantile_treatment_effect_cis(stream, "y", "arm").collect()
+    )
+    want = sorted(
+        quantile_treatment_effect_cis(
+            spark.read.parquet(d), "y", "arm"
+        ).collect()
+    )
+    assert got == want
+    # contract check fires before any drain
+    with pytest.raises(ValueError, match="confidence_ppm"):
+        streaming_quantile_treatment_effect_cis(
+            stream, "y", "arm", confidence_ppm=100_000
+        )
+
+
 def test_streaming_spearman_bit_matches_batch(spark, tmp_path):
     from kafka_avro_order_processing_spark.streaming.abtest import (
         streaming_spearman_corr,
@@ -1687,6 +1766,148 @@ def test_grouped_quantile_cis_guards(spark):
     )
     with pytest.raises(ValueError, match="NULL group"):
         grouped_quantile_cis_from_counts(null_g)
+    with pytest.raises(ValueError, match="max_groups"):
+        grouped_quantile_cis_from_counts(df, max_groups=0)
+
+
+def test_grouped_quantile_cis_group_cardinality_guard(spark):
+    """r12 verdict task 4: a row-grained group_col must raise loudly
+    instead of collecting every group and spinning the driver through
+    the per-group betai searches.  The guard message names the knob;
+    raising it explicitly admits the same frame."""
+    many = spark.range(500).select(
+        F.col("id").cast("string").alias("g"),
+        F.col("id").cast("double").alias("v"),
+        F.lit(1).cast("long").alias("c"),
+    )
+    with pytest.raises(ValueError, match="max_groups=100"):
+        grouped_quantile_cis_from_counts(many, max_groups=100)
+    # explicit opt-in scores the same frame fine
+    out = grouped_quantile_cis_from_counts(many, max_groups=500)
+    assert out.count() == 500
+    # the wrapper forwards the knob
+    wide = spark.range(300).select(
+        F.col("id").cast("string").alias("seg"),
+        F.col("id").cast("double").alias("y"),
+    )
+    with pytest.raises(ValueError, match="max_groups=50"):
+        grouped_quantile_cis(wide, "y", "seg", max_groups=50).collect()
+
+
+def test_qte_cis_match_python_replica_and_qte(spark):
+    """r13: the paired quantile-difference bands.  Whole-table pin
+    against a Python replica using the same _ci_ranks (Bonferroni
+    arm confidence), and the point columns must EQUAL the plain QTE
+    readout on the same frame."""
+    from kafka_avro_order_processing_spark.operators.abtest import (
+        quantile_treatment_effect_cis,
+        quantile_treatment_effects,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").filter("value IS NOT NULL")
+    df = ev.select(
+        F.when(F.col("event_id") % 2 == 0, "a").otherwise("b").alias("arm"),
+        (F.col("value") % 41).cast("double").alias("y"),
+    )
+    ppms = (250_000, 500_000, 900_000)
+    conf = 950_000
+    got = {
+        r["ppm"]: r
+        for r in quantile_treatment_effect_cis(
+            df, "y", "arm", ppms=ppms, confidence_ppm=conf
+        ).collect()
+    }
+    assert set(got) == set(ppms)
+    rows = [(r["arm"], r["y"]) for r in df.collect()]
+    arm_conf = 1_000_000 - (1_000_000 - conf) // 2
+    by = {}
+    for arm in ("a", "b"):
+        vals = sorted(v for a2, v in rows if a2 == arm)
+        by[arm] = vals
+    for ppm in ppms:
+        r = got[ppm]
+        assert (r["arm_a"], r["arm_b"]) == ("a", "b")
+        rep = {}
+        for arm in ("a", "b"):
+            vals = by[arm]
+            n = len(vals)
+            lo_rank, hi_rank = _ci_ranks(n, ppm, arm_conf)
+            q_rank = -((-n * ppm) // 1_000_000)
+            rep[arm] = (vals[q_rank - 1], vals[lo_rank - 1],
+                        vals[hi_rank - 1])
+        assert (r["q_a"], r["lo_a"], r["hi_a"]) == rep["a"]
+        assert (r["q_b"], r["lo_b"], r["hi_b"]) == rep["b"]
+        assert r["qte"] == rep["b"][0] - rep["a"][0]
+        assert r["qte_lo"] == rep["b"][1] - rep["a"][2]
+        assert r["qte_hi"] == rep["b"][2] - rep["a"][1]
+        # band law: the interval brackets the point estimate
+        assert r["qte_lo"] <= r["qte"] <= r["qte_hi"]
+    # the point columns equal the plain QTE readout exactly
+    qte = {
+        r["ppm"]: r
+        for r in quantile_treatment_effects(df, "y", "arm",
+                                            ppms=ppms).collect()
+    }
+    for ppm in ppms:
+        assert got[ppm]["q_a"] == qte[ppm]["q_a"]
+        assert got[ppm]["q_b"] == qte[ppm]["q_b"]
+        assert got[ppm]["qte"] == qte[ppm]["qte"]
+
+
+def test_qte_cis_quantized_laws_and_monotone_confidence(spark):
+    from kafka_avro_order_processing_spark.operators.abtest import (
+        quantile_treatment_effect_cis,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").filter("value IS NOT NULL")
+    df = ev.select(
+        F.when(F.col("event_id") % 2 == 0, "a").otherwise("b").alias("arm"),
+        (F.col("value") % 17).cast("double").alias("y"),
+    )
+    s = 6
+    msf = float(1 << s)
+    r90, r99 = [
+        quantile_treatment_effect_cis(
+            df, "y", "arm", ppms=(500_000,), confidence_ppm=c,
+            quantize_bits=s,
+        ).collect()[0]
+        for c in (900_000, 990_000)
+    ]
+    # dequantized values are exact multiples of 2^-s
+    for c in ("q_a", "lo_a", "hi_a", "q_b", "lo_b", "hi_b"):
+        assert r90[c] * msf == float(int(r90[c] * msf)), c
+    # wider confidence -> wider (or equal) band, same point estimate
+    assert r99["qte_lo"] <= r90["qte_lo"]
+    assert r99["qte_hi"] >= r90["qte_hi"]
+    assert r99["qte"] == r90["qte"]
+    # bit-identical under repartitioning
+    again = quantile_treatment_effect_cis(
+        df.repartition(13), "y", "arm", ppms=(500_000,),
+        confidence_ppm=900_000, quantize_bits=s,
+    ).collect()[0]
+    assert tuple(again) == tuple(r90)
+
+
+def test_qte_cis_guards(spark):
+    from kafka_avro_order_processing_spark.operators.abtest import (
+        quantile_treatment_effect_cis,
+        quantile_treatment_effect_cis_from_counts,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 1), ("b", 2.0, 1)], "arm string, v double, c long"
+    )
+    with pytest.raises(ValueError, match="ppms"):
+        quantile_treatment_effect_cis_from_counts(df, ppms=())
+    with pytest.raises(ValueError, match="confidence_ppm"):
+        quantile_treatment_effect_cis_from_counts(
+            df, confidence_ppm=100_000
+        )
+    three = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("c", 3.0)], "arm string, y double"
+    )
+    with pytest.raises(ValueError, match="exactly 2 arms"):
+        quantile_treatment_effect_cis(three, "y", "arm")
 
 
 # ------------------------------------------------ proportion (binary) A/B
@@ -1792,3 +2013,42 @@ def test_streaming_proportion_bit_matches_batch(spark, tmp_path):
     got = streaming_proportion_ab_test(stream, "c", "arm")
     want = proportion_ab_test(spark.read.parquet(d), "c", "arm")
     assert got == want
+
+
+def test_proportion_lift_zero_zero_is_nan(spark):
+    """ADVICE r12: lift with 0 successes in BOTH arms is undefined
+    (NaN), not +inf; +inf stays reserved for 0 baseline with a
+    converting treatment."""
+    both_zero = spark.createDataFrame(
+        [("a", 0)] * 5 + [("b", 0)] * 5, "arm string, c int"
+    )
+    out = proportion_ab_test(both_zero, "c", "arm")
+    assert math.isnan(out["lift"])
+    treat_only = spark.createDataFrame(
+        [("a", 0)] * 5 + [("b", 0), ("b", 1)], "arm string, c int"
+    )
+    assert proportion_ab_test(treat_only, "c", "arm")["lift"] == float(
+        "inf"
+    )
+
+
+def test_streaming_proportion_validates_confidence_ppm(spark):
+    """ADVICE r12: the streaming twin enforces the same confidence_ppm
+    contract as batch, and fails FAST — before any stream drain — so
+    the bogus value surfaces as the contract message, not a
+    _beta_inv gamma-domain error after the drain."""
+    from kafka_avro_order_processing_spark.streaming.abtest import (
+        streaming_proportion_ab_test,
+    )
+
+    # never started: a raising-on-touch stream stub is unnecessary —
+    # rate source is valid but the check must fire before .start()
+    stream = (
+        spark.readStream.format("rate").load()
+        .select(F.lit("a").alias("arm"), F.lit(1).alias("c"))
+    )
+    for bad in (100_000, 400_000, 1_000_000, 0.95, None):
+        with pytest.raises(ValueError, match="confidence_ppm"):
+            streaming_proportion_ab_test(
+                stream, "c", "arm", confidence_ppm=bad
+            )

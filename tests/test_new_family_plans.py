@@ -170,6 +170,32 @@ def test_qte_plan_partitions_window_by_arm_and_stays_jvm_side(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_qte_cis_plan_contract(spark):
+    """quantile_treatment_effect_cis shares QTE's plan contract: the
+    cumulative window keys on arm, the rank table joins BROADCAST
+    (O(arms x ppms) driver rows — never a shuffle), and the plan
+    stays JVM-side with no Cartesian product."""
+    from kafka_avro_order_processing_spark.operators.abtest import (
+        quantile_treatment_effect_cis,
+    )
+
+    df = _events(spark).filter("value IS NOT NULL").select(
+        F.when(F.col("event_id") % 2 == 0, "a").otherwise("b").alias("arm"),
+        (F.col("value") % 13).cast("double").alias("y"),
+    )
+    plan = _plan(
+        quantile_treatment_effect_cis(df, "y", "arm", ppms=(500_000,))
+    )
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert specs, "no window definitions found in the QTE-CI plan"
+    assert all(s == "arm" for s in specs), specs
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_robust_readout_windows_partition_by_arm(spark):
     """winsorized_ab_test / trimmed_mean_ab_test share QTE's plan
     contract: their cumulative/count windows key on arm (two tasks
