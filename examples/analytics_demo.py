@@ -185,8 +185,10 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
     }
 
     # experiment readouts on a hash-split of purchase values: the QTE
-    # tail view and the whale-proof winsorized mean (round-12 family)
+    # tail view WITH its distribution-free error bar (round-13) and
+    # the whale-proof winsorized mean (round-12 family)
     from kafka_avro_order_processing_spark.operators.abtest import (
+        quantile_treatment_effect_cis,
         quantile_treatment_effects,
         winsorized_ab_test,
     )
@@ -201,10 +203,20 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
             exp, "y", "arm", ppms=(500_000, 900_000)
         ).collect()
     }
+    qte_bands = {
+        r["ppm"]: (r["qte_lo"], r["qte"], r["qte_hi"])
+        for r in quantile_treatment_effect_cis(
+            exp, "y", "arm", ppms=(500_000, 900_000),
+            confidence_ppm=950_000,
+        ).collect()
+    }
     wz = winsorized_ab_test(exp, "y", "arm", scale_bits=10)
 
     print(f"events: {ev.count()}, co-activity edges: {pairs.count()}")
     print(f"QTE by arm-split (p50/p90): {qte_rows}")
+    print("QTE 95% bands (lo, qte, hi):",
+          {p: tuple(round(x, 2) for x in band)
+           for p, band in qte_bands.items()})
     print(f"winsorized A/B: diff={wz['diff']:.4f} z={wz['z']:.2f} "
           f"(clamp a: [{wz['per_arm']['a']['lo']:.2f}, "
           f"{wz['per_arm']['a']['hi']:.2f}])")
@@ -254,6 +266,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
         "kll_quantiles": kll_qs,
         "sampled_purchase_value": (est_purchase_value, true_purchase_value),
         "qte": qte_rows,
+        "qte_bands": qte_bands,
         "winsorized_diff": wz["diff"],
     }
 

@@ -226,6 +226,11 @@ def test_analytics_demo_end_to_end(spark):
     for step in (2, 3):
         if f[step][1] is not None:
             assert 0.0 <= f[step][1] <= 1.0
+    # QTE bands bracket the point estimate at every reported ppm, and
+    # the point column agrees with the plain QTE readout
+    for ppm, (lo, mid, hi) in out["qte_bands"].items():
+        assert lo <= mid <= hi
+        assert mid == out["qte"][ppm]
 
 
 def test_retrieval_demo_end_to_end(spark):
