@@ -1406,6 +1406,209 @@ def spearman_corr_from_counts(counts: DataFrame) -> dict:
     return {"n": n, "rho": rho, "num": int(num), "den2": int(den2)}
 
 
+def _hl_scan(A, B, prefA, n_a, d):
+    """One two-pointer pass over the sorted per-arm (value, count)
+    arrays: (#pairs with diff <= d, largest achievable diff <= d,
+    smallest achievable diff > d), where diff = b_value - a_value and
+    every comparison uses the single float expression ``bv - av`` —
+    self-consistent and deterministic (exact on quantized ints).
+    O(|A| + |B|) Python-int counting."""
+    cnt = 0
+    pred = None
+    succ = None
+    i = 0
+    la = len(A)
+    for bv, cb in B:
+        while i < la and bv - A[i][0] > d:
+            i += 1
+        cnt += cb * (n_a - prefA[i])
+        if i < la:
+            cand = bv - A[i][0]
+            if pred is None or cand > pred:
+                pred = cand
+        if i > 0:
+            cand = bv - A[i - 1][0]
+            if succ is None or cand < succ:
+                succ = cand
+    return cnt, pred, succ
+
+
+def _hl_select(A, B, prefA, n_a, k):
+    """kth smallest pairwise difference (1-based) by float bisection
+    with achievable-value snapping: every narrowing lands on an
+    ACHIEVABLE difference (via the scan's pred/succ), so the loop
+    returns the exact order statistic, never an interpolation.
+    ~60 scans worst case."""
+    lo = B[0][0] - A[-1][0]
+    hi = B[-1][0] - A[0][0]
+    while lo < hi:
+        mid = 0.5 * (lo + hi)
+        if not (lo <= mid < hi):
+            mid = lo
+        cnt, pred, succ = _hl_scan(A, B, prefA, n_a, mid)
+        if cnt >= k:
+            hi = pred
+        else:
+            lo = succ
+    return lo
+
+
+def hodges_lehmann_shift(
+    df: DataFrame,
+    metric_col: str,
+    arm_col: str,
+    confidence_ppm: int = 950_000,
+    quantize_bits: int | None = None,
+    max_cells: int = 1_000_000,
+) -> dict:
+    """The Hodges-Lehmann shift estimate with its rank-inversion
+    confidence interval — the ROBUST effect size that pairs with
+    :func:`mann_whitney_u` (Hodges & Lehmann 1963; Lehmann,
+    "Nonparametrics"; Conover, "Practical Nonparametric Statistics"
+    §5.4): the median of all n_a x n_b pairwise differences
+    y_b - y_a, and the CI [D_(k_lo), D_(k_hi)] whose ranks come from
+    inverting the U test at the normal approximation,
+
+        C = floor(N/2 - z_{1-alpha/2} * sqrt(n_a n_b (n_a+n_b+1)/12)),
+        k_lo = C + 1,  k_hi = N - C,   N = n_a * n_b.
+
+    A single whale moves the estimate by at most one order statistic
+    — the robustness the raw mean difference lacks (law-pinned).
+    Ranks clamp to [1, N] at tiny n (one-sided-conservative, the
+    :func:`grouped_quantile_cis` convention); even-N medians average
+    the two middle order statistics (one IEEE op; exact on quantized
+    values).  The no-tie variance is the standard textbook form for
+    rank inversion; heavy ties make the interval conservative, never
+    anti-conservative.
+
+    Returns {arms, n, n_pairs, shift, ci_lo, ci_hi, k_lo, k_hi,
+    confidence_ppm}.
+
+    Exactness: the selection never materializes the N pairwise
+    differences — a float-bisection over ACHIEVABLE differences with
+    exact Python-int pair counting per probe (``_hl_select``), so the
+    result is the exact order statistic of the float multiset
+    {b - a}, bit-deterministic under any partitioning (suite-pinned
+    against a brute-force replica).  With ``quantize_bits`` the
+    arithmetic is pure integers and the outputs dequantize by exact
+    2^-s division.
+
+    Scale shape / CARDINALITY CONTRACT: ONE map-side-combinable
+    corpus groupBy to the (arm, value, count) table — the same
+    sufficient statistic as the U test — then O(distinct cells)
+    driver work per probe, ~60 probes.  The driver collect is
+    loudly bounded at ``max_cells`` (default 1e6; the
+    ``grouped_quantile_cis`` guard convention) and ``quantize_bits``
+    is the continuous-metric escape that bounds it by range * 2^s."""
+    op = "hodges_lehmann_shift"
+    _check_confidence_ppm(confidence_ppm, op)
+    if quantize_bits is not None:
+        if not (1 <= quantize_bits <= 43):
+            raise ValueError(
+                f"{op}: quantize_bits must be in [1, 43], got "
+                f"{quantize_bits}"
+            )
+        v_expr = _q_expr(metric_col, quantize_bits, op)
+    else:
+        s = F.col(metric_col).cast("double")
+        msg = f"{op}: NULL/NaN {metric_col} row — filter explicitly first"
+        v_expr = F.when(
+            s.isNull() | F.isnan(s),
+            F.raise_error(F.lit(msg)).cast("double"),
+        ).otherwise(s)
+    counts = (
+        df.select(_arm_checked(arm_col, op).alias("arm"),
+                  v_expr.alias("v"))
+        .groupBy("arm", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    out = hodges_lehmann_shift_from_counts(
+        counts, confidence_ppm, max_cells
+    )
+    if quantize_bits is not None:
+        ms = float(1 << quantize_bits)
+        for key in ("shift", "ci_lo", "ci_hi"):
+            out[key] = out[key] / ms
+    return out
+
+
+def hodges_lehmann_shift_from_counts(
+    counts: DataFrame,
+    confidence_ppm: int = 950_000,
+    max_cells: int = 1_000_000,
+) -> dict:
+    """The shift estimate from the (arm, v, c) sufficient statistic —
+    see :func:`hodges_lehmann_shift`.  The same count table maintained
+    as update-mode streaming state feeds this identical readout
+    (streaming/abtest.py::streaming_hodges_lehmann_shift,
+    suite-pinned bit-equal)."""
+    op = "hodges_lehmann_shift"
+    _check_confidence_ppm(confidence_ppm, op)
+    if not isinstance(max_cells, int) or max_cells < 2:
+        raise ValueError(
+            f"{op}: max_cells must be an int >= 2, got {max_cells!r}"
+        )
+    rows = counts.limit(max_cells + 1).collect()
+    if len(rows) > max_cells:
+        raise ValueError(
+            f"{op}: more than max_cells={max_cells} distinct "
+            "(arm, value) cells — the selection is driver-side over the "
+            "count table; pass quantize_bits to bound a continuous "
+            "metric, or raise max_cells explicitly"
+        )
+    arms = sorted({r["arm"] for r in rows})
+    if any(x is None for x in arms):
+        raise ValueError(f"{op}: NULL arm row — filter explicitly first")
+    if len(arms) != 2:
+        raise ValueError(
+            f"{op}: need exactly 2 arms, got {arms!r} — filter or split "
+            "multi-arm experiments into pairwise readouts"
+        )
+    a, b = arms
+    cell = {a: {}, b: {}}
+    for r in rows:
+        cell[r["arm"]][r["v"]] = cell[r["arm"]].get(r["v"], 0) + int(r["c"])
+    A = sorted(cell[a].items())
+    B = sorted(cell[b].items())
+    n_a = sum(c for _, c in A)
+    n_b = sum(c for _, c in B)
+    if n_a < 1 or n_b < 1:
+        raise ValueError(f"{op}: both arms need >= 1 row")
+    prefA = [0]
+    for _, c in A:
+        prefA.append(prefA[-1] + c)
+    npairs = n_a * n_b
+    k1 = (npairs + 1) // 2
+    k2 = npairs // 2 + 1
+    d1 = _hl_select(A, B, prefA, n_a, k1)
+    d2 = d1 if k2 == k1 else _hl_select(A, B, prefA, n_a, k2)
+    shift = d1 if k2 == k1 else (d1 + d2) / 2.0
+    from statistics import NormalDist
+
+    alpha = (1_000_000 - confidence_ppm) / 1_000_000.0
+    z = NormalDist().inv_cdf(1.0 - alpha / 2.0)
+    c_crit = math.floor(
+        npairs / 2.0 - z * math.sqrt(n_a * n_b * (n_a + n_b + 1) / 12.0)
+    )
+    k_lo = max(1, int(c_crit) + 1)
+    k_hi = min(npairs, npairs - int(c_crit))
+    if k_lo > k_hi:  # tiny n: clamp to the full achievable range
+        k_lo, k_hi = 1, npairs
+    ci_lo = _hl_select(A, B, prefA, n_a, k_lo)
+    ci_hi = _hl_select(A, B, prefA, n_a, k_hi)
+    return {
+        "arms": arms,
+        "n": {a: n_a, b: n_b},
+        "n_pairs": npairs,
+        "shift": float(shift),
+        "ci_lo": float(ci_lo),
+        "ci_hi": float(ci_hi),
+        "k_lo": k_lo,
+        "k_hi": k_hi,
+        "confidence_ppm": int(confidence_ppm),
+    }
+
+
 def quantile_treatment_effects(
     df: DataFrame,
     metric_col: str,

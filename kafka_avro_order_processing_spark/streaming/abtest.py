@@ -372,6 +372,65 @@ def streaming_quantile_treatment_effect_cis(
     return out
 
 
+def streaming_hodges_lehmann_shift(
+    stream_df: DataFrame,
+    metric_col: str,
+    arm_col: str,
+    confidence_ppm: int = 950_000,
+    quantize_bits: int | None = None,
+    max_cells: int = 1_000_000,
+) -> dict:
+    """Streaming twin of
+    :func:`operators.abtest.hodges_lehmann_shift`: the (arm,
+    distinct-value) count table — the shift estimate's sufficient
+    statistic — accumulates as update-mode streaming aggregation
+    state; the drained table feeds the identical driver-side
+    selection, bit-equal to batch on the same rows (suite-pinned).
+    State is O(arms x distinct metric values); ``quantize_bits``
+    bounds it (the batch contract), and ``max_cells`` bounds the
+    drained driver collect loudly."""
+    from ..operators.abtest import (
+        _arm_checked,
+        _check_confidence_ppm,
+        _q_expr,
+        hodges_lehmann_shift_from_counts,
+    )
+    from .pipeline import drain_to_df
+
+    op = "streaming_hodges_lehmann_shift"
+    _check_confidence_ppm(confidence_ppm, op)
+    if quantize_bits is not None:
+        if not (1 <= quantize_bits <= 43):
+            raise ValueError(
+                f"{op}: quantize_bits must be in [1, 43], got "
+                f"{quantize_bits}"
+            )
+        v_expr = _q_expr(metric_col, quantize_bits, op)
+    else:
+        s = F.col(metric_col).cast("double")
+        msg = f"{op}: NULL/NaN {metric_col} row — filter explicitly first"
+        v_expr = F.when(
+            s.isNull() | F.isnan(s),
+            F.raise_error(F.lit(msg)).cast("double"),
+        ).otherwise(s)
+    cells = (
+        stream_df.select(
+            _arm_checked(arm_col, op).alias("arm"), v_expr.alias("v")
+        )
+        .groupBy("arm", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    drained = drain_to_df(cells, "update", key_cols=("arm", "v"))
+    out = hodges_lehmann_shift_from_counts(
+        drained, confidence_ppm, max_cells
+    )
+    if quantize_bits is not None:
+        ms = float(1 << quantize_bits)
+        for key in ("shift", "ci_lo", "ci_hi"):
+            out[key] = out[key] / ms
+    return out
+
+
 def streaming_spearman_corr(
     stream_df: DataFrame,
     x_col: str,
@@ -547,6 +606,7 @@ def streaming_proportion_ab_test(
 
 __all__ = [
     "streaming_always_valid_pvalues",
+    "streaming_hodges_lehmann_shift",
     "streaming_kruskal_wallis",
     "streaming_mann_whitney_u",
     "streaming_proportion_ab_test",

@@ -1910,6 +1910,151 @@ def test_qte_cis_guards(spark):
         quantile_treatment_effect_cis(three, "y", "arm")
 
 
+# ------------------------------------------------ Hodges-Lehmann shift
+
+from kafka_avro_order_processing_spark.operators.abtest import (  # noqa: E402
+    hodges_lehmann_shift,
+    hodges_lehmann_shift_from_counts,
+)
+
+
+def _hl_brute(avals, bvals, confidence_ppm=950_000):
+    """Brute-force replica: materialize ALL pairwise differences with
+    the operator's exact float expression (b - a), sort, select."""
+    from statistics import NormalDist
+
+    diffs = sorted(bv - av for av in avals for bv in bvals)
+    npairs = len(diffs)
+    k1, k2 = (npairs + 1) // 2, npairs // 2 + 1
+    shift = diffs[k1 - 1] if k1 == k2 else (
+        diffs[k1 - 1] + diffs[k2 - 1]
+    ) / 2.0
+    alpha = (1_000_000 - confidence_ppm) / 1_000_000.0
+    z = NormalDist().inv_cdf(1.0 - alpha / 2.0)
+    na, nb = len(avals), len(bvals)
+    c = math.floor(npairs / 2.0 - z * math.sqrt(
+        na * nb * (na + nb + 1) / 12.0))
+    k_lo, k_hi = max(1, c + 1), min(npairs, npairs - c)
+    if k_lo > k_hi:
+        k_lo, k_hi = 1, npairs
+    return shift, diffs[k_lo - 1], diffs[k_hi - 1], k_lo, k_hi
+
+
+def test_hodges_lehmann_textbook_and_brute_force(spark):
+    # hand case: a=[1,2,3], b=[4,5,6] -> 9 diffs 1..5, median 3
+    tiny = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0),
+         ("b", 4.0), ("b", 5.0), ("b", 6.0)],
+        "arm string, y double",
+    )
+    t = hodges_lehmann_shift(tiny, "y", "arm")
+    assert t["shift"] == 3.0 and t["n_pairs"] == 9
+    assert t["ci_lo"] <= 3.0 <= t["ci_hi"]
+    # brute-force replica on a real slice with ties and both parities
+    ev = load_table(spark, SF_DIR, "events").filter("value IS NOT NULL")
+    for nlim in (120, 121):
+        df = ev.select(
+            F.when(F.col("event_id") % 2 == 0, "a").otherwise("b")
+            .alias("arm"),
+            (F.col("value") % 13).cast("double").alias("y"),
+        ).limit(nlim)
+        rows = [(r["arm"], r["y"]) for r in df.collect()]
+        avals = [v for a2, v in rows if a2 == "a"]
+        bvals = [v for a2, v in rows if a2 == "b"]
+        want = _hl_brute(avals, bvals)
+        got = hodges_lehmann_shift(df, "y", "arm")
+        assert got["shift"] == want[0]
+        assert (got["ci_lo"], got["ci_hi"]) == (want[1], want[2])
+        assert (got["k_lo"], got["k_hi"]) == (want[3], want[4])
+        assert got["n"] == {"a": len(avals), "b": len(bvals)}
+
+
+def test_hodges_lehmann_laws(spark):
+    ev = load_table(spark, SF_DIR, "events").filter("value IS NOT NULL")
+    df = ev.select(
+        F.when(F.col("event_id") % 2 == 0, "a").otherwise("b").alias("arm"),
+        (F.col("value") % 29).cast("double").alias("y"),
+    )
+    out = hodges_lehmann_shift(df, "y", "arm", quantize_bits=8)
+    assert out["ci_lo"] <= out["shift"] <= out["ci_hi"]
+    # translation equivariance: +c on arm b shifts everything by +c
+    # exactly (quantized integers)
+    shifted = df.withColumn(
+        "y",
+        F.when(F.col("arm") == "b", F.col("y") + 4.0).otherwise(F.col("y")),
+    )
+    out2 = hodges_lehmann_shift(shifted, "y", "arm", quantize_bits=8)
+    for k in ("shift", "ci_lo", "ci_hi"):
+        assert out2[k] == out[k] + 4.0, k
+    # robustness law: one 1e6 whale in arm b barely moves the HL shift
+    # while the raw mean difference explodes
+    whale = df.limit(400).union(
+        spark.createDataFrame([("b", 1e6)], "arm string, y double")
+    )
+    base = hodges_lehmann_shift(df.limit(400), "y", "arm", quantize_bits=8)
+    w = hodges_lehmann_shift(whale, "y", "arm", quantize_bits=8)
+    assert abs(w["shift"] - base["shift"]) < 1.0
+    means = {
+        r["arm"]: r["m"]
+        for r in whale.groupBy("arm").agg(F.avg("y").alias("m")).collect()
+    }
+    assert means["b"] - means["a"] > 1000.0
+    # bit-identical under repartitioning
+    again = hodges_lehmann_shift(
+        df.repartition(17), "y", "arm", quantize_bits=8
+    )
+    assert again == out
+
+
+def test_hodges_lehmann_guards(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0)], "arm string, y double"
+    )
+    with pytest.raises(ValueError, match="confidence_ppm"):
+        hodges_lehmann_shift(df, "y", "arm", confidence_ppm=100_000)
+    three = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("c", 3.0)], "arm string, y double"
+    )
+    with pytest.raises(ValueError, match="exactly 2 arms"):
+        hodges_lehmann_shift(three, "y", "arm")
+    wide = spark.range(300).select(
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("arm"),
+        F.col("id").cast("double").alias("v"),
+        F.lit(1).cast("long").alias("c"),
+    )
+    with pytest.raises(ValueError, match="max_cells=100"):
+        hodges_lehmann_shift_from_counts(wide, max_cells=100)
+    # tiny n: ranks clamp to the full range, never invert
+    out = hodges_lehmann_shift(df, "y", "arm")
+    assert (out["k_lo"], out["k_hi"]) == (1, 1)
+    assert out["shift"] == out["ci_lo"] == out["ci_hi"] == 1.0
+
+
+def test_streaming_hodges_lehmann_bit_matches_batch(spark, tmp_path):
+    from kafka_avro_order_processing_spark.streaming.abtest import (
+        streaming_hodges_lehmann_shift,
+    )
+
+    d = str(tmp_path / "hlstream")
+    ev = load_table(spark, SF_DIR, "events").filter("value IS NOT NULL")
+    ev.select(
+        F.when(F.col("event_id") % 2 == 0, "a").otherwise("b").alias("arm"),
+        (F.col("value") % 19).cast("double").alias("y"),
+    ).limit(600).write.parquet(d)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(d).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    got = streaming_hodges_lehmann_shift(stream, "y", "arm")
+    want = hodges_lehmann_shift(spark.read.parquet(d), "y", "arm")
+    assert got == want
+    with pytest.raises(ValueError, match="confidence_ppm"):
+        streaming_hodges_lehmann_shift(
+            stream, "y", "arm", confidence_ppm=5
+        )
+
+
 # ------------------------------------------------ proportion (binary) A/B
 
 from kafka_avro_order_processing_spark.operators.abtest import (  # noqa: E402
