@@ -116,8 +116,14 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None):
     # 5. clustered ratio metric
     ratio = ratio_metric_ab_test(frame, "clicks", "y", "unit", "arm")
 
-    # 6. nonparametric cross-check on the same metric
+    # 6. nonparametric cross-check on the same metric, with the
+    # Hodges-Lehmann robust effect size + CI that pairs with it (r13)
     mwu = mann_whitney_u(frame, "y", "arm")
+    from kafka_avro_order_processing_spark.operators.abtest import (
+        hodges_lehmann_shift,
+    )
+
+    hl = hodges_lehmann_shift(frame, "y", "arm")
 
     # 7. censoring-aware retention: per-user span in days, censored
     # when the span reaches the observation horizon
@@ -166,6 +172,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None):
     print(f"clicks/y ratio: diff = {ratio['diff']:.5f}, "
           f"se = {ratio['se']:.5f}, z = {ratio['z']:.3f}")
     print(f"rank test: U z = {mwu['z']:.3f}, p = {mwu['p']:.4f}")
+    print(f"HL shift = {hl['shift']:.4f} "
+          f"[{hl['ci_lo']:.4f}, {hl['ci_hi']:.4f}] "
+          f"({hl['n_pairs']} implied pairs, never materialized)")
     print(f"retention medians (days): {medians}; "
           f"log-rank chi2 = {lr['chi2']:.3f}, p = {lr['p']:.4f}")
     print(f"label quality: krippendorff alpha = {alpha['alpha']:.4f} "
@@ -184,6 +193,8 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None):
         "ratio_z": ratio["z"],
         "ratio_se": ratio["se"],
         "mwu_p": mwu["p"],
+        "hl_shift": hl["shift"],
+        "hl_ci": (hl["ci_lo"], hl["ci_hi"]),
         "retention_medians": medians,
         "logrank_p": lr["p"],
         "kripp_alpha": alpha["alpha"],

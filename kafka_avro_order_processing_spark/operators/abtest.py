@@ -1121,6 +1121,160 @@ def mann_whitney_u_from_counts(counts: DataFrame) -> dict:
     }
 
 
+def wilcoxon_signed_rank(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    quantize_bits: int | None = None,
+) -> dict:
+    """Wilcoxon signed-rank test (Wilcoxon 1945) — the PAIRED-sample
+    nonparametric readout (pre/post, matched units) that completes
+    :func:`mann_whitney_u`'s independent-sample one: per-row
+    difference d = y - x, zeros DISCARDED (Wilcoxon's convention,
+    reported as ``n_zero``), |d| midranked with ties, W+ = the rank
+    sum of the positive differences; normal approximation with the
+    tie-corrected variance and continuity correction,
+
+        mu = n(n+1)/4,
+        var = n(n+1)(2n+1)/24 - sum_v (t_v^3 - t_v)/48.
+
+    Returns {n, n_zero, w_plus, mu, sigma, z, p, two_w, tie_term}.
+
+    Exactness (the MWU discipline): no ranks are materialized — with
+    per-distinct-|d| counts c+(v), c-(v) and the exclusive cumulative
+    nonzero count T(<v),
+
+        2*W+ = sum_v c+(v) * (2*T(<v) + t_v + 1),   t_v = c+(v)+c-(v)
+
+    is an exact integer computed as decimal sums; mu, sigma, z
+    assemble on the driver from exact Fractions with one float
+    conversion each, p = erfc(|z|/sqrt 2).  Swapping x and y negates
+    z EXACTLY (suite-pinned antisymmetry law).
+
+    Scale shape / CARDINALITY CONTRACT: one groupBy over DISTINCT
+    |d| values, one cumulative window over them (no partition key —
+    the frame sorts in a SINGLE task; same contract and language as
+    :func:`mann_whitney_u`), one aggregate.  For a continuous
+    corpus-scale difference pass ``quantize_bits=s``: d is quantized
+    as one floor((y - x) * 2^s + 0.5) — monotone, so the result IS
+    the exact tie-corrected test on the bucketed difference
+    (within-bucket differences become ties/zeros by construction;
+    suite-pinned equal to the exact test on a pre-bucketed
+    difference column)."""
+    op = "wilcoxon_signed_rank"
+    dx = F.col(x_col).cast("double")
+    dy = F.col(y_col).cast("double")
+    raw = dy - dx
+    proj = df.select(raw.alias("d"))
+    if quantize_bits is not None:
+        if not (1 <= quantize_bits <= 43):
+            raise ValueError(
+                f"{op}: quantize_bits must be in [1, 43], got "
+                f"{quantize_bits}"
+            )
+        d_expr = _q_expr("d", quantize_bits, op)
+    else:
+        s = F.col("d").cast("double")
+        msg = (
+            f"{op}: NULL/NaN difference row ({y_col} - {x_col}) — "
+            "filter explicitly first"
+        )
+        d_expr = F.when(
+            s.isNull() | F.isnan(s),
+            F.raise_error(F.lit(msg)).cast("double"),
+        ).otherwise(s)
+    cells = (
+        proj.select(d_expr.alias("dd"))
+        .select(F.abs(F.col("dd")).alias("v"), F.signum("dd").alias("sgn"))
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("sgn") > 0, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long").alias("cpos"),
+            F.sum(F.when(F.col("sgn") < 0, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long").alias("cneg"),
+            F.sum(F.when(F.col("sgn") == 0, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long").alias("czero"),
+        )
+    )
+    return wilcoxon_signed_rank_from_counts(cells)
+
+
+def wilcoxon_signed_rank_from_counts(counts: DataFrame) -> dict:
+    """The signed-rank readout from its sufficient statistic — the
+    per-distinct-|d| (v, cpos, cneg, czero) count table; see
+    :func:`wilcoxon_signed_rank`.  The same table maintained as
+    update-mode streaming state feeds this identical readout
+    (streaming/abtest.py::streaming_wilcoxon_signed_rank,
+    suite-pinned bit-equal).  The v = 0 row carries czero only
+    (cpos = cneg = 0), so it contributes nothing to the window or the
+    rank sums and needs no filter."""
+    op = "wilcoxon_signed_rank"
+    from pyspark.sql import Window
+
+    w_ex = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    d19, d38 = "decimal(19,0)", "decimal(38,0)"
+    t = (F.col("cpos") + F.col("cneg")).cast("long")
+    staged = counts.withColumn("t", t).withColumn(
+        "cumt", (F.sum("t").over(w_ex) - F.col("t")).cast("long")
+    )
+    agg = staged.agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum("czero").cast("long").alias("n_zero"),
+        F.sum(
+            (F.col("cpos").cast(d19)
+             * (F.lit(2).cast(d19) * F.col("cumt").cast(d19)
+                + F.col("t").cast(d19)
+                + F.lit(1).cast(d19))).cast(d38)
+        ).cast(d38).alias("two_w"),
+        F.sum(
+            (F.col("t").cast(d19) * F.col("t").cast(d19)
+             * F.col("t").cast(d19)
+             - F.col("t").cast(d19)).cast(d38)
+        ).cast(d38).alias("tie_term"),
+    ).collect()[0]
+    from fractions import Fraction
+
+    n = int(agg["n"] or 0)
+    n_zero = int(agg["n_zero"] or 0)
+    if n < 1:
+        return {
+            "n": 0, "n_zero": n_zero, "w_plus": float("nan"),
+            "mu": float("nan"), "sigma": 0.0, "z": float("nan"),
+            "p": float("nan"), "two_w": 0, "tie_term": 0,
+        }
+    two_w = int(agg["two_w"])
+    ties = int(agg["tie_term"])
+    w_plus = Fraction(two_w, 2)
+    mu = Fraction(n * (n + 1), 4)
+    var = Fraction(n * (n + 1) * (2 * n + 1), 24) - Fraction(ties, 48)
+    if var <= 0:
+        return {
+            "n": n, "n_zero": n_zero, "w_plus": float(w_plus),
+            "mu": float(mu), "sigma": 0.0, "z": float("nan"),
+            "p": float("nan"), "two_w": two_w, "tie_term": ties,
+        }
+    sigma = math.sqrt(float(var))
+    diff = w_plus - mu
+    cc = Fraction(1, 2) if diff > 0 else (
+        Fraction(-1, 2) if diff < 0 else 0
+    )
+    z = float(diff - cc) / sigma
+    p = math.erfc(abs(z) / math.sqrt(2.0))
+    return {
+        "n": n,
+        "n_zero": n_zero,
+        "w_plus": float(w_plus),
+        "mu": float(mu),
+        "sigma": sigma,
+        "z": z,
+        "p": p,
+        "two_w": two_w,
+        "tie_term": ties,
+    }
+
+
 def kruskal_wallis(
     df: DataFrame,
     metric_col: str,

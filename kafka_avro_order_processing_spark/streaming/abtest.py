@@ -372,6 +372,64 @@ def streaming_quantile_treatment_effect_cis(
     return out
 
 
+def streaming_wilcoxon_signed_rank(
+    stream_df: DataFrame,
+    x_col: str,
+    y_col: str,
+    quantize_bits: int | None = None,
+) -> dict:
+    """Streaming twin of
+    :func:`operators.abtest.wilcoxon_signed_rank`: the per-distinct-
+    |d| (v, cpos, cneg, czero) count table accumulates as update-mode
+    streaming aggregation state (associative integer sums — batch
+    boundaries cannot move them) and the drained table feeds the
+    identical readout, bit-equal to batch on the same rows
+    (suite-pinned).  State is O(distinct |d| values);
+    ``quantize_bits`` bounds it (the batch cardinality contract)."""
+    from ..operators.abtest import (
+        _q_expr,
+        wilcoxon_signed_rank_from_counts,
+    )
+    from .pipeline import drain_to_df
+
+    op = "streaming_wilcoxon_signed_rank"
+    dx = F.col(x_col).cast("double")
+    dy = F.col(y_col).cast("double")
+    proj = stream_df.select((dy - dx).alias("d"))
+    if quantize_bits is not None:
+        if not (1 <= quantize_bits <= 43):
+            raise ValueError(
+                f"{op}: quantize_bits must be in [1, 43], got "
+                f"{quantize_bits}"
+            )
+        d_expr = _q_expr("d", quantize_bits, op)
+    else:
+        s = F.col("d").cast("double")
+        msg = (
+            f"{op}: NULL/NaN difference row ({y_col} - {x_col}) — "
+            "filter explicitly first"
+        )
+        d_expr = F.when(
+            s.isNull() | F.isnan(s),
+            F.raise_error(F.lit(msg)).cast("double"),
+        ).otherwise(s)
+    cells = (
+        proj.select(d_expr.alias("dd"))
+        .select(F.abs(F.col("dd")).alias("v"), F.signum("dd").alias("sgn"))
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("sgn") > 0, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long").alias("cpos"),
+            F.sum(F.when(F.col("sgn") < 0, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long").alias("cneg"),
+            F.sum(F.when(F.col("sgn") == 0, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long").alias("czero"),
+        )
+    )
+    drained = drain_to_df(cells, "update", key_cols=("v",))
+    return wilcoxon_signed_rank_from_counts(drained)
+
+
 def streaming_hodges_lehmann_shift(
     stream_df: DataFrame,
     metric_col: str,
@@ -614,5 +672,6 @@ __all__ = [
     "streaming_quantile_treatment_effects",
     "streaming_spearman_corr",
     "streaming_trimmed_mean_ab_test",
+    "streaming_wilcoxon_signed_rank",
     "streaming_winsorized_ab_test",
 ]

@@ -1910,6 +1910,132 @@ def test_qte_cis_guards(spark):
         quantile_treatment_effect_cis(three, "y", "arm")
 
 
+# ------------------------------------------------ Wilcoxon signed-rank
+
+from kafka_avro_order_processing_spark.operators.abtest import (  # noqa: E402
+    wilcoxon_signed_rank,
+)
+
+
+def _wsr_replica(ds):
+    """Exact Python replica: midranks over |d| with ties, Wilcoxon
+    zero-discard, tie-corrected normal approximation — assembled in
+    the operator's exact Fraction/float order."""
+    from fractions import Fraction
+
+    nz = [d for d in ds if d != 0]
+    n_zero = len(ds) - len(nz)
+    n = len(nz)
+    if n < 1:
+        return {"n": 0, "n_zero": n_zero}
+    av = sorted((abs(d), d > 0) for d in nz)
+    # group by |d|
+    groups = {}
+    for v, pos in av:
+        c = groups.setdefault(v, [0, 0])
+        c[0 if pos else 1] += 1
+    two_w = 0
+    ties = 0
+    cumt = 0
+    for v in sorted(groups):
+        cpos, cneg = groups[v]
+        t = cpos + cneg
+        two_w += cpos * (2 * cumt + t + 1)
+        ties += t * t * t - t
+        cumt += t
+    w_plus = Fraction(two_w, 2)
+    mu = Fraction(n * (n + 1), 4)
+    var = Fraction(n * (n + 1) * (2 * n + 1), 24) - Fraction(ties, 48)
+    sigma = math.sqrt(float(var))
+    diff = w_plus - mu
+    cc = Fraction(1, 2) if diff > 0 else (
+        Fraction(-1, 2) if diff < 0 else 0
+    )
+    z = float(diff - cc) / sigma
+    return {
+        "n": n, "n_zero": n_zero, "w_plus": float(w_plus),
+        "mu": float(mu), "sigma": sigma, "z": z,
+        "p": math.erfc(abs(z) / math.sqrt(2.0)),
+        "two_w": two_w, "tie_term": ties,
+    }
+
+
+def test_wilcoxon_signed_rank_hand_case_and_replica(spark):
+    # hand case: d = [1, 2, 3, -4, 5] -> ranks 1..5, W+ = 1+2+3+5 = 11
+    tiny = spark.createDataFrame(
+        [(0.0, 1.0), (0.0, 2.0), (0.0, 3.0), (4.0, 0.0), (0.0, 5.0)],
+        "x double, y double",
+    )
+    t = wilcoxon_signed_rank(tiny, "x", "y")
+    assert t["w_plus"] == 11.0 and t["n"] == 5 and t["n_zero"] == 0
+    assert t["mu"] == 7.5 and t["tie_term"] == 0
+    # replica on a real slice with ties and zeros, quantized + not
+    ev = load_table(spark, SF_DIR, "events").filter("value IS NOT NULL")
+    df = ev.select(
+        (F.col("value") % 11).cast("double").alias("x"),
+        (F.col("value") % 7).cast("double").alias("y"),
+    ).limit(500)
+    rows = [(r["x"], r["y"]) for r in df.collect()]
+    got = wilcoxon_signed_rank(df, "x", "y")
+    want = _wsr_replica([y - x for x, y in rows])
+    assert got == want
+    assert got["n_zero"] > 0  # the slice really exercises zeros
+    sq = 4
+    gotq = wilcoxon_signed_rank(df, "x", "y", quantize_bits=sq)
+    wantq = _wsr_replica(
+        [math.floor((y - x) * (1 << sq) + 0.5) for x, y in rows]
+    )
+    assert gotq == wantq
+
+
+def test_wilcoxon_signed_rank_laws(spark):
+    ev = load_table(spark, SF_DIR, "events").filter("value IS NOT NULL")
+    df = ev.select(
+        (F.col("value") % 11).cast("double").alias("x"),
+        (F.col("value") % 7 + 0.5).cast("double").alias("y"),
+    )
+    out = wilcoxon_signed_rank(df, "x", "y")
+    # antisymmetry: swapping the pair negates z exactly
+    swapped = wilcoxon_signed_rank(df, "y", "x")
+    assert swapped["z"] == -out["z"]
+    assert swapped["n"] == out["n"] and swapped["p"] == out["p"]
+    # rank-sum identity: W+ + W- = n(n+1)/2 exactly
+    n = out["n"]
+    assert out["w_plus"] + swapped["w_plus"] == n * (n + 1) / 2
+    # identical pairs -> all zeros -> no test, loudly NaN
+    same = df.select("x", F.col("x").alias("y"))
+    deg = wilcoxon_signed_rank(same, "x", "y")
+    assert deg["n"] == 0 and deg["n_zero"] > 0
+    assert math.isnan(deg["z"]) and math.isnan(deg["p"])
+    # bit-identical under repartitioning
+    again = wilcoxon_signed_rank(df.repartition(13), "x", "y")
+    assert again == out
+    # validation
+    with pytest.raises(ValueError, match="quantize_bits"):
+        wilcoxon_signed_rank(df, "x", "y", quantize_bits=0)
+
+
+def test_streaming_wilcoxon_bit_matches_batch(spark, tmp_path):
+    from kafka_avro_order_processing_spark.streaming.abtest import (
+        streaming_wilcoxon_signed_rank,
+    )
+
+    d = str(tmp_path / "wsrstream")
+    ev = load_table(spark, SF_DIR, "events").filter("value IS NOT NULL")
+    ev.select(
+        (F.col("value") % 11).cast("double").alias("x"),
+        (F.col("value") % 7).cast("double").alias("y"),
+    ).limit(600).write.parquet(d)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(d).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    got = streaming_wilcoxon_signed_rank(stream, "x", "y")
+    want = wilcoxon_signed_rank(spark.read.parquet(d), "x", "y")
+    assert got == want
+
+
 # ------------------------------------------------ Hodges-Lehmann shift
 
 from kafka_avro_order_processing_spark.operators.abtest import (  # noqa: E402

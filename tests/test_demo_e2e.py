@@ -312,6 +312,8 @@ def test_experimentation_demo_end_to_end(spark):
     assert 3.0 * n_have < out["n_for_half_mde"] < 5.0 * n_have
     assert math.isfinite(out["ratio_z"]) and out["ratio_se"] > 0
     assert 0.0 <= out["mwu_p"] <= 1.0
+    # the HL interval brackets its point estimate
+    assert out["hl_ci"][0] <= out["hl_shift"] <= out["hl_ci"][1]
     assert 0.0 <= out["logrank_p"] <= 1.0
     assert set(out["retention_medians"]) == {"control", "treat"}
     assert -1.0 <= out["kripp_alpha"] <= 1.0
