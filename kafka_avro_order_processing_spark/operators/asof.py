@@ -78,3 +78,59 @@ def asof_join(
     return filled.filter(F.col("__side") == 1).select(
         F.col("__left.*"), F.col("__match.*")
     )
+
+
+def asof_join_same_source(
+    df: DataFrame,
+    on: str,
+    left_pred,
+    right_pred,
+    ts: str = "ts",
+    left_cols: tuple[str, ...] | None = None,
+    right_value_cols: tuple[str, ...] = (),
+    right_tiebreak: str | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """``asof_join(df.filter(left_pred), df.filter(right_pred), ...)``
+    in ONE scan of ``df`` (r13 optimization, guide §2.4/§6): when both
+    sides of the as-of come from the same table, the union-of-two-
+    filtered-scans plan reads the fact table twice just to tag rows the
+    single pass can tag with a conditional projection.  Each input row
+    maps to exactly one side, so the tagged stream is row-for-row the
+    union the generic operator builds — same window, same semantics,
+    rows verified identical (suite-pinned against asof_join).
+
+    CONTRACT: ``left_pred`` and ``right_pred`` must be DISJOINT (a row
+    matching both would appear on both sides of the generic form but
+    can only take one side here; it takes the left branch).  Rows
+    matching neither are dropped, as in the generic form.
+
+    ``left_cols`` limits the carried left payload (default: all of
+    ``df``'s columns, matching asof_join's output).
+    """
+    left_cols = tuple(left_cols) if left_cols is not None else tuple(df.columns)
+    rv = F.struct(
+        F.col(ts).alias(f"{ts}{suffix}"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_value_cols],
+    )
+    lv = F.struct(*[F.col(c) for c in left_cols])
+    tb = F.col(right_tiebreak) if right_tiebreak else F.lit(0)
+    tagged = df.filter(left_pred | right_pred).select(
+        F.col(on).alias("__key"),
+        F.col(ts).alias("__ts"),
+        F.when(left_pred, F.lit(1)).otherwise(F.lit(0)).alias("__side"),
+        F.when(~left_pred, tb).alias("__tb"),
+        F.when(~left_pred, rv).alias("__rv"),
+        F.when(left_pred, lv).alias("__left"),
+    )
+    w = (
+        Window.partitionBy("__key")
+        .orderBy(F.col("__ts"), F.col("__side"), F.col("__tb"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = tagged.withColumn(
+        "__match", F.last(F.col("__rv"), ignorenulls=True).over(w)
+    )
+    return filled.filter(F.col("__side") == 1).select(
+        F.col("__left.*"), F.col("__match.*")
+    )

@@ -34,15 +34,22 @@ SIMHASH_BITS = 32
 
 
 def _spread(df: DataFrame, key: str) -> DataFrame:
-    """Hash-repartition to the session's parallelism.
+    """Hash-repartition to the session's parallelism — but ONLY when the
+    scan is narrower than the cluster.
 
     The hash work below is CPU-bound per row; a small parquet input
-    arrives as one split and would otherwise run on one core.  At real
-    scale the scan already yields many splits, but the repartition is
-    then a cheap no-op-sized shuffle keyed the way downstream groupBys
-    want it anyway.
+    arrives as one split and would otherwise run on one core (measured
+    at sf0.1: the single-task signature pass is ~3x the wall of the
+    32-way one).  At real scale the scan already yields >= parallelism
+    splits, and there the repartition would shuffle the ENTIRE corpus
+    text just to re-key work that is already parallel — so it is
+    skipped (r13 optimization round, guide §2.4: remove shuffles whose
+    partitioning the data already has).  The skip is decided from the
+    plan's split count, not a job.
     """
     n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
     return df.repartition(n, F.col(key))
 
 
@@ -299,7 +306,19 @@ def near_dup_pairs(
     # duplicate-insensitive, so the per-(doc, shingle) dedup shuffle
     # would be pure waste.
     rows = shingler(df, id_col, text_col, distinct=False)
-    per_doc = _signatures_from_rows(rows, id_col, k).persist()
+    # Rebalance the signature table before caching (r13): the signature
+    # aggregation inherits the WIDTH of the corpus pass (the _spread
+    # repartition locally, the scan splits at scale), and a persist
+    # pins that width onto every stage that reads the cache — the whole
+    # LSH band/join pipeline ran at corpus-scan width over a table of
+    # one 76-byte row per doc (measured at sf0.1: 206 tasks, 4.5 s of
+    # task CPU).  One AQE-coalescible exchange of the tiny signature
+    # rows (hint("rebalance", id) keeps the doc-id hash partitioning
+    # the downstream feature join wants) re-sizes the cache to
+    # advisory-sized partitions: 52 tasks / 1.8 s CPU, identical rows.
+    per_doc = (
+        _signatures_from_rows(rows, id_col, k).hint("rebalance", id_col).persist()
+    )
     caches: list[DataFrame] = []
     pairs = lsh_candidate_pairs(per_doc, id_col, k, band_rows, cache_into=caches)
     # Materialize the (tiny) candidate-pair table eagerly: it is read

@@ -372,15 +372,29 @@ def q_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
+    # r13 optimization (guide §2.3 "aggregate before you shuffle"): the
+    # fact table collapses to one row per customer BEFORE the dim joins
+    # and the region rollup.  The countDistinct form aggregated on
+    # (r_name, o_custkey) AFTER the joins, so the broadcast joins and
+    # the first exchange processed every raw order row; here they see
+    # one row per customer (10x fewer at sf0.1, unboundedly fewer at
+    # scale).  o_custkey is unique per per-cust row, so
+    # COUNT(DISTINCT o_custkey) per region == COUNT(*), and the exact
+    # decimal partial sums re-sum associatively — rows hash-identical
+    # to the direct form the oracle keeps (driver-verified).
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+    )
     joined = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        per_cust.join(F.broadcast(c), per_cust.o_custkey == c.c_custkey)
         .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
         .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
     )
     return joined.groupBy("r_name").agg(
-        dec_sum("o_totalprice").alias("revenue"),
-        F.count("*").alias("n_orders"),
-        F.countDistinct("o_custkey").alias("n_customers"),
+        F.sum("rev").cast("double").alias("revenue"),
+        F.sum("cnt").alias("n_orders"),
+        F.count("*").alias("n_customers"),
     )
 
 
@@ -870,7 +884,7 @@ def q_streaming_product_stats_update(spark: SparkSession, sf_dir: str) -> DataFr
 # pivot, sliding windows, set ops — plus similarity-search variants.
 # ---------------------------------------------------------------------------
 
-from ..operators.asof import asof_join  # noqa: E402
+from ..operators.asof import asof_join, asof_join_same_source  # noqa: E402
 from ..operators.similarity import ivf_assign, with_norm  # noqa: E402
 from ..operators.windows import sliding_window_stats  # noqa: E402
 from ..sources.generator import PRODUCT_PRICE_RANGES, PRODUCTS, gen_orders  # noqa: E402
@@ -925,16 +939,23 @@ def _gen_orders_oracle(n: int) -> str:
     """,
     tags=("olap", "join", "asof"),
     doc="As-of join (nearest prior click per purchase, per user) via the "
-        "union + ordered-window merge-asof — no native Spark operator "
-        "needed, one shuffle on the key.",
+        "ordered-window merge-asof — no native Spark operator needed, "
+        "one shuffle on the key.  r13: both sides come from the same "
+        "table, so the single-scan form tags sides in one projection "
+        "instead of unioning two filtered scans of the fact table "
+        "(2 FileScans -> 1; rows identical, suite-pinned).",
 )
 def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase")
-    clicks = ev.filter(F.col("event_type") == "click")
-    out = asof_join(
-        purchases, clicks, on="user_id", ts="ts",
-        right_value_cols=("value",), right_tiebreak="event_id",
+    out = asof_join_same_source(
+        ev,
+        on="user_id",
+        left_pred=F.col("event_type") == "purchase",
+        right_pred=F.col("event_type") == "click",
+        ts="ts",
+        left_cols=("event_id", "user_id", "ts", "value"),
+        right_value_cols=("value",),
+        right_tiebreak="event_id",
     )
     return out.select("event_id", "user_id", "ts", "value", "ts_asof", "value_asof")
 
@@ -2009,7 +2030,17 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(F.col("doc_id"), F.explode(F.split("text", " ")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    # Document frequency FROM the tf table (r13 optimization): tf rows
+    # are by construction the distinct (doc_id, token) pairs, so
+    # COUNT(*) per token over tf == COUNT(DISTINCT doc_id) per token
+    # over the raw token stream.  Before, dfreq re-exploded the corpus
+    # and shuffled every raw token row a second time for the distinct
+    # aggregation; now the only corpus-wide token pass is tf's (AQE
+    # reuses its shuffle for both consumers — measured one fewer job)
+    # and dfreq aggregates the already-collapsed tf rows (guide §2.3
+    # "aggregate before you shuffle").  Rows identical to the
+    # countDistinct form the oracle keeps — verified by hash match.
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
     n = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
         tf.join(dfreq, "token")

@@ -30,6 +30,22 @@ RUNTIME_CONFS = {
     # default; needed for the kaop_avro statsPruning file-skipping
     # reader (Spark refuses to plan a pushFilters reader without it).
     "spark.sql.python.filterPushdown.enabled": "true",
+    # --- r13 optimization round (guide §2.2 "fewer, larger reduce
+    # partitions"): post-shuffle partition counts derive from DATA SIZE
+    # (advisoryPartitionSizeInBytes), not from the core count.  The
+    # upstream default (parallelismFirst=true) refuses to coalesce
+    # below the cluster parallelism, which leaves every tiny shuffle at
+    # spark.sql.shuffle.partitions tasks — per-task overhead with no
+    # data behind it locally, and the quadratic M x R block growth at
+    # scale.  Spark's own conf doc recommends setting this to false.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    # Cached plans otherwise pin their materialized partitioning and
+    # every stage that scans the cache inherits its width (measured on
+    # near_dup_pairs: the persisted signature table froze 32-partition
+    # reads through the whole LSH pipeline — 206 tasks where 52
+    # suffice).  Letting AQE re-partition cached plans keeps cache
+    # partition counts size-derived too.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
 }
 
 
