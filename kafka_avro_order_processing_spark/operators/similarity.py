@@ -979,8 +979,11 @@ def hard_negatives(
         F.col(vec_col).alias("q_vec"),
         F.col("norm").alias("q_norm"),
     )
-    n_par = vectors.sparkSession.sparkContext.defaultParallelism
-    c = with_norm(vectors.repartition(n_par, F.col(id_col)), vec_col).select(
+    # No candidate-side repartition (r13, same measured change as
+    # cosine_topk): the scan streams into the broadcast join; the
+    # repartition shuffled the full vector payload for parallelism the
+    # scan's splits already provide at scale.
+    c = with_norm(vectors, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         F.col("norm").alias("c_norm"),
@@ -1116,10 +1119,10 @@ def sq8_topk(
         ).alias("q_lo"),
         F.zip_with(qv, sc_arr, lambda a, b: a * b).alias("q_scaled"),
     )
-    n_par = encoded.sparkSession.sparkContext.defaultParallelism
-    c = encoded.repartition(n_par, F.col(id_col)).select(
-        F.col(id_col).alias("neighbor_id"), "codes"
-    )
+    # No candidate-side repartition (r13, same measured change as
+    # cosine_topk): the encoded-codes scan streams into the broadcast
+    # join instead of shuffling the code payload for parallelism.
+    c = encoded.select(F.col(id_col).alias("neighbor_id"), "codes")
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
