@@ -2040,6 +2040,9 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and dfreq aggregates the already-collapsed tf rows (guide §2.3
     # "aggregate before you shuffle").  Rows identical to the
     # countDistinct form the oracle keeps — verified by hash match.
+    # ASSUMES doc_id is non-null (true of the generated datasets): a
+    # NULL doc_id would count as 1 in COUNT(*) over tf but be excluded
+    # by COUNT(DISTINCT doc_id) (r13 ADVICE note).
     dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
     n = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
@@ -6522,44 +6525,41 @@ RETIRED: dict[str, str] = {
 # ---------------------------------------------------------------------------
 
 _LEAD_ORDER = [
-    # -- ROUND-13 window (exactly 50 names precede the boundary).
-    # Built per the r12 verdict's task 1 / HANDOFF "READ THIS FIRST":
-    # after the r12 check the oldest rows anywhere are the 50
-    # r10-window names (latest CORRECTNESS row = r10, recomputed from
-    # the CORRECTNESS_r01..r12 union at round-13 start: exactly 50,
-    # zero retirement gaps this time), age 2 during round 13 — their
-    # age-3 deadline is THIS round.  The registry sits at 150 = 3x50
-    # saturation, so the window is EXACTLY those 50 in registration
-    # order: zero fills, zero promotions (any NEW name must first
-    # displace an existing one via the audited RETIRED ledger).
-    "value_dispersion", "user_retention_cohorts",
-    "customers_with_pending_orders", "order_display_lines",
-    "props_json_extraction", "above_customer_avg_orders",
-    "approx_distinct_users", "ivf_probe_search", "ivf_recall_at_k",
-    "clicks_before_purchase", "explicit_grouping_sets",
-    "curated_corpus_stats", "shipping_priority",
-    "multimodal_decoded_features", "corrupt_json_handling",
-    "forecast_revenue_change", "large_quantity_orders",
-    "streaming_interval_join", "embedding_quantization_error",
-    "dataset_split_counts", "doc_repetition_scores",
-    "benchmark_contamination", "pii_detection", "doc_chunks",
-    "per_source_quality", "domain_mixture_sample", "boilerplate_grams",
-    "quality_filter_funnel", "source_overlap_grams",
-    "streaming_dedup_exact", "streaming_dedup_watermarked",
-    "upsert_orders_partitioned", "streaming_upsert_orders",
-    "scd2_customer_dim", "streaming_scd2_customer_dim",
-    "doc_length_histogram", "bm25_top20", "embedding_lsh_near_dup",
-    "semantic_dedup", "training_order_shuffle", "stratified_sample",
-    "fuzzy_part_links", "qty_price_rank_corr", "setsim_doc_pairs",
-    "ccnet_buckets", "roc_auc", "winnow_fingerprints",
-    "mean_retrieval_metrics", "profile_table_exact",
-    "duplicated_ngram_spans",
+    # -- ROUND-14 window (exactly 50 names precede the boundary).
+    # Built per the r13 verdict's task 3 / HANDOFF "READ THIS FIRST":
+    # after the r13 check the oldest rows anywhere are the 50
+    # r11-window names (latest CORRECTNESS row = r11, recomputed from
+    # the CORRECTNESS_r01..r13 union at round-14 start: exactly 50 —
+    # the only older "latest" rows are the 3 audited RETIRED names),
+    # age 2 during round 14 — their age-3 deadline is THIS round.
+    # The registry sits at 150 = 3x50 saturation, so the window is
+    # EXACTLY those 50 in registration order: zero fills, zero
+    # promotions (any NEW name must first displace an existing one
+    # via the audited RETIRED ledger).
+    "product_stats_snapshot", "running_avg", "validated_orders",
+    "rejected_orders", "error_classification", "dlq_error_stats",
+    "pricing_summary", "top_customers", "revenue_by_region",
+    "order_priority_counts", "top3_events_per_type", "events_hourly",
+    "user_sessions", "doc_token_stats", "token_counts_top20",
+    "language_id", "quality_scores", "doc_fingerprints", "dedup_exact",
+    "embedding_topk", "multimodal_meta", "streaming_product_stats",
+    "streaming_product_stats_update", "asof_purchase_click",
+    "region_nation_rollup", "priority_status_cube",
+    "daily_event_type_pivot", "events_sliding_30m", "churned_users",
+    "ivf_cell_sizes", "avro_ocf_roundtrip", "priority_line_revenue",
+    "streaming_running_avg_per_record", "streaming_user_sessions",
+    "tfidf_top_terms", "priority_code_extract", "orders_by_month",
+    "salted_product_stats", "streaming_watermarked_windows",
+    "value_distribution_ranks", "user_funnel", "value_bounds",
+    "dedup_clusters", "daily_events_unpivot", "sequence_packing",
+    "streaming_incremental_dedup", "streaming_static_enrich",
+    "upsert_orders", "runtime_filtered_join", "ivf_kmeans_refine",
     # --- position 50 boundary ---------------------------------------
-    # ROUND-14 MATH: after the r13 check the oldest rows anywhere are
-    # the 50 r11-window names (latest CORRECTNESS row = r11), age 2
-    # during round 14 — they are r14's deadline set, ZERO free slots
+    # ROUND-15 MATH: after the r14 check the oldest rows anywhere are
+    # the 50 r12-window names (latest CORRECTNESS row = r12), age 2
+    # during round 15 — they are r15's deadline set, ZERO free slots
     # while the registry stays at 150 = 3x50 saturation.
-    # The r11/r12-window names and the rest follow via the fallback
+    # The r12/r13-window names and the rest follow via the fallback
     # append in _apply_order.
 ]
 
