@@ -103,7 +103,14 @@ def asof_join_same_source(
     CONTRACT: ``left_pred`` and ``right_pred`` must be DISJOINT (a row
     matching both would appear on both sides of the generic form but
     can only take one side here; it takes the left branch).  Rows
-    matching neither are dropped, as in the generic form.
+    matching neither are dropped, as in the generic form.  Predicates
+    may evaluate to NULL: a row is a left row iff ``left_pred`` is
+    TRUE, a right row iff ``right_pred`` is TRUE — the right-side
+    payload is gated on ``right_pred`` itself, NOT on ``~left_pred``
+    (under three-valued logic ``~NULL`` is NULL, which would keep the
+    row as a right row but silently null out its carried value — the
+    r13 ADVICE latent bug, fixed r14 and pinned with a NULL-evaluating
+    predicate test).
 
     ``left_cols`` limits the carried left payload (default: all of
     ``df``'s columns, matching asof_join's output).
@@ -119,8 +126,8 @@ def asof_join_same_source(
         F.col(on).alias("__key"),
         F.col(ts).alias("__ts"),
         F.when(left_pred, F.lit(1)).otherwise(F.lit(0)).alias("__side"),
-        F.when(~left_pred, tb).alias("__tb"),
-        F.when(~left_pred, rv).alias("__rv"),
+        F.when(right_pred, tb).alias("__tb"),
+        F.when(right_pred, rv).alias("__rv"),
         F.when(left_pred, lv).alias("__left"),
     )
     w = (

@@ -33,6 +33,61 @@ BAND_ROWS = 2          # rows per LSH band -> N_MINHASH/BAND_ROWS bands
 SIMHASH_BITS = 32
 
 
+def _scan_splits(df: DataFrame) -> int | None:
+    """Estimated scan-split count of ``df``'s file sources, from driver
+    metadata only (file list + sizes) — no job, no plan-to-RDD
+    conversion (r14: the old ``df.rdd.getNumPartitions()`` probe forced
+    a physical-plan + RDD conversion per query on the hot path, and for
+    shuffle-containing inputs it reported the static pre-AQE partition
+    count, not anything about the scan — r13 ADVICE).
+
+    Mirrors Spark's split packing: maxSplitBytes =
+    min(maxPartitionBytes, max(openCostInBytes, totalBytes/parallelism))
+    with each file charged openCostInBytes.  Returns None when the
+    input reads no files (in-memory relations) or a size is
+    unavailable — callers fall back to the RDD probe there (cold paths
+    only; every registry call site passes a parquet scan).
+    """
+    files = df.inputFiles()
+    if not files:
+        return None
+    import os
+    from urllib.parse import unquote, urlparse
+
+    sess = df.sparkSession
+    conf = sess._jsparkSession.sessionState().conf()
+    max_pb = int(conf.filesMaxPartitionBytes())
+    open_cost = int(conf.filesOpenCostInBytes())
+    total = 0
+    for f in files:
+        p = unquote(urlparse(f).path)
+        try:
+            total += os.path.getsize(p) + open_cost
+        except OSError:
+            return None
+    n = sess.sparkContext.defaultParallelism
+    max_split = min(max_pb, max(open_cost, total // max(n, 1) or 1))
+    return -(-total // max_split)  # ceil
+
+
+def _needs_spread(df: DataFrame) -> bool:
+    """True when ``df`` is narrower than the cluster and the CPU-bound
+    hash work below it would under-parallelize without a repartition.
+
+    HEURISTIC CONTRACT (r13 ADVICE): the decision is about the SCAN.
+    For file-backed inputs it uses the estimated scan-split count from
+    driver metadata; for in-memory inputs it falls back to the static
+    RDD partition count, which for a shuffle-containing plan is the
+    pre-AQE shuffle partition number — callers should pass (close to)
+    raw scans, as every registry call site does.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    splits = _scan_splits(df)
+    if splits is None:
+        splits = df.rdd.getNumPartitions()
+    return splits < n
+
+
 def _spread(df: DataFrame, key: str) -> DataFrame:
     """Hash-repartition to the session's parallelism — but ONLY when the
     scan is narrower than the cluster.
@@ -44,13 +99,12 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
     splits, and there the repartition would shuffle the ENTIRE corpus
     text just to re-key work that is already parallel — so it is
     skipped (r13 optimization round, guide §2.4: remove shuffles whose
-    partitioning the data already has).  The skip is decided from the
-    plan's split count, not a job.
+    partitioning the data already has).  The skip is decided from
+    driver-side scan metadata (`_scan_splits`), not a job.
     """
-    n = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= n:
+    if not _needs_spread(df):
         return df
-    return df.repartition(n, F.col(key))
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(key))
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -171,12 +225,15 @@ def minhash_signatures(
 
 
 def _signatures_from_rows(sh: DataFrame, id_col: str, k: int) -> DataFrame:
-    digests = {
-        d: F.md5(F.concat(F.lit(f"{d}:"), F.col("shingle")))
-        for d in range((k + 3) // 4)
-    }
+    # SQL-string aggregates (r14): one F.expr per minhash column
+    # instead of ~6 Column-API py4j round-trips each — identical
+    # analyzed plan, ~5x cheaper plan construction on the driver
+    # (measured with the simhash change; suite-pinned rows).
     aggs = [
-        F.min(F.substring(digests[j // 4], (j % 4) * 8 + 1, 8)).alias(f"mh{j}")
+        F.expr(
+            f"min(substring(md5(concat('{j // 4}:', shingle)), "
+            f"{(j % 4) * 8 + 1}, 8)) AS mh{j}"
+        )
         for j in range(k)
     ]
     return sh.groupBy(id_col).agg(*aggs)
@@ -197,17 +254,17 @@ def band_rows_of(
     streaming incremental index (which PERSISTS this table keyed by
     band value so each ingest epoch joins only matching buckets)."""
     n_bands = k // band_rows
+    # One SQL-string explode instead of n_bands x ~6 Column-API py4j
+    # round-trips (r14 plan-construction cost pass; identical plan).
+    structs = ", ".join(
+        "struct({b} AS band_id, concat({cols}) AS band_val)".format(
+            b=b,
+            cols=", ".join(f"mh{b * band_rows + r}" for r in range(band_rows)),
+        )
+        for b in range(n_bands)
+    )
     return sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band_id"),
-                    F.concat(*[F.col(f"mh{b * band_rows + r}") for r in range(band_rows)]).alias("band_val"),
-                )
-                for b in range(n_bands)
-            ])
-        ).alias("band"),
+        F.col(id_col), F.expr(f"explode(array({structs})) AS band")
     ).select(id_col, "band.band_id", "band.band_val")
 
 
@@ -233,10 +290,27 @@ def lsh_candidate_pairs(
     Jaccard estimates are only produced for sane-sized buckets.
     """
     bands = band_rows_of(sigs, id_col, k, band_rows)
+    # Three consumers read the band table (bucket stats, the in-bucket
+    # pair generation, the star branch).  When the caller passes
+    # `cache_into`, persist it pre-partitioned on the bucket key: the
+    # rebalance hint is one AQE-sized exchange, after which the stats
+    # aggregation, the stats join-back AND the small-bucket grouping
+    # all reuse the (band_id, band_val) clustering — zero further
+    # exchanges of band rows at any scale (r14; before, the self-join
+    # form re-exchanged both join sides).  The input signature table
+    # is expected to be cached and MATERIALIZED by the caller, so
+    # concurrent first-computations duplicate only the cheap explode
+    # above that cache, never the expensive shingle aggregation below
+    # it.  (An eager count() barrier here was measured a net loss at
+    # sf0.1 — one extra job's scheduling latency outweighs the
+    # duplicated cheap work.)
+    if cache_into is not None:
+        bands = bands.hint("rebalance", "band_id", "band_val").persist()
+        cache_into.append(bands)
     # Bucket sizing via partial-aggregated groupBy + join-back, NOT a
     # count()/min() window: the window form sorts every partition of
     # the band table just to annotate it, while the groupBy form
-    # map-side-combines down to one row per bucket before the shuffle
+    # map-side-combines down to one row per bucket before any exchange
     # and the join-back reuses the same (band_id, band_val) hash
     # partitioning (AQE broadcasts the stats side outright when it is
     # small).  Measured at sf0.1 the two sort-windows were the single
@@ -245,29 +319,28 @@ def lsh_candidate_pairs(
         F.count("*").alias("bucket_n"), F.min(id_col).alias("min_id")
     )
     sized = bands.join(stats, ["band_id", "band_val"])
-    # Three consumers read the sized band table (all-pairs self-join
-    # x2, star branch).  When the caller passes `cache_into`, persist
-    # it lazily: the input signature table is expected to be cached and
-    # MATERIALIZED by the caller, so concurrent first-computations of
-    # `sized` duplicate only the cheap explode/groupBy/join above the
-    # cache, never the expensive shingle aggregation below it.  (An
-    # eager count() barrier here was measured a net loss at sf0.1 —
-    # one extra job's scheduling latency outweighs the duplicated
-    # cheap work.)
-    if cache_into is not None:
-        sized = sized.persist()
-        cache_into.append(sized)
-    small = sized.filter(F.col("bucket_n") <= max_bucket_size)
-    a, b = small.alias("a"), small.alias("b")
-    all_pairs = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+    # In-bucket all-pairs WITHOUT a self-join (r14): the sane-sized
+    # buckets are collected per bucket (state bounded by the
+    # max_bucket_size pre-filter — the hot buckets never reach the
+    # collect) and the a < b pairs are generated by one codegen'd
+    # array expression.  Versus the previous sized⋈sized self-join
+    # this removes both join-side exchanges of the band table at scale
+    # and the join machinery for the quadratic in-bucket expansion;
+    # rows are identical (suite- and oracle-pinned): sort_array makes
+    # the (x, y) order ascending, so x < y exactly like the old
+    # a.id < b.id join predicate.
+    small_groups = (
+        sized.filter(F.col("bucket_n") <= max_bucket_size)
+        .groupBy("band_id", "band_val")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
     )
+    all_pairs = small_groups.select(
+        F.expr(
+            "explode(flatten(transform(ids, (x, i) -> "
+            "transform(slice(ids, i + 2, size(ids) - i - 1), "
+            "y -> struct(x AS doc_a, y AS doc_b))))) AS p"
+        )
+    ).select("p.doc_a", "p.doc_b")
     starred = (
         sized.filter((F.col("bucket_n") > max_bucket_size) & (F.col(id_col) != F.col("min_id")))
         .select(F.col("min_id").alias("doc_a"), F.col(id_col).alias("doc_b"))
@@ -306,18 +379,25 @@ def near_dup_pairs(
     # duplicate-insensitive, so the per-(doc, shingle) dedup shuffle
     # would be pure waste.
     rows = shingler(df, id_col, text_col, distinct=False)
-    # Rebalance the signature table before caching (r13): the signature
-    # aggregation inherits the WIDTH of the corpus pass (the _spread
-    # repartition locally, the scan splits at scale), and a persist
-    # pins that width onto every stage that reads the cache — the whole
-    # LSH band/join pipeline ran at corpus-scan width over a table of
-    # one 76-byte row per doc (measured at sf0.1: 206 tasks, 4.5 s of
-    # task CPU).  One AQE-coalescible exchange of the tiny signature
-    # rows (hint("rebalance", id) keeps the doc-id hash partitioning
-    # the downstream feature join wants) re-sizes the cache to
-    # advisory-sized partitions: 52 tasks / 1.8 s CPU, identical rows.
+    # Rebalance the signature table before caching (r13) — but ONLY
+    # when the corpus pass was widened by _spread (r14): the spread
+    # repartition's user-pinned width flows through the signature
+    # aggregation (its exchange is reused, not re-added) and a persist
+    # would pin that width onto every stage that reads the cache — the
+    # whole LSH band/join pipeline ran at corpus-scan width over a
+    # table of one 76-byte row per doc (measured at sf0.1: 206 tasks,
+    # 4.5 s of task CPU).  One AQE-coalescible exchange of the tiny
+    # signature rows (hint("rebalance", id) keeps the doc-id hash
+    # partitioning the downstream feature join wants) re-sizes the
+    # cache to advisory-sized partitions: 52 tasks / 1.8 s CPU,
+    # identical rows.  When the scan is already cluster-wide (the
+    # 100 TB case) _spread skips its repartition, the aggregation adds
+    # its OWN exchange, and AQE already coalesces that one to advisory
+    # size — the extra rebalance exchange of the signature table would
+    # be pure waste there (guide §2.4), so it is skipped too.
+    sig = _signatures_from_rows(rows, id_col, k)
     per_doc = (
-        _signatures_from_rows(rows, id_col, k).hint("rebalance", id_col).persist()
+        (sig.hint("rebalance", id_col) if _needs_spread(df) else sig).persist()
     )
     caches: list[DataFrame] = []
     pairs = lsh_candidate_pairs(per_doc, id_col, k, band_rows, cache_into=caches)
@@ -332,11 +412,13 @@ def near_dup_pairs(
     # Re-shingle ONLY docs that appear in some candidate pair.  The id
     # set is tiny -> broadcast semi-join prunes the corpus scan without
     # shuffling it; the collect_set state now exists only for the
-    # candidate subset.  No distinct() on the id projection: a semi
-    # join dedups its build side anyway, and the distinct would cost a
-    # shuffle just to shrink an already-tiny broadcast.
-    cand_ids = pairs.select(F.col("doc_a").alias(id_col)).unionByName(
-        pairs.select(F.col("doc_b").alias(id_col))
+    # candidate subset.  One explode projection reads the checkpointed
+    # pair table ONCE (r14; was a union of two projections = two
+    # reads).  No distinct(): a semi join dedups its build side anyway,
+    # and the distinct would cost a shuffle just to shrink an
+    # already-tiny broadcast.
+    cand_ids = pairs.select(
+        F.explode(F.array(F.col("doc_a"), F.col("doc_b"))).alias(id_col)
     )
     cand_docs = df.join(F.broadcast(cand_ids), id_col, "semi")
     sets = (
@@ -350,30 +432,31 @@ def near_dup_pairs(
     )
     # Candidate-doc features: signature (cached, est-Jaccard) + shingle
     # set (exact Jaccard).  Inner join keeps candidate docs only.
+    # selectExpr / SQL-string projections (r14 plan-construction cost
+    # pass): identical analyzed plan, ~5x fewer py4j round-trips.
     feat = per_doc.join(sets, id_col)
-    a = feat.select(
-        F.col(id_col).alias("doc_a"),
-        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(k)],
-        F.col("sh").alias("sh_a"),
+    a = feat.selectExpr(
+        f"{id_col} AS doc_a",
+        *[f"mh{j} AS a{j}" for j in range(k)],
+        "sh AS sh_a",
     )
-    b = feat.select(
-        F.col(id_col).alias("doc_b"),
-        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(k)],
-        F.col("sh").alias("sh_b"),
+    b = feat.selectExpr(
+        f"{id_col} AS doc_b",
+        *[f"mh{j} AS b{j}" for j in range(k)],
+        "sh AS sh_b",
     )
-    agree = sum(
-        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(k)
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    agree_sql = " + ".join(f"IF(a{j} = b{j}, 1, 0)" for j in range(k))
     result = (
         pairs.join(a, "doc_a")
         .join(b, "doc_b")
-        .select(
+        .selectExpr(
             "doc_a",
             "doc_b",
-            (agree.cast("double") / F.lit(float(k))).alias("est_jaccard"),
-            (inter / union).alias("jaccard"),
+            f"CAST({agree_sql} AS DOUBLE) / {float(k)} AS est_jaccard",
+            "CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE)"
+            " / (CAST(size(sh_a) + size(sh_b) AS DOUBLE)"
+            " - CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE))"
+            " AS jaccard",
         )
     )
     # Materialize the (tiny) verified-pair result, then release the
@@ -403,21 +486,25 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     Near-dup lookup is hamming distance over the fingerprint
     (bit_count(a XOR b) in Spark; block-partitioned at scale).
     """
+    # The vote/fingerprint expressions are built as SQL strings (r14):
+    # the Column-API form issued ~350 py4j round-trips per plan BUILD
+    # (32 votes x ~7 calls + 32 fingerprint terms x ~4), which measured
+    # 0.6-1.3 s of driver time per query invocation — more than the
+    # query's own task CPU.  One F.expr per aggregate (and one for the
+    # whole fingerprint sum) keeps the analyzed plan identical while
+    # the construction drops to ~35 round-trips (suite-pinned rows).
     tok = (
         _spread(df, id_col)
         .select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
         .select(F.col(id_col), F.md5(F.col("token")).alias("h"))
     )
     votes = [
-        F.sum((F.ascii(F.substring(F.col("h"), j + 1, 1)) % 2) * 2 - 1).alias(f"s{j}")
+        F.expr(f"sum((ascii(substring(h, {j + 1}, 1)) % 2) * 2 - 1) AS s{j}")
         for j in range(bits)
     ]
     agg = tok.groupBy(id_col).agg(*votes)
-    fp = None
-    for j in range(bits):
-        bit = F.when(F.col(f"s{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
-        fp = bit if fp is None else fp + bit
-    return agg.select(F.col(id_col), fp.cast("long").alias("simhash"))
+    fp_sql = " + ".join(f"IF(s{j} > 0, {2 ** j}, 0)" for j in range(bits))
+    return agg.select(F.col(id_col), F.expr(f"CAST({fp_sql} AS BIGINT) AS simhash"))
 
 
 def set_similarity_join(

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import _spread
+
 DOT = "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)"
 
 
@@ -58,14 +60,17 @@ def cosine_topk(
         F.col(vec_col).alias("q_vec"),
         F.col("norm").alias("q_norm"),
     )
-    # No repartition of the candidate side (r13 optimization): the scan
-    # streams straight into the broadcast join, zero exchanges on the
-    # big side — parallelism comes from the scan splits, which is the
-    # 100 TB shape anyway.  The repartition this replaces shuffled the
-    # full vector payload for parallelism the kernel does not need
-    # (measured at sf0.1: 36 tasks / 1.1 s CPU / 550 KB shuffled vs
-    # 3 tasks / 0.1 s CPU / 0 shuffled, identical rows).
-    c = with_norm(vectors, vec_col).select(
+    # Candidate side: scale-adaptive spread (r14), same policy as the
+    # dedup corpus pass.  At scale the scan's splits already provide
+    # the parallelism and _spread skips — the scan streams straight
+    # into the broadcast join, zero exchanges on the big side (the r13
+    # shape, kept).  Only when the scan is NARROWER than the cluster
+    # (the single-row-group bench parquet; any small input slice) does
+    # the repartition engage the idle cores — r13 removed it outright
+    # and the driver's bench read the all-overhead floor instead
+    # (0.38 -> 0.55 s): the at-scale plan was right but local[32]
+    # lost its parallelism with no data volume to hide the loss.
+    c = with_norm(_spread(vectors, id_col), vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         F.col("norm").alias("c_norm"),
@@ -979,11 +984,12 @@ def hard_negatives(
         F.col(vec_col).alias("q_vec"),
         F.col("norm").alias("q_norm"),
     )
-    # No candidate-side repartition (r13, same measured change as
-    # cosine_topk): the scan streams into the broadcast join; the
-    # repartition shuffled the full vector payload for parallelism the
-    # scan's splits already provide at scale.
-    c = with_norm(vectors, vec_col).select(
+    # Candidate side: scale-adaptive spread (r14, same policy as
+    # cosine_topk) — skipped when the scan's splits already provide
+    # the parallelism (the 100 TB shape: stream into the broadcast
+    # join, no payload shuffle), engaged only for narrower-than-
+    # cluster scans.
+    c = with_norm(_spread(vectors, id_col), vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         F.col("norm").alias("c_norm"),
@@ -1119,10 +1125,11 @@ def sq8_topk(
         ).alias("q_lo"),
         F.zip_with(qv, sc_arr, lambda a, b: a * b).alias("q_scaled"),
     )
-    # No candidate-side repartition (r13, same measured change as
-    # cosine_topk): the encoded-codes scan streams into the broadcast
-    # join instead of shuffling the code payload for parallelism.
-    c = encoded.select(F.col(id_col).alias("neighbor_id"), "codes")
+    # Candidate side: scale-adaptive spread (r14, same policy as
+    # cosine_topk) — skipped when the encoded-codes scan is already
+    # cluster-wide (then it streams into the broadcast join with no
+    # code-payload shuffle), engaged for narrower scans.
+    c = _spread(encoded, id_col).select(F.col(id_col).alias("neighbor_id"), "codes")
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -2029,22 +2029,35 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(F.col("doc_id"), F.explode(F.split("text", " ")).alias("token"))
-    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    # tf is PERSISTED (r14): it has three consumers (the scored join's
+    # left side, dfreq, n_docs) and r13's one-pass intent silently did
+    # NOT hold — the executed plan showed the tf subtree computed TWICE
+    # and documents scanned a THIRD time for n_docs, because column
+    # pruning rewrites each consumer's copy of the aggregation (dfreq's
+    # drops the count) so the exchanges are no longer identical and
+    # ReusedExchange never fires (verified: executedPlan had
+    # ReusedExchange=0, 3 FileScans).  The explicit persist is the
+    # guide §5 case — reused AND expensive to recompute (a full corpus
+    # explode + aggregation per extra pass at 100 TB); after: ONE
+    # corpus scan/token pass, jobs 10 -> 6, shuffle 3.0 MB -> 1.0 MB.
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf")).persist()
     # Document frequency FROM the tf table (r13 optimization): tf rows
     # are by construction the distinct (doc_id, token) pairs, so
     # COUNT(*) per token over tf == COUNT(DISTINCT doc_id) per token
-    # over the raw token stream.  Before, dfreq re-exploded the corpus
-    # and shuffled every raw token row a second time for the distinct
-    # aggregation; now the only corpus-wide token pass is tf's (AQE
-    # reuses its shuffle for both consumers — measured one fewer job)
-    # and dfreq aggregates the already-collapsed tf rows (guide §2.3
-    # "aggregate before you shuffle").  Rows identical to the
-    # countDistinct form the oracle keeps — verified by hash match.
-    # ASSUMES doc_id is non-null (true of the generated datasets): a
-    # NULL doc_id would count as 1 in COUNT(*) over tf but be excluded
-    # by COUNT(DISTINCT doc_id) (r13 ADVICE note).
+    # over the raw token stream (assumes doc_id non-null — a NULL
+    # doc_id would count as 1 here but be excluded by the oracle's
+    # COUNT(DISTINCT doc_id); true of the generated datasets, r13
+    # ADVICE note).
     dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
-    n = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    # n_docs FROM the tf table too (r14): explode(split(text)) emits at
+    # least one token row per document (split of an empty string is
+    # [''], never an empty array), so the distinct doc_ids of tf ARE
+    # the distinct doc_ids of documents — the third corpus scan the
+    # oracle's COUNT(DISTINCT doc_id) FROM documents form paid is
+    # dropped (assumes text non-null like every tokenizing query here;
+    # NULL text would explode to zero rows).  Hash-verified against
+    # the unchanged oracle at sf0.001/0.01/0.1.
+    n = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
         tf.join(dfreq, "token")
         .crossJoin(F.broadcast(n))
